@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture table loaders and the CDC view over `events`.
+  *
+  * The reference engine (`/root/reference/mongodb-cdc-program.js`) processes a
+  * MongoDB change stream whose events carry `operationType` ∈
+  * {insert, update, delete} (js:160–177); deletes are dropped by design
+  * (js:159, js:221–223). The `events` fixture stands in for that change log
+  * (FIXTURES.md): we map `event_type` onto CDC op types
+  * (signup→insert, error→delete, otherwise→update) so every CDC operator can
+  * be expressed — and oracle-checked — over the fixture.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def events(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "events")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame       = table(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "region")
+  def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** CDC op-type mapping, mirroring `operationType` (js:160, 167, 177). */
+  val opType: Column =
+    when(col("event_type") === "signup", lit("insert"))
+      .when(col("event_type") === "error", lit("delete"))
+      .otherwise(lit("update"))
+
+  /** Same mapping as ANSI SQL for the DuckDB oracle. */
+  val opTypeSql: String =
+    "CASE WHEN event_type = 'signup' THEN 'insert' " +
+      "WHEN event_type = 'error' THEN 'delete' ELSE 'update' END"
+
+  /** The `events` fixture viewed as a CDC change log. */
+  def changeLog(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir).withColumn("op_type", opType)
+
+  /** Timestamp → second-precision string; identical in Spark
+    * (`date_format`) and DuckDB (`strftime`) so oracle hash-compares are
+    * immune to the ns(parquet)/µs(Spark) precision mismatch. */
+  def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Oracle-side twin of [[fmtTs]]. */
+  def fmtTsSql(expr: String): String = s"strftime($expr, '%Y-%m-%d %H:%M:%S')"
+
+  /** Timestamp literal parsed in the session time zone (UTC). */
+  def tsLit(s: String): Column = to_timestamp(lit(s))
+}

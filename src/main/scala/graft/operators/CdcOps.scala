@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core CDC operators, re-expressed as declarative Spark transformations.
+  *
+  * The reference applies a change stream to a target collection with
+  * idempotent per-key upserts (`mongodb-cdc-program.js:149–202`): inserts via
+  * `insertOne`, updates via `updateOne {$set, upsert: true}`, deletes dropped
+  * (js:159, 177). Its correctness hinges on per-key last-write-wins order,
+  * which it gets implicitly from single-threaded arrival; at Spark scale we
+  * synthesize it explicitly from `(ts, event_id)` — a ranking window, not a
+  * loop. All operators here are `DataFrame => DataFrame` (distributed,
+  * shuffle-on-key); nothing collects to the driver.
+  */
+object CdcOps {
+
+  /** Drop deletes — the reference's server-side
+    * `$match {operationType: {$in: ['insert','update']}}` (js:221–223). */
+  def dropDeletes(changeLog: DataFrame): DataFrame =
+    changeLog.filter(col("op_type").isin("insert", "update"))
+
+  /** Last-write-wins current state per key: for N events on one key, the
+    * final state is the one with the greatest `(ts, tiebreak)`
+    * (js:167–176; tiebreak synthesized, see class doc).
+    * One shuffle on `key`; ranking window, no global sort. */
+  def lastWriteWins(log: DataFrame, key: String, ts: String, tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts).desc, col(tiebreak).desc)
+    log.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Idempotent upsert merge (js:149–202): rows from `batchState` win; rows
+    * from `base` survive only for keys absent from the batch — `updateOne
+    * {upsert:true}` semantics at table scale. Expressed as anti-join + union
+    * so Catalyst can broadcast the (small, deduped) batch key set; applying
+    * the same batch twice is a no-op (the reference's at-least-once
+    * idempotence contract, js:114–115). */
+  def upsertMerge(base: DataFrame, batchState: DataFrame, key: String): DataFrame =
+    base
+      .join(batchState.select(col(key)).distinct(), Seq(key), "left_anti")
+      .unionByName(batchState)
+
+  /** Per-op-type counters — the reference's `stats {inserts, updates, errors}`
+    * (js:155, 254, 267–269) as a hash aggregate. */
+  def opCounts(changeLog: DataFrame): DataFrame =
+    changeLog
+      .groupBy(col("op_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+
+  /** Replication-lag health check (js:541–600): lag = `now` − max event time,
+    * healthy iff under `thresholdSec` (reference: 300 s, js:557). `now` is a
+    * parameter, never wall clock — determinism for the oracle. */
+  def healthCheck(events: DataFrame, ts: String, nowEpochSec: Long, thresholdSec: Long): DataFrame =
+    events
+      .agg(max(col(ts)).as("last_ts"))
+      .select(
+        graft.Tables.fmtTs(col("last_ts")).as("last_ts"),
+        (lit(nowEpochSec) - unix_timestamp(col("last_ts"))).as("lag_seconds"))
+      .withColumn("healthy", col("lag_seconds") < thresholdSec)
+}

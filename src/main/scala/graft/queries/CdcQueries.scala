@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.Tables.{changeLog, events, fmtTs, tsLit}
+import graft.operators.CdcOps
+
+/** Event-log (CDC) queries over the `events` fixture, each paired with ANSI
+  * SQL for the DuckDB oracle. Every query ends in an ORDER BY on a unique
+  * key so output is engine-independent; timestamps are emitted as
+  * second-precision strings (ns-parquet vs µs-Spark safe); floating
+  * aggregates are rounded to 4 decimals (input data lives on a 0.01 grid, so
+  * the rounded value is never at a round-half boundary).
+  */
+object CdcQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val OP = Tables.opTypeSql
+  private def TS(c: String) = Tables.fmtTsSql(c)
+
+  // -- filters / projections ------------------------------------------------
+
+  /** js:221–223 — server-side $match on operationType; deletes dropped. */
+  private val filterOptype: Q = (s, d) =>
+    CdcOps.dropDeletes(changeLog(s, d))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("op_type"),
+        round(col("value"), 4).as("value"))
+      .orderBy("event_id")
+
+  /** js:226–232 — clusterTime range appended to the $match. */
+  private val filterTimeRange: Q = (s, d) =>
+    events(s, d)
+      .filter(col("ts") >= tsLit("2024-01-05 00:00:00") && col("ts") < tsLit("2024-01-10 00:00:00"))
+      .select(col("event_id"), fmtTs(col("ts")).as("ts_s"), col("user_id"), col("event_type"))
+      .orderBy("event_id")
+
+  /** js:489–496 — conjunctive ns / ts-range / op-IN oplog predicate. */
+  private val filterOplogPred: Q = (s, d) =>
+    events(s, d)
+      .filter(col("event_type").isin("click", "purchase")
+        && col("ts") >= tsLit("2024-01-02 00:00:00") && col("ts") < tsLit("2024-01-20 00:00:00")
+        && col("user_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"), round(col("value"), 4).as("value"))
+      .orderBy("event_id")
+
+  /** js:160–176 — change event → write-op shape (key + post-image). */
+  private val projectEvent: Q = (s, d) =>
+    CdcOps.dropDeletes(changeLog(s, d))
+      .select(col("event_id"), col("op_type"), col("user_id").as("doc_key"), col("props").as("doc"))
+      .orderBy("event_id")
+
+  /** js:499 — `o._id ?? o2._id`: key encoded differently per op type. */
+  private val projectIdExtract: Q = (s, d) =>
+    events(s, d)
+      .select(
+        col("event_id"),
+        coalesce(
+          when(col("event_type") === "purchase", get_json_object(col("props"), "$.k").cast("long")),
+          col("user_id")).as("doc_id"))
+      .orderBy("event_id")
+
+  // -- sources --------------------------------------------------------------
+
+  /** js:486–496 — bounded oplog scan: pushed-down filter + limit 100. */
+  private val sourceOplogScan: Q = (s, d) =>
+    events(s, d)
+      .filter(col("event_type").isin("signup", "click", "view")
+        && col("ts") >= tsLit("2024-01-03 00:00:00") && col("ts") < tsLit("2024-01-25 00:00:00"))
+      .orderBy(col("ts"), col("event_id"))
+      .limit(100)
+      .select(col("event_id"), fmtTs(col("ts")).as("ts_s"), col("user_id"), col("event_type"))
+      .orderBy("event_id")
+
+  /** js:407, 421, 504–505 — findOne({_id}): point lookup by key. */
+  private val sourcePointLookup: Q = (s, d) =>
+    events(s, d)
+      .filter(col("user_id") === 7)
+      .select(col("event_id"), fmtTs(col("ts")).as("ts_s"), col("event_type"),
+        round(col("value"), 4).as("value"), col("props"))
+      .orderBy("event_id")
+
+  // -- CDC state ------------------------------------------------------------
+
+  /** js:167–176 — last-write-wins current state per key (ranking window). */
+  private val aggLastwriteWins: Q = (s, d) =>
+    CdcOps.lastWriteWins(CdcOps.dropDeletes(changeLog(s, d)), "user_id", "ts", "event_id")
+      .select(col("user_id"), fmtTs(col("ts")).as("last_ts"), col("event_type").as("last_event"),
+        round(col("value"), 4).as("last_value"), col("props").as("last_props"))
+      .orderBy("user_id")
+
+  /** js:149–202 — idempotent upsert merge of a batch into a base state. */
+  private val sinkUpsert: Q = (s, d) => {
+    val log = CdcOps.dropDeletes(changeLog(s, d))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+    val cut = tsLit("2024-01-15 00:00:00")
+    val base = CdcOps.lastWriteWins(log.filter(col("ts") < cut), "user_id", "ts", "event_id")
+    val batch = CdcOps.lastWriteWins(log.filter(col("ts") >= cut), "user_id", "ts", "event_id")
+    CdcOps.upsertMerge(base, batch, "user_id")
+      .select(col("user_id"), fmtTs(col("ts")).as("last_ts"), col("event_type").as("last_event"),
+        round(col("value"), 4).as("last_value"))
+      .orderBy("user_id")
+  }
+
+  // -- aggregations ---------------------------------------------------------
+
+  /** js:155, 254, 267–269 — per-op-type counters. */
+  private val aggOpCounts: Q = (s, d) =>
+    CdcOps.opCounts(changeLog(s, d)).orderBy("op_type")
+
+  /** js:499 — distinct document ids touched in a window. */
+  private val aggDistinctIds: Q = (s, d) =>
+    events(s, d)
+      .filter(col("ts") >= tsLit("2024-01-05 00:00:00") && col("ts") < tsLit("2024-01-20 00:00:00"))
+      .select(col("user_id")).distinct()
+      .orderBy("user_id")
+
+  /** Rollup of op counts by (event_type, day) — Catalyst Expand. */
+  private val aggRollup: Q = (s, d) =>
+    events(s, d)
+      .withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
+      .rollup(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("et"),
+        coalesce(col("d"), lit("ALL")).as("d"), col("n"), col("sum_value"))
+      .orderBy("et", "d")
+
+  /** js:541–600 — replication-lag health check ("now" is a parameter). */
+  private val aggHealth: Q = (s, d) =>
+    CdcOps.healthCheck(events(s, d), "ts", nowEpochSec = 1706745600L, thresholdSec = 300L)
+
+  // -- windows / sort / limit -----------------------------------------------
+
+  /** Running per-key total — analytic window (SURVEY §2.5). */
+  private val windowRunning: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), round(col("value"), 4).as("value"),
+        round(sum(col("value")).over(w), 4).as("running"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Old-vs-new image delta per key — lag/lead (CDC delta detection). */
+  private val windowDelta: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") - lag(col("value"), 1).over(w), 4).as("delta"),
+        lead(col("event_type"), 1).over(w).as("next_event"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** orderBy + limit — TakeOrderedAndProject (top-k, SURVEY §2.5). */
+  private val sortTopk: Q = (s, d) =>
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), round(col("value"), 4).as("value"))
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(20)
+
+  // -- scalar functions -----------------------------------------------------
+
+  /** js:104, 215, 227–231 — timestamp parse/format/epoch arithmetic. */
+  private val scalarDatetime: Q = (s, d) =>
+    events(s, d)
+      .select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        hour(col("ts")).cast("long").as("hh"),
+        dayofweek(col("ts")).cast("long").as("dow"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        date_format(col("ts") + expr("INTERVAL 1 DAY"), "yyyy-MM-dd").as("next_day"))
+      .orderBy("event_id")
+
+  /** js:97, 110, 469 — JSON extract over the dynamic payload column. */
+  private val scalarJson: Q = (s, d) =>
+    events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        length(col("props")).cast("long").as("props_len"))
+      .orderBy("event_id")
+
+  // ---------------------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "filter_optype" -> filterOptype,
+    "filter_time_range" -> filterTimeRange,
+    "filter_oplog_pred" -> filterOplogPred,
+    "project_event" -> projectEvent,
+    "project_id_extract" -> projectIdExtract,
+    "source_oplog_scan" -> sourceOplogScan,
+    "source_point_lookup" -> sourcePointLookup,
+    "agg_lastwrite_wins" -> aggLastwriteWins,
+    "sink_upsert" -> sinkUpsert,
+    "agg_op_counts" -> aggOpCounts,
+    "agg_distinct_ids" -> aggDistinctIds,
+    "agg_rollup" -> aggRollup,
+    "agg_health" -> aggHealth,
+    "window_running" -> windowRunning,
+    "window_delta" -> windowDelta,
+    "sort_topk" -> sortTopk,
+    "scalar_datetime" -> scalarDatetime,
+    "scalar_json" -> scalarJson)
+
+  val oracle: Map[String, String] = Map(
+    "filter_optype" ->
+      s"""SELECT event_id, user_id, event_type, $OP AS op_type, round(value, 4) AS value
+         |FROM events WHERE event_type <> 'error' ORDER BY event_id""".stripMargin,
+
+    "filter_time_range" ->
+      s"""SELECT event_id, ${TS("ts")} AS ts_s, user_id, event_type
+         |FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-10 00:00:00'
+         |ORDER BY event_id""".stripMargin,
+
+    "filter_oplog_pred" ->
+      """SELECT event_id, user_id, event_type, round(value, 4) AS value
+        |FROM events
+        |WHERE event_type IN ('click', 'purchase')
+        |  AND ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |  AND user_id % 2 = 0
+        |ORDER BY event_id""".stripMargin,
+
+    "project_event" ->
+      s"""SELECT event_id, $OP AS op_type, user_id AS doc_key, props AS doc
+         |FROM events WHERE event_type <> 'error' ORDER BY event_id""".stripMargin,
+
+    "project_id_extract" ->
+      """SELECT event_id,
+        |       coalesce(CASE WHEN event_type = 'purchase'
+        |                     THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END,
+        |                user_id) AS doc_id
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "source_oplog_scan" ->
+      s"""SELECT event_id, ts_s, user_id, event_type FROM (
+         |  SELECT event_id, ${TS("ts")} AS ts_s, user_id, event_type
+         |  FROM events
+         |  WHERE event_type IN ('signup', 'click', 'view')
+         |    AND ts >= TIMESTAMP '2024-01-03 00:00:00' AND ts < TIMESTAMP '2024-01-25 00:00:00'
+         |  ORDER BY ts, event_id LIMIT 100) q
+         |ORDER BY event_id""".stripMargin,
+
+    "source_point_lookup" ->
+      s"""SELECT event_id, ${TS("ts")} AS ts_s, event_type, round(value, 4) AS value, props
+         |FROM events WHERE user_id = 7 ORDER BY event_id""".stripMargin,
+
+    "agg_lastwrite_wins" ->
+      s"""SELECT user_id, ${TS("ts")} AS last_ts, event_type AS last_event,
+         |       round(value, 4) AS last_value, props AS last_props
+         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |      FROM events WHERE event_type <> 'error') q
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "sink_upsert" ->
+      s"""WITH filtered AS (SELECT * FROM events WHERE event_type <> 'error'),
+         |base AS (SELECT user_id, ts, event_type, value
+         |         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |               FROM filtered WHERE ts < TIMESTAMP '2024-01-15 00:00:00') q WHERE rn = 1),
+         |batch AS (SELECT user_id, ts, event_type, value
+         |          FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |                FROM filtered WHERE ts >= TIMESTAMP '2024-01-15 00:00:00') q WHERE rn = 1),
+         |merged AS (SELECT * FROM batch
+         |           UNION ALL
+         |           SELECT * FROM base WHERE user_id NOT IN (SELECT user_id FROM batch))
+         |SELECT user_id, ${TS("ts")} AS last_ts, event_type AS last_event, round(value, 4) AS last_value
+         |FROM merged ORDER BY user_id""".stripMargin,
+
+    "agg_op_counts" ->
+      s"""SELECT $OP AS op_type, count(*) AS n, round(sum(value), 4) AS sum_value
+         |FROM events GROUP BY 1 ORDER BY op_type""".stripMargin,
+
+    "agg_distinct_ids" ->
+      """SELECT DISTINCT user_id FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY user_id""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT coalesce(event_type, 'ALL') AS et, coalesce(d, 'ALL') AS d,
+        |       count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, value FROM events) q
+        |GROUP BY ROLLUP(event_type, d) ORDER BY et, d""".stripMargin,
+
+    "agg_health" ->
+      s"""SELECT ${TS("max(ts)")} AS last_ts,
+         |       1706745600 - CAST(floor(epoch(max(ts))) AS BIGINT) AS lag_seconds,
+         |       (1706745600 - CAST(floor(epoch(max(ts))) AS BIGINT)) < 300 AS healthy
+         |FROM events""".stripMargin,
+
+    "window_running" ->
+      """SELECT user_id, event_id, round(value, 4) AS value,
+        |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS UNBOUNDED PRECEDING), 4) AS running
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "window_delta" ->
+      """SELECT user_id, event_id,
+        |       round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta,
+        |       lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "sort_topk" ->
+      """SELECT event_id, user_id, event_type, round(value, 4) AS value
+        |FROM events ORDER BY round(value, 4) DESC, event_id LIMIT 20""".stripMargin,
+
+    "scalar_datetime" ->
+      """SELECT event_id,
+        |       strftime(ts, '%Y-%m-%d') AS day,
+        |       CAST(hour(ts) AS BIGINT) AS hh,
+        |       CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |       strftime(ts + INTERVAL 1 DAY, '%Y-%m-%d') AS next_day
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "scalar_json" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       CAST(length(props) AS BIGINT) AS props_len
+        |FROM events ORDER BY event_id""".stripMargin)
+}
