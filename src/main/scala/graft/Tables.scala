@@ -21,7 +21,16 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  def events(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "events")
+  /** The events fixture carries TIMESTAMP(NANOS) parquet, which Spark cannot
+    * read as a timestamp (PARQUET_TYPE_ILLEGAL); read the nanos as INT64 and
+    * truncate to microseconds (integer div — a double div would lose
+    * precision on ~1.7e18 nanos). Second-aligned range predicates and the
+    * second-precision output format are unaffected by the truncation. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "customer")

@@ -47,7 +47,13 @@ object CdcOps {
   def opCounts(changeLog: DataFrame): DataFrame =
     changeLog
       .groupBy(col("op_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+
+  /** Engine-independent sum of a 2-decimal-grid double: accumulate as
+    * decimal (exact, order-insensitive — partial-aggregation order differs
+    * between Spark and the oracle), then surface as double. */
+  def exactSum(c: Column): Column =
+    round(sum(c.cast("decimal(18,2)")).cast("double"), 4)
 
   /** Replication-lag health check (js:541–600): lag = `now` − max event time,
     * healthy iff under `thresholdSec` (reference: 300 s, js:557). `now` is a

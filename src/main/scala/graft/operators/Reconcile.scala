@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   * (e.g. integer-cents for monetary doubles) so the same comparison is
   * expressible in ANSI SQL for the DuckDB oracle — floats never compare as
   * locale/engine-formatted strings.
+  *
+  * Scale note: every operator here costs exactly ONE shuffle (the join on
+  * `key`). The per-field diff is built as an `array(struct(...))` in a single
+  * projection over the joined row and then exploded — NOT as a union of K
+  * filtered re-reads of the join, which would re-execute the join per field.
   */
 object Reconcile {
 
@@ -32,56 +37,60 @@ object Reconcile {
   def cents(name: String): FieldEnc =
     FieldEnc(name, c => round(c * 100, 0).cast("long").cast("string"))
 
-  /** Table-scale `findDifferences`: full-outer join on `key`, then one diff
-    * row per differing field, plus a `_doc_` row per one-sided key.
-    * Output: (key, field, diff_type, src_val, tgt_val).
-    * Single shuffle on `key`; the per-field compare is a union of projections
-    * over the joined result (Catalyst reuses the join subplan). */
-  def fieldDiff(src: DataFrame, tgt: DataFrame, key: String, fields: Seq[FieldEnc]): DataFrame = {
+  /** Full-outer join of canonically-encoded sides; one row per key with
+    * existence flags and `s_<f>` / `t_<f>` encoded field pairs. Shared
+    * backbone of [[fieldDiff]] and [[diffSummary]]: one scan per side, one
+    * shuffle total. Keys are assumed unique per side (document `_id`
+    * semantics, js:170). */
+  private def joined(src: DataFrame, tgt: DataFrame, key: String, fields: Seq[FieldEnc]): DataFrame = {
     val s = src.select(col(key).as("__sk") +: fields.map(f => f.enc(col(f.name)).as(s"s_${f.name}")): _*)
     val t = tgt.select(col(key).as("__tk") +: fields.map(f => f.enc(col(f.name)).as(s"t_${f.name}")): _*)
-    val jCols =
-      Seq(
-        coalesce(col("__sk"), col("__tk")).as(key),
-        col("__sk").isNotNull.as("in_s"),
-        col("__tk").isNotNull.as("in_t")) ++
-        fields.map(f => col(s"s_${f.name}")) ++ fields.map(f => col(s"t_${f.name}"))
-    val j = s.join(t, col("__sk") === col("__tk"), "full_outer").select(jCols: _*)
-
-    val missing = j
-      .filter(!col("in_s") || !col("in_t"))
+    s.join(t, col("__sk") === col("__tk"), "full_outer")
       .select(
-        col(key),
-        lit("_doc_").as("field"),
-        when(col("in_s"), "missing_in_target").otherwise("missing_in_source").as("diff_type"),
-        lit(null).cast("string").as("src_val"),
-        lit(null).cast("string").as("tgt_val"))
-
-    val mismatches = fields.map { f =>
-      j.filter(col("in_s") && col("in_t"))
-        .filter(!(col(s"s_${f.name}") <=> col(s"t_${f.name}")))
-        .select(
-          col(key),
-          lit(f.name).as("field"),
-          lit("value_mismatch").as("diff_type"),
-          col(s"s_${f.name}").as("src_val"),
-          col(s"t_${f.name}").as("tgt_val"))
-    }
-
-    mismatches.foldLeft(missing)(_ unionByName _)
+        Seq(
+          coalesce(col("__sk"), col("__tk")).as(key),
+          col("__sk").isNotNull.as("in_s"),
+          col("__tk").isNotNull.as("in_t")) ++
+          fields.map(f => col(s"s_${f.name}")) ++ fields.map(f => col(s"t_${f.name}")): _*)
   }
 
-  /** `{totalDocumentsCompared, documentsWithDifferences}` (js:520–525):
-    * keys present on either side, and keys with ≥ 1 diff row. */
-  def diffSummary(src: DataFrame, tgt: DataFrame, key: String, fields: Seq[FieldEnc]): DataFrame = {
-    val allKeys = src.select(col(key)).union(tgt.select(col(key))).distinct()
-    val diffKeys = fieldDiff(src, tgt, key, fields).select(col(key)).distinct()
-    allKeys
-      .join(diffKeys.withColumn("__d", lit(1)), Seq(key), "left_outer")
+  /** True iff the joined row differs: one-sided, or ≥1 field mismatch. */
+  private def rowHasDiff(fields: Seq[FieldEnc]): Column =
+    fields
+      .map(f => !(col(s"s_${f.name}") <=> col(s"t_${f.name}")))
+      .foldLeft(!col("in_s") || !col("in_t"))(_ || _)
+
+  /** Table-scale `findDifferences`: one diff row per differing field, plus a
+    * `_doc_` row per one-sided key.
+    * Output: (key, field, diff_type, src_val, tgt_val).
+    * Plan: the single [[joined]] pass, an `array(struct)` of per-field diffs
+    * built in one projection, `filter` on the array, one `explode`. */
+  def fieldDiff(src: DataFrame, tgt: DataFrame, key: String, fields: Seq[FieldEnc]): DataFrame = {
+    val nullV = lit(null).cast("string")
+    val docRow = struct(
+      lit("_doc_").as("field"),
+      when(col("in_s"), "missing_in_target").otherwise("missing_in_source").as("diff_type"),
+      nullV.as("src_val"), nullV.as("tgt_val"))
+    val fieldRows = fields.map { f =>
+      struct(
+        lit(f.name).as("field"), lit("value_mismatch").as("diff_type"),
+        col(s"s_${f.name}").as("src_val"), col(s"t_${f.name}").as("tgt_val"))
+    }
+    val diffs = when(!col("in_s") || !col("in_t"), array(docRow))
+      .otherwise(filter(array(fieldRows: _*), d => !(d("src_val") <=> d("tgt_val"))))
+    joined(src, tgt, key, fields)
+      .select(col(key), explode(diffs).as("__d"))
+      .select(col(key), col("__d.field"), col("__d.diff_type"), col("__d.src_val"), col("__d.tgt_val"))
+  }
+
+  /** `{totalDocumentsCompared, documentsWithDifferences}` (js:520–525) as a
+    * single conditional aggregate over the [[joined]] pass — the full-outer
+    * join already yields exactly one row per key on either side. */
+  def diffSummary(src: DataFrame, tgt: DataFrame, key: String, fields: Seq[FieldEnc]): DataFrame =
+    joined(src, tgt, key, fields)
       .agg(
         count(lit(1)).as("total_compared"),
-        sum(when(col("__d").isNotNull, 1L).otherwise(0L)).as("with_differences"))
-  }
+        sum(when(rowHasDiff(fields), 1L).otherwise(0L)).as("with_differences"))
 
   /** Per-key existence flags source-vs-target (js:409–432, 503–516):
     * full-outer join of the two key sets. */
@@ -99,7 +108,7 @@ object Reconcile {
     * drift, used by the reconciliation queries and their oracles: rows
     * missing from the target (`%13 = 3`), drifted balances (`%7 = 2`),
     * altered segments (`%11 = 3`), and extra target-only rows (`%17 = 5`,
-    * re-keyed +1,000,000). Mirrors the SQL in SparkEntry exactly. */
+    * re-keyed +1,000,000). Mirrors `ReconcileQueries.driftedSql` exactly. */
   def driftedCustomer(customer: DataFrame): DataFrame = {
     val k = col("c_custkey")
     customer

@@ -122,7 +122,7 @@ object CdcQueries {
     events(s, d)
       .withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
       .rollup(col("event_type"), col("d"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"), CdcOps.exactSum(col("value")).as("sum_value"))
       .select(coalesce(col("event_type"), lit("ALL")).as("et"),
         coalesce(col("d"), lit("ALL")).as("d"), col("n"), col("sum_value"))
       .orderBy("et", "d")
@@ -208,7 +208,7 @@ object CdcQueries {
   val oracle: Map[String, String] = Map(
     "filter_optype" ->
       s"""SELECT event_id, user_id, event_type, $OP AS op_type, round(value, 4) AS value
-         |FROM events WHERE event_type <> 'error' ORDER BY event_id""".stripMargin,
+         |FROM events WHERE event_type IS DISTINCT FROM 'error' ORDER BY event_id""".stripMargin,
 
     "filter_time_range" ->
       s"""SELECT event_id, ${TS("ts")} AS ts_s, user_id, event_type
@@ -226,7 +226,7 @@ object CdcQueries {
 
     "project_event" ->
       s"""SELECT event_id, $OP AS op_type, user_id AS doc_key, props AS doc
-         |FROM events WHERE event_type <> 'error' ORDER BY event_id""".stripMargin,
+         |FROM events WHERE event_type IS DISTINCT FROM 'error' ORDER BY event_id""".stripMargin,
 
     "project_id_extract" ->
       """SELECT event_id,
@@ -252,11 +252,11 @@ object CdcQueries {
       s"""SELECT user_id, ${TS("ts")} AS last_ts, event_type AS last_event,
          |       round(value, 4) AS last_value, props AS last_props
          |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-         |      FROM events WHERE event_type <> 'error') q
+         |      FROM events WHERE event_type IS DISTINCT FROM 'error') q
          |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "sink_upsert" ->
-      s"""WITH filtered AS (SELECT * FROM events WHERE event_type <> 'error'),
+      s"""WITH filtered AS (SELECT * FROM events WHERE event_type IS DISTINCT FROM 'error'),
          |base AS (SELECT user_id, ts, event_type, value
          |         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
          |               FROM filtered WHERE ts < TIMESTAMP '2024-01-15 00:00:00') q WHERE rn = 1),
@@ -265,12 +265,13 @@ object CdcQueries {
          |                FROM filtered WHERE ts >= TIMESTAMP '2024-01-15 00:00:00') q WHERE rn = 1),
          |merged AS (SELECT * FROM batch
          |           UNION ALL
-         |           SELECT * FROM base WHERE user_id NOT IN (SELECT user_id FROM batch))
+         |           SELECT * FROM base b WHERE NOT EXISTS (SELECT 1 FROM batch x WHERE x.user_id = b.user_id))
          |SELECT user_id, ${TS("ts")} AS last_ts, event_type AS last_event, round(value, 4) AS last_value
          |FROM merged ORDER BY user_id""".stripMargin,
 
     "agg_op_counts" ->
-      s"""SELECT $OP AS op_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      s"""SELECT $OP AS op_type, count(*) AS n,
+         |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value
          |FROM events GROUP BY 1 ORDER BY op_type""".stripMargin,
 
     "agg_distinct_ids" ->
@@ -280,7 +281,8 @@ object CdcQueries {
 
     "agg_rollup" ->
       """SELECT coalesce(event_type, 'ALL') AS et, coalesce(d, 'ALL') AS d,
-        |       count(*) AS n, round(sum(value), 4) AS sum_value
+        |       count(*) AS n,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value
         |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, value FROM events) q
         |GROUP BY ROLLUP(event_type, d) ORDER BY et, d""".stripMargin,
 

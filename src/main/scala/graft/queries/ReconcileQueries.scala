@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.Tables.{changeLog, customer, tsLit}
+import graft.operators.{CdcOps, Reconcile}
+
+/** Reconciliation queries — the relational re-expression of the reference's
+  * `compareDocuments` / `compareDocumentsInTimeWindow` tools
+  * (`mongodb-cdc-program.js:399–538`). Source table = `customer`; target =
+  * a deterministic drifted replica (`Reconcile.driftedCustomer`) so both
+  * Spark and the DuckDB oracle can reconstruct the exact same pair of tables
+  * from the fixtures alone.
+  */
+object ReconcileQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val key = "c_custkey"
+  private def fields = Reconcile.customerFields
+
+  // -- oracle-side building blocks -------------------------------------------
+
+  /** SQL twin of [[Reconcile.driftedCustomer]]. */
+  private val driftedSql =
+    """SELECT c_custkey, c_name, c_nationkey,
+      |       CASE WHEN c_custkey % 7 = 2 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+      |       CASE WHEN c_custkey % 11 = 3 THEN 'ALTERED' ELSE c_mktsegment END AS c_mktsegment
+      |FROM customer WHERE c_custkey % 13 <> 3
+      |UNION ALL
+      |SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer WHERE c_custkey % 17 = 5""".stripMargin
+
+  /** SQL twin of the canonical field encodings (Reconcile.plain / .cents). */
+  private def encSql(side: String, f: String): String =
+    if (f == "c_acctbal") s"CAST(CAST(round($side.c_acctbal * 100, 0) AS BIGINT) AS VARCHAR)"
+    else s"CAST($side.$f AS VARCHAR)"
+
+  /** SQL twin of Reconcile.joined: full-outer join with existence flags and
+    * canonically-encoded s_/t_ field pairs, over given src/tgt relations. */
+  private def joinedSql(srcRel: String, tgtRel: String): String = {
+    val encoded = fields
+      .map(f => s"${encSql("s", f.name)} AS s_${f.name}, ${encSql("t", f.name)} AS t_${f.name}")
+      .mkString(",\n|         ")
+    s"""SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+       |         s.c_custkey IS NOT NULL AS in_s, t.c_custkey IS NOT NULL AS in_t,
+       |         $encoded
+       |  FROM $srcRel s FULL OUTER JOIN $tgtRel t ON s.c_custkey = t.c_custkey""".stripMargin
+  }
+
+  private def rowHasDiffSql: String =
+    (Seq("NOT in_s", "NOT in_t") ++
+      fields.map(f => s"s_${f.name} IS DISTINCT FROM t_${f.name}")).mkString(" OR ")
+
+  // -- queries ---------------------------------------------------------------
+
+  /** js:457–475 table-scale: one row per differing field / one-sided key. */
+  private val joinFullOuterDiff: Q = (s, d) =>
+    Reconcile.fieldDiff(customer(s, d), Reconcile.driftedCustomer(customer(s, d)), key, fields)
+      .orderBy(key, "field")
+
+  /** js:409–432 — per-key existence flags source vs target. */
+  private val joinExistence: Q = (s, d) =>
+    Reconcile.existence(customer(s, d), Reconcile.driftedCustomer(customer(s, d)), key)
+      .orderBy(key)
+
+  /** js:520–525 — {totalDocumentsCompared, documentsWithDifferences}. */
+  private val aggDiffSummary: Q = (s, d) =>
+    Reconcile.diffSummary(customer(s, d), Reconcile.driftedCustomer(customer(s, d)), key, fields)
+
+  /** js:423–432 "missing in target" as a set op — EXCEPT of the key sets. */
+  private val setopExcept: Q = (s, d) =>
+    customer(s, d).select(col(key))
+      .except(Reconcile.driftedCustomer(customer(s, d)).select(col(key)))
+      .orderBy(key)
+
+  /** Flagship (SURVEY §3.2, js:478–538): change-window scan → distinct keys
+    * → source/target restricted to those keys → single-pass diff summary.
+    * The reference's N+1 `findOne` loop (js:503–505) is two semi-joins and
+    * one full-outer join — three shuffles total, no driver-side iteration. */
+  def reconcileWindow(s: SparkSession, d: String): DataFrame = {
+    val keys = CdcOps.dropDeletes(changeLog(s, d))
+      .filter(col("ts") >= tsLit("2024-01-05 00:00:00") && col("ts") < tsLit("2024-01-20 00:00:00"))
+      .select(col("user_id").as(key))
+      .distinct()
+    val src = customer(s, d).join(keys, Seq(key), "left_semi")
+    val tgt = Reconcile.driftedCustomer(customer(s, d)).join(keys, Seq(key), "left_semi")
+    Reconcile.diffSummary(src, tgt, key, fields)
+  }
+
+  private val reconcileWindowQ: Q = reconcileWindow
+
+  val queries: Map[String, Q] = Map(
+    "join_full_outer_diff" -> joinFullOuterDiff,
+    "join_existence" -> joinExistence,
+    "agg_diff_summary" -> aggDiffSummary,
+    "setop_except" -> setopExcept,
+    "reconcile_window" -> reconcileWindowQ)
+
+  val oracle: Map[String, String] = Map(
+    "join_full_outer_diff" -> {
+      val mismatchArms = fields.map { f =>
+        s"""SELECT c_custkey, '${f.name}' AS field, 'value_mismatch' AS diff_type,
+           |       s_${f.name} AS src_val, t_${f.name} AS tgt_val
+           |FROM j WHERE in_s AND in_t AND s_${f.name} IS DISTINCT FROM t_${f.name}""".stripMargin
+      }
+      s"""WITH drifted AS ($driftedSql),
+         |j AS (${joinedSql("customer", "drifted")})
+         |SELECT * FROM (
+         |SELECT c_custkey, '_doc_' AS field,
+         |       CASE WHEN in_s THEN 'missing_in_target' ELSE 'missing_in_source' END AS diff_type,
+         |       CAST(NULL AS VARCHAR) AS src_val, CAST(NULL AS VARCHAR) AS tgt_val
+         |FROM j WHERE NOT in_s OR NOT in_t
+         |${mismatchArms.map(a => s"UNION ALL\n$a").mkString("\n")}
+         |) ORDER BY c_custkey, field""".stripMargin
+    },
+
+    "join_existence" ->
+      s"""WITH drifted AS ($driftedSql)
+         |SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+         |       s.c_custkey IS NOT NULL AS in_source,
+         |       t.c_custkey IS NOT NULL AS in_target
+         |FROM (SELECT DISTINCT c_custkey FROM customer) s
+         |FULL OUTER JOIN (SELECT DISTINCT c_custkey FROM drifted) t
+         |  ON s.c_custkey = t.c_custkey
+         |ORDER BY c_custkey""".stripMargin,
+
+    "agg_diff_summary" ->
+      s"""WITH drifted AS ($driftedSql),
+         |j AS (${joinedSql("customer", "drifted")})
+         |SELECT count(*) AS total_compared,
+         |       CAST(sum(CASE WHEN $rowHasDiffSql THEN 1 ELSE 0 END) AS BIGINT) AS with_differences
+         |FROM j""".stripMargin,
+
+    "setop_except" ->
+      s"""WITH drifted AS ($driftedSql)
+         |SELECT c_custkey FROM customer
+         |EXCEPT
+         |SELECT c_custkey FROM drifted
+         |ORDER BY c_custkey""".stripMargin,
+
+    "reconcile_window" ->
+      s"""WITH drifted AS ($driftedSql),
+         |keys AS (SELECT DISTINCT user_id AS c_custkey FROM events
+         |         WHERE event_type IS DISTINCT FROM 'error'
+         |           AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+         |           AND ts < TIMESTAMP '2024-01-20 00:00:00'),
+         |src AS (SELECT c.* FROM customer c
+         |        WHERE EXISTS (SELECT 1 FROM keys k WHERE k.c_custkey = c.c_custkey)),
+         |tgt AS (SELECT c.* FROM drifted c
+         |        WHERE EXISTS (SELECT 1 FROM keys k WHERE k.c_custkey = c.c_custkey)),
+         |j AS (${joinedSql("src", "tgt")})
+         |SELECT count(*) AS total_compared,
+         |       CAST(sum(CASE WHEN $rowHasDiffSql THEN 1 ELSE 0 END) AS BIGINT) AS with_differences
+         |FROM j""".stripMargin)
+}
