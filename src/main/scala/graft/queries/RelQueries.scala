@@ -1,10 +1,114 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Relational join-strategy queries (SURVEY §2.3) — filled in round 2. */
+import graft.Tables.{changeLog, customer, fmtTs, fmtTsSql, lineitem, nation, orders, region}
+import graft.operators.CdcOps
+
+/** Relational join-strategy queries (SURVEY §2.3). The reference reconciles
+  * via an N+1 `findOne` loop (`mongodb-cdc-program.js:503–505`); at table
+  * scale the same semantics land on Catalyst's physical join menu — these
+  * queries pin each strategy under the oracle:
+  *
+  *  - `join_broadcast`: dimension joins small enough to replicate
+  *    (customer ⋈ nation ⋈ region) — BroadcastHashJoin, zero shuffle of the
+  *    small sides; at 100 TB the fact side still never shuffles.
+  *  - `join_sortmerge`: fact-to-fact (orders ⋈ lineitem) — SortMergeJoin /
+  *    shuffled hash, both sides hash-partitioned on the key.
+  *  - `join_antisemi`: "missing in target" (js:423–432) as a left-anti join.
+  *  - `join_post_image`: `fullDocument:'updateLookup'` (js:236) — the latest
+  *    change event per key joined to the current dimension row.
+  */
 object RelQueries {
   type Q = (SparkSession, String) => DataFrame
-  val queries: Map[String, Q] = Map()
-  val oracle: Map[String, String] = Map()
+
+  /** customer ⋈ nation ⋈ region rollup; dims are broadcast — the plan must
+    * show BroadcastHashJoin with no exchange on the customer side. */
+  private val joinBroadcast: Q = (s, d) =>
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), CdcOps.exactSum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy("r_name", "n_name")
+
+  /** orders ⋈ lineitem revenue per (status, priority): both sides large →
+    * shuffle on l_orderkey/o_orderkey, SortMergeJoin. The `merge` hint pins
+    * the strategy at oracle scale too (at sf0.01 orders fits in a broadcast,
+    * which Catalyst would rightly prefer; at 100 TB both sides are facts and
+    * SMJ/shuffled-hash is the only viable plan). Revenue accumulated in
+    * decimal so partial-agg order is irrelevant (exact 4-dp grid: 2-dp
+    * price × 2-dp discount). */
+  private val joinSortmerge: Q = (s, d) =>
+    orders(s, d).hint("merge")
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(
+          sum(col("l_extendedprice").cast("decimal(18,2)")
+            * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double"), 4).as("revenue"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** Customers with no orders — left-anti, the relational "missing in
+    * target" (js:423–432). */
+  private val joinAntisemi: Q = (s, d) =>
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** js:236 — `fullDocument:'updateLookup'`: latest event per key, joined to
+    * the dimension row it targets (stream-static join analog). */
+  private val joinPostImage: Q = (s, d) =>
+    CdcOps.lastWriteWins(CdcOps.dropDeletes(changeLog(s, d)), "user_id", "ts", "event_id")
+      .join(customer(s, d), col("user_id") === col("c_custkey"), "inner")
+      .select(
+        col("user_id"), fmtTs(col("ts")).as("last_ts"), col("event_type").as("last_event"),
+        col("c_name"), col("c_mktsegment"),
+        round(col("c_acctbal"), 4).as("acctbal"))
+      .orderBy("user_id")
+
+  val queries: Map[String, Q] = Map(
+    "join_broadcast" -> joinBroadcast,
+    "join_sortmerge" -> joinSortmerge,
+    "join_antisemi" -> joinAntisemi,
+    "join_post_image" -> joinPostImage)
+
+  val oracle: Map[String, String] = Map(
+    "join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "join_sortmerge" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_lines,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "join_antisemi" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_post_image" ->
+      s"""WITH latest AS (
+         |  SELECT * FROM (
+         |    SELECT user_id, ts, event_type,
+         |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events WHERE event_type IS DISTINCT FROM 'error') q
+         |  WHERE rn = 1)
+         |SELECT user_id, ${fmtTsSql("ts")} AS last_ts, event_type AS last_event,
+         |       c_name, c_mktsegment, round(c_acctbal, 4) AS acctbal
+         |FROM latest JOIN customer ON user_id = c_custkey
+         |ORDER BY user_id""".stripMargin)
 }
