@@ -66,4 +66,16 @@ object Tables {
 
   /** Timestamp literal parsed in the session time zone (UTC). */
   def tsLit(s: String): Column = to_timestamp(lit(s))
+
+  /** Engine-independent 4-dp rounding of a computed double ratio:
+    * `floor(x·10⁴ + 0.5)/10⁴` — half-up applied to the binary double itself.
+    * Spark's `round` re-parses the double's shortest decimal string
+    * (BigDecimal.valueOf), so a value like 0.31475 whose *string* sits on a
+    * half boundary rounds up in Spark but down in engines that round the
+    * binary value (the double is 0.31474999…); this form is identical
+    * wherever the input doubles are bit-identical. Oracle twin: [[rnd4Sql]]. */
+  def rnd4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+
+  /** Oracle-side twin of [[rnd4]]. */
+  def rnd4Sql(expr: String): String = s"floor(($expr) * 10000 + 0.5) / 10000"
 }

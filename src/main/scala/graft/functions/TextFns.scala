@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the LLM-data-pipeline operators
+  * (SURVEY §2.8). All pure column expressions — codegen-friendly, no UDFs —
+  * so filters and projections stay inside whole-stage codegen at 100 TB.
+  */
+object TextFns {
+
+  /** Whitespace tokenization — the reference corpus is space-separated. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct token set (for Jaccard / stopword scoring). */
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  /** Distinct n-word shingles ("n-grams of words"), the standard MinHash
+    * input unit. Guarded for texts shorter than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val idx = sequence(lit(1), size(toks) - (n - 1))
+    val grams = transform(idx, i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
+  }
+
+  /** Tokens-in-set count, e.g. stopword hits. Pure expression (no join). */
+  def hitCount(tokensCol: Column, set: Seq[String]): Column =
+    size(filter(tokensCol, t => t.isin(set.map(lit): _*)))
+
+  /** Tiny per-language stopword tables for the n-gram/stopword language-ID
+    * heuristic. Public-knowledge closed-class words; deliberately small —
+    * language ID at corpus scale is a ratio over these sets, not a model. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "es" -> Seq("el", "la", "los", "de", "y", "es", "un", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  /** Languages in a fixed tie-break order (argmax is deterministic). */
+  val langOrder: Seq[String] = Seq("en", "de", "es", "fr", "zh")
+
+  /** BPE-ish subword count estimate: ceil(len/4) pieces per word — the
+    * ~4-chars-per-token rule of thumb, as a pure fold over the token array. */
+  def bpeEstimate(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long"))
+}

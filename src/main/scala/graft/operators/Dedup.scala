@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Deduplication operators for LLM training-data pipelines (SURVEY §2.8).
+  *
+  * Four tiers, all shuffle-on-key distributed — no all-pairs cross join
+  * anywhere:
+  *  - exact: hash-groupBy on a normalized-text digest (one shuffle; the
+  *    digest, not the text, is the shuffle key — at 100 TB you shuffle
+  *    32 bytes per row, not documents).
+  *  - MinHash + banded LSH: shingle → H min-hashes → B band signatures →
+  *    self-join on (band, signature) for candidates → exact-Jaccard verify.
+  *    Candidate generation is equi-join-shaped, so it scales as the number
+  *    of colliding pairs, not n².
+  *  - SimHash: 64-bit fingerprint via per-bit majority vote of token
+  *    hashes; candidates from 16-bit band collisions, verified by Hamming
+  *    distance (bit_count of xor).
+  *  - exact n-gram Jaccard: inverted-index self-join on shingle (standard
+  *    similarity-join shape); exact, for verification and oracle parity.
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per distinct normalized text, with the
+    * surviving doc (min id) and the duplicate count. */
+  def exactGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .groupBy(sha2(lower(trim(col(textCol))), 256).as("__digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .drop("__digest")
+
+  /** Distinct (id, shingle) pairs — the shared input of the MinHash and
+    * exact-Jaccard paths. */
+  def shingled(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(TextFns.shingles(col(textCol), n)).as("shingle"))
+
+  /** Exact n-gram Jaccard similarity join via inverted index: pairs sharing
+    * ≥1 shingle, scored |A∩B| / |A∪B|, kept at ≥ threshold. One shuffle on
+    * shingle (the inverted index), one on the pair key. */
+  def ngramJaccard(docs: DataFrame, textCol: String, idCol: String, n: Int, threshold: Double): DataFrame = {
+    val sh = shingled(docs, textCol, idCol, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val j = col("n_common") * lit(1.0) / (col("na") + col("nb") - col("n_common"))
+    common
+      .join(sizes.select(col("doc_id"), col("n_sh").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n_sh").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .filter(j >= threshold)
+      .select(col("doc_a"), col("doc_b"), graft.Tables.rnd4(j).as("jaccard"))
+  }
+
+  /** MinHash signatures: H min-hashes per doc (seeded xxhash64 per shingle,
+    * min-aggregated — H narrow aggregates, one shuffle). */
+  private def minhashSignature(sh: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Banded-LSH candidate pairs + exact-Jaccard verification.
+    * numHashes = bands × rowsPerBand; a pair with Jaccard j collides on one
+    * band with probability 1-(1-j^rows)^bands. Verification recomputes the
+    * exact Jaccard for candidates only, so the output is sound (every
+    * reported pair truly ≥ threshold); banding controls recall. */
+  def minhashLsh(docs: DataFrame, textCol: String, idCol: String, n: Int,
+                 bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val sh = shingled(docs, textCol, idCol, n)
+    val sig = minhashSignature(sh, bands * rowsPerBand)
+    val bandSigs = (0 until bands).map { b =>
+      xxhash64((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+    }
+    val banded = sig.select(col("doc_id"), posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Exact-Jaccard check of candidate pairs against the shingle sets. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val j = col("n_common") * lit(1.0) / (col("na") + col("nb") - col("n_common"))
+    common
+      .join(sizes.select(col("doc_id"), col("n_sh").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n_sh").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .filter(j >= threshold)
+      .select(col("doc_a"), col("doc_b"), graft.Tables.rnd4(j).as("jaccard"))
+  }
+
+  /** 64-bit SimHash per doc: per-bit majority vote over token hashes
+    * (64 conditional-sum aggregates — one shuffle, no explode of bits). */
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"), explode(TextFns.distinctTokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
+    }
+    val voted = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val fp = (0 until 64)
+      .map(i => when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    voted.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: collide on one of four 16-bit bands, then
+    * verify Hamming distance ≤ maxHamming via bit_count(xor). */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxHamming: Int): DataFrame = {
+    val fp = simhash(docs, textCol, idCol)
+    val bandCols = (0 until 4).map(b => shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL))
+    val banded = fp.select(col("doc_id"), col("simhash"), posexplode(array(bandCols: _*)).as(Seq("band", "key")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §2.8): image/audio/video payloads are
+  * opaque `binary` columns with typed metadata travelling alongside. The
+  * Spark-side machinery — schema, batch shape, partition-parallel decode,
+  * typed aggregation — is real; the codec itself is STUBBED with a
+  * deterministic fake (this container ships no image/audio libraries), so
+  * every test asserts on reproducible values. Swap [[fakeDecode]] for a real
+  * decoder (JNI/FFM) without touching anything else.
+  */
+object Multimodal {
+
+  /** Typed media metadata extracted by the (stubbed) decoder. */
+  final case class MediaMeta(docId: Long, nBytes: Long, width: Int, height: Int, nFrames: Int)
+
+  /** STUB decoder: deterministic pseudo-metadata derived from the payload
+    * length. A real implementation parses the container header here. */
+  def fakeDecode(docId: Long, payload: Array[Byte]): MediaMeta = {
+    val n = payload.length.toLong
+    MediaMeta(docId, n, width = (16 + n % 64).toInt, height = (16 + (n * 7) % 64).toInt,
+      nFrames = (1 + n / 100).toInt)
+  }
+
+  /** Attach an opaque binary `media` column (here: the utf-8 text bytes —
+    * the fixture has no real media; the column type and row shape are what
+    * matters downstream). */
+  def withMediaColumn(docs: DataFrame): DataFrame =
+    docs.withColumn("media", col("text").cast("binary"))
+
+  /** Partition-parallel decode: mapPartitions over (docId, payload) so a
+    * real codec could amortize per-batch setup (model load, JNI handles)
+    * across each partition — the Pandas-UDF batch shape, in Scala. */
+  def decodeMeta(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaMeta] = {
+    implicit val enc: Encoder[MediaMeta] = Encoders.product[MediaMeta]
+    withMediaColumn(docs)
+      .select(col("doc_id"), col("media"))
+      .map { row: Row => fakeDecode(row.getLong(0), row.getAs[Array[Byte]](1)) }
+  }
+
+  /** Typed element-wise centroid of `array<float>` embeddings — an
+    * `Aggregator` (map-side partial merge, one shuffle per group) used for
+    * label centroids / cluster summaries. */
+  final case class CentroidBuf(var sums: Array[Double], var n: Long)
+
+  object CentroidAgg extends Aggregator[Array[Float], CentroidBuf, Array[Double]] {
+    override def zero: CentroidBuf = CentroidBuf(Array.empty, 0L)
+    override def reduce(b: CentroidBuf, v: Array[Float]): CentroidBuf = {
+      if (b.sums.isEmpty) b.sums = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { b.sums(i) += v(i); i += 1 }
+      b.n += 1
+      b
+    }
+    override def merge(a: CentroidBuf, b: CentroidBuf): CentroidBuf = {
+      if (a.sums.isEmpty) b
+      else if (b.sums.isEmpty) a
+      else {
+        var i = 0
+        while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
+        a.n += b.n
+        a
+      }
+    }
+    override def finish(r: CentroidBuf): Array[Double] =
+      if (r.n == 0) Array.empty else r.sums.map(_ / r.n)
+    override def bufferEncoder: Encoder[CentroidBuf] = Encoders.product[CentroidBuf]
+    override def outputEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+}

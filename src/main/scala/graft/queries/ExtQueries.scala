@@ -1,10 +1,309 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** [EXT] LLM-data-pipeline queries (SURVEY §2.8) — filled in round 2. */
+import graft.Tables.{documents, embeddings, rnd4, rnd4Sql}
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Dedup, Knn, Multimodal}
+
+/** [EXT] LLM-data-pipeline queries (SURVEY §2.8) over the `documents` /
+  * `embeddings` fixtures: text analysis, dedup (exact / n-gram Jaccard /
+  * MinHash-LSH / SimHash), similarity search, multimodal plumbing.
+  *
+  * Determinism/oracle notes:
+  *  - All float outputs are rounded to 4 dp; similarity scores are computed
+  *    as sequential double folds on both engines so the pre-round values are
+  *    bit-identical.
+  *  - `ext_dedup_minhash` banding (16 bands × 2 rows) has pair-miss
+  *    probability (1−j²)¹⁶ < 1e-11 at the fixture's near-dup similarity
+  *    (j ≥ 0.9), so its verified-candidate output equals the exact-Jaccard
+  *    result and shares its oracle; hashes are deterministic (xxhash64), so
+  *    this equality is a fixed fact of the fixture, not a coin flip.
+  *  - `ext_dedup_simhash` / `ext_sim_knn_lsh` depend on xxhash64, which the
+  *    oracle engine lacks → no oracle entry (driver records rows-only).
+  */
 object ExtQueries {
   type Q = (SparkSession, String) => DataFrame
-  val queries: Map[String, Q] = Map()
-  val oracle: Map[String, String] = Map()
+
+  private val P = 1000000007L // rolling-hash modulus (fits 31·P + cp in a long)
+
+  // -- text analysis ---------------------------------------------------------
+
+  /** Per-document token statistics — size/distinct/avg-length, all pure
+    * column expressions (codegen, no shuffle beyond the scan). */
+  private val extTextStats: Q = (s, d) => {
+    val toks = TextFns.tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      nTok.as("n_tokens"),
+      size(TextFns.distinctTokens(col("text"))).cast("long").as("n_distinct"),
+      // single-space separated ⇒ letters = chars − (n−1) separators
+      rnd4((length(col("text")) - nTok + 1).cast("double") / nTok).as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Whitespace token count + BPE-ish subword estimate (~4 chars/piece). */
+  private val extTokenCount: Q = (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      TextFns.bpeEstimate(col("text")).as("n_bpe_est"))
+      .orderBy("doc_id")
+
+  /** Stopword-ratio language ID: argmax over per-language stopword hit
+    * counts, first-in-order tie-break, 'und' when nothing hits. */
+  private val extLangId: Q = (s, d) => {
+    val toks = TextFns.tokens(col("text"))
+    val hits = TextFns.langOrder.map(l => TextFns.hitCount(toks, TextFns.stopwords(l)))
+    val m = greatest(hits: _*)
+    val guess = TextFns.langOrder.zip(hits)
+      .foldLeft(when(m <= 0, "und")) { case (acc, (l, h)) => acc.when(h === m, l) }
+      .otherwise("und")
+    documents(s, d).select(
+      col("doc_id"), guess.as("lang_guess"), col("lang"),
+      (guess === col("lang")).as("hit"))
+      .orderBy("doc_id")
+  }
+
+  /** Composite quality score: stopword ratio + type-token ratio + length
+    * saturation, in fixed double arithmetic (identical op order both
+    * engines). */
+  private val extQuality: Q = (s, d) => {
+    val toks = TextFns.tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopRatio = TextFns.hitCount(toks, TextFns.stopwords("en")).cast("double") / nTok
+    val ttr = size(TextFns.distinctTokens(col("text"))).cast("double") / nTok
+    val lenSat = least(lit(1.0), nTok / 100.0)
+    documents(s, d).select(
+      col("doc_id"),
+      rnd4(stopRatio).as("stop_ratio"),
+      rnd4(ttr).as("ttr"),
+      rnd4(stopRatio * 0.4 + ttr * 0.3 + lenSat * 0.3).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Rolling polynomial fingerprint over characters:
+    * fp = fold((acc·31 + codepoint) mod P). Pure expression; the modulus
+    * keeps every intermediate exact in 64-bit on both engines. */
+  private val extFingerprint: Q = (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      expr(s"aggregate(transform(sequence(1, length(text)), i -> cast(ascii(substr(text, i, 1)) AS long)), 0L, (acc, c) -> (acc * 31 + c) % $P)")
+        .as("fingerprint"))
+      .orderBy("doc_id")
+
+  // -- dedup -----------------------------------------------------------------
+
+  private val extDedupExact: Q = (s, d) =>
+    Dedup.exactGroups(documents(s, d), "text", "doc_id").orderBy("keep_id")
+
+  private val extDedupNgram: Q = (s, d) =>
+    Dedup.ngramJaccard(documents(s, d), "text", "doc_id", n = 3, threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  private val extDedupMinhash: Q = (s, d) =>
+    Dedup.minhashLsh(documents(s, d), "text", "doc_id", n = 3,
+      bands = 16, rowsPerBand = 2, threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  private val extDedupSimhash: Q = (s, d) =>
+    Dedup.simhashPairs(documents(s, d), "text", "doc_id", maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+
+  // -- similarity search -----------------------------------------------------
+
+  /** Exact top-5 cosine neighbours for the first 10 vectors. */
+  private val extSimKnn: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    Knn.bruteForce(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed approximate variant — the 100 TB scale path. */
+  private val extSimKnnLsh: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    Knn.lshKnn(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, bits = 6, spark = s)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs within one label partition. */
+  private val extSimNeardup: Q = (s, d) =>
+    Knn.cosineNearDup(embeddings(s, d).filter(col("label") === 0),
+      "vec_id", "embedding", threshold = 0.3)
+      .orderBy("id_a", "id_b")
+
+  // -- multimodal ------------------------------------------------------------
+
+  /** Opaque-binary decode plumbing: typed per-row decode of the media
+    * payload (deterministic stub codec — SURVEY §2.8). */
+  private val extMultimodalMeta: Q = (s, d) =>
+    Multimodal.decodeMeta(documents(s, d))(s).toDF()
+      .select(col("docId").as("doc_id"), col("nBytes").as("n_bytes"),
+        col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+        col("nFrames").cast("long").as("n_frames"))
+      .orderBy("doc_id")
+
+  /** Per-label embedding centroid via the typed Aggregator (map-side partial
+    * merge), unpivoted to (label, pos, value) rows for the oracle. */
+  private val extMultimodalCentroid: Q = (s, d) => {
+    val centroid = udaf(Multimodal.CentroidAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    embeddings(s, d)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(centroid(col("embedding")).as("c"))
+      .select(col("label"), posexplode(col("c")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos").cast("long").as("pos"), rnd4(col("v")).as("centroid"))
+      .orderBy("label", "pos")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ext_text_stats" -> extTextStats,
+    "ext_token_count" -> extTokenCount,
+    "ext_lang_id" -> extLangId,
+    "ext_quality_score" -> extQuality,
+    "ext_fingerprint" -> extFingerprint,
+    "ext_dedup_exact" -> extDedupExact,
+    "ext_dedup_ngram" -> extDedupNgram,
+    "ext_dedup_minhash" -> extDedupMinhash,
+    "ext_dedup_simhash" -> extDedupSimhash,
+    "ext_sim_knn" -> extSimKnn,
+    "ext_sim_knn_lsh" -> extSimKnnLsh,
+    "ext_sim_neardup" -> extSimNeardup,
+    "ext_multimodal_meta" -> extMultimodalMeta,
+    "ext_multimodal_centroid" -> extMultimodalCentroid)
+
+  // -- oracle ----------------------------------------------------------------
+
+  /** Shared oracle CTE: distinct (doc_id, 3-shingle) pairs. */
+  private val shingleSql =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+      |                               i -> array_to_string(t[i:i+2], ' '))) AS shingle
+      |       FROM toks)""".stripMargin
+
+  /** Exact 3-gram Jaccard pairs ≥ 0.5 — oracle for BOTH ext_dedup_ngram and
+    * ext_dedup_minhash (LSH recall ≈ 1 at the fixture's j ≥ 0.9; see doc). */
+  private val jaccardSql =
+    s"""WITH $shingleSql,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, ${rnd4Sql("c * 1.0 / (sa.n + sb.n - c)")} AS jaccard
+       |FROM common
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Oracle-side cosine between DOUBLE[] casts (same sequential fold). */
+  private def cosSql(a: String, b: String) =
+    s"list_dot_product($a,$b) / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)))"
+
+  val oracle: Map[String, String] = Map(
+    "ext_text_stats" ->
+      s"""SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |       ${rnd4Sql("CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)" +
+        " / len(string_split(text, ' '))")} AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ext_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |       CAST(list_sum(list_transform(string_split(text, ' '),
+        |                     t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ext_lang_id" -> {
+      val sw = TextFns.stopwords
+      def hit(l: String) =
+        s"len(list_filter(t, x -> list_contains([${sw(l).map(w => s"'$w'").mkString(",")}], x)))"
+      val arms = TextFns.langOrder.map(l => s"WHEN h_$l = m THEN '$l'").mkString(" ")
+      val hitCols = TextFns.langOrder.map(l => s"${hit(l)} AS h_$l").mkString(",\n|       ")
+      s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |       $hitCols
+         |FROM toks),
+         |g AS (SELECT doc_id, lang,
+         |             greatest(${TextFns.langOrder.map("h_" + _).mkString(", ")}) AS m,
+         |             ${TextFns.langOrder.map("h_" + _).mkString(", ")} FROM h)
+         |SELECT doc_id,
+         |       CASE WHEN m <= 0 THEN 'und' $arms ELSE 'und' END AS lang_guess,
+         |       lang,
+         |       (CASE WHEN m <= 0 THEN 'und' $arms ELSE 'und' END) = lang AS hit
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    "ext_quality_score" -> {
+      val en = TextFns.stopwords("en").map(w => s"'$w'").mkString(",")
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(string_split(text, ' '), x -> list_contains([$en], x))) AS DOUBLE)
+         |           / len(string_split(text, ' ')) AS stop_ratio,
+         |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |           / len(string_split(text, ' ')) AS ttr,
+         |         least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) AS len_sat
+         |  FROM documents)
+         |SELECT doc_id, ${rnd4Sql("stop_ratio")} AS stop_ratio, ${rnd4Sql("ttr")} AS ttr,
+         |       ${rnd4Sql("stop_ratio * 0.4 + ttr * 0.3 + len_sat * 0.3")} AS quality
+         |FROM q ORDER BY doc_id""".stripMargin
+    },
+
+    "ext_fingerprint" ->
+      s"""SELECT doc_id,
+         |       list_reduce(list_transform(generate_series(1, length(text)),
+         |                                  i -> CAST(ascii(text[i:i]) AS BIGINT)),
+         |                   (acc, c) -> (acc * 31 + c) % $P) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ext_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY sha256(lower(trim(text))) ORDER BY keep_id""".stripMargin,
+
+    "ext_dedup_ngram" -> jaccardSql,
+    "ext_dedup_minhash" -> jaccardSql,
+
+    "ext_sim_knn" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${cosSql("q.emb", "c.emb")} AS cos
+         |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, ${rnd4Sql("cos")} AS cosine
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ext_sim_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE label = 0)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       ${rnd4Sql(cosSql("a.emb", "b.emb"))} AS cosine
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.emb", "b.emb")} >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "ext_multimodal_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       16 + octet_length(encode(text)) % 64 AS width,
+        |       16 + (octet_length(encode(text)) * 7) % 64 AS height,
+        |       1 + octet_length(encode(text)) // 100 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ext_multimodal_centroid" ->
+      s"""SELECT CAST(label AS BIGINT) AS label, i AS pos,
+         |       ${rnd4Sql("avg(embedding[i + 1])")} AS centroid
+         |FROM embeddings, range(64) t(i)
+         |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin)
 }

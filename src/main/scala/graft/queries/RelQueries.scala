@@ -52,11 +52,13 @@ object RelQueries {
             .cast("double"), 4).as("revenue"))
       .orderBy("o_orderstatus", "o_orderpriority")
 
-  /** Customers with no orders — left-anti, the relational "missing in
-    * target" (js:423–432). */
+  /** Customers with no urgent order — left-anti, the relational "missing in
+    * target" (js:423–432). (Every customer has ≥1 order in the fixture, so
+    * the plain no-orders form would be vacuously empty.) */
   private val joinAntisemi: Q = (s, d) =>
     customer(s, d)
-      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy("c_custkey")
 
@@ -97,7 +99,9 @@ object RelQueries {
     "join_antisemi" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
 
     "join_post_image" ->
