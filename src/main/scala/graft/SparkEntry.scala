@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++ ReconcileQueries.queries ++
-      graft.queries.RelQueries.queries ++ graft.queries.ExtQueries.queries
+      graft.queries.RelQueries.queries ++ graft.queries.ExtQueries.queries ++
+      graft.queries.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CdcQueries.oracle ++ ReconcileQueries.oracle ++
-      graft.queries.RelQueries.oracle ++ graft.queries.ExtQueries.oracle
+      graft.queries.RelQueries.oracle ++ graft.queries.ExtQueries.oracle ++
+      graft.queries.StreamQueries.oracle
 }

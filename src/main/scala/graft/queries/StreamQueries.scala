@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.Tables.{fmtTs, fmtTsSql, tsLit}
+import graft.operators.CdcOps
+import graft.streaming.CdcPipeline
+
+/** Batch-replay forms of the streaming operators (SURVEY §2.1/§2.7).
+  * Structured Streaming's batch/stream unification means
+  * [[CdcPipeline.transform]] is the SAME function the streaming query runs —
+  * these entries pin its semantics under the oracle, while the live
+  * readStream/watermark/foreachBatch/checkpoint path is exercised end-to-end
+  * by `StreamingSpec`.
+  */
+object StreamQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val OP = Tables.opTypeSql
+
+  /** js:221–248 — the change-stream tail (server-side $match + projection),
+    * replayed over the bounded event log. */
+  private val sourceChangestream: Q = (s, d) => {
+    val raw = s.read.schema(CdcPipeline.eventsFileSchema).parquet(s"$d/events.parquet")
+    CdcPipeline.transform(raw)
+      .select(col("event_id"), fmtTs(col("ts")).as("ts_s"), col("user_id"),
+        col("op_type"), col("props"))
+      .orderBy("event_id")
+  }
+
+  /** js:104, 272–299 — checkpoint/resume with an at-least-once replay
+    * window: state checkpointed at T, then the suffix from T−1d replayed on
+    * top. The overlap day is applied twice; idempotent upsert makes the
+    * final state identical to a clean full run — which is exactly what the
+    * oracle computes. */
+  private val sinkCheckpointReplay: Q = (s, d) => {
+    val log = CdcOps.dropDeletes(Tables.changeLog(s, d))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val ckpt = tsLit("2024-01-20 00:00:00")
+    val replayFrom = tsLit("2024-01-19 00:00:00") // 1-day at-least-once overlap
+    val stateAtCkpt = CdcOps.lastWriteWins(log.filter(col("ts") < ckpt), "user_id", "ts", "event_id")
+    val replayed = CdcOps.lastWriteWins(log.filter(col("ts") >= replayFrom), "user_id", "ts", "event_id")
+    CdcOps.upsertMerge(stateAtCkpt, replayed, "user_id")
+      .select(col("user_id"), fmtTs(col("ts")).as("last_ts"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "source_changestream" -> sourceChangestream,
+    "sink_checkpoint" -> sinkCheckpointReplay)
+
+  val oracle: Map[String, String] = Map(
+    "source_changestream" ->
+      s"""SELECT event_id, ${fmtTsSql("ts")} AS ts_s, user_id, $OP AS op_type, props
+         |FROM events WHERE event_type IS DISTINCT FROM 'error'
+         |ORDER BY event_id""".stripMargin,
+
+    // replay-with-overlap ≡ clean full run (idempotence) — the oracle is the
+    // plain full-log last-write-wins state
+    "sink_checkpoint" ->
+      s"""SELECT user_id, ${fmtTsSql("ts")} AS last_ts, event_id AS last_event_id,
+         |       event_type AS last_event
+         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |      FROM events WHERE event_type IS DISTINCT FROM 'error') q
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin)
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.CdcOps
+
+/** Structured-Streaming form of the reference's CDC replication loop
+  * (`mongodb-cdc-program.js:205–382`), SURVEY §2.7.
+  *
+  * Reference behavior → Spark mapping:
+  *  - change-stream tail w/ server-side $match (js:221–248)   → `readStream`
+  *    over an events directory + the same [[transform]] used in batch
+  *    (batch/stream unification — one transformation function for both).
+  *  - micro-batching (1000-doc buffer / 5 s flush, js:261, 326–349)
+  *    → trigger (AvailableNow in tests, ProcessingTime in continuous mode).
+  *  - checkpoint file {resumeToken, timestamp} every 30 s (js:104, 272–278)
+  *    → built-in `checkpointLocation` offset/commit log; resume-after-crash
+  *    and the CLI replay window both collapse into it.
+  *  - at-least-once + idempotent per-key upsert (js:114–115, 149–202)
+  *    → `foreachBatch` running [[CdcOps.lastWriteWins]] +
+  *    [[CdcOps.upsertMerge]] against the target — replayed batches are
+  *    no-ops, so the end-to-end effect is exactly-once.
+  *  - no late-data handling in the reference → we add an event-time
+  *    watermark (extension of semantics, flagged in SURVEY §2.7).
+  */
+object CdcPipeline {
+
+  /** `events.parquet` physical schema (ts = TIMESTAMP(NANOS) read as long;
+    * see [[graft.Tables.events]]). */
+  val eventsFileSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** The shared batch/stream transformation: nanos→timestamp, op-type
+    * mapping, delete filtering, write-op projection (js:157–186). Applying
+    * this to a bounded DataFrame is exactly the reference's
+    * `--start-time/--end-time` replay path. */
+  def transform(raw: DataFrame): DataFrame =
+    CdcOps.dropDeletes(
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("op_type", graft.Tables.opType))
+
+  /** One idempotent micro-batch apply: current target state ⊕ batch →
+    * last-write-wins merge, written back atomically (lineage truncated via
+    * localCheckpoint so the overwrite never reads its own output). In
+    * production this body is a transactional MERGE INTO keyed on `user_id`;
+    * the dedup-then-merge shape (and its idempotence) is identical. */
+  def applyBatch(spark: SparkSession, batch: DataFrame, targetDir: String): Unit = {
+    val batchState = CdcOps.lastWriteWins(batch, "user_id", "ts", "event_id")
+    val merged =
+      if (new java.io.File(targetDir).exists()) {
+        val base = spark.read.parquet(targetDir)
+        CdcOps.upsertMerge(base, batchState.select(base.columns.map(col): _*), "user_id")
+      } else batchState
+    merged.localCheckpoint(true)
+      .write.mode("overwrite").parquet(targetDir)
+  }
+
+  /** Start the streaming pipeline: source dir → transform → watermark →
+    * foreachBatch idempotent upsert into `targetDir`.
+    * `availableNow = true` drains what exists and stops (test/replay mode);
+    * `false` runs continuously with the reference's 5 s cadence (js:349). */
+  def start(spark: SparkSession, sourceDir: String, targetDir: String,
+            checkpointDir: String, availableNow: Boolean = true): StreamingQuery = {
+    val raw = spark.readStream.schema(eventsFileSchema).parquet(sourceDir)
+    val trigger =
+      if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
+    transform(raw)
+      .withWatermark("ts", "1 hour")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(spark, batch, targetDir)
+      }
+      .start()
+  }
+}

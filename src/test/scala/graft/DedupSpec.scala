@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.operators.Dedup
+
+/** Dedup-operator semantics on planted duplicates. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
+
+  test("exactGroups collapses case/whitespace-normalized duplicates") {
+    val d = docs((1, "Hello World"), (2, "hello world  "), (3, "other text"))
+    val g = Dedup.exactGroups(d, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(g === Set((1L, 2L), (3L, 1L))) // (keep_id, n_copies)
+  }
+
+  test("shingles: n-gram count and short-text guard") {
+    val d = docs((1, "a b c d"), (2, "a b")) // 4 tokens → two 3-shingles; 2 tokens → none
+    val r = d.select(col("doc_id"), size(TextFns.shingles(col("text"), 3)).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(r === Map(1L -> 2, 2L -> 0))
+  }
+
+  test("ngramJaccard scores a planted near-dup exactly") {
+    // doc1: shingles {a b c, b c d, c d e}; doc2 shares {b c d, c d e} + {d e X}
+    // jaccard = 2 / 4 = 0.5
+    val d = docs((1, "a b c d e"), (2, "b c d e X"), (3, "q r s t u"))
+    val pairs = Dedup.ngramJaccard(d, "text", "doc_id", n = 3, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs === Set((1L, 2L, 0.5)))
+  }
+
+  test("minhashLsh finds the planted near-dup pair with its exact jaccard") {
+    val near = (1 to 30).map("w" + _).mkString(" ")
+    val d = docs((1, near), (2, near + " extra"), (3, (100 to 130).map("z" + _).mkString(" ")))
+    val pairs = Dedup.minhashLsh(d, "text", "doc_id", n = 3,
+      bands = 16, rowsPerBand = 2, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length === 1)
+    val (a, b, j) = pairs.head
+    assert((a, b) === ((1L, 2L)))
+    // shingle sets: 28 vs 29, 28 common → 28/29
+    assert(math.abs(j - math.floor(28.0 / 29 * 10000 + 0.5) / 10000) < 1e-12)
+  }
+
+  test("simhash: identical token multisets collide at hamming 0") {
+    val d = docs((1, "alpha beta gamma delta"), (2, "delta gamma beta alpha"),
+      (3, "совсем other words here"))
+    val pairs = Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+}

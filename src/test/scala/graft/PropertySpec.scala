@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+import graft.operators.CdcOps
+
+/** Property-based checks (SURVEY §5.3) over generated change logs:
+  * last-write-wins is input-order-insensitive, and replaying any suffix of
+  * the log from a "checkpoint" reproduces the same final state. Uses
+  * ScalaCheck generators with a fixed seed (deterministic CI). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val genLog: Gen[List[(Long, Long, Int)]] = Gen.listOfN(
+    60,
+    for {
+      eid <- Gen.choose(1L, 1000L)
+      uid <- Gen.choose(1L, 8L)
+      tsOff <- Gen.choose(0, 500)
+    } yield (eid, uid, tsOff))
+
+  private def samples(n: Int): Seq[List[(Long, Long, Int)]] = {
+    val seed0 = rng.Seed(42L)
+    (0 until n).scanLeft((genLog.pureApply(Gen.Parameters.default, seed0), seed0)) {
+      case ((_, s), _) =>
+        val s2 = s.next
+        (genLog.pureApply(Gen.Parameters.default, s2), s2)
+    }.map(_._1)
+  }
+
+  private def df(rows: List[(Long, Long, Int)]): DataFrame =
+    rows.toDF("event_id", "user_id", "ts_off")
+      // distinct event_id per (ts, key) not guaranteed — dedup exact rows so
+      // the winner is well-defined under any input order
+      .distinct()
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")) + col("ts_off") * expr("INTERVAL 1 MINUTE"))
+
+  private def state(log: DataFrame): Set[(Long, Long)] =
+    CdcOps.lastWriteWins(log, "user_id", "ts", "event_id")
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+
+  test("lastWriteWins is insensitive to input row order") {
+    samples(8).foreach { rows =>
+      val a = state(df(rows))
+      val b = state(df(scala.util.Random.shuffle(rows)))
+      assert(a === b, s"order sensitivity on sample of ${rows.size} rows")
+    }
+  }
+
+  test("replaying any suffix from a checkpointed state is a no-op on the final state") {
+    samples(8).foreach { rows =>
+      val full = df(rows)
+      val finalState = CdcOps.lastWriteWins(full, "user_id", "ts", "event_id")
+      // checkpoint at an arbitrary cut: state built from the full log, then
+      // the suffix (last 20 minutes) replayed on top — at-least-once overlap
+      val suffix = full.filter(col("ts_off") >= 480)
+      val replayed = CdcOps.upsertMerge(
+        finalState, CdcOps.lastWriteWins(suffix, "user_id", "ts", "event_id"), "user_id")
+      val a = finalState.select("user_id", "event_id").as[(Long, Long)].collect().toSet
+      val b = replayed.select("user_id", "event_id").as[(Long, Long)].collect().toSet
+      assert(a === b, "suffix replay changed the final state")
+    }
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CdcOps
+import graft.streaming.CdcPipeline
+
+/** End-to-end streaming pipeline test (SURVEY §5.4): stream the events
+  * fixture through the foreachBatch upsert in two micro-batch waves with a
+  * checkpointed restart in between, then reconcile against the batch
+  * last-write-wins answer — the reference's own ops verification loop
+  * (`compareDocumentsInTimeWindow`), automated. */
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  test("streamed upsert + checkpointed restart converges to the batch answer; replay is a no-op") {
+    val sf = "/root/testdata/sf0.001"
+    val src = tmp("cdc-src")
+    val tgt = tmp("cdc-tgt").resolve("state").toString
+    val ckp = tmp("cdc-ckp").toString
+
+    // the full change log, read the batch way (nanos ts already converted)
+    val all = Tables.events(spark, sf)
+    val cut = Tables.tsLit("2024-01-15 00:00:00")
+
+    // the file-stream source lists leaf files in the source dir, so each
+    // wave's part-files land flat in `src` under a unique prefix
+    def arrive(wave: String, pred: org.apache.spark.sql.Column): Unit = {
+      val staging = tmp(s"cdc-stage-$wave")
+      spark.read.schema(CdcPipeline.eventsFileSchema)
+        .parquet(s"$sf/events.parquet")
+        .filter(pred)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.move(f.toPath, src.resolve(s"$wave-$i.parquet"))
+        }
+    }
+
+    // wave 1: events before the cut arrive as the first stream file
+    arrive("wave1", timestamp_micros(expr("ts div 1000")) < cut)
+    CdcPipeline.start(spark, src.toString, tgt, ckp).awaitTermination()
+
+    // wave 2: the rest arrives later; the query restarts from the checkpoint
+    arrive("wave2", timestamp_micros(expr("ts div 1000")) >= cut)
+    CdcPipeline.start(spark, src.toString, tgt, ckp).awaitTermination()
+
+    val expected = CdcOps.lastWriteWins(
+      CdcOps.dropDeletes(Tables.changeLog(spark, sf)), "user_id", "ts", "event_id")
+    val got = spark.read.parquet(tgt)
+
+    // reconcile: zero differing documents (keys + chosen last event)
+    val diff = graft.operators.Reconcile.diffSummary(
+      expected.select("user_id", "event_id", "ts", "event_type"),
+      got.select("user_id", "event_id", "ts", "event_type"),
+      "user_id",
+      Seq(Reconcile.plain("event_id"), Reconcile.plain("event_type")))
+    import spark.implicits._
+    val (total, differing) = diff.as[(Long, Long)].collect().head
+    assert(total === expected.count())
+    assert(differing === 0L)
+
+    // restart with no new data: state unchanged (at-least-once idempotence)
+    val before = got.orderBy("user_id").collect().toSeq
+    CdcPipeline.start(spark, src.toString, tgt, ckp).awaitTermination()
+    val after = spark.read.parquet(tgt).orderBy("user_id").collect().toSeq
+    assert(before === after)
+  }
+
+  private val Reconcile = graft.operators.Reconcile
+}
