@@ -1,22 +1,26 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` embedding columns as pure column
-  * expressions (zip_with / aggregate fold) — no UDF, no collect. The fold is
-  * a deterministic left-to-right double accumulation, so the DuckDB oracle
+/** Vector math over `array<float>` embedding columns. The dot product is a
+  * custom codegen'd Catalyst expression ([[FloatDot]]); accumulation is a
+  * deterministic left-to-right double fold, so the DuckDB oracle
   * (list_dot_product on a DOUBLE[] cast) computes bit-identical results.
   */
 object VectorFns {
 
-  /** Σ aᵢ·bᵢ in double, sequential fold. */
+  /** Σ aᵢ·bᵢ in double (codegen'd, stays inside WholeStageCodegen). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    ExpressionUtils.column(
+      FloatDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
-  /** cosine(a, b) = dot / (‖a‖·‖b‖), all in double. */
+  /** ‖a‖ — for precomputing per-row norms BEFORE a pairwise join: scoring a
+    * pair then costs one dot, not three. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine(a, b) = dot / (‖a‖·‖b‖), all in double. Prefer the
+    * precomputed-norm form (`dot(a,b) / (normA * normB)`) in joins. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    dot(a, b) / (norm(a) * norm(b))
 }

@@ -37,22 +37,45 @@ object Dedup {
   def shingled(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"), explode(TextFns.shingles(col(textCol), n)).as("shingle"))
 
-  /** Exact n-gram Jaccard similarity join via inverted index: pairs sharing
-    * ≥1 shingle, scored |A∩B| / |A∪B|, kept at ≥ threshold. One shuffle on
-    * shingle (the inverted index), one on the pair key. */
+  /** One row per doc with its (distinct) shingle array + size — the compact
+    * verification side: candidate pairs join against this 1-row-per-doc
+    * table (AQE broadcasts it when small) instead of re-exploding shingles
+    * into a pairs × shingles blow-up. */
+  private def shingleArrays(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), TextFns.shingles(col(textCol), n).as("__arr"))
+      .withColumn("__n_sh", size(col("__arr")))
+
+  /** Exact n-gram Jaccard similarity join, prefix-filtered (AllPairs /
+    * PPJoin family): candidates come only from joining each doc's PREFIX —
+    * its |X| − ⌈t·|X|⌉ + 1 globally-rarest shingles — then exact Jaccard is
+    * recomputed for candidates. Lossless: order shingles globally by
+    * ascending document frequency; for a pair with J ≥ t, the first common
+    * shingle in that order must sit inside both prefixes (if it sat beyond
+    * doc X's prefix, all common shingles would fit in X's last ⌈t·|X|⌉ − 1
+    * positions, forcing |A∩B| < t·|A| ≤ t·|A∪B|). A naive inverted-index
+    * self-join materializes Σ df² pairs over ALL shingles — frequent
+    * shingles make that quadratic; the prefix join touches only rare ones. */
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String, n: Int, threshold: Double): DataFrame = {
     val sh = shingled(docs, textCol, idCol, n)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    val j = col("n_common") * lit(1.0) / (col("na") + col("nb") - col("n_common"))
-    common
-      .join(sizes.select(col("doc_id"), col("n_sh").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("n_sh").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
-      .filter(j >= threshold)
-      .select(col("doc_a"), col("doc_b"), graft.Tables.rnd4(j).as("jaccard"))
+    verifyJaccard(prefixCandidates(sh, threshold), shingleArrays(docs, textCol, idCol, n), threshold)
+  }
+
+  /** Prefix-filtered candidate pairs (see [[ngramJaccard]]). */
+  private def prefixCandidates(sh: DataFrame, t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docFreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("__df"), col("shingle"))
+    val all = Window.partitionBy(col("doc_id"))
+    val prefix = sh.join(docFreq, "shingle")
+      .withColumn("__pos", row_number().over(byRarity))
+      .withColumn("__n", count(lit(1)).over(all))
+      .filter(col("__pos") <= col("__n") - ceil(lit(t) * col("__n")) + 1)
+      .select(col("doc_id"), col("shingle"))
+    prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** MinHash signatures: H min-hashes per doc (seeded xxhash64 per shingle,
@@ -81,21 +104,23 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, sh, threshold)
+    verifyJaccard(cand, shingleArrays(docs, textCol, idCol, n), threshold)
   }
 
-  /** Exact-Jaccard check of candidate pairs against the shingle sets. */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
+  /** Exact-Jaccard check of candidate pairs against per-doc shingle arrays:
+    * two joins to the 1-row-per-doc side and a codegen-friendly
+    * `array_intersect` per pair — candidates never fan out to
+    * (pair × shingle) rows. Same count as the relational
+    * join-on-shingle form (arrays are distinct). */
+  private def verifyJaccard(cand: DataFrame, docArr: DataFrame, threshold: Double): DataFrame = {
+    val a = docArr.select(col("doc_id"), col("__arr").as("__arr_a"), col("__n_sh").as("na"))
+    val b = docArr.select(col("doc_id"), col("__arr").as("__arr_b"), col("__n_sh").as("nb"))
+    val nCommon = size(array_intersect(col("__arr_a"), col("__arr_b")))
     val j = col("n_common") * lit(1.0) / (col("na") + col("nb") - col("n_common"))
-    common
-      .join(sizes.select(col("doc_id"), col("n_sh").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("n_sh").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+    cand
+      .join(a, col("doc_a") === a("doc_id")).drop("doc_id")
+      .join(b, col("doc_b") === b("doc_id")).drop("doc_id")
+      .withColumn("n_common", nCommon)
       .filter(j >= threshold)
       .select(col("doc_a"), col("doc_b"), graft.Tables.rnd4(j).as("jaccard"))
   }

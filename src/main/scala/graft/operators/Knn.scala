@@ -15,16 +15,27 @@ import graft.functions.VectorFns
   *  - [[lshKnn]]: the scale path — sign-random-projection LSH buckets both
   *    sides; each query scores only its own bucket (corpus/2^bits per probe).
   *    Approximate by construction; recall is governed by the bit count.
+  *
+  * All scoring precomputes per-row norms BEFORE the pairwise join (one
+  * codegen'd dot per pair instead of three) — at 100 TB the per-pair dot is
+  * the entire cost of these operators.
   */
 object Knn {
+
+  /** cosine from a precomputed-norm pair: dot / (normA·normB) — identical
+    * double arithmetic to sqrt(dot aa)·sqrt(dot bb) computed inline. */
+  private def cos(aEmb: Column, bEmb: Column, aNorm: Column, bNorm: Column): Column =
+    VectorFns.dot(aEmb, bEmb) / (aNorm * bNorm)
 
   /** Exact top-k cosine neighbours for each query vector (excluding self).
     * Queries are broadcast; ranking is one window shuffle on query_id. */
   def bruteForce(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(embCol).as("__q_emb")))
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__c_emb"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(embCol).as("__q_emb"),
+      VectorFns.norm(col(embCol)).as("__q_n")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__c_emb"),
+      VectorFns.norm(col(embCol)).as("__c_n"))
       .join(q, col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", VectorFns.cosine(col("__q_emb"), col("__c_emb")))
+      .withColumn("cosine", cos(col("__q_emb"), col("__c_emb"), col("__q_n"), col("__c_n")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -60,15 +71,17 @@ object Knn {
              k: Int, bits: Int, spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val cb = lshBuckets(corpus, idCol, embCol, bits, spark)
       .join(corpus, Seq(idCol))
-      .select(col(idCol).as("neighbor_id"), col("bucket"), col(embCol).as("__c_emb"))
+      .select(col(idCol).as("neighbor_id"), col("bucket"), col(embCol).as("__c_emb"),
+        VectorFns.norm(col(embCol)).as("__c_n"))
     val qb = broadcast(
       lshBuckets(queries, idCol, embCol, bits, spark)
         .join(queries, Seq(idCol))
-        .select(col(idCol).as("query_id"), col("bucket"), col(embCol).as("__q_emb")))
+        .select(col(idCol).as("query_id"), col("bucket"), col(embCol).as("__q_emb"),
+          VectorFns.norm(col(embCol)).as("__q_n")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     cb.join(qb, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", VectorFns.cosine(col("__q_emb"), col("__c_emb")))
+      .withColumn("cosine", cos(col("__q_emb"), col("__c_emb"), col("__q_n"), col("__c_n")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -79,10 +92,12 @@ object Knn {
     * form is an O(n²) cross join — correct at oracle scale; at 100 TB the
     * LSH-bucketed variant ([[lshKnn]] with a threshold filter) replaces it. */
   def cosineNearDup(corpus: DataFrame, idCol: String, embCol: String, threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(embCol).as("__ea"))
-    val b = corpus.select(col(idCol).as("id_b"), col(embCol).as("__eb"))
+    val a = corpus.select(col(idCol).as("id_a"), col(embCol).as("__ea"),
+      VectorFns.norm(col(embCol)).as("__na"))
+    val b = corpus.select(col(idCol).as("id_b"), col(embCol).as("__eb"),
+      VectorFns.norm(col(embCol)).as("__nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorFns.cosine(col("__ea"), col("__eb")))
+      .withColumn("cosine", cos(col("__ea"), col("__eb"), col("__na"), col("__nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), graft.Tables.rnd4(col("cosine")).as("cosine"))
   }

@@ -15,9 +15,10 @@ import graft.operators.{Dedup, Knn, Multimodal}
   *  - All float outputs are rounded to 4 dp; similarity scores are computed
   *    as sequential double folds on both engines so the pre-round values are
   *    bit-identical.
-  *  - `ext_dedup_minhash` banding (16 bands × 2 rows) has pair-miss
-  *    probability (1−j²)¹⁶ < 1e-11 at the fixture's near-dup similarity
-  *    (j ≥ 0.9), so its verified-candidate output equals the exact-Jaccard
+  *  - `ext_dedup_minhash` banding (12 bands × 4 rows) has pair-miss
+  *    probability (1−j⁴)¹² < 3e-6 at the fixture's near-dup similarity
+  *    (j ≥ 0.9) while keeping chance candidates rare (j≈0.1 collides with
+  *    p≈1e-3), so its verified-candidate output equals the exact-Jaccard
   *    result and shares its oracle; hashes are deterministic (xxhash64), so
   *    this equality is a fixed fact of the fixture, not a coin flip.
   *  - `ext_dedup_simhash` / `ext_sim_knn_lsh` depend on xxhash64, which the
@@ -106,7 +107,7 @@ object ExtQueries {
 
   private val extDedupMinhash: Q = (s, d) =>
     Dedup.minhashLsh(documents(s, d), "text", "doc_id", n = 3,
-      bands = 16, rowsPerBand = 2, threshold = 0.5)
+      bands = 12, rowsPerBand = 4, threshold = 0.5)
       .orderBy("doc_a", "doc_b")
 
   private val extDedupSimhash: Q = (s, d) =>
