@@ -24,6 +24,17 @@ object TextFns {
     array_distinct(when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
   }
 
+  /** Distinct n-word shingles as int64 hashes — hash-of-token-tuple, no
+    * string materialization (the concat form spends its time building and
+    * de-duplicating shingle strings; identity-by-hash is equivalent for
+    * set-similarity counts, within-set collision ≈ |set|²/2⁶⁵). */
+  def hashedShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val idx = sequence(lit(1), size(toks) - (n - 1))
+    val grams = transform(idx, i => xxhash64((0 until n).map(j => element_at(toks, i + j)): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array().cast("array<bigint>")))
+  }
+
   /** Tokens-in-set count, e.g. stopword hits. Pure expression (no join). */
   def hitCount(tokensCol: Column, set: Seq[String]): Column =
     size(filter(tokensCol, t => t.isin(set.map(lit): _*)))

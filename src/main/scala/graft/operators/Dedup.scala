@@ -32,18 +32,29 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .drop("__digest")
 
-  /** Distinct (id, shingle) pairs — the shared input of the MinHash and
-    * exact-Jaccard paths. */
+  /** Distinct (id, shingle-hash) pairs — the shared input of the MinHash and
+    * exact-Jaccard paths. Shingle identity is an int64 hash of the token
+    * tuple ([[TextFns.hashedShingles]]): every downstream
+    * shuffle/join/intersect moves 8-byte longs instead of n-word strings. A
+    * within-pair hash collision (the only kind that could change a Jaccard
+    * count) has probability ~|A∪B|²/2⁶⁵ ≈ 1e-16. Persisted: the shingle
+    * generator is an interpreted higher-order expression, and the similarity
+    * pipelines read this 3–5× — at 100 TB this persist becomes a checkpoint
+    * to storage. */
   def shingled(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"), explode(TextFns.shingles(col(textCol), n)).as("shingle"))
+    docs.select(col(idCol).as("doc_id"),
+      explode(TextFns.hashedShingles(col(textCol), n)).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** One row per doc with its (distinct) shingle array + size — the compact
-    * verification side: candidate pairs join against this 1-row-per-doc
-    * table (AQE broadcasts it when small) instead of re-exploding shingles
-    * into a pairs × shingles blow-up. */
+  /** One row per doc with its (distinct) shingle-hash array + size — the
+    * compact verification side: candidate pairs join against this
+    * 1-row-per-doc table (AQE broadcasts it when small) instead of
+    * re-exploding shingles into a pairs × shingles blow-up. Persisted (used
+    * by both join sides). */
   private def shingleArrays(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"), TextFns.shingles(col(textCol), n).as("__arr"))
+    docs.select(col(idCol).as("doc_id"), TextFns.hashedShingles(col(textCol), n).as("__arr"))
       .withColumn("__n_sh", size(col("__arr")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact n-gram Jaccard similarity join, prefix-filtered (AllPairs /
     * PPJoin family): candidates come only from joining each doc's PREFIX —
@@ -71,6 +82,7 @@ object Dedup {
       .withColumn("__n", count(lit(1)).over(all))
       .filter(col("__pos") <= col("__n") - ceil(lit(t) * col("__n")) + 1)
       .select(col("doc_id"), col("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both sides of the self-join
     prefix.as("a")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
