@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd per-character rolling polynomial hash:
+  * fp = fold over code points of ((acc · mult + cp) mod modulus).
+  * Semantics identical to the SQL form
+  * `aggregate(transform(sequence(1,length(s)), i -> ascii(substr(s,i,1))), …)`
+  * (character = code point; all arithmetic exact in 64-bit), but compiled —
+  * the interpreted higher-order chain evaluates ~4 expression nodes per
+  * character. */
+case class RollingHash(child: Expression, mult: Long, modulus: Long)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * mult + cp) % modulus
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      s"""
+         |final String $s = $c.toString();
+         |long $acc = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  final int $cp = $s.codePointAt($i);
+         |  $acc = ($acc * ${mult}L + $cp) % ${modulus}L;
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): RollingHash = copy(child = c)
+}
+
+/** Codegen'd "count whitespace tokens ∈ set": semantics identical to
+  * `size(filter(split(s, ' '), t -> t.isin(words)))` (split keeps empty
+  * tokens; the sets never contain ""), but one compiled scan instead of an
+  * interpreted lambda chain per token. */
+case class TokenSetCount(child: Expression, words: Seq[String])
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val wordSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    words.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var cnt = 0L
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        if (wordSet.contains(s.substring(start, i))) cnt += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    cnt
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", wordSet, "java.util.HashSet<String>")
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val cnt = ctx.freshName("cnt")
+      val start = ctx.freshName("start")
+      val i = ctx.freshName("i")
+      s"""
+         |final String $s = $c.toString();
+         |long $cnt = 0L;
+         |int $start = 0;
+         |int $i = 0;
+         |while ($i <= $s.length()) {
+         |  if ($i == $s.length() || $s.charAt($i) == ' ') {
+         |    if ($setRef.contains($s.substring($start, $i))) $cnt++;
+         |    $start = $i + 1;
+         |  }
+         |  $i++;
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenSetCount = copy(child = c)
+}

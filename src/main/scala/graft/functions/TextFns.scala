@@ -39,6 +39,12 @@ object TextFns {
   def hitCount(tokensCol: Column, set: Seq[String]): Column =
     size(filter(tokensCol, t => t.isin(set.map(lit): _*)))
 
+  /** Codegen'd tokens-in-set count straight off the text column — same
+    * semantics as `hitCount(tokens(text), set)` (see [[TokenSetCount]]). */
+  def tokenSetCount(text: Column, set: Seq[String]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      TokenSetCount(org.apache.spark.sql.GraftColumnBridge.expression(text), set))
+
   /** Tiny per-language stopword tables for the n-gram/stopword language-ID
     * heuristic. Public-knowledge closed-class words; deliberately small —
     * language ID at corpus scale is a ratio over these sets, not a model. */

@@ -155,7 +155,9 @@ object Dedup {
   /** SimHash near-dup pairs: collide on one of four 16-bit bands, then
     * verify Hamming distance ≤ maxHamming via bit_count(xor). */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxHamming: Int): DataFrame = {
+    // both sides of the band self-join re-read the fingerprints
     val fp = simhash(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until 4).map(b => shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL))
     val banded = fp.select(col("doc_id"), col("simhash"), posexplode(array(bandCols: _*)).as(Seq("band", "key")))
     banded.as("a")

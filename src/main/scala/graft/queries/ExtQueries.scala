@@ -57,8 +57,7 @@ object ExtQueries {
   /** Stopword-ratio language ID: argmax over per-language stopword hit
     * counts, first-in-order tie-break, 'und' when nothing hits. */
   private val extLangId: Q = (s, d) => {
-    val toks = TextFns.tokens(col("text"))
-    val hits = TextFns.langOrder.map(l => TextFns.hitCount(toks, TextFns.stopwords(l)))
+    val hits = TextFns.langOrder.map(l => TextFns.tokenSetCount(col("text"), TextFns.stopwords(l)))
     val m = greatest(hits: _*)
     val guess = TextFns.langOrder.zip(hits)
       .foldLeft(when(m <= 0, "und")) { case (acc, (l, h)) => acc.when(h === m, l) }
@@ -75,7 +74,7 @@ object ExtQueries {
   private val extQuality: Q = (s, d) => {
     val toks = TextFns.tokens(col("text"))
     val nTok = size(toks).cast("double")
-    val stopRatio = TextFns.hitCount(toks, TextFns.stopwords("en")).cast("double") / nTok
+    val stopRatio = TextFns.tokenSetCount(col("text"), TextFns.stopwords("en")).cast("double") / nTok
     val ttr = size(TextFns.distinctTokens(col("text"))).cast("double") / nTok
     val lenSat = least(lit(1.0), nTok / 100.0)
     documents(s, d).select(
@@ -87,12 +86,14 @@ object ExtQueries {
   }
 
   /** Rolling polynomial fingerprint over characters:
-    * fp = fold((acc·31 + codepoint) mod P). Pure expression; the modulus
-    * keeps every intermediate exact in 64-bit on both engines. */
+    * fp = fold((acc·31 + codepoint) mod P) — codegen'd ([[RollingHash]]);
+    * the modulus keeps every intermediate exact in 64-bit on both engines. */
   private val extFingerprint: Q = (s, d) =>
     documents(s, d).select(
       col("doc_id"),
-      expr(s"aggregate(transform(sequence(1, length(text)), i -> cast(ascii(substr(text, i, 1)) AS long)), 0L, (acc, c) -> (acc * 31 + c) % $P)")
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.RollingHash(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("text")), 31L, P))
         .as("fingerprint"))
       .orderBy("doc_id")
 
