@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.Tables.{changeLog, events, fmtTs, tsLit}
+import graft.Tables.{changeLog, events, eventsInRange, fmtTs, tsLit}
 import graft.operators.CdcOps
 
 /** Event-log (CDC) queries over the `events` fixture, each paired with ANSI
@@ -32,17 +32,14 @@ object CdcQueries {
 
   /** js:226–232 — clusterTime range appended to the $match. */
   private val filterTimeRange: Q = (s, d) =>
-    events(s, d)
-      .filter(col("ts") >= tsLit("2024-01-05 00:00:00") && col("ts") < tsLit("2024-01-10 00:00:00"))
+    eventsInRange(s, d, "2024-01-05 00:00:00", "2024-01-10 00:00:00")
       .select(col("event_id"), fmtTs(col("ts")).as("ts_s"), col("user_id"), col("event_type"))
       .orderBy("event_id")
 
   /** js:489–496 — conjunctive ns / ts-range / op-IN oplog predicate. */
   private val filterOplogPred: Q = (s, d) =>
-    events(s, d)
-      .filter(col("event_type").isin("click", "purchase")
-        && col("ts") >= tsLit("2024-01-02 00:00:00") && col("ts") < tsLit("2024-01-20 00:00:00")
-        && col("user_id") % 2 === 0)
+    eventsInRange(s, d, "2024-01-02 00:00:00", "2024-01-20 00:00:00")
+      .filter(col("event_type").isin("click", "purchase") && col("user_id") % 2 === 0)
       .select(col("event_id"), col("user_id"), col("event_type"), round(col("value"), 4).as("value"))
       .orderBy("event_id")
 
@@ -66,9 +63,8 @@ object CdcQueries {
 
   /** js:486–496 — bounded oplog scan: pushed-down filter + limit 100. */
   private val sourceOplogScan: Q = (s, d) =>
-    events(s, d)
-      .filter(col("event_type").isin("signup", "click", "view")
-        && col("ts") >= tsLit("2024-01-03 00:00:00") && col("ts") < tsLit("2024-01-25 00:00:00"))
+    eventsInRange(s, d, "2024-01-03 00:00:00", "2024-01-25 00:00:00")
+      .filter(col("event_type").isin("signup", "click", "view"))
       .orderBy(col("ts"), col("event_id"))
       .limit(100)
       .select(col("event_id"), fmtTs(col("ts")).as("ts_s"), col("user_id"), col("event_type"))
@@ -112,8 +108,7 @@ object CdcQueries {
 
   /** js:499 — distinct document ids touched in a window. */
   private val aggDistinctIds: Q = (s, d) =>
-    events(s, d)
-      .filter(col("ts") >= tsLit("2024-01-05 00:00:00") && col("ts") < tsLit("2024-01-20 00:00:00"))
+    eventsInRange(s, d, "2024-01-05 00:00:00", "2024-01-20 00:00:00")
       .select(col("user_id")).distinct()
       .orderBy("user_id")
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.Tables.{changeLog, customer, tsLit}
+import graft.Tables.{customer, eventsInRange}
 import graft.operators.{CdcOps, Reconcile}
 
 /** Reconciliation queries — the relational re-expression of the reference's
@@ -80,8 +80,9 @@ object ReconcileQueries {
     * The reference's N+1 `findOne` loop (js:503–505) is two semi-joins and
     * one full-outer join — three shuffles total, no driver-side iteration. */
   def reconcileWindow(s: SparkSession, d: String): DataFrame = {
-    val keys = CdcOps.dropDeletes(changeLog(s, d))
-      .filter(col("ts") >= tsLit("2024-01-05 00:00:00") && col("ts") < tsLit("2024-01-20 00:00:00"))
+    val keys = CdcOps.dropDeletes(
+      eventsInRange(s, d, "2024-01-05 00:00:00", "2024-01-20 00:00:00")
+        .withColumn("op_type", graft.Tables.opType))
       .select(col("user_id").as(key))
       .distinct()
     val src = customer(s, d).join(keys, Seq(key), "left_semi")

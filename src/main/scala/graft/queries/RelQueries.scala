@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.{changeLog, customer, fmtTs, fmtTsSql, lineitem, nation, orders, region}
-import graft.operators.CdcOps
+import graft.Tables.{changeLog, customer, events, fmtTs, fmtTsSql, lineitem, nation, orders, region}
+import graft.operators.{AsOf, CdcOps}
 
 /** Relational join-strategy queries (SURVEY §2.3). The reference reconciles
   * via an N+1 `findOne` loop (`mongodb-cdc-program.js:503–505`); at table
@@ -73,11 +73,27 @@ object RelQueries {
         round(col("c_acctbal"), 4).as("acctbal"))
       .orderBy("user_id")
 
+  /** As-of join (SURVEY §2.3): each purchase matched to the user's latest
+    * click at-or-before it — "state as of T" (js:478–538) without the
+    * reference's N+1 lookups. One shuffle (union + ranking window). */
+  private val joinAsof: Q = (s, d) => {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    AsOf.asOfJoin(purchases, clicks, "user_id", "ts", "ts", "event_id", Seq("event_id", "value"))
+      .select(col("user_id"), col("event_id"), fmtTs(col("ts")).as("ts_s"),
+        col("asof_event_id").as("click_id"), round(col("asof_value"), 4).as("click_value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "join_broadcast" -> joinBroadcast,
     "join_sortmerge" -> joinSortmerge,
     "join_antisemi" -> joinAntisemi,
-    "join_post_image" -> joinPostImage)
+    "join_post_image" -> joinPostImage,
+    "join_asof" -> joinAsof)
 
   val oracle: Map[String, String] = Map(
     "join_broadcast" ->
@@ -103,6 +119,17 @@ object RelQueries {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+
+    "join_asof" ->
+      s"""WITH purchases AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'),
+         |clicks AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click')
+         |SELECT p.user_id, p.event_id, ${fmtTsSql("p.ts")} AS ts_s,
+         |       c.event_id AS click_id, round(c.value, 4) AS click_value
+         |FROM purchases p LEFT JOIN LATERAL (
+         |  SELECT event_id, value FROM clicks c
+         |  WHERE c.user_id = p.user_id AND c.ts <= p.ts
+         |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON true
+         |ORDER BY p.event_id""".stripMargin,
 
     "join_post_image" ->
       s"""WITH latest AS (

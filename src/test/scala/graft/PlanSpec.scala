@@ -1,0 +1,36 @@
+package graft
+
+/** Physical-plan shape assertions — the 100 TB posture the operators promise
+  * must be visible in the plan, not just the doc comments. */
+class PlanSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("join_broadcast replicates dims via BroadcastHashJoin (fact side never shuffles)") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("join_sortmerge keeps SortMergeJoin under the merge hint") {
+    assert(plan("join_sortmerge").contains("SortMergeJoin"))
+  }
+
+  test("time-range predicate reaches the parquet scan as a pushed filter") {
+    val p = plan("filter_time_range")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(ts"),
+      s"range not pushed:\n${p.take(1500)}")
+  }
+
+  test("knn scoring runs the codegen'd dot product, not an interpreted fold") {
+    val p = plan("ext_sim_knn")
+    assert(p.contains("floatdot"))
+    assert(!p.contains("aggregate(zip_with"))
+  }
+
+  test("point lookup pushes the key predicate to the scan") {
+    assert(plan("source_point_lookup").contains("EqualTo(user_id,7)"))
+  }
+}
