@@ -112,6 +112,16 @@ object CdcQueries {
       .select(col("user_id")).distinct()
       .orderBy("user_id")
 
+  /** HLL approximate distinct — the 100 TB form of [[aggDistinctIds]]: exact
+    * distinct shuffles every key; the HLL++ sketch is fixed-size and merges
+    * map-side, so the answer costs one partial-agg pass regardless of
+    * cardinality. No oracle entry (sketch estimates are engine-specific);
+    * the driver records a rows-only check. */
+  private val aggApproxDistinct: Q = (s, d) =>
+    events(s, d).agg(
+      approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
+      count(lit(1)).as("n_events"))
+
   /** Rollup of op counts by (event_type, day) — Catalyst Expand. */
   private val aggRollup: Q = (s, d) =>
     events(s, d)
@@ -146,6 +156,25 @@ object CdcQueries {
         round(col("value") - lag(col("value"), 1).over(w), 4).as("delta"),
         lead(col("event_type"), 1).over(w).as("next_event"))
       .orderBy("user_id", "event_id")
+  }
+
+  /** Gap-based sessionization (30-min inactivity): classic event-stream
+    * operator — lag to flag session starts, running sum to number them, one
+    * aggregate per session. Two windows + one groupBy, all on the same
+    * user_id partitioning → a single shuffle. */
+  private val windowSession: Q = (s, d) => {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ep = unix_timestamp(col("ts"))
+    val gap = ep - lag(ep, 1).over(byUser)
+    events(s, d)
+      .withColumn("__new", when(gap.isNull || gap > 1800L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        fmtTs(min(col("ts"))).as("session_start"),
+        fmtTs(max(col("ts"))).as("session_end"))
+      .orderBy("user_id", "session_id")
   }
 
   /** orderBy + limit — TakeOrderedAndProject (top-k, SURVEY §2.5). */
@@ -192,10 +221,12 @@ object CdcQueries {
     "sink_upsert" -> sinkUpsert,
     "agg_op_counts" -> aggOpCounts,
     "agg_distinct_ids" -> aggDistinctIds,
+    "agg_approx_distinct" -> aggApproxDistinct,
     "agg_rollup" -> aggRollup,
     "agg_health" -> aggHealth,
     "window_running" -> windowRunning,
     "window_delta" -> windowDelta,
+    "window_session" -> windowSession,
     "sort_topk" -> sortTopk,
     "scalar_datetime" -> scalarDatetime,
     "scalar_json" -> scalarJson)
@@ -298,6 +329,24 @@ object CdcQueries {
         |       round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta,
         |       lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "window_session" ->
+      s"""WITH e AS (
+         |  SELECT user_id, ts, event_id,
+         |         CAST(floor(epoch(ts)) AS BIGINT)
+         |           - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+         |             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, ts, event_id,
+         |         sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                 ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM e)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |       ${TS("min(ts)")} AS session_start, ${TS("max(ts)")} AS session_end
+         |FROM s GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
 
     "sort_topk" ->
       """SELECT event_id, user_id, event_type, round(value, 4) AS value

@@ -60,6 +60,18 @@ object CdcPipeline {
       .write.mode("overwrite").parquet(targetDir)
   }
 
+  /** Watermarked tumbling-window aggregation — the stateful streaming form
+    * (SURVEY §2.7): per-day op-type counters with bounded state (windows
+    * close once the event-time watermark passes their end; late events
+    * beyond `delay` are dropped). Works unchanged on a bounded DataFrame —
+    * the batch/stream unification again. */
+  def windowedOpCounts(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    transform(events)
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("op_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("day"), col("op_type"), col("n"))
+
   /** Start the streaming pipeline: source dir → transform → watermark →
     * foreachBatch idempotent upsert into `targetDir`.
     * `availableNow = true` drains what exists and stops (test/replay mode);

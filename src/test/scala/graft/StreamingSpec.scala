@@ -75,5 +75,51 @@ class StreamingSpec extends SparkSpec {
     assert(before === after)
   }
 
+  test("watermarked windowed aggregation emits exactly the batch answer for closed windows") {
+    val sf = "/root/testdata/sf0.001"
+    val src = tmp("agg-src")
+    val ckp = tmp("agg-ckp").toString
+
+    // stage the full events file as one stream input
+    val staging = tmp("agg-stage")
+    spark.read.schema(CdcPipeline.eventsFileSchema).parquet(s"$sf/events.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => Files.move(f.toPath, src.resolve(f.getName)))
+
+    val stream = spark.readStream.schema(CdcPipeline.eventsFileSchema).parquet(src.toString)
+    val q = CdcPipeline.windowedOpCounts(stream)
+      .writeStream
+      .option("checkpointLocation", ckp)
+      .format("memory").queryName("win_counts")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    import spark.implicits._
+    val streamed = spark.table("win_counts")
+      .select(col("day").cast("string"), col("op_type"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    val batch = CdcPipeline.windowedOpCounts(
+      spark.read.schema(CdcPipeline.eventsFileSchema).parquet(s"$sf/events.parquet"))
+      .select(col("day").cast("string"), col("op_type"), col("n"))
+      .as[(String, String, Long)].collect().toMap2()
+
+    // append mode only emits windows closed under the final watermark —
+    // every emitted row must equal the batch answer, and most days must emit
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (day, op, n) =>
+      assert(batch.get((day, op)).contains(n), s"window ($day,$op) mismatch")
+    }
+    val batchDays = batch.keys.map(_._1).toSet
+    val streamedDays = streamed.map(_._1)
+    assert(streamedDays.size >= batchDays.size - 2) // at most the tail windows unclosed
+  }
+
+  private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2(): Map[(A, B), C] = rows.map { case (a, b, c) => (a, b) -> c }.toMap
+  }
+
   private val Reconcile = graft.operators.Reconcile
 }
