@@ -132,6 +132,17 @@ object CdcQueries {
         coalesce(col("d"), lit("ALL")).as("d"), col("n"), col("sum_value"))
       .orderBy("et", "d")
 
+  /** Cube of counts by (event_type, dow) — the full grouping-sets lattice
+    * (Catalyst Expand, 4 grouping sets in one pass). */
+  private val aggCube: Q = (s, d) =>
+    events(s, d)
+      .withColumn("dow", dayofweek(col("ts")).cast("long"))
+      .cube(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("et"),
+        coalesce(col("dow"), lit(-1L)).as("dow"), col("n"))
+      .orderBy("et", "dow")
+
   /** js:541–600 — replication-lag health check ("now" is a parameter). */
   private val aggHealth: Q = (s, d) =>
     CdcOps.healthCheck(events(s, d), "ts", nowEpochSec = 1706745600L, thresholdSec = 300L)
@@ -198,6 +209,19 @@ object CdcQueries {
         date_format(col("ts") + expr("INTERVAL 1 DAY"), "yyyy-MM-dd").as("next_day"))
       .orderBy("event_id")
 
+  /** js:84, 490 — string scalars: namespace interpolation (`db.coll`),
+    * regexp_replace, case/length/substring family. */
+  private val scalarString: Q = (s, d) =>
+    events(s, d)
+      .select(
+        col("event_id"),
+        concat_ws(".", lit("appdb"), col("event_type")).as("ns"),
+        upper(col("event_type")).as("et_upper"),
+        regexp_replace(col("event_type"), "[aeiou]", "_").as("et_devowel"),
+        substring(col("event_type"), 1, 3).as("et3"),
+        length(col("event_type")).cast("long").as("et_len"))
+      .orderBy("event_id")
+
   /** js:97, 110, 469 — JSON extract over the dynamic payload column. */
   private val scalarJson: Q = (s, d) =>
     events(s, d)
@@ -223,12 +247,14 @@ object CdcQueries {
     "agg_distinct_ids" -> aggDistinctIds,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
     "agg_health" -> aggHealth,
     "window_running" -> windowRunning,
     "window_delta" -> windowDelta,
     "window_session" -> windowSession,
     "sort_topk" -> sortTopk,
     "scalar_datetime" -> scalarDatetime,
+    "scalar_string" -> scalarString,
     "scalar_json" -> scalarJson)
 
   val oracle: Map[String, String] = Map(
@@ -312,6 +338,11 @@ object CdcQueries {
         |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, value FROM events) q
         |GROUP BY ROLLUP(event_type, d) ORDER BY et, d""".stripMargin,
 
+    "agg_cube" ->
+      """SELECT coalesce(event_type, 'ALL') AS et, coalesce(dow, -1) AS dow, count(*) AS n
+        |FROM (SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow FROM events) q
+        |GROUP BY CUBE(event_type, dow) ORDER BY et, dow""".stripMargin,
+
     "agg_health" ->
       s"""SELECT ${TS("max(ts)")} AS last_ts,
          |       1706745600 - CAST(floor(epoch(max(ts))) AS BIGINT) AS lag_seconds,
@@ -359,6 +390,15 @@ object CdcQueries {
         |       CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
         |       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
         |       strftime(ts + INTERVAL 1 DAY, '%Y-%m-%d') AS next_day
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "scalar_string" ->
+      """SELECT event_id,
+        |       concat_ws('.', 'appdb', event_type) AS ns,
+        |       upper(event_type) AS et_upper,
+        |       regexp_replace(event_type, '[aeiou]', '_', 'g') AS et_devowel,
+        |       substring(event_type, 1, 3) AS et3,
+        |       CAST(length(event_type) AS BIGINT) AS et_len
         |FROM events ORDER BY event_id""".stripMargin,
 
     "scalar_json" ->

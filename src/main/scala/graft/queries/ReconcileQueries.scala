@@ -75,6 +75,13 @@ object ReconcileQueries {
       .except(Reconcile.driftedCustomer(customer(s, d)).select(col(key)))
       .orderBy(key)
 
+  /** Keys present on BOTH sides (js:459's key-set union, restricted to the
+    * comparable middle) — INTERSECT, completing the set-op family. */
+  private val setopIntersect: Q = (s, d) =>
+    customer(s, d).select(col(key))
+      .intersect(Reconcile.driftedCustomer(customer(s, d)).select(col(key)))
+      .orderBy(key)
+
   /** Flagship (SURVEY §3.2, js:478–538): change-window scan → distinct keys
     * → source/target restricted to those keys → single-pass diff summary.
     * The reference's N+1 `findOne` loop (js:503–505) is two semi-joins and
@@ -97,6 +104,7 @@ object ReconcileQueries {
     "join_existence" -> joinExistence,
     "agg_diff_summary" -> aggDiffSummary,
     "setop_except" -> setopExcept,
+    "setop_intersect" -> setopIntersect,
     "reconcile_window" -> reconcileWindowQ)
 
   val oracle: Map[String, String] = Map(
@@ -138,6 +146,13 @@ object ReconcileQueries {
       s"""WITH drifted AS ($driftedSql)
          |SELECT c_custkey FROM customer
          |EXCEPT
+         |SELECT c_custkey FROM drifted
+         |ORDER BY c_custkey""".stripMargin,
+
+    "setop_intersect" ->
+      s"""WITH drifted AS ($driftedSql)
+         |SELECT c_custkey FROM customer
+         |INTERSECT
          |SELECT c_custkey FROM drifted
          |ORDER BY c_custkey""".stripMargin,
 
