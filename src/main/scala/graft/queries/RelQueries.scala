@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.{changeLog, customer, events, fmtTs, fmtTsSql, lineitem, nation, orders, region}
-import graft.operators.{AsOf, CdcOps}
+import graft.operators.{AsOf, CdcOps, RangeJoin}
 
 /** Relational join-strategy queries (SURVEY §2.3). The reference reconciles
   * via an N+1 `findOne` loop (`mongodb-cdc-program.js:503–505`); at table
@@ -88,12 +88,27 @@ object RelQueries {
       .orderBy("event_id")
   }
 
+  /** Range join, binned (SURVEY §2.3 extension): per order, line items
+    * (any order's) shipped within 7 days of its order date — an interval
+    * join that would be a nested loop without the bin equi-key. */
+  private val joinRange: Q = (s, d) => {
+    val probe = orders(s, d)
+      .withColumn("ship_lo", col("o_orderdate"))
+      .withColumn("ship_hi", col("o_orderdate") + expr("INTERVAL 7 DAY"))
+    RangeJoin.binned(probe, "ship_lo", "ship_hi",
+      lineitem(s, d).select(col("l_shipdate")), "l_shipdate", binSeconds = 7L * 86400)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_shipped"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "join_broadcast" -> joinBroadcast,
     "join_sortmerge" -> joinSortmerge,
     "join_antisemi" -> joinAntisemi,
     "join_post_image" -> joinPostImage,
-    "join_asof" -> joinAsof)
+    "join_asof" -> joinAsof,
+    "join_range" -> joinRange)
 
   val oracle: Map[String, String] = Map(
     "join_broadcast" ->
@@ -119,6 +134,13 @@ object RelQueries {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+
+    "join_range" ->
+      """SELECT o_orderkey, count(*) AS n_shipped
+        |FROM orders o JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
 
     "join_asof" ->
       s"""WITH purchases AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'),
