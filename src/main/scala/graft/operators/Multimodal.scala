@@ -41,6 +41,32 @@ object Multimodal {
       .map { row: Row => fakeDecode(row.getLong(0), row.getAs[Array[Byte]](1)) }
   }
 
+  /** One sampled frame row per media payload: every `stride`-th frame index
+    * with a deterministic pseudo frame-hash — the exploded (doc, frame)
+    * shape a video pipeline feeds to per-frame models. Pure column
+    * expressions; a real codec replaces the hash with decoded bytes inside
+    * the same row shape. */
+  def frameSample(docs: DataFrame, stride: Int): DataFrame = {
+    val meta = withMediaColumn(docs)
+      .withColumn("n_bytes", length(col("media")).cast("long"))
+      .withColumn("n_frames", (lit(1) + col("n_bytes") / 100).cast("long"))
+    meta
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong))).as("frame_idx"))
+      .withColumn("frame_hash", pmod(col("doc_id") * 31 + col("frame_idx") * 7, lit(997L)))
+  }
+
+  /** Deterministic pseudo feature vector (dim `d`) from the payload — the
+    * feature-extraction batch shape (one fixed-width vector per row, ready
+    * for [[CentroidAgg]] / Knn). A real extractor swaps the arithmetic for a
+    * model forward pass over `media`. */
+  def featureVector(docs: DataFrame, d: Int): DataFrame =
+    withMediaColumn(docs)
+      .withColumn("n_bytes", length(col("media")).cast("long"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(d - 1)),
+          i => (pmod(col("n_bytes") * 13 + i * 17, lit(101L)) / 100.0).cast("float")).as("features"))
+
   /** Typed element-wise centroid of `array<float>` embeddings — an
     * `Aggregator` (map-side partial merge, one shuffle per group) used for
     * label centroids / cluster summaries. */

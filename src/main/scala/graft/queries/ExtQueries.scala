@@ -149,6 +149,14 @@ object ExtQueries {
         col("nFrames").cast("long").as("n_frames"))
       .orderBy("doc_id")
 
+  /** Frame sampling over the opaque media column: every 3rd frame index per
+    * doc with a deterministic frame hash (stub codec — the row shape is what
+    * a per-frame model consumes). */
+  private val extMultimodalFrames: Q = (s, d) =>
+    Multimodal.frameSample(documents(s, d), stride = 3)
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"), col("frame_hash"))
+      .orderBy("doc_id", "frame_idx")
+
   /** Per-label embedding centroid via the typed Aggregator (map-side partial
     * merge), unpivoted to (label, pos, value) rows for the oracle. */
   private val extMultimodalCentroid: Q = (s, d) => {
@@ -176,6 +184,7 @@ object ExtQueries {
     "ext_sim_knn_lsh" -> extSimKnnLsh,
     "ext_sim_neardup" -> extSimNeardup,
     "ext_multimodal_meta" -> extMultimodalMeta,
+    "ext_multimodal_frames" -> extMultimodalFrames,
     "ext_multimodal_centroid" -> extMultimodalCentroid)
 
   // -- oracle ----------------------------------------------------------------
@@ -302,6 +311,17 @@ object ExtQueries {
         |       16 + (octet_length(encode(text)) * 7) % 64 AS height,
         |       1 + octet_length(encode(text)) // 100 AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ext_multimodal_frames" ->
+      """WITH m AS (SELECT doc_id,
+        |                  1 + CAST(octet_length(encode(text)) AS BIGINT) // 100 AS n_frames
+        |           FROM documents),
+        |f AS (SELECT doc_id, n_frames,
+        |             unnest(generate_series(0, n_frames - 1, 3)) AS frame_idx
+        |      FROM m)
+        |SELECT doc_id, n_frames, frame_idx,
+        |       (doc_id * 31 + frame_idx * 7) % 997 AS frame_hash
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "ext_multimodal_centroid" ->
       s"""SELECT CAST(label AS BIGINT) AS label, i AS pos,

@@ -62,4 +62,20 @@ class KnnSpec extends SparkSpec {
     val m = Multimodal.decodeMeta(docs)(spark).collect().head
     assert(m === Multimodal.MediaMeta(1L, 4L, 16 + 4 % 64, 16 + (4 * 7) % 64, 1))
   }
+
+  test("frameSample explodes every stride-th frame index per doc") {
+    val docs = Seq((2L, "x" * 450)).toDF("doc_id", "text") // 450 bytes → 5 frames
+    val rows = Multimodal.frameSample(docs, stride = 3)
+      .select("frame_idx", "frame_hash").as[(Long, Long)].collect().sorted
+    assert(rows.map(_._1).toSeq === Seq(0L, 3L))
+    assert(rows.map(_._2).toSeq === Seq((2 * 31 + 0) % 997L, (2 * 31 + 21) % 997L))
+  }
+
+  test("featureVector emits a fixed-dim deterministic vector per doc") {
+    val docs = Seq((1L, "abcd")).toDF("doc_id", "text") // 4 bytes
+    val v = Multimodal.featureVector(docs, d = 3)
+      .select("features").as[Array[Float]].collect().head
+    // (4*13 + i*17) % 101 / 100 for i = 0,1,2
+    assert(v.toSeq === Seq(52 / 100f, 69 / 100f, 86 / 100f))
+  }
 }
