@@ -119,7 +119,7 @@ object CdcQueries {
     * the driver records a rows-only check. */
   private val aggApproxDistinct: Q = (s, d) =>
     events(s, d).agg(
-      approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
+      approx_count_distinct(col("user_id")).as("approx_users"),
       count(lit(1)).as("n_events"))
 
   /** Rollup of op counts by (event_type, day) — Catalyst Expand. */
