@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{FloatDot, RollingHash}
+
+/** SQL surface for the library's codegen'd expressions. Two entry points:
+  *
+  *  - session build:  `--conf spark.sql.extensions=graft.GraftExtensions`
+  *  - existing session: `GraftExtensions.registerAll(spark)`
+  *
+  * Registered functions:
+  *  - `float_dot(array<float>, array<float>) → double`
+  *  - `rolling_hash(string[, mult, mod]) → bigint`
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(s"$what must be a literal, got $other")
+  }
+
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "float_dot" -> { args: Seq[Expression] =>
+      require(args.length == 2, "float_dot(a, b)")
+      FloatDot(args(0), args(1))
+    },
+    "rolling_hash" -> { args: Seq[Expression] =>
+      args match {
+        case Seq(s) => RollingHash(s, 31L, 1000000007L)
+        case Seq(s, m, p) => RollingHash(s, longLit(m, "mult"), longLit(p, "mod"))
+        case _ => throw new IllegalArgumentException("rolling_hash(s[, mult, mod])")
+      }
+    })
+
+  /** Register everything on an already-built session. */
+  def registerAll(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, name, b)
+    }
+}

@@ -1,0 +1,21 @@
+package graft
+
+/** SQL-function registration: the codegen'd expressions must be reachable
+  * from plain SQL. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("float_dot and rolling_hash are callable from SQL after registration") {
+    GraftExtensions.registerAll(spark)
+    val dot = spark.sql(
+      """SELECT float_dot(array(cast(1.0 AS float), cast(2.0 AS float)),
+        |                 array(cast(3.0 AS float), cast(4.0 AS float))) AS r""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(dot === 11.0)
+
+    val rh = spark.sql("SELECT rolling_hash('ab') AS r").collect().head.getLong(0)
+    assert(rh === (97L * 31 + 98) % 1000000007L) // fold over 'a','b'
+
+    val rh2 = spark.sql("SELECT rolling_hash('ab', 7L, 1000003L) AS r").collect().head.getLong(0)
+    assert(rh2 === (97L * 7 + 98) % 1000003L)
+  }
+}
