@@ -137,6 +137,39 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), graft.Tables.rnd4(j).as("jaccard"))
   }
 
+  /** Duplicate clustering: connected components over a near-dup pair list —
+    * each doc labelled with the min doc_id reachable through pairs (the
+    * cluster's canonical survivor). Min-label propagation to fixpoint: per
+    * round, every node takes min(own label, neighbours' labels) — one
+    * shuffle per round, rounds ≤ graph diameter (near-dup clusters are
+    * small, so a handful). The convergence check is a scalar count per
+    * round (standard for iterative graph algorithms on Spark — compare
+    * GraphX/Pregel); lineage is truncated each round so plans stay flat. */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "v").withColumnRenamed("label", "nl"), Seq("v"))
+        .groupBy(col("u").as("id"))
+        .agg(min(col("nl")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") < col("o.label")).isEmpty
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** 64-bit SimHash per doc: per-bit majority vote over token hashes
     * (64 conditional-sum aggregates — one shuffle, no explode of bits). */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {

@@ -115,6 +115,14 @@ object ExtQueries {
     Dedup.simhashPairs(documents(s, d), "text", "doc_id", maxHamming = 3)
       .orderBy("doc_a", "doc_b")
 
+  /** Near-dup pairs → connected components: each clustered doc labelled with
+    * its cluster's canonical (min) id — the keep/drop decision of a dedup
+    * pipeline. */
+  private val extDedupCluster: Q = (s, d) =>
+    Dedup.duplicateClusters(
+      Dedup.ngramJaccard(documents(s, d), "text", "doc_id", n = 3, threshold = 0.5))
+      .orderBy("doc_id")
+
   // -- similarity search -----------------------------------------------------
 
   /** Exact top-5 cosine neighbours for the first 10 vectors. */
@@ -180,6 +188,7 @@ object ExtQueries {
     "ext_dedup_ngram" -> extDedupNgram,
     "ext_dedup_minhash" -> extDedupMinhash,
     "ext_dedup_simhash" -> extDedupSimhash,
+    "ext_dedup_cluster" -> extDedupCluster,
     "ext_sim_knn" -> extSimKnn,
     "ext_sim_knn_lsh" -> extSimKnnLsh,
     "ext_sim_neardup" -> extSimNeardup,
@@ -281,6 +290,20 @@ object ExtQueries {
 
     "ext_dedup_ngram" -> jaccardSql,
     "ext_dedup_minhash" -> jaccardSql,
+
+    // transitive closure of the ≥0.5 pair graph via recursive CTE; labels =
+    // min reachable doc_id — must equal Spark's min-label fixpoint
+    "ext_dedup_cluster" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardSql),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM e),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.u, r.label FROM e JOIN reach r ON e.v = r.id)
+         |SELECT id AS doc_id, min(label) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "ext_sim_knn" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

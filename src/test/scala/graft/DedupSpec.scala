@@ -48,6 +48,14 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j - math.floor(28.0 / 29 * 10000 + 0.5) / 10000) < 1e-12)
   }
 
+  test("duplicateClusters propagates min labels across chains") {
+    // chain 1-2-3 (no direct 1-3 edge) plus isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val r = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("simhash: identical token multisets collide at hamming 0") {
     val d = docs((1, "alpha beta gamma delta"), (2, "delta gamma beta alpha"),
       (3, "совсем other words here"))
