@@ -71,7 +71,11 @@ object Dedup {
     verifyJaccard(prefixCandidates(sh, threshold), shingleArrays(docs, textCol, idCol, n), threshold)
   }
 
-  /** Prefix-filtered candidate pairs (see [[ngramJaccard]]). */
+  /** Prefix-filtered candidate pairs (see [[ngramJaccard]]). Two sound
+    * pruning rules compose: the prefix rule, and the LENGTH rule — J ≥ t
+    * forces min(|A|,|B|) ≥ t·max(|A|,|B|) (the intersection fits in the
+    * smaller set, the union contains the larger), applied inside the join
+    * condition so mismatched-size pairs never materialize. */
   private def prefixCandidates(sh: DataFrame, t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docFreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
@@ -81,11 +85,12 @@ object Dedup {
       .withColumn("__pos", row_number().over(byRarity))
       .withColumn("__n", count(lit(1)).over(all))
       .filter(col("__pos") <= col("__n") - ceil(lit(t) * col("__n")) + 1)
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("shingle"), col("__n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both sides of the self-join
     prefix.as("a")
       .join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
+          && least(col("a.__n"), col("b.__n")) >= lit(t) * greatest(col("a.__n"), col("b.__n")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
