@@ -16,7 +16,13 @@ import org.apache.spark.sql.functions._
   * range cross-join and no per-row point lookups (the reference's N+1 loop,
   * js:503–505). Ties: right rows at the same timestamp sort before left rows
   * (≤ semantics); equal-timestamp right rows resolve by the tiebreak column,
-  * greatest wins. */
+  * greatest wins.
+  *
+  * Constraint: `rightCols` values must be non-null in right rows — the
+  * carry-forward uses `last(_, ignoreNulls = true)` per column, so a null
+  * payload cell would be filled from an OLDER right row than its siblings
+  * (the columns would no longer come from one row). Wrap nullable payloads
+  * in a struct column if that matters. */
 object AsOf {
 
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
