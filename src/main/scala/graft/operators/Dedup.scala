@@ -24,6 +24,26 @@ import graft.functions.TextFns
   */
 object Dedup {
 
+  /** Registry of frames persisted by these operators. The returned queries
+    * are lazy, so the operator cannot know when its caller is done — cache
+    * lifecycle is CALLER-OWNED: materialize the result, then call
+    * [[unpersistAll]] (Verify/Bench do this between queries). At 100 TB the
+    * same registry would hold storage-backed checkpoints instead. */
+  private val persisted = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def registerPersist(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persisted.add(df)
+    df
+  }
+
+  /** Drop every intermediate this object has persisted (idempotent; safe
+    * while nothing downstream of a returned frame is still running). */
+  def unpersistAll(): Unit = {
+    var df = persisted.poll()
+    while (df != null) { df.unpersist(false); df = persisted.poll() }
+  }
+
   /** Exact dedup groups: one row per distinct normalized text, with the
     * surviving doc (min id) and the duplicate count. */
   def exactGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -42,9 +62,8 @@ object Dedup {
     * pipelines read this 3–5× — at 100 TB this persist becomes a checkpoint
     * to storage. */
   def shingled(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      explode(TextFns.hashedShingles(col(textCol), n)).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerPersist(docs.select(col(idCol).as("doc_id"),
+      explode(TextFns.hashedShingles(col(textCol), n)).as("shingle")))
 
   /** One row per doc with its (distinct) shingle-hash array + size — the
     * compact verification side: candidate pairs join against this
@@ -52,9 +71,9 @@ object Dedup {
     * re-exploding shingles into a pairs × shingles blow-up. Persisted (used
     * by both join sides). */
   private def shingleArrays(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"), TextFns.hashedShingles(col(textCol), n).as("__arr"))
-      .withColumn("__n_sh", size(col("__arr")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerPersist(
+      docs.select(col(idCol).as("doc_id"), TextFns.hashedShingles(col(textCol), n).as("__arr"))
+        .withColumn("__n_sh", size(col("__arr"))))
 
   /** Exact n-gram Jaccard similarity join, prefix-filtered (AllPairs /
     * PPJoin family): candidates come only from joining each doc's PREFIX —
@@ -71,26 +90,41 @@ object Dedup {
     verifyJaccard(prefixCandidates(sh, threshold), shingleArrays(docs, textCol, idCol, n), threshold)
   }
 
-  /** Prefix-filtered candidate pairs (see [[ngramJaccard]]). Two sound
-    * pruning rules compose: the prefix rule, and the LENGTH rule — J ≥ t
-    * forces min(|A|,|B|) ≥ t·max(|A|,|B|) (the intersection fits in the
-    * smaller set, the union contains the larger), applied inside the join
-    * condition so mismatched-size pairs never materialize. */
+  /** Prefix-filtered candidate pairs (see [[ngramJaccard]]). Three sound
+    * pruning rules compose (the AllPairs/PPJoin stack):
+    *  - PREFIX rule: join only each doc's rarest |X| − ⌈t·|X|⌉ + 1 shingles.
+    *  - LENGTH rule: J ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|) (the
+    *    intersection fits in the smaller set, the union contains the larger).
+    *  - POSITIONAL rule (PPJoin): a match at rarity-order positions
+    *    (posA, posB) bounds the overlap by min(|A|−posA, |B|−posB) + 1 —
+    *    every common shingle sits at or after the matched position in BOTH
+    *    docs' shared global order; J ≥ t needs overlap ≥ t/(1+t)·(|A|+|B|),
+    *    so pairs whose bound can't reach it are pruned. Lossless under the
+    *    trailing `distinct`: for a true pair, the row of the FIRST common
+    *    shingle attains the pair's max bound (≥ its true overlap) and
+    *    survives. Compared in the multiplied-out form
+    *    bound·(1+t) ≥ t·(|A|+|B|) − ε, so float error can only ever
+    *    under-prune, never drop a qualifying pair.
+    * All three filters sit in the join condition, so pruned pairs never
+    * materialize into shuffle output. */
   private def prefixCandidates(sh: DataFrame, t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docFreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("__df"), col("shingle"))
     val all = Window.partitionBy(col("doc_id"))
     val prefix = sh.join(docFreq, "shingle")
-      .withColumn("__pos", row_number().over(byRarity))
+      .withColumn("__pos", row_number().over(byRarity).cast("long"))
       .withColumn("__n", count(lit(1)).over(all))
       .filter(col("__pos") <= col("__n") - ceil(lit(t) * col("__n")) + 1)
-      .select(col("doc_id"), col("shingle"), col("__n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both sides of the self-join
+      .select(col("doc_id"), col("shingle"), col("__pos"), col("__n"))
+    registerPersist(prefix) // both sides of the self-join
+    val overlapBound =
+      (least(col("a.__n") - col("a.__pos"), col("b.__n") - col("b.__pos")) + 1).cast("double")
     prefix.as("a")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
-          && least(col("a.__n"), col("b.__n")) >= lit(t) * greatest(col("a.__n"), col("b.__n")))
+          && least(col("a.__n"), col("b.__n")) >= lit(t) * greatest(col("a.__n"), col("b.__n"))
+          && overlapBound * lit(1.0 + t) >= lit(t) * (col("a.__n") + col("b.__n")) - lit(1e-9))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
@@ -147,17 +181,30 @@ object Dedup {
     * cluster's canonical survivor). Min-label propagation to fixpoint: per
     * round, every node takes min(own label, neighbours' labels) — one
     * shuffle per round, rounds ≤ graph diameter (near-dup clusters are
-    * small, so a handful). The convergence check is a scalar count per
-    * round (standard for iterative graph algorithms on Spark — compare
-    * GraphX/Pregel); lineage is truncated each round so plans stay flat. */
+    * small, so a handful).
+    *
+    * Fault-tolerance story: each round's labels go through a RELIABLE
+    * `checkpoint` (written to the cluster's checkpoint dir — HDFS/object
+    * storage on a real cluster; a temp dir is provisioned here if unset), so
+    * executor loss after lineage truncation replays from storage instead of
+    * killing the job (`localCheckpoint` would trade that away for speed).
+    * The convergence flag is FUSED into the label-update row (`__changed`),
+    * so each round costs one full-pipeline checkpoint job plus a
+    * metadata-cheap scan of the just-checkpointed files — the edge list and
+    * the whole upstream pair pipeline are persisted once, never recomputed
+    * per round. */
   def duplicateClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = registerPersist(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .distinct())
+    val sc = edges.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .checkpoint(true)
     var converged = false
     while (!converged) {
       val neighborMin = edges
@@ -165,13 +212,13 @@ object Dedup {
         .groupBy(col("u").as("id"))
         .agg(min(col("nl")).as("nmin"))
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      converged = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") < col("o.label")).isEmpty
-      labels = next
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("__changed"))
+        .checkpoint(true) // the round's ONE heavy job
+      converged = next.filter(col("__changed")).isEmpty // reads checkpointed files only
+      labels = next.drop("__changed")
     }
-    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -194,8 +241,7 @@ object Dedup {
     * verify Hamming distance ≤ maxHamming via bit_count(xor). */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxHamming: Int): DataFrame = {
     // both sides of the band self-join re-read the fingerprints
-    val fp = simhash(docs, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fp = registerPersist(simhash(docs, textCol, idCol))
     val bandCols = (0 until 4).map(b => shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL))
     val banded = fp.select(col("doc_id"), col("simhash"), posexplode(array(bandCols: _*)).as(Seq("band", "key")))
     banded.as("a")
