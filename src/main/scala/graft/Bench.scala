@@ -5,7 +5,14 @@ import org.apache.spark.sql.SparkSession
   * and prints ONE JSON line with per-query wall seconds. Results go to the
   * `noop` sink — full materialization of every output column (a bare
   * `count()` would let the optimizer prune projected expressions and
-  * benchmark nothing but the scan). */
+  * benchmark nothing but the scan).
+  *
+  * Each query runs TWICE: `queries` carries the COLD pass (fresh caches —
+  * includes codegen compile, scan, persist fill) and `queries_warm` the
+  * immediately-following WARM pass (operator persists still populated).
+  * Separating the two makes box-contention/JIT noise visible: a plan
+  * regression moves both numbers, an environment artifact mostly moves
+  * cold (cache fill under memory pressure is the amplifier). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -20,20 +27,34 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators may persist intermediates (e.g. Dedup's shingle tables);
-      // drop them so later queries aren't timed under cache/GC pressure
-      spark.catalog.clearCache()
-      name -> dt
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def dropCaches(): Unit = {
+      // operators persist intermediates (e.g. Dedup's shingle tables); drop
+      // them so the next cold pass isn't timed under cache/GC pressure
+      graft.operators.Dedup.unpersistAll()
+      spark.catalog.clearCache()
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val cold = runOnce(name, fn)        // caches empty: fills persists
+      val warm = runOnce(name, fn)        // persists hot from the cold pass
+      dropCaches()
+      (name, cold, warm)
+    }
+    def obj(f: ((String, Double, Double)) => (String, Double)): String =
+      results.map { r => val (k, v) = f(r); "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val cold = obj { case (k, c, _) => (k, c) }
+    val warm = obj { case (k, _, w) => (k, w) }
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalWarm = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$cold,""" +
+      s""""total_warm":$totalWarm,"queries_warm":$warm,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -136,7 +136,7 @@ object ExtQueries {
   private val extSimKnnLsh: Q = (s, d) => {
     val emb = embeddings(s, d)
     Knn.lshKnn(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-      k = 5, bits = 6, spark = s)
+      k = 5, bits = 6)
       .orderBy("query_id", "rank")
   }
 
@@ -144,6 +144,20 @@ object ExtQueries {
   private val extSimNeardup: Q = (s, d) =>
     Knn.cosineNearDup(embeddings(s, d).filter(col("label") === 0),
       "vec_id", "embedding", threshold = 0.3)
+      .orderBy("id_a", "id_b")
+
+  /** LSH-banded near-dup — candidates from (band, key) collisions instead of
+    * the O(n²) cross join, exact-cosine verified. 16 bands × 2 bits holds
+    * recall 1.0 on the fixture's weak (cosine ≈ 0.31–0.39) pairs — per-pair
+    * collision ≥ 1 − (1 − 0.6²)¹⁶ ≈ 0.999 — so its verified output equals
+    * [[extSimNeardup]]'s and shares its oracle (same determinism argument as
+    * `ext_dedup_minhash`: xxhash64 planes are fixed, so equality on this
+    * fixture is a fact, not a coin flip; re-verify if the fixture changes).
+    * KnnSpec separately demonstrates the pruning regime with planted
+    * strong near-dups at a production threshold. */
+  private val extSimNeardupLsh: Q = (s, d) =>
+    Knn.cosineNearDupLsh(embeddings(s, d).filter(col("label") === 0),
+      "vec_id", "embedding", threshold = 0.3, bands = 16, bitsPerBand = 2)
       .orderBy("id_a", "id_b")
 
   // -- multimodal ------------------------------------------------------------
@@ -192,6 +206,7 @@ object ExtQueries {
     "ext_sim_knn" -> extSimKnn,
     "ext_sim_knn_lsh" -> extSimKnnLsh,
     "ext_sim_neardup" -> extSimNeardup,
+    "ext_sim_neardup_lsh" -> extSimNeardupLsh,
     "ext_multimodal_meta" -> extMultimodalMeta,
     "ext_multimodal_frames" -> extMultimodalFrames,
     "ext_multimodal_centroid" -> extMultimodalCentroid)
@@ -224,6 +239,16 @@ object ExtQueries {
   /** Oracle-side cosine between DOUBLE[] casts (same sequential fold). */
   private def cosSql(a: String, b: String) =
     s"list_dot_product($a,$b) / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)))"
+
+  /** Exact near-dup pairs — oracle for BOTH ext_sim_neardup and its
+    * LSH-banded form (recall 1.0 on the fixture; see the query doc). */
+  private val neardupSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE label = 0)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |       ${rnd4Sql(cosSql("a.emb", "b.emb"))} AS cosine
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE ${cosSql("a.emb", "b.emb")} >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "ext_text_stats" ->
@@ -319,13 +344,8 @@ object ExtQueries {
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, ${rnd4Sql("cos")} AS cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
-    "ext_sim_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE label = 0)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |       ${rnd4Sql(cosSql("a.emb", "b.emb"))} AS cosine
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE ${cosSql("a.emb", "b.emb")} >= 0.3
-         |ORDER BY id_a, id_b""".stripMargin,
+    "ext_sim_neardup" -> neardupSql,
+    "ext_sim_neardup_lsh" -> neardupSql,
 
     "ext_multimodal_meta" ->
       """SELECT doc_id,

@@ -29,7 +29,7 @@ class KnnSpec extends SparkSpec {
       .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
       .map { case (q, n, c) => (q, n) -> c }.toMap
     val lsh = Knn.lshKnn(v, v.filter($"vec_id" < 3), "vec_id", "embedding",
-      k = 5, bits = 4, spark = spark)
+      k = 5, bits = 4)
       .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
     assert(lsh.nonEmpty)
     lsh.foreach { case (q, n, c) => assert(brute((q, n)) === c) }
@@ -42,6 +42,60 @@ class KnnSpec extends SparkSpec {
     val r = Knn.cosineNearDup(v, "vec_id", "embedding", threshold = 0.99)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(r === Set((1L, 2L)))
+  }
+
+  test("cosineNearDupLsh recalls the exact near-dup pairs on the fixture") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter($"label" === 0)
+    val exact = Knn.cosineNearDup(emb, "vec_id", "embedding", threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Knn.cosineNearDupLsh(emb, "vec_id", "embedding",
+      threshold = 0.3, bands = 16, bitsPerBand = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact)) // verification makes false positives impossible
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("cosineNearDupLsh prunes candidates at a strong threshold (planted near-dups)") {
+    // 3 planted pairs of nearly-identical vectors in a sea of scattered ones
+    val base = Seq(
+      Seq.tabulate(16)(j => math.sin(j * 1.0).toFloat),
+      Seq.tabulate(16)(j => math.cos(j * 0.7).toFloat),
+      Seq.tabulate(16)(j => math.sin(j * 2.3 + 1).toFloat))
+    val planted = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i * 2L) -> v, (i * 2 + 1L) -> v.zipWithIndex.map { case (x, j) => x + (if (j == 0) 0.01f else 0f) })
+    }
+    val noise = (100 until 160).map { i =>
+      val rnd = new scala.util.Random(i) // deterministic per-vector scatter
+      i.toLong -> Seq.fill(16)(rnd.nextFloat() * 2 - 1)
+    }
+    val v = vecs((planted ++ noise): _*)
+    val exact = Knn.cosineNearDup(v, "vec_id", "embedding", threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact === Set((0L, 1L), (2L, 3L), (4L, 5L)))
+    val lsh = Knn.cosineNearDupLsh(v, "vec_id", "embedding",
+      threshold = 0.95, bands = 4, bitsPerBand = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh === exact) // full recall at the strong threshold
+    // and the bucketed join really prunes: candidate pairs << all pairs
+    val keys = Knn.lshBandKeys(v, "vec_id", "embedding", bands = 4, bitsPerBand = 6)
+    val cand = keys.as("a").join(keys.as("b"),
+      $"a.band" === $"b.band" && $"a.key" === $"b.key" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id", $"b.vec_id").distinct().count()
+    val allPairs = 66L * 65 / 2
+    assert(cand < allPairs / 5, s"candidates $cand of $allPairs")
+  }
+
+  test("lshBandKeys handles non-64 embedding dimensions") {
+    // dim 16 above; also a dim-3 sanity: colinear vectors share every key
+    val v = vecs(1L -> Seq(1f, 2f, 3f), 2L -> Seq(2f, 4f, 6f))
+    val keys = Knn.lshBandKeys(v, "vec_id", "embedding", bands = 3, bitsPerBand = 4)
+      .as[(Long, Int, Long)].collect()
+    assert(keys.length === 6) // 2 vectors × 3 bands
+    val byBand = keys.groupBy(_._2).values
+    byBand.foreach { rows => assert(rows.map(_._3).distinct.length === 1) }
   }
 
   test("CentroidAgg computes the element-wise mean (map-side partial merge)") {
