@@ -21,13 +21,23 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** The nanos-as-long legacy flag the events reader needs. Set at most ONCE
+    * per session (check-then-set): repeated blind writes to a shared
+    * session's conf from a table loader are surprising side effects; a
+    * caller who deliberately unset the flag keeps the PARQUET_TYPE_ILLEGAL
+    * error instead of having it silently re-enabled mid-query. */
+  private def ensureNanosAsLong(spark: SparkSession): Unit = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
+  }
+
   /** The events fixture carries TIMESTAMP(NANOS) parquet, which Spark cannot
     * read as a timestamp (PARQUET_TYPE_ILLEGAL); read the nanos as INT64 and
     * truncate to microseconds (integer div — a double div would lose
     * precision on ~1.7e18 nanos). Second-aligned range predicates and the
     * second-precision output format are unaffected by the truncation. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosAsLong(spark)
     table(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
@@ -40,7 +50,7 @@ object Tables {
     * and prunes row groups. At 100 TB this is the difference between
     * scanning a day and scanning the full log. */
   def eventsInRange(spark: SparkSession, sfDir: String, loSec: String, hiSec: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosAsLong(spark)
     def nanos(s: String): Long =
       java.time.LocalDateTime.parse(s.replace(' ', 'T'))
         .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L

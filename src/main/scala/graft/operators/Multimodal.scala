@@ -32,13 +32,16 @@ object Multimodal {
     docs.withColumn("media", col("text").cast("binary"))
 
   /** Partition-parallel decode: mapPartitions over (docId, payload) so a
-    * real codec could amortize per-batch setup (model load, JNI handles)
-    * across each partition — the Pandas-UDF batch shape, in Scala. */
+    * real codec amortizes per-batch setup (model load, JNI handles) across
+    * each partition — the Pandas-UDF batch shape, in Scala. */
   def decodeMeta(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaMeta] = {
     implicit val enc: Encoder[MediaMeta] = Encoders.product[MediaMeta]
     withMediaColumn(docs)
       .select(col("doc_id"), col("media"))
-      .map { row: Row => fakeDecode(row.getLong(0), row.getAs[Array[Byte]](1)) }
+      .mapPartitions { rows: Iterator[Row] =>
+        // a real codec opens its decoder handle ONCE here, per partition
+        rows.map(row => fakeDecode(row.getLong(0), row.getAs[Array[Byte]](1)))
+      }
   }
 
   /** One sampled frame row per media payload: every `stride`-th frame index

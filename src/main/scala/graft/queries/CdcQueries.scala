@@ -115,13 +115,15 @@ object CdcQueries {
   /** HLL approximate distinct — the 100 TB form of [[aggDistinctIds]]: exact
     * distinct shuffles every key; the HLL++ sketch is fixed-size and merges
     * map-side, so the answer costs one partial-agg pass regardless of
-    * cardinality. No oracle entry (sketch estimates are engine-specific);
-    * the driver records a rows-only check. */
-  /** HLL sketch vs exact truth: the sketch estimate itself is not
-    * oracle-expressible (DuckDB's HLL differs), so the checked claim is the
-    * sketch's CONTRACT — the estimate lands within 5% of the exact count
-    * (Spark's HLL++ at default rsd=0.05 is deterministic for fixed input, so
-    * this boolean is a fixed fact of the fixture, not a coin flip). */
+    * cardinality. The sketch estimate itself is not oracle-expressible
+    * (DuckDB's HLL differs), so the checked claim is the sketch's CONTRACT —
+    * the estimate lands within 5% of the exact count. Two caveats, on
+    * purpose: (1) the query pays the exact countDistinct shuffle purely to
+    * state that contract — do NOT "optimize" it away, and do not read this
+    * query's bench time as the HLL fast path; (2) rsd=0.05 is a relative
+    * standard deviation, not a guaranteed bound — for fixed input the
+    * boolean is deterministic, but re-verify it whenever the events fixture
+    * changes. */
   private val aggApproxDistinct: Q = (s, d) =>
     events(s, d).agg(
       countDistinct(col("user_id")).as("n_users"),

@@ -56,6 +56,16 @@ class DedupSpec extends SparkSpec {
     assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("unpersistAll leaves no persisted RDDs behind (caller-owned cache lifecycle)") {
+    val d = docs((1, "a b c d e"), (2, "b c d e X"), (3, "q r s t u"))
+    Dedup.ngramJaccard(d, "text", "doc_id", n = 3, threshold = 0.4).collect()
+    Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 3).collect()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty) // operators did persist
+    Dedup.unpersistAll()
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("simhash: identical token multisets collide at hamming 0") {
     val d = docs((1, "alpha beta gamma delta"), (2, "delta gamma beta alpha"),
       (3, "совсем other words here"))

@@ -117,6 +117,95 @@ class StreamingSpec extends SparkSpec {
     assert(streamedDays.size >= batchDays.size - 2) // at most the tail windows unclosed
   }
 
+  test("LagMonitor flags a stalled source and clears a fresh one") {
+    import graft.streaming.LagMonitor
+
+    // pure alarm rule (the reference's 5-minute replication-lag alert)
+    val t = LagMonitor.DefaultThresholdMs
+    val now = 1700000000000L
+    assert(!LagMonitor.assess(now, Some(now - 1000), 0, t).stalled)
+    val old = LagMonitor.assess(now, Some(now - t - 1), 3, t)
+    assert(old.stalled && old.lagMs === t + 1 && old.batchId === 3)
+    assert(LagMonitor.assess(now, None, 0, t).stalled) // no watermark = alert
+
+    // end-to-end: listener sees the watermarked query's progress; the
+    // fixture's newest event time is years behind the wall clock, so the
+    // monitor must flag the source as stalled
+    val sf = "/root/testdata/sf0.001"
+    val src = tmp("lag-src")
+    val ckp = tmp("lag-ckp").toString
+    val staging = tmp("lag-stage")
+    spark.read.schema(CdcPipeline.eventsFileSchema).parquet(s"$sf/events.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => Files.move(f.toPath, src.resolve(f.getName)))
+
+    val monitor = LagMonitor.attach(spark)
+    try {
+      val stream = spark.readStream.schema(CdcPipeline.eventsFileSchema).parquet(src.toString)
+      val q = CdcPipeline.windowedOpCounts(stream)
+        .writeStream.option("checkpointLocation", ckp)
+        .format("memory").queryName("lag_counts").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // listener delivery is async — poll briefly for the progress event
+      val deadline = System.currentTimeMillis() + 30000
+      while (monitor.health(q.id).isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val h = monitor.health(q.id)
+      assert(h.nonEmpty, "listener never saw query progress")
+      assert(h.get.stalled, s"fixture watermark is years old — expected stalled, got $h")
+      assert(monitor.stalled.nonEmpty)
+    } finally spark.streams.removeListener(monitor)
+  }
+
+  test("continuous-mode pipeline killed mid-stream recovers from the checkpoint") {
+    val sf = "/root/testdata/sf0.001"
+    val src = tmp("cont-src")
+    val tgt = tmp("cont-tgt").resolve("state").toString
+    val ckp = tmp("cont-ckp").toString
+    val cut = Tables.tsLit("2024-01-15 00:00:00")
+
+    def arrive(wave: String, pred: org.apache.spark.sql.Column): Unit = {
+      val staging = tmp(s"cont-stage-$wave")
+      spark.read.schema(CdcPipeline.eventsFileSchema).parquet(s"$sf/events.parquet")
+        .filter(pred).coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.move(f.toPath, src.resolve(s"$wave-$i.parquet"))
+        }
+    }
+
+    // wave 1 arrives; the pipeline runs in CONTINUOUS mode (ProcessingTime
+    // cadence — the reference's 5 s flush loop, js:349)
+    arrive("wave1", timestamp_micros(expr("ts div 1000")) < cut)
+    val q = CdcPipeline.start(spark, src.toString, tgt, ckp, availableNow = false)
+    val deadline = System.currentTimeMillis() + 60000
+    while (q.recentProgress.forall(_.numInputRows == 0) && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    assert(q.recentProgress.exists(_.numInputRows > 0), "first batch never processed")
+    q.stop() // kill mid-stream (the reference's crash-restart loop, js:286-299)
+    q.awaitTermination()
+
+    // wave 2 arrives while the pipeline is down; restart from the SAME
+    // checkpoint drains it and converges to the batch answer
+    arrive("wave2", timestamp_micros(expr("ts div 1000")) >= cut)
+    CdcPipeline.start(spark, src.toString, tgt, ckp).awaitTermination()
+
+    import spark.implicits._
+    val expected = CdcOps.lastWriteWins(
+      CdcOps.dropDeletes(Tables.changeLog(spark, sf)), "user_id", "ts", "event_id")
+    val diff = Reconcile.diffSummary(
+      expected.select("user_id", "event_id", "ts", "event_type"),
+      spark.read.parquet(tgt).select("user_id", "event_id", "ts", "event_type"),
+      "user_id",
+      Seq(Reconcile.plain("event_id"), Reconcile.plain("event_type")))
+    val (total, differing) = diff.as[(Long, Long)].collect().head
+    assert(total === expected.count())
+    assert(differing === 0L)
+  }
+
   private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2(): Map[(A, B), C] = rows.map { case (a, b, c) => (a, b) -> c }.toMap
   }
