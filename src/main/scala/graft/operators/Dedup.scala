@@ -53,17 +53,17 @@ object Dedup {
       .drop("__digest")
 
   /** Distinct (id, shingle-hash) pairs — the shared input of the MinHash and
-    * exact-Jaccard paths. Shingle identity is an int64 hash of the token
-    * tuple ([[TextFns.hashedShingles]]): every downstream
+    * exact-Jaccard paths, derived by exploding the per-doc arrays of
+    * [[shingleArrays]] so the (interpreted, higher-order) shingle generator
+    * runs exactly ONCE per cold pipeline. Shingle identity is an int64 hash
+    * of the token tuple ([[TextFns.hashedShingles]]): every downstream
     * shuffle/join/intersect moves 8-byte longs instead of n-word strings. A
     * within-pair hash collision (the only kind that could change a Jaccard
-    * count) has probability ~|A∪B|²/2⁶⁵ ≈ 1e-16. Persisted: the shingle
-    * generator is an interpreted higher-order expression, and the similarity
+    * count) has probability ~|A∪B|²/2⁶⁵ ≈ 1e-16. Persisted: the similarity
     * pipelines read this 3–5× — at 100 TB this persist becomes a checkpoint
     * to storage. */
-  def shingled(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    registerPersist(docs.select(col(idCol).as("doc_id"),
-      explode(TextFns.hashedShingles(col(textCol), n)).as("shingle")))
+  def shingled(arrs: DataFrame): DataFrame =
+    registerPersist(arrs.select(col("doc_id"), explode(col("__arr")).as("shingle")))
 
   /** One row per doc with its (distinct) shingle-hash array + size — the
     * compact verification side: candidate pairs join against this
@@ -86,8 +86,8 @@ object Dedup {
     * self-join materializes Σ df² pairs over ALL shingles — frequent
     * shingles make that quadratic; the prefix join touches only rare ones. */
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String, n: Int, threshold: Double): DataFrame = {
-    val sh = shingled(docs, textCol, idCol, n)
-    verifyJaccard(prefixCandidates(sh, threshold), shingleArrays(docs, textCol, idCol, n), threshold)
+    val arrs = shingleArrays(docs, textCol, idCol, n)
+    verifyJaccard(prefixCandidates(shingled(arrs), threshold), arrs, threshold)
   }
 
   /** Prefix-filtered candidate pairs (see [[ngramJaccard]]). Three sound
@@ -143,8 +143,8 @@ object Dedup {
     * reported pair truly ≥ threshold); banding controls recall. */
   def minhashLsh(docs: DataFrame, textCol: String, idCol: String, n: Int,
                  bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val sh = shingled(docs, textCol, idCol, n)
-    val sig = minhashSignature(sh, bands * rowsPerBand)
+    val arrs = shingleArrays(docs, textCol, idCol, n)
+    val sig = minhashSignature(shingled(arrs), bands * rowsPerBand)
     val bandSigs = (0 until bands).map { b =>
       xxhash64((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
     }
@@ -155,7 +155,7 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, shingleArrays(docs, textCol, idCol, n), threshold)
+    verifyJaccard(cand, arrs, threshold)
   }
 
   /** Exact-Jaccard check of candidate pairs against per-doc shingle arrays:
