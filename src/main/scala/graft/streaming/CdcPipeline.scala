@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryException, Trigger}
 import org.apache.spark.sql.types._
+import scala.util.control.NonFatal
 
 import graft.operators.CdcOps
 
@@ -90,5 +91,47 @@ object CdcPipeline {
         applyBatch(spark, batch, targetDir)
       }
       .start()
+  }
+
+  /** Restart-backoff policy, the reference's two-tier scheme: stream errors
+    * restart after 5 s (js:286–299), startup failures after 60 s
+    * (js:369–382). `maxRestarts` bounds the loop for tests; production uses
+    * the default unbounded form, like the reference's forever-loop. */
+  final case class RestartPolicy(streamErrorBackoffMs: Long = 5000L,
+                                 startupBackoffMs: Long = 60000L,
+                                 maxRestarts: Int = Int.MaxValue)
+
+  /** Supervised run of [[start]]: await termination and, on stream failure
+    * or startup failure, restart from the SAME checkpoint after the
+    * policy's backoff — the reference's error-recovery loop with Structured
+    * Streaming's resume semantics doing the token bookkeeping. Returns the
+    * number of restarts performed. `sleep` is injectable so the backoff
+    * schedule is testable without wall-clock waits. */
+  def supervise(spark: SparkSession, sourceDir: String, targetDir: String,
+                checkpointDir: String, policy: RestartPolicy = RestartPolicy(),
+                availableNow: Boolean = true,
+                sleep: Long => Unit = Thread.sleep): Int = {
+    var restarts = 0
+    var done = false
+    while (!done) {
+      val started =
+        try Some(start(spark, sourceDir, targetDir, checkpointDir, availableNow))
+        catch { case NonFatal(_) => None } // startup failure (js:369-382)
+      started match {
+        case Some(q) =>
+          try { q.awaitTermination(); done = true } // clean drain / stop
+          catch {
+            case _: StreamingQueryException => // stream error (js:286-299)
+              restarts += 1
+              if (restarts >= policy.maxRestarts) done = true
+              else sleep(policy.streamErrorBackoffMs)
+          }
+        case None =>
+          restarts += 1
+          if (restarts >= policy.maxRestarts) done = true
+          else sleep(policy.startupBackoffMs)
+      }
+    }
+    restarts
   }
 }

@@ -33,4 +33,12 @@ class PlanSpec extends SparkSpec {
   test("point lookup pushes the key predicate to the scan") {
     assert(plan("source_point_lookup").contains("EqualTo(user_id,7)"))
   }
+
+  test("LSH near-dup plans with equi-joins only — no cartesian product anywhere") {
+    val p = plan("ext_sim_neardup_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join in the scale path:\n${p.take(1500)}")
+    // the exact form IS the documented quadratic oracle baseline
+    assert(plan("ext_sim_neardup").contains("NestedLoopJoin"))
+  }
 }

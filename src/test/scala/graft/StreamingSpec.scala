@@ -206,6 +206,42 @@ class StreamingSpec extends SparkSpec {
     assert(differing === 0L)
   }
 
+  test("supervise retries startup failures with the 60 s backoff tier, then drains") {
+    val sf = "/root/testdata/sf0.001"
+    val root = tmp("sup-root")
+    val src = root.resolve("missing-src") // does not exist yet → startup failure
+    val tgt = root.resolve("state").toString
+    val ckp = root.resolve("ckp").toString
+
+    val backoffs = scala.collection.mutable.ArrayBuffer[Long]()
+    val sleep: Long => Unit = { ms =>
+      backoffs += ms
+      if (backoffs.size == 1) {
+        // "operator fixes the source" between retries: dir appears with data
+        Files.createDirectories(src)
+        val staging = tmp("sup-stage")
+        spark.read.schema(CdcPipeline.eventsFileSchema).parquet(s"$sf/events.parquet")
+          .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+          .foreach(f => Files.move(f.toPath, src.resolve(f.getName)))
+      }
+    }
+    val restarts = CdcPipeline.supervise(spark, src.toString, tgt, ckp,
+      CdcPipeline.RestartPolicy(maxRestarts = 5), availableNow = true, sleep = sleep)
+    assert(restarts === 1)
+    assert(backoffs.toSeq === Seq(60000L)) // the startup tier, not the stream tier
+    assert(spark.read.parquet(tgt).count() > 0) // drained after recovery
+
+    // a permanently broken source stops at maxRestarts with the right cadence
+    val backoffs2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val r2 = CdcPipeline.supervise(spark, root.resolve("never-exists").toString,
+      tgt, root.resolve("ckp2").toString,
+      CdcPipeline.RestartPolicy(maxRestarts = 3), availableNow = true,
+      sleep = backoffs2 += _)
+    assert(r2 === 3)
+    assert(backoffs2.toSeq === Seq(60000L, 60000L)) // no sleep after the final attempt
+  }
+
   private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2(): Map[(A, B), C] = rows.map { case (a, b, c) => (a, b) -> c }.toMap
   }
