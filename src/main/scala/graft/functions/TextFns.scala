@@ -27,8 +27,16 @@ object TextFns {
   /** Distinct n-word shingles as int64 hashes — hash-of-token-tuple, no
     * string materialization (the concat form spends its time building and
     * de-duplicating shingle strings; identity-by-hash is equivalent for
-    * set-similarity counts, within-set collision ≈ |set|²/2⁶⁵). */
-  def hashedShingles(text: Column, n: Int): Column = {
+    * set-similarity counts, within-set collision ≈ |set|²/2⁶⁵). Compiled
+    * ([[HashedShingles]]); [[hashedShinglesRef]] keeps the declarative
+    * reference semantics. */
+  def hashedShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      HashedShingles(org.apache.spark.sql.GraftColumnBridge.expression(text), n))
+
+  /** Reference (interpreted higher-order) form of [[hashedShingles]] — the
+    * spec the compiled expression is property-tested against. */
+  def hashedShinglesRef(text: Column, n: Int): Column = {
     val toks = tokens(text)
     val idx = sequence(lit(1), size(toks) - (n - 1))
     val grams = transform(idx, i => xxhash64((0 until n).map(j => element_at(toks, i + j)): _*))

@@ -56,6 +56,24 @@ class DedupSpec extends SparkSpec {
     assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("compiled HashedShingles matches the declarative reference bit-exactly") {
+    // fixture-wide: every document at sf0.001, identical arrays incl. order
+    val fixture = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(TextFns.hashedShingles(col("text"), 3).as("fast"),
+        TextFns.hashedShinglesRef(col("text"), 3).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(fixture === 0)
+    // edges: empty/short text, repeated+leading+trailing spaces, multi-byte
+    import spark.implicits._
+    val edge = Seq("", "a", "a b", "a b c", "a b a b a b", "a  b c d",
+      " a b c", "a b c ", "ä ü 中 文 word").toDF("text")
+    val mism = edge
+      .select(TextFns.hashedShingles(col("text"), 3).as("fast"),
+        TextFns.hashedShinglesRef(col("text"), 3).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mism === 0)
+  }
+
   test("unpersistAll leaves no persisted RDDs behind (caller-owned cache lifecycle)") {
     val d = docs((1, "a b c d e"), (2, "b c d e X"), (3, "q r s t u"))
     Dedup.ngramJaccard(d, "text", "doc_id", n = 3, threshold = 0.4).collect()
