@@ -242,6 +242,67 @@ class StreamingSpec extends SparkSpec {
     assert(backoffs2.toSeq === Seq(60000L, 60000L)) // no sleep after the final attempt
   }
 
+  test("flatMapGroupsWithState sessionization: state survives restart; gap rules match batch") {
+    import graft.streaming.Sessionize
+    import Sessionize.{OpenSession, UserSession}
+
+    // pure state machine: exact-gap chains, beyond-gap closes, prior merges
+    val (closed0, open0) = Sessionize.advance(7L, 1800L, Seq(1000L, 2800L, 4601L), None)
+    assert(closed0 === Seq(UserSession(7L, 1000L, 2800L, 2))) // 2800-1000=1800 chains; 4601-2800=1801 closes
+    assert(open0 === Some(OpenSession(4601L, 4601L, 1)))
+    val (closed1, open1) = Sessionize.advance(7L, 1800L, Seq(3000L), Some(OpenSession(1000L, 2000L, 3)))
+    assert(closed1 === Nil && open1 === Some(OpenSession(1000L, 3000L, 4))) // prior state extends
+
+    // e2e: one session spans the wave cut — it must emerge as ONE session
+    // only if the state store survives the checkpointed restart
+    val src = tmp("sess-src")
+    val ckp = tmp("sess-ckp").toString
+    def nanos(hhmm: String): Long =
+      java.time.LocalDateTime.parse(s"2024-03-01T$hhmm")
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    def sec(hhmm: String): Long = nanos(hhmm) / 1000000000L
+    def wave(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      import spark.implicits._
+      val staging = tmp(s"sess-stage-$name")
+      rows.zipWithIndex
+        .map { case ((uid, t, _), i) => (i.toLong, nanos(t), uid, "view", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, src.resolve(s"$name-${f.getName}")))
+    }
+    def run(): Set[(Long, Long, Long, Long)] = {
+      // memory sink can't recover from a checkpoint; foreachBatch can
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
+      val stream = spark.readStream.schema(CdcPipeline.eventsFileSchema).parquet(src.toString)
+      val q = Sessionize.sessions(CdcPipeline.transform(stream))
+        .writeStream.option("checkpointLocation", ckp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Sessionize.UserSession], _: Long) =>
+          b.collect().foreach(s => acc.add((s.user_id, s.session_start, s.session_end, s.n_events)))
+        }
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      acc.asScala.toSet
+    }
+
+    wave("w1", Seq((1L, "10:00", 0L), (1L, "10:10", 0L), (2L, "09:00", 0L), (2L, "09:05", 0L)))
+    val emitted1 = run()
+    assert(emitted1.isEmpty) // all sessions still open inside wave 1
+
+    // wave 2 (after a restart from the checkpoint): u1 chains 10:20/10:30
+    // onto its wave-1 state, then 13:00 closes it; u2's 12:30 closes 09:00-09:05.
+    // All still-open sessions have timeout stamps beyond the final watermark
+    // (13:00 - 1 h), so the emitted set is exactly the two closed sessions.
+    wave("w2", Seq((1L, "10:20", 0L), (1L, "10:30", 0L), (1L, "13:00", 0L), (2L, "12:30", 0L)))
+    val emitted2 = run()
+    assert(emitted2 === Set(
+      (1L, sec("10:00"), sec("10:30"), 4L), // spans the restart: 2+2 events, one session
+      (2L, sec("09:00"), sec("09:05"), 2L)))
+  }
+
   private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2(): Map[(A, B), C] = rows.map { case (a, b, c) => (a, b) -> c }.toMap
   }
