@@ -114,6 +114,85 @@ object Knn {
       .select(col("id_a"), col("id_b"), graft.Tables.rnd4(col("cosine")).as("cosine"))
   }
 
+  /** IVF (inverted-file) coarse quantizer — the OTHER classic ANN scale
+    * path: k-means cells trained with a few Lloyd rounds, queries probe only
+    * their `nProbe` nearest cells. Everything distributed except the
+    * centroid table itself, which is O(nCells·dim) and lives on the driver
+    * between rounds (the standard IVF training shape — at 100 TB you train
+    * the quantizer on a sample, then assign the corpus in one pass).
+    *
+    * Determinism: seeds are the `nCells` lowest-id vectors; the centroid
+    * update sums per (cell, dim) in DECIMAL (order-independent, unlike
+    * float/double partial aggregation), and cell assignment breaks distance
+    * ties by cell id — so the index, and therefore the query result, is a
+    * pure function of the corpus. */
+  def ivfCentroids(corpus: DataFrame, idCol: String, embCol: String,
+                   nCells: Int, iters: Int): Seq[(Int, Array[Float])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cs: Seq[(Int, Array[Float])] = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(embCol)).as[Array[Float]].collect().toSeq.zipWithIndex.map(_.swap)
+    for (_ <- 0 until iters) {
+      val assign = nearestCell(corpus, centroidFrame(spark, cs), idCol, embCol)
+      cs = corpus.join(assign, idCol)
+        .select(col("cell"), posexplode(col(embCol)).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("v").cast("decimal(28,10)")) / count(lit(1))).cast("float").as("c"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("cv"))
+        .select(col("cell"), col("cv.c").as("cvec"))
+        .as[(Int, Array[Float])].collect().toSeq.sortBy(_._1)
+    }
+    cs
+  }
+
+  /** Centroid table as a broadcastable frame: (cell, cvec, cnorm2 = ‖c‖²). */
+  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+                            cs: Seq[(Int, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    cs.toDF("cell", "cvec")
+      .withColumn("cnorm2", VectorFns.dot(col("cvec"), col("cvec")))
+  }
+
+  /** Nearest cell per vector: argmin over ‖c‖² − 2·v·c (the ‖v‖² term is
+    * constant per vector), ties broken by cell id via struct ordering. */
+  private def nearestCell(vectors: DataFrame, centroids: DataFrame,
+                          idCol: String, embCol: String): DataFrame =
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("__d", col("cnorm2") - lit(2.0) * VectorFns.dot(col(embCol), col("cvec")))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__d"), col("cell"))).as("m"))
+      .select(col(idCol), col("m.cell").as("cell"))
+
+  /** IVF approximate top-k: assign the corpus to cells once, route each
+    * query to its `nProbe` nearest cells, score exact cosine inside them.
+    * Per query the scan covers ~nProbe/nCells of the corpus instead of all
+    * of it; recall is governed by (nCells, nProbe). */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+             k: Int, nCells: Int, iters: Int, nProbe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = centroidFrame(spark, ivfCentroids(corpus, idCol, embCol, nCells, iters))
+    val corpusCells = corpus.join(nearestCell(corpus, cents, idCol, embCol), idCol)
+      .select(col(idCol).as("neighbor_id"), col("cell"), col(embCol).as("__c_emb"),
+        VectorFns.norm(col(embCol)).as("__c_n"))
+    val probeW = Window.partitionBy(col(idCol)).orderBy(col("__d"), col("cell"))
+    val probes = broadcast(
+      queries.crossJoin(broadcast(cents))
+        .withColumn("__d", col("cnorm2") - lit(2.0) * VectorFns.dot(col(embCol), col("cvec")))
+        .withColumn("__r", row_number().over(probeW))
+        .filter(col("__r") <= nProbe)
+        .select(col(idCol).as("query_id"), col("cell"), col(embCol).as("__q_emb"),
+          VectorFns.norm(col(embCol)).as("__q_n")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    corpusCells.join(probes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cos(col("__q_emb"), col("__c_emb"), col("__q_n"), col("__c_n")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        graft.Tables.rnd4(col("cosine")).as("cosine"))
+  }
+
   /** LSH-bucketed embedding near-dup — the 100 TB scale path. Candidates
     * come from a (band, key) equi-join over [[lshBandKeys]] (a pair is a
     * candidate iff it collides in ≥ 1 of the `bands` hash tables); the exact

@@ -140,6 +140,18 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-probed approximate top-k — the second classic ANN scale path
+    * (k-means cells, query probes its 6 of 16 cells → ~3/8 of the corpus
+    * scored per query). Deterministic (decimal centroid sums, id tie-breaks)
+    * but approximate: fixture recall ≈ 0.9 vs exact (KnnSpec pins ≥ 0.8),
+    * so rows-only — no oracle entry. */
+  private val extSimKnnIvf: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    Knn.ivfKnn(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, nCells = 16, iters = 2, nProbe = 6)
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs within one label partition. */
   private val extSimNeardup: Q = (s, d) =>
     Knn.cosineNearDup(embeddings(s, d).filter(col("label") === 0),
@@ -205,6 +217,7 @@ object ExtQueries {
     "ext_dedup_cluster" -> extDedupCluster,
     "ext_sim_knn" -> extSimKnn,
     "ext_sim_knn_lsh" -> extSimKnnLsh,
+    "ext_sim_knn_ivf" -> extSimKnnIvf,
     "ext_sim_neardup" -> extSimNeardup,
     "ext_sim_neardup_lsh" -> extSimNeardupLsh,
     "ext_multimodal_meta" -> extMultimodalMeta,

@@ -88,6 +88,26 @@ class KnnSpec extends SparkSpec {
     assert(cand < allPairs / 5, s"candidates $cand of $allPairs")
   }
 
+  test("ivfKnn recalls most exact neighbors while probing a corpus fraction") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter($"vec_id" < 10)
+    val brute = Knn.bruteForce(emb, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Knn.ivfKnn(emb, q, "vec_id", "embedding",
+      k = 5, nCells = 16, iters = 2, nProbe = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.size === brute.size) // k results per query either way
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+    // scored cosines are exact — any returned pair matches brute force's score
+    val bruteScores = Knn.bruteForce(emb, q, "vec_id", "embedding", k = 499)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)]
+      .collect().map { case (a, b, c) => (a, b) -> c }.toMap
+    Knn.ivfKnn(emb, q, "vec_id", "embedding", k = 5, nCells = 16, iters = 2, nProbe = 6)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)]
+      .collect().foreach { case (a, b, c) => assert(bruteScores((a, b)) === c) }
+  }
+
   test("lshBandKeys handles non-64 embedding dimensions") {
     // dim 16 above; also a dim-3 sanity: colinear vectors share every key
     val v = vecs(1L -> Seq(1f, 2f, 3f), 2L -> Seq(2f, 4f, 6f))
