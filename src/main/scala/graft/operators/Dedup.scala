@@ -222,19 +222,43 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
-  /** 64-bit SimHash per doc: per-bit majority vote over token hashes
-    * (64 conditional-sum aggregates — one shuffle, no explode of bits). */
-  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"), explode(TextFns.distinctTokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val votes = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
+  /** Per-bit majority vote over token hashes as ONE typed Aggregator (a
+    * 64-int vote buffer, map-side partial merge) instead of 64 separate
+    * conditional-sum aggregate columns: same integer arithmetic and
+    * therefore the same fingerprints, but the generated aggregate stays
+    * small — the 64-column form compiled a codegen function big enough to
+    * dominate the query's cold time. */
+  private object SimhashAgg extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Int], Long] {
+    override def zero: Array[Int] = new Array[Int](64)
+    override def reduce(b: Array[Int], h: Long): Array[Int] = {
+      var i = 0
+      while (i < 64) { b(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
+      b
     }
-    val voted = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val fp = (0 until 64)
-      .map(i => when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    voted.select(col("doc_id"), fp.as("simhash"))
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 64) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Int]): Long = {
+      var fp = 0L
+      var i = 0
+      while (i < 64) { if (r(i) > 0) fp |= 1L << i; i += 1 }
+      fp
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** 64-bit SimHash per doc: per-bit majority vote over token hashes —
+    * one shuffle, one aggregate ([[SimhashAgg]]). */
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val vote = udaf(SimhashAgg, org.apache.spark.sql.Encoders.scalaLong)
+    docs.select(col(idCol).as("doc_id"), explode(TextFns.distinctTokens(col(textCol))).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(vote(xxhash64(col("t"))).as("simhash"))
   }
 
   /** SimHash near-dup pairs: collide on one of four 16-bit bands, then
