@@ -49,6 +49,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sessionization is micro-batch-split invariant (pure state machine)") {
+    import graft.streaming.Sessionize
+    // property: threading the open-session state through ANY split of the
+    // (sorted) event times yields exactly the all-at-once sessions — the
+    // guarantee that micro-batch boundaries and restarts never change the
+    // session answer. Random event sequences + random split points.
+    val rnd = new scala.util.Random(7)
+    (0 until 30).foreach { _ =>
+      val n = 1 + rnd.nextInt(40)
+      val times = Seq.fill(n)(rnd.nextLong(20000L)).sorted
+      val gap = 300L + rnd.nextInt(2000)
+      val (oneShotClosed, oneShotOpen) = Sessionize.advance(1L, gap, times, None)
+      val nSplits = rnd.nextInt(4)
+      val cuts = (Seq.fill(nSplits)(rnd.nextInt(n + 1)).sorted :+ n).distinct
+      var prior: Option[Sessionize.OpenSession] = None
+      var acc = Seq.empty[Sessionize.UserSession]
+      var from = 0
+      cuts.foreach { to =>
+        val (closed, open) = Sessionize.advance(1L, gap, times.slice(from, to), prior)
+        acc ++= closed; prior = open; from = to
+      }
+      assert(acc === oneShotClosed, s"split changed closed sessions (gap=$gap, n=$n)")
+      assert(prior === oneShotOpen, s"split changed open tail (gap=$gap, n=$n)")
+    }
+  }
+
   test("replaying any suffix from a checkpointed state is a no-op on the final state") {
     samples(8).foreach { rows =>
       val full = df(rows)
