@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{FloatDot, RollingHash}
+import graft.functions.{FloatDot, HashedShingles, RollingHash}
 
 /** SQL surface for the library's codegen'd expressions. Two entry points:
   *
@@ -14,6 +14,7 @@ import graft.functions.{FloatDot, RollingHash}
   * Registered functions:
   *  - `float_dot(array<float>, array<float>) → double`
   *  - `rolling_hash(string[, mult, mod]) → bigint`
+  *  - `hashed_shingles(string, n) → array<bigint>`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -42,6 +43,10 @@ object GraftExtensions {
         case Seq(s, m, p) => RollingHash(s, longLit(m, "mult"), longLit(p, "mod"))
         case _ => throw new IllegalArgumentException("rolling_hash(s[, mult, mod])")
       }
+    },
+    "hashed_shingles" -> { args: Seq[Expression] =>
+      require(args.length == 2, "hashed_shingles(text, n)")
+      HashedShingles(args(0), longLit(args(1), "n").toInt)
     })
 
   /** Register everything on an already-built session. */

@@ -17,5 +17,15 @@ class ExtensionsSpec extends SparkSpec {
 
     val rh2 = spark.sql("SELECT rolling_hash('ab', 7L, 1000003L) AS r").collect().head.getLong(0)
     assert(rh2 === (97L * 7 + 98) % 1000003L)
+
+    // hashed_shingles: same values as the Column-API form
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val viaSql = spark.sql("SELECT hashed_shingles('a b c d', 3) AS r")
+      .as[Array[Long]].collect().head.toSeq
+    val viaCol = Seq("a b c d").toDF("t")
+      .select(graft.functions.TextFns.hashedShingles(col("t"), 3))
+      .as[Array[Long]].collect().head.toSeq
+    assert(viaSql === viaCol && viaSql.length === 2)
   }
 }
