@@ -48,9 +48,23 @@ object StreamQueries {
       .orderBy("user_id")
   }
 
+  /** The custom-state sessionization operator run in BATCH mode (the same
+    * batch/stream unification as above): per user, events closer than 30 min
+    * chain; a batch run emits every CLOSED session and discards each user's
+    * open tail (timeouts never fire in batch) — which the oracle expresses
+    * as "all sessions except each user's last". The live streaming form
+    * (state store, checkpointed restart, event-time timeout) is exercised by
+    * StreamingSpec and the split-invariance property in PropertySpec. */
+  private val streamSessionize: Q = (s, d) => {
+    val raw = s.read.schema(CdcPipeline.eventsFileSchema).parquet(s"$d/events.parquet")
+    graft.streaming.Sessionize.sessions(CdcPipeline.transform(raw)).toDF()
+      .orderBy("user_id", "session_start")
+  }
+
   val queries: Map[String, Q] = Map(
     "source_changestream" -> sourceChangestream,
-    "sink_checkpoint" -> sinkCheckpointReplay)
+    "sink_checkpoint" -> sinkCheckpointReplay,
+    "stream_sessionize" -> streamSessionize)
 
   val oracle: Map[String, String] = Map(
     "source_changestream" ->
@@ -65,5 +79,25 @@ object StreamQueries {
          |       event_type AS last_event
          |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
          |      FROM events WHERE event_type IS DISTINCT FROM 'error') q
-         |WHERE rn = 1 ORDER BY user_id""".stripMargin)
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // gap-sessionization (strict > 1800 s closes), minus each user's last
+    // (still-open) session — the batch-mode emission of the state machine
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+        |           WHERE event_type IS DISTINCT FROM 'error'),
+        |m AS (SELECT user_id, sec,
+        |        CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+        |             THEN 1 ELSE 0 END AS new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+        |g AS (SELECT user_id, sec,
+        |        sum(new) OVER (PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m),
+        |sess AS (SELECT user_id, sid, min(sec) AS session_start, max(sec) AS session_end,
+        |                count(*) AS n_events
+        |         FROM g GROUP BY 1, 2)
+        |SELECT user_id, session_start, session_end, n_events
+        |FROM sess
+        |WHERE sid <> (SELECT max(sid) FROM sess s2 WHERE s2.user_id = sess.user_id)
+        |ORDER BY user_id, session_start""".stripMargin)
 }
