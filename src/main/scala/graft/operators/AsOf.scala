@@ -42,7 +42,7 @@ object AsOf {
     val rPadded = leftCols.foldLeft(
       rightCols.foldLeft(r)((df, c) => df.withColumn(s"__r_$c", col(c))))(
       (df, c) => if (rightCols.contains(c) || c == key) df else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-      .select(lPadded.columns.map(col): _*)
+      .select(lPadded.columns.toIndexedSeq.map(col): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

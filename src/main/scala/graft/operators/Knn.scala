@@ -8,13 +8,15 @@ import graft.functions.VectorFns
 
 /** Similarity search over an `array<float>` embedding column (SURVEY §2.8).
   *
-  * Two paths:
-  *  - [[bruteForce]]: exact top-k — broadcast the (small) query set against
-  *    the corpus; the corpus never shuffles, cost is queries × corpus scored
-  *    in-place. The oracle-parity baseline.
-  *  - [[lshKnn]]: the scale path — sign-random-projection LSH buckets both
-  *    sides; each query scores only its own bucket (corpus/2^bits per probe).
-  *    Approximate by construction; recall is governed by the bit count.
+  * Top-k paths:
+  *  - [[bruteForce]]: exact — broadcast the (small) query set against the
+  *    corpus; the corpus never shuffles. The oracle-parity baseline.
+  *  - [[lshKnn]]: sign-random-projection LSH buckets both sides; each query
+  *    scores only its own bucket (corpus/2^bits per probe).
+  *  - [[ivfKnn]]: inverted-file — k-means cells, each query scores its
+  *    nProbe nearest cells (~nProbe/nCells of the corpus).
+  * Near-dup paths: [[cosineNearDup]] (exact quadratic baseline) and
+  * [[cosineNearDupLsh]] (banded-LSH candidates, exact-verified).
   *
   * All scoring precomputes per-row norms BEFORE the pairwise join (one
   * codegen'd dot per pair instead of three) — at 100 TB the per-pair dot is

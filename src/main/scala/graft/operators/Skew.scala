@@ -17,7 +17,7 @@ object Skew {
     // per-row deterministic salt: hash of the whole fact row (identical rows
     // share a salt, which is fine — distinct rows spread)
     val salted = fact.withColumn("__salt",
-      pmod(xxhash64(fact.columns.map(col): _*), lit(saltFactor.toLong)))
+      pmod(xxhash64(fact.columns.toIndexedSeq.map(col): _*), lit(saltFactor.toLong)))
     val replicated = dim.withColumn("__salt",
       explode(array((0 until saltFactor).map(i => lit(i.toLong)): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -55,7 +55,7 @@ object CdcPipeline {
     val merged =
       if (new java.io.File(targetDir).exists()) {
         val base = spark.read.parquet(targetDir)
-        CdcOps.upsertMerge(base, batchState.select(base.columns.map(col): _*), "user_id")
+        CdcOps.upsertMerge(base, batchState.select(base.columns.toIndexedSeq.map(col): _*), "user_id")
       } else batchState
     merged.localCheckpoint(true)
       .write.mode("overwrite").parquet(targetDir)
