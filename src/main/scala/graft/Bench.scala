@@ -53,8 +53,13 @@ object Bench {
     val warm = obj { case (k, _, w) => (k, w) }
     val total = results.map(_._2).sum
     val totalWarm = results.map(_._3).sum
+    // 1-min load average at end of run: a co-tenant inflating the numbers
+    // (the round-3 artifact failure mode) is visible in the artifact itself
+    val load =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$cold,""" +
-      s""""total_warm":$totalWarm,"queries_warm":$warm,"sf":"$sfDir"}""")
+      s""""total_warm":$totalWarm,"queries_warm":$warm,"load_avg_1m":$load,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
