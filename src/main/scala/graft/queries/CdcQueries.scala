@@ -131,6 +131,16 @@ object CdcQueries {
       (abs(approx_count_distinct(col("user_id")) - countDistinct(col("user_id")))
         <= countDistinct(col("user_id")) * lit(0.05)).as("hll_within_5pct"))
 
+  /** The HLL fast path alone — what [[aggApproxDistinct]]'s timing no longer
+    * shows since it added the exact countDistinct for the contract check:
+    * one fixed-size sketch, map-side merged, no distinct shuffle. The
+    * estimate is deterministic (HLL++ merge is order-independent) but not
+    * oracle-expressible → rows-only driver check. */
+  private val aggApproxDistinctFast: Q = (s, d) =>
+    events(s, d).agg(
+      approx_count_distinct(col("user_id")).as("n_users_est"),
+      count(lit(1)).as("n_events"))
+
   /** Rollup of op counts by (event_type, day) — Catalyst Expand. */
   private val aggRollup: Q = (s, d) =>
     events(s, d)
@@ -255,6 +265,7 @@ object CdcQueries {
     "agg_op_counts" -> aggOpCounts,
     "agg_distinct_ids" -> aggDistinctIds,
     "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_approx_distinct_fast" -> aggApproxDistinctFast,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
     "agg_health" -> aggHealth,
