@@ -24,24 +24,47 @@ import graft.functions.TextFns
   */
 object Dedup {
 
-  /** Registry of frames persisted by these operators. The returned queries
-    * are lazy, so the operator cannot know when its caller is done — cache
-    * lifecycle is CALLER-OWNED: materialize the result, then call
-    * [[unpersistAll]] (Verify/Bench do this between queries). At 100 TB the
-    * same registry would hold storage-backed checkpoints instead. */
-  private val persisted = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-
-  private def registerPersist(df: DataFrame): DataFrame = {
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persisted.add(df)
-    df
+  /** Owns the intermediate persists of ONE pipeline invocation. The
+    * returned queries are lazy, so the operator cannot know when its caller
+    * is done — cache lifecycle is CALLER-OWNED: materialize the result,
+    * then release. Callers running pipelines concurrently pass their own
+    * `new CacheHandle()` to the operator and call [[CacheHandle.release]]
+    * themselves; the default argument registers the handle with the
+    * object-global [[unpersistAll]] (which assumes a single sequential
+    * caller, the Bench/Verify pattern). At 100 TB these persists become
+    * storage-backed checkpoints with the same handle-scoped lifecycle. */
+  final class CacheHandle {
+    private val frames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    private[Dedup] def register(df: DataFrame): DataFrame = {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      frames.add(df)
+      df
+    }
+    /** Drop every frame this handle persisted (idempotent; safe once
+      * nothing downstream of the invocation's result is still running). */
+    def release(): Unit = {
+      var df = frames.poll()
+      while (df != null) { df.unpersist(false); df = frames.poll() }
+    }
   }
 
-  /** Drop every intermediate this object has persisted (idempotent; safe
-    * while nothing downstream of a returned frame is still running). */
+  /** Handles created by default arguments, drained by [[unpersistAll]]. */
+  private val sharedHandles = new java.util.concurrent.ConcurrentLinkedQueue[CacheHandle]()
+
+  private def tracked(): CacheHandle = {
+    val h = new CacheHandle
+    sharedHandles.add(h)
+    h
+  }
+
+  /** Release every handle the default arguments registered. Single-caller
+    * assumption: this drops intermediates of EVERY in-flight default-handle
+    * pipeline in the process, so only call it between, never during,
+    * pipeline runs (the Bench/Verify pattern). Concurrent callers should
+    * pass their own [[CacheHandle]] instead. */
   def unpersistAll(): Unit = {
-    var df = persisted.poll()
-    while (df != null) { df.unpersist(false); df = persisted.poll() }
+    var h = sharedHandles.poll()
+    while (h != null) { h.release(); h = sharedHandles.poll() }
   }
 
   /** Exact dedup groups: one row per distinct normalized text, with the
@@ -60,18 +83,18 @@ object Dedup {
     * shuffle/join/intersect moves 8-byte longs instead of n-word strings. A
     * within-pair hash collision (the only kind that could change a Jaccard
     * count) has probability ~|A∪B|²/2⁶⁵ ≈ 1e-16. Persisted: the similarity
-    * pipelines read this 3–5× — at 100 TB this persist becomes a checkpoint
-    * to storage. */
-  def shingled(arrs: DataFrame): DataFrame =
-    registerPersist(arrs.select(col("doc_id"), explode(col("__arr")).as("shingle")))
+    * pipelines read this 3–5×. */
+  private def shingled(arrs: DataFrame, cache: CacheHandle): DataFrame =
+    cache.register(arrs.select(col("doc_id"), explode(col("__arr")).as("shingle")))
 
   /** One row per doc with its (distinct) shingle-hash array + size — the
     * compact verification side: candidate pairs join against this
     * 1-row-per-doc table (AQE broadcasts it when small) instead of
     * re-exploding shingles into a pairs × shingles blow-up. Persisted (used
     * by both join sides). */
-  private def shingleArrays(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    registerPersist(
+  private def shingleArrays(docs: DataFrame, textCol: String, idCol: String, n: Int,
+                            cache: CacheHandle): DataFrame =
+    cache.register(
       docs.select(col(idCol).as("doc_id"), TextFns.hashedShingles(col(textCol), n).as("__arr"))
         .withColumn("__n_sh", size(col("__arr"))))
 
@@ -85,9 +108,10 @@ object Dedup {
     * positions, forcing |A∩B| < t·|A| ≤ t·|A∪B|). A naive inverted-index
     * self-join materializes Σ df² pairs over ALL shingles — frequent
     * shingles make that quadratic; the prefix join touches only rare ones. */
-  def ngramJaccard(docs: DataFrame, textCol: String, idCol: String, n: Int, threshold: Double): DataFrame = {
-    val arrs = shingleArrays(docs, textCol, idCol, n)
-    verifyJaccard(prefixCandidates(shingled(arrs), threshold), arrs, threshold)
+  def ngramJaccard(docs: DataFrame, textCol: String, idCol: String, n: Int, threshold: Double,
+                   cache: CacheHandle = tracked()): DataFrame = {
+    val arrs = shingleArrays(docs, textCol, idCol, n, cache)
+    verifyJaccard(prefixCandidates(shingled(arrs, cache), threshold, cache), arrs, threshold)
   }
 
   /** Prefix-filtered candidate pairs (see [[ngramJaccard]]). Three sound
@@ -107,7 +131,7 @@ object Dedup {
     *    under-prune, never drop a qualifying pair.
     * All three filters sit in the join condition, so pruned pairs never
     * materialize into shuffle output. */
-  private def prefixCandidates(sh: DataFrame, t: Double): DataFrame = {
+  private def prefixCandidates(sh: DataFrame, t: Double, cache: CacheHandle): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docFreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("__df"), col("shingle"))
@@ -117,7 +141,7 @@ object Dedup {
       .withColumn("__n", count(lit(1)).over(all))
       .filter(col("__pos") <= col("__n") - ceil(lit(t) * col("__n")) + 1)
       .select(col("doc_id"), col("shingle"), col("__pos"), col("__n"))
-    registerPersist(prefix) // both sides of the self-join
+    cache.register(prefix) // both sides of the self-join
     val overlapBound =
       (least(col("a.__n") - col("a.__pos"), col("b.__n") - col("b.__pos")) + 1).cast("double")
     prefix.as("a")
@@ -142,9 +166,10 @@ object Dedup {
     * exact Jaccard for candidates only, so the output is sound (every
     * reported pair truly ≥ threshold); banding controls recall. */
   def minhashLsh(docs: DataFrame, textCol: String, idCol: String, n: Int,
-                 bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val arrs = shingleArrays(docs, textCol, idCol, n)
-    val sig = minhashSignature(shingled(arrs), bands * rowsPerBand)
+                 bands: Int, rowsPerBand: Int, threshold: Double,
+                 cache: CacheHandle = tracked()): DataFrame = {
+    val arrs = shingleArrays(docs, textCol, idCol, n, cache)
+    val sig = minhashSignature(shingled(arrs, cache), bands * rowsPerBand)
     val bandSigs = (0 until bands).map { b =>
       xxhash64((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
     }
@@ -176,50 +201,128 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), graft.Tables.rnd4(j).as("jaccard"))
   }
 
+  /** Temp checkpoint parent dirs this object created (vs admin-configured),
+    * so a stale self-owned `sc.checkpointDir` from a prior invocation is
+    * replaced, not mistaken for cluster configuration. */
+  private val ownedCkptDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Duplicate clustering: connected components over a near-dup pair list —
     * each doc labelled with the min doc_id reachable through pairs (the
-    * cluster's canonical survivor). Min-label propagation to fixpoint: per
-    * round, every node takes min(own label, neighbours' labels) — one
-    * shuffle per round, rounds ≤ graph diameter (near-dup clusters are
-    * small, so a handful).
+    * cluster's canonical survivor). */
+  def duplicateClusters(pairs: DataFrame, cache: CacheHandle = tracked()): DataFrame =
+    clusterRounds(pairs, cache)._1
+
+  /** [[duplicateClusters]] plus the number of alternating rounds it took —
+    * exposed so tests can pin the O(log n) convergence bound.
     *
-    * Fault-tolerance story: each round's labels go through a RELIABLE
-    * `checkpoint` (written to the cluster's checkpoint dir — HDFS/object
-    * storage on a real cluster; a temp dir is provisioned here if unset), so
-    * executor loss after lineage truncation replays from storage instead of
-    * killing the job (`localCheckpoint` would trade that away for speed).
-    * The convergence flag is FUSED into the label-update row (`__changed`),
-    * so each round costs one full-pipeline checkpoint job plus a
-    * metadata-cheap scan of the just-checkpointed files — the edge list and
-    * the whole upstream pair pipeline are persisted once, never recomputed
-    * per round. */
-  def duplicateClusters(pairs: DataFrame): DataFrame = {
-    val edges = registerPersist(
-      pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-        .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-        .distinct())
-    val sc = edges.sparkSession.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .checkpoint(true)
-    var converged = false
-    while (!converged) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "v").withColumnRenamed("label", "nl"), Seq("v"))
-        .groupBy(col("u").as("id"))
-        .agg(min(col("nl")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          (coalesce(col("nmin"), col("label")) < col("label")).as("__changed"))
-        .checkpoint(true) // the round's ONE heavy job
-      converged = next.filter(col("__changed")).isEmpty // reads checkpointed files only
-      labels = next.drop("__changed")
+    * Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+    * Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+    * and Beyond", SoCC'14). Per round, every node connects its larger
+    * neighbours (large-star: all of Γ(u) above u) or its not-larger
+    * neighbourhood (small-star: Γ(u) below u, plus u itself) to the minimum
+    * of that neighbourhood; both steps are a symmetric-adjacency groupBy +
+    * equi-join — shuffle-on-key, linear in edges. The edge set converges to
+    * per-component stars centred on the component minimum in O(log n)
+    * rounds, independent of cluster DIAMETER — a pathological duplicate
+    * chain that costs L rounds under naive min-label propagation costs
+    * log L here.
+    *
+    * Fault tolerance / lineage: each round's edge set is cut from its
+    * lineage. On a cluster (where executors can be lost after lineage
+    * truncation) a RELIABLE checkpoint to the configured cluster checkpoint
+    * dir is REQUIRED — the method fails fast if none is set, because a
+    * driver-local fallback path would silently break recoverability. In
+    * local mode with no dir configured, a per-invocation temp dir is
+    * provisioned, the final labels are materialized into the invocation's
+    * cache handle, and the temp dir is deleted before returning (so
+    * repeated Bench/Verify runs accumulate nothing); the returned frame
+    * serves from the persisted copy and follows the handle's caller-owned
+    * lifecycle. */
+  def clusterRounds(pairs: DataFrame, cache: CacheHandle = tracked()): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
+    val adminDir = sc.getCheckpointDir.filterNot(ownedCkptDirs.contains)
+    val ownedTmp: Option[java.nio.file.Path] =
+      if (adminDir.isDefined) None
+      else if (!sc.master.startsWith("local"))
+        throw new IllegalStateException(
+          "duplicateClusters on a cluster requires sparkContext.setCheckpointDir on SHARED " +
+            "storage: per-round reliable checkpoints on a driver-local path are silently " +
+            "unrecoverable after executor loss")
+      else {
+        val p = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+        sc.setCheckpointDir(p.toString)
+        sc.getCheckpointDir.foreach(ownedCkptDirs.add) // resolved dir/UUID form
+        Some(p)
+      }
+    def cut(df: DataFrame): DataFrame = df.checkpoint(eager = true)
+
+    try {
+      // canonical undirected edge set: (u, v) with u < v, distinct
+      var edges = cut(
+        pairs
+          .select(least(col("doc_a"), col("doc_b")).as("u"),
+            greatest(col("doc_a"), col("doc_b")).as("v"))
+          .filter(col("u") =!= col("v"))
+          .distinct())
+      var rounds = 0
+      var converged = edges.isEmpty
+      while (!converged) {
+        val next = cut(smallStar(largeStar(edges)))
+        rounds += 1
+        // set equality of two distinct canonical sets; both sides read the
+        // just-checkpointed files, not the round's full pipeline
+        converged = next.count() == edges.count() && next.except(edges).isEmpty
+        edges = next
+      }
+      // at the fixpoint the edge set is disjoint stars (root = component
+      // min): leaves point at their root, roots label themselves
+      val labels = edges.select(col("v").as("doc_id"), col("u").as("cluster_id"))
+        .unionByName(edges.select(col("u").as("doc_id"), col("u").as("cluster_id")).distinct())
+      val out =
+        if (ownedTmp.isEmpty) labels
+        else {
+          val persisted = cache.register(labels)
+          persisted.count() // materialize before the checkpoint files vanish
+          persisted
+        }
+      (out, rounds)
+    } finally ownedTmp.foreach { p =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(p.toFile)
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Symmetric adjacency of a canonical edge set: one (u, v) row per
+    * directed neighbour relation. */
+  private def adjacency(edges: DataFrame): DataFrame =
+    edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+
+  /** Large-star round: every node u connects each STRICTLY LARGER neighbour
+    * to m = min(Γ(u) ∪ {u}). Output stays canonical (m ≤ u < neighbour). */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val nbr = adjacency(edges)
+    val mins = nbr.groupBy(col("u")).agg(least(min(col("v")), first(col("u"))).as("m"))
+    nbr.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("m").as("u"), col("v"))
+      .distinct()
+  }
+
+  /** Small-star round: every node u connects its NOT-LARGER neighbourhood
+    * (smaller neighbours plus u itself) to its minimum. Canonical output. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val below = adjacency(edges).filter(col("v") < col("u")) // smaller neighbours of u
+    val mins = below.groupBy(col("u")).agg(min(col("v")).as("m")) // m < u always
+    mins.select(col("m").as("u"), col("u").as("v")) // (u, m) re-attachment
+      .unionByName(
+        below.join(mins, "u")
+          .filter(col("v") =!= col("m"))
+          .select(col("m").as("u"), col("v"))) // (x, m) for smaller neighbours x ≠ m
+      .distinct()
   }
 
   /** Per-bit majority vote over token hashes as ONE typed Aggregator (a
@@ -263,9 +366,10 @@ object Dedup {
 
   /** SimHash near-dup pairs: collide on one of four 16-bit bands, then
     * verify Hamming distance ≤ maxHamming via bit_count(xor). */
-  def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxHamming: Int): DataFrame = {
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxHamming: Int,
+                   cache: CacheHandle = tracked()): DataFrame = {
     // both sides of the band self-join re-read the fingerprints
-    val fp = registerPersist(simhash(docs, textCol, idCol))
+    val fp = cache.register(simhash(docs, textCol, idCol))
     val bandCols = (0 until 4).map(b => shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL))
     val banded = fp.select(col("doc_id"), col("simhash"), posexplode(array(bandCols: _*)).as(Seq("band", "key")))
     banded.as("a")

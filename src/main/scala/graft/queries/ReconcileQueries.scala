@@ -53,6 +53,25 @@ object ReconcileQueries {
     (Seq("NOT in_s", "NOT in_t") ++
       fields.map(f => s"s_${f.name} IS DISTINCT FROM t_${f.name}")).mkString(" OR ")
 
+  /** SQL twin of [[Reconcile.fieldDiff]] over given src/tgt relations:
+    * `_doc_` rows for one-sided keys + one row per mismatching field. */
+  private def fieldDiffSql(srcRel: String, tgtRel: String): String = {
+    val mismatchArms = fields.map { f =>
+      s"""SELECT c_custkey, '${f.name}' AS field, 'value_mismatch' AS diff_type,
+         |       s_${f.name} AS src_val, t_${f.name} AS tgt_val
+         |FROM j WHERE in_s AND in_t AND s_${f.name} IS DISTINCT FROM t_${f.name}""".stripMargin
+    }
+    s"""WITH drifted AS ($driftedSql),
+       |j AS (${joinedSql(srcRel, tgtRel)})
+       |SELECT * FROM (
+       |SELECT c_custkey, '_doc_' AS field,
+       |       CASE WHEN in_s THEN 'missing_in_target' ELSE 'missing_in_source' END AS diff_type,
+       |       CAST(NULL AS VARCHAR) AS src_val, CAST(NULL AS VARCHAR) AS tgt_val
+       |FROM j WHERE NOT in_s OR NOT in_t
+       |${mismatchArms.map(a => s"UNION ALL\n$a").mkString("\n")}
+       |) ORDER BY c_custkey, field""".stripMargin
+  }
+
   // -- queries ---------------------------------------------------------------
 
   /** js:457–475 table-scale: one row per differing field / one-sided key. */
@@ -82,6 +101,21 @@ object ReconcileQueries {
       .intersect(Reconcile.driftedCustomer(customer(s, d)).select(col(key)))
       .orderBy(key)
 
+  /** js:399–454 — `compareDocuments(documentId)`: the single-document
+    * troubleshooting tool (README.md:195–198). Point lookup of ONE key on
+    * both sides (the key predicate pushes to the source scan), then the same
+    * per-field diff the table-scale path uses — existence is encoded the
+    * same way (`_doc_` rows for one-sided keys; no rows at all = identical).
+    * Key 2 is a planted value-mismatch: %7 = 2 drifts `c_acctbal`, %13 ≠ 3
+    * keeps it present on both sides. */
+  private val docKey = 2L
+  private val reconcileDoc: Q = (s, d) =>
+    Reconcile.fieldDiff(
+      customer(s, d).filter(col(key) === docKey),
+      Reconcile.driftedCustomer(customer(s, d)).filter(col(key) === docKey),
+      key, fields)
+      .orderBy(key, "field")
+
   /** Flagship (SURVEY §3.2, js:478–538): change-window scan → distinct keys
     * → source/target restricted to those keys → single-pass diff summary.
     * The reference's N+1 `findOne` loop (js:503–505) is two semi-joins and
@@ -105,25 +139,15 @@ object ReconcileQueries {
     "agg_diff_summary" -> aggDiffSummary,
     "setop_except" -> setopExcept,
     "setop_intersect" -> setopIntersect,
+    "reconcile_doc" -> reconcileDoc,
     "reconcile_window" -> reconcileWindowQ)
 
   val oracle: Map[String, String] = Map(
-    "join_full_outer_diff" -> {
-      val mismatchArms = fields.map { f =>
-        s"""SELECT c_custkey, '${f.name}' AS field, 'value_mismatch' AS diff_type,
-           |       s_${f.name} AS src_val, t_${f.name} AS tgt_val
-           |FROM j WHERE in_s AND in_t AND s_${f.name} IS DISTINCT FROM t_${f.name}""".stripMargin
-      }
-      s"""WITH drifted AS ($driftedSql),
-         |j AS (${joinedSql("customer", "drifted")})
-         |SELECT * FROM (
-         |SELECT c_custkey, '_doc_' AS field,
-         |       CASE WHEN in_s THEN 'missing_in_target' ELSE 'missing_in_source' END AS diff_type,
-         |       CAST(NULL AS VARCHAR) AS src_val, CAST(NULL AS VARCHAR) AS tgt_val
-         |FROM j WHERE NOT in_s OR NOT in_t
-         |${mismatchArms.map(a => s"UNION ALL\n$a").mkString("\n")}
-         |) ORDER BY c_custkey, field""".stripMargin
-    },
+    "join_full_outer_diff" -> fieldDiffSql("customer", "drifted"),
+
+    "reconcile_doc" -> fieldDiffSql(
+      s"(SELECT * FROM customer WHERE c_custkey = $docKey)",
+      s"(SELECT * FROM drifted WHERE c_custkey = $docKey)"),
 
     "join_existence" ->
       s"""WITH drifted AS ($driftedSql)

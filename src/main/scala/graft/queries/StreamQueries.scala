@@ -61,10 +61,23 @@ object StreamQueries {
       .orderBy("user_id", "session_start")
   }
 
+  /** The watermarked tumbling-window aggregation run in BATCH mode — the
+    * same [[CdcPipeline.windowedOpCounts]] the streaming query executes
+    * (watermarks are a no-op on bounded input, so every event counts); this
+    * pins the per-day op-count semantics under the DuckDB oracle, while the
+    * live watermark/late-data path stays covered by StreamingSpec. */
+  private val streamWindowCounts: Q = (s, d) => {
+    val raw = s.read.schema(CdcPipeline.eventsFileSchema).parquet(s"$d/events.parquet")
+    CdcPipeline.windowedOpCounts(raw)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("op_type"), col("n"))
+      .orderBy("day", "op_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "source_changestream" -> sourceChangestream,
     "sink_checkpoint" -> sinkCheckpointReplay,
-    "stream_sessionize" -> streamSessionize)
+    "stream_sessionize" -> streamSessionize,
+    "stream_window_counts" -> streamWindowCounts)
 
   val oracle: Map[String, String] = Map(
     "source_changestream" ->
@@ -99,5 +112,13 @@ object StreamQueries {
         |SELECT user_id, session_start, session_end, n_events
         |FROM sess
         |WHERE sid <> (SELECT max(sid) FROM sess s2 WHERE s2.user_id = sess.user_id)
-        |ORDER BY user_id, session_start""".stripMargin)
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // batch form of the watermarked windowed agg: 1-day tumbling windows in
+    // UTC ≡ date_trunc('day'); deletes dropped by the shared transform
+    "stream_window_counts" ->
+      s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, $OP AS op_type,
+         |       count(*) AS n
+         |FROM events WHERE event_type IS DISTINCT FROM 'error'
+         |GROUP BY 1, 2 ORDER BY day, op_type""".stripMargin)
 }

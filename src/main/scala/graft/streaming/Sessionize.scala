@@ -32,15 +32,32 @@ object Sessionize extends Serializable {
   private def close(user: Long, s: OpenSession): UserSession =
     UserSession(user, s.startSec, s.lastSec, s.n)
 
-  /** The per-key state transition, factored out for direct unit testing. */
+  /** The per-key state transition, factored out for direct unit testing.
+    *
+    * Out-of-order arrivals (a later micro-batch delivering an event older
+    * than the open session — admitted whenever the watermark delay exceeds
+    * the gap) are handled explicitly:
+    *  - an event within `gapSec` of the open session's SPAN (i.e.
+    *    `sec ≥ startSec − gapSec`) merges into it, lowering `startSec` when
+    *    the event precedes the current start — exactly what the batch
+    *    answer over the fully-sorted log produces;
+    *  - an event older than the open session can reach
+    *    (`sec < startSec − gapSec`) belongs to an earlier, already-emitted
+    *    period; it is emitted as its own closed singleton session rather
+    *    than corrupting the open one (append mode cannot retract an
+    *    already-emitted session to absorb it — the one residual, documented
+    *    batch/stream divergence for events later than the gap). */
   def advance(user: Long, gapSec: Long, sortedSec: Seq[Long], prior: Option[OpenSession])
   : (Seq[UserSession], Option[OpenSession]) = {
     val out = Seq.newBuilder[UserSession]
     var cur = prior
     sortedSec.foreach { sec =>
       cur = cur match {
+        case Some(s) if sec < s.startSec - gapSec =>
+          out += UserSession(user, sec, sec, 1)
+          Some(s)
         case Some(s) if sec - s.lastSec <= gapSec =>
-          Some(OpenSession(s.startSec, math.max(s.lastSec, sec), s.n + 1))
+          Some(OpenSession(math.min(s.startSec, sec), math.max(s.lastSec, sec), s.n + 1))
         case Some(s) =>
           out += close(user, s)
           Some(OpenSession(sec, sec, 1))

@@ -16,10 +16,11 @@ class CdcOpsSpec extends SparkSpec {
       .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
 
   test("dropDeletes removes delete events and keeps insert/update (js:159,177)") {
-    val l = log((1, 1, "2024-01-01 00:00:00", "insert"),
-      (2, 1, "2024-01-01 00:00:01", "delete"),
-      (3, 2, "2024-01-01 00:00:02", "update"))
-    assert(CdcOps.dropDeletes(l).select("event_id").as[Long].collect().sorted === Seq(1L, 3L))
+    // filters the PHYSICAL event_type column ('error' maps to delete);
+    // a null event_type maps to 'update' and must be KEPT (null-safe filter)
+    val l = Seq((1L, 1L, "signup"), (2L, 1L, "error"), (3L, 2L, "click"),
+      (4L, 3L, null.asInstanceOf[String])).toDF("event_id", "user_id", "event_type")
+    assert(CdcOps.dropDeletes(l).select("event_id").as[Long].collect().sorted === Seq(1L, 3L, 4L))
   }
 
   test("lastWriteWins picks the greatest (ts, tiebreak) per key") {

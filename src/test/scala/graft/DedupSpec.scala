@@ -56,6 +56,18 @@ class DedupSpec extends SparkSpec {
     assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("duplicateClusters converges in O(log n) rounds on a long chain") {
+    // path graph 1-2-…-40 (diameter 39): naive min-label propagation needs
+    // ~39 rounds; alternating large-star/small-star must stay logarithmic
+    val n = 40
+    val pairs = (1 until n).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.clusterRounds(pairs)
+    val r = labels.as[(Long, Long)].collect()
+    assert(r.length === n)
+    assert(r.forall(_._2 == 1L), "every chain node must label to the minimum")
+    assert(rounds <= 8, s"took $rounds rounds for a $n-node chain (diameter ${n - 1})")
+  }
+
   test("compiled HashedShingles matches the declarative reference bit-exactly") {
     // fixture-wide: every document at sf0.001, identical arrays incl. order
     val fixture = Tables.documents(spark, "/root/testdata/sf0.001")

@@ -24,6 +24,12 @@ class PlanSpec extends SparkSpec {
       s"range not pushed:\n${p.take(1500)}")
   }
 
+  test("delete filter is pushed to the parquet scan, not applied post-scan on derived op_type") {
+    val p = plan("filter_optype")
+    assert(p.contains("PushedFilters") && p.contains("EqualNullSafe(event_type,error)"),
+      s"delete filter not pushed:\n${p.take(1500)}")
+  }
+
   test("knn scoring runs the codegen'd dot product, not an interpreted fold") {
     val p = plan("ext_sim_knn")
     assert(p.contains("floatdot"))

@@ -75,6 +75,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sessionization merges bounded-disorder arrivals like the batch answer") {
+    import graft.streaming.Sessionize
+    // property: when every event of a session lies within one gap-width
+    // window, ANY arrival order across ANY micro-batch split merges into the
+    // same single open session the sorted batch run produces — late events
+    // (including ones older than the current session start) lower the start
+    // instead of corrupting it. This is the out-of-order cross-batch case
+    // the split-invariance test (in-order splits only) cannot see.
+    val rnd = new scala.util.Random(11)
+    (0 until 30).foreach { _ =>
+      val n = 2 + rnd.nextInt(30)
+      val gap = 300L + rnd.nextInt(2000)
+      val base = rnd.nextLong(10000L)
+      val times = Seq.fill(n)(base + rnd.nextLong(gap + 1))
+      val (batchClosed, batchOpen) = Sessionize.advance(1L, gap, times.sorted, None)
+      assert(batchClosed.isEmpty)
+      val shuffled = rnd.shuffle(times)
+      val nSplits = rnd.nextInt(4)
+      val cuts = (Seq.fill(nSplits)(rnd.nextInt(n + 1)).sorted :+ n).distinct
+      var prior: Option[Sessionize.OpenSession] = None
+      var acc = Seq.empty[Sessionize.UserSession]
+      var from = 0
+      cuts.foreach { to =>
+        // the operator sorts within each micro-batch before advancing
+        val (closed, open) = Sessionize.advance(1L, gap, shuffled.slice(from, to).sorted, prior)
+        acc ++= closed; prior = open; from = to
+      }
+      assert(acc.isEmpty, s"disordered delivery closed a session early (gap=$gap, n=$n)")
+      assert(prior === batchOpen, s"disordered delivery changed the open session (gap=$gap, n=$n)")
+    }
+  }
+
+  test("a late event within the gap lowers the open session's start") {
+    import graft.streaming.Sessionize
+    val (_, open) = Sessionize.advance(1L, 1800L, Seq(1000L, 1200L), None)
+    val (closed, open2) = Sessionize.advance(1L, 1800L, Seq(900L), open)
+    assert(closed.isEmpty)
+    assert(open2 === Some(Sessionize.OpenSession(900L, 1200L, 3L)))
+  }
+
+  test("a straggler older than the open session's reach is emitted alone, not merged") {
+    import graft.streaming.Sessionize
+    val (_, open) = Sessionize.advance(1L, 1800L, Seq(10000L), None)
+    val (closed, open2) = Sessionize.advance(1L, 1800L, Seq(100L), open)
+    assert(closed === Seq(Sessionize.UserSession(1L, 100L, 100L, 1L)))
+    assert(open2 === Some(Sessionize.OpenSession(10000L, 10000L, 1L)))
+  }
+
   test("replaying any suffix from a checkpointed state is a no-op on the final state") {
     samples(8).foreach { rows =>
       val full = df(rows)
