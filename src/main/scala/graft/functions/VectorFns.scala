@@ -23,4 +23,10 @@ object VectorFns {
     * precomputed-norm form (`dot(a,b) / (normA * normB)`) in joins. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** All sign-random-projection LSH band keys for one embedding in one
+    * codegen'd pass — `array<bigint>` of length `bands` ([[SrpBandKeys]]). */
+  def srpBandKeys(emb: Column, bands: Int, bitsPerBand: Int): Column =
+    ExpressionUtils.column(
+      SrpBandKeys(ExpressionUtils.expression(emb), bands, bitsPerBand))
 }

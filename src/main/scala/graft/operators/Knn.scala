@@ -55,13 +55,26 @@ object Knn {
 
   /** Per-band sign-random-projection keys: `bands` independent hash tables
     * of `bitsPerBand` hyperplane-sign bits each → one (id, band, key) row
-    * per vector per band. Each vector element contributes to every plane via
-    * an inline explode (no hyperplane grid to join — weights come from
-    * [[hyperplaneWeight]] at the element's actual position, so any embedding
-    * dimension works). Two narrow shuffles: (id, plane) for the projections,
-    * (id, band) to pack sign bits into keys. */
+    * per vector per band. All band keys come out of ONE codegen'd
+    * expression pass over each row ([[graft.functions.SrpBandKeys]] — the
+    * FloatDot pattern) followed by a posexplode: zero shuffles, zero
+    * row fan-out, any embedding dimension. Bit-identical to the
+    * declarative [[lshBandKeysRef]] form it replaced (KnnSpec pins the
+    * equality), so bucket assignments — and every LSH query output —
+    * are unchanged. */
   def lshBandKeys(vectors: DataFrame, idCol: String, embCol: String,
-                  bands: Int, bitsPerBand: Int): DataFrame = {
+                  bands: Int, bitsPerBand: Int): DataFrame =
+    vectors.select(col(idCol),
+      posexplode(VectorFns.srpBandKeys(col(embCol), bands, bitsPerBand)).as(Seq("band", "key")))
+
+  /** The declarative reference form of [[lshBandKeys]]: vector elements
+    * fan out to (element × plane) rows, projections come back through a
+    * (id, plane) aggregation and sign bits pack through a (id, band) one —
+    * two shuffles and n·d·nPlanes intermediate rows. Kept (test-only) as
+    * the semantic pin for the codegen'd expression; weights come from
+    * [[hyperplaneWeight]] at each element's actual position. */
+  private[graft] def lshBandKeysRef(vectors: DataFrame, idCol: String, embCol: String,
+                                    bands: Int, bitsPerBand: Int): DataFrame = {
     val nPlanes = bands * bitsPerBand
     vectors
       .select(col(idCol), posexplode(col(embCol)).as(Seq("pos", "v")))
@@ -118,10 +131,14 @@ object Knn {
 
   /** IVF (inverted-file) coarse quantizer — the OTHER classic ANN scale
     * path: k-means cells trained with a few Lloyd rounds, queries probe only
-    * their `nProbe` nearest cells. Everything distributed except the
-    * centroid table itself, which is O(nCells·dim) and lives on the driver
-    * between rounds (the standard IVF training shape — at 100 TB you train
-    * the quantizer on a sample, then assign the corpus in one pass).
+    * their `nProbe` nearest cells. The quantizer trains on a SAMPLE (the
+    * `sampleN` lowest-id vectors, default 32·nCells — ample for nCells
+    * means, and a deterministic take instead of a random draw): each Lloyd
+    * iteration scans only the persisted sample, so at 100 TB training cost
+    * is independent of corpus size and the full corpus is scanned exactly
+    * once — the single assignment pass in [[ivfKnn]]. The centroid table
+    * itself is O(nCells·dim) and lives on the driver between rounds (the
+    * standard IVF training shape).
     *
     * Determinism: seeds are the `nCells` lowest-id vectors; the centroid
     * update sums per (cell, dim) in DECIMAL (order-independent, unlike
@@ -129,23 +146,29 @@ object Knn {
     * ties by cell id — so the index, and therefore the query result, is a
     * pure function of the corpus. */
   def ivfCentroids(corpus: DataFrame, idCol: String, embCol: String,
-                   nCells: Int, iters: Int): Seq[(Int, Array[Float])] = {
+                   nCells: Int, iters: Int, sampleN: Int = 0): Seq[(Int, Array[Float])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    var cs: Seq[(Int, Array[Float])] = corpus.orderBy(col(idCol)).limit(nCells)
-      .select(col(embCol)).as[Array[Float]].collect().toSeq.zipWithIndex.map(_.swap)
-    for (_ <- 0 until iters) {
-      val assign = nearestCell(corpus, centroidFrame(spark, cs), idCol, embCol)
-      cs = corpus.join(assign, idCol)
-        .select(col("cell"), posexplode(col(embCol)).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg((sum(col("v").cast("decimal(28,10)")) / count(lit(1))).cast("float").as("c"))
-        .groupBy(col("cell"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("cv"))
-        .select(col("cell"), col("cv.c").as("cvec"))
-        .as[(Int, Array[Float])].collect().toSeq.sortBy(_._1)
-    }
-    cs
+    val n = if (sampleN > 0) sampleN else nCells * 32
+    // TakeOrdered, not a full sort — one corpus scan to build the sample
+    val sample = corpus.select(col(idCol), col(embCol)).orderBy(col(idCol)).limit(n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cs: Seq[(Int, Array[Float])] = sample.orderBy(col(idCol)).limit(nCells)
+        .select(col(embCol)).as[Array[Float]].collect().toSeq.zipWithIndex.map(_.swap)
+      for (_ <- 0 until iters) {
+        val assign = nearestCell(sample, centroidFrame(spark, cs), idCol, embCol)
+        cs = sample.join(assign, idCol)
+          .select(col("cell"), posexplode(col(embCol)).as(Seq("pos", "v")))
+          .groupBy(col("cell"), col("pos"))
+          .agg((sum(col("v").cast("decimal(28,10)")) / count(lit(1))).cast("float").as("c"))
+          .groupBy(col("cell"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("cv"))
+          .select(col("cell"), col("cv.c").as("cvec"))
+          .as[(Int, Array[Float])].collect().toSeq.sortBy(_._1)
+      }
+      cs
+    } finally sample.unpersist(false)
   }
 
   /** Centroid table as a broadcastable frame: (cell, cvec, cnorm2 = ‖c‖²). */

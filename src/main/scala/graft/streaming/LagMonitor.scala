@@ -25,18 +25,30 @@ final class LagMonitor(thresholdMs: Long = LagMonitor.DefaultThresholdMs)
   private val latest = new ConcurrentHashMap[UUID, LagMonitor.Health]()
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+  /** A stopped query is not a stalled query: evict it so [[stalled]] only
+    * reports live queries and the map stays bounded under transient
+    * (test/AvailableNow) query churn. */
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+    latest.remove(e.id)
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress
     val watermarkMs = Option(p.eventTime.get("watermark"))
       .map(Instant.parse(_).toEpochMilli)
       .filter(_ > 0) // epoch 0 = watermark not yet initialized
-    latest.put(p.id, LagMonitor.assess(
+    val lag = LagMonitor.assess(
       nowMs = Instant.parse(p.timestamp).toEpochMilli,
       watermarkMs = watermarkMs,
       batchId = p.batchId,
-      thresholdMs = thresholdMs))
+      thresholdMs = thresholdMs)
+    // the `serverStatus` half of the reference's health surface
+    // (js:549–584: opcounters / memory / connections), mapped onto the
+    // engine's own progress counters
+    latest.put(p.id, lag.copy(
+      rowsPerSec = p.processedRowsPerSecond,
+      batchDurationMs = Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L),
+      stateRows = Option(p.stateOperators).map(_.map(_.numRowsTotal).sum).getOrElse(0L)))
   }
 
   /** Latest health verdict for a query, if it has progressed at all. */
@@ -55,8 +67,13 @@ object LagMonitor {
 
   /** One query's health at a point in time. `lagMs` is how far processed
     * event time trails the progress clock; `stalled` mirrors the
-    * reference's `lag > threshold` alarm. */
-  final case class Health(batchId: Long, lagMs: Long, stalled: Boolean, reason: String)
+    * reference's `lag > threshold` alarm. The throughput/state fields are
+    * the reference's `serverStatus` stats (js:549–584) re-sourced from
+    * `StreamingQueryProgress`: processed rows/s, trigger (micro-batch)
+    * duration, and total rows held by stateful operators. */
+  final case class Health(batchId: Long, lagMs: Long, stalled: Boolean, reason: String,
+                          rowsPerSec: Double = 0.0, batchDurationMs: Long = 0L,
+                          stateRows: Long = 0L)
 
   /** The pure lag rule. A query with no initialized watermark yet (no
     * watermarked operator or no data seen) is reported stalled with the

@@ -54,8 +54,23 @@ class KnnSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty)
     assert(lsh.subsetOf(exact)) // verification makes false positives impossible
-    val recall = lsh.size.toDouble / exact.size
-    assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
+    // the query shares the EXACT join's oracle, so the fixture claim is
+    // recall exactly 1.0 — any drift must fail here, before an oracle hash
+    assert(lsh === exact, s"recall ${lsh.size}/${exact.size} — fixture recall must be 1.0")
+  }
+
+  test("codegen'd SRP band keys match the declarative reference form bit-exactly") {
+    // fixture-wide at the production parameters of ext_sim_neardup_lsh
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def keys(f: (DataFrame, String, String, Int, Int) => DataFrame) =
+      f(emb, "vec_id", "embedding", 16, 2)
+        .as[(Long, Int, Long)].collect().toSet
+    assert(keys(Knn.lshBandKeys) === keys(Knn.lshBandKeysRef))
+    // and on a non-64 dimension with negative components
+    val v = vecs(1L -> Seq(1f, -2f, 3f), 2L -> Seq(-2f, 4f, -6f), 3L -> Seq(0.5f, 0.5f, 0.5f))
+    def keys3(f: (DataFrame, String, String, Int, Int) => DataFrame) =
+      f(v, "vec_id", "embedding", 3, 4).as[(Long, Int, Long)].collect().toSet
+    assert(keys3(Knn.lshBandKeys) === keys3(Knn.lshBandKeysRef))
   }
 
   test("cosineNearDupLsh prunes candidates at a strong threshold (planted near-dups)") {

@@ -143,20 +143,36 @@ class StreamingSpec extends SparkSpec {
     val monitor = LagMonitor.attach(spark)
     try {
       val stream = spark.readStream.schema(CdcPipeline.eventsFileSchema).parquet(src.toString)
+      // a LIVE (ProcessingTime) query: health must be observable while the
+      // query runs, and the entry must be EVICTED once it terminates
       val q = CdcPipeline.windowedOpCounts(stream)
         .writeStream.option("checkpointLocation", ckp)
         .format("memory").queryName("lag_counts").outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
         .start()
-      q.awaitTermination()
-      // listener delivery is async — poll briefly for the progress event
+      // listener delivery is async — poll for a progress snapshot that has
+      // processed the data batch (state rows + batch duration populated)
       val deadline = System.currentTimeMillis() + 30000
-      while (monitor.health(q.id).isEmpty && System.currentTimeMillis() < deadline)
-        Thread.sleep(100)
-      val h = monitor.health(q.id)
+      var h = monitor.health(q.id)
+      while (!h.exists(x => x.stateRows > 0 && x.batchDurationMs > 0)
+        && System.currentTimeMillis() < deadline) {
+        Thread.sleep(50)
+        h = monitor.health(q.id)
+      }
       assert(h.nonEmpty, "listener never saw query progress")
       assert(h.get.stalled, s"fixture watermark is years old — expected stalled, got $h")
       assert(monitor.stalled.nonEmpty)
+      // the serverStatus half (js:549–584): throughput/state stats are wired
+      assert(h.get.batchDurationMs > 0, s"batch duration missing: $h")
+      assert(h.get.stateRows > 0, s"windowed agg held no state rows: $h")
+
+      q.stop()
+      q.awaitTermination()
+      val evictBy = System.currentTimeMillis() + 30000
+      while (monitor.health(q.id).nonEmpty && System.currentTimeMillis() < evictBy)
+        Thread.sleep(50)
+      assert(monitor.health(q.id).isEmpty, "terminated query must be evicted from the monitor")
+      assert(monitor.stalled.isEmpty)
     } finally spark.streams.removeListener(monitor)
   }
 
