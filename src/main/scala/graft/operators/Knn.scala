@@ -88,23 +88,28 @@ object Knn {
   }
 
   /** Single-table sign-random-projection bucket id (one bit per
-    * hyperplane) — [[lshBandKeys]] with one band. */
-  def lshBuckets(vectors: DataFrame, idCol: String, embCol: String, bits: Int): DataFrame =
-    lshBandKeys(vectors, idCol, embCol, bands = 1, bitsPerBand = bits)
-      .select(col(idCol), col("key").as("bucket"))
+    * hyperplane): [[graft.functions.SrpBandKeys]] with one band — an inline
+    * per-row expression, so attaching a bucket to a row costs NO shuffle
+    * and no self-join. */
+  private def srpBucket(embCol: String, bits: Int): Column =
+    element_at(VectorFns.srpBandKeys(col(embCol), bands = 1, bitsPerBand = bits), 1)
 
-  /** Approximate top-k: score only within the query's LSH bucket. */
+  /** (id, bucket) table form of [[srpBucket]]. */
+  def lshBuckets(vectors: DataFrame, idCol: String, embCol: String, bits: Int): DataFrame =
+    vectors.select(col(idCol), srpBucket(embCol, bits).as("bucket"))
+
+  /** Approximate top-k: score only within the query's LSH bucket. Buckets
+    * are computed inline on each side ([[srpBucket]]) — the corpus is
+    * scanned once and never shuffled (the bucket join itself broadcasts the
+    * query side). */
   def lshKnn(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
              k: Int, bits: Int): DataFrame = {
-    val cb = lshBuckets(corpus, idCol, embCol, bits)
-      .join(corpus, Seq(idCol))
-      .select(col(idCol).as("neighbor_id"), col("bucket"), col(embCol).as("__c_emb"),
-        VectorFns.norm(col(embCol)).as("__c_n"))
+    val cb = corpus
+      .select(col(idCol).as("neighbor_id"), srpBucket(embCol, bits).as("bucket"),
+        col(embCol).as("__c_emb"), VectorFns.norm(col(embCol)).as("__c_n"))
     val qb = broadcast(
-      lshBuckets(queries, idCol, embCol, bits)
-        .join(queries, Seq(idCol))
-        .select(col(idCol).as("query_id"), col("bucket"), col(embCol).as("__q_emb"),
-          VectorFns.norm(col(embCol)).as("__q_n")))
+      queries.select(col(idCol).as("query_id"), srpBucket(embCol, bits).as("bucket"),
+        col(embCol).as("__q_emb"), VectorFns.norm(col(embCol)).as("__q_n")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     cb.join(qb, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))

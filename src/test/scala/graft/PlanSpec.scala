@@ -40,6 +40,15 @@ class PlanSpec extends SparkSpec {
     assert(plan("source_point_lookup").contains("EqualTo(user_id,7)"))
   }
 
+  test("lshKnn attaches buckets inline — the corpus is never shuffled before scoring") {
+    val p = plan("ext_sim_knn_lsh")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+    // the only shuffle is the ranking window's partition on query_id; bucket
+    // assignment is a per-row expression, not an aggregation + join-back
+    val shuffles = p.split("Exchange hashpartitioning").length - 1
+    assert(shuffles <= 1, s"corpus side shuffled for bucket assignment:\n${p.take(2000)}")
+  }
+
   test("LSH near-dup plans with equi-joins only — no cartesian product anywhere") {
     val p = plan("ext_sim_neardup_lsh")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
