@@ -68,6 +68,27 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= 8, s"took $rounds rounds for a $n-node chain (diameter ${n - 1})")
   }
 
+  test("duplicateClusters matches driver-side union-find on random graphs") {
+    val rnd = new scala.util.Random(5)
+    (0 until 3).foreach { trial =>
+      val nNodes = 60
+      val edges = Seq.fill(80)((rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val parent = Array.tabulate(nNodes)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct
+      val minOfComponent = nodes.groupBy(id => find(id.toInt)).values
+        .flatMap(comp => comp.map(_ -> comp.min)).toMap
+      val got = Dedup.duplicateClusters(edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === minOfComponent, s"trial $trial: ${edges.size} edges")
+    }
+  }
+
   test("compiled HashedShingles matches the declarative reference bit-exactly") {
     // fixture-wide: every document at sf0.001, identical arrays incl. order
     val fixture = Tables.documents(spark, "/root/testdata/sf0.001")
