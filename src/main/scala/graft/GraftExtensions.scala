@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{FloatDot, HashedShingles, RollingHash}
+import graft.functions.{FloatDot, HashedShingles, RollingHash, SrpBandKeys}
 
 /** SQL surface for the library's codegen'd expressions. Two entry points:
   *
@@ -15,6 +15,7 @@ import graft.functions.{FloatDot, HashedShingles, RollingHash}
   *  - `float_dot(array<float>, array<float>) → double`
   *  - `rolling_hash(string[, mult, mod]) → bigint`
   *  - `hashed_shingles(string, n) → array<bigint>`
+  *  - `srp_band_keys(array<float>, bands, bitsPerBand) → array<bigint>`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -47,6 +48,10 @@ object GraftExtensions {
     "hashed_shingles" -> { args: Seq[Expression] =>
       require(args.length == 2, "hashed_shingles(text, n)")
       HashedShingles(args(0), longLit(args(1), "n").toInt)
+    },
+    "srp_band_keys" -> { args: Seq[Expression] =>
+      require(args.length == 3, "srp_band_keys(emb, bands, bitsPerBand)")
+      SrpBandKeys(args(0), longLit(args(1), "bands").toInt, longLit(args(2), "bitsPerBand").toInt)
     })
 
   /** Register everything on an already-built session. */

@@ -27,5 +27,14 @@ class ExtensionsSpec extends SparkSpec {
       .select(graft.functions.TextFns.hashedShingles(col("t"), 3))
       .as[Array[Long]].collect().head.toSeq
     assert(viaSql === viaCol && viaSql.length === 2)
+
+    // srp_band_keys: same values as the Column-API form
+    val sqlKeys = spark.sql(
+      "SELECT srp_band_keys(array(cast(1.0 AS float), cast(-2.0 AS float)), 3, 4) AS r")
+      .as[Array[Long]].collect().head.toSeq
+    val colKeys = Seq(Seq(1f, -2f).toArray).toDF("e")
+      .select(graft.functions.VectorFns.srpBandKeys(col("e"), 3, 4))
+      .as[Array[Long]].collect().head.toSeq
+    assert(sqlKeys === colKeys && sqlKeys.length === 3)
   }
 }
