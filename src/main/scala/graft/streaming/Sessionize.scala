@@ -34,36 +34,51 @@ object Sessionize extends Serializable {
 
   /** The per-key state transition, factored out for direct unit testing.
     *
-    * Out-of-order arrivals (a later micro-batch delivering an event older
+    * Out-of-order arrivals (a later micro-batch delivering events older
     * than the open session — admitted whenever the watermark delay exceeds
     * the gap) are handled explicitly:
     *  - an event within `gapSec` of the open session's SPAN (i.e.
     *    `sec ≥ startSec − gapSec`) merges into it, lowering `startSec` when
     *    the event precedes the current start — exactly what the batch
     *    answer over the fully-sorted log produces;
-    *  - an event older than the open session can reach
-    *    (`sec < startSec − gapSec`) belongs to an earlier, already-emitted
-    *    period; it is emitted as its own closed singleton session rather
-    *    than corrupting the open one (append mode cannot retract an
-    *    already-emitted session to absorb it — the one residual, documented
-    *    batch/stream divergence for events later than the gap). */
+    *  - events older than the open session can reach
+    *    (`sec < startSec − gapSec`) belong to an earlier, already-emitted
+    *    period. Within the batch they chain WITH EACH OTHER under the
+    *    normal gap rule (batch input is sorted, so they all precede the
+    *    in-reach events) and emit as one closed straggler session — a
+    *    delayed partition replaying an old burst yields that burst's
+    *    session, not n singletons. Append mode cannot retract an
+    *    already-emitted session to absorb them — the one residual,
+    *    documented batch/stream divergence for events later than the gap
+    *    (a straggler chain is always > gapSec away from the open session's
+    *    start, by definition, so it never re-merges). */
   def advance(user: Long, gapSec: Long, sortedSec: Seq[Long], prior: Option[OpenSession])
   : (Seq[UserSession], Option[OpenSession]) = {
     val out = Seq.newBuilder[UserSession]
     var cur = prior
+    var late: Option[OpenSession] = None // straggler chain below cur's reach
+    def closeLate(): Unit = { late.foreach(l => out += close(user, l)); late = None }
     sortedSec.foreach { sec =>
-      cur = cur match {
+      cur match {
         case Some(s) if sec < s.startSec - gapSec =>
-          out += UserSession(user, sec, sec, 1)
-          Some(s)
-        case Some(s) if sec - s.lastSec <= gapSec =>
-          Some(OpenSession(math.min(s.startSec, sec), math.max(s.lastSec, sec), s.n + 1))
-        case Some(s) =>
-          out += close(user, s)
-          Some(OpenSession(sec, sec, 1))
-        case None => Some(OpenSession(sec, sec, 1))
+          late = late match {
+            case Some(l) if sec - l.lastSec <= gapSec =>
+              Some(OpenSession(l.startSec, math.max(l.lastSec, sec), l.n + 1))
+            case other => other.foreach(l => out += close(user, l)); Some(OpenSession(sec, sec, 1))
+          }
+        case _ =>
+          closeLate() // first in-reach event settles the straggler chain
+          cur = cur match {
+            case Some(s) if sec - s.lastSec <= gapSec =>
+              Some(OpenSession(math.min(s.startSec, sec), math.max(s.lastSec, sec), s.n + 1))
+            case Some(s) =>
+              out += close(user, s)
+              Some(OpenSession(sec, sec, 1))
+            case None => Some(OpenSession(sec, sec, 1))
+          }
       }
     }
+    closeLate()
     (out.result(), cur)
   }
 

@@ -123,6 +123,21 @@ class PropertySpec extends SparkSpec {
     assert(open2 === Some(Sessionize.OpenSession(10000L, 10000L, 1L)))
   }
 
+  test("a late burst chains into straggler sessions under the gap rule, not singletons") {
+    import graft.streaming.Sessionize
+    import Sessionize.{OpenSession, UserSession}
+    val (_, open) = Sessionize.advance(1L, 1800L, Seq(10000L), None)
+    // 100→1000 chain (gap 900); 5000 is 4000 past the chain AND below the
+    // open session's reach (10000 − 1800) → second straggler session
+    val (closed, open2) = Sessionize.advance(1L, 1800L, Seq(100L, 1000L, 5000L), open)
+    assert(closed === Seq(UserSession(1L, 100L, 1000L, 2L), UserSession(1L, 5000L, 5000L, 1L)))
+    assert(open2 === Some(OpenSession(10000L, 10000L, 1L)))
+    // a chain followed by an in-reach event: chain closes, the event merges
+    val (closed3, open3) = Sessionize.advance(1L, 1800L, Seq(100L, 1000L, 9000L), open)
+    assert(closed3 === Seq(UserSession(1L, 100L, 1000L, 2L)))
+    assert(open3 === Some(OpenSession(9000L, 10000L, 2L)))
+  }
+
   test("replaying any suffix from a checkpointed state is a no-op on the final state") {
     samples(8).foreach { rows =>
       val full = df(rows)
