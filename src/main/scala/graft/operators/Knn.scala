@@ -199,9 +199,9 @@ object Knn {
     * Per query the scan covers ~nProbe/nCells of the corpus instead of all
     * of it; recall is governed by (nCells, nProbe). */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
-             k: Int, nCells: Int, iters: Int, nProbe: Int): DataFrame = {
+             k: Int, nCells: Int, iters: Int, nProbe: Int, sampleN: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
-    val cents = centroidFrame(spark, ivfCentroids(corpus, idCol, embCol, nCells, iters))
+    val cents = centroidFrame(spark, ivfCentroids(corpus, idCol, embCol, nCells, iters, sampleN))
     val corpusCells = corpus.join(nearestCell(corpus, cents, idCol, embCol), idCol)
       .select(col(idCol).as("neighbor_id"), col("cell"), col(embCol).as("__c_emb"),
         VectorFns.norm(col(embCol)).as("__c_n"))

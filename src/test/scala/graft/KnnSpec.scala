@@ -121,6 +121,16 @@ class KnnSpec extends SparkSpec {
     Knn.ivfKnn(emb, q, "vec_id", "embedding", k = 5, nCells = 16, iters = 2, nProbe = 6)
       .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)]
       .collect().foreach { case (a, b, c) => assert(bruteScores((a, b)) === c) }
+
+    // the true 100 TB shape: quantizer trained on a sample ≪ corpus (64 of
+    // 500 vectors) must still hold recall — sampling biases the centroids,
+    // not the exact scoring inside probed cells
+    val sampled = Knn.ivfKnn(emb, q, "vec_id", "embedding",
+      k = 5, nCells = 16, iters = 2, nProbe = 6, sampleN = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(sampled.size === brute.size)
+    val sampledRecall = (sampled & brute).size.toDouble / brute.size
+    assert(sampledRecall >= 0.8, s"sample-trained recall $sampledRecall")
   }
 
   test("lshBandKeys handles non-64 embedding dimensions") {
