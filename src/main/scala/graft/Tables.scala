@@ -68,16 +68,24 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
+  /** The `event_type` values that map to CDC `delete` — the ONE source of
+    * truth shared by [[opType]], [[opTypeSql]] and
+    * [[graft.operators.CdcOps.dropDeletes]], so the drop-deletes scan
+    * predicate (which filters the physical column for pushdown) can never
+    * drift from the derived mapping it claims to invert. */
+  val deleteEventTypes: Seq[String] = Seq("error")
+
   /** CDC op-type mapping, mirroring `operationType` (js:160, 167, 177). */
   val opType: Column =
     when(col("event_type") === "signup", lit("insert"))
-      .when(col("event_type") === "error", lit("delete"))
+      .when(col("event_type").isin(deleteEventTypes: _*), lit("delete"))
       .otherwise(lit("update"))
 
   /** Same mapping as ANSI SQL for the DuckDB oracle. */
   val opTypeSql: String =
     "CASE WHEN event_type = 'signup' THEN 'insert' " +
-      "WHEN event_type = 'error' THEN 'delete' ELSE 'update' END"
+      s"WHEN event_type IN (${deleteEventTypes.map(t => s"'$t'").mkString(", ")}) " +
+      "THEN 'delete' ELSE 'update' END"
 
   /** The `events` fixture viewed as a CDC change log. */
   def changeLog(spark: SparkSession, sfDir: String): DataFrame =

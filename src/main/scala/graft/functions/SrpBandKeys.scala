@@ -23,12 +23,19 @@ import org.apache.spark.sql.types._
   *    column types), via the same XXH64 primitives Spark's xxhash64 uses;
   *  - the projection accumulates v.toDouble · w left-to-right in `i` order,
   *    the exact FP-addition order of the composed form's partial-agg sum;
-  *  - null elements contribute nothing (sum-over-nulls semantics).
+  *  - null elements contribute nothing (sum-over-nulls semantics);
+  *  - an EMPTY embedding yields NULL (not bands all-zero keys): the
+  *    composed form posexplodes an empty array into no rows at all, so a
+  *    zero-length vector must produce no band keys downstream — exploding
+  *    NULL emits nothing, and empty-embedding docs never collide with each
+  *    other in bucket 0 of every band.
   */
 case class SrpBandKeys(child: Expression, bands: Int, bitsPerBand: Int)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true // null input OR empty input array
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -45,6 +52,7 @@ case class SrpBandKeys(child: Expression, bands: Int, bitsPerBand: Int)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val d = arr.numElements()
+    if (d == 0) return null
     val keys = new Array[Long](bands)
     var b = 0
     while (b < bands) {
@@ -86,24 +94,28 @@ case class SrpBandKeys(child: Expression, bands: Int, bitsPerBand: Int)
       val key = ctx.freshName("key")
       s"""
          |final int $d = $a.numElements();
-         |final long[] $keys = new long[$bands];
-         |for (int $b = 0; $b < $bands; $b++) {
-         |  long $key = 0L;
-         |  for (int $r = 0; $r < $bitsPerBand; $r++) {
-         |    final long $hp = $xxh.hashInt($b * $bitsPerBand + $r, ${prefixHash}L);
-         |    double $dot = 0.0;
-         |    for (int $i = 0; $i < $d; $i++) {
-         |      if (!$a.isNullAt($i)) {
-         |        long $m = $xxh.hashInt($i, $hp) % 20001L;
-         |        if ($m < 0) $m += 20001L;
-         |        $dot += (double) $a.getFloat($i) * (((double) ($m - 10000L)) / 10000.0);
+         |if ($d == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final long[] $keys = new long[$bands];
+         |  for (int $b = 0; $b < $bands; $b++) {
+         |    long $key = 0L;
+         |    for (int $r = 0; $r < $bitsPerBand; $r++) {
+         |      final long $hp = $xxh.hashInt($b * $bitsPerBand + $r, ${prefixHash}L);
+         |      double $dot = 0.0;
+         |      for (int $i = 0; $i < $d; $i++) {
+         |        if (!$a.isNullAt($i)) {
+         |          long $m = $xxh.hashInt($i, $hp) % 20001L;
+         |          if ($m < 0) $m += 20001L;
+         |          $dot += (double) $a.getFloat($i) * (((double) ($m - 10000L)) / 10000.0);
+         |        }
          |      }
+         |      if ($dot > 0) $key |= 1L << $r;
          |    }
-         |    if ($dot > 0) $key |= 1L << $r;
+         |    $keys[$b] = $key;
          |  }
-         |  $keys[$b] = $key;
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($keys);
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($keys);
        """.stripMargin
     })
 

@@ -21,14 +21,19 @@ object CdcOps {
     * `$match {operationType: {$in: ['insert','update']}}` (js:221–223).
     *
     * Filtered on the PHYSICAL `event_type` column, not the derived
-    * `op_type`: op_type ∈ {insert, update} ⇔ event_type ≠ 'error' under the
-    * [[graft.Tables.opType]] mapping (null-safe — a null event_type maps to
-    * 'update' and is kept), and a predicate on a stored column reaches the
-    * parquet scan as a pushed filter, while one on a derived CASE WHEN runs
-    * post-scan on every row. At 100 TB that is the difference between row
-    * groups pruned by statistics and a full decode of the delete stream. */
+    * `op_type`: op_type ∈ {insert, update} ⇔ event_type outside
+    * [[graft.Tables.deleteEventTypes]] under the [[graft.Tables.opType]]
+    * mapping — both derive from that ONE constant, so the inversion cannot
+    * drift (null-safe — a null event_type maps to 'update' and is kept).
+    * A predicate on a stored column reaches the parquet scan as a pushed
+    * filter, while one on a derived CASE WHEN runs post-scan on every row.
+    * At 100 TB that is the difference between row groups pruned by
+    * statistics and a full decode of the delete stream. */
   def dropDeletes(changeLog: DataFrame): DataFrame =
-    changeLog.filter(!(col("event_type") <=> "error"))
+    changeLog.filter(
+      graft.Tables.deleteEventTypes
+        .map(t => !(col("event_type") <=> t))
+        .reduce(_ && _))
 
   /** Last-write-wins current state per key: for N events on one key, the
     * final state is the one with the greatest `(ts, tiebreak)`

@@ -201,10 +201,14 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), graft.Tables.rnd4(j).as("jaccard"))
   }
 
-  /** Temp checkpoint parent dirs this object created (vs admin-configured),
-    * so a stale self-owned `sc.checkpointDir` from a prior invocation is
-    * replaced, not mistaken for cluster configuration. */
-  private val ownedCkptDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Serializes local-mode invocations that provision their own temp
+    * checkpoint dir: `sc.setCheckpointDir` is PROCESS-GLOBAL, so two
+    * concurrent owned-dir invocations would redirect each other's
+    * checkpoints into a dir the other deletes. Holding the lock for the
+    * invocation (and restoring the unset dir on exit, see [[clusterRounds]])
+    * makes the mutation invisible to every other `.checkpoint()` caller.
+    * Admin-configured-dir invocations (the cluster path) never lock. */
+  private val localCkptLock = new Object
 
   /** Duplicate clustering: connected components over a near-dup pair list —
     * each doc labelled with the min doc_id reachable through pairs (the
@@ -233,67 +237,76 @@ object Dedup {
     * dir is REQUIRED — the method fails fast if none is set, because a
     * driver-local fallback path would silently break recoverability. In
     * local mode with no dir configured, a per-invocation temp dir is
-    * provisioned, the final labels are materialized into the invocation's
-    * cache handle, and the temp dir is deleted before returning (so
-    * repeated Bench/Verify runs accumulate nothing); the returned frame
-    * serves from the persisted copy and follows the handle's caller-owned
-    * lifecycle. */
+    * provisioned under [[localCkptLock]] (the dir setting is
+    * process-global, so concurrent owned-dir invocations serialize), the
+    * final labels are materialized into the invocation's cache handle, and
+    * the temp dir is deleted AND the checkpoint dir restored to unset
+    * before returning (so repeated Bench/Verify runs accumulate nothing
+    * and no other `.checkpoint()` caller ever observes a path this method
+    * deleted); the returned frame serves from the persisted copy and
+    * follows the handle's caller-owned lifecycle. */
   def clusterRounds(pairs: DataFrame, cache: CacheHandle = tracked()): (DataFrame, Int) = {
-    val spark = pairs.sparkSession
-    val sc = spark.sparkContext
-    val adminDir = sc.getCheckpointDir.filterNot(ownedCkptDirs.contains)
-    val ownedTmp: Option[java.nio.file.Path] =
-      if (adminDir.isDefined) None
-      else if (!sc.master.startsWith("local"))
-        throw new IllegalStateException(
-          "duplicateClusters on a cluster requires sparkContext.setCheckpointDir on SHARED " +
-            "storage: per-round reliable checkpoints on a driver-local path are silently " +
-            "unrecoverable after executor loss")
-      else {
-        val p = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
-        sc.setCheckpointDir(p.toString)
-        sc.getCheckpointDir.foreach(ownedCkptDirs.add) // resolved dir/UUID form
-        Some(p)
-      }
-    def cut(df: DataFrame): DataFrame = df.checkpoint(eager = true)
-
-    try {
-      // canonical undirected edge set: (u, v) with u < v, distinct
-      var edges = cut(
-        pairs
-          .select(least(col("doc_a"), col("doc_b")).as("u"),
-            greatest(col("doc_a"), col("doc_b")).as("v"))
-          .filter(col("u") =!= col("v"))
-          .distinct())
-      var rounds = 0
-      var converged = edges.isEmpty
-      while (!converged) {
-        val next = cut(smallStar(largeStar(edges)))
-        rounds += 1
-        // set equality of two distinct canonical sets; both sides read the
-        // just-checkpointed files, not the round's full pipeline
-        converged = next.count() == edges.count() && next.except(edges).isEmpty
-        edges = next
-      }
-      // at the fixpoint the edge set is disjoint stars (root = component
-      // min): leaves point at their root, roots label themselves
-      val labels = edges.select(col("v").as("doc_id"), col("u").as("cluster_id"))
-        .unionByName(edges.select(col("u").as("doc_id"), col("u").as("cluster_id")).distinct())
-      val out =
-        if (ownedTmp.isEmpty) labels
-        else {
-          val persisted = cache.register(labels)
-          persisted.count() // materialize before the checkpoint files vanish
-          persisted
+    val sc = pairs.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isDefined) clusterRoundsImpl(pairs, cache, materialize = false)
+    else if (!sc.master.startsWith("local"))
+      throw new IllegalStateException(
+        "duplicateClusters on a cluster requires sparkContext.setCheckpointDir on SHARED " +
+          "storage: per-round reliable checkpoints on a driver-local path are silently " +
+          "unrecoverable after executor loss")
+    else localCkptLock.synchronized {
+      val p = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+      sc.setCheckpointDir(p.toString)
+      try clusterRoundsImpl(pairs, cache, materialize = true)
+      finally {
+        sc.setCheckpointDir(null) // restore the unset state we found
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
         }
-      (out, rounds)
-    } finally ownedTmp.foreach { p =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
+        rm(p.toFile)
       }
-      rm(p.toFile)
     }
+  }
+
+  /** The alternating-rounds loop; `materialize` pins the labels into the
+    * cache handle before a caller-owned temp checkpoint dir vanishes. */
+  private def clusterRoundsImpl(pairs: DataFrame, cache: CacheHandle,
+                                materialize: Boolean): (DataFrame, Int) = {
+    def cut(df: DataFrame): DataFrame = df.checkpoint(eager = true)
+    // canonical undirected edge set: (u, v) with u < v, distinct
+    var edges = cut(
+      pairs
+        .select(least(col("doc_a"), col("doc_b")).as("u"),
+          greatest(col("doc_a"), col("doc_b")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
+    var edgeCount = edges.count()
+    var rounds = 0
+    var converged = edgeCount == 0
+    while (!converged) {
+      val next = cut(smallStar(largeStar(edges)))
+      rounds += 1
+      // set equality of two distinct canonical sets (count + one-sided
+      // except); the previous round's count is reused, so convergence
+      // costs one count + one except per round, both over the
+      // just-checkpointed files, not the round's full pipeline
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.except(edges).isEmpty
+      edges = next
+      edgeCount = nextCount
+    }
+    // at the fixpoint the edge set is disjoint stars (root = component
+    // min): leaves point at their root, roots label themselves
+    val labels = edges.select(col("v").as("doc_id"), col("u").as("cluster_id"))
+      .unionByName(edges.select(col("u").as("doc_id"), col("u").as("cluster_id")).distinct())
+    val out =
+      if (!materialize) labels
+      else {
+        val persisted = cache.register(labels)
+        persisted.count() // materialize before the checkpoint files vanish
+        persisted
+      }
+    (out, rounds)
   }
 
   /** Symmetric adjacency of a canonical edge set: one (u, v) row per

@@ -42,16 +42,19 @@ object Sessionize extends Serializable {
     *    the event precedes the current start — exactly what the batch
     *    answer over the fully-sorted log produces;
     *  - events older than the open session can reach
-    *    (`sec < startSec − gapSec`) belong to an earlier, already-emitted
-    *    period. Within the batch they chain WITH EACH OTHER under the
-    *    normal gap rule (batch input is sorted, so they all precede the
-    *    in-reach events) and emit as one closed straggler session — a
+    *    (`sec < startSec − gapSec`) belong to an earlier period. Within the
+    *    batch they chain WITH EACH OTHER under the normal gap rule (batch
+    *    input is sorted, so they all precede the in-reach events) — a
     *    delayed partition replaying an old burst yields that burst's
-    *    session, not n singletons. Append mode cannot retract an
-    *    already-emitted session to absorb them — the one residual,
-    *    documented batch/stream divergence for events later than the gap
-    *    (a straggler chain is always > gapSec away from the open session's
-    *    start, by definition, so it never re-merges). */
+    *    session, not n singletons. The first in-reach event then settles
+    *    the chain: when it lies within `gapSec` of the chain's tail it
+    *    BRIDGES — the sorted batch log chains straggler → event → session
+    *    into one session, so the chain folds into the merged state (its
+    *    start becomes the session start) rather than emitting; only a
+    *    chain more than `gapSec` below the bridging event emits closed.
+    *    Append mode cannot retract an already-emitted session, so chains
+    *    that closed in an EARLIER batch remain the one residual,
+    *    documented batch/stream divergence. */
   def advance(user: Long, gapSec: Long, sortedSec: Seq[Long], prior: Option[OpenSession])
   : (Seq[UserSession], Option[OpenSession]) = {
     val out = Seq.newBuilder[UserSession]
@@ -67,14 +70,22 @@ object Sessionize extends Serializable {
             case other => other.foreach(l => out += close(user, l)); Some(OpenSession(sec, sec, 1))
           }
         case _ =>
-          closeLate() // first in-reach event settles the straggler chain
           cur = cur match {
             case Some(s) if sec - s.lastSec <= gapSec =>
-              Some(OpenSession(math.min(s.startSec, sec), math.max(s.lastSec, sec), s.n + 1))
+              // sec merges into the open session. If it also bridges the
+              // straggler chain (within gapSec of its tail), the batch log
+              // chains straight through it — fold the chain in; else close.
+              val bridge = late.filter(l => sec - l.lastSec <= gapSec)
+              if (bridge.isEmpty) closeLate() else late = None
+              val start = math.min(bridge.map(_.startSec).getOrElse(sec), math.min(s.startSec, sec))
+              Some(OpenSession(start, math.max(s.lastSec, sec), s.n + 1 + bridge.map(_.n).getOrElse(0L)))
             case Some(s) =>
+              // sec > lastSec + gapSec: a chain (tail < startSec − gapSec)
+              // sits > 2·gapSec below sec, so it can never bridge here.
+              closeLate()
               out += close(user, s)
               Some(OpenSession(sec, sec, 1))
-            case None => Some(OpenSession(sec, sec, 1))
+            case None => Some(OpenSession(sec, sec, 1)) // no prior ⇒ no chain
           }
       }
     }

@@ -71,6 +71,15 @@ class KnnSpec extends SparkSpec {
     def keys3(f: (DataFrame, String, String, Int, Int) => DataFrame) =
       f(v, "vec_id", "embedding", 3, 4).as[(Long, Int, Long)].collect().toSet
     assert(keys3(Knn.lshBandKeys) === keys3(Knn.lshBandKeysRef))
+    // an EMPTY embedding emits no band-key rows in either form (the
+    // expression returns NULL, matching the reference's posexplode of an
+    // empty array) — empty vectors must not all collide in bucket 0
+    val e = vecs(1L -> Seq(1f, 2f, 3f), 2L -> Seq.empty[Float])
+    def keysE(f: (DataFrame, String, String, Int, Int) => DataFrame) =
+      f(e, "vec_id", "embedding", 3, 4).as[(Long, Int, Long)].collect().toSet
+    val got = keysE(Knn.lshBandKeys)
+    assert(got === keysE(Knn.lshBandKeysRef))
+    assert(got.map(_._1) === Set(1L))
   }
 
   test("cosineNearDupLsh prunes candidates at a strong threshold (planted near-dups)") {

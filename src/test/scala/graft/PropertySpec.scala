@@ -138,6 +138,50 @@ class PropertySpec extends SparkSpec {
     assert(open3 === Some(OpenSession(9000L, 10000L, 2L)))
   }
 
+  test("an in-reach event within the gap of a straggler chain bridges it into the session") {
+    import graft.streaming.Sessionize
+    import Sessionize.{OpenSession, UserSession}
+    // prior open (10000,10000), gap 1800: 8100 is below reach (< 8200) and
+    // chains; 8250 is in-reach AND within 150 of the chain's tail — the
+    // sorted batch log [8100, 8250, 10000] has gaps 150 and 1750, both ≤
+    // 1800, so batch yields ONE session. The chain must fold, not emit.
+    val (_, open) = Sessionize.advance(1L, 1800L, Seq(10000L), None)
+    val (closed, open2) = Sessionize.advance(1L, 1800L, Seq(8100L, 8250L), open)
+    assert(closed.isEmpty)
+    assert(open2 === Some(OpenSession(8100L, 10000L, 3L)))
+    // chain > gapSec below the bridging event still closes: [6000, 8250]
+    val (closed3, open3) = Sessionize.advance(1L, 1800L, Seq(6000L, 8250L), open)
+    assert(closed3 === Seq(UserSession(1L, 6000L, 6000L, 1L)))
+    assert(open3 === Some(OpenSession(8250L, 10000L, 2L)))
+  }
+
+  test("delivering a session's suffix then its full prefix converges to the batch answer") {
+    import graft.streaming.Sessionize
+    // property: for ANY chain whose consecutive gaps are all ≤ gapSec (so
+    // the sorted batch run yields ONE open session), delivering a suffix
+    // first (establishing the open session) and then the entire remaining
+    // prefix in one later batch must converge to the same open session —
+    // below-reach prefix events chain with each other and BRIDGE back in
+    // through the first in-reach event (whose gap to the chain tail is ≤
+    // gapSec by construction). This is the case the bounded-disorder test
+    // (events within ONE gap-width) cannot reach.
+    val rnd = new scala.util.Random(13)
+    (0 until 50).foreach { _ =>
+      val n = 3 + rnd.nextInt(30)
+      val gap = 300L + rnd.nextInt(2000)
+      var t = rnd.nextLong(5000L)
+      val times = Seq.fill(n) { t += rnd.nextLong(gap + 1); t }
+      val (batchClosed, batchOpen) = Sessionize.advance(1L, gap, times, None)
+      assert(batchClosed.isEmpty)
+      val k = 1 + rnd.nextInt(n - 1) // split point: prefix [0,k), suffix [k,n)
+      val (c1, open1) = Sessionize.advance(1L, gap, times.drop(k), None)
+      assert(c1.isEmpty)
+      val (c2, open2) = Sessionize.advance(1L, gap, times.take(k), open1)
+      assert(c2.isEmpty, s"prefix replay closed a session (gap=$gap, n=$n, k=$k)")
+      assert(open2 === batchOpen, s"prefix replay diverged from batch (gap=$gap, n=$n, k=$k)")
+    }
+  }
+
   test("replaying any suffix from a checkpointed state is a no-op on the final state") {
     samples(8).foreach { rows =>
       val full = df(rows)
