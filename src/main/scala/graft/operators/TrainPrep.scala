@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Training-data preparation operators (SURVEY §2.8): the steps between a
+  * deduplicated corpus and a training run — rebalanced sampling, context-
+  * window packing, salient-term extraction. All are shuffle-on-key
+  * declarative transforms; nothing collects to the driver.
+  *
+  * The reference engine ships none of these (its surface stops at CDC +
+  * reconciliation); they are the [EXT] scale path a 100 TB corpus pipeline
+  * needs downstream of dedup.
+  */
+object TrainPrep {
+
+  /** Knuth's multiplicative constant (⌊2³²/φ⌋) — a fixed odd-ish multiplier
+    * whose low decimal digits decorrelate from sequential ids. */
+  private val KnuthMult = 2654435761L
+
+  /** Deterministic per-row sampling bucket in [0, 1000): a multiplicative
+    * hash of the id, NOT `rand()` — reruns, retries, and the DuckDB oracle
+    * all see the same sample, which is what makes a training mix
+    * reproducible. Expressible in ANSI SQL (the oracle requirement); on ids
+    * wide enough to overflow the 64-bit product (beyond ~2⁶³/2³² ≈ 2³¹),
+    * swap in `xxhash64(id)` — same shape, same cost, no oracle. */
+  def sampleBucket(id: Column): Column =
+    pmod(id * KnuthMult + 40503L, lit(1000L))
+
+  /** Stratified downsampling: keep a row iff its [[sampleBucket]] falls
+    * under its stratum's permille rate — the classic training-mix rebalance
+    * (e.g. cap the dominant language, keep the tail). A pure per-row
+    * filter: ZERO shuffles, pushes nothing but the scan, scales perfectly —
+    * and the kept set is a stable function of (id, stratum), so incremental
+    * reruns never churn the sample. */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+                       permille: Map[String, Int], defaultPermille: Int): DataFrame = {
+    val rate = permille.toSeq.sortBy(_._1).foldLeft(lit(defaultPermille)) {
+      case (acc, (stratum, p)) => when(col(stratumCol) === stratum, p).otherwise(acc)
+    }
+    docs
+      .withColumn("bucket", sampleBucket(col(idCol)))
+      .filter(col("bucket") < rate)
+  }
+
+  /** Context-window packing: concatenation order is fixed (by id within a
+    * shard), documents fill windows of `budgetTokens` tokens back to back,
+    * and each document is labelled with the window its FIRST token lands in
+    * plus its offset inside that window — the GPT-style concat-and-chunk
+    * packing plan, as metadata instead of materialized token buffers.
+    *
+    * Shape: one shuffle on `shard` (= id mod `nShards`), one within-shard
+    * sort for the running token sum. Shards are the scale dial — at 100 TB
+    * pick shards ≈ executors·4 so each within-shard sort fits one task;
+    * windows never span shards, so shards are independently packable and
+    * the plan is embarrassingly parallel after the one exchange. Token
+    * counts come from [[TextFns.bpeEstimate]] (chars/4-ish BPE proxy);
+    * swap in a real tokenizer count column when one is available. */
+  def packWindows(docs: DataFrame, idCol: String, textCol: String,
+                  budgetTokens: Long, nShards: Int): DataFrame = {
+    val shard = pmod(col(idCol), lit(nShards.toLong))
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), shard.as("shard"), TextFns.bpeEstimate(col(textCol)).as("n_tokens"))
+      .withColumn("tok_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        // integer `div`, not FP `/`: exact at any running-sum magnitude
+        expr(s"tok_before div $budgetTokens").as("window_id"),
+        pmod(col("tok_before"), lit(budgetTokens)).as("window_offset"))
+  }
+
+  /** Top-k salient terms per document, scored tf·idf with a BM25-shaped,
+    * LOG-FREE idf: `score = tf · (N − df + 0.5)/(df + 0.5)`. Dropping the
+    * usual `ln` is deliberate: every remaining op (integer→double casts,
+    * one subtract, one add, one divide, one multiply) is IEEE-exact or
+    * correctly rounded, so scores — and therefore rankings — are
+    * bit-identical across engines (`ln` is only ~1-ulp and may order two
+    * near-equal scores differently in different libms). Monotonicity in
+    * (tf ↑, df ↓) is the same as the log form's, which is all ranking uses.
+    *
+    * Shape: explode → groupBy (doc, term) for tf; df via a count window
+    * over term on that SAME aggregated frame (one row per (doc, term), so
+    * the window count IS the document frequency — no second scan, no join);
+    * corpus size N arrives by broadcast of a 1-row aggregate; final top-k
+    * is a ranking window per doc. Three shuffles (term-ish keys), all
+    * linear in distinct (doc, term) pairs. */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(TextFns.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val byTerm = Window.partitionBy(col("term"))
+    val n = broadcast(docs.agg(countDistinct(col(idCol)).as("__n_docs")))
+    val score = col("tf").cast("double") *
+      ((col("__n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf
+      .withColumn("df", count(lit(1)).over(byTerm))
+      .crossJoin(n)
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(byDoc).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        graft.Tables.rnd4(col("score")).as("score"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.{documents, embeddings, rnd4, rnd4Sql}
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Dedup, Knn, Multimodal}
+import graft.operators.{Dedup, Knn, Multimodal, TrainPrep}
 
 /** [EXT] LLM-data-pipeline queries (SURVEY §2.8) over the `documents` /
   * `embeddings` fixtures: text analysis, dedup (exact / n-gram Jaccard /
@@ -172,6 +172,33 @@ object ExtQueries {
       "vec_id", "embedding", threshold = 0.3, bands = 16, bitsPerBand = 2)
       .orderBy("id_a", "id_b")
 
+  // -- training-data preparation ---------------------------------------------
+
+  /** Deterministic stratified rebalance: the dominant language capped at
+    * 250‰, the tail kept at 800‰ — hash-of-id buckets ([[TrainPrep
+    * .sampleBucket]]), so the sample is a pure filter (zero shuffles) and
+    * stable across reruns and engines. */
+  private val extSampleStratified: Q = (s, d) =>
+    TrainPrep.stratifiedSample(documents(s, d), "doc_id", "lang",
+      permille = Map("en" -> 250), defaultPermille = 800)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+
+  /** Concat-and-chunk context-window packing plan (2048-token windows, 8
+    * shards): each doc labelled with the window its first token lands in
+    * and its offset — one shuffle on shard, windows never span shards. */
+  private val extPackWindows: Q = (s, d) =>
+    TrainPrep.packWindows(documents(s, d), "doc_id", "text",
+      budgetTokens = 2048L, nShards = 8)
+      .orderBy("doc_id")
+
+  /** Top-3 tf·idf terms per doc with the log-free BM25-shaped idf (see
+    * [[TrainPrep.topTerms]] — IEEE-exact arithmetic keeps rankings
+    * engine-identical, which is what makes this oracle-checkable). */
+  private val extTfidfTerms: Q = (s, d) =>
+    TrainPrep.topTerms(documents(s, d), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
   // -- multimodal ------------------------------------------------------------
 
   /** Opaque-binary decode plumbing: typed per-row decode of the media
@@ -220,6 +247,9 @@ object ExtQueries {
     "ext_sim_knn_ivf" -> extSimKnnIvf,
     "ext_sim_neardup" -> extSimNeardup,
     "ext_sim_neardup_lsh" -> extSimNeardupLsh,
+    "ext_sample_stratified" -> extSampleStratified,
+    "ext_pack_windows" -> extPackWindows,
+    "ext_tfidf_terms" -> extTfidfTerms,
     "ext_multimodal_meta" -> extMultimodalMeta,
     "ext_multimodal_frames" -> extMultimodalFrames,
     "ext_multimodal_centroid" -> extMultimodalCentroid)
@@ -359,6 +389,43 @@ object ExtQueries {
 
     "ext_sim_neardup" -> neardupSql,
     "ext_sim_neardup_lsh" -> neardupSql,
+
+    "ext_sample_stratified" ->
+      """SELECT doc_id, lang, (doc_id * 2654435761 + 40503) % 1000 AS bucket
+        |FROM documents
+        |WHERE (doc_id * 2654435761 + 40503) % 1000
+        |      < CASE WHEN lang = 'en' THEN 250 ELSE 800 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "ext_pack_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         CAST(list_sum(list_transform(string_split(text, ' '),
+        |                       t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |       tok_before // 2048 AS window_id, tok_before % 2048 AS window_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "ext_tfidf_terms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |g AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |gd AS (SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df FROM g),
+         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, term, tf,
+         |              CAST(tf AS DOUBLE) *
+         |                ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) AS score
+         |       FROM gd, n),
+         |r AS (SELECT doc_id, term, tf, score,
+         |             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+         |      FROM sc)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, ${rnd4Sql("score")} AS score
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "ext_multimodal_meta" ->
       """SELECT doc_id,

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TrainPrep
+
+/** Training-data preparation operators: deterministic sampling, window
+  * packing, salient-term extraction. */
+class TrainPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*): DataFrame =
+    rows.toDF("doc_id", "lang", "text")
+
+  test("stratifiedSample keeps exactly the rows whose hash bucket clears the stratum rate") {
+    val d = docs((0L until 200L).map(i =>
+      (i, if (i % 3 == 0) "en" else "de", s"text $i")): _*)
+    val kept = TrainPrep.stratifiedSample(d, "doc_id", "lang",
+      permille = Map("en" -> 250), defaultPermille = 800)
+      .select("doc_id").as[Long].collect().toSet
+    // the operator's contract recomputed independently per row
+    def bucket(id: Long): Long = {
+      val h = (id * 2654435761L + 40503L) % 1000L
+      if (h < 0) h + 1000L else h
+    }
+    val expect = (0L until 200L).filter { i =>
+      bucket(i) < (if (i % 3 == 0) 250 else 800)
+    }.toSet
+    assert(kept === expect)
+    assert(kept.nonEmpty && kept.size < 200) // actually sampled something out
+    // rerun is byte-stable (no rand() anywhere)
+    val again = TrainPrep.stratifiedSample(d, "doc_id", "lang",
+      permille = Map("en" -> 250), defaultPermille = 800)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === kept)
+  }
+
+  test("packWindows reproduces the sequential concat-and-chunk plan per shard") {
+    // texts of known bpe-estimate sizes: a token of length 4k estimates k
+    val d = docs((0L until 40L).map { i =>
+      val nTok = 1 + (i % 7) // 1..7 tokens of 8 chars → 2 bpe-pieces each
+      (i, "xx", Seq.fill(nTok.toInt)("abcdefgh").mkString(" "))
+    }: _*)
+    val got = TrainPrep.packWindows(d, "doc_id", "text", budgetTokens = 10L, nShards = 4)
+      .select("doc_id", "shard", "n_tokens", "window_id", "window_offset")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // sequential reference: per shard in id order, running token count
+    val cum = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    got.foreach { case (id, shard, n, window, offset) =>
+      assert(shard === id % 4)
+      assert(n === (1 + (id % 7)) * 2)
+      val before = cum(shard)
+      assert(window === before / 10L, s"doc $id window")
+      assert(offset === before % 10L, s"doc $id offset")
+      cum(shard) = before + n
+    }
+    // every doc of every shard is assigned, windows start at 0
+    assert(got.map(_._1).toSeq === (0L until 40L))
+    assert(got.filter(_._2 == 0L).map(_._4).min === 0L)
+  }
+
+  test("topTerms ranks by tf·idf with rare terms beating common ones") {
+    // 'rare' appears in 1 doc, 'mid' in 2, 'common' in all 4; doc 0 repeats
+    // 'mid' twice so tf can beat a lower df at equal weight
+    val d = docs(
+      (0L, "en", "common rare mid mid alpha"),
+      (1L, "en", "common mid beta beta beta"),
+      (2L, "en", "common gamma gamma gamma gamma"),
+      (3L, "en", "common delta"))
+    val got = TrainPrep.topTerms(d, "doc_id", "text", k = 2)
+      .select("doc_id", "rank", "term").as[(Long, Long, String)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2).map(_._3).toSeq }
+    // doc 0: rare (tf 1, df 1 → 3.5/1.5 ≈ 2.33) vs mid (tf 2, df 2 →
+    //        2·2.5/2.5 = 2.0) vs alpha (≈ 2.33): 'alpha' < 'rare' on the tie
+    assert(got(0L) === Seq("alpha", "rare"))
+    // doc 2: gamma tf 4 df 1 → 4·3.5/1.5 ≈ 9.33 beats common (df 4 → 0.11)
+    assert(got(2L) === Seq("gamma", "common"))
+    // 'common' (df = all docs) never outranks a distinctive term
+    assert(got(1L) === Seq("beta", "mid"))
+    assert(got(3L) === Seq("delta", "common"))
+  }
+
+  test("topTerms is scored identically to an independent per-doc computation") {
+    val d = docs(
+      (0L, "en", "a b c a"),
+      (1L, "en", "b c d"),
+      (2L, "en", "c d e e"))
+    val got = TrainPrep.topTerms(d, "doc_id", "text", k = 5)
+      .select("doc_id", "term", "tf", "score")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val texts = Map(0L -> "a b c a", 1L -> "b c d", 2L -> "c d e e")
+    val dfMap = texts.values.flatMap(_.split(" ").distinct).groupBy(identity).map { case (t, o) => t -> o.size }
+    val expect = texts.flatMap { case (id, t) =>
+      t.split(" ").groupBy(identity).map { case (term, occ) =>
+        val tf = occ.length.toLong
+        val df = dfMap(term).toLong
+        val score = tf.toDouble * ((3L - df + 0.5) / (df + 0.5))
+        (id, term, tf, math.floor(score * 10000 + 0.5) / 10000)
+      }
+    }.toSet
+    assert(got === expect)
+  }
+}
