@@ -73,6 +73,32 @@ object TrainPrep {
         pmod(col("tok_before"), lit(budgetTokens)).as("window_offset"))
   }
 
+  /** Exact per-stratum token-count quantiles (corpus length profiling — the
+    * stat that drives window budgets and truncation policy). Type-1
+    * (lower-value) quantile: the value at 1-indexed rank ⌈p·n⌉ of the
+    * sorted counts, with the rank computed in INTEGER arithmetic —
+    * `(p‰·n + 999) div 1000` — so no engine's decimal-vs-double literal
+    * semantics can shift a rank across a boundary (the reason this is
+    * oracle-checkable where interpolated `percentile_cont` is not).
+    *
+    * Shape: ONE exchange on the stratum (both windows share the
+    * partitioning), then a per-row rank filter. The per-stratum sort is the
+    * scale cost — right for strata that fit a task (languages, sources);
+    * for quantiles over an unstratified 100 TB column, reach for
+    * `approx_percentile` instead and keep this as the exact contract
+    * check on samples. */
+  def tokenQuantiles(docs: DataFrame, stratumCol: String, textCol: String,
+                     permille: Seq[Int]): DataFrame = {
+    val byStratum = Window.partitionBy(col("stratum"))
+    docs
+      .select(col(stratumCol).as("stratum"), TextFns.bpeEstimate(col(textCol)).as("n_tokens"))
+      .withColumn("rn", row_number().over(byStratum.orderBy(col("n_tokens"))).cast("long"))
+      .withColumn("n_docs", count(lit(1)).over(byStratum))
+      .withColumn("p", explode(array(permille.map(p => lit(p.toLong)): _*)))
+      .filter(col("rn") === expr("(p * n_docs + 999) div 1000"))
+      .select(col("stratum"), col("p"), col("n_docs"), col("n_tokens").as("q_tokens"))
+  }
+
   /** Top-k salient terms per document, scored tf·idf with a BM25-shaped,
     * LOG-FREE idf: `score = tf · (N − df + 0.5)/(df + 0.5)`. Dropping the
     * usual `ln` is deliberate: every remaining op (integer→double casts,

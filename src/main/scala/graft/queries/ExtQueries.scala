@@ -199,6 +199,13 @@ object ExtQueries {
     TrainPrep.topTerms(documents(s, d), "doc_id", "text", k = 3)
       .orderBy("doc_id", "rank")
 
+  /** Per-language p50/p90/p99 token-count quantiles — exact, rank-based,
+    * integer-arithmetic ranks (see [[TrainPrep.tokenQuantiles]]). */
+  private val extTokenQuantiles: Q = (s, d) =>
+    TrainPrep.tokenQuantiles(documents(s, d), "lang", "text",
+      permille = Seq(500, 900, 990))
+      .orderBy("stratum", "p")
+
   // -- multimodal ------------------------------------------------------------
 
   /** Opaque-binary decode plumbing: typed per-row decode of the media
@@ -250,6 +257,7 @@ object ExtQueries {
     "ext_sample_stratified" -> extSampleStratified,
     "ext_pack_windows" -> extPackWindows,
     "ext_tfidf_terms" -> extTfidfTerms,
+    "ext_token_quantiles" -> extTokenQuantiles,
     "ext_multimodal_meta" -> extMultimodalMeta,
     "ext_multimodal_frames" -> extMultimodalFrames,
     "ext_multimodal_centroid" -> extMultimodalCentroid)
@@ -426,6 +434,22 @@ object ExtQueries {
          |      FROM sc)
          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, ${rnd4Sql("score")} AS score
          |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "ext_token_quantiles" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |         CAST(list_sum(list_transform(string_split(text, ' '),
+        |                       t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, n_tokens,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n_docs
+        |  FROM t)
+        |SELECT lang AS stratum, CAST(p AS BIGINT) AS p, n_docs, n_tokens AS q_tokens
+        |FROM r, (VALUES (500), (900), (990)) pp(p)
+        |WHERE rn = (p * n_docs + 999) // 1000
+        |ORDER BY stratum, p""".stripMargin,
 
     "ext_multimodal_meta" ->
       """SELECT doc_id,

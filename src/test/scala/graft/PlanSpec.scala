@@ -49,6 +49,26 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 1, s"corpus side shuffled for bucket assignment:\n${p.take(2000)}")
   }
 
+  test("stratified sampling is a pure filter — zero exchanges, nothing but the scan") {
+    val p = plan("ext_sample_stratified")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"sampling shuffled:\n${p.take(1500)}")
+  }
+
+  test("window packing shuffles once on shard; the running sum is one window over it") {
+    val p = plan("ext_pack_windows")
+    val shuffles = p.split("Exchange hashpartitioning").length - 1
+    assert(shuffles == 1, s"packing needs exactly the shard exchange:\n${p.take(2000)}")
+  }
+
+  test("tf-idf derives df from a count window, not a second corpus scan") {
+    val p = plan("ext_tfidf_terms")
+    // one scan of documents for the tf aggregate + the 1-row broadcast count
+    val scans = p.split("Scan parquet").length - 1
+    assert(scans <= 2, s"extra corpus scans:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("LSH near-dup plans with equi-joins only — no cartesian product anywhere") {
     val p = plan("ext_sim_neardup_lsh")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -60,6 +60,30 @@ class TrainPrepSpec extends SparkSpec {
     assert(got.filter(_._2 == 0L).map(_._4).min === 0L)
   }
 
+  test("tokenQuantiles picks the exact rank-⌈p·n⌉ value per stratum") {
+    // strata of different sizes with known token counts (8-char tokens → 2
+    // bpe-pieces each): 'a' has counts 2,4,...,2k — quantiles land exactly
+    val d = docs((0L until 30L).map { i =>
+      val stratum = if (i < 20) "a" else "b"
+      val nTok = (i % 10) + 1 // within-stratum counts repeat; multiset known
+      (i, stratum, Seq.fill(nTok.toInt)("abcdefgh").mkString(" "))
+    }: _*)
+    val got = TrainPrep.tokenQuantiles(d, "lang", "text", permille = Seq(500, 900, 990))
+      .select("stratum", "p", "n_docs", "q_tokens")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // independent sequential reference: sort counts, pick 1-indexed ⌈p·n⌉
+    val counts = (0L until 30L).groupBy(i => if (i < 20) "a" else "b")
+      .view.mapValues(_.map(i => ((i % 10) + 1) * 2).sorted).toMap
+    val expect = (for {
+      (s, cs) <- counts
+      p <- Seq(500L, 900L, 990L)
+    } yield {
+      val rank = (p * cs.size + 999) / 1000
+      (s, p, cs.size.toLong, cs(rank.toInt - 1))
+    }).toSet
+    assert(got === expect)
+  }
+
   test("topTerms ranks by tf·idf with rare terms beating common ones") {
     // 'rare' appears in 1 doc, 'mid' in 2, 'common' in all 4; doc 0 repeats
     // 'mid' twice so tf can beat a lower df at equal weight
