@@ -59,6 +59,29 @@ object Multimodal {
       .withColumn("frame_hash", pmod(col("doc_id") * 31 + col("frame_idx") * 7, lit(997L)))
   }
 
+  /** Aspect-preserving resize plan: for each payload's (stub-decoded)
+    * dimensions, the output box fitting the longer edge to `target` — the
+    * metadata half of an image-resize stage (a real codec consumes
+    * `(out_width, out_height)` and emits pixels; the planning arithmetic
+    * here is the part an engine owns). All-INTEGER rounded division
+    * (`(short·target + long div 2) div long`) so the plan is bit-identical
+    * on every engine. Pure column expressions — zero shuffles. */
+  def resizePlan(docs: DataFrame, target: Int): DataFrame = {
+    val meta = withMediaColumn(docs)
+      .withColumn("n_bytes", length(col("media")).cast("long"))
+      .withColumn("width", (lit(16L) + pmod(col("n_bytes"), lit(64L))))
+      .withColumn("height", (lit(16L) + pmod(col("n_bytes") * 7, lit(64L))))
+    val t = lit(target.toLong)
+    val outW = when(col("width") >= col("height"), t)
+      .otherwise(expr(s"(width * $target + (height div 2)) div height"))
+    val outH = when(col("width") >= col("height"),
+        expr(s"(height * $target + (width div 2)) div width"))
+      .otherwise(t)
+    meta.select(col("doc_id"), col("width"), col("height"),
+      greatest(lit(1L), outW).as("out_width"),
+      greatest(lit(1L), outH).as("out_height"))
+  }
+
   /** Deterministic pseudo feature vector (dim `d`) from the payload — the
     * feature-extraction batch shape (one fixed-width vector per row, ready
     * for [[CentroidAgg]] / Knn). A real extractor swaps the arithmetic for a

@@ -225,6 +225,12 @@ object ExtQueries {
       .select(col("doc_id"), col("n_frames"), col("frame_idx"), col("frame_hash"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Aspect-preserving resize plan to a 224-box — integer rounded division
+    * only (see [[Multimodal.resizePlan]]); zero shuffles. */
+  private val extMultimodalResize: Q = (s, d) =>
+    Multimodal.resizePlan(documents(s, d), target = 224)
+      .orderBy("doc_id")
+
   /** Per-label embedding centroid via the typed Aggregator (map-side partial
     * merge), unpivoted to (label, pos, value) rows for the oracle. */
   private val extMultimodalCentroid: Q = (s, d) => {
@@ -260,6 +266,7 @@ object ExtQueries {
     "ext_token_quantiles" -> extTokenQuantiles,
     "ext_multimodal_meta" -> extMultimodalMeta,
     "ext_multimodal_frames" -> extMultimodalFrames,
+    "ext_multimodal_resize" -> extMultimodalResize,
     "ext_multimodal_centroid" -> extMultimodalCentroid)
 
   // -- oracle ----------------------------------------------------------------
@@ -469,6 +476,20 @@ object ExtQueries {
         |SELECT doc_id, n_frames, frame_idx,
         |       (doc_id * 31 + frame_idx * 7) % 997 AS frame_hash
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "ext_multimodal_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         16 + CAST(octet_length(encode(text)) AS BIGINT) % 64 AS width,
+        |         16 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 64 AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |       greatest(1, CASE WHEN width >= height THEN 224
+        |                        ELSE (width * 224 + height // 2) // height END) AS out_width,
+        |       greatest(1, CASE WHEN width >= height
+        |                        THEN (height * 224 + width // 2) // width
+        |                        ELSE 224 END) AS out_height
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "ext_multimodal_centroid" ->
       s"""SELECT CAST(label AS BIGINT) AS label, i AS pos,
