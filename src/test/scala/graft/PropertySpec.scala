@@ -49,136 +49,119 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("sessionization is micro-batch-split invariant (pure state machine)") {
+  test("session merge is invariant to arrival order and micro-batch cuts") {
     import graft.streaming.Sessionize
-    // property: threading the open-session state through ANY split of the
-    // (sorted) event times yields exactly the all-at-once sessions — the
-    // guarantee that micro-batch boundaries and restarts never change the
-    // session answer. Random event sequences + random split points.
+    // THE property of the pending-list design: for ANY event multiset, ANY
+    // permutation, ANY split into micro-batches, folding merge over the
+    // batches equals merging everything at once — micro-batch boundaries,
+    // restarts, and arbitrary disorder (bounded only by the watermark,
+    // which this pure core never even sees) cannot change the sessions.
     val rnd = new scala.util.Random(7)
-    (0 until 30).foreach { _ =>
+    (0 until 50).foreach { _ =>
       val n = 1 + rnd.nextInt(40)
-      val times = Seq.fill(n)(rnd.nextLong(20000L)).sorted
+      val times = Seq.fill(n)(rnd.nextLong(20000L))
       val gap = 300L + rnd.nextInt(2000)
-      val (oneShotClosed, oneShotOpen) = Sessionize.advance(1L, gap, times, None)
-      val nSplits = rnd.nextInt(4)
+      val oneShot = Sessionize.merge(gap, Nil, times)
+      val shuffled = rnd.shuffle(times)
+      val nSplits = rnd.nextInt(5)
       val cuts = (Seq.fill(nSplits)(rnd.nextInt(n + 1)).sorted :+ n).distinct
-      var prior: Option[Sessionize.OpenSession] = None
-      var acc = Seq.empty[Sessionize.UserSession]
+      var pending: Seq[Sessionize.OpenSession] = Nil
       var from = 0
       cuts.foreach { to =>
-        val (closed, open) = Sessionize.advance(1L, gap, times.slice(from, to), prior)
-        acc ++= closed; prior = open; from = to
+        pending = Sessionize.merge(gap, pending, shuffled.slice(from, to))
+        from = to
       }
-      assert(acc === oneShotClosed, s"split changed closed sessions (gap=$gap, n=$n)")
-      assert(prior === oneShotOpen, s"split changed open tail (gap=$gap, n=$n)")
+      assert(pending === oneShot, s"cut/order sensitivity (gap=$gap, n=$n)")
     }
   }
 
-  test("sessionization merges bounded-disorder arrivals like the batch answer") {
+  test("session merge applies the exact-gap chain rule of the batch query") {
     import graft.streaming.Sessionize
-    // property: when every event of a session lies within one gap-width
-    // window, ANY arrival order across ANY micro-batch split merges into the
-    // same single open session the sorted batch run produces — late events
-    // (including ones older than the current session start) lower the start
-    // instead of corrupting it. This is the out-of-order cross-batch case
-    // the split-invariance test (in-order splits only) cannot see.
-    val rnd = new scala.util.Random(11)
-    (0 until 30).foreach { _ =>
-      val n = 2 + rnd.nextInt(30)
-      val gap = 300L + rnd.nextInt(2000)
-      val base = rnd.nextLong(10000L)
-      val times = Seq.fill(n)(base + rnd.nextLong(gap + 1))
-      val (batchClosed, batchOpen) = Sessionize.advance(1L, gap, times.sorted, None)
-      assert(batchClosed.isEmpty)
-      val shuffled = rnd.shuffle(times)
-      val nSplits = rnd.nextInt(4)
-      val cuts = (Seq.fill(nSplits)(rnd.nextInt(n + 1)).sorted :+ n).distinct
-      var prior: Option[Sessionize.OpenSession] = None
-      var acc = Seq.empty[Sessionize.UserSession]
-      var from = 0
-      cuts.foreach { to =>
-        // the operator sorts within each micro-batch before advancing
-        val (closed, open) = Sessionize.advance(1L, gap, shuffled.slice(from, to).sorted, prior)
-        acc ++= closed; prior = open; from = to
-      }
-      assert(acc.isEmpty, s"disordered delivery closed a session early (gap=$gap, n=$n)")
-      assert(prior === batchOpen, s"disordered delivery changed the open session (gap=$gap, n=$n)")
-    }
+    import Sessionize.OpenSession
+    // 2800-1000 = 1800 chains (gap of exactly gapSec); 4601-2800 = 1801 splits
+    assert(Sessionize.merge(1800L, Nil, Seq(1000L, 2800L, 4601L)) ===
+      Seq(OpenSession(1000L, 2800L, 2), OpenSession(4601L, 4601L, 1)))
   }
 
   test("a late event within the gap lowers the open session's start") {
     import graft.streaming.Sessionize
-    val (_, open) = Sessionize.advance(1L, 1800L, Seq(1000L, 1200L), None)
-    val (closed, open2) = Sessionize.advance(1L, 1800L, Seq(900L), open)
-    assert(closed.isEmpty)
-    assert(open2 === Some(Sessionize.OpenSession(900L, 1200L, 3L)))
+    import Sessionize.OpenSession
+    val p1 = Sessionize.merge(1800L, Nil, Seq(1000L, 1200L))
+    assert(Sessionize.merge(1800L, p1, Seq(900L)) === Seq(OpenSession(900L, 1200L, 3)))
   }
 
-  test("a straggler older than the open session's reach is emitted alone, not merged") {
+  test("a straggler below the open session's reach is retained as its own pending session") {
     import graft.streaming.Sessionize
-    val (_, open) = Sessionize.advance(1L, 1800L, Seq(10000L), None)
-    val (closed, open2) = Sessionize.advance(1L, 1800L, Seq(100L), open)
-    assert(closed === Seq(Sessionize.UserSession(1L, 100L, 100L, 1L)))
-    assert(open2 === Some(Sessionize.OpenSession(10000L, 10000L, 1L)))
+    import Sessionize.OpenSession
+    val p1 = Sessionize.merge(1800L, Nil, Seq(10000L))
+    // kept pending (it may still be bridged by events the watermark admits)
+    assert(Sessionize.merge(1800L, p1, Seq(100L)) ===
+      Seq(OpenSession(100L, 100L, 1), OpenSession(10000L, 10000L, 1)))
   }
 
-  test("a late burst chains into straggler sessions under the gap rule, not singletons") {
+  test("a late burst chains into one pending session, not singletons") {
     import graft.streaming.Sessionize
-    import Sessionize.{OpenSession, UserSession}
-    val (_, open) = Sessionize.advance(1L, 1800L, Seq(10000L), None)
-    // 100→1000 chain (gap 900); 5000 is 4000 past the chain AND below the
-    // open session's reach (10000 − 1800) → second straggler session
-    val (closed, open2) = Sessionize.advance(1L, 1800L, Seq(100L, 1000L, 5000L), open)
-    assert(closed === Seq(UserSession(1L, 100L, 1000L, 2L), UserSession(1L, 5000L, 5000L, 1L)))
-    assert(open2 === Some(OpenSession(10000L, 10000L, 1L)))
-    // a chain followed by an in-reach event: chain closes, the event merges
-    val (closed3, open3) = Sessionize.advance(1L, 1800L, Seq(100L, 1000L, 9000L), open)
-    assert(closed3 === Seq(UserSession(1L, 100L, 1000L, 2L)))
-    assert(open3 === Some(OpenSession(9000L, 10000L, 2L)))
+    import Sessionize.OpenSession
+    val p1 = Sessionize.merge(1800L, Nil, Seq(10000L))
+    // 100→1000 chain (gap 900); 5000 is 4000 past the chain and below the
+    // open session's reach → three disjoint pending sessions
+    assert(Sessionize.merge(1800L, p1, Seq(100L, 1000L, 5000L)) ===
+      Seq(OpenSession(100L, 1000L, 2), OpenSession(5000L, 5000L, 1),
+        OpenSession(10000L, 10000L, 1)))
   }
 
-  test("an in-reach event within the gap of a straggler chain bridges it into the session") {
+  test("an event within reach of two pending sessions bridges them into one") {
     import graft.streaming.Sessionize
-    import Sessionize.{OpenSession, UserSession}
-    // prior open (10000,10000), gap 1800: 8100 is below reach (< 8200) and
-    // chains; 8250 is in-reach AND within 150 of the chain's tail — the
-    // sorted batch log [8100, 8250, 10000] has gaps 150 and 1750, both ≤
-    // 1800, so batch yields ONE session. The chain must fold, not emit.
-    val (_, open) = Sessionize.advance(1L, 1800L, Seq(10000L), None)
-    val (closed, open2) = Sessionize.advance(1L, 1800L, Seq(8100L, 8250L), open)
-    assert(closed.isEmpty)
-    assert(open2 === Some(OpenSession(8100L, 10000L, 3L)))
-    // chain > gapSec below the bridging event still closes: [6000, 8250]
-    val (closed3, open3) = Sessionize.advance(1L, 1800L, Seq(6000L, 8250L), open)
-    assert(closed3 === Seq(UserSession(1L, 6000L, 6000L, 1L)))
-    assert(open3 === Some(OpenSession(8250L, 10000L, 2L)))
+    import Sessionize.OpenSession
+    // prior open (10000,10000), gap 1800: 8100 lands below reach and is
+    // pending; 8250 is within 150 of it AND within 1750 of 10000 — the
+    // sorted log [8100, 8250, 10000] has gaps 150 and 1750, both ≤ 1800,
+    // so everything is ONE session
+    val p1 = Sessionize.merge(1800L, Nil, Seq(10000L))
+    assert(Sessionize.merge(1800L, p1, Seq(8100L, 8250L)) ===
+      Seq(OpenSession(8100L, 10000L, 3)))
+    // 6000 stays > 1800 below 8250's chain: two pending sessions remain
+    assert(Sessionize.merge(1800L, p1, Seq(6000L, 8250L)) ===
+      Seq(OpenSession(6000L, 6000L, 1), OpenSession(8250L, 10000L, 2)))
   }
 
-  test("delivering a session's suffix then its full prefix converges to the batch answer") {
+  test("emitReady seals exactly the sessions the watermark has passed, oldest first") {
     import graft.streaming.Sessionize
-    // property: for ANY chain whose consecutive gaps are all ≤ gapSec (so
-    // the sorted batch run yields ONE open session), delivering a suffix
-    // first (establishing the open session) and then the entire remaining
-    // prefix in one later batch must converge to the same open session —
-    // below-reach prefix events chain with each other and BRIDGE back in
-    // through the first in-reach event (whose gap to the chain tail is ≤
-    // gapSec by construction). This is the case the bounded-disorder test
-    // (events within ONE gap-width) cannot reach.
+    import Sessionize.{OpenSession, emitReady}
+    val pending = Seq(OpenSession(100L, 200L, 2), OpenSession(5000L, 5100L, 3),
+      OpenSession(9000L, 9000L, 1))
+    // watermark below every deadline: nothing seals
+    val (e0, r0) = emitReady(1800L, pending, watermarkMs = 0L, maxPending = 4)
+    assert(e0.isEmpty && r0 === pending)
+    // watermark passes 200+1800 but not 5100+1800: first seals
+    val (e1, r1) = emitReady(1800L, pending, watermarkMs = 2001L * 1000, maxPending = 4)
+    assert(e1 === Seq(pending.head) && r1 === pending.tail)
+    // boundary: an event AT the watermark second could still chain onto
+    // lastSec + gap, so sealing needs wm ≥ (last + gap + 1) s
+    val (e2, _) = emitReady(1800L, pending, watermarkMs = 2001L * 1000 - 1, maxPending = 4)
+    assert(e2.isEmpty)
+    // overflow beyond maxPending emits oldest-first even when unsealed
+    val (e3, r3) = emitReady(1800L, pending, watermarkMs = 0L, maxPending = 2)
+    assert(e3 === Seq(pending.head) && r3 === pending.tail)
+  }
+
+  test("suffix-then-prefix delivery converges to the batch sessions") {
+    import graft.streaming.Sessionize
+    // the round-6 regression class, now a trivial corollary of merge
+    // invariance: establish the open session from a suffix, deliver the
+    // prefix later (in any number of pieces) — pending always converges to
+    // the single batch session
     val rnd = new scala.util.Random(13)
-    (0 until 50).foreach { _ =>
+    (0 until 30).foreach { _ =>
       val n = 3 + rnd.nextInt(30)
       val gap = 300L + rnd.nextInt(2000)
       var t = rnd.nextLong(5000L)
       val times = Seq.fill(n) { t += rnd.nextLong(gap + 1); t }
-      val (batchClosed, batchOpen) = Sessionize.advance(1L, gap, times, None)
-      assert(batchClosed.isEmpty)
-      val k = 1 + rnd.nextInt(n - 1) // split point: prefix [0,k), suffix [k,n)
-      val (c1, open1) = Sessionize.advance(1L, gap, times.drop(k), None)
-      assert(c1.isEmpty)
-      val (c2, open2) = Sessionize.advance(1L, gap, times.take(k), open1)
-      assert(c2.isEmpty, s"prefix replay closed a session (gap=$gap, n=$n, k=$k)")
-      assert(open2 === batchOpen, s"prefix replay diverged from batch (gap=$gap, n=$n, k=$k)")
+      val batch = Sessionize.merge(gap, Nil, times)
+      assert(batch.size === 1)
+      val k = 1 + rnd.nextInt(n - 1)
+      val afterSuffix = Sessionize.merge(gap, Nil, times.drop(k))
+      assert(Sessionize.merge(gap, afterSuffix, times.take(k)) === batch)
     }
   }
 

@@ -260,14 +260,13 @@ class StreamingSpec extends SparkSpec {
 
   test("flatMapGroupsWithState sessionization: state survives restart; gap rules match batch") {
     import graft.streaming.Sessionize
-    import Sessionize.{OpenSession, UserSession}
+    import Sessionize.OpenSession
 
-    // pure state machine: exact-gap chains, beyond-gap closes, prior merges
-    val (closed0, open0) = Sessionize.advance(7L, 1800L, Seq(1000L, 2800L, 4601L), None)
-    assert(closed0 === Seq(UserSession(7L, 1000L, 2800L, 2))) // 2800-1000=1800 chains; 4601-2800=1801 closes
-    assert(open0 === Some(OpenSession(4601L, 4601L, 1)))
-    val (closed1, open1) = Sessionize.advance(7L, 1800L, Seq(3000L), Some(OpenSession(1000L, 2000L, 3)))
-    assert(closed1 === Nil && open1 === Some(OpenSession(1000L, 3000L, 4))) // prior state extends
+    // pure state machine: exact-gap chains, beyond-gap splits, prior merges
+    assert(Sessionize.merge(1800L, Nil, Seq(1000L, 2800L, 4601L)) ===
+      Seq(OpenSession(1000L, 2800L, 2), OpenSession(4601L, 4601L, 1)))
+    assert(Sessionize.merge(1800L, Seq(OpenSession(1000L, 2000L, 3)), Seq(3000L)) ===
+      Seq(OpenSession(1000L, 3000L, 4))) // prior state extends
 
     // e2e: one session spans the wave cut — it must emerge as ONE session
     // only if the state store survives the checkpointed restart
