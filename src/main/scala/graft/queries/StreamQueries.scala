@@ -73,11 +73,26 @@ object StreamQueries {
       .orderBy("day", "op_type")
   }
 
+  /** js:114–115 — the at-least-once replay contract: the same change batch
+    * delivered twice collapses back to one row per event_id
+    * ([[CdcPipeline.dedupEvents]], batch form). The streaming state-store
+    * path (`dropDuplicatesWithinWatermark`, cross-micro-batch) is
+    * exercised end-to-end by StreamingSpec. */
+  private val streamDedup: Q = (s, d) => {
+    val once = s.read.schema(CdcPipeline.eventsFileSchema).parquet(s"$d/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    CdcPipeline.dedupEvents(once.unionByName(once)) // two deliveries
+      .select(col("event_id"), fmtTs(col("ts")).as("ts_s"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "source_changestream" -> sourceChangestream,
     "sink_checkpoint" -> sinkCheckpointReplay,
     "stream_sessionize" -> streamSessionize,
-    "stream_window_counts" -> streamWindowCounts)
+    "stream_window_counts" -> streamWindowCounts,
+    "stream_dedup" -> streamDedup)
 
   val oracle: Map[String, String] = Map(
     "source_changestream" ->
@@ -120,5 +135,12 @@ object StreamQueries {
       s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, $OP AS op_type,
          |       count(*) AS n
          |FROM events WHERE event_type IS DISTINCT FROM 'error'
-         |GROUP BY 1, 2 ORDER BY day, op_type""".stripMargin)
+         |GROUP BY 1, 2 ORDER BY day, op_type""".stripMargin,
+
+    // duplicate rows are byte-identical, so DISTINCT over the doubled log
+    // is exactly the per-id dedup
+    "stream_dedup" ->
+      s"""SELECT DISTINCT event_id, ${fmtTsSql("ts")} AS ts_s, user_id, event_type, value
+         |FROM (SELECT * FROM events UNION ALL SELECT * FROM events) e
+         |ORDER BY event_id""".stripMargin)
 }

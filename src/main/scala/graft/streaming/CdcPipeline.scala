@@ -45,6 +45,21 @@ object CdcPipeline {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .withColumn("op_type", graft.Tables.opType))
 
+  /** At-least-once redelivery dedup: one row per `event_id`. The
+    * reference's checkpoint-after-write design admits duplicate deliveries
+    * on restart (js:114–115 — "may cause duplication of records"); this
+    * collapses them BEFORE any non-idempotent consumer. On a stream,
+    * `dropDuplicatesWithinWatermark` keys a state store by id and expires
+    * entries once the watermark passes — exactly-once rows from
+    * at-least-once delivery with BOUNDED state (an unbounded
+    * `dropDuplicates` would leak one entry per event forever at 100 TB);
+    * on a bounded frame, a plain per-key dedup (one hash-aggregate
+    * shuffle). Requires an event-time `ts` column. */
+  def dedupEvents(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
   /** One idempotent micro-batch apply: current target state ⊕ batch →
     * last-write-wins merge, written back atomically (lineage truncated via
     * localCheckpoint so the overwrite never reads its own output). In

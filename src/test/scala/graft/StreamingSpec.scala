@@ -258,6 +258,43 @@ class StreamingSpec extends SparkSpec {
     assert(backoffs2.toSeq === Seq(60000L, 60000L)) // no sleep after the final attempt
   }
 
+  test("dropDuplicatesWithinWatermark collapses redelivered batches to exactly-once rows") {
+    import spark.implicits._
+    val src = tmp("dedup-src")
+    def nanos(hhmm: String): Long =
+      java.time.LocalDateTime.parse(s"2024-03-01T$hhmm")
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    // one change batch of three events...
+    def deliver(name: String): Unit = {
+      val staging = tmp(s"dedup-stage-$name")
+      Seq((1L, nanos("10:00")), (2L, nanos("10:05")), (3L, nanos("10:10")))
+        .map { case (id, ts) => (id, ts, id, "view", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, src.resolve(s"$name-${f.getName}")))
+    }
+    deliver("a"); deliver("b") // ...delivered TWICE (at-least-once replay)
+
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val stream = spark.readStream.schema(CdcPipeline.eventsFileSchema)
+      .option("maxFilesPerTrigger", 1) // force the duplicates into SEPARATE
+      .parquet(src.toString)           // micro-batches: state-store dedup, not in-batch
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = CdcPipeline.dedupEvents(stream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("dedup-ckp").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("event_id").as[Long].collect().foreach(acc.add)
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val got = acc.asScala.toSeq
+    assert(got.sorted === Seq(1L, 2L, 3L), s"redelivery leaked through: $got")
+  }
+
   test("flatMapGroupsWithState sessionization: state survives restart; gap rules match batch") {
     import graft.streaming.Sessionize
     import Sessionize.OpenSession
