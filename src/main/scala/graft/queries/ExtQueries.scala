@@ -225,6 +225,16 @@ object ExtQueries {
       .select(col("doc_id"), col("n_frames"), col("frame_idx"), col("frame_hash"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Feature-extraction batch shape: one fixed-width vector per payload
+    * (stub arithmetic standing in for a model forward pass), unpivoted to
+    * (doc_id, pos, value) rows for the oracle. */
+  private val extMultimodalFeatures: Q = (s, d) =>
+    Multimodal.featureVector(documents(s, d), d = 8)
+      .select(col("doc_id"), posexplode(col("features")).as(Seq("pos", "v")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        rnd4(col("v").cast("double")).as("feature"))
+      .orderBy("doc_id", "pos")
+
   /** Aspect-preserving resize plan to a 224-box — integer rounded division
     * only (see [[Multimodal.resizePlan]]); zero shuffles. */
   private val extMultimodalResize: Q = (s, d) =>
@@ -267,6 +277,7 @@ object ExtQueries {
     "ext_multimodal_meta" -> extMultimodalMeta,
     "ext_multimodal_frames" -> extMultimodalFrames,
     "ext_multimodal_resize" -> extMultimodalResize,
+    "ext_multimodal_features" -> extMultimodalFeatures,
     "ext_multimodal_centroid" -> extMultimodalCentroid)
 
   // -- oracle ----------------------------------------------------------------
@@ -476,6 +487,16 @@ object ExtQueries {
         |SELECT doc_id, n_frames, frame_idx,
         |       (doc_id * 31 + frame_idx * 7) % 997 AS frame_hash
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // float round-trip is safe under rnd4: m/100 carries ~1e-8 float error,
+    // four orders below the 0.5e-4 rounding grid
+    "ext_multimodal_features" ->
+      s"""WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+         |           FROM documents)
+         |SELECT doc_id, i AS pos,
+         |       ${rnd4Sql("CAST((n * 13 + i * 17) % 101 AS DOUBLE) / 100.0")} AS feature
+         |FROM m, range(8) t(i)
+         |ORDER BY doc_id, pos""".stripMargin,
 
     "ext_multimodal_resize" ->
       """WITH d AS (
