@@ -21,7 +21,7 @@ import org.apache.spark.sql.SparkSession
   * quiet, so a noisy artifact is self-identifying.
   *
   * Output protocol: the big per-query line prints FIRST, and a compact
-  * totals line (`metric=bench_totals`) prints LAST — tail-truncation of
+  * totals line (`"metric":"total"`) prints LAST — tail-truncation of
   * the driver's capture can at worst lose per-query detail, never the
   * headline totals or the load bracket.
   */

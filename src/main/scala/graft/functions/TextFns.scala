@@ -66,6 +66,13 @@ object TextFns {
   /** Languages in a fixed tie-break order (argmax is deterministic). */
   val langOrder: Seq[String] = Seq("en", "de", "es", "fr", "zh")
 
+  /** Oracle-side (DuckDB) twin of [[bpeEstimate]] — ONE definition for the
+    * three oracle queries that embed it, so the estimate can never drift
+    * engine-by-engine (the rnd4/rnd4Sql pairing convention). */
+  def bpeEstimateSql(textExpr: String): String =
+    s"CAST(list_sum(list_transform(string_split($textExpr, ' '), " +
+      "t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT)"
+
   /** BPE-ish subword count estimate: ceil(len/4) pieces per word — the
     * ~4-chars-per-token rule of thumb, as a pure fold over the token array. */
   def bpeEstimate(text: Column): Column =

@@ -201,13 +201,15 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), graft.Tables.rnd4(j).as("jaccard"))
   }
 
-  /** Serializes local-mode invocations that provision their own temp
-    * checkpoint dir: `sc.setCheckpointDir` is PROCESS-GLOBAL, so two
-    * concurrent owned-dir invocations would redirect each other's
-    * checkpoints into a dir the other deletes. Holding the lock for the
-    * invocation (and restoring the unset dir on exit, see [[clusterRounds]])
-    * makes the mutation invisible to every other `.checkpoint()` caller.
-    * Admin-configured-dir invocations (the cluster path) never lock. */
+  /** Serializes ALL local-mode invocations: `sc.setCheckpointDir` is
+    * PROCESS-GLOBAL, so a concurrent invocation must neither redirect an
+    * owner's checkpoints into a dir the owner deletes nor mistake the
+    * owner's temp dir for admin configuration (the check therefore also
+    * lives under this lock, see [[clusterRounds]]). Holding the lock for
+    * the whole invocation and restoring the unset dir on exit makes the
+    * mutation invisible to every other `.checkpoint()` caller. Non-local
+    * (cluster) invocations never lock — this process never sets the dir
+    * there, so a configured dir is genuinely the admin's. */
   private val localCkptLock = new Object
 
   /** Duplicate clustering: connected components over a near-dup pair list —
@@ -247,23 +249,34 @@ object Dedup {
     * follows the handle's caller-owned lifecycle. */
   def clusterRounds(pairs: DataFrame, cache: CacheHandle = tracked()): (DataFrame, Int) = {
     val sc = pairs.sparkSession.sparkContext
-    if (sc.getCheckpointDir.isDefined) clusterRoundsImpl(pairs, cache, materialize = false)
-    else if (!sc.master.startsWith("local"))
-      throw new IllegalStateException(
-        "duplicateClusters on a cluster requires sparkContext.setCheckpointDir on SHARED " +
-          "storage: per-round reliable checkpoints on a driver-local path are silently " +
-          "unrecoverable after executor loss")
-    else localCkptLock.synchronized {
-      val p = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
-      sc.setCheckpointDir(p.toString)
-      try clusterRoundsImpl(pairs, cache, materialize = true)
-      finally {
-        sc.setCheckpointDir(null) // restore the unset state we found
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
+    if (!sc.master.startsWith("local")) {
+      // non-local: this process NEVER sets the checkpoint dir, so a
+      // configured dir is genuinely the admin's — lock-free fast path
+      if (sc.getCheckpointDir.isEmpty)
+        throw new IllegalStateException(
+          "duplicateClusters on a cluster requires sparkContext.setCheckpointDir on SHARED " +
+            "storage: per-round reliable checkpoints on a driver-local path are silently " +
+            "unrecoverable after executor loss")
+      clusterRoundsImpl(pairs, cache, materialize = false)
+    } else localCkptLock.synchronized {
+      // local mode: the configured-dir check must happen UNDER the lock —
+      // outside it, a concurrent invocation's temp dir (set, then deleted,
+      // by that invocation) would be mistaken for an admin-configured dir.
+      // Inside, any defined dir is stable admin config: owners hold this
+      // lock for their whole invocation and restore the unset state on exit.
+      if (sc.getCheckpointDir.isDefined) clusterRoundsImpl(pairs, cache, materialize = false)
+      else {
+        val p = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+        sc.setCheckpointDir(p.toString)
+        try clusterRoundsImpl(pairs, cache, materialize = true)
+        finally {
+          sc.setCheckpointDir(null) // restore the unset state we found
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete()
+          }
+          rm(p.toFile)
         }
-        rm(p.toFile)
       }
     }
   }

@@ -330,11 +330,10 @@ object ExtQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "ext_token_count" ->
-      """SELECT doc_id,
-        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
-        |       CAST(list_sum(list_transform(string_split(text, ' '),
-        |                     t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_est
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+         |       ${TextFns.bpeEstimateSql("text")} AS n_bpe_est
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "ext_lang_id" -> {
       val sw = TextFns.stopwords
@@ -424,10 +423,9 @@ object ExtQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "ext_pack_windows" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, doc_id % 8 AS shard,
-        |         CAST(list_sum(list_transform(string_split(text, ' '),
-        |                       t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens
+        |         ${TextFns.bpeEstimateSql("text")} AS n_tokens
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, shard, n_tokens,
@@ -454,10 +452,9 @@ object ExtQueries {
          |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "ext_token_quantiles" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT lang,
-        |         CAST(list_sum(list_transform(string_split(text, ' '),
-        |                       t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens
+        |         ${TextFns.bpeEstimateSql("text")} AS n_tokens
         |  FROM documents),
         |r AS (
         |  SELECT lang, n_tokens,
