@@ -69,6 +69,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("token quantiles cost exactly one exchange — both windows share the stratum partitioning") {
+    val p = plan("ext_token_quantiles")
+    val shuffles = p.split("Exchange hashpartitioning").length - 1
+    assert(shuffles == 1, s"expected the one stratum exchange:\n${p.take(2000)}")
+  }
+
+  test("redelivery dedup is one hash-aggregate shuffle on the event id") {
+    val p = plan("stream_dedup")
+    val shuffles = p.split("Exchange hashpartitioning").length - 1
+    assert(shuffles == 1, s"expected one dedup exchange:\n${p.take(2000)}")
+  }
+
   test("LSH near-dup plans with equi-joins only — no cartesian product anywhere") {
     val p = plan("ext_sim_neardup_lsh")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
