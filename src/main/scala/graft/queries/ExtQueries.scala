@@ -123,6 +123,23 @@ object ExtQueries {
       Dedup.ngramJaccard(documents(s, d), "text", "doc_id", n = 3, threshold = 0.5))
       .orderBy("doc_id")
 
+  /** Train/eval contamination detection: near-duplicate pairs that CROSS
+    * `source` boundaries — the leakage check a training pipeline runs
+    * between its corpus slices (pretraining shard vs held-out eval set).
+    * Pure composition at scale: the prefix-filtered exact-Jaccard join
+    * supplies candidate pairs; two joins to the slim (doc_id, source)
+    * projection attach provenance; a filter keeps the cross-source pairs. */
+  private val extContamination: Q = (s, d) => {
+    val pairs = Dedup.ngramJaccard(documents(s, d), "text", "doc_id", n = 3, threshold = 0.5)
+    val src = documents(s, d).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
+      .filter(col("source_a") =!= col("source_b"))
+      .select(col("doc_a"), col("doc_b"), col("source_a"), col("source_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // -- similarity search -----------------------------------------------------
 
   /** Exact top-5 cosine neighbours for the first 10 vectors. */
@@ -265,6 +282,7 @@ object ExtQueries {
     "ext_dedup_minhash" -> extDedupMinhash,
     "ext_dedup_simhash" -> extDedupSimhash,
     "ext_dedup_cluster" -> extDedupCluster,
+    "ext_contamination" -> extContamination,
     "ext_sim_knn" -> extSimKnn,
     "ext_sim_knn_lsh" -> extSimKnnLsh,
     "ext_sim_knn_ivf" -> extSimKnnIvf,
@@ -383,6 +401,15 @@ object ExtQueries {
 
     "ext_dedup_ngram" -> jaccardSql,
     "ext_dedup_minhash" -> jaccardSql,
+
+    "ext_contamination" ->
+      s"""WITH pairs AS ($jaccardSql)
+         |SELECT doc_a, doc_b, da.source AS source_a, db.source AS source_b, jaccard
+         |FROM pairs
+         |JOIN documents da ON doc_a = da.doc_id
+         |JOIN documents db ON doc_b = db.doc_id
+         |WHERE da.source <> db.source
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // transitive closure of the ≥0.5 pair graph via recursive CTE; labels =
     // min reachable doc_id — must equal Spark's min-label fixpoint
