@@ -36,5 +36,12 @@ class ExtensionsSpec extends SparkSpec {
       .select(graft.functions.VectorFns.srpBandKeys(col("e"), 3, 4))
       .as[Array[Long]].collect().head.toSeq
     assert(sqlKeys === colKeys && sqlKeys.length === 3)
+
+    // an empty embedding yields NULL through the SQL surface too (no
+    // band-zero collisions for zero-length vectors)
+    val emptyKeys = spark.sql(
+      "SELECT srp_band_keys(array_remove(array(cast(1.0 AS float)), cast(1.0 AS float)), 3, 4) AS r")
+      .collect().head
+    assert(emptyKeys.isNullAt(0))
   }
 }
