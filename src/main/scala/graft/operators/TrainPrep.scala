@@ -71,6 +71,10 @@ object TrainPrep {
         // integer `div`, not FP `/`: exact at any running-sum magnitude
         expr(s"tok_before div $budgetTokens").as("window_id"),
         pmod(col("tok_before"), lit(budgetTokens)).as("window_offset"))
+      // how many windows the doc straddles (its loader must span them);
+      // greatest(…,1) keeps a zero-token doc in exactly its start window
+      .withColumn("n_windows",
+        expr(s"((window_offset + greatest(n_tokens, 1L) - 1L) div $budgetTokens) + 1L"))
   }
 
   /** Exact per-stratum token-count quantiles (corpus length profiling — the

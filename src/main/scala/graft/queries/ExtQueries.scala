@@ -460,7 +460,8 @@ object ExtQueries {
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
         |  FROM t)
         |SELECT doc_id, shard, n_tokens,
-        |       tok_before // 2048 AS window_id, tok_before % 2048 AS window_offset
+        |       tok_before // 2048 AS window_id, tok_before % 2048 AS window_offset,
+        |       ((tok_before % 2048 + greatest(n_tokens, 1) - 1) // 2048) + 1 AS n_windows
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "ext_tfidf_terms" ->

@@ -43,21 +43,25 @@ class TrainPrepSpec extends SparkSpec {
       (i, "xx", Seq.fill(nTok.toInt)("abcdefgh").mkString(" "))
     }: _*)
     val got = TrainPrep.packWindows(d, "doc_id", "text", budgetTokens = 10L, nShards = 4)
-      .select("doc_id", "shard", "n_tokens", "window_id", "window_offset")
-      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      .select("doc_id", "shard", "n_tokens", "window_id", "window_offset", "n_windows")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
     // sequential reference: per shard in id order, running token count
     val cum = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
-    got.foreach { case (id, shard, n, window, offset) =>
+    got.foreach { case (id, shard, n, window, offset, span) =>
       assert(shard === id % 4)
       assert(n === (1 + (id % 7)) * 2)
       val before = cum(shard)
       assert(window === before / 10L, s"doc $id window")
       assert(offset === before % 10L, s"doc $id offset")
+      // the doc's last token lands in window (before + n - 1) / budget
+      assert(span === (before + n - 1) / 10L - before / 10L + 1L, s"doc $id span")
       cum(shard) = before + n
     }
     // every doc of every shard is assigned, windows start at 0
     assert(got.map(_._1).toSeq === (0L until 40L))
     assert(got.filter(_._2 == 0L).map(_._4).min === 0L)
+    // docs genuinely straddle: some span > 1 window (budget 10, docs up to 14)
+    assert(got.exists(_._6 > 1L))
   }
 
   test("tokenQuantiles picks the exact rank-⌈p·n⌉ value per stratum") {
