@@ -103,6 +103,27 @@ object TrainPrep {
       .select(col("stratum"), col("p"), col("n_docs"), col("n_tokens").as("q_tokens"))
   }
 
+  /** Sketch-based quantiles — [[tokenQuantiles]]'s 100 TB path. The exact
+    * form sorts each stratum (right when strata fit a task); this one
+    * merges `percentile_approx`'s quantile-summary sketches map-side, so
+    * memory stays bounded and NO per-stratum sort happens at any scale —
+    * the trade is a rank-error bound of 1/accuracy (exact while a stratum
+    * fits one uncompressed sketch). Sketch merge order follows partial-agg
+    * scheduling, so outputs are rows-only for the oracle gate; the spec
+    * pins a rank-tolerance contract against the exact form instead. */
+  def tokenQuantilesSketch(docs: DataFrame, stratumCol: String, textCol: String,
+                           permille: Seq[Int], accuracy: Int = 10000): DataFrame = {
+    val ps = permille.map(p => lit(p / 1000.0))
+    docs
+      .select(col(stratumCol).as("stratum"), TextFns.bpeEstimate(col(textCol)).as("n_tokens"))
+      .groupBy(col("stratum"))
+      .agg(percentile_approx(col("n_tokens"), array(ps: _*), lit(accuracy)).as("qs"))
+      .select(col("stratum"), posexplode(col("qs")).as(Seq("idx", "q_tokens")))
+      .select(col("stratum"),
+        element_at(array(permille.map(p => lit(p.toLong)): _*), col("idx") + 1).as("p"),
+        col("q_tokens"))
+  }
+
   /** Top-k salient terms per document, scored tf·idf with a BM25-shaped,
     * LOG-FREE idf: `score = tf · (N − df + 0.5)/(df + 0.5)`. Dropping the
     * usual `ln` is deliberate: every remaining op (integer→double casts,

@@ -223,6 +223,15 @@ object ExtQueries {
       permille = Seq(500, 900, 990))
       .orderBy("stratum", "p")
 
+  /** Sketch-path variant (map-side-merged percentile_approx, no
+    * per-stratum sort — the 100 TB shape). Rows-only: sketch merge order
+    * follows partial-agg scheduling; TrainPrepSpec pins the rank-tolerance
+    * contract against the exact form. */
+  private val extTokenQuantilesFast: Q = (s, d) =>
+    TrainPrep.tokenQuantilesSketch(documents(s, d), "lang", "text",
+      permille = Seq(500, 900, 990))
+      .orderBy("stratum", "p")
+
   // -- multimodal ------------------------------------------------------------
 
   /** Opaque-binary decode plumbing: typed per-row decode of the media
@@ -292,6 +301,7 @@ object ExtQueries {
     "ext_pack_windows" -> extPackWindows,
     "ext_tfidf_terms" -> extTfidfTerms,
     "ext_token_quantiles" -> extTokenQuantiles,
+    "ext_token_quantiles_fast" -> extTokenQuantilesFast,
     "ext_multimodal_meta" -> extMultimodalMeta,
     "ext_multimodal_frames" -> extMultimodalFrames,
     "ext_multimodal_resize" -> extMultimodalResize,

@@ -88,6 +88,32 @@ class TrainPrepSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("sketch quantiles honor the rank-tolerance contract against the exact form") {
+    val d = docs((0L until 120L).map { i =>
+      val stratum = if (i % 2 == 0) "a" else "b"
+      (i, stratum, Seq.fill(((i * 7) % 23 + 1).toInt)("abcdefgh").mkString(" "))
+    }: _*)
+    val perm = Seq(500, 900, 990)
+    val approx = TrainPrep.tokenQuantilesSketch(d, "lang", "text", perm)
+      .select("stratum", "p", "q_tokens").as[(String, Long, Long)].collect()
+    // per-stratum sorted counts, independently derived
+    val counts = (0L until 120L).groupBy(i => if (i % 2 == 0) "a" else "b")
+      .view.mapValues(_.map(i => ((i * 7) % 23 + 1) * 2).sorted).toMap
+    assert(approx.length === 2 * perm.size)
+    approx.foreach { case (s, p, q) =>
+      val cs = counts(s)
+      // the sketch's answer must be an actual element with rank within 2%
+      // of the target (default accuracy 1e4 ⇒ far tighter; 2% is the
+      // contract this query's doc promises)
+      assert(cs.contains(q), s"($s, $p): $q not in the stratum")
+      val le = cs.count(_ <= q).toDouble / cs.size
+      val lt = cs.count(_ < q).toDouble / cs.size
+      val target = p / 1000.0
+      assert(lt - 0.02 <= target && target <= le + 0.02,
+        s"($s, $p): rank window [$lt, $le] misses ${target}")
+    }
+  }
+
   test("topTerms ranks by tf·idf with rare terms beating common ones") {
     // 'rare' appears in 1 doc, 'mid' in 2, 'common' in all 4; doc 0 repeats
     // 'mid' twice so tf can beat a lower df at equal weight
