@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{FloatDot, HashedShingles, RollingHash, SrpBandKeys}
+import graft.functions.{BpeCount, FloatDot, HashedShingles, RollingHash, SrpBandKeys}
 
 /** SQL surface for the library's codegen'd expressions. Two entry points:
   *
@@ -16,6 +16,7 @@ import graft.functions.{FloatDot, HashedShingles, RollingHash, SrpBandKeys}
   *  - `rolling_hash(string[, mult, mod]) → bigint`
   *  - `hashed_shingles(string, n) → array<bigint>`
   *  - `srp_band_keys(array<float>, bands, bitsPerBand) → array<bigint>`
+  *  - `bpe_count(string) → bigint`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -52,6 +53,10 @@ object GraftExtensions {
     "srp_band_keys" -> { args: Seq[Expression] =>
       require(args.length == 3, "srp_band_keys(emb, bands, bitsPerBand)")
       SrpBandKeys(args(0), longLit(args(1), "bands").toInt, longLit(args(2), "bitsPerBand").toInt)
+    },
+    "bpe_count" -> { args: Seq[Expression] =>
+      require(args.length == 1, "bpe_count(text)")
+      BpeCount(args(0))
     })
 
   /** Register everything on an already-built session. */

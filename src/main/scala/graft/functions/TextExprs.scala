@@ -107,3 +107,53 @@ case class TokenSetCount(child: Expression, words: Seq[String])
 
   override protected def withNewChildInternal(c: Expression): TokenSetCount = copy(child = c)
 }
+
+/** Codegen'd BPE-ish subword estimate: Σ over whitespace tokens of
+  * ⌈codePointLen/4⌉, in ONE scan of the string. Semantics identical to the
+  * higher-order form `aggregate(split(s,' '), 0L, (acc,t) ->
+  * acc + ceil(length(t)/4.0))` — split keeps empty tokens (they add 0) and
+  * `length` counts code points, both reproduced here — but compiled: the
+  * interpreted HOF materializes the token array and walks ~4 expression
+  * nodes per token, on the hot path of four queries. */
+case class BpeCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var total = 0L
+    var len = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp == ' ') { total += (len + 3) / 4; len = 0 }
+      else len += 1
+      i += Character.charCount(cp)
+    }
+    total + (len + 3) / 4
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val total = ctx.freshName("total")
+      val len = ctx.freshName("len")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      s"""
+         |final String $s = $c.toString();
+         |long $total = 0L;
+         |long $len = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  final int $cp = $s.codePointAt($i);
+         |  if ($cp == ' ') { $total += ($len + 3) / 4; $len = 0; }
+         |  else { $len += 1; }
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+         |${ev.value} = $total + ($len + 3) / 4;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): BpeCount = copy(child = c)
+}

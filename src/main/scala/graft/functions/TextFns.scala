@@ -74,8 +74,17 @@ object TextFns {
       "t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT)"
 
   /** BPE-ish subword count estimate: ceil(len/4) pieces per word — the
-    * ~4-chars-per-token rule of thumb, as a pure fold over the token array. */
+    * ~4-chars-per-token rule of thumb, as ONE codegen'd scan of the string
+    * ([[BpeCount]]; value-identical to [[bpeEstimateRef]], pinned by
+    * TrainPrepSpec). */
   def bpeEstimate(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      BpeCount(org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
+  /** The declarative higher-order form of [[bpeEstimate]] — kept (test-only)
+    * as the semantic pin for the codegen'd expression: it materializes the
+    * token array and walks an interpreted lambda per token. */
+  private[graft] def bpeEstimateRef(text: Column): Column =
     aggregate(
       tokens(text),
       lit(0L),

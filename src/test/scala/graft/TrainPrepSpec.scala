@@ -114,6 +114,26 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("codegen'd BpeCount matches the higher-order reference form") {
+    import graft.functions.TextFns
+    import org.apache.spark.sql.functions.col
+    // fixture-wide parity at sf0.001
+    val fx = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(TextFns.bpeEstimate(col("text")).as("a"),
+        TextFns.bpeEstimateRef(col("text")).as("b"))
+      .as[(Long, Long)].collect()
+    assert(fx.nonEmpty && fx.forall { case (a, b) => a == b })
+    // edge strings: empty, multi-space (empty tokens), trailing space,
+    // multibyte code points, supplementary (emoji counts as ONE char)
+    val edges = Seq("", "  ", "abcd efghi", "tail ", "的是了在和", "a😀b 的的的的的")
+      .toDF("text")
+      .select(TextFns.bpeEstimate(col("text")).as("a"),
+        TextFns.bpeEstimateRef(col("text")).as("b"))
+      .as[(Long, Long)].collect()
+    assert(edges.forall { case (a, b) => a == b },
+      s"edge parity: ${edges.mkString(",")}")
+  }
+
   test("topTerms ranks by tf·idf with rare terms beating common ones") {
     // 'rare' appears in 1 doc, 'mid' in 2, 'common' in all 4; doc 0 repeats
     // 'mid' twice so tf can beat a lower df at equal weight
