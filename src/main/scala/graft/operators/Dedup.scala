@@ -201,22 +201,11 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), graft.Tables.rnd4(j).as("jaccard"))
   }
 
-  /** Serializes ALL local-mode invocations: `sc.setCheckpointDir` is
-    * PROCESS-GLOBAL, so a concurrent invocation must neither redirect an
-    * owner's checkpoints into a dir the owner deletes nor mistake the
-    * owner's temp dir for admin configuration (the check therefore also
-    * lives under this lock, see [[clusterRounds]]). Holding the lock for
-    * the whole invocation and restoring the unset dir on exit makes the
-    * mutation invisible to every other `.checkpoint()` caller. Non-local
-    * (cluster) invocations never lock — this process never sets the dir
-    * there, so a configured dir is genuinely the admin's. */
-  private val localCkptLock = new Object
-
   /** Duplicate clustering: connected components over a near-dup pair list —
     * each doc labelled with the min doc_id reachable through pairs (the
     * cluster's canonical survivor). */
-  def duplicateClusters(pairs: DataFrame, cache: CacheHandle = tracked()): DataFrame =
-    clusterRounds(pairs, cache)._1
+  def duplicateClusters(pairs: DataFrame): DataFrame =
+    clusterRounds(pairs)._1
 
   /** [[duplicateClusters]] plus the number of alternating rounds it took —
     * exposed so tests can pin the O(log n) convergence bound.
@@ -238,54 +227,31 @@ object Dedup {
     * truncation) a RELIABLE checkpoint to the configured cluster checkpoint
     * dir is REQUIRED — the method fails fast if none is set, because a
     * driver-local fallback path would silently break recoverability. In
-    * local mode with no dir configured, a per-invocation temp dir is
-    * provisioned under [[localCkptLock]] (the dir setting is
-    * process-global, so concurrent owned-dir invocations serialize), the
-    * final labels are materialized into the invocation's cache handle, and
-    * the temp dir is deleted AND the checkpoint dir restored to unset
-    * before returning (so repeated Bench/Verify runs accumulate nothing
-    * and no other `.checkpoint()` caller ever observes a path this method
-    * deleted); the returned frame serves from the persisted copy and
-    * follows the handle's caller-owned lifecycle. */
-  def clusterRounds(pairs: DataFrame, cache: CacheHandle = tracked()): (DataFrame, Int) = {
+    * local mode the cut is `localCheckpoint` (block-manager-backed,
+    * memory-first with disk spill): the single JVM IS the failure domain,
+    * so durable files buy nothing there, and the in-memory cut skips a
+    * per-round write-to-disk + read-back — with the added structural win
+    * that nothing mutates the process-global checkpoint-dir setting, so
+    * concurrent invocations need no serialization and no cleanup. An
+    * admin-configured dir is honoured even in local mode (the explicit
+    * opt-in to durable round files). */
+  def clusterRounds(pairs: DataFrame): (DataFrame, Int) = {
     val sc = pairs.sparkSession.sparkContext
-    if (!sc.master.startsWith("local")) {
-      // non-local: this process NEVER sets the checkpoint dir, so a
-      // configured dir is genuinely the admin's — lock-free fast path
-      if (sc.getCheckpointDir.isEmpty)
-        throw new IllegalStateException(
-          "duplicateClusters on a cluster requires sparkContext.setCheckpointDir on SHARED " +
-            "storage: per-round reliable checkpoints on a driver-local path are silently " +
-            "unrecoverable after executor loss")
-      clusterRoundsImpl(pairs, cache, materialize = false)
-    } else localCkptLock.synchronized {
-      // local mode: the configured-dir check must happen UNDER the lock —
-      // outside it, a concurrent invocation's temp dir (set, then deleted,
-      // by that invocation) would be mistaken for an admin-configured dir.
-      // Inside, any defined dir is stable admin config: owners hold this
-      // lock for their whole invocation and restore the unset state on exit.
-      if (sc.getCheckpointDir.isDefined) clusterRoundsImpl(pairs, cache, materialize = false)
-      else {
-        val p = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
-        sc.setCheckpointDir(p.toString)
-        try clusterRoundsImpl(pairs, cache, materialize = true)
-        finally {
-          sc.setCheckpointDir(null) // restore the unset state we found
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete()
-          }
-          rm(p.toFile)
-        }
-      }
-    }
+    val localMaster = sc.master.startsWith("local")
+    if (!localMaster && sc.getCheckpointDir.isEmpty)
+      throw new IllegalStateException(
+        "duplicateClusters on a cluster requires sparkContext.setCheckpointDir on SHARED " +
+          "storage: per-round reliable checkpoints on a driver-local path are silently " +
+          "unrecoverable after executor loss")
+    val cut: DataFrame => DataFrame =
+      if (localMaster && sc.getCheckpointDir.isEmpty) df => df.localCheckpoint(eager = true)
+      else df => df.checkpoint(eager = true)
+    clusterRoundsImpl(pairs, cut)
   }
 
-  /** The alternating-rounds loop; `materialize` pins the labels into the
-    * cache handle before a caller-owned temp checkpoint dir vanishes. */
-  private def clusterRoundsImpl(pairs: DataFrame, cache: CacheHandle,
-                                materialize: Boolean): (DataFrame, Int) = {
-    def cut(df: DataFrame): DataFrame = df.checkpoint(eager = true)
+  /** The alternating-rounds loop; `cut` truncates each round's lineage. */
+  private def clusterRoundsImpl(pairs: DataFrame,
+                                cut: DataFrame => DataFrame): (DataFrame, Int) = {
     // canonical undirected edge set: (u, v) with u < v, distinct
     var edges = cut(
       pairs
@@ -302,7 +268,7 @@ object Dedup {
       // set equality of two distinct canonical sets (count + one-sided
       // except); the previous round's count is reused, so convergence
       // costs one count + one except per round, both over the
-      // just-checkpointed files, not the round's full pipeline
+      // just-cut edge sets, not the round's full pipeline
       val nextCount = next.count()
       converged = nextCount == edgeCount && next.except(edges).isEmpty
       edges = next
@@ -312,14 +278,7 @@ object Dedup {
     // min): leaves point at their root, roots label themselves
     val labels = edges.select(col("v").as("doc_id"), col("u").as("cluster_id"))
       .unionByName(edges.select(col("u").as("doc_id"), col("u").as("cluster_id")).distinct())
-    val out =
-      if (!materialize) labels
-      else {
-        val persisted = cache.register(labels)
-        persisted.count() // materialize before the checkpoint files vanish
-        persisted
-      }
-    (out, rounds)
+    (labels, rounds)
   }
 
   /** Symmetric adjacency of a canonical edge set: one (u, v) row per
