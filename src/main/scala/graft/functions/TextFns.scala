@@ -66,6 +66,25 @@ object TextFns {
   /** Languages in a fixed tie-break order (argmax is deterministic). */
   val langOrder: Seq[String] = Seq("en", "de", "es", "fr", "zh")
 
+  /** English-stopword hit ratio of the token stream. */
+  def stopRatio(text: Column): Column =
+    tokenSetCount(text, stopwords("en")).cast("double") / size(tokens(text)).cast("double")
+
+  /** Type-token ratio (distinct / total tokens) — repetition proxy. */
+  def typeTokenRatio(text: Column): Column =
+    size(distinctTokens(text)).cast("double") / size(tokens(text)).cast("double")
+
+  /** Length saturation: token count against a 100-token knee, capped at 1. */
+  def lenSaturation(text: Column): Column =
+    least(lit(1.0), size(tokens(text)).cast("double") / 100.0)
+
+  /** Composite document quality score (UNROUNDED): fixed weights over
+    * [[stopRatio]] / [[typeTokenRatio]] / [[lenSaturation]] in a fixed
+    * double op order, so the oracle engine reproduces it bit-for-bit and a
+    * threshold filter on the rounded value is deterministic across engines. */
+  def qualityScore(text: Column): Column =
+    stopRatio(text) * 0.4 + typeTokenRatio(text) * 0.3 + lenSaturation(text) * 0.3
+
   /** Oracle-side (DuckDB) twin of [[bpeEstimate]] — ONE definition for the
     * three oracle queries that embed it, so the estimate can never drift
     * engine-by-engine (the rnd4/rnd4Sql pairing convention). */

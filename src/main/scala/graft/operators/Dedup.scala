@@ -75,6 +75,18 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .drop("__digest")
 
+  /** Exact-dedup SURVIVOR ROWS: each duplicate group's min-id document with
+    * all its columns — the keep side of [[exactGroups]], for pipelines that
+    * continue processing the deduplicated corpus. One shuffle, keyed on the
+    * 32-byte digest (rows ride it exactly once; no join back to the input),
+    * then a per-group rank — the same single-exchange shape as
+    * last-write-wins. */
+  def exactSurvivors(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(sha2(lower(trim(col(textCol))), 256)).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Distinct (id, shingle-hash) pairs — the shared input of the MinHash and
     * exact-Jaccard paths, derived by exploding the per-doc arrays of
     * [[shingleArrays]] so the (interpreted, higher-order) shingle generator

@@ -60,17 +60,22 @@ object TrainPrep {
     * counts come from [[TextFns.bpeEstimate]] (chars/4-ish BPE proxy);
     * swap in a real tokenizer count column when one is available. */
   def packWindows(docs: DataFrame, idCol: String, textCol: String,
-                  budgetTokens: Long, nShards: Int): DataFrame = {
+                  budgetTokens: Long, nShards: Int,
+                  carry: Seq[String] = Nil): DataFrame = {
     val shard = pmod(col(idCol), lit(nShards.toLong))
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
-      .select(col(idCol), shard.as("shard"), TextFns.bpeEstimate(col(textCol)).as("n_tokens"))
+      // slim pre-shuffle projection: the shard exchange moves three longs
+      // per doc (plus any explicitly carried narrow columns), never text
+      .select(col(idCol) +: shard.as("shard") +:
+        TextFns.bpeEstimate(col(textCol)).as("n_tokens") +: carry.map(col): _*)
       .withColumn("tok_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(col(idCol), col("shard"), col("n_tokens"),
+      .select(col(idCol) +: col("shard") +: col("n_tokens") +:
         // integer `div`, not FP `/`: exact at any running-sum magnitude
-        expr(s"tok_before div $budgetTokens").as("window_id"),
-        pmod(col("tok_before"), lit(budgetTokens)).as("window_offset"))
+        expr(s"tok_before div $budgetTokens").as("window_id") +:
+        pmod(col("tok_before"), lit(budgetTokens)).as("window_offset") +:
+        carry.map(col): _*)
       // how many windows the doc straddles (its loader must span them);
       // greatest(…,1) keeps a zero-token doc in exactly its start window
       .withColumn("n_windows",
@@ -157,5 +162,28 @@ object TrainPrep {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"),
         graft.Tables.rnd4(col("score")).as("score"))
+  }
+
+  /** End-to-end corpus preparation — the composed shape of a training-data
+    * pipeline run: exact dedup → quality gate → stratified rebalance →
+    * context-window packing, as ONE declarative plan.
+    *
+    * TWO exchanges total at any scale: the dedup digest shuffle and the
+    * packing shard shuffle. The quality gate and the sampling filter are
+    * pure per-row expressions fused into the scan/dedup stages (no
+    * Exchange), and the stratum/quality columns ride the pack shuffle as
+    * carried narrow columns — the full text never moves after the digest
+    * shuffle. The quality threshold compares the ROUNDED score
+    * ([[graft.Tables.rnd4]]), whose doubles are engine-identical, so the
+    * boundary is deterministic for the oracle. */
+  def corpusPrep(docs: DataFrame, idCol: String, textCol: String, stratumCol: String,
+                 minQuality: Double, permille: Map[String, Int], defaultPermille: Int,
+                 budgetTokens: Long, nShards: Int): DataFrame = {
+    val survivors = Dedup.exactSurvivors(docs, textCol, idCol)
+      .withColumn("quality", graft.Tables.rnd4(TextFns.qualityScore(col(textCol))))
+      .filter(col("quality") >= lit(minQuality))
+    val sampled = stratifiedSample(survivors, idCol, stratumCol, permille, defaultPermille)
+    packWindows(sampled, idCol, textCol, budgetTokens, nShards,
+      carry = Seq(stratumCol, "quality"))
   }
 }

@@ -71,19 +71,13 @@ object ExtQueries {
   /** Composite quality score: stopword ratio + type-token ratio + length
     * saturation, in fixed double arithmetic (identical op order both
     * engines). */
-  private val extQuality: Q = (s, d) => {
-    val toks = TextFns.tokens(col("text"))
-    val nTok = size(toks).cast("double")
-    val stopRatio = TextFns.tokenSetCount(col("text"), TextFns.stopwords("en")).cast("double") / nTok
-    val ttr = size(TextFns.distinctTokens(col("text"))).cast("double") / nTok
-    val lenSat = least(lit(1.0), nTok / 100.0)
+  private val extQuality: Q = (s, d) =>
     documents(s, d).select(
       col("doc_id"),
-      rnd4(stopRatio).as("stop_ratio"),
-      rnd4(ttr).as("ttr"),
-      rnd4(stopRatio * 0.4 + ttr * 0.3 + lenSat * 0.3).as("quality"))
+      rnd4(TextFns.stopRatio(col("text"))).as("stop_ratio"),
+      rnd4(TextFns.typeTokenRatio(col("text"))).as("ttr"),
+      rnd4(TextFns.qualityScore(col("text"))).as("quality"))
       .orderBy("doc_id")
-  }
 
   /** Rolling polynomial fingerprint over characters:
     * fp = fold((acc·31 + codepoint) mod P) — codegen'd ([[RollingHash]]);
@@ -232,6 +226,17 @@ object ExtQueries {
       permille = Seq(500, 900, 990))
       .orderBy("stratum", "p")
 
+  /** The composed training-data pipeline: exact dedup → quality ≥ 0.3 →
+    * stratified rebalance (en capped) → 2048-token window packing. Two
+    * exchanges end to end (see [[TrainPrep.corpusPrep]]). */
+  private val extCorpusPrep: Q = (s, d) =>
+    TrainPrep.corpusPrep(documents(s, d), "doc_id", "text", "lang",
+      minQuality = 0.3, permille = Map("en" -> 250), defaultPermille = 800,
+      budgetTokens = 2048L, nShards = 8)
+      .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"),
+        col("window_id"), col("window_offset"), col("n_windows"))
+      .orderBy("doc_id")
+
   // -- multimodal ------------------------------------------------------------
 
   /** Opaque-binary decode plumbing: typed per-row decode of the media
@@ -302,6 +307,7 @@ object ExtQueries {
     "ext_tfidf_terms" -> extTfidfTerms,
     "ext_token_quantiles" -> extTokenQuantiles,
     "ext_token_quantiles_fast" -> extTokenQuantilesFast,
+    "ext_corpus_prep" -> extCorpusPrep,
     "ext_multimodal_meta" -> extMultimodalMeta,
     "ext_multimodal_frames" -> extMultimodalFrames,
     "ext_multimodal_resize" -> extMultimodalResize,
@@ -473,6 +479,44 @@ object ExtQueries {
         |       tok_before // 2048 AS window_id, tok_before % 2048 AS window_offset,
         |       ((tok_before % 2048 + greatest(n_tokens, 1) - 1) // 2048) + 1 AS n_windows
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "ext_corpus_prep" -> {
+      val en = TextFns.stopwords("en").map(w => s"'$w'").mkString(",")
+      val qualityExpr = rnd4Sql("stop_ratio * 0.4 + ttr * 0.3 + len_sat * 0.3")
+      s"""WITH survivors AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text,
+         |           row_number() OVER (PARTITION BY sha256(lower(trim(text)))
+         |                              ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn = 1),
+         |q AS (
+         |  SELECT doc_id, lang, text,
+         |         CAST(len(list_filter(string_split(text, ' '), x -> list_contains([$en], x))) AS DOUBLE)
+         |           / len(string_split(text, ' ')) AS stop_ratio,
+         |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |           / len(string_split(text, ' ')) AS ttr,
+         |         least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) AS len_sat
+         |  FROM survivors),
+         |kept AS (
+         |  SELECT doc_id, lang, text, $qualityExpr AS quality
+         |  FROM q
+         |  WHERE $qualityExpr >= CAST(0.3 AS DOUBLE)
+         |    AND (doc_id * 2654435761 + 40503) % 1000
+         |        < CASE WHEN lang = 'en' THEN 250 ELSE 800 END),
+         |t AS (
+         |  SELECT doc_id, lang, quality, doc_id % 8 AS shard,
+         |         ${TextFns.bpeEstimateSql("text")} AS n_tokens
+         |  FROM kept),
+         |c AS (
+         |  SELECT doc_id, lang, quality, n_tokens,
+         |         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+         |  FROM t)
+         |SELECT doc_id, lang, quality, n_tokens,
+         |       tok_before // 2048 AS window_id, tok_before % 2048 AS window_offset,
+         |       ((tok_before % 2048 + greatest(n_tokens, 1) - 1) // 2048) + 1 AS n_windows
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
 
     "ext_tfidf_terms" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -81,6 +81,13 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 1, s"expected one dedup exchange:\n${p.take(2000)}")
   }
 
+  test("corpus prep composes to exactly two hash exchanges: digest and shard") {
+    val p = plan("ext_corpus_prep")
+    val shuffles = p.split("Exchange hashpartitioning").length - 1
+    assert(shuffles == 2,
+      s"dedup digest + pack shard should be the only hash exchanges:\n${p.take(2500)}")
+  }
+
   test("LSH near-dup plans with equi-joins only — no cartesian product anywhere") {
     val p = plan("ext_sim_neardup_lsh")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -114,6 +114,44 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("exactSurvivors keeps each duplicate group's min-id row with all columns") {
+    import graft.operators.Dedup
+    val d = docs(
+      (1L, "en", "same text"), (5L, "de", "same text"), (3L, "en", "Same Text  "),
+      (2L, "en", "unique a"), (4L, "fr", "unique b"),
+      (6L, "en", "same  text")) // inner double space — a DIFFERENT text
+    val got = Dedup.exactSurvivors(d, "text", "doc_id")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    // normalization is lower(trim): ids 1, 3, 5 collapse (case + trailing
+    // spaces fold); inner whitespace does not, so 6 survives
+    assert(got === Array(
+      (1L, "en", "same text"), (2L, "en", "unique a"),
+      (4L, "fr", "unique b"), (6L, "en", "same  text")))
+  }
+
+  test("corpusPrep output equals the stage-by-stage composition") {
+    import graft.operators.Dedup
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = TrainPrep.corpusPrep(d, "doc_id", "text", "lang",
+      minQuality = 0.3, permille = Map("en" -> 250), defaultPermille = 800,
+      budgetTokens = 2048L, nShards = 8)
+      .select("doc_id", "lang", "quality", "n_tokens", "window_id", "window_offset")
+      .as[(Long, String, Double, Long, Long, Long)].collect().sortBy(_._1)
+    // independent composition from the already-tested pieces
+    val kept = TrainPrep.stratifiedSample(
+      Dedup.exactSurvivors(d, "text", "doc_id")
+        .withColumn("quality", Tables.rnd4(graft.functions.TextFns.qualityScore(col("text"))))
+        .filter(col("quality") >= 0.3),
+      "doc_id", "lang", Map("en" -> 250), 800)
+    val expect = TrainPrep.packWindows(kept, "doc_id", "text", 2048L, 8,
+      carry = Seq("lang", "quality"))
+      .select("doc_id", "lang", "quality", "n_tokens", "window_id", "window_offset")
+      .as[(Long, String, Double, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.nonEmpty && got === expect)
+    // the pipeline actually filtered something at each conceptual stage
+    assert(got.length < d.count())
+  }
+
   test("codegen'd BpeCount matches the higher-order reference form") {
     import graft.functions.TextFns
     import org.apache.spark.sql.functions.col
