@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Add, Expression, ExpressionInfo, Literal, Multiply, Pmod}
 
 import graft.functions.{BpeCount, FloatDot, HashedShingles, RollingHash, SrpBandKeys}
 
@@ -17,6 +17,7 @@ import graft.functions.{BpeCount, FloatDot, HashedShingles, RollingHash, SrpBand
   *  - `hashed_shingles(string, n) → array<bigint>`
   *  - `srp_band_keys(array<float>, bands, bitsPerBand) → array<bigint>`
   *  - `bpe_count(string) → bigint`
+  *  - `sample_bucket(id) → bigint` (deterministic [0,1000) sampling bucket)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -57,6 +58,13 @@ object GraftExtensions {
     "bpe_count" -> { args: Seq[Expression] =>
       require(args.length == 1, "bpe_count(text)")
       BpeCount(args(0))
+    },
+    // composite of built-in expressions (not a codegen'd class): the same
+    // pmod(id·K + 40503, 1000) tree TrainPrep.sampleBucket builds through
+    // the Column API — ExtensionsSpec pins the two surfaces value-equal
+    "sample_bucket" -> { args: Seq[Expression] =>
+      require(args.length == 1, "sample_bucket(id)")
+      Pmod(Add(Multiply(args(0), Literal(2654435761L)), Literal(40503L)), Literal(1000L))
     })
 
   /** Register everything on an already-built session. */

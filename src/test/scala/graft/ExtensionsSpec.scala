@@ -43,5 +43,19 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT srp_band_keys(array_remove(array(cast(1.0 AS float)), cast(1.0 AS float)), 3, 4) AS r")
       .collect().head
     assert(emptyKeys.isNullAt(0))
+
+    // bpe_count: matches the Column-API estimate
+    val sqlBpe = spark.sql("SELECT bpe_count('abcd efghi') AS r").collect().head.getLong(0)
+    val colBpe = Seq("abcd efghi").toDF("t")
+      .select(graft.functions.TextFns.bpeEstimate(col("t")))
+      .as[Long].collect().head
+    assert(sqlBpe === colBpe && sqlBpe === 3L) // ceil(4/4) + ceil(5/4)
+
+    // sample_bucket: same value as the Column-API form
+    val sqlBucket = spark.sql("SELECT sample_bucket(42L) AS r").collect().head.getLong(0)
+    val colBucket = Seq(42L).toDF("id")
+      .select(graft.operators.TrainPrep.sampleBucket(col("id")))
+      .as[Long].collect().head
+    assert(sqlBucket === colBucket && sqlBucket === (42L * 2654435761L + 40503L) % 1000L)
   }
 }
