@@ -82,6 +82,20 @@ object TrainPrep {
         expr(s"((window_offset + greatest(n_tokens, 1L) - 1L) div $budgetTokens) + 1L"))
   }
 
+  /** Per-window manifest over a [[packWindows]] plan: one row per
+    * (shard, window) listing the docs that START there — the contiguous
+    * id-ordered span a loader range-scans — plus how many tokens they
+    * contribute (can exceed the budget: a straddling doc's tokens spill
+    * into the following windows, which is what `n_windows` flags).
+    *
+    * One additional exchange on (shard, window_id) after the pack shuffle;
+    * all-integer aggregates, so the manifest is engine-exact. */
+  def packManifest(packed: DataFrame, idCol: String): DataFrame =
+    packed.groupBy(col("shard"), col("window_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"),
+        sum(col("n_tokens")).as("n_tokens"))
+
   /** Exact per-stratum token-count quantiles (corpus length profiling — the
     * stat that drives window budgets and truncation policy). Type-1
     * (lower-value) quantile: the value at 1-indexed rank ⌈p·n⌉ of the

@@ -117,6 +117,20 @@ object ExtQueries {
       Dedup.ngramJaccard(documents(s, d), "text", "doc_id", n = 3, threshold = 0.5))
       .orderBy("doc_id")
 
+  /** The keep side of near-dup dedup: every document except non-canonical
+    * cluster members — what actually flows downstream once the
+    * [[extDedupCluster]] labels are applied. The drop list (cluster members
+    * other than the min-id survivor) is tiny relative to the corpus, so the
+    * anti join broadcasts at any scale. */
+  private val extDedupKeep: Q = (s, d) => {
+    val labels = Dedup.duplicateClusters(
+      Dedup.ngramJaccard(documents(s, d), "text", "doc_id", n = 3, threshold = 0.5))
+    val drop = labels.filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+    documents(s, d).join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** Train/eval contamination detection: near-duplicate pairs that CROSS
     * `source` boundaries — the leakage check a training pipeline runs
     * between its corpus slices (pretraining shard vs held-out eval set).
@@ -168,6 +182,19 @@ object ExtQueries {
     Knn.cosineNearDup(embeddings(s, d).filter(col("label") === 0),
       "vec_id", "embedding", threshold = 0.3)
       .orderBy("id_a", "id_b")
+
+  /** Semantic duplicate clusters: embedding-cosine near-dup pairs (LSH
+    * candidate path) → connected components — the embedding-space analog of
+    * `ext_dedup_cluster`, labelling every semantically-duplicated vector
+    * with its cluster's canonical min id. Pure composition of two verified
+    * scale paths. */
+  private val extSimCluster: Q = (s, d) =>
+    Dedup.duplicateClusters(
+      Knn.cosineNearDupLsh(embeddings(s, d).filter(col("label") === 0),
+        "vec_id", "embedding", threshold = 0.3, bands = 16, bitsPerBand = 2)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      .withColumnRenamed("doc_id", "vec_id")
+      .orderBy("vec_id")
 
   /** LSH-banded near-dup — candidates from (band, key) collisions instead of
     * the O(n²) cross join, exact-cosine verified. 16 bands × 2 bits holds
@@ -225,6 +252,15 @@ object ExtQueries {
     TrainPrep.tokenQuantilesSketch(documents(s, d), "lang", "text",
       permille = Seq(500, 900, 990))
       .orderBy("stratum", "p")
+
+  /** Loader-facing window manifest over the packing plan: which docs start
+    * in each (shard, window), as a contiguous id span, and their token
+    * contribution. One exchange beyond the pack shuffle. */
+  private val extPackManifest: Q = (s, d) =>
+    TrainPrep.packManifest(
+      TrainPrep.packWindows(documents(s, d), "doc_id", "text",
+        budgetTokens = 2048L, nShards = 8), "doc_id")
+      .orderBy("shard", "window_id")
 
   /** The composed training-data pipeline: exact dedup → quality ≥ 0.3 →
     * stratified rebalance (en capped) → 2048-token window packing. Two
@@ -296,18 +332,21 @@ object ExtQueries {
     "ext_dedup_minhash" -> extDedupMinhash,
     "ext_dedup_simhash" -> extDedupSimhash,
     "ext_dedup_cluster" -> extDedupCluster,
+    "ext_dedup_keep" -> extDedupKeep,
     "ext_contamination" -> extContamination,
     "ext_sim_knn" -> extSimKnn,
     "ext_sim_knn_lsh" -> extSimKnnLsh,
     "ext_sim_knn_ivf" -> extSimKnnIvf,
     "ext_sim_neardup" -> extSimNeardup,
     "ext_sim_neardup_lsh" -> extSimNeardupLsh,
+    "ext_sim_cluster" -> extSimCluster,
     "ext_sample_stratified" -> extSampleStratified,
     "ext_pack_windows" -> extPackWindows,
     "ext_tfidf_terms" -> extTfidfTerms,
     "ext_token_quantiles" -> extTokenQuantiles,
     "ext_token_quantiles_fast" -> extTokenQuantilesFast,
     "ext_corpus_prep" -> extCorpusPrep,
+    "ext_pack_manifest" -> extPackManifest,
     "ext_multimodal_meta" -> extMultimodalMeta,
     "ext_multimodal_frames" -> extMultimodalFrames,
     "ext_multimodal_resize" -> extMultimodalResize,
@@ -441,6 +480,20 @@ object ExtQueries {
          |SELECT id AS doc_id, min(label) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
+    "ext_dedup_keep" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardSql),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM e),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.u, r.label FROM e JOIN reach r ON e.v = r.id)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE d.doc_id NOT IN (
+         |  SELECT id FROM reach GROUP BY id HAVING id <> min(label))
+         |ORDER BY d.doc_id""".stripMargin,
+
     "ext_sim_knn" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
          |scored AS (
@@ -457,6 +510,20 @@ object ExtQueries {
 
     "ext_sim_neardup" -> neardupSql,
     "ext_sim_neardup_lsh" -> neardupSql,
+
+    // transitive closure of the cosine ≥ 0.3 pair graph (same recursive-CTE
+    // shape as ext_dedup_cluster, over the embedding near-dup pairs)
+    "ext_sim_cluster" ->
+      s"""WITH RECURSIVE pairs AS ($neardupSql),
+         |g AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM g),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT g.u, r.label FROM g JOIN reach r ON g.v = r.id)
+         |SELECT id AS vec_id, min(label) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
 
     "ext_sample_stratified" ->
       """SELECT doc_id, lang, (doc_id * 2654435761 + 40503) % 1000 AS bucket
@@ -479,6 +546,21 @@ object ExtQueries {
         |       tok_before // 2048 AS window_id, tok_before % 2048 AS window_offset,
         |       ((tok_before % 2048 + greatest(n_tokens, 1) - 1) // 2048) + 1 AS n_windows
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "ext_pack_manifest" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         ${TextFns.bpeEstimateSql("text")} AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+        |  FROM t)
+        |SELECT shard, tok_before // 2048 AS window_id, count(*) AS n_docs,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |       sum(n_tokens) AS n_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY shard, window_id""".stripMargin,
 
     "ext_corpus_prep" -> {
       val en = TextFns.stopwords("en").map(w => s"'$w'").mkString(",")
