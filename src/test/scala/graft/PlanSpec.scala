@@ -81,6 +81,12 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 1, s"expected one dedup exchange:\n${p.take(2000)}")
   }
 
+  test("dedup keep anti-joins the corpus against a broadcast drop list") {
+    val p = plan("ext_dedup_keep")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"drop list should broadcast, corpus side must not shuffle:\n${p.take(2000)}")
+  }
+
   test("corpus prep composes to exactly two hash exchanges: digest and shard") {
     val p = plan("ext_corpus_prep")
     val shuffles = p.split("Exchange hashpartitioning").length - 1
