@@ -114,6 +114,26 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("packManifest exactly tiles the packing plan") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val packed = TrainPrep.packWindows(d, "doc_id", "text", budgetTokens = 512L, nShards = 4)
+    val man = TrainPrep.packManifest(packed, "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val rows = packed.select("doc_id", "n_tokens").as[(Long, Long)].collect()
+    assert(man.length > 4, "budget should split each shard into several windows")
+    // every doc is counted in exactly one window; token mass is preserved
+    assert(man.map(_._3).sum === rows.length.toLong)
+    assert(man.map(_._6).sum === rows.map(_._2).sum)
+    // within a shard, windows cover disjoint ascending id spans
+    man.groupBy(_._1).foreach { case (shard, ws) =>
+      ws.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 < b._4, s"shard $shard: window spans overlap ($a then $b)")
+        case _ =>
+      }
+    }
+  }
+
   test("exactSurvivors keeps each duplicate group's min-id row with all columns") {
     import graft.operators.Dedup
     val d = docs(
