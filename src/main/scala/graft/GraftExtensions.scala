@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Add, Expression, ExpressionInfo, Literal, Multiply, Pmod}
+import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Expression, ExpressionInfo, Literal, Multiply, Pmod}
+import org.apache.spark.sql.types.LongType
 
 import graft.functions.{BpeCount, FloatDot, HashedShingles, RollingHash, SrpBandKeys}
 
@@ -61,10 +62,13 @@ object GraftExtensions {
     },
     // composite of built-in expressions (not a codegen'd class): the same
     // pmod(id·K + 40503, 1000) tree TrainPrep.sampleBucket builds through
-    // the Column API — ExtensionsSpec pins the two surfaces value-equal
+    // the Column API — ExtensionsSpec pins the two surfaces value-equal.
+    // The leading cast pins the documented bigint result for any integral
+    // input (a fractional id is a caller bug; ANSI faults overflow)
     "sample_bucket" -> { args: Seq[Expression] =>
       require(args.length == 1, "sample_bucket(id)")
-      Pmod(Add(Multiply(args(0), Literal(2654435761L)), Literal(40503L)), Literal(1000L))
+      Pmod(Add(Multiply(Cast(args(0), LongType), Literal(2654435761L)), Literal(40503L)),
+        Literal(1000L))
     })
 
   /** Register everything on an already-built session. */

@@ -18,6 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * 100 TB it is the single hottest scalar in the engine.
   */
 case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"hashed_shingles expects string, got $t")
+    }
+  }
   require(n >= 1, s"shingle size must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
@@ -14,6 +15,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * character. */
 case class RollingHash(child: Expression, mult: Long, modulus: Long)
   extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"rolling_hash expects string, got $t")
+  }
 
   override def dataType: DataType = LongType
 
@@ -57,6 +63,11 @@ case class RollingHash(child: Expression, mult: Long, modulus: Long)
   * interpreted lambda chain per token. */
 case class TokenSetCount(child: Expression, words: Seq[String])
   extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"token_set_count expects string, got $t")
+  }
 
   override def dataType: DataType = LongType
 
@@ -116,6 +127,11 @@ case class TokenSetCount(child: Expression, words: Seq[String])
   * interpreted HOF materializes the token array and walks ~4 expression
   * nodes per token, on the hot path of four queries. */
 case class BpeCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"bpe_count expects string, got $t")
+  }
 
   override def dataType: DataType = LongType
 

@@ -62,6 +62,10 @@ object TrainPrep {
   def packWindows(docs: DataFrame, idCol: String, textCol: String,
                   budgetTokens: Long, nShards: Int,
                   carry: Seq[String] = Nil): DataFrame = {
+    val generated = Set("shard", "n_tokens", "tok_before", "window_id", "window_offset",
+      "n_windows", idCol)
+    require(carry.forall(!generated(_)),
+      s"carry columns ${carry.filter(generated)} collide with packing's generated names")
     val shard = pmod(col(idCol), lit(nShards.toLong))
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -392,6 +392,51 @@ object ExtQueries {
        |WHERE ${cosSql("a.emb", "b.emb")} >= 0.3
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Deterministic sampling bucket — oracle twin of
+    * [[TrainPrep.sampleBucket]], ONE definition for every oracle that
+    * filters or reports it. */
+  private val bucketSql = "(doc_id * 2654435761 + 40503) % 1000"
+
+  /** Packing-plan CTEs (`t`: shard + token estimate, `c`: running sum) over
+    * `from` — ONE definition for the three packing oracles, mirroring
+    * [[TrainPrep.packWindows]]. `carryCols` is a trailing-comma column list
+    * that rides through both CTEs (e.g. `"lang, quality,"`). */
+  private def packSqlCte(from: String, carryCols: String = ""): String =
+    s"""t AS (
+       |  SELECT doc_id, $carryCols doc_id % 8 AS shard,
+       |         ${TextFns.bpeEstimateSql("text")} AS n_tokens
+       |  FROM $from),
+       |c AS (
+       |  SELECT doc_id, $carryCols shard, n_tokens,
+       |         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+       |  FROM t)""".stripMargin
+
+  /** Per-doc window columns off the running sum — [[TrainPrep.packWindows]]'s
+    * window_id / window_offset / n_windows integer arithmetic. */
+  private val packColsSql =
+    """tok_before // 2048 AS window_id, tok_before % 2048 AS window_offset,
+      |       ((tok_before % 2048 + greatest(n_tokens, 1) - 1) // 2048) + 1 AS n_windows""".stripMargin
+
+  /** Quality components (stop_ratio / ttr / len_sat) over `from` — ONE
+    * definition for the quality-score oracle and the corpus-prep gate,
+    * mirroring the [[TextFns]] component helpers. */
+  private def qualitySqlCte(from: String, carryCols: String = ""): String = {
+    val en = TextFns.stopwords("en").map(w => s"'$w'").mkString(",")
+    s"""q AS (
+       |  SELECT doc_id, $carryCols
+       |         CAST(len(list_filter(string_split(text, ' '), x -> list_contains([$en], x))) AS DOUBLE)
+       |           / len(string_split(text, ' ')) AS stop_ratio,
+       |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |           / len(string_split(text, ' ')) AS ttr,
+       |         least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) AS len_sat
+       |  FROM $from)""".stripMargin
+  }
+
+  /** The weighted quality score over [[qualitySqlCte]]'s components —
+    * oracle twin of [[TextFns.qualityScore]] (fixed op order). */
+  private val qualitySql = rnd4Sql("stop_ratio * 0.4 + ttr * 0.3 + len_sat * 0.3")
+
   val oracle: Map[String, String] = Map(
     "ext_text_stats" ->
       s"""SELECT doc_id,
@@ -428,20 +473,11 @@ object ExtQueries {
          |FROM g ORDER BY doc_id""".stripMargin
     },
 
-    "ext_quality_score" -> {
-      val en = TextFns.stopwords("en").map(w => s"'$w'").mkString(",")
-      s"""WITH q AS (
-         |  SELECT doc_id,
-         |         CAST(len(list_filter(string_split(text, ' '), x -> list_contains([$en], x))) AS DOUBLE)
-         |           / len(string_split(text, ' ')) AS stop_ratio,
-         |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-         |           / len(string_split(text, ' ')) AS ttr,
-         |         least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) AS len_sat
-         |  FROM documents)
+    "ext_quality_score" ->
+      s"""WITH ${qualitySqlCte("documents")}
          |SELECT doc_id, ${rnd4Sql("stop_ratio")} AS stop_ratio, ${rnd4Sql("ttr")} AS ttr,
-         |       ${rnd4Sql("stop_ratio * 0.4 + ttr * 0.3 + len_sat * 0.3")} AS quality
-         |FROM q ORDER BY doc_id""".stripMargin
-    },
+         |       $qualitySql AS quality
+         |FROM q ORDER BY doc_id""".stripMargin,
 
     "ext_fingerprint" ->
       s"""SELECT doc_id,
@@ -526,79 +562,41 @@ object ExtQueries {
          |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
 
     "ext_sample_stratified" ->
-      """SELECT doc_id, lang, (doc_id * 2654435761 + 40503) % 1000 AS bucket
+      s"""SELECT doc_id, lang, $bucketSql AS bucket
         |FROM documents
-        |WHERE (doc_id * 2654435761 + 40503) % 1000
-        |      < CASE WHEN lang = 'en' THEN 250 ELSE 800 END
+        |WHERE $bucketSql < CASE WHEN lang = 'en' THEN 250 ELSE 800 END
         |ORDER BY doc_id""".stripMargin,
 
     "ext_pack_windows" ->
-      s"""WITH t AS (
-        |  SELECT doc_id, doc_id % 8 AS shard,
-        |         ${TextFns.bpeEstimateSql("text")} AS n_tokens
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, shard, n_tokens,
-        |         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
-        |  FROM t)
+      s"""WITH ${packSqlCte("documents")}
         |SELECT doc_id, shard, n_tokens,
-        |       tok_before // 2048 AS window_id, tok_before % 2048 AS window_offset,
-        |       ((tok_before % 2048 + greatest(n_tokens, 1) - 1) // 2048) + 1 AS n_windows
+        |       $packColsSql
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "ext_pack_manifest" ->
-      s"""WITH t AS (
-        |  SELECT doc_id, doc_id % 8 AS shard,
-        |         ${TextFns.bpeEstimateSql("text")} AS n_tokens
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, shard, n_tokens,
-        |         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
-        |  FROM t)
+      s"""WITH ${packSqlCte("documents")}
         |SELECT shard, tok_before // 2048 AS window_id, count(*) AS n_docs,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
         |       sum(n_tokens) AS n_tokens
         |FROM c GROUP BY 1, 2 ORDER BY shard, window_id""".stripMargin,
 
-    "ext_corpus_prep" -> {
-      val en = TextFns.stopwords("en").map(w => s"'$w'").mkString(",")
-      val qualityExpr = rnd4Sql("stop_ratio * 0.4 + ttr * 0.3 + len_sat * 0.3")
+    "ext_corpus_prep" ->
       s"""WITH survivors AS (
          |  SELECT doc_id, lang, text FROM (
          |    SELECT doc_id, lang, text,
          |           row_number() OVER (PARTITION BY sha256(lower(trim(text)))
          |                              ORDER BY doc_id) AS rn
          |    FROM documents) WHERE rn = 1),
-         |q AS (
-         |  SELECT doc_id, lang, text,
-         |         CAST(len(list_filter(string_split(text, ' '), x -> list_contains([$en], x))) AS DOUBLE)
-         |           / len(string_split(text, ' ')) AS stop_ratio,
-         |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-         |           / len(string_split(text, ' ')) AS ttr,
-         |         least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) AS len_sat
-         |  FROM survivors),
+         |${qualitySqlCte("survivors", "lang, text,")},
          |kept AS (
-         |  SELECT doc_id, lang, text, $qualityExpr AS quality
+         |  SELECT doc_id, lang, text, $qualitySql AS quality
          |  FROM q
-         |  WHERE $qualityExpr >= CAST(0.3 AS DOUBLE)
-         |    AND (doc_id * 2654435761 + 40503) % 1000
-         |        < CASE WHEN lang = 'en' THEN 250 ELSE 800 END),
-         |t AS (
-         |  SELECT doc_id, lang, quality, doc_id % 8 AS shard,
-         |         ${TextFns.bpeEstimateSql("text")} AS n_tokens
-         |  FROM kept),
-         |c AS (
-         |  SELECT doc_id, lang, quality, n_tokens,
-         |         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
-         |  FROM t)
+         |  WHERE $qualitySql >= CAST(0.3 AS DOUBLE)
+         |    AND $bucketSql < CASE WHEN lang = 'en' THEN 250 ELSE 800 END),
+         |${packSqlCte("kept", "lang, quality,")}
          |SELECT doc_id, lang, quality, n_tokens,
-         |       tok_before // 2048 AS window_id, tok_before % 2048 AS window_offset,
-         |       ((tok_before % 2048 + greatest(n_tokens, 1) - 1) // 2048) + 1 AS n_windows
-         |FROM c ORDER BY doc_id""".stripMargin
-    },
+         |       $packColsSql
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "ext_tfidf_terms" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -68,6 +68,17 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= 8, s"took $rounds rounds for a $n-node chain (diameter ${n - 1})")
   }
 
+  test("clusterRounds leaves no persisted blocks once its handle is drained") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val h = new Dedup.CacheHandle
+    val (labels, _) = Dedup.clusterRounds(pairs, h)
+    labels.count()
+    h.release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"round blocks survived handle release: $leaked")
+  }
+
   test("duplicateClusters matches driver-side union-find on random graphs") {
     val rnd = new scala.util.Random(5)
     (0 until 3).foreach { trial =>
