@@ -296,6 +296,17 @@ object Dedup {
                                 release: DataFrame => Unit,
                                 cache: CacheHandle,
                                 materialize: Boolean): (DataFrame, Int) = {
+    // Set fingerprint for convergence: (count, XOR of per-edge xxhash64).
+    // Both sets are canonical and distinct, so equal count + equal XOR fold
+    // ⇒ equal sets up to a 2⁻⁶⁴ hash-cancellation (the same hash-identity
+    // standard the shingle pipeline documents; a false stop would also have
+    // to strike exactly at the fixpoint's neighbourhood to alter labels).
+    // ONE map-side-combined aggregate job per round, against the count +
+    // two-shuffle `except` of the set-difference form.
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     // canonical undirected edge set: (u, v) with u < v, distinct
     var edges = cut(
       pairs
@@ -303,21 +314,17 @@ object Dedup {
           greatest(col("doc_a"), col("doc_b")).as("v"))
         .filter(col("u") =!= col("v"))
         .distinct())
-    var edgeCount = edges.count()
+    var fp = fingerprint(edges)
     var rounds = 0
-    var converged = edgeCount == 0
+    var converged = fp._1 == 0L
     while (!converged) {
       val next = cut(smallStar(largeStar(edges)))
       rounds += 1
-      // set equality of two distinct canonical sets (count + one-sided
-      // except); the previous round's count is reused, so convergence
-      // costs one count + one except per round, both over the
-      // just-cut edge sets, not the round's full pipeline
-      val nextCount = next.count()
-      converged = nextCount == edgeCount && next.except(edges).isEmpty
+      val nextFp = fingerprint(next)
+      converged = nextFp == fp
       release(edges) // the check was this frame's last reader
       edges = next
-      edgeCount = nextCount
+      fp = nextFp
     }
     // at the fixpoint the edge set is disjoint stars (root = component
     // min): leaves point at their root, roots label themselves
