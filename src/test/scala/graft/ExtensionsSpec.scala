@@ -58,4 +58,13 @@ class ExtensionsSpec extends SparkSpec {
       .as[Long].collect().head
     assert(sqlBucket === colBucket && sqlBucket === (42L * 2654435761L + 40503L) % 1000L)
   }
+
+  test("wrong-typed SQL calls fail at analysis time, not mid-job") {
+    GraftExtensions.registerAll(spark)
+    import org.apache.spark.sql.AnalysisException
+    intercept[AnalysisException] { spark.sql("SELECT bpe_count(123)").collect() }
+    intercept[AnalysisException] { spark.sql("SELECT rolling_hash(1.5)").collect() }
+    intercept[AnalysisException] { spark.sql("SELECT hashed_shingles(1, 3)").collect() }
+    intercept[AnalysisException] { spark.sql("SELECT float_dot(array(1L), array(2L))").collect() }
+  }
 }

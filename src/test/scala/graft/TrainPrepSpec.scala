@@ -114,6 +114,15 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("packWindows rejects carry names that collide with its generated columns") {
+    val d = docs((1L, "en", "a"))
+    val e = intercept[IllegalArgumentException] {
+      TrainPrep.packWindows(d, "doc_id", "text", budgetTokens = 10L, nShards = 2,
+        carry = Seq("window_id"))
+    }
+    assert(e.getMessage.contains("window_id"))
+  }
+
   test("packManifest exactly tiles the packing plan") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
     val packed = TrainPrep.packWindows(d, "doc_id", "text", budgetTokens = 512L, nShards = 4)
