@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Expression, ExpressionInfo, Literal, Multiply, Pmod}
+import org.apache.spark.sql.catalyst.expressions.{Add, And, Cast, CreateMap, Expression, ExpressionInfo, GreaterThanOrEqual, If, LessThanOrEqual, Literal, Multiply, Pmod, RaiseError}
 import org.apache.spark.sql.types.LongType
 
 import graft.functions.{BpeCount, FloatDot, HashedShingles, RollingHash, SrpBandKeys}
@@ -61,13 +61,24 @@ object GraftExtensions {
       BpeCount(args(0))
     },
     // composite of built-in expressions (not a codegen'd class): the same
-    // pmod(id·K + 40503, 1000) tree TrainPrep.sampleBucket builds through
-    // the Column API — ExtensionsSpec pins the two surfaces value-equal.
-    // The leading cast pins the documented bigint result for any integral
-    // input (a fractional id is a caller bug; ANSI faults overflow)
+    // guarded pmod(id·K + 40503, 1000) tree TrainPrep.sampleBucket builds
+    // through the Column API — ExtensionsSpec pins the two surfaces
+    // value-equal in-domain and both faulting out-of-domain. The leading
+    // cast pins the documented bigint result for any integral input (a
+    // fractional id is a caller bug); ids beyond MaxSafeSampleId raise
+    // instead of silently wrapping the 64-bit product.
     "sample_bucket" -> { args: Seq[Expression] =>
       require(args.length == 1, "sample_bucket(id)")
-      Pmod(Add(Multiply(Cast(args(0), LongType), Literal(2654435761L)), Literal(40503L)),
+      val id = Cast(args(0), LongType)
+      val inDomain = And(GreaterThanOrEqual(id, Literal(0L)),
+        LessThanOrEqual(id, Literal(graft.operators.TrainPrep.MaxSafeSampleId)))
+      // raise_error's tree shape, but typed LongType so If's branches agree
+      val raise = RaiseError(Literal("USER_RAISED_EXCEPTION"),
+        CreateMap(Seq(Literal("errorMessage"),
+          Literal(s"sample_bucket: id outside [0, ${graft.operators.TrainPrep.MaxSafeSampleId}] " +
+            "overflows the 64-bit product; use pmod(xxhash64(id), 1000) for wide ids"))),
+        LongType)
+      Pmod(Add(Multiply(If(inDomain, id, raise), Literal(2654435761L)), Literal(40503L)),
         Literal(1000L))
     })
 

@@ -303,6 +303,12 @@ object Dedup {
     // to strike exactly at the fixpoint's neighbourhood to alter labels).
     // ONE map-side-combined aggregate job per round, against the count +
     // two-shuffle `except` of the set-difference form.
+    //
+    // PRECONDITION: `df` must be duplicate-free. XOR cancels pairwise, so on
+    // a multiset a repeated edge vanishes from the fold and the check decays
+    // to a far weaker multiset comparison WITHOUT any test failing. This
+    // holds today because the initial canonicalization and both smallStar
+    // and largeStar end in .distinct() — keep that invariant if editing them.
     def fingerprint(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))

@@ -21,14 +21,27 @@ object TrainPrep {
     * whose low decimal digits decorrelate from sequential ids. */
   private val KnuthMult = 2654435761L
 
+  /** Largest id whose `id·K + 40503` product stays inside a signed 64-bit
+    * long (≈ 3.47e9) — the domain [[sampleBucket]] enforces. */
+  val MaxSafeSampleId: Long = (Long.MaxValue - 40503L) / KnuthMult
+
   /** Deterministic per-row sampling bucket in [0, 1000): a multiplicative
     * hash of the id, NOT `rand()` — reruns, retries, and the DuckDB oracle
     * all see the same sample, which is what makes a training mix
-    * reproducible. Expressible in ANSI SQL (the oracle requirement); on ids
-    * wide enough to overflow the 64-bit product (beyond ~2⁶³/2³² ≈ 2³¹),
-    * swap in `xxhash64(id)` — same shape, same cost, no oracle. */
-  def sampleBucket(id: Column): Column =
-    pmod(id * KnuthMult + 40503L, lit(1000L))
+    * reproducible. Expressible in ANSI SQL (the oracle requirement).
+    *
+    * Ids outside [0, [[MaxSafeSampleId]]] FAIL the job instead of silently
+    * wrapping (non-ANSI Spark wraps the 64-bit product, ANSI mode and the
+    * DuckDB oracle fault — a silent sample divergence either way). For
+    * wider id domains swap in `pmod(xxhash64(id), 1000)` — same shape,
+    * same cost, no ANSI-SQL oracle. */
+  def sampleBucket(id: Column): Column = {
+    val guarded = when(id.between(0L, MaxSafeSampleId), id).otherwise(raise_error(
+      concat(lit(s"sampleBucket: id outside [0, $MaxSafeSampleId] overflows the " +
+        "64-bit product; use pmod(xxhash64(id), 1000) for wide ids. id="),
+        id.cast("string"))))
+    pmod(guarded * KnuthMult + 40503L, lit(1000L))
+  }
 
   /** Stratified downsampling: keep a row iff its [[sampleBucket]] falls
     * under its stratum's permille rate — the classic training-mix rebalance
@@ -38,6 +51,10 @@ object TrainPrep {
     * reruns never churn the sample. */
   def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
                        permille: Map[String, Int], defaultPermille: Int): DataFrame = {
+    // mirror packWindows' collision guard: a caller's real `bucket` column
+    // would be silently clobbered by the generated one otherwise
+    require(!docs.columns.contains("bucket"),
+      "stratifiedSample generates a `bucket` column; rename the input's")
     val rate = permille.toSeq.sortBy(_._1).foldLeft(lit(defaultPermille)) {
       case (acc, (stratum, p)) => when(col(stratumCol) === stratum, p).otherwise(acc)
     }
@@ -57,11 +74,14 @@ object TrainPrep {
     * pick shards ≈ executors·4 so each within-shard sort fits one task;
     * windows never span shards, so shards are independently packable and
     * the plan is embarrassingly parallel after the one exchange. Token
-    * counts come from [[TextFns.bpeEstimate]] (chars/4-ish BPE proxy);
-    * swap in a real tokenizer count column when one is available. */
+    * counts come from `tokenCount` — default [[TextFns.bpeEstimate]]
+    * (chars/4-ish BPE proxy, the oracle-expressible form); pass a real
+    * tokenizer's count column (must be BIGINT, ≥ 0) to repack on true
+    * lengths without touching the plan shape. */
   def packWindows(docs: DataFrame, idCol: String, textCol: String,
                   budgetTokens: Long, nShards: Int,
-                  carry: Seq[String] = Nil): DataFrame = {
+                  carry: Seq[String] = Nil,
+                  tokenCount: Column => Column = TextFns.bpeEstimate): DataFrame = {
     val generated = Set("shard", "n_tokens", "tok_before", "window_id", "window_offset",
       "n_windows", idCol)
     require(carry.forall(!generated(_)),
@@ -73,7 +93,7 @@ object TrainPrep {
       // slim pre-shuffle projection: the shard exchange moves three longs
       // per doc (plus any explicitly carried narrow columns), never text
       .select(col(idCol) +: shard.as("shard") +:
-        TextFns.bpeEstimate(col(textCol)).as("n_tokens") +: carry.map(col): _*)
+        tokenCount(col(textCol)).as("n_tokens") +: carry.map(col): _*)
       .withColumn("tok_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col(idCol) +: col("shard") +: col("n_tokens") +:
         // integer `div`, not FP `/`: exact at any running-sum magnitude
@@ -115,10 +135,11 @@ object TrainPrep {
     * `approx_percentile` instead and keep this as the exact contract
     * check on samples. */
   def tokenQuantiles(docs: DataFrame, stratumCol: String, textCol: String,
-                     permille: Seq[Int]): DataFrame = {
+                     permille: Seq[Int],
+                     tokenCount: Column => Column = TextFns.bpeEstimate): DataFrame = {
     val byStratum = Window.partitionBy(col("stratum"))
     docs
-      .select(col(stratumCol).as("stratum"), TextFns.bpeEstimate(col(textCol)).as("n_tokens"))
+      .select(col(stratumCol).as("stratum"), tokenCount(col(textCol)).as("n_tokens"))
       .withColumn("rn", row_number().over(byStratum.orderBy(col("n_tokens"))).cast("long"))
       .withColumn("n_docs", count(lit(1)).over(byStratum))
       .withColumn("p", explode(array(permille.map(p => lit(p.toLong)): _*)))
@@ -135,10 +156,11 @@ object TrainPrep {
     * scheduling, so outputs are rows-only for the oracle gate; the spec
     * pins a rank-tolerance contract against the exact form instead. */
   def tokenQuantilesSketch(docs: DataFrame, stratumCol: String, textCol: String,
-                           permille: Seq[Int], accuracy: Int = 10000): DataFrame = {
+                           permille: Seq[Int], accuracy: Int = 10000,
+                           tokenCount: Column => Column = TextFns.bpeEstimate): DataFrame = {
     val ps = permille.map(p => lit(p / 1000.0))
     docs
-      .select(col(stratumCol).as("stratum"), TextFns.bpeEstimate(col(textCol)).as("n_tokens"))
+      .select(col(stratumCol).as("stratum"), tokenCount(col(textCol)).as("n_tokens"))
       .groupBy(col("stratum"))
       .agg(percentile_approx(col("n_tokens"), array(ps: _*), lit(accuracy)).as("qs"))
       .select(col("stratum"), posexplode(col("qs")).as(Seq("idx", "q_tokens")))
@@ -196,12 +218,14 @@ object TrainPrep {
     * boundary is deterministic for the oracle. */
   def corpusPrep(docs: DataFrame, idCol: String, textCol: String, stratumCol: String,
                  minQuality: Double, permille: Map[String, Int], defaultPermille: Int,
-                 budgetTokens: Long, nShards: Int): DataFrame = {
+                 budgetTokens: Long, nShards: Int,
+                 tokenCount: Column => Column = TextFns.bpeEstimate): DataFrame = {
     val survivors = Dedup.exactSurvivors(docs, textCol, idCol)
       .withColumn("quality", graft.Tables.rnd4(TextFns.qualityScore(col(textCol))))
       .filter(col("quality") >= lit(minQuality))
     val sampled = stratifiedSample(survivors, idCol, stratumCol, permille, defaultPermille)
+      .drop("bucket")
     packWindows(sampled, idCol, textCol, budgetTokens, nShards,
-      carry = Seq(stratumCol, "quality"))
+      carry = Seq(stratumCol, "quality"), tokenCount = tokenCount)
   }
 }

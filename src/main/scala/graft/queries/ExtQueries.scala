@@ -408,8 +408,8 @@ object ExtQueries {
        |  FROM $from),
        |c AS (
        |  SELECT doc_id, $carryCols shard, n_tokens,
-       |         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+       |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
        |  FROM t)""".stripMargin
 
   /** Per-doc window columns off the running sum — [[TrainPrep.packWindows]]'s
@@ -577,7 +577,7 @@ object ExtQueries {
       s"""WITH ${packSqlCte("documents")}
         |SELECT shard, tok_before // 2048 AS window_id, count(*) AS n_docs,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
-        |       sum(n_tokens) AS n_tokens
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1, 2 ORDER BY shard, window_id""".stripMargin,
 
     "ext_corpus_prep" ->

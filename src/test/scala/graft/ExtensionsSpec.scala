@@ -57,6 +57,16 @@ class ExtensionsSpec extends SparkSpec {
       .select(graft.operators.TrainPrep.sampleBucket(col("id")))
       .as[Long].collect().head
     assert(sqlBucket === colBucket && sqlBucket === (42L * 2654435761L + 40503L) % 1000L)
+
+    // out-of-domain ids raise through the SQL surface too (same guard as the
+    // Column form — no silent 64-bit wrap)
+    val overflowId = graft.operators.TrainPrep.MaxSafeSampleId + 1L
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT sample_bucket(${overflowId}L)").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.toString).mkString("; ")
+    assert(msgs.contains("overflows the 64-bit product"), msgs)
   }
 
   test("wrong-typed SQL calls fail at analysis time, not mid-job") {

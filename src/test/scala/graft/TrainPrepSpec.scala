@@ -242,4 +242,46 @@ class TrainPrepSpec extends SparkSpec {
     }.toSet
     assert(got === expect)
   }
+
+  test("stratifiedSample rejects an input that already carries a bucket column") {
+    val d = docs((0L, "en", "t")).withColumn("bucket", lit(7L))
+    val e = intercept[IllegalArgumentException] {
+      TrainPrep.stratifiedSample(d, "doc_id", "lang", Map.empty, 500)
+    }
+    assert(e.getMessage.contains("bucket"))
+  }
+
+  test("sampleBucket faults on ids outside the overflow-safe domain instead of wrapping") {
+    def run(id: Long): Long =
+      Seq(id).toDF("id").select(TrainPrep.sampleBucket(col("id"))).as[Long].collect().head
+    // in-domain boundary values still compute
+    assert(run(TrainPrep.MaxSafeSampleId) ===
+      (TrainPrep.MaxSafeSampleId * 2654435761L + 40503L) % 1000L)
+    assert(run(0L) === 503L) // 40503 % 1000
+    // one past the boundary (product would wrap) and a negative id both raise
+    for (bad <- Seq(TrainPrep.MaxSafeSampleId + 1L, -1L)) {
+      val e = intercept[Exception] { run(bad) }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.toString).mkString("; ")
+      assert(msgs.contains("overflows the 64-bit product"), msgs)
+    }
+  }
+
+  test("packWindows repacks on a caller-supplied token-count column") {
+    val d = docs((0L until 12L).map(i => (i, "en", "abcdefgh " * 3)): _*)
+    // whitespace token count (3 per doc) instead of the BPE proxy (6 per doc)
+    val got = TrainPrep.packWindows(d, "doc_id", "text", budgetTokens = 5L, nShards = 1,
+      tokenCount = c => size(split(trim(c), " +")).cast("long"))
+      .select("doc_id", "n_tokens", "window_id", "window_offset")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    got.zipWithIndex.foreach { case ((id, n, window, offset), i) =>
+      assert(n === 3L, s"doc $id tokens")
+      assert(window === (3L * i) / 5L && offset === (3L * i) % 5L, s"doc $id placement")
+    }
+    // default argument stays the BPE proxy: byte-identical to the explicit form
+    val defRows = TrainPrep.packWindows(d, "doc_id", "text", 5L, 1).collect()
+    val bpeRows = TrainPrep.packWindows(d, "doc_id", "text", 5L, 1,
+      tokenCount = graft.functions.TextFns.bpeEstimate).collect()
+    assert(defRows === bpeRows)
+  }
 }

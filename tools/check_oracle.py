@@ -37,6 +37,18 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: columns exp={ecols} got={gcols}")
         fail += 1
         continue
+    # Type-strict: the driver's compare hashes typed values, so an oracle
+    # typed HUGEINT/DECIMAL against a Spark BIGINT hash-mismatches even when
+    # every value is equal (the round-7 packing regression). Both tables are
+    # fetched through DuckDB's arrow bridge, so types are directly comparable.
+    tbad = [(c, exp.schema.field(c).type, got.schema.field(c).type)
+            for c in ecols
+            if exp.schema.field(c).type != got.schema.field(c).type]
+    if tbad:
+        for c, et, gt in tbad:
+            print(f"FAIL {name}: type col={c} oracle={et} spark={gt}")
+        fail += 1
+        continue
     if exp.num_rows != got.num_rows:
         print(f"FAIL {name}: rows exp={exp.num_rows} got={got.num_rows}")
         fail += 1
