@@ -112,13 +112,25 @@ object TrainPrep {
     * contribute (can exceed the budget: a straddling doc's tokens spill
     * into the following windows, which is what `n_windows` flags).
     *
+    * Spill metadata lets a loader assemble windows WITHOUT re-deriving
+    * straddles: `spill_in` is how many of the window's leading tokens
+    * belong to a doc that started earlier (packing is contiguous, so it
+    * equals the first starting doc's offset), and `spill_out` is how many
+    * of the last doc's tokens overflow past the budget (> `budgetTokens`
+    * when the doc spans several windows — the windows in between get NO
+    * manifest row, being fully covered by the straddler; consecutive rows
+    * w < w' always satisfy `spill_out(w) = (w'-w-1)·budget + spill_in(w')`).
+    *
     * One additional exchange on (shard, window_id) after the pack shuffle;
     * all-integer aggregates, so the manifest is engine-exact. */
-  def packManifest(packed: DataFrame, idCol: String): DataFrame =
+  def packManifest(packed: DataFrame, idCol: String, budgetTokens: Long): DataFrame =
     packed.groupBy(col("shard"), col("window_id"))
       .agg(count(lit(1)).as("n_docs"),
         min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"),
-        sum(col("n_tokens")).as("n_tokens"))
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("window_offset")).as("spill_in"),
+        greatest(max(col("window_offset") + col("n_tokens")) - lit(budgetTokens), lit(0L))
+          .as("spill_out"))
 
   /** Exact per-stratum token-count quantiles (corpus length profiling — the
     * stat that drives window budgets and truncation policy). Type-1

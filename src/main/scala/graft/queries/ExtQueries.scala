@@ -170,10 +170,22 @@ object ExtQueries {
     * scored per query). Deterministic (decimal centroid sums, id tie-breaks)
     * but approximate: fixture recall ≈ 0.9 vs exact (KnnSpec pins ≥ 0.8),
     * so rows-only — no oracle entry. */
+  /** The IVF entry's index/probe contract, shared with KnnSpec's recall
+    * pin: the spec asserts THIS parameterization (not some easier one)
+    * holds a recall floor against exact knn on the fixture. `sampleN` is
+    * set so the quantizer trains on a sample smaller than the sf0.01
+    * corpus — the 100 TB shape, where training cost is corpus-independent. */
+  final val IvfK = 5
+  final val IvfCells = 16
+  final val IvfIters = 2
+  final val IvfProbe = 6
+  final val IvfSampleN = 128
+
   private val extSimKnnIvf: Q = (s, d) => {
     val emb = embeddings(s, d)
     Knn.ivfKnn(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-      k = 5, nCells = 16, iters = 2, nProbe = 6)
+      k = IvfK, nCells = IvfCells, iters = IvfIters, nProbe = IvfProbe,
+      sampleN = IvfSampleN)
       .orderBy("query_id", "rank")
   }
 
@@ -254,12 +266,14 @@ object ExtQueries {
       .orderBy("stratum", "p")
 
   /** Loader-facing window manifest over the packing plan: which docs start
-    * in each (shard, window), as a contiguous id span, and their token
-    * contribution. One exchange beyond the pack shuffle. */
+    * in each (shard, window), as a contiguous id span, their token
+    * contribution, and the spill-in/spill-out token counts that make
+    * windows assemblable without re-deriving straddles. One exchange
+    * beyond the pack shuffle. */
   private val extPackManifest: Q = (s, d) =>
     TrainPrep.packManifest(
       TrainPrep.packWindows(documents(s, d), "doc_id", "text",
-        budgetTokens = 2048L, nShards = 8), "doc_id")
+        budgetTokens = 2048L, nShards = 8), "doc_id", budgetTokens = 2048L)
       .orderBy("shard", "window_id")
 
   /** The composed training-data pipeline: exact dedup → quality ≥ 0.3 →
@@ -577,7 +591,9 @@ object ExtQueries {
       s"""WITH ${packSqlCte("documents")}
         |SELECT shard, tok_before // 2048 AS window_id, count(*) AS n_docs,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
-        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |       min(tok_before % 2048) AS spill_in,
+        |       greatest(max(tok_before % 2048 + n_tokens) - 2048, CAST(0 AS BIGINT)) AS spill_out
         |FROM c GROUP BY 1, 2 ORDER BY shard, window_id""".stripMargin,
 
     "ext_corpus_prep" ->

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.{changeLog, customer, events, fmtTs, fmtTsSql, lineitem, nation, orders, region}
-import graft.operators.{AsOf, CdcOps, RangeJoin}
+import graft.operators.{AsOf, Bucketing, CdcOps, RangeJoin, Skew}
 
 /** Relational join-strategy queries (SURVEY §2.3). The reference reconciles
   * via an N+1 `findOne` loop (`mongodb-cdc-program.js:503–505`); at table
@@ -112,13 +112,50 @@ object RelQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Hot-key fact ⋈ dim enrichment under explicit salting (§2.3 skew
+    * posture): the events fact carries only ~150 distinct user_ids, so a
+    * plain shuffle join lands each hot key's thousands of rows on ONE task;
+    * [[Skew.saltedJoin]] spreads every key over `saltFactor` tasks (fact
+    * rows salted, dim rows replicated). The oracle pins the operator's
+    * contract — row-identical to the unsalted join. */
+  private val joinSkewSalted: Q = (s, d) =>
+    Skew.saltedJoin(
+      events(s, d).select(col("event_id"), col("user_id"), col("event_type")),
+      customer(s, d).select(col("c_custkey").as("user_id"), col("c_name"), col("c_mktsegment")),
+      "user_id", saltFactor = 8)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_name"), col("c_mktsegment"))
+      .orderBy("event_id")
+
+  /** Fact ⋈ fact on identically-bucketed layouts (§4 partitioning story):
+    * both sides written `bucketBy(8, orderkey) sortBy(orderkey)`, so the
+    * join — and the per-key aggregate after it, which reuses the same
+    * partitioning — runs with no exchange on either side (BucketingSpec
+    * pins the zero-Exchange plan; this entry pins the VALUES against the
+    * plain-join oracle). The write is re-paid per invocation here; at
+    * 100 TB it is paid once at ingest and amortized over every
+    * subsequent key join. */
+  private val joinBucketed: Q = (s, d) => {
+    Bucketing.writeBucketed(orders(s, d).select(col("o_orderkey"), col("o_orderstatus")),
+      "graft_b_orders", "o_orderkey", buckets = 8)
+    Bucketing.writeBucketed(lineitem(s, d).select(col("l_orderkey")),
+      "graft_b_lineitem", "l_orderkey", buckets = 8)
+    Bucketing.bucketedJoin(s, "graft_b_orders", "graft_b_lineitem",
+      "o_orderkey", "l_orderkey")
+      .groupBy(col("o_orderkey"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "join_broadcast" -> joinBroadcast,
     "join_sortmerge" -> joinSortmerge,
     "join_antisemi" -> joinAntisemi,
     "join_post_image" -> joinPostImage,
     "join_asof" -> joinAsof,
-    "join_range" -> joinRange)
+    "join_range" -> joinRange,
+    "join_skew_salted" -> joinSkewSalted,
+    "join_bucketed" -> joinBucketed)
 
   val oracle: Map[String, String] = Map(
     "join_broadcast" ->
@@ -173,5 +210,18 @@ object RelQueries {
          |SELECT user_id, ${fmtTsSql("ts")} AS last_ts, event_type AS last_event,
          |       c_name, c_mktsegment, round(c_acctbal, 4) AS acctbal
          |FROM latest JOIN customer ON user_id = c_custkey
-         |ORDER BY user_id""".stripMargin)
+         |ORDER BY user_id""".stripMargin,
+
+    // the salted form must be row-identical to this PLAIN join — the salt
+    // is physical-execution detail the result must not reflect
+    "join_skew_salted" ->
+      """SELECT event_id, user_id, event_type, c_name, c_mktsegment
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin,
+
+    // bucketing likewise: a layout choice, not a semantic one
+    "join_bucketed" ->
+      """SELECT o_orderkey, o_orderstatus, count(*) AS n_lines
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin)
 }

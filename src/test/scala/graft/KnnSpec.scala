@@ -186,4 +186,20 @@ class KnnSpec extends SparkSpec {
     // (4*13 + i*17) % 101 / 100 for i = 0,1,2
     assert(v.toSeq === Seq(52 / 100f, 69 / 100f, 86 / 100f))
   }
+
+  test("the registered ext_sim_knn_ivf entry holds the recall floor vs exact knn") {
+    // the rows-only oracle entry, at ITS exact parameterization (IvfK/Cells/
+    // Iters/Probe/SampleN) — byte-stability alone says nothing about quality,
+    // so the contract is an explicit recall floor on the fixture
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ext_sim_knn_ivf")(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Knn.bruteForce(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding",
+      k = graft.queries.ExtQueries.IvfK)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got.size === brute.size) // k rows per query either way
+    val recall = (got & brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"entry recall $recall below floor")
+  }
 }

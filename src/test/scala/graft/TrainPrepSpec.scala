@@ -124,20 +124,32 @@ class TrainPrepSpec extends SparkSpec {
   }
 
   test("packManifest exactly tiles the packing plan") {
+    val budget = 512L
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
-    val packed = TrainPrep.packWindows(d, "doc_id", "text", budgetTokens = 512L, nShards = 4)
-    val man = TrainPrep.packManifest(packed, "doc_id")
-      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val packed = TrainPrep.packWindows(d, "doc_id", "text", budgetTokens = budget, nShards = 4)
+    val man = TrainPrep.packManifest(packed, "doc_id", budget)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
     val rows = packed.select("doc_id", "n_tokens").as[(Long, Long)].collect()
     assert(man.length > 4, "budget should split each shard into several windows")
     // every doc is counted in exactly one window; token mass is preserved
     assert(man.map(_._3).sum === rows.length.toLong)
     assert(man.map(_._6).sum === rows.map(_._2).sum)
-    // within a shard, windows cover disjoint ascending id spans
     man.groupBy(_._1).foreach { case (shard, ws) =>
-      ws.sortBy(_._2).sliding(2).foreach {
+      val sorted = ws.sortBy(_._2)
+      // a shard's first window starts clean
+      assert(sorted.head._7 === 0L, s"shard $shard: first window has spill_in")
+      sorted.foreach { w =>
+        assert(w._7 >= 0L && w._7 < budget, s"shard $shard: spill_in out of range ($w)")
+        assert(w._8 >= 0L, s"shard $shard: negative spill_out ($w)")
+      }
+      sorted.sliding(2).foreach {
+        // windows cover disjoint ascending id spans
         case Array(a, b) =>
           assert(a._5 < b._4, s"shard $shard: window spans overlap ($a then $b)")
+          // the spill chain is gapless: what window a pushes out covers the
+          // row-less windows in between plus window b's leading spill_in
+          assert(a._8 === (b._2 - a._2 - 1L) * budget + b._7,
+            s"shard $shard: spill chain broken between $a and $b")
         case _ =>
       }
     }
