@@ -24,6 +24,14 @@ import org.apache.spark.sql.SparkSession
   * totals line (`"metric":"total"`) prints LAST — tail-truncation of
   * the driver's capture can at worst lose per-query detail, never the
   * headline totals or the load bracket.
+  *
+  * Regression tracking: `bench_best_<sf>.json` (checked in, cwd-relative)
+  * carries each query's best-known warm seconds, recorded ONLY from quiet
+  * runs (load_max < 5 — the repo's comparability bar). Every run emits
+  * `"queries_best"` on the detail line and a `"regressed":[...]` list
+  * (warm > 2× best) on the totals line, so a contaminated artifact
+  * self-identifies per query instead of needing a whole-round
+  * adjudication; quiet runs fold their new minima back into the file.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -82,16 +90,44 @@ object Bench {
     val loadAfter = loadAvg()
     loadMax = math.max(loadMax, loadAfter)
 
+    // Best-known warm times for this SF (flat {"query":sec} file we write
+    // ourselves, so a regex scan is a full parser for it).
+    val bestPath = java.nio.file.Paths.get(
+      s"bench_best_${new java.io.File(sfDir).getName}.json")
+    val best: Map[String, Double] =
+      if (java.nio.file.Files.exists(bestPath))
+        """"([A-Za-z0-9_]+)":([0-9][0-9.eE+-]*)""".r
+          .findAllMatchIn(new String(java.nio.file.Files.readAllBytes(bestPath), "UTF-8"))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      else Map.empty
+    val regressed = results.collect {
+      case (name, _, warm) if best.get(name).exists(b => warm > 2 * b) => name
+    }.sorted
+    val quietRun = loadMax >= 0 && loadMax < 5.0
+    if (quietRun) {
+      val merged = results.map { case (name, _, warm) =>
+        name -> math.min(warm, best.getOrElse(name, Double.MaxValue))
+      }.toMap
+      val kept = (best ++ merged).toSeq.sortBy(_._1) // queries dropped from the suite keep their record
+      java.nio.file.Files.write(bestPath,
+        kept.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}").getBytes("UTF-8"))
+    }
+
     def obj(f: ((String, Double, Double)) => (String, Double)): String =
       results.map { r => val (k, v) = f(r); "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val cold = obj { case (k, c, _) => (k, c) }
     val warm = obj { case (k, _, w) => (k, w) }
+    val bestJson = best.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val totalWarm = results.map(_._3).sum
     // Detail line first (large; tail-truncatable), compact totals line LAST.
-    println(s"""{"metric":"bench_detail","queries":$cold,"queries_warm":$warm,"sf":"$sfDir"}""")
+    println(s"""{"metric":"bench_detail","queries":$cold,"queries_warm":$warm,""" +
+      s""""queries_best":$bestJson,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,""" +
-      s""""warmup_sec":$warmupSec,""" +
+      s""""warmup_sec":$warmupSec,"regressed":$regressedJson,""" +
       s""""load_before":$loadBefore,"load_max":$loadMax,"load_after":$loadAfter,"sf":"$sfDir"}""")
     spark.stop()
   }
