@@ -225,6 +225,14 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, cache: CacheHandle = tracked()): DataFrame =
     clusterRounds(pairs, cache)._1
 
+  /** Default [[clusterRounds]] single-task cutover: 1M canonical edges is
+    * ~tens of MB of union-find state — one task solves it in milliseconds,
+    * against rounds × job-latency for the star loop. Near-dup edge sets
+    * are tiny relative to their corpus (LSH verification prunes them), so
+    * even 100 TB corpora usually land under this; truly giant edge sets
+    * (beyond it) take the O(log n) distributed rounds. */
+  val LocalSolveMaxEdges: Long = 1000000L
+
   /** [[duplicateClusters]] plus the number of alternating rounds it took —
     * exposed so tests can pin the O(log n) convergence bound.
     *
@@ -261,7 +269,8 @@ object Dedup {
     * round's blocks are then released too — repeated Bench/Verify
     * invocations in one JVM accumulate nothing beyond the handle the
     * caller drains. */
-  def clusterRounds(pairs: DataFrame, cache: CacheHandle = tracked()): (DataFrame, Int) = {
+  def clusterRounds(pairs: DataFrame, cache: CacheHandle = tracked(),
+                    localSolveMaxEdges: Long = LocalSolveMaxEdges): (DataFrame, Int) = {
     val sc = pairs.sparkSession.sparkContext
     val localMaster = sc.master.startsWith("local")
     if (!localMaster && sc.getCheckpointDir.isEmpty)
@@ -271,12 +280,12 @@ object Dedup {
           "unrecoverable after executor loss")
     if (localMaster && sc.getCheckpointDir.isEmpty)
       clusterRoundsImpl(pairs, df => df.localCheckpoint(eager = true),
-        releaseCheckpointBlocks, cache, materialize = true)
+        releaseCheckpointBlocks, cache, materialize = true, localSolveMaxEdges)
     else
       // reliable checkpoint files belong to the admin-configured dir; the
       // labels frame stays lazy over them (nothing to release here)
       clusterRoundsImpl(pairs, df => df.checkpoint(eager = true),
-        _ => (), cache, materialize = false)
+        _ => (), cache, materialize = false, localSolveMaxEdges)
   }
 
   /** Drop the block-manager blocks behind a `localCheckpoint`ed frame (its
@@ -295,7 +304,8 @@ object Dedup {
                                 cut: DataFrame => DataFrame,
                                 release: DataFrame => Unit,
                                 cache: CacheHandle,
-                                materialize: Boolean): (DataFrame, Int) = {
+                                materialize: Boolean,
+                                localSolveMaxEdges: Long): (DataFrame, Int) = {
     // Set fingerprint for convergence: (count, XOR of per-edge xxhash64).
     // Both sets are canonical and distinct, so equal count + equal XOR fold
     // ⇒ equal sets up to a 2⁻⁶⁴ hash-cancellation (the same hash-identity
@@ -313,14 +323,34 @@ object Dedup {
       val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    // canonical undirected edge set: (u, v) with u < v, distinct
-    var edges = cut(
+    // canonical undirected edge set: (u, v) with u < v, distinct — PERSISTED
+    // (not cut): the fingerprint job materializes the blocks, so deciding
+    // between the fast path and the loop costs ONE job over the upstream
+    // pair pipeline, and both consumers below read blocks, not lineage
+    val canonical = cache.register(
       pairs
         .select(least(col("doc_a"), col("doc_b")).as("u"),
           greatest(col("doc_a"), col("doc_b")).as("v"))
         .filter(col("u") =!= col("v"))
         .distinct())
-    var fp = fingerprint(edges)
+    var fp = fingerprint(canonical)
+    // Single-task fast path: when the canonical edge set fits one task
+    // (post-LSH-verification pair sets are tiny relative to their corpus),
+    // one union-find pass replaces the whole rounds × job-latency loop —
+    // the count is already in hand from the convergence fingerprint.
+    // Returned round count is 0: no star round ran.
+    if (fp._1 > 0L && fp._1 <= localSolveMaxEdges) {
+      val labels = localLabels(canonical)
+      val out =
+        if (!materialize) labels
+        else {
+          val persisted = cache.register(labels)
+          persisted.count()
+          persisted
+        }
+      return (out, 0)
+    }
+    var edges = cut(canonical)
     var rounds = 0
     var converged = fp._1 == 0L
     while (!converged) {
@@ -345,6 +375,39 @@ object Dedup {
         persisted
       }
     (out, rounds)
+  }
+
+  /** Min-root union-find over a small canonical edge set in ONE task:
+    * coalesce to a single partition, label every node with its component
+    * minimum. Same output contract as the star fixpoint (each node exactly
+    * once, roots label themselves), and order-insensitive — attaching the
+    * larger root under the smaller makes the result a pure function of the
+    * edge SET. Memory is bounded by the caller's edge cap, not the corpus. */
+  private def localLabels(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("u"), col("v")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (u, v) =>
+          parent.getOrElseUpdate(u, u)
+          parent.getOrElseUpdate(v, v)
+          val ru = find(u); val rv = find(v)
+          if (ru < rv) parent(rv) = ru
+          else if (rv < ru) parent(ru) = rv
+        }
+        // materialize the node set BEFORE mapping: find() still compresses
+        parent.keysIterator.toArray.iterator.map(n => (n, find(n)))
+      }
+      .toDF("doc_id", "cluster_id")
   }
 
   /** Symmetric adjacency of a canonical edge set: one (u, v) row per

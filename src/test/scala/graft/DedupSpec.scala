@@ -58,25 +58,41 @@ class DedupSpec extends SparkSpec {
 
   test("duplicateClusters converges in O(log n) rounds on a long chain") {
     // path graph 1-2-…-40 (diameter 39): naive min-label propagation needs
-    // ~39 rounds; alternating large-star/small-star must stay logarithmic
+    // ~39 rounds; alternating large-star/small-star must stay logarithmic.
+    // localSolveMaxEdges = 0 forces the distributed loop — the default
+    // would solve 39 edges in the single-task fast path and test nothing.
     val n = 40
     val pairs = (1 until n).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
-    val (labels, rounds) = Dedup.clusterRounds(pairs)
+    val (labels, rounds) = Dedup.clusterRounds(pairs, localSolveMaxEdges = 0L)
     val r = labels.as[(Long, Long)].collect()
     assert(r.length === n)
     assert(r.forall(_._2 == 1L), "every chain node must label to the minimum")
+    assert(rounds >= 1, "the star loop must actually have run")
     assert(rounds <= 8, s"took $rounds rounds for a $n-node chain (diameter ${n - 1})")
   }
 
+  test("the single-task fast path solves small edge sets with zero star rounds") {
+    val n = 40
+    val pairs = (1 until n).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.clusterRounds(pairs) // default cutover: 39 edges qualify
+    assert(rounds === 0, "small set should not enter the star loop")
+    val r = labels.as[(Long, Long)].collect()
+    assert(r.length === n && r.forall(_._2 == 1L))
+  }
+
   test("clusterRounds leaves no persisted blocks once its handle is drained") {
-    val before = spark.sparkContext.getPersistentRDDs.keySet
-    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
-    val h = new Dedup.CacheHandle
-    val (labels, _) = Dedup.clusterRounds(pairs, h)
-    labels.count()
-    h.release()
-    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
-    assert(leaked.isEmpty, s"round blocks survived handle release: $leaked")
+    // both the fast path (default) and the star loop (threshold 0)
+    for (threshold <- Seq(Dedup.LocalSolveMaxEdges, 0L)) {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+      val h = new Dedup.CacheHandle
+      val (labels, _) = Dedup.clusterRounds(pairs, h, localSolveMaxEdges = threshold)
+      labels.count()
+      h.release()
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty,
+        s"round blocks survived handle release (threshold $threshold): $leaked")
+    }
   }
 
   test("duplicateClusters matches driver-side union-find on random graphs") {
@@ -94,9 +110,14 @@ class DedupSpec extends SparkSpec {
       val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct
       val minOfComponent = nodes.groupBy(id => find(id.toInt)).values
         .flatMap(comp => comp.map(_ -> comp.min)).toMap
+      // default path (single-task fast path at this size)
       val got = Dedup.duplicateClusters(edges.toDF("doc_a", "doc_b"))
         .as[(Long, Long)].collect().toMap
       assert(got === minOfComponent, s"trial $trial: ${edges.size} edges")
+      // distributed star loop must agree on the same graph
+      val gotStar = Dedup.clusterRounds(edges.toDF("doc_a", "doc_b"),
+        localSolveMaxEdges = 0L)._1.as[(Long, Long)].collect().toMap
+      assert(gotStar === minOfComponent, s"trial $trial (star loop)")
     }
   }
 
