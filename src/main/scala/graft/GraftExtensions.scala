@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, And, Cast, CreateMap, Expression, ExpressionInfo, GreaterThanOrEqual, If, LessThanOrEqual, Literal, Multiply, Pmod, RaiseError}
 import org.apache.spark.sql.types.LongType
 
-import graft.functions.{BpeCount, FloatDot, HashedShingles, RollingHash, SrpBandKeys}
+import graft.functions.{BpeCount, FloatDot, HashedShingles, RollingHash, SimHash64, SrpBandKeys}
 
 /** SQL surface for the library's codegen'd expressions. Two entry points:
   *
@@ -18,6 +18,7 @@ import graft.functions.{BpeCount, FloatDot, HashedShingles, RollingHash, SrpBand
   *  - `hashed_shingles(string, n) → array<bigint>`
   *  - `srp_band_keys(array<float>, bands, bitsPerBand) → array<bigint>`
   *  - `bpe_count(string) → bigint`
+  *  - `simhash64(string) → bigint` (64-bit distinct-token SimHash)
   *  - `sample_bucket(id) → bigint` (deterministic [0,1000) sampling bucket)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -59,6 +60,10 @@ object GraftExtensions {
     "bpe_count" -> { args: Seq[Expression] =>
       require(args.length == 1, "bpe_count(text)")
       BpeCount(args(0))
+    },
+    "simhash64" -> { args: Seq[Expression] =>
+      require(args.length == 1, "simhash64(text)")
+      SimHash64(args(0))
     },
     // composite of built-in expressions (not a codegen'd class): the same
     // guarded pmod(id·K + 40503, 1000) tree TrainPrep.sampleBucket builds

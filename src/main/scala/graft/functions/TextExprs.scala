@@ -173,3 +173,90 @@ case class BpeCount(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): BpeCount = copy(child = c)
 }
+
+/** Codegen'd 64-bit SimHash of a document: per-bit majority vote over
+  * `xxhash64(token)` (seed 42, Spark's `xxhash64`) of the DISTINCT
+  * whitespace tokens, all inside ONE row-local pass. Semantics are
+  * bit-identical to the aggregate form — explode(array_distinct(split))
+  * → groupBy(doc) → vote Aggregator (kept as the test-only semantic pin,
+  * [[graft.operators.Dedup.simhashRef]]) — because the vote is a
+  * commutative sum: token order never matters. The point of the
+  * expression form is SHAPE, not just speed: the fingerprint needs no
+  * explode fan-out and no shuffle at any corpus size, so SimHash costs
+  * exactly one corpus scan at 100 TB. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 expects string, got $t")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val seen = new java.util.HashSet[String]()
+    val votes = new Array[Int](64)
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        val tok = s.substring(start, i)
+        if (seen.add(tok)) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUTF8String(UTF8String.fromString(tok), 42L)
+          var b = 0
+          while (b < 64) {
+            votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= 1L << b; b += 1 }
+    fp
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val seen = ctx.freshName("seen")
+      val votes = ctx.freshName("votes")
+      val start = ctx.freshName("start")
+      val i = ctx.freshName("i")
+      val tok = ctx.freshName("tok")
+      val h = ctx.freshName("h")
+      val b = ctx.freshName("b")
+      val fp = ctx.freshName("fp")
+      s"""
+         |final String $s = $c.toString();
+         |final java.util.HashSet<String> $seen = new java.util.HashSet<String>();
+         |final int[] $votes = new int[64];
+         |int $start = 0;
+         |int $i = 0;
+         |while ($i <= $s.length()) {
+         |  if ($i == $s.length() || $s.charAt($i) == ' ') {
+         |    final String $tok = $s.substring($start, $i);
+         |    if ($seen.add($tok)) {
+         |      final long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+         |        org.apache.spark.unsafe.types.UTF8String.fromString($tok), 42L);
+         |      for (int $b = 0; $b < 64; $b++) {
+         |        $votes[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
+         |      }
+         |    }
+         |    $start = $i + 1;
+         |  }
+         |  $i++;
+         |}
+         |long $fp = 0L;
+         |for (int $b = 0; $b < 64; $b++) { if ($votes[$b] > 0) $fp |= 1L << $b; }
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}

@@ -100,6 +100,14 @@ object TextFns {
     org.apache.spark.sql.GraftColumnBridge.column(
       BpeCount(org.apache.spark.sql.GraftColumnBridge.expression(text)))
 
+  /** 64-bit SimHash fingerprint of the text's distinct whitespace tokens —
+    * one codegen'd row-local pass ([[SimHash64]]; bit-identical to the
+    * vote-Aggregator form [[graft.operators.Dedup.simhashRef]], pinned by
+    * DedupSpec). */
+  def simhash64(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      SimHash64(org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
   /** The declarative higher-order form of [[bpeEstimate]] — kept (test-only)
     * as the semantic pin for the codegen'd expression: it materializes the
     * token array and walks an interpreted lambda per token. */

@@ -444,7 +444,9 @@ object Dedup {
     * conditional-sum aggregate columns: same integer arithmetic and
     * therefore the same fingerprints, but the generated aggregate stays
     * small — the 64-column form compiled a codegen function big enough to
-    * dominate the query's cold time. */
+    * dominate the query's cold time. Now the TEST-ONLY semantic pin for
+    * the row-local [[graft.functions.SimHash64]] expression (the
+    * lshBandKeysRef pattern), which replaced it on the production path. */
   private object SimhashAgg extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Int], Long] {
     override def zero: Array[Int] = new Array[Int](64)
     override def reduce(b: Array[Int], h: Long): Array[Int] = {
@@ -469,9 +471,18 @@ object Dedup {
       org.apache.spark.sql.Encoders.scalaLong
   }
 
-  /** 64-bit SimHash per doc: per-bit majority vote over token hashes —
-    * one shuffle, one aggregate ([[SimhashAgg]]). */
-  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  /** 64-bit SimHash per doc: per-bit majority vote over the distinct-token
+    * hashes, as ONE row-local codegen'd expression
+    * ([[graft.functions.SimHash64]]) — no explode fan-out, no shuffle, one
+    * corpus scan at any scale. Bit-identical to [[simhashRef]] (the vote
+    * is a commutative sum; DedupSpec pins the fixture-wide equality). */
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), TextFns.simhash64(col(textCol)).as("simhash"))
+
+  /** The aggregate reference form of [[simhash]] — explode distinct tokens,
+    * shuffle on doc, vote via [[SimhashAgg]]. Kept (test-only) as the
+    * semantic pin for the codegen'd expression. */
+  private[graft] def simhashRef(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val vote = udaf(SimhashAgg, org.apache.spark.sql.Encoders.scalaLong)
     docs.select(col(idCol).as("doc_id"), explode(TextFns.distinctTokens(col(textCol))).as("t"))
       .groupBy(col("doc_id"))

@@ -156,4 +156,17 @@ class DedupSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("codegen'd SimHash64 matches the vote-Aggregator reference bit-exactly") {
+    // fixture-wide: every document at sf0.001 — the commutative-vote claim
+    // checked against the explode + groupBy + udaf form, fingerprint by
+    // fingerprint (non-ASCII, repeated tokens, empty tokens included)
+    val fixture = Tables.documents(spark, "/root/testdata/sf0.001")
+    val fast = Dedup.simhash(fixture, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val ref = Dedup.simhashRef(fixture, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(fast.size === ref.size && fast.nonEmpty)
+    assert(fast === ref)
+  }
 }
