@@ -46,6 +46,42 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, MassiveText quality
+    * filtering): duplicate-token fraction, top-token fraction, top-bigram
+    * fraction — the "is this doc mostly the same thing over and over"
+    * score a pretraining filter thresholds on. Two explode → per-(doc, unit)
+    * count → per-doc aggregate pipelines (tokens, bigrams) joined on
+    * doc_id; every shuffle is keyed by doc_id so the join is co-located.
+    * All counts integer; ratios are rounded through [[rnd4]]. */
+  private val extTextRepetition: Q = (s, d) => {
+    val toks = TextFns.tokens(col("text"))
+    val docs = documents(s, d)
+    val tokStats = docs
+      .select(col("doc_id"), explode(toks).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_cnt"))
+    // adjacent-token bigrams; guarded — sequence(1, 0) would DESCEND
+    val bigrams = when(size(toks) >= 2,
+      expr("transform(sequence(1, size(split(text, ' ')) - 1), " +
+        "i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1)))"))
+      .otherwise(expr("array()").cast("array<string>"))
+    val bigStats = docs
+      .select(col("doc_id"), explode(bigrams).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cb"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cb")).as("top_big_cnt"), sum(col("cb")).as("n_bigrams"))
+    tokStats.join(bigStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        rnd4((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+          .as("dup_token_frac"),
+        rnd4(col("top_cnt").cast("double") / col("n_tokens")).as("top_token_frac"),
+        coalesce(rnd4(col("top_big_cnt").cast("double") / col("n_bigrams")), lit(0.0))
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Whitespace token count + BPE-ish subword estimate (~4 chars/piece). */
   private val extTokenCount: Q = (s, d) =>
     documents(s, d).select(
@@ -337,6 +373,7 @@ object ExtQueries {
 
   val queries: Map[String, Q] = Map(
     "ext_text_stats" -> extTextStats,
+    "ext_text_repetition" -> extTextRepetition,
     "ext_token_count" -> extTokenCount,
     "ext_lang_id" -> extLangId,
     "ext_quality_score" -> extQuality,
@@ -460,6 +497,27 @@ object ExtQueries {
         |       ${rnd4Sql("CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)" +
         " / len(string_split(text, ' '))")} AS avg_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ext_text_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |              count(*) AS n_distinct, max(c) AS top_cnt
+        |       FROM tc GROUP BY 1),
+        |big AS (SELECT doc_id,
+        |               unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS b
+        |        FROM documents),
+        |bc AS (SELECT doc_id, b, count(*) AS cb FROM big GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, max(cb) AS top_big_cnt, CAST(sum(cb) AS BIGINT) AS n_bigrams
+        |       FROM bc GROUP BY 1)
+        |SELECT ts.doc_id, n_tokens,
+        |       ${rnd4Sql("CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens")} AS dup_token_frac,
+        |       ${rnd4Sql("CAST(top_cnt AS DOUBLE) / n_tokens")} AS top_token_frac,
+        |       coalesce(${rnd4Sql("CAST(top_big_cnt AS DOUBLE) / n_bigrams")},
+        |                CAST(0 AS DOUBLE)) AS top_bigram_frac
+        |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+        |ORDER BY ts.doc_id""".stripMargin,
 
     "ext_token_count" ->
       s"""SELECT doc_id,
