@@ -54,18 +54,21 @@ object ExtQueries {
     * doc_id; every shuffle is keyed by doc_id so the join is co-located.
     * All counts integer; ratios are rounded through [[rnd4]]. */
   private val extTextRepetition: Q = (s, d) => {
-    val toks = TextFns.tokens(col("text"))
+    // split ONCE per row into a concrete column: a HOF lambda that embeds
+    // split(text) re-tokenizes per ELEMENT on the interpreted path (3.3 s
+    // warm at sf0.1 before this hoist; element_at on the ref is O(1))
     val docs = documents(s, d)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
     val tokStats = docs
-      .select(col("doc_id"), explode(toks).as("t"))
+      .select(col("doc_id"), explode(col("tk")).as("t"))
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
         max(col("c")).as("top_cnt"))
     // adjacent-token bigrams; guarded — sequence(1, 0) would DESCEND
-    val bigrams = when(size(toks) >= 2,
-      expr("transform(sequence(1, size(split(text, ' ')) - 1), " +
-        "i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1)))"))
+    val bigrams = when(size(col("tk")) >= 2,
+      expr("transform(sequence(1, size(tk) - 1), " +
+        "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
       .otherwise(expr("array()").cast("array<string>"))
     val bigStats = docs
       .select(col("doc_id"), explode(bigrams).as("b"))
