@@ -120,15 +120,17 @@ object CdcQueries {
     * the estimate lands within 5% of the exact count. Two caveats, on
     * purpose: (1) the query pays the exact countDistinct shuffle purely to
     * state that contract — do NOT "optimize" it away, and do not read this
-    * query's bench time as the HLL fast path; (2) rsd=0.05 is a relative
+    * query's bench time as the HLL fast path; (2) rsd is a relative
     * standard deviation, not a guaranteed bound — for fixed input the
     * boolean is deterministic, but re-verify it whenever the events fixture
-    * changes. */
+    * changes. rsd=0.02 (a still-tiny 2^12-register sketch) holds the 5%
+    * claim through sf0.1 (1500 users: 0.4% off, where the 0.05 default
+    * strayed 6.7%) — found by running the oracle gate at bench scale. */
   private val aggApproxDistinct: Q = (s, d) =>
     events(s, d).agg(
       countDistinct(col("user_id")).as("n_users"),
       count(lit(1)).as("n_events"),
-      (abs(approx_count_distinct(col("user_id")) - countDistinct(col("user_id")))
+      (abs(approx_count_distinct(col("user_id"), 0.02) - countDistinct(col("user_id")))
         <= countDistinct(col("user_id")) * lit(0.05)).as("hll_within_5pct"))
 
   /** The HLL fast path alone — what [[aggApproxDistinct]]'s timing no longer
@@ -138,7 +140,7 @@ object CdcQueries {
     * oracle-expressible → rows-only driver check. */
   private val aggApproxDistinctFast: Q = (s, d) =>
     events(s, d).agg(
-      approx_count_distinct(col("user_id")).as("n_users_est"),
+      approx_count_distinct(col("user_id"), 0.02).as("n_users_est"),
       count(lit(1)).as("n_events"))
 
   /** Rollup of op counts by (event_type, day) — Catalyst Expand. */
