@@ -187,6 +187,20 @@ class KnnSpec extends SparkSpec {
     assert(v.toSeq === Seq(52 / 100f, 69 / 100f, 86 / 100f))
   }
 
+  test("ANN recall holds at bench scale (sf0.1), not just the small fixture") {
+    // the agg_approx_distinct lesson: a contract checked only at sf0.001
+    // can silently fail at 10x the cardinality — pin the recall there too
+    val dir = "/root/testdata/sf0.1"
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Knn.bruteForce(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = SparkEntry.queries("ext_sim_knn_ivf")(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfRecall = (ivf & brute).size.toDouble / brute.size
+    info(s"sf0.1 ivf recall = $ivfRecall")
+    assert(ivfRecall >= 0.8, s"sf0.1 ivf recall $ivfRecall below floor (0.96 when pinned)")
+  }
+
   test("the registered ext_sim_knn_ivf entry holds the recall floor vs exact knn") {
     // the rows-only oracle entry, at ITS exact parameterization (IvfK/Cells/
     // Iters/Probe/SampleN) — byte-stability alone says nothing about quality,
