@@ -26,12 +26,16 @@ import org.apache.spark.sql.SparkSession
   * headline totals or the load bracket.
   *
   * Regression tracking: `bench_best_<sf>.json` (checked in, cwd-relative)
-  * carries each query's best-known warm seconds, recorded ONLY from quiet
-  * runs (load_max < 5 — the repo's comparability bar). Every run emits
-  * `"queries_best"` on the detail line and a `"regressed":[...]` list
-  * (warm > 2× best) on the totals line, so a contaminated artifact
-  * self-identifies per query instead of needing a whole-round
-  * adjudication; quiet runs fold their new minima back into the file.
+  * carries each query's best-known warm seconds. Minima fold in on EVERY
+  * run, load notwithstanding: contention only inflates a measurement, so
+  * a recorded minimum is always a genuinely achievable time (a load gate
+  * here was tried and only ever SKIPPED updates — the bench's own 32
+  * threads push the 1-min loadavg to ~5 on an otherwise idle 32-core
+  * box). Every run emits `"queries_best"` on the detail line and a
+  * `"regressed":[...]` list (warm > 2× best) on the totals line, so a
+  * contaminated artifact self-identifies per query; read the regressed
+  * list against the load bracket — under heavy load it may cry wolf,
+  * never the reverse.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -103,16 +107,13 @@ object Bench {
     val regressed = results.collect {
       case (name, _, warm) if best.get(name).exists(b => warm > 2 * b) => name
     }.sorted
-    val quietRun = loadMax >= 0 && loadMax < 5.0
-    if (quietRun) {
-      val merged = results.map { case (name, _, warm) =>
-        name -> math.min(warm, best.getOrElse(name, Double.MaxValue))
-      }.toMap
-      val kept = (best ++ merged).toSeq.sortBy(_._1) // queries dropped from the suite keep their record
-      java.nio.file.Files.write(bestPath,
-        kept.map { case (k, v) => "\"" + k + "\":" + v }
-          .mkString("{", ",", "}").getBytes("UTF-8"))
-    }
+    val merged = results.map { case (name, _, warm) =>
+      name -> math.min(warm, best.getOrElse(name, Double.MaxValue))
+    }.toMap
+    val kept = (best ++ merged).toSeq.sortBy(_._1) // queries dropped from the suite keep their record
+    java.nio.file.Files.write(bestPath,
+      kept.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}").getBytes("UTF-8"))
 
     def obj(f: ((String, Double, Double)) => (String, Double)): String =
       results.map { r => val (k, v) = f(r); "\"" + k + "\":" + v }.mkString("{", ",", "}")
