@@ -106,7 +106,12 @@ object RelQueries {
     val probe = orders(s, d)
       .withColumn("ship_lo", col("o_orderdate"))
       .withColumn("ship_hi", col("o_orderdate") + expr("INTERVAL 7 DAY"))
-    RangeJoin.binned(probe, "ship_lo", "ship_hi", daily, "ship_day", binSeconds = 86400L)
+    // broadcast the pre-aggregated build side (one row per ship DAY — a few
+    // thousand at any SF): the 8×-exploded probe side then joins in place
+    // with no exchange; without the hint Catalyst broadcast the exploded
+    // PROBE side, which grows with the fact table
+    RangeJoin.binned(probe, "ship_lo", "ship_hi", broadcast(daily), "ship_day",
+      binSeconds = 86400L)
       .groupBy(col("o_orderkey"))
       .agg(sum(col("n_day")).as("n_shipped"))
       .orderBy("o_orderkey")
