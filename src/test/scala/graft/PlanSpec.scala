@@ -101,4 +101,24 @@ class PlanSpec extends SparkSpec {
     // the exact form IS the documented quadratic oracle baseline
     assert(plan("ext_sim_neardup").contains("NestedLoopJoin"))
   }
+
+  test("salted join runs on (key, salt) — the hot key actually spreads") {
+    val p = plan("join_skew_salted")
+    assert(p.contains("user_id") && p.contains("__salt"),
+      s"salt missing from the join keys:\n${p.take(2000)}")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("range join broadcasts the pre-aggregated build side, not the exploded probe") {
+    val p = plan("join_range")
+    assert(p.contains("BroadcastHashJoin") && p.contains("BuildRight"),
+      s"probe side must stay in place:\n${p.take(2000)}")
+  }
+
+  test("simhash fingerprints come from the row-local expression — no explode, no shuffle before banding") {
+    val p = plan("ext_dedup_simhash")
+    assert(p.contains("simhash64"), s"expression missing:\n${p.take(1500)}")
+    assert(!p.contains("Generate explode(array_distinct"),
+      s"fingerprint still fans out tokens:\n${p.take(1500)}")
+  }
 }
