@@ -100,6 +100,18 @@ object TextFns {
     org.apache.spark.sql.GraftColumnBridge.column(
       BpeCount(org.apache.spark.sql.GraftColumnBridge.expression(text)))
 
+  /** Exact BPE piece count under a caller-supplied ranked merge table
+    * ([[BpeMergeCount]] — the real greedy-merge algorithm; load a
+    * tokenizer's merges.txt to get production counts). Curried to slot
+    * straight into the `tokenCount` parameter of the packing/quantile
+    * operators: `packWindows(..., tokenCount = bpeMergeCount(merges))`.
+    * Not ANSI-SQL-expressible, so plans built on it are spec-pinned
+    * rather than oracle-gated (and there is no SQL-registry form: a
+    * ranked merge table has no literal-argument encoding worth having). */
+  def bpeMergeCount(merges: Seq[(String, String)])(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      BpeMergeCount(org.apache.spark.sql.GraftColumnBridge.expression(text), merges))
+
   /** 64-bit SimHash fingerprint of the text's distinct whitespace tokens —
     * one codegen'd row-local pass ([[SimHash64]]; bit-identical to the
     * vote-Aggregator form [[graft.operators.Dedup.simhashRef]], pinned by

@@ -296,4 +296,47 @@ class TrainPrepSpec extends SparkSpec {
       tokenCount = graft.functions.TextFns.bpeEstimate).collect()
     assert(defRows === bpeRows)
   }
+
+  test("BpeMergeCount runs the real greedy rank-priority merge loop") {
+    import graft.functions.BpeMerge
+    val merges = Seq(("a", "b"), ("ab", "c"), ("c", "d"))
+    val rank = BpeMerge.rankMap(merges)
+    assert(BpeMerge.countToken("", rank) === 0L)
+    assert(BpeMerge.countToken("x", rank) === 1L)
+    // "abcd": a|b|c|d → rank0 merges ab → ab|c|d → rank1 merges abc →
+    // abc|d, and ("c","d") no longer applies (its c was consumed) → 2
+    assert(BpeMerge.countToken("abcd", rank) === 2L)
+    assert(BpeMerge.countToken("ab", rank) === 1L)
+    assert(BpeMerge.countToken("cd", rank) === 1L) // rank2 fires when c survives
+    assert(BpeMerge.countToken("№a", rank) === 2L) // code-point pieces, no merges
+    // rank PRIORITY beats left-to-right: with b+c ranked first, "abc"
+    // becomes a|bc (then stuck), not ab|c
+    val priority = BpeMerge.rankMap(Seq(("b", "c"), ("a", "b"), ("a", "bc")))
+    assert(BpeMerge.countToken("abc", priority) === 1L) // a|bc → abc via rank2
+    // whitespace-token sum via the codegen'd expression (empty tokens add 0)
+    val got = Seq("abcd ab  x").toDF("t")
+      .select(graft.functions.TextFns.bpeMergeCount(merges)(col("t")))
+      .as[Long].collect().head
+    assert(got === 4L) // 2 + 1 + 0 + 1
+  }
+
+  test("packWindows repacks on real BPE counts — the boundaries actually move") {
+    val d = docs((0L until 6L).map(i => (i, "en", "abcd abcd")): _*)
+    // a sparse merge table leaves "abcd" at ab|c|d = 3 pieces → 6 per doc,
+    // 3× the proxy's ceil(4/4) = 1 per token — the count gap that moves
+    // every window boundary
+    val partial = Seq(("a", "b"))
+    val real = TrainPrep.packWindows(d, "doc_id", "text", budgetTokens = 6L, nShards = 1,
+      tokenCount = graft.functions.TextFns.bpeMergeCount(partial))
+      .select("doc_id", "n_tokens", "window_id").as[(Long, Long, Long)].collect().sortBy(_._1)
+    real.zipWithIndex.foreach { case ((id, n, w), i) =>
+      assert(n === 6L, s"doc $id")
+      assert(w === i.toLong, s"doc $id lands alone per 6-token window")
+    }
+    // proxy packs the same docs 3-per-window — the ~2-3× count gap the
+    // real-tokenizer slot exists for
+    val proxy = TrainPrep.packWindows(d, "doc_id", "text", budgetTokens = 6L, nShards = 1)
+      .select("doc_id", "n_tokens", "window_id").as[(Long, Long, Long)].collect().sortBy(_._1)
+    proxy.foreach { case (id, n, w) => assert(n === 2L && w === id / 3L, s"doc $id") }
+  }
 }
