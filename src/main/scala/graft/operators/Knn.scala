@@ -98,22 +98,38 @@ object Knn {
   def lshBuckets(vectors: DataFrame, idCol: String, embCol: String, bits: Int): DataFrame =
     vectors.select(col(idCol), srpBucket(embCol, bits).as("bucket"))
 
-  /** Approximate top-k: score only within the query's LSH bucket. Buckets
-    * are computed inline on each side ([[srpBucket]]) — the corpus is
-    * scanned once and never shuffled (the bucket join itself broadcasts the
-    * query side). */
+  /** Approximate top-k: candidates are the UNION of the query's bucket in
+    * `bands` independent hash tables (the OR-construction — the same
+    * banding [[cosineNearDupLsh]] uses), exact-rescored and ranked. One
+    * band is a recall trap: measured at sf0.1, a single 6-bit table
+    * recalled 6% of true top-5 (each query saw only its ~1/64 corpus
+    * slice), while 8 bands × 8 bits recalls most of it for a few % of the
+    * corpus scanned per query.
+    *
+    * Shape: band keys are a per-row codegen'd expression on BOTH sides
+    * (no shuffle to assign); the (band, key) join broadcasts the query
+    * side, so the corpus is scanned once and never shuffled. A pair
+    * colliding in several bands dedupes through the (query, neighbor)
+    * aggregate — the only shuffle, keyed by candidate pair, bounded by
+    * bands × bucket occupancy × queries. */
   def lshKnn(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
-             k: Int, bits: Int): DataFrame = {
-    val cb = corpus
-      .select(col(idCol).as("neighbor_id"), srpBucket(embCol, bits).as("bucket"),
-        col(embCol).as("__c_emb"), VectorFns.norm(col(embCol)).as("__c_n"))
+             k: Int, bands: Int, bitsPerBand: Int): DataFrame = {
+    val cb = corpus.select(col(idCol).as("neighbor_id"),
+      col(embCol).as("__c_emb"), VectorFns.norm(col(embCol)).as("__c_n"),
+      posexplode(VectorFns.srpBandKeys(col(embCol), bands, bitsPerBand))
+        .as(Seq("band", "key")))
     val qb = broadcast(
-      queries.select(col(idCol).as("query_id"), srpBucket(embCol, bits).as("bucket"),
-        col(embCol).as("__q_emb"), VectorFns.norm(col(embCol)).as("__q_n")))
+      queries.select(col(idCol).as("query_id"),
+        col(embCol).as("__q_emb"), VectorFns.norm(col(embCol)).as("__q_n"),
+        posexplode(VectorFns.srpBandKeys(col(embCol), bands, bitsPerBand))
+          .as(Seq("band", "key"))))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    cb.join(qb, Seq("bucket"))
+    cb.join(qb, Seq("band", "key"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cos(col("__q_emb"), col("__c_emb"), col("__q_n"), col("__c_n")))
+      // multi-band collisions carry identical cosines; collapse before ranking
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("cosine")).as("cosine"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
