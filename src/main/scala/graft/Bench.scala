@@ -95,15 +95,33 @@ object Bench {
     loadMax = math.max(loadMax, loadAfter)
 
     // Best-known warm times for this SF (flat {"query":sec} file we write
-    // ourselves, so a regex scan is a full parser for it).
+    // ourselves, so a regex scan is a full parser for it). Minima are only
+    // comparable WITHIN one fixture generation: the driver regenerates the
+    // testdata every round (new seed → different text/near-dup density), so
+    // the file carries a fixture fingerprint — per-table parquet byte sizes
+    // hashed together — and recorded minima are dropped when it changes
+    // (stale cross-fixture bests made ngram-family queries cry "regressed"
+    // every round otherwise).
+    val fixtureId: String = {
+      val sig = Tables.all.sorted
+        .map(t => s"$t:${new java.io.File(sfDir, s"$t.parquet").length}")
+        .mkString(",")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(sig.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    }
     val bestPath = java.nio.file.Paths.get(
       s"bench_best_${new java.io.File(sfDir).getName}.json")
     val best: Map[String, Double] =
-      if (java.nio.file.Files.exists(bestPath))
-        """"([A-Za-z0-9_]+)":([0-9][0-9.eE+-]*)""".r
-          .findAllMatchIn(new String(java.nio.file.Files.readAllBytes(bestPath), "UTF-8"))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      else Map.empty
+      if (java.nio.file.Files.exists(bestPath)) {
+        val raw = new String(java.nio.file.Files.readAllBytes(bestPath), "UTF-8")
+        val recordedFixture = """"__fixture":"([0-9a-f]+)"""".r
+          .findFirstMatchIn(raw).map(_.group(1))
+        if (recordedFixture.contains(fixtureId))
+          """"([A-Za-z0-9_]+)":([0-9][0-9.eE+-]*)""".r
+            .findAllMatchIn(raw)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        else Map.empty // new fixture generation: rebase minima
+      } else Map.empty
     val regressed = results.collect {
       case (name, _, warm) if best.get(name).exists(b => warm > 2 * b) => name
     }.sorted
@@ -112,7 +130,7 @@ object Bench {
     }.toMap
     val kept = (best ++ merged).toSeq.sortBy(_._1) // queries dropped from the suite keep their record
     java.nio.file.Files.write(bestPath,
-      kept.map { case (k, v) => "\"" + k + "\":" + v }
+      (s""""__fixture":"$fixtureId"""" +: kept.map { case (k, v) => "\"" + k + "\":" + v })
         .mkString("{", ",", "}").getBytes("UTF-8"))
 
     def obj(f: ((String, Double, Double)) => (String, Double)): String =
