@@ -29,4 +29,22 @@ object VectorFns {
   def srpBandKeys(emb: Column, bands: Int, bitsPerBand: Int): Column =
     ExpressionUtils.column(
       SrpBandKeys(ExpressionUtils.expression(emb), bands, bitsPerBand))
+
+  /** Per-vector symmetric-int8 quantization scale: max |xᵢ| in double —
+    * the factor an int8 ANN store divides by (q = x/scale·127). Row-local. */
+  def absMax(emb: Column): Column =
+    array_max(transform(emb, x => abs(x.cast("double"))))
+
+  /** Symmetric int8 quantization of the vector under `scale` (=[[absMax]]):
+    * qᵢ = clamp(⌊xᵢ/scale·127 + 0.5⌋, ±127), with an all-zero vector
+    * (scale = 0) quantizing to zeros instead of dividing by zero.
+    * `floor(x + 0.5)` rather than `round` pins half-way cases to
+    * round-half-up on every engine (banker's-rounding `round` variants
+    * differ). All double ops in fixed order → engine-exact; row-local,
+    * zero shuffles at any scale. */
+  def quantizeInt8(emb: Column, scale: Column): Column =
+    transform(emb, x =>
+      when(scale === 0.0, 0L).otherwise(
+        greatest(lit(-127L), least(lit(127L),
+          floor(x.cast("double") / scale * 127.0 + 0.5)))))
 }

@@ -21,27 +21,46 @@ object TrainPrep {
     * whose low decimal digits decorrelate from sequential ids. */
   private val KnuthMult = 2654435761L
 
+  /** Independent multipliers for the split and shuffle surfaces. Each
+    * deterministic decision (sample / split / shuffle) gets its OWN
+    * multiplier: with a shared one the buckets differ only by an additive
+    * constant mod m, i.e. are perfectly correlated — a capped sampling
+    * stratum would then fall into one end of the holdout split. */
+  private val SplitMult = 2246822519L   // xxhash prime 2
+  private val ShuffleMult = 1779033703L // sha-256 h0, odd
+
   /** Largest id whose `id·K + 40503` product stays inside a signed 64-bit
     * long (≈ 3.47e9) — the domain [[sampleBucket]] enforces. */
   val MaxSafeSampleId: Long = (Long.MaxValue - 40503L) / KnuthMult
 
-  /** Deterministic per-row sampling bucket in [0, 1000): a multiplicative
-    * hash of the id, NOT `rand()` — reruns, retries, and the DuckDB oracle
-    * all see the same sample, which is what makes a training mix
-    * reproducible. Expressible in ANSI SQL (the oracle requirement).
+  /** Guarded multiplicative hash `(id·mult + inc) mod m`: deterministic,
+    * NOT `rand()` — reruns, retries, and the DuckDB oracle all see the
+    * same value, which is what makes a training mix reproducible. And it
+    * is expressible in ANSI SQL (the oracle requirement).
     *
-    * Ids outside [0, [[MaxSafeSampleId]]] FAIL the job instead of silently
+    * Ids outside [0, (2⁶³−1−inc)/mult] FAIL the job instead of silently
     * wrapping (non-ANSI Spark wraps the 64-bit product, ANSI mode and the
-    * DuckDB oracle fault — a silent sample divergence either way). For
-    * wider id domains swap in `pmod(xxhash64(id), 1000)` — same shape,
-    * same cost, no ANSI-SQL oracle. */
-  def sampleBucket(id: Column): Column = {
-    val guarded = when(id.between(0L, MaxSafeSampleId), id).otherwise(raise_error(
-      concat(lit(s"sampleBucket: id outside [0, $MaxSafeSampleId] overflows the " +
-        "64-bit product; use pmod(xxhash64(id), 1000) for wide ids. id="),
+    * DuckDB oracle fault — a silent divergence either way). For wider id
+    * domains swap in `pmod(xxhash64(id), m)` — same shape, same cost, no
+    * ANSI-SQL oracle. */
+  private def mulHash(id: Column, mult: Long, inc: Long, modulus: Long,
+                      what: String): Column = {
+    val maxSafe = (Long.MaxValue - inc) / mult
+    val guarded = when(id.between(0L, maxSafe), id).otherwise(raise_error(
+      concat(lit(s"$what: id outside [0, $maxSafe] overflows the 64-bit " +
+        s"product; use pmod(xxhash64(id), $modulus) for wide ids. id="),
         id.cast("string"))))
-    pmod(guarded * KnuthMult + 40503L, lit(1000L))
+    pmod(guarded * mult + inc, lit(modulus))
   }
+
+  /** Deterministic per-row sampling bucket in [0, 1000) (see [[mulHash]]). */
+  def sampleBucket(id: Column): Column =
+    mulHash(id, KnuthMult, 40503L, 1000L, "sampleBucket")
+
+  /** Deterministic per-row split bucket in [0, 1000) — independent of
+    * [[sampleBucket]] (different multiplier; see the constants note). */
+  def splitBucket(id: Column): Column =
+    mulHash(id, SplitMult, 104729L, 1000L, "splitBucket")
 
   /** Stratified downsampling: keep a row iff its [[sampleBucket]] falls
     * under its stratum's permille rate — the classic training-mix rebalance
@@ -61,6 +80,53 @@ object TrainPrep {
     docs
       .withColumn("bucket", sampleBucket(col(idCol)))
       .filter(col("bucket") < rate)
+  }
+
+  /** Deterministic train/val/test holdout assignment: `test` below
+    * `testPermille`, `val` in the next `valPermille`, `train` above — a
+    * pure per-row expression over [[splitBucket]], ZERO shuffles, stable
+    * across reruns/engines, and independent of the sampling decision (its
+    * own multiplier). The split is a function of the id alone, so a doc
+    * keeps its split when the corpus grows — the property that prevents
+    * silent eval-set contamination across corpus versions. */
+  def splitAssign(docs: DataFrame, idCol: String,
+                  testPermille: Int, valPermille: Int): DataFrame = {
+    require(testPermille >= 0 && valPermille >= 0 &&
+      testPermille + valPermille <= 1000,
+      s"splitAssign: permilles ($testPermille, $valPermille) must be ≥ 0 and sum ≤ 1000")
+    val generated = Seq("split_bucket", "split").filter(docs.columns.contains)
+    require(generated.isEmpty,
+      s"splitAssign generates $generated; rename the input's column(s)")
+    docs
+      .withColumn("split_bucket", splitBucket(col(idCol)))
+      .withColumn("split",
+        when(col("split_bucket") < testPermille, "test")
+          .when(col("split_bucket") < testPermille + valPermille, "val")
+          .otherwise("train"))
+  }
+
+  /** Deterministic global training-order shuffle PLAN: each doc gets a
+    * pseudo-random `shuffle_key` (multiplicative hash — see [[mulHash]]),
+    * a `shard` (key mod `nShards`), and its rank `pos` inside the shard
+    * (key order, id tie-break). A loader reading shards in any order and
+    * each shard by `pos` visits the corpus in a reproducible shuffled
+    * order — `rand()`-free, so re-runs and engines agree.
+    *
+    * Shape: one exchange on shard + a within-shard sort — the same scale
+    * dial as [[packWindows]] (shards ≈ executors·4 keeps each sort one
+    * task); nothing global, no driver state. */
+  def shuffleShard(docs: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"shuffleShard: nShards must be positive, got $nShards")
+    val generated = Seq("shuffle_key", "shard", "pos").filter(docs.columns.contains)
+    require(generated.isEmpty,
+      s"shuffleShard generates $generated; rename the input's column(s)")
+    val w = Window.partitionBy(col("shard")).orderBy(col("shuffle_key"), col(idCol))
+    docs
+      .select(col(idCol),
+        mulHash(col(idCol), ShuffleMult, 512927357L, 1000000007L, "shuffleShard")
+          .as("shuffle_key"))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
   }
 
   /** Context-window packing: concatenation order is fixed (by id within a

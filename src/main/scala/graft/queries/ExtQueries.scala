@@ -85,6 +85,58 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** PII/URL signal scan — the pre-training scrub pass: per-doc counts of
+    * email / URL / IPv4 / long-digit-run matches, a has_pii flag, and the
+    * doc's length after redacting each class (fixed class order, so
+    * overlaps resolve identically on every engine). Pure regexp column
+    * expressions over one scan — codegen'd, zero shuffles at any scale.
+    * Patterns stay inside the Java-regex ∩ RE2 common dialect (no
+    * backreferences/lookaround), so the DuckDB oracle matches exactly. */
+  private val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiUrl = "https?://[^\\s]+"
+  private val PiiIpv4 = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  private val PiiDigits = "\\d{7,}"
+
+  /** The scan itself, over any (doc_id, text) frame — split out so the spec
+    * can plant synthetic PII (the fixture corpus is clean, so the fixture
+    * oracle pins the zero case and the spec pins the match semantics). */
+  private[graft] def piiScan(docs: DataFrame): DataFrame = {
+    val counts = Seq(PiiEmail -> "n_emails", PiiUrl -> "n_urls",
+      PiiIpv4 -> "n_ipv4", PiiDigits -> "n_digit_runs")
+    val redacted = Seq(PiiEmail -> "<EMAIL>", PiiUrl -> "<URL>",
+      PiiIpv4 -> "<IP>", PiiDigits -> "<NUM>")
+      .foldLeft(col("text")) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
+    docs.select(
+      col("doc_id") +:
+        counts.map { case (p, n) => regexp_count(col("text"), lit(p)).cast("long").as(n) } :+
+        counts.map { case (p, _) => regexp_count(col("text"), lit(p)) > 0 }
+          .reduce(_ || _).as("has_pii") :+
+        length(redacted).cast("long").as("n_redacted_chars"): _*)
+  }
+
+  private val extTextPii: Q = (s, d) => piiScan(documents(s, d)).orderBy("doc_id")
+
+  /** Corpus-level top-50 bigrams with term and document frequency — the
+    * frequency index contamination checks and LM analyses read. One
+    * explode → groupBy(bigram) with map-side partial aggregation, then a
+    * TakeOrdered top-k — the shuffle moves one row per distinct
+    * (partition, bigram), not per occurrence, so the shape holds at
+    * corpus scale. */
+  private[graft] def bigramCounts(docs: DataFrame, k: Int): DataFrame = {
+    val tk = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+    val bigrams = when(size(col("tk")) >= 2,
+      expr("transform(sequence(1, size(tk) - 1), " +
+        "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+      .otherwise(expr("array()").cast("array<string>"))
+    tk.select(col("doc_id"), explode(bigrams).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("bigram"))
+      .limit(k)
+  }
+
+  private val extNgramCounts: Q = (s, d) => bigramCounts(documents(s, d), k = 50)
+
   /** Whitespace token count + BPE-ish subword estimate (~4 chars/piece). */
   private val extTokenCount: Q = (s, d) =>
     documents(s, d).select(
@@ -281,6 +333,41 @@ object ExtQueries {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy("doc_id")
 
+  /** Deterministic train/val/test holdout: 100‰ test, 50‰ val, rest train —
+    * a pure per-row expression over an id hash independent of the sampling
+    * hash (see [[TrainPrep.splitAssign]]); zero shuffles, rerun-stable. */
+  private val extSplitAssign: Q = (s, d) =>
+    TrainPrep.splitAssign(documents(s, d), "doc_id",
+      testPermille = 100, valPermille = 50)
+      .select(col("doc_id"), col("lang"), col("split_bucket"), col("split"))
+      .orderBy("doc_id")
+
+  /** Deterministic global training-order shuffle plan (8 shards): each doc
+    * gets a hash shuffle key, a shard, and its in-shard rank — the
+    * reproducible `rand()`-free corpus shuffle a training loader consumes
+    * (see [[TrainPrep.shuffleShard]]). */
+  private val extShuffleShard: Q = (s, d) =>
+    TrainPrep.shuffleShard(documents(s, d), "doc_id", nShards = 8)
+      .orderBy("doc_id")
+
+  /** Symmetric int8 quantization plan over the embedding column — the
+    * compression step an ANN store applies before indexing at 100 TB
+    * (4× smaller than float32). Per-vector scale = max |x|; the quantized
+    * vector is summarized (min/max/sum/saturation count) for the oracle —
+    * every op row-local, zero shuffles (see [[VectorFns.quantizeInt8]]). */
+  private val extEmbedQuantize: Q = (s, d) => {
+    val q = col("q")
+    embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        VectorFns.absMax(col("embedding")).as("scale"))
+      .withColumn("q", VectorFns.quantizeInt8(col("embedding"), col("scale")))
+      .select(col("vec_id"), rnd4(col("scale")).as("scale"),
+        array_min(q).as("q_min"), array_max(q).as("q_max"),
+        aggregate(q, lit(0L), _ + _).as("q_sum"),
+        size(filter(q, x => abs(x) === 127L)).cast("long").as("n_sat"))
+      .orderBy("vec_id")
+  }
+
   /** Concat-and-chunk context-window packing plan (2048-token windows, 8
     * shards): each doc labelled with the window its first token lands in
     * and its offset — one shuffle on shard, windows never span shards. */
@@ -385,6 +472,8 @@ object ExtQueries {
   val queries: Map[String, Q] = Map(
     "ext_text_stats" -> extTextStats,
     "ext_text_repetition" -> extTextRepetition,
+    "ext_text_pii" -> extTextPii,
+    "ext_ngram_counts" -> extNgramCounts,
     "ext_token_count" -> extTokenCount,
     "ext_lang_id" -> extLangId,
     "ext_quality_score" -> extQuality,
@@ -403,6 +492,9 @@ object ExtQueries {
     "ext_sim_neardup_lsh" -> extSimNeardupLsh,
     "ext_sim_cluster" -> extSimCluster,
     "ext_sample_stratified" -> extSampleStratified,
+    "ext_split_assign" -> extSplitAssign,
+    "ext_shuffle_shard" -> extShuffleShard,
+    "ext_embed_quantize" -> extEmbedQuantize,
     "ext_pack_windows" -> extPackWindows,
     "ext_tfidf_terms" -> extTfidfTerms,
     "ext_token_quantiles" -> extTokenQuantiles,
@@ -530,6 +622,34 @@ object ExtQueries {
         |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
         |ORDER BY ts.doc_id""".stripMargin,
 
+    "ext_text_pii" -> {
+      // SQL single-quoted strings pass backslashes through verbatim, so the
+      // Scala-escaped patterns ("\\d") land in RE2 exactly as Java saw them
+      def cnt(p: String) = s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT)"
+      s"""SELECT doc_id,
+         |       ${cnt(PiiEmail)} AS n_emails,
+         |       ${cnt(PiiUrl)} AS n_urls,
+         |       ${cnt(PiiIpv4)} AS n_ipv4,
+         |       ${cnt(PiiDigits)} AS n_digit_runs,
+         |       (${cnt(PiiEmail)} > 0 OR ${cnt(PiiUrl)} > 0 OR
+         |        ${cnt(PiiIpv4)} > 0 OR ${cnt(PiiDigits)} > 0) AS has_pii,
+         |       CAST(length(
+         |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |           '$PiiEmail', '<EMAIL>', 'g'),
+         |           '$PiiUrl', '<URL>', 'g'),
+         |           '$PiiIpv4', '<IP>', 'g'),
+         |           '$PiiDigits', '<NUM>', 'g')) AS BIGINT) AS n_redacted_chars
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "ext_ngram_counts" ->
+      """WITH big AS (SELECT doc_id,
+        |                    unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |                      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS b
+        |             FROM documents)
+        |SELECT b AS bigram, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM big GROUP BY 1 ORDER BY tf DESC, bigram LIMIT 50""".stripMargin,
+
     "ext_token_count" ->
       s"""SELECT doc_id,
          |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
@@ -649,6 +769,39 @@ object ExtQueries {
         |FROM documents
         |WHERE $bucketSql < CASE WHEN lang = 'en' THEN 250 ELSE 800 END
         |ORDER BY doc_id""".stripMargin,
+
+    "ext_split_assign" ->
+      s"""SELECT doc_id, lang,
+         |       (doc_id * 2246822519 + 104729) % 1000 AS split_bucket,
+         |       CASE WHEN (doc_id * 2246822519 + 104729) % 1000 < 100 THEN 'test'
+         |            WHEN (doc_id * 2246822519 + 104729) % 1000 < 150 THEN 'val'
+         |            ELSE 'train' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ext_shuffle_shard" ->
+      s"""WITH h AS (SELECT doc_id,
+         |                  (doc_id * 1779033703 + 512927357) % 1000000007 AS shuffle_key
+         |           FROM documents)
+         |SELECT doc_id, shuffle_key, shuffle_key % 8 AS shard,
+         |       CAST(row_number() OVER (PARTITION BY shuffle_key % 8
+         |                               ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "ext_embed_quantize" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |sc AS (SELECT vec_id, emb,
+         |              list_max(list_transform(emb, x -> abs(x))) AS scale FROM e),
+         |q AS (SELECT vec_id, scale,
+         |             list_transform(emb, x -> CASE WHEN scale = 0 THEN 0
+         |               ELSE greatest(-127, least(127,
+         |                      CAST(floor(x / scale * 127.0 + 0.5) AS BIGINT))) END) AS qs
+         |      FROM sc)
+         |SELECT vec_id, ${rnd4Sql("scale")} AS scale,
+         |       CAST(list_min(qs) AS BIGINT) AS q_min,
+         |       CAST(list_max(qs) AS BIGINT) AS q_max,
+         |       CAST(list_sum(qs) AS BIGINT) AS q_sum,
+         |       CAST(len(list_filter(qs, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+         |FROM q ORDER BY vec_id""".stripMargin,
 
     "ext_pack_windows" ->
       s"""WITH ${packSqlCte("documents")}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+import graft.queries.ExtQueries
+
+/** Round-8 [EXT] additions: PII scanning, corpus bigram counts, int8
+  * embedding quantization. The fixture corpus is clean prose, so the oracle
+  * gate pins the zero/aggregate cases; these specs plant the signals. */
+class ExtOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("piiScan counts and redacts each planted signal class") {
+    val d = docs(
+      (0L, "write to alice.smith+x@example.co.uk or bob@sub.domain.org today"),
+      (1L, "served from 10.0.255.7 and 192.168.1.1 via https://example.com/a?b=1"),
+      (2L, "card 1234567890123456 ref 9876543 and short 123456"),
+      (3L, "clean text with no signals at all"),
+      (4L, ""))
+    val got = ExtQueries.piiScan(d)
+      .select("doc_id", "n_emails", "n_urls", "n_ipv4", "n_digit_runs",
+        "has_pii", "n_redacted_chars")
+      .as[(Long, Long, Long, Long, Long, Boolean, Long)].collect().sortBy(_._1)
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(0L) === ((0L, 2L, 0L, 0L, 0L, true,
+      "write to <EMAIL> or <EMAIL> today".length.toLong)))
+    assert(byId(1L) === ((1L, 0L, 1L, 2L, 0L, true,
+      "served from <IP> and <IP> via <URL>".length.toLong)))
+    // 16-digit card and the 7-digit ref both hit \d{7,}; 123456 (6) does not
+    assert(byId(2L) === ((2L, 0L, 0L, 0L, 2L, true,
+      "card <NUM> ref <NUM> and short 123456".length.toLong)))
+    assert(byId(3L)._6 === false)
+    assert(byId(3L)._7 === "clean text with no signals at all".length.toLong)
+    assert(byId(4L) === ((4L, 0L, 0L, 0L, 0L, false, 0L)))
+  }
+
+  test("bigramCounts ranks corpus bigrams by tf with df attached") {
+    val d = docs(
+      (0L, "a b a b c"), // "a b"×2, "b a", "b c"
+      (1L, "a b x"),     // "a b", "b x"
+      (2L, "z"),         // no bigrams (single token)
+      (3L, ""))          // split("") = [""] → no bigrams
+    val got = ExtQueries.bigramCounts(d, k = 10)
+      .as[(String, Long, Long)].collect()
+    assert(got.head === (("a b", 3L, 2L))) // tf 3 across docs 0 and 1
+    assert(got.map(_._1).toSet === Set("a b", "b a", "b c", "b x"))
+    // ordered by (tf desc, bigram asc) — deterministic at the k boundary
+    assert(got.map(r => (-r._2, r._1)).toSeq === got.map(r => (-r._2, r._1)).sorted)
+  }
+
+  test("quantizeInt8 clamps, round-half-ups, and zeroes the degenerate vector") {
+    val d = Seq(
+      (0L, Array(1.0f, -1.0f, 0.5f, 0.0f)),  // scale 1: 127, -127, 64 (63.5 up), 0
+      (1L, Array(0.0f, 0.0f)),               // all-zero: scale 0 → zeros, not NaN
+      (2L, Array(-2.0f, 1.0f))               // scale 2: -127, 64 (63.5 up)
+    ).toDF("vec_id", "embedding")
+    val got = d
+      .withColumn("scale", VectorFns.absMax(col("embedding")))
+      .select(col("vec_id"), col("scale"),
+        VectorFns.quantizeInt8(col("embedding"), col("scale")).as("q"))
+      .as[(Long, Double, Seq[Long])].collect().sortBy(_._1)
+    assert(got(0) === ((0L, 1.0, Seq(127L, -127L, 64L, 0L))))
+    assert(got(1) === ((1L, 0.0, Seq(0L, 0L))))
+    assert(got(2) === ((2L, 2.0, Seq(-127L, 64L))))
+    // round trip: dequantized values sit within half a quantization step
+    got.filter(_._2 > 0).foreach { case (id, scale, qs) =>
+      val orig = d.filter(col("vec_id") === id)
+        .select(col("embedding")).as[Seq[Float]].collect().head
+      qs.zip(orig).foreach { case (q, x) =>
+        assert(math.abs(q * scale / 127.0 - x) <= scale / 127.0 * 0.5 + 1e-9,
+          s"vec $id value $x → $q")
+      }
+    }
+  }
+
+  test("the quantization summary matches an independent per-vector computation") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    val got = ExtQueries.queries("ext_embed_quantize")(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "scale", "q_min", "q_max", "q_sum", "n_sat")
+      .as[(Long, Double, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length === emb.length && got.nonEmpty)
+    val expect = emb.map { case (id, xs) =>
+      val scale = xs.map(x => math.abs(x.toDouble)).max
+      val qs = xs.map { x =>
+        if (scale == 0) 0L
+        else math.max(-127L, math.min(127L,
+          math.floor(x.toDouble / scale * 127.0 + 0.5).toLong))
+      }
+      (id, math.floor(scale * 10000 + 0.5) / 10000,
+        qs.min, qs.max, qs.sum, qs.count(q => math.abs(q) == 127L).toLong)
+    }.sortBy(_._1)
+    assert(got.toSeq === expect.toSeq)
+    // every vector saturates at least once: max |x| quantizes to ±127
+    assert(got.forall(_._6 >= 1L))
+  }
+}

@@ -320,6 +320,67 @@ class TrainPrepSpec extends SparkSpec {
     assert(got === 4L) // 2 + 1 + 0 + 1
   }
 
+  test("splitAssign pins each id's split by the hash contract, stable under corpus growth") {
+    val d = docs((0L until 1000L).map(i => (i, "en", s"t $i")): _*)
+    val got = TrainPrep.splitAssign(d, "doc_id", testPermille = 100, valPermille = 50)
+      .select("doc_id", "split_bucket", "split").as[(Long, Long, String)].collect()
+    def bucket(id: Long): Long = (id * 2246822519L + 104729L) % 1000L
+    got.foreach { case (id, b, s) =>
+      assert(b === bucket(id), s"doc $id bucket")
+      assert(s === (if (b < 100) "test" else if (b < 150) "val" else "train"), s"doc $id")
+    }
+    // rates land near 100/50/850‰ on 1000 sequential ids
+    val n = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(n("test") > 60 && n("test") < 140, s"test rate ${n("test")}")
+    assert(n("val") > 25 && n("val") < 75, s"val rate ${n("val")}")
+    // the split is a function of the id ALONE: a shrunken corpus (a later
+    // version, a sampled slice) assigns every surviving id identically —
+    // the no-eval-contamination-across-versions property
+    val sub = TrainPrep.splitAssign(d.filter(col("doc_id") % 3 === 0), "doc_id", 100, 50)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    got.filter(_._1 % 3 == 0).foreach { case (id, _, s) => assert(sub(id) === s) }
+    // and it is NOT the sampling bucket in disguise: within one sampling
+    // stratum (sampleBucket < 250) all three splits still occur
+    val sampled = got.filter { case (id, _, _) => (id * 2654435761L + 40503L) % 1000L < 250 }
+    assert(sampled.map(_._3).distinct.sorted.toSeq === Seq("test", "train", "val"))
+  }
+
+  test("splitAssign rejects bad permilles and colliding columns") {
+    val d = docs((0L, "en", "t"))
+    assert(intercept[IllegalArgumentException] {
+      TrainPrep.splitAssign(d, "doc_id", testPermille = 600, valPermille = 600)
+    }.getMessage.contains("1000"))
+    assert(intercept[IllegalArgumentException] {
+      TrainPrep.splitAssign(d.withColumn("split", lit("x")), "doc_id", 100, 50)
+    }.getMessage.contains("split"))
+  }
+
+  test("shuffleShard emits a dense deterministic permutation per shard") {
+    val d = docs((0L until 500L).map(i => (i, "en", "t")): _*)
+    val got = TrainPrep.shuffleShard(d, "doc_id", nShards = 8)
+      .select("doc_id", "shuffle_key", "shard", "pos")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length === 500)
+    def key(id: Long): Long = (id * 1779033703L + 512927357L) % 1000000007L
+    got.foreach { case (id, k, sh, _) =>
+      assert(k === key(id) && sh === k % 8L, s"doc $id key/shard")
+    }
+    got.groupBy(_._3).foreach { case (sh, rows) =>
+      // pos is dense 1..n within the shard and follows key order
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.length), s"shard $sh pos")
+      val byPos = rows.sortBy(_._4).map(r => (r._2, r._1)).toSeq
+      assert(byPos === byPos.sorted, s"shard $sh order")
+    }
+    // the plan genuinely shuffles: within a shard, pos order ≠ id order
+    val shard0 = got.filter(_._3 === 0L).sortBy(_._4).map(_._1).toSeq
+    assert(shard0 !== shard0.sorted)
+    // rerun is byte-stable (no rand() anywhere)
+    val again = TrainPrep.shuffleShard(d, "doc_id", nShards = 8)
+      .select("doc_id", "shuffle_key", "shard", "pos")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+  }
+
   test("packWindows repacks on real BPE counts — the boundaries actually move") {
     val d = docs((0L until 6L).map(i => (i, "en", "abcd abcd")): _*)
     // a sparse merge table leaves "abcd" at ab|c|d = 3 pieces → 6 per doc,
