@@ -116,6 +116,37 @@ class PlanSpec extends SparkSpec {
       s"probe side must stay in place:\n${p.take(2000)}")
   }
 
+  test("split assignment and PII scan are pure per-row plans — zero exchanges") {
+    for (name <- Seq("ext_split_assign", "ext_text_pii")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name shuffled:\n${p.take(1500)}")
+    }
+  }
+
+  test("int8 quantization is row-local — zero exchanges, HOFs only") {
+    val p = plan("ext_embed_quantize")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"quantization shuffled:\n${p.take(1500)}")
+    assert(!p.contains("Generate"), s"quantization exploded the vector:\n${p.take(1500)}")
+  }
+
+  test("shuffle-shard plan costs exactly the one shard exchange") {
+    val p = plan("ext_shuffle_shard")
+    val shuffles = p.split("Exchange hashpartitioning").length - 1
+    assert(shuffles == 1, s"expected one shard exchange:\n${p.take(2000)}")
+  }
+
+  test("bigram counts aggregate map-side before the one bigram exchange") {
+    val p = plan("ext_ngram_counts")
+    val shuffles = p.split("Exchange hashpartitioning").length - 1
+    // distinct-doc df forces the (bigram, doc) pre-aggregate: two keyed
+    // exchanges total, both carrying one row per distinct group
+    assert(shuffles <= 2, s"bigram counting over-shuffles:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n${p.take(1500)}")
+  }
+
   test("simhash fingerprints come from the row-local expression — no explode, no shuffle before banding") {
     val p = plan("ext_dedup_simhash")
     assert(p.contains("simhash64"), s"expression missing:\n${p.take(1500)}")
