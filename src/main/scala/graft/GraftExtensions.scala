@@ -20,6 +20,9 @@ import graft.functions.{BpeCount, FloatDot, HashedShingles, RollingHash, SimHash
   *  - `bpe_count(string) → bigint`
   *  - `simhash64(string) → bigint` (64-bit distinct-token SimHash)
   *  - `sample_bucket(id) → bigint` (deterministic [0,1000) sampling bucket)
+  *  - `split_bucket(id) → bigint` (deterministic [0,1000) holdout bucket,
+  *    independent multiplier — see [[graft.operators.TrainPrep.splitBucket]])
+  *  - `shuffle_key(id) → bigint` (deterministic training-order shuffle key)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -65,27 +68,37 @@ object GraftExtensions {
       require(args.length == 1, "simhash64(text)")
       SimHash64(args(0))
     },
-    // composite of built-in expressions (not a codegen'd class): the same
-    // guarded pmod(id·K + 40503, 1000) tree TrainPrep.sampleBucket builds
+    // composites of built-in expressions (not codegen'd classes): the same
+    // guarded pmod(id·mult + inc, m) tree the TrainPrep bucket helpers build
     // through the Column API — ExtensionsSpec pins the two surfaces
     // value-equal in-domain and both faulting out-of-domain. The leading
     // cast pins the documented bigint result for any integral input (a
-    // fractional id is a caller bug); ids beyond MaxSafeSampleId raise
+    // fractional id is a caller bug); ids past the overflow-safe bound raise
     // instead of silently wrapping the 64-bit product.
-    "sample_bucket" -> { args: Seq[Expression] =>
-      require(args.length == 1, "sample_bucket(id)")
+    "sample_bucket" -> guardedMulHash("sample_bucket", 2654435761L, 40503L, 1000L),
+    "split_bucket" -> guardedMulHash("split_bucket",
+      graft.operators.TrainPrep.SplitMult, graft.operators.TrainPrep.SplitInc, 1000L),
+    "shuffle_key" -> guardedMulHash("shuffle_key",
+      graft.operators.TrainPrep.ShuffleMult, graft.operators.TrainPrep.ShuffleInc,
+      graft.operators.TrainPrep.ShuffleMod))
+
+  private def guardedMulHash(name: String, mult: Long, inc: Long,
+                             modulus: Long): Seq[Expression] => Expression = {
+    args: Seq[Expression] =>
+      require(args.length == 1, s"$name(id)")
+      val maxSafe = (Long.MaxValue - inc) / mult
       val id = Cast(args(0), LongType)
       val inDomain = And(GreaterThanOrEqual(id, Literal(0L)),
-        LessThanOrEqual(id, Literal(graft.operators.TrainPrep.MaxSafeSampleId)))
+        LessThanOrEqual(id, Literal(maxSafe)))
       // raise_error's tree shape, but typed LongType so If's branches agree
       val raise = RaiseError(Literal("USER_RAISED_EXCEPTION"),
         CreateMap(Seq(Literal("errorMessage"),
-          Literal(s"sample_bucket: id outside [0, ${graft.operators.TrainPrep.MaxSafeSampleId}] " +
-            "overflows the 64-bit product; use pmod(xxhash64(id), 1000) for wide ids"))),
+          Literal(s"$name: id outside [0, $maxSafe] overflows the 64-bit " +
+            s"product; use pmod(xxhash64(id), $modulus) for wide ids"))),
         LongType)
-      Pmod(Add(Multiply(If(inDomain, id, raise), Literal(2654435761L)), Literal(40503L)),
-        Literal(1000L))
-    })
+      Pmod(Add(Multiply(If(inDomain, id, raise), Literal(mult)), Literal(inc)),
+        Literal(modulus))
+  }
 
   /** Register everything on an already-built session. */
   def registerAll(spark: SparkSession): Unit =

@@ -26,8 +26,11 @@ object TrainPrep {
     * multiplier: with a shared one the buckets differ only by an additive
     * constant mod m, i.e. are perfectly correlated — a capped sampling
     * stratum would then fall into one end of the holdout split. */
-  private val SplitMult = 2246822519L   // xxhash prime 2
-  private val ShuffleMult = 1779033703L // sha-256 h0, odd
+  private[graft] val SplitMult = 2246822519L   // xxhash prime 2
+  private[graft] val SplitInc = 104729L
+  private[graft] val ShuffleMult = 1779033703L // sha-256 h0, odd
+  private[graft] val ShuffleInc = 512927357L
+  private[graft] val ShuffleMod = 1000000007L
 
   /** Largest id whose `id·K + 40503` product stays inside a signed 64-bit
     * long (≈ 3.47e9) — the domain [[sampleBucket]] enforces. */
@@ -60,7 +63,7 @@ object TrainPrep {
   /** Deterministic per-row split bucket in [0, 1000) — independent of
     * [[sampleBucket]] (different multiplier; see the constants note). */
   def splitBucket(id: Column): Column =
-    mulHash(id, SplitMult, 104729L, 1000L, "splitBucket")
+    mulHash(id, SplitMult, SplitInc, 1000L, "splitBucket")
 
   /** Stratified downsampling: keep a row iff its [[sampleBucket]] falls
     * under its stratum's permille rate — the classic training-mix rebalance
@@ -123,7 +126,7 @@ object TrainPrep {
     val w = Window.partitionBy(col("shard")).orderBy(col("shuffle_key"), col(idCol))
     docs
       .select(col(idCol),
-        mulHash(col(idCol), ShuffleMult, 512927357L, 1000000007L, "shuffleShard")
+        mulHash(col(idCol), ShuffleMult, ShuffleInc, ShuffleMod, "shuffleShard")
           .as("shuffle_key"))
       .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
       .withColumn("pos", row_number().over(w).cast("long"))

@@ -58,15 +58,34 @@ class ExtensionsSpec extends SparkSpec {
       .as[Long].collect().head
     assert(sqlBucket === colBucket && sqlBucket === (42L * 2654435761L + 40503L) % 1000L)
 
+    // split_bucket / shuffle_key: same values as the Column-API forms
+    val sqlSplit = spark.sql("SELECT split_bucket(42L) AS r").collect().head.getLong(0)
+    val colSplit = Seq(42L).toDF("id")
+      .select(graft.operators.TrainPrep.splitBucket(col("id")))
+      .as[Long].collect().head
+    assert(sqlSplit === colSplit && sqlSplit === (42L * 2246822519L + 104729L) % 1000L)
+    val sqlKey = spark.sql("SELECT shuffle_key(42L) AS r").collect().head.getLong(0)
+    assert(sqlKey === (42L * 1779033703L + 512927357L) % 1000000007L)
+
     // out-of-domain ids raise through the SQL surface too (same guard as the
-    // Column form — no silent 64-bit wrap)
-    val overflowId = graft.operators.TrainPrep.MaxSafeSampleId + 1L
-    val e = intercept[Exception] {
-      spark.sql(s"SELECT sample_bucket(${overflowId}L)").collect()
+    // Column form — no silent 64-bit wrap). sample_bucket is additionally
+    // probed at exactly maxSafe+1 (the tightest of the three domains); the
+    // shared huge id overflows all of them
+    val boundaryE = intercept[Exception] {
+      spark.sql(s"SELECT sample_bucket(${graft.operators.TrainPrep.MaxSafeSampleId + 1L}L)")
+        .collect()
     }
-    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-      .map(_.toString).mkString("; ")
-    assert(msgs.contains("overflows the 64-bit product"), msgs)
+    assert(Iterator.iterate(boundaryE: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.toString).mkString("; ").contains("overflows the 64-bit product"))
+    val overflowId = Long.MaxValue / 2
+    for (fn <- Seq("sample_bucket", "split_bucket", "shuffle_key")) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT $fn(${overflowId}L)").collect()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.toString).mkString("; ")
+      assert(msgs.contains("overflows the 64-bit product"), s"$fn: $msgs")
+    }
   }
 
   test("wrong-typed SQL calls fail at analysis time, not mid-job") {
