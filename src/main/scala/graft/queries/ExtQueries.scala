@@ -239,6 +239,31 @@ object ExtQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** N-gram exact-overlap contamination — the 13-gram collision standard
+    * for eval leakage (a shared verbatim 13-gram across corpus slices marks
+    * the pair, no similarity threshold involved): cross-`source` pairs with
+    * the count of distinct shared 13-grams. Complements [[extContamination]]
+    * (Jaccard ≥ t catches paraphrase-level overlap; this catches verbatim
+    * spans inside otherwise-different documents).
+    *
+    * Shape: one inverted-index equi-join on the int64 shingle hash — a slim
+    * (doc_id, source, hash) projection rides the join, never text. At 13
+    * tokens a shingle is near-unique, so per-shingle document frequency is
+    * tiny and the join output is ~linear in true overlaps (the df² blowup
+    * that forces prefix filtering at 3-grams does not arise). */
+  private val extContaminationNgram: Q = (s, d) => {
+    val sh = documents(s, d).select(col("doc_id"), col("source"),
+      explode(TextFns.hashedShingles(col("text"), 13)).as("sh"))
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.source") =!= col("b.source"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // -- similarity search -----------------------------------------------------
 
   /** Exact top-5 cosine neighbours for the first 10 vectors. */
@@ -485,6 +510,7 @@ object ExtQueries {
     "ext_dedup_cluster" -> extDedupCluster,
     "ext_dedup_keep" -> extDedupKeep,
     "ext_contamination" -> extContamination,
+    "ext_contamination_ngram" -> extContaminationNgram,
     "ext_sim_knn" -> extSimKnn,
     "ext_sim_knn_lsh" -> extSimKnnLsh,
     "ext_sim_knn_ivf" -> extSimKnnIvf,
@@ -704,6 +730,18 @@ object ExtQueries {
          |JOIN documents db ON doc_b = db.doc_id
          |WHERE da.source <> db.source
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "ext_contamination_ngram" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |         unnest(list_transform(generate_series(1, greatest(len(t) - 12, 0)),
+        |                               i -> array_to_string(t[i:i+12], ' '))) AS shingle
+        |       FROM toks)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        |FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |WHERE a.source <> b.source
+        |GROUP BY 1, 2, 3, 4 ORDER BY doc_a, doc_b""".stripMargin,
 
     // transitive closure of the ≥0.5 pair graph via recursive CTE; labels =
     // min reachable doc_id — must equal Spark's min-label fixpoint

@@ -53,6 +53,32 @@ class ExtOpsSpec extends SparkSpec {
     assert(got.map(r => (-r._2, r._1)).toSeq === got.map(r => (-r._2, r._1)).sorted)
   }
 
+  test("13-gram contamination flags only cross-source verbatim spans") {
+    val span = (1 to 13).map(i => s"w$i").mkString(" ") // one shared 13-gram
+    val d = Seq(
+      (0L, "train", s"lead in $span trailing words here"),
+      (1L, "eval", s"$span completely different tail"),
+      (2L, "train", s"$span also in train"), // same-source pair with 0 — excluded
+      (3L, "eval", "no overlap with anything else at all beyond twelve tokens only"),
+      (4L, "eval", s"alpha $span beta " + span) // shares with 0 and 2; dup span counts once
+    ).toDF("doc_id", "source", "text")
+    // the registered query is fixture-bound; rebuild the same join/agg over
+    // the planted frame with the operator's own building blocks
+    val sh = d.select(col("doc_id"), col("source"),
+      explode(graft.functions.TextFns.hashedShingles(col("text"), 13)).as("sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.source") =!= col("b.source"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .as[(Long, Long, Long)].collect().toSet
+    // 0↔1 and 0↔4 share exactly the planted span; 2↔1, 2↔4 cross sources
+    // too; 1↔4 same-source eval pair is excluded, as is 0↔2 (both train).
+    // 4's text contains the span twice but hashedShingles is distinct per
+    // doc, so every overlap counts each 13-gram once
+    assert(pairs === Set((0L, 1L, 1L), (0L, 4L, 1L), (1L, 2L, 1L), (2L, 4L, 1L)))
+  }
+
   test("quantizeInt8 clamps, round-half-ups, and zeroes the degenerate vector") {
     val d = Seq(
       (0L, Array(1.0f, -1.0f, 0.5f, 0.0f)),  // scale 1: 127, -127, 64 (63.5 up), 0
