@@ -132,6 +132,30 @@ object TrainPrep {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** Deterministic FIXED-SIZE sample: the k docs per stratum that come
+    * first in the [[shuffleShard]] order (hash key, id tie-break) — i.e.
+    * the prefix of the deterministic global shuffle, which is exactly a
+    * uniform without-replacement sample of size k, reproducible across
+    * reruns and engines. Complements [[stratifiedSample]]: permille rates
+    * scale WITH the corpus; bottom-k pins an absolute size (eval slices,
+    * fixed human-review batches).
+    *
+    * Shape: one exchange on the stratum + a per-stratum sort — right for
+    * language/source-sized strata (the [[tokenQuantiles]] posture). For an
+    * unstratified fixed-k over an unbounded corpus, `orderBy(key).limit(k)`
+    * plans as a distributed TakeOrdered instead — use that form when one
+    * stratum is the whole corpus. */
+  def bottomKSample(docs: DataFrame, idCol: String, stratumCol: String, k: Int): DataFrame = {
+    require(k > 0, s"bottomKSample: k must be positive, got $k")
+    require(!docs.columns.contains("sample_rank"),
+      "bottomKSample generates a `sample_rank` column; rename the input's")
+    val key = mulHash(col(idCol), ShuffleMult, ShuffleInc, ShuffleMod, "bottomKSample")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(key.asc, col(idCol).asc)
+    docs
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Context-window packing: concatenation order is fixed (by id within a
     * shard), documents fill windows of `budgetTokens` tokens back to back,
     * and each document is labelled with the window its FIRST token lands in

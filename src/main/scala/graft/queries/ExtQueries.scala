@@ -358,6 +358,15 @@ object ExtQueries {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy("doc_id")
 
+  /** Deterministic fixed-size sample: the 20 docs per language that come
+    * first in the shuffle order — an absolute-size uniform sample (eval
+    * slices, review batches) where the stratified form scales with the
+    * corpus (see [[TrainPrep.bottomKSample]]). */
+  private val extSampleBottomk: Q = (s, d) =>
+    TrainPrep.bottomKSample(documents(s, d), "doc_id", "lang", k = 20)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .orderBy("doc_id")
+
   /** Deterministic train/val/test holdout: 100‰ test, 50‰ val, rest train —
     * a pure per-row expression over an id hash independent of the sampling
     * hash (see [[TrainPrep.splitAssign]]); zero shuffles, rerun-stable. */
@@ -518,6 +527,7 @@ object ExtQueries {
     "ext_sim_neardup_lsh" -> extSimNeardupLsh,
     "ext_sim_cluster" -> extSimCluster,
     "ext_sample_stratified" -> extSampleStratified,
+    "ext_sample_bottomk" -> extSampleBottomk,
     "ext_split_assign" -> extSplitAssign,
     "ext_shuffle_shard" -> extShuffleShard,
     "ext_embed_quantize" -> extEmbedQuantize,
@@ -807,6 +817,15 @@ object ExtQueries {
         |FROM documents
         |WHERE $bucketSql < CASE WHEN lang = 'en' THEN 250 ELSE 800 END
         |ORDER BY doc_id""".stripMargin,
+
+    "ext_sample_bottomk" ->
+      s"""SELECT doc_id, lang, sample_rank FROM (
+         |  SELECT doc_id, lang,
+         |         CAST(row_number() OVER (PARTITION BY lang
+         |           ORDER BY (doc_id * 1779033703 + 512927357) % 1000000007, doc_id)
+         |           AS BIGINT) AS sample_rank
+         |  FROM documents)
+         |WHERE sample_rank <= 20 ORDER BY doc_id""".stripMargin,
 
     "ext_split_assign" ->
       s"""SELECT doc_id, lang,

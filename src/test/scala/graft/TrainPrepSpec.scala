@@ -381,6 +381,26 @@ class TrainPrepSpec extends SparkSpec {
     assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
   }
 
+  test("bottomKSample takes exactly the k-prefix of the shuffle order per stratum") {
+    val d = docs((0L until 300L).map(i => (i, if (i % 3 == 0) "en" else "de", "t")): _*)
+    val got = TrainPrep.bottomKSample(d, "doc_id", "lang", k = 10)
+      .select("doc_id", "lang", "sample_rank").as[(Long, String, Long)].collect()
+    def key(id: Long): Long = (id * 1779033703L + 512927357L) % 1000000007L
+    val expect = (0L until 300L).groupBy(i => if (i % 3 == 0) "en" else "de")
+      .flatMap { case (lang, ids) =>
+        ids.sortBy(i => (key(i), i)).take(10).zipWithIndex
+          .map { case (id, r) => (id, lang, r + 1L) }
+      }.toSet
+    assert(got.toSet === expect)
+    assert(got.count(_._2 == "en") === 10 && got.count(_._2 == "de") === 10)
+    // the sample is NOT an id prefix — the hash genuinely shuffles
+    assert(got.map(_._1).max > 20L)
+    // rerun is byte-stable (no rand() anywhere)
+    val again = TrainPrep.bottomKSample(d, "doc_id", "lang", k = 10)
+      .select("doc_id", "lang", "sample_rank").as[(Long, String, Long)].collect()
+    assert(again.toSet === got.toSet)
+  }
+
   test("packWindows repacks on real BPE counts — the boundaries actually move") {
     val d = docs((0L until 6L).map(i => (i, "en", "abcd abcd")): _*)
     // a sparse merge table leaves "abcd" at ab|c|d = 3 pieces → 6 per doc,
