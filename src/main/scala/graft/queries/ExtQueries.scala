@@ -444,6 +444,53 @@ object ExtQueries {
         budgetTokens = 2048L, nShards = 8), "doc_id", budgetTokens = 2048L)
       .orderBy("shard", "window_id")
 
+  /** Sliding-window document chunking (32-token chunks, stride 24 — 8-token
+    * overlap): every doc split into the overlapping segments a RAG index or
+    * a long-document pretraining pass consumes, each with its token span
+    * and materialized text. Pure per-row sequence + explode + array slice —
+    * zero shuffles at any scale (the output order is the only sort). Chunk
+    * starts step by the stride until the tail fits one chunk; every token
+    * is covered because chunk ≥ stride. */
+  private val extChunkDocs: Q = (s, d) => {
+    val C = 32
+    val S = 24
+    val tk = documents(s, d)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+    tk
+      .withColumn("n_chunks", expr(s"((greatest(n - $C, 0L) + ${S - 1}L) div $S) + 1L"))
+      .withColumn("chunk_id", explode(expr("sequence(0L, n_chunks - 1L)")))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * S).as("tok_start"),
+        least(col("chunk_id") * S + C, col("n")).as("tok_end"),
+        concat_ws(" ", expr(s"slice(tk, CAST(chunk_id * $S + 1 AS INT), " +
+          s"CAST(least(chunk_id * $S + $C, n) - chunk_id * $S AS INT))")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Source-mixture plan over `lang` (the data-mixing step of a training
+    * run): per stratum, its document/token mass, actual token share, the
+    * target share, and the repeat (oversample) factor that realizes the
+    * target — en capped at 400‰, the tail lifted to 150‰ each. One
+    * aggregate + a broadcast 1-row total; arithmetic in fixed double op
+    * order so the factors are engine-exact under rnd4. */
+  private val extMixPlan: Q = (s, d) => {
+    val targets = Seq("de" -> 150L, "en" -> 400L, "es" -> 150L, "fr" -> 150L, "zh" -> 150L)
+    val target = targets.foldLeft(lit(0L)) {
+      case (acc, (k, v)) => when(col("lang") === k, v).otherwise(acc)
+    }
+    val per = documents(s, d).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFns.bpeEstimate(col("text"))).as("n_tokens"))
+    val share = col("n_tokens").cast("double") / col("__total").cast("double")
+    per.crossJoin(broadcast(per.agg(sum(col("n_tokens")).as("__total"))))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        rnd4(share).as("actual_share"),
+        target.as("target_permille"),
+        rnd4((target.cast("double") / 1000.0) / share).as("repeat_factor"))
+      .orderBy("lang")
+  }
+
   /** The composed training-data pipeline: exact dedup → quality ≥ 0.3 →
     * stratified rebalance (en capped) → 2048-token window packing. Two
     * exchanges end to end (see [[TrainPrep.corpusPrep]]). */
@@ -532,6 +579,8 @@ object ExtQueries {
     "ext_shuffle_shard" -> extShuffleShard,
     "ext_embed_quantize" -> extEmbedQuantize,
     "ext_pack_windows" -> extPackWindows,
+    "ext_chunk_docs" -> extChunkDocs,
+    "ext_mix_plan" -> extMixPlan,
     "ext_tfidf_terms" -> extTfidfTerms,
     "ext_token_quantiles" -> extTokenQuantiles,
     "ext_token_quantiles_fast" -> extTokenQuantilesFast,
@@ -892,6 +941,34 @@ object ExtQueries {
          |SELECT doc_id, lang, quality, n_tokens,
          |       $packColsSql
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "ext_chunk_docs" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, t, n,
+        |             ((greatest(n - 32, 0) + 23) // 24) + 1 AS n_chunks
+        |      FROM tk),
+        |g AS (SELECT doc_id, t, n,
+        |             unnest(generate_series(0, n_chunks - 1)) AS i
+        |      FROM c)
+        |SELECT doc_id, i AS chunk_id, i * 24 AS tok_start,
+        |       least(i * 24 + 32, n) AS tok_end,
+        |       array_to_string(t[i * 24 + 1 : least(i * 24 + 32, n)], ' ') AS chunk_text
+        |FROM g ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "ext_mix_plan" ->
+      s"""WITH per AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |         CAST(sum(${TextFns.bpeEstimateSql("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per)
+         |SELECT lang, n_docs, n_tokens,
+         |       ${rnd4Sql("CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)")} AS actual_share,
+         |       CAST(CASE lang WHEN 'en' THEN 400 ELSE 150 END AS BIGINT) AS target_permille,
+         |       ${rnd4Sql("(CAST(CASE lang WHEN 'en' THEN 400 ELSE 150 END AS DOUBLE) / 1000.0)" +
+        " / (CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE))")} AS repeat_factor
+         |FROM per, tot ORDER BY lang""".stripMargin,
 
     "ext_tfidf_terms" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

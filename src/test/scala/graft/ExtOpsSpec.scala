@@ -104,6 +104,47 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunking tiles every token with stride-bounded overlap") {
+    val rows = ExtQueries.queries("ext_chunk_docs")(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "chunk_id", "tok_start", "tok_end", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      val toks = texts(id).split(" ", -1)
+      val sorted = cs.sortBy(_._2)
+      // chunk ids dense from 0; starts step by the stride; ends clamp at n
+      sorted.zipWithIndex.foreach { case ((_, cid, s, e, txt), i) =>
+        assert(cid === i.toLong && s === 24L * i, s"doc $id chunk $cid")
+        assert(e === math.min(s + 32, toks.length), s"doc $id chunk $cid end")
+        // the materialized text IS the token span
+        assert(txt === toks.slice(s.toInt, e.toInt).mkString(" "), s"doc $id chunk $cid text")
+      }
+      // full coverage: last chunk reaches the end, every gap ≤ chunk size
+      assert(sorted.last._4 === toks.length.toLong, s"doc $id tail")
+      // some doc in the fixture genuinely needs several chunks
+    }
+    assert(rows.groupBy(_._1).values.exists(_.length > 2))
+  }
+
+  test("mix plan factors reproduce target/actual share arithmetic") {
+    val got = ExtQueries.queries("ext_mix_plan")(spark, "/root/testdata/sf0.001")
+      .select("lang", "n_tokens", "actual_share", "target_permille", "repeat_factor")
+      .as[(String, Long, Double, Long, Double)].collect()
+    assert(got.map(_._1).sorted.toSeq === Seq("de", "en", "es", "fr", "zh"))
+    val total = got.map(_._2).sum
+    got.foreach { case (lang, n, share, tgt, rf) =>
+      assert(tgt === (if (lang == "en") 400L else 150L))
+      val exactShare = n.toDouble / total.toDouble
+      assert(share === math.floor(exactShare * 10000 + 0.5) / 10000, lang)
+      assert(rf === math.floor((tgt.toDouble / 1000.0) / exactShare * 10000 + 0.5) / 10000, lang)
+      // oversample factors point the right way relative to the data: a
+      // stratum below its target repeats > 1, one above repeats < 1
+      if (exactShare < tgt / 1000.0) assert(rf > 1.0, lang) else assert(rf <= 1.0, lang)
+    }
+  }
+
   test("the quantization summary matches an independent per-vector computation") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()

@@ -131,6 +131,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate"), s"quantization exploded the vector:\n${p.take(1500)}")
   }
 
+  test("doc chunking is a per-row explode — zero exchanges before the output sort") {
+    val p = plan("ext_chunk_docs")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking shuffled:\n${p.take(1500)}")
+    assert(p.contains("Generate explode"), s"chunks must fan out inline:\n${p.take(1500)}")
+  }
+
+  test("mix plan is one aggregate joined to a broadcast 1-row total") {
+    val p = plan("ext_mix_plan")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"total must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), s"1-row join must not cartesian:\n${p.take(1500)}")
+  }
+
   test("shuffle-shard plan costs exactly the one shard exchange") {
     val p = plan("ext_shuffle_shard")
     val shuffles = p.split("Exchange hashpartitioning").length - 1
