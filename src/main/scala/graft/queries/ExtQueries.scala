@@ -109,9 +109,12 @@ object ExtQueries {
     docs.select(
       col("doc_id") +:
         counts.map { case (p, n) => regexp_count(col("text"), lit(p)).cast("long").as(n) } :+
-        counts.map { case (p, _) => regexp_count(col("text"), lit(p)) > 0 }
-          .reduce(_ || _).as("has_pii") :+
         length(redacted).cast("long").as("n_redacted_chars"): _*)
+      // derived from the count COLUMNS — each pattern runs once per row,
+      // not twice (the flag re-matching all four cost a third of the scan)
+      .withColumn("has_pii", counts.map { case (_, n) => col(n) > 0 }.reduce(_ || _))
+      .select(col("doc_id"), col("n_emails"), col("n_urls"), col("n_ipv4"),
+        col("n_digit_runs"), col("has_pii"), col("n_redacted_chars"))
   }
 
   private val extTextPii: Q = (s, d) => piiScan(documents(s, d)).orderBy("doc_id")
