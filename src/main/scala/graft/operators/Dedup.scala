@@ -219,6 +219,54 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), graft.Tables.rnd4(j).as("jaccard"))
   }
 
+  /** Duplicate-substring spans (exact substring dedup in the style of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): the token ranges of each doc covered by any word n-gram
+    * occurring ≥ `minDf` times corpus-wide (counting within-doc repeats),
+    * merged into maximal contiguous spans. Unlike the whole-doc Jaccard
+    * tiers above, this localizes WHERE the duplication sits — the spans are
+    * what a substring-dedup pass would cut.
+    *
+    * Shape: positional n-gram hashes — one (doc_id, pos, hash) row per
+    * n-gram occurrence; the int64 hash, never the text, is the shuffle
+    * key. Global occurrence counts come from ONE count-window on the hash
+    * (no join back to a df table), then the survivors flow into a per-doc
+    * gaps-and-islands merge whose window and groupBy share the doc_id
+    * partitioning. TWO exchanges total at any corpus size; hash skew is
+    * bounded because long n-grams are near-unique (df² never blows up —
+    * the same argument as the 13-gram contamination join).
+    *
+    * Spans of equal-length intervals merge when they overlap OR touch
+    * (next start = prev end + 1): coverage is contiguous either way, and a
+    * loader cutting the span can't tell the difference. */
+  def duplicateSpans(docs: DataFrame, textCol: String, idCol: String, n: Int,
+                     minDf: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, s"duplicateSpans: n must be >= 2, got $n")
+    val toks = TextFns.tokens(col(textCol))
+    // positional (NOT distinct — within-doc repeats count toward df) hashes;
+    // identity-by-hash as in hashedShingles: collision odds ≈ occurrences²/2⁶⁵
+    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => xxhash64((0 until n).map(j => element_at(toks, i + j)): _*))
+    val positional = docs
+      .filter(size(toks) >= n)
+      .select(col(idCol).as("doc_id"), posexplode(grams).as(Seq("pos", "h")))
+    val dupPos = positional
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("__df") >= minDf)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + (n - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    dupPos
+      .withColumn("__new", when(prevEnd.isNull || col("pos") > prevEnd + 1, 1L).otherwise(0L))
+      .withColumn("__span", sum(col("__new")).over(byDoc))
+      .groupBy(col("doc_id"), col("__span"))
+      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + (n - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
   /** Duplicate clustering: connected components over a near-dup pair list —
     * each doc labelled with the min doc_id reachable through pairs (the
     * cluster's canonical survivor). */

@@ -173,6 +173,55 @@ object ExtQueries {
       rnd4(TextFns.qualityScore(col("text"))).as("quality"))
       .orderBy("doc_id")
 
+  /** Gopher/MassiveText quality-rule battery thresholds (Rae et al. 2021,
+    * §A1.1) — ONE definition interpolated into both the Spark flags and the
+    * oracle SQL so the rule constants cannot drift. */
+  private val GopherMinTokens = 50L
+  private val GopherMaxTokens = 100000L
+  private val GopherMinWordLen = 3.0
+  private val GopherMaxWordLen = 10.0
+  private val GopherMaxSymbolRatio = 0.1
+  private val GopherMinAlphaFrac = 0.8
+  private val GopherMinStopwords = 2L
+  private val GopherSymbolPattern = "#|\\.\\.\\."
+
+  /** The Gopher rule battery itself: word-count bounds, mean-word-length
+    * bounds, symbol-to-word ratio (hash/ellipsis), alpha-word fraction,
+    * distinct-stopword presence — every signal a row-local expression in
+    * fixed double op order; one corpus scan, zero shuffles at any scale.
+    * The corpus fixture is single-line text, so the paper's two line-shape
+    * rules (bullet-line / ellipsis-line fractions) have no signal here and
+    * are out of scope. Flags are computed on the UNrounded values; the
+    * reported ratios are rnd4 for the hash. */
+  private[graft] def gopherQuality(docs: DataFrame): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val n = size(toks).cast("long")
+    val meanLen = aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
+      .cast("double") / n
+    val symbolRatio = regexp_count(col("text"), lit(GopherSymbolPattern)).cast("double") / n
+    val alphaFrac = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / n
+    val nStop = size(array_intersect(TextFns.distinctTokens(col("text")),
+      array(TextFns.stopwords("en").map(lit): _*))).cast("long")
+    val passLen = n >= GopherMinTokens && n <= GopherMaxTokens
+    val passWordLen = meanLen >= GopherMinWordLen && meanLen <= GopherMaxWordLen
+    val passSymbol = symbolRatio <= GopherMaxSymbolRatio
+    val passAlpha = alphaFrac >= GopherMinAlphaFrac
+    val passStop = nStop >= GopherMinStopwords
+    docs.select(
+      col("doc_id"), n.as("n_tokens"),
+      rnd4(meanLen).as("mean_word_len"),
+      rnd4(symbolRatio).as("symbol_ratio"),
+      rnd4(alphaFrac).as("alpha_frac"),
+      nStop.as("n_stop_distinct"),
+      passLen.as("pass_len"), passWordLen.as("pass_word_len"),
+      passSymbol.as("pass_symbol"), passAlpha.as("pass_alpha"),
+      passStop.as("pass_stop"),
+      (passLen && passWordLen && passSymbol && passAlpha && passStop).as("pass"))
+      .orderBy("doc_id")
+  }
+
+  private val extQualityGopher: Q = (s, d) => gopherQuality(documents(s, d))
+
   /** Rolling polynomial fingerprint over characters:
     * fp = fold((acc·31 + codepoint) mod P) — codegen'd ([[RollingHash]]);
     * the modulus keeps every intermediate exact in 64-bit on both engines. */
@@ -198,6 +247,15 @@ object ExtQueries {
     Dedup.minhashLsh(documents(s, d), "text", "doc_id", n = 3,
       bands = 12, rowsPerBand = 4, threshold = 0.5)
       .orderBy("doc_a", "doc_b")
+
+  /** Exact duplicate-SUBSTRING spans (Lee et al. 2022 style): maximal
+    * per-doc token ranges covered by any 13-gram occurring ≥2 times
+    * corpus-wide — localizes WHERE duplication sits, vs the whole-doc
+    * pair tiers above. 13 matches the contamination n (the verbatim-span
+    * standard). Two exchanges at any scale (see [[Dedup.duplicateSpans]]). */
+  private val extDedupSpans: Q = (s, d) =>
+    Dedup.duplicateSpans(documents(s, d), "text", "doc_id", n = 13)
+      .orderBy("doc_id", "span_start")
 
   private val extDedupSimhash: Q = (s, d) =>
     Dedup.simhashPairs(documents(s, d), "text", "doc_id", maxHamming = 3)
@@ -565,6 +623,8 @@ object ExtQueries {
     "ext_dedup_exact" -> extDedupExact,
     "ext_dedup_ngram" -> extDedupNgram,
     "ext_dedup_minhash" -> extDedupMinhash,
+    "ext_dedup_spans" -> extDedupSpans,
+    "ext_quality_gopher" -> extQualityGopher,
     "ext_dedup_simhash" -> extDedupSimhash,
     "ext_dedup_cluster" -> extDedupCluster,
     "ext_dedup_keep" -> extDedupKeep,
@@ -770,6 +830,32 @@ object ExtQueries {
          |       $qualitySql AS quality
          |FROM q ORDER BY doc_id""".stripMargin,
 
+    "ext_quality_gopher" -> {
+      val en = TextFns.stopwords("en").map(w => s"'$w'").mkString(",")
+      val rules = Seq(
+        "pass_len" -> s"n_tokens >= $GopherMinTokens AND n_tokens <= $GopherMaxTokens",
+        "pass_word_len" -> s"mean_word_len >= $GopherMinWordLen AND mean_word_len <= $GopherMaxWordLen",
+        "pass_symbol" -> s"symbol_ratio <= $GopherMaxSymbolRatio",
+        "pass_alpha" -> s"alpha_frac >= $GopherMinAlphaFrac",
+        "pass_stop" -> s"n_stop_distinct >= $GopherMinStopwords")
+      val flagCols = rules.map { case (nm, p) => s"$p AS $nm" }.mkString(",\n       ")
+      val allPass = rules.map { case (_, p) => s"($p)" }.mkString(" AND ")
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+         |m AS (SELECT doc_id,
+         |        CAST(len(t) AS BIGINT) AS n_tokens,
+         |        CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t) AS mean_word_len,
+         |        CAST(len(regexp_extract_all(text, '$GopherSymbolPattern')) AS DOUBLE) / len(t) AS symbol_ratio,
+         |        CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t) AS alpha_frac,
+         |        CAST(len(list_intersect(list_distinct(t), [$en])) AS BIGINT) AS n_stop_distinct
+         |      FROM t)
+         |SELECT doc_id, n_tokens, ${rnd4Sql("mean_word_len")} AS mean_word_len,
+         |       ${rnd4Sql("symbol_ratio")} AS symbol_ratio,
+         |       ${rnd4Sql("alpha_frac")} AS alpha_frac, n_stop_distinct,
+         |       $flagCols,
+         |       $allPass AS pass
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
     "ext_fingerprint" ->
       s"""SELECT doc_id,
          |       list_reduce(list_transform(generate_series(1, length(text)),
@@ -783,6 +869,33 @@ object ExtQueries {
 
     "ext_dedup_ngram" -> jaccardSql,
     "ext_dedup_minhash" -> jaccardSql,
+
+    // positional 13-grams (NOT distinct — in-doc repeats count toward df),
+    // zipped unnests keep pos and gram aligned; islands merge on touch
+    // (pos = prev_end + 1), mirroring Dedup.duplicateSpans
+    "ext_dedup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(generate_series(1, greatest(len(t) - 12, 0))) - 1 AS pos,
+        |        unnest(list_transform(generate_series(1, greatest(len(t) - 12, 0)),
+        |                              i -> array_to_string(t[i:i+12], ' '))) AS gram
+        |      FROM toks),
+        |d AS (SELECT doc_id, pos FROM (
+        |        SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS df FROM g)
+        |      WHERE df >= 2),
+        |m AS (SELECT doc_id, pos,
+        |        CASE WHEN pos > coalesce(max(pos + 12) OVER (
+        |               PARTITION BY doc_id ORDER BY pos
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+        |             THEN 1 ELSE 0 END AS new_span
+        |      FROM d),
+        |i AS (SELECT doc_id, pos,
+        |        sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+        |      FROM m)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |       CAST(max(pos) + 12 AS BIGINT) AS span_end,
+        |       CAST(max(pos) + 12 - min(pos) + 1 AS BIGINT) AS span_tokens
+        |FROM i GROUP BY doc_id, span ORDER BY doc_id, span_start""".stripMargin,
 
     "ext_contamination" ->
       s"""WITH pairs AS ($jaccardSql)

@@ -48,6 +48,36 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j - math.floor(28.0 / 29 * 10000 + 0.5) / 10000) < 1e-12)
   }
 
+  test("duplicateSpans localizes and merges cross-doc duplicate runs") {
+    // d1/d2 share the 3-gram "x y z" (d1 pos 0, d2 pos 2); every other
+    // token is unique, so exactly those two intervals survive
+    val d = docs(
+      (1, "x y z a1 a2 a3"),
+      (2, "b1 b2 x y z b3"),
+      (3, "c1 c2 c3 c4 c5"))
+    val r = Dedup.duplicateSpans(d, "text", "doc_id", n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(r === Set((1L, 0L, 2L, 3L), (2L, 2L, 4L, 3L)))
+  }
+
+  test("duplicateSpans counts within-doc repeats and merges touching intervals") {
+    // "m n o p q" repeated back-to-back: dup 3-gram positions 0,1,2 and
+    // 5,6,7; intervals [0,4] and [5,9] TOUCH (5 = 4 + 1) → one span 0..9
+    val d = docs((1, "m n o p q m n o p q"))
+    val r = Dedup.duplicateSpans(d, "text", "doc_id", n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(r === Set((1L, 0L, 9L, 10L)))
+  }
+
+  test("duplicateSpans keeps gapped repeats as separate spans") {
+    // "x y z" at pos 0 and pos 7 of the SAME doc, gap of 4 unique tokens:
+    // 7 > 2 + 1 → two spans
+    val d = docs((1, "x y z g1 g2 g3 g4 x y z"))
+    val r = Dedup.duplicateSpans(d, "text", "doc_id", n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(r === Set((1L, 0L, 2L, 3L), (1L, 7L, 9L, 3L)))
+  }
+
   test("duplicateClusters propagates min labels across chains") {
     // chain 1-2-3 (no direct 1-3 edge) plus isolated pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")

@@ -15,6 +15,29 @@ class ExtOpsSpec extends SparkSpec {
   private def docs(rows: (Long, String)*): DataFrame =
     rows.toDF("doc_id", "text")
 
+  test("gopherQuality trips exactly the planted rule per doc") {
+    val goodWords = Seq("the", "of", "and") ++ (1 to 47).map(i => s"word$i")
+    val good = goodWords.mkString(" ") // 50 tokens, 2+ stopwords, alpha, no symbols
+    val d = docs(
+      (0L, good),
+      (1L, "the of short"),                                   // < 50 tokens
+      (2L, (Seq("the", "of") ++ (1 to 48).map(_ => "x")).mkString(" ")),   // mean len 1.12 < 3
+      (3L, (goodWords :+ ("#" * 7).mkString).mkString(" ")),  // 7 hashes / 51 tokens > 0.1
+      (4L, (Seq("the", "of") ++ (1 to 48).map(i => s"$i...")).mkString(" ")), // digits: alpha 2/50
+      (5L, (1 to 50).map(i => s"word$i").mkString(" ")))      // no stopwords
+    val got = ExtQueries.gopherQuality(d)
+      .select("doc_id", "pass_len", "pass_word_len", "pass_symbol",
+        "pass_alpha", "pass_stop", "pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(0L) === ((0L, true, true, true, true, true, true)))
+    assert((got(1L)._2, got(1L)._7) === ((false, false)))
+    assert((got(2L)._3, got(2L)._7) === ((false, false)))
+    assert((got(3L)._4, got(3L)._7) === ((false, false)))
+    assert((got(4L)._5, got(4L)._7) === ((false, false)))
+    assert((got(5L)._6, got(5L)._7) === ((false, false)))
+  }
+
   test("piiScan counts and redacts each planted signal class") {
     val d = docs(
       (0L, "write to alice.smith+x@example.co.uk or bob@sub.domain.org today"),
