@@ -167,4 +167,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate explode(array_distinct"),
       s"fingerprint still fans out tokens:\n${p.take(1500)}")
   }
+
+  test("duplicate spans cost two exchanges: the gram-hash df window and the doc merge") {
+    val p = plan("ext_dedup_spans")
+    val shuffles = p.split("Exchange hashpartitioning").length - 1
+    // window-on-hash (df) + doc_id (islands; groupBy reuses the window's
+    // partitioning) — a join-back df design would add a third
+    assert(shuffles == 2, s"expected hash + doc exchanges only:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("gopher rule battery is one row-local scan — zero exchanges") {
+    val p = plan("ext_quality_gopher")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"gopher rules shuffled:\n${p.take(1500)}")
+  }
 }
