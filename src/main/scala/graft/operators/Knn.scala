@@ -168,28 +168,36 @@ object Knn {
     * pure function of the corpus. */
   def ivfCentroids(corpus: DataFrame, idCol: String, embCol: String,
                    nCells: Int, iters: Int, sampleN: Int = 0): Seq[(Int, Array[Float])] = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val n = if (sampleN > 0) sampleN else nCells * 32
     // TakeOrdered, not a full sort — one corpus scan to build the sample
     val sample = corpus.select(col(idCol), col(embCol)).orderBy(col(idCol)).limit(n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var cs: Seq[(Int, Array[Float])] = sample.orderBy(col(idCol)).limit(nCells)
-        .select(col(embCol)).as[Array[Float]].collect().toSeq.zipWithIndex.map(_.swap)
-      for (_ <- 0 until iters) {
-        val assign = nearestCell(sample, centroidFrame(spark, cs), idCol, embCol)
-        cs = sample.join(assign, idCol)
-          .select(col("cell"), posexplode(col(embCol)).as(Seq("pos", "v")))
-          .groupBy(col("cell"), col("pos"))
-          .agg((sum(col("v").cast("decimal(28,10)")) / count(lit(1))).cast("float").as("c"))
-          .groupBy(col("cell"))
-          .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("cv"))
-          .select(col("cell"), col("cv.c").as("cvec"))
-          .as[(Int, Array[Float])].collect().toSeq.sortBy(_._1)
-      }
-      cs
-    } finally sample.unpersist(false)
+    try lloyd(sample, idCol, embCol, nCells, iters)
+    finally sample.unpersist(false)
+  }
+
+  /** The Lloyd rounds of [[ivfCentroids]], factored out so [[pqCodebooks]]
+    * can train per-subspace codebooks on slices of ONE shared sample.
+    * `sample` must already be persisted and driver-manageable: every round
+    * scans it and collects O(nCells·dim) back. */
+  private def lloyd(sample: DataFrame, idCol: String, embCol: String,
+                    nCells: Int, iters: Int): Seq[(Int, Array[Float])] = {
+    val spark = sample.sparkSession
+    import spark.implicits._
+    var cs: Seq[(Int, Array[Float])] = sample.orderBy(col(idCol)).limit(nCells)
+      .select(col(embCol)).as[Array[Float]].collect().toSeq.zipWithIndex.map(_.swap)
+    for (_ <- 0 until iters) {
+      val assign = nearestCell(sample, centroidFrame(spark, cs), idCol, embCol)
+      cs = sample.join(assign, idCol)
+        .select(col("cell"), posexplode(col(embCol)).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("v").cast("decimal(28,10)")) / count(lit(1))).cast("float").as("c"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("cv"))
+        .select(col("cell"), col("cv.c").as("cvec"))
+        .as[(Int, Array[Float])].collect().toSeq.sortBy(_._1)
+    }
+    cs
   }
 
   /** Centroid table as a broadcastable frame: (cell, cvec, cnorm2 = ‖c‖²). */
@@ -268,5 +276,71 @@ object Knn {
       .withColumn("cosine", cos(col("__ea"), col("__eb"), col("__na"), col("__nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), graft.Tables.rnd4(col("cosine")).as("cosine"))
+  }
+
+  /** Product-quantization codebooks (Jégou, Douze, Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the vector splits into `m`
+    * contiguous subvectors; each subspace gets its own `k`-centroid
+    * codebook, trained by [[lloyd]] on ONE shared deterministic sample
+    * (the IVF sampling contract — training cost independent of corpus
+    * size). Returned codebooks are DENSE: a code is a position in the
+    * returned list, so emptied Lloyd cells just shrink a codebook rather
+    * than leaving holes the assignment could index into. */
+  private[graft] def pqCodebooks(corpus: DataFrame, idCol: String, embCol: String,
+                                 m: Int, k: Int, iters: Int,
+                                 sampleN: Int = 0): Seq[Seq[Array[Float]]] = {
+    val n = if (sampleN > 0) sampleN else k * 32
+    val sample = corpus.select(col(idCol), col(embCol)).orderBy(col(idCol)).limit(n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = sample.select(size(col(embCol)).as("d")).limit(1).collect()
+        .headOption.map(_.getInt(0))
+        .getOrElse(throw new IllegalArgumentException("pqCodebooks: empty corpus"))
+      require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m=$m")
+      val sub = dim / m
+      (0 until m).map { s =>
+        val sliced = sample.select(col(idCol), slice(col(embCol), s * sub + 1, sub).as("__sub"))
+        lloyd(sliced, idCol, "__sub", k, iters).sortBy(_._1).map(_._2)
+      }
+    } finally sample.unpersist(false)
+  }
+
+  /** PQ code assignment + reconstruction error — the compression step an
+    * ANN store runs before indexing (m=4, k=16 turns a 256-byte float
+    * vector into 4 nibbles; 64× smaller than float32, vs 4× for int8).
+    *
+    * 100 TB shape: the codebooks are O(m·k·dim/m) floats on the driver and
+    * ship to every task as a nested LITERAL — assignment is a pure per-row
+    * projection (argmin over k candidates per subspace via higher-order
+    * functions), so the corpus never shuffles and never fans out to
+    * (row × centroid) join rows; the only exchange in the whole operator
+    * is the caller's output ordering. Ties break toward the lower code
+    * (strict-< accumulator), keeping codes a pure function of the corpus. */
+  def pqCodes(corpus: DataFrame, idCol: String, embCol: String,
+              m: Int, k: Int, iters: Int, sampleN: Int = 0): DataFrame = {
+    val books = pqCodebooks(corpus, idCol, embCol, m, k, iters, sampleN)
+    val sub = books.head.head.length
+    val cb = typedLit(books.map(_.map(_.toSeq)))
+    val emb = col(embCol)
+    // per-subspace (code, squared-error) via argmin over the literal codebook
+    val assigned = transform(sequence(lit(0), lit(m - 1)), s => {
+      val subv = slice(emb, s * sub + 1, lit(sub))
+      val zero = struct(lit(-1).cast("int").as("c"), lit(Double.MaxValue).as("d"))
+      // per-subspace length: an emptied Lloyd cell shrinks ONE codebook
+      aggregate(sequence(lit(0), size(element_at(cb, s + 1)) - 1), zero, (acc, c) => {
+        val cent = element_at(element_at(cb, s + 1), c + 1)
+        val d = aggregate(
+          zip_with(subv, cent, (x, y) => ((x - y) * (x - y)).cast("double")),
+          lit(0.0), _ + _)
+        when(d < acc.getField("d"), struct(c.cast("int").as("c"), d.as("d"))).otherwise(acc)
+      })
+    })
+    corpus
+      .withColumn("__pq", assigned)
+      .select(col(idCol).as("vec_id"),
+        transform(col("__pq"), p => p.getField("c")).as("codes"),
+        graft.Tables.rnd4(
+          aggregate(transform(col("__pq"), p => p.getField("d")), lit(0.0), _ + _))
+          .as("recon_err"))
   }
 }

@@ -463,6 +463,26 @@ object ExtQueries {
       .orderBy("vec_id")
   }
 
+  /** Product-quantization contract — shared with KnnSpec so the entry and
+    * its pins can't drift. m=4 16-dim subspaces × 16 codes: 4 nibbles per
+    * 64-dim vector (64× smaller than float32; int8 above is 4×). Sample
+    * sized like the IVF entry: training is corpus-size-independent. */
+  final val PqM = 4
+  final val PqK = 16
+  final val PqIters = 2
+  final val PqSampleN = 128
+
+  /** PQ codes + reconstruction error over the embedding column — the
+    * deep-compression tier of the ANN storage story (int8 → PQ → IVF).
+    * Rows-only: k-means isn't oracle-expressible; KnnSpec pins assignment
+    * correctness on planted clusters and the fixture's error-vs-codebook
+    * monotonicity. Assignment is a pure per-row projection against
+    * driver-trained literal codebooks (see [[Knn.pqCodes]]). */
+  private val extEmbedPq: Q = (s, d) =>
+    Knn.pqCodes(embeddings(s, d), "vec_id", "embedding",
+      m = PqM, k = PqK, iters = PqIters, sampleN = PqSampleN)
+      .orderBy("vec_id")
+
   /** Concat-and-chunk context-window packing plan (2048-token windows, 8
     * shards): each doc labelled with the window its first token lands in
     * and its offset — one shuffle on shard, windows never span shards. */
@@ -641,6 +661,7 @@ object ExtQueries {
     "ext_split_assign" -> extSplitAssign,
     "ext_shuffle_shard" -> extShuffleShard,
     "ext_embed_quantize" -> extEmbedQuantize,
+    "ext_embed_pq" -> extEmbedPq,
     "ext_pack_windows" -> extPackWindows,
     "ext_chunk_docs" -> extChunkDocs,
     "ext_mix_plan" -> extMixPlan,

@@ -177,6 +177,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("pq assignment is a per-row projection against literal codebooks — zero hash exchanges") {
+    val p = plan("ext_embed_pq")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus shuffled for code assignment:\n${p.take(1500)}")
+    assert(!p.contains("Join"), s"centroids must ride as literals, not a join:\n${p.take(1500)}")
+  }
+
   test("gopher rule battery is one row-local scan — zero exchanges") {
     val p = plan("ext_quality_gopher")
     assert(!p.contains("Exchange hashpartitioning"),
