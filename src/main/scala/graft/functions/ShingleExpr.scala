@@ -17,7 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * similarity pipelines scan every document through this expression, so at
   * 100 TB it is the single hottest scalar in the engine.
   */
-case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
+case class HashedShingles(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -31,11 +32,11 @@ case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    ShingleUtil.compute(input.asInstanceOf[UTF8String], n)
+    ShingleUtil.compute(input.asInstanceOf[UTF8String], n, distinct)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.ShingleUtil.compute($c, $n);")
+      s"${ev.value} = graft.functions.ShingleUtil.compute($c, $n, $distinct);")
 
   override protected def withNewChildInternal(c: Expression): HashedShingles = copy(child = c)
 }
@@ -45,7 +46,7 @@ case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
 object ShingleUtil {
   private final val Seed = 42L // xxhash64's fixed seed
 
-  def compute(s: UTF8String, n: Int): ArrayData = {
+  def compute(s: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val len = s.numBytes()
@@ -72,7 +73,9 @@ object ShingleUtil {
     }
     val nShingles = nTokens - n + 1
     val out = new Array[Long](nShingles)
-    val seen = new java.util.HashSet[java.lang.Long](nShingles * 2)
+    // positional mode (distinct=false): index IS the token position — the
+    // substring-dedup input shape, where in-doc repeats must survive
+    val seen = if (distinct) new java.util.HashSet[java.lang.Long](nShingles * 2) else null
     var m = 0
     i = 0
     while (i < nShingles) {
@@ -82,7 +85,8 @@ object ShingleUtil {
         h = XXH64.hashUnsafeBytes(base, off + starts(i + j), lens(i + j), h)
         j += 1
       }
-      if (seen.add(h)) { out(m) = h; m += 1 }
+      if (seen == null) { out(m) = h; m += 1 }
+      else if (seen.add(h)) { out(m) = h; m += 1 }
       i += 1
     }
     new GenericArrayData(if (m == nShingles) out else java.util.Arrays.copyOf(out, m))

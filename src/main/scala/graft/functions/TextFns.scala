@@ -34,6 +34,14 @@ object TextFns {
     org.apache.spark.sql.GraftColumnBridge.column(
       HashedShingles(org.apache.spark.sql.GraftColumnBridge.expression(text), n))
 
+  /** ALL n-shingle hashes in token order (index = position, in-doc repeats
+    * kept) — the positional substring-dedup input shape; same compiled
+    * one-scan expression as [[hashedShingles]] minus the distinct. */
+  def hashedShinglesAll(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      HashedShingles(org.apache.spark.sql.GraftColumnBridge.expression(text), n,
+        distinct = false))
+
   /** Reference (interpreted higher-order) form of [[hashedShingles]] — the
     * spec the compiled expression is property-tested against. */
   def hashedShinglesRef(text: Column, n: Int): Column = {

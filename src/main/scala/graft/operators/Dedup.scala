@@ -229,12 +229,15 @@ object Dedup {
     *
     * Shape: positional n-gram hashes — one (doc_id, pos, hash) row per
     * n-gram occurrence; the int64 hash, never the text, is the shuffle
-    * key. Global occurrence counts come from ONE count-window on the hash
-    * (no join back to a df table), then the survivors flow into a per-doc
-    * gaps-and-islands merge whose window and groupBy share the doc_id
-    * partitioning. TWO exchanges total at any corpus size; hash skew is
-    * bounded because long n-grams are near-unique (df² never blows up —
-    * the same argument as the 13-gram contamination join).
+    * key. Occurrence counts come from a map-side-combined count aggregate
+    * (NOT a count-window: a window sorts every positional row on the hash,
+    * while the partial aggregate shuffles one row per distinct hash per
+    * partition — 10× on the fixture, more at scale since long n-grams are
+    * near-unique). The ≥ minDf survivors are a DUPLICATION-bounded set that
+    * joins back to the positional rows (AQE broadcasts it when small, the
+    * realistic case; sort-merge is the unbounded fallback), and the matches
+    * flow into a per-doc gaps-and-islands merge whose window and groupBy
+    * share the doc_id partitioning.
     *
     * Spans of equal-length intervals merge when they overlap OR touch
     * (next start = prev end + 1): coverage is contiguous either way, and a
@@ -243,17 +246,17 @@ object Dedup {
                      minDf: Long = 2L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n >= 2, s"duplicateSpans: n must be >= 2, got $n")
-    val toks = TextFns.tokens(col(textCol))
-    // positional (NOT distinct — within-doc repeats count toward df) hashes;
-    // identity-by-hash as in hashedShingles: collision odds ≈ occurrences²/2⁶⁵
-    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
-      i => xxhash64((0 until n).map(j => element_at(toks, i + j)): _*))
-    val positional = docs
-      .filter(size(toks) >= n)
-      .select(col(idCol).as("doc_id"), posexplode(grams).as(Seq("pos", "h")))
-    val dupPos = positional
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("h")))
+    // compiled one-scan positional hashes (identity-by-hash, collision odds
+    // ≈ occurrences²/2⁶⁵); short docs yield an empty array → no rows. The
+    // hashing pass runs twice (count input + join probe) — cheaper than
+    // persisting the positional expansion, which at corpus scale outweighs
+    // the text it came from
+    val positional = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextFns.hashedShinglesAll(col(textCol), n)).as(Seq("pos", "h")))
+    val dupHashes = positional.groupBy(col("h")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf)
+      .select(col("h"))
+    val dupPos = positional.join(dupHashes, Seq("h"), "left_semi")
       .select(col("doc_id"), col("pos").cast("long").as("pos"))
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val prevEnd = max(col("pos") + (n - 1))

@@ -169,6 +169,25 @@ class DedupSpec extends SparkSpec {
     assert(mism === 0)
   }
 
+  test("positional HashedShingles keeps every occurrence in token order") {
+    // declarative positional reference: hash of each token n-tuple, NO distinct
+    def posRef(text: org.apache.spark.sql.Column, n: Int) = {
+      val toks = TextFns.tokens(text)
+      val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => xxhash64((0 until n).map(j => element_at(toks, i + j)): _*))
+      when(size(toks) >= n, grams).otherwise(array().cast("array<bigint>"))
+    }
+    import spark.implicits._
+    val edge = Seq("", "a b", "a b a b a b", "m n o p q m n o p q",
+      " a b c ", "ä ü 中 文 word").toDF("text")
+    val mism = Tables.documents(spark, "/root/testdata/sf0.001").select(col("text"))
+      .union(edge)
+      .select(TextFns.hashedShinglesAll(col("text"), 3).as("fast"),
+        posRef(col("text"), 3).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mism === 0)
+  }
+
   test("unpersistAll leaves no persisted RDDs behind (caller-owned cache lifecycle)") {
     val d = docs((1, "a b c d e"), (2, "b c d e X"), (3, "q r s t u"))
     Dedup.ngramJaccard(d, "text", "doc_id", n = 3, threshold = 0.4).collect()

@@ -168,12 +168,18 @@ class PlanSpec extends SparkSpec {
       s"fingerprint still fans out tokens:\n${p.take(1500)}")
   }
 
-  test("duplicate spans cost two exchanges: the gram-hash df window and the doc merge") {
+  test("duplicate spans pre-aggregate gram counts map-side — no sort of the positional rows") {
     val p = plan("ext_dedup_spans")
+    // static plan: partial-agg exchange on the hash + probe-side exchange
+    // (AQE elides it when the dup set broadcasts, the realistic case) +
+    // the doc_id islands exchange. A count-window design would instead
+    // SORT every positional row on the hash (10× slower on the fixture).
     val shuffles = p.split("Exchange hashpartitioning").length - 1
-    // window-on-hash (df) + doc_id (islands; groupBy reuses the window's
-    // partitioning) — a join-back df design would add a third
-    assert(shuffles == 2, s"expected hash + doc exchanges only:\n${p.take(2000)}")
+    assert(shuffles <= 3, s"positional rows over-shuffle:\n${p.take(2000)}")
+    assert(p.contains("partial_count") || p.contains("partial count") ||
+      p.contains("HashAggregate"), s"df must come from a partial aggregate:\n${p.take(2000)}")
+    assert(!p.contains("Window") || p.indexOf("Window") > p.indexOf("HashAggregate"),
+      s"hash-df window still present:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct"))
   }
 
