@@ -285,10 +285,19 @@ object Knn {
     * (the IVF sampling contract — training cost independent of corpus
     * size). Returned codebooks are DENSE: a code is a position in the
     * returned list, so emptied Lloyd cells just shrink a codebook rather
-    * than leaving holes the assignment could index into. */
+    * than leaving holes the assignment could index into.
+    *
+    * All `m` subspaces train FUSED: subvectors ride as (id, subspace, vec)
+    * rows and every round runs ONE assignment job + ONE update collect
+    * keyed by (subspace, cell), instead of m independent Lloyd loops —
+    * the round count, not the subspace count, sets the job-latency bill.
+    * Seeds are the k lowest-id sample vectors sliced per subspace (the
+    * same per-subspace seeds the unfused loops would pick). */
   private[graft] def pqCodebooks(corpus: DataFrame, idCol: String, embCol: String,
                                  m: Int, k: Int, iters: Int,
                                  sampleN: Int = 0): Seq[Seq[Array[Float]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val n = if (sampleN > 0) sampleN else k * 32
     val sample = corpus.select(col(idCol), col(embCol)).orderBy(col(idCol)).limit(n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -298,10 +307,35 @@ object Knn {
         .getOrElse(throw new IllegalArgumentException("pqCodebooks: empty corpus"))
       require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m=$m")
       val sub = dim / m
-      (0 until m).map { s =>
-        val sliced = sample.select(col(idCol), slice(col(embCol), s * sub + 1, sub).as("__sub"))
-        lloyd(sliced, idCol, "__sub", k, iters).sortBy(_._1).map(_._2)
+      val subRows = sample.select(col(idCol), posexplode(
+        array((0 until m).map(s => slice(col(embCol), s * sub + 1, sub)): _*))
+        .as(Seq("__s", "__v")))
+      val seedVecs = sample.orderBy(col(idCol)).limit(k).select(col(embCol))
+        .as[Array[Float]].collect()
+      var books: Seq[Seq[Array[Float]]] = (0 until m).map(s =>
+        seedVecs.toSeq.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub)))
+      for (_ <- 0 until iters) {
+        val cents = broadcast(
+          books.zipWithIndex.flatMap { case (b, s) =>
+            b.zipWithIndex.map { case (c, ci) => (s, ci, c) }
+          }.toDF("__s", "cell", "cvec")
+            .withColumn("cnorm2", VectorFns.dot(col("cvec"), col("cvec"))))
+        val assign = subRows.join(cents, "__s")
+          .withColumn("__d", col("cnorm2") - lit(2.0) * VectorFns.dot(col("__v"), col("cvec")))
+          .groupBy(col(idCol), col("__s"))
+          .agg(min(struct(col("__d"), col("cell"))).as("mm"))
+          .select(col(idCol), col("__s"), col("mm.cell").as("cell"))
+        val updated = subRows.join(assign, Seq(idCol, "__s"))
+          .select(col("__s"), col("cell"), posexplode(col("__v")).as(Seq("pos", "x")))
+          .groupBy(col("__s"), col("cell"), col("pos"))
+          .agg((sum(col("x").cast("decimal(28,10)")) / count(lit(1))).cast("float").as("c"))
+          .groupBy(col("__s"), col("cell"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("cv"))
+          .select(col("__s"), col("cell"), col("cv.c").as("cvec"))
+          .as[(Int, Int, Array[Float])].collect()
+        books = (0 until m).map(s => updated.filter(_._1 == s).sortBy(_._2).map(_._3).toSeq)
       }
+      books
     } finally sample.unpersist(false)
   }
 
