@@ -340,8 +340,8 @@ object Knn {
   }
 
   /** PQ code assignment + reconstruction error — the compression step an
-    * ANN store runs before indexing (m=4, k=16 turns a 256-byte float
-    * vector into 4 nibbles; 64× smaller than float32, vs 4× for int8).
+    * ANN store runs before indexing (m=8, k=16 turns a 256-byte float
+    * vector into 8 nibbles; 64× smaller than float32, vs 4× for int8).
     *
     * 100 TB shape: the codebooks are O(m·k·dim/m) floats on the driver and
     * ship to every task as a nested LITERAL — assignment is a pure per-row
@@ -353,11 +353,24 @@ object Knn {
   def pqCodes(corpus: DataFrame, idCol: String, embCol: String,
               m: Int, k: Int, iters: Int, sampleN: Int = 0): DataFrame = {
     val books = pqCodebooks(corpus, idCol, embCol, m, k, iters, sampleN)
+    corpus
+      .withColumn("__pq", pqAssignExpr(books, col(embCol)))
+      .select(col(idCol).as("vec_id"),
+        transform(col("__pq"), p => p.getField("c")).as("codes"),
+        graft.Tables.rnd4(
+          aggregate(transform(col("__pq"), p => p.getField("d")), lit(0.0), _ + _))
+          .as("recon_err"))
+  }
+
+  /** Per-subspace (code, squared-error) assignment against literal
+    * codebooks: array of m structs, argmin over each subspace's codebook.
+    * Pure per-row expression — the shared core of [[pqCodes]] and
+    * [[pqKnn]]'s corpus-coding side. */
+  private def pqAssignExpr(books: Seq[Seq[Array[Float]]], emb: Column): Column = {
+    val m = books.length
     val sub = books.head.head.length
     val cb = typedLit(books.map(_.map(_.toSeq)))
-    val emb = col(embCol)
-    // per-subspace (code, squared-error) via argmin over the literal codebook
-    val assigned = transform(sequence(lit(0), lit(m - 1)), s => {
+    transform(sequence(lit(0), lit(m - 1)), s => {
       val subv = slice(emb, s * sub + 1, lit(sub))
       val zero = struct(lit(-1).cast("int").as("c"), lit(Double.MaxValue).as("d"))
       // per-subspace length: an emptied Lloyd cell shrinks ONE codebook
@@ -369,12 +382,68 @@ object Knn {
         when(d < acc.getField("d"), struct(c.cast("int").as("c"), d.as("d"))).otherwise(acc)
       })
     })
-    corpus
-      .withColumn("__pq", assigned)
-      .select(col(idCol).as("vec_id"),
-        transform(col("__pq"), p => p.getField("c")).as("codes"),
-        graft.Tables.rnd4(
-          aggregate(transform(col("__pq"), p => p.getField("d")), lit(0.0), _ + _))
-          .as("recon_err"))
+  }
+
+  /** PQ asymmetric-distance top-k (the ADC search of Jégou et al. 2011):
+    * each query builds an m×k distance TABLE against the literal codebooks
+    * (exact subvector-to-centroid distances), and corpus rows are scored
+    * through their CODES alone — Σ_s table[s][code_s], m array lookups per
+    * (query, row) instead of a d-dim dot product.
+    *
+    * 100 TB shape: corpus coding is the same per-row literal-codebook
+    * projection as [[pqCodes]] (in production the codes come pre-
+    * materialized by the ext_embed_pq pass; coding inline keeps the
+    * operator self-contained), queries + their tables broadcast, and the
+    * only exchange is the per-query ranking window. The quantization is
+    * coarse by design (64 bits standing in for a 2048-bit vector), so like
+    * every production PQ index the operator re-ranks: the top `rerank`
+    * ADC candidates per query get exact L2 scores and the final top-k
+    * comes from those — codes prune (rerank)/(corpus) of the work, exact
+    * math decides the answer. `rerank = 0` returns raw ADC ranking (the
+    * codes-only lower bound KnnSpec measures). Recall floors for both
+    * modes are pinned in KnnSpec. */
+  def pqKnn(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+            k: Int, m: Int, nCodes: Int, iters: Int, sampleN: Int = 0,
+            rerank: Int = 0): DataFrame = {
+    val books = pqCodebooks(corpus, idCol, embCol, m, nCodes, iters, sampleN)
+    val sub = books.head.head.length
+    val cb = typedLit(books.map(_.map(_.toSeq)))
+    val coded = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__c_emb"),
+      transform(pqAssignExpr(books, col(embCol)), p => p.getField("c")).as("__codes"))
+    // per-query distance table: dtable[s][c] = ‖q_s − books[s][c]‖²
+    val mm = books.length
+    val dtable = transform(sequence(lit(0), lit(mm - 1)), s => {
+      val qsub = slice(col(embCol), s * sub + 1, lit(sub))
+      transform(element_at(cb, s + 1), cent =>
+        aggregate(zip_with(qsub, cent, (x, y) => ((x - y) * (x - y)).cast("double")),
+          lit(0.0), _ + _))
+    })
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(embCol).as("__q_emb"),
+      dtable.as("__dt")))
+    val dist = aggregate(
+      zip_with(col("__dt"), col("__codes"),
+        (t, c) => element_at(t, c + 1)),
+      lit(0.0), _ + _)
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("__adc"), col("neighbor_id"))
+    val adcRanked = coded.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("__adc", dist)
+      .withColumn("__adc_rank", row_number().over(wAdc).cast("long"))
+    if (rerank <= 0)
+      adcRanked.filter(col("__adc_rank") <= k)
+        .select(col("query_id"), col("__adc_rank").as("rank"), col("neighbor_id"),
+          graft.Tables.rnd4(col("__adc")).as("adc_dist"))
+    else {
+      val exactL2 = aggregate(
+        zip_with(col("__q_emb"), col("__c_emb"),
+          (x, y) => ((x - y) * (x - y)).cast("double")),
+        lit(0.0), _ + _)
+      val wExact = Window.partitionBy(col("query_id")).orderBy(col("__l2"), col("neighbor_id"))
+      adcRanked.filter(col("__adc_rank") <= math.max(k, rerank))
+        .withColumn("__l2", exactL2)
+        .withColumn("rank", row_number().over(wExact).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          graft.Tables.rnd4(col("__l2")).as("l2_dist"))
+    }
   }
 }

@@ -464,10 +464,12 @@ object ExtQueries {
   }
 
   /** Product-quantization contract — shared with KnnSpec so the entry and
-    * its pins can't drift. m=4 16-dim subspaces × 16 codes: 4 nibbles per
-    * 64-dim vector (64× smaller than float32; int8 above is 4×). Sample
-    * sized like the IVF entry: training is corpus-size-independent. */
-  final val PqM = 4
+    * its pins can't drift. m=8 8-dim subspaces × 16 codes: 8 nibbles
+    * (4 bytes) per 64-dim vector, 64× smaller than float32 (int8 above is
+    * 4×); 4 subspaces halve the codes again but prune too coarsely for the
+    * ADC entry (see KnnSpec's recall ladder). Sample sized like the IVF
+    * entry: training is corpus-size-independent. */
+  final val PqM = 8
   final val PqK = 16
   final val PqIters = 2
   final val PqSampleN = 128
@@ -482,6 +484,23 @@ object ExtQueries {
     Knn.pqCodes(embeddings(s, d), "vec_id", "embedding",
       m = PqM, k = PqK, iters = PqIters, sampleN = PqSampleN)
       .orderBy("vec_id")
+
+  /** ADC search contract: top `PqRerank` candidates by codes-only distance,
+    * exact-L2 re-ranked — the standard PQ index pipeline. Shared with
+    * KnnSpec's recall pins. */
+  final val PqRerank = 50
+
+  /** ADC top-k through the PQ codes (codes-only scoring: m table lookups
+    * per pair instead of a 64-dim dot), exact re-rank of the pruned
+    * candidate set. Rows-only; KnnSpec pins recall vs exact L2 under the
+    * same (PqM, PqK, PqRerank) contract. */
+  private val extSimKnnPq: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    Knn.pqKnn(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = IvfK, m = PqM, nCodes = PqK, iters = PqIters, sampleN = PqSampleN,
+      rerank = PqRerank)
+      .orderBy("query_id", "rank")
+  }
 
   /** Concat-and-chunk context-window packing plan (2048-token windows, 8
     * shards): each doc labelled with the window its first token lands in
@@ -662,6 +681,7 @@ object ExtQueries {
     "ext_shuffle_shard" -> extShuffleShard,
     "ext_embed_quantize" -> extEmbedQuantize,
     "ext_embed_pq" -> extEmbedPq,
+    "ext_sim_knn_pq" -> extSimKnnPq,
     "ext_pack_windows" -> extPackWindows,
     "ext_chunk_docs" -> extChunkDocs,
     "ext_mix_plan" -> extMixPlan,

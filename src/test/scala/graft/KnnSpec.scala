@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 
 import graft.operators.{Knn, Multimodal}
+import graft.queries.ExtQueries
 
 /** Similarity-search and centroid-aggregator semantics. */
 class KnnSpec extends SparkSpec {
@@ -176,6 +177,52 @@ class KnnSpec extends SparkSpec {
     val b = Knn.pqCodes(emb, "vec_id", "embedding", m = 4, k = 16, iters = 2, sampleN = 64)
       .as[(Long, Seq[Int], Double)].collect().toSeq
     assert(a === b)
+  }
+
+  test("pqKnn retrieves the planted cluster through codes alone") {
+    // corpus clusters at (0,0,10,10)-ish and (10,10,0,0)-ish; the query
+    // sits in the first cluster, so codes-only ADC must rank ids 0/2 first
+    val v = vecs(
+      0L -> Seq(0f, 0f, 10f, 10f),
+      1L -> Seq(10f, 10f, 0f, 0f),
+      2L -> Seq(0.1f, 0f, 10.1f, 10f),
+      3L -> Seq(9.9f, 10f, 0.1f, 0f))
+    val q = vecs(9L -> Seq(0.05f, 0f, 10.05f, 10f))
+    val r = Knn.pqKnn(v, q, "vec_id", "embedding", k = 2, m = 2, nCodes = 2, iters = 2)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(Set(r(1L), r(2L)) === Set(0L, 2L), s"wrong cluster retrieved: $r")
+  }
+
+  test("pqKnn recall vs exact L2 holds on the fixture") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val k = 10
+    def approxFor(m: Int, rerank: Int) =
+      Knn.pqKnn(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding",
+        k = k, m = m, nCodes = 16, iters = 2, sampleN = 128, rerank = rerank)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // codes-only (the ADC lower bound) at the entry's m, and the entry's
+    // full prune + exact-re-rank pipeline
+    val adcOnly = approxFor(ExtQueries.PqM, 0)
+    val reranked = approxFor(ExtQueries.PqM, ExtQueries.PqRerank)
+    // exact L2 top-k, computed independently on the driver (500×64 floats)
+    val all = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + math.pow(a(i) - b(i), 2))
+    val exact = all.filter(_._1 < 10).map { case (qid, qv) =>
+      qid -> all.filter(_._1 != qid).sortBy(t => (l2(qv, t._2), t._1)).take(k).map(_._1).toSet
+    }.toMap
+    def recallOf(a: Map[Long, Set[Long]]) =
+      exact.map { case (qid, ex) => a(qid).intersect(ex).size.toDouble / k }.sum / exact.size
+    val (rAdc, rFull) = (recallOf(adcOnly), recallOf(reranked))
+    info(s"pq recall@$k: adc-only $rAdc, reranked(${ExtQueries.PqRerank}) $rFull")
+    // the fixture is uniform random — PQ's worst case (64 bits of codes
+    // carry little signal when there's no cluster structure). Codes-only
+    // must still beat chance (10/499 ≈ 0.02) by an order of magnitude; the
+    // production prune+re-rank pipeline must make the floor a real one
+    assert(rAdc >= 0.15, s"ADC-only recall $rAdc below floor")
+    assert(rFull >= 0.55, s"re-ranked recall $rFull below floor")
+    assert(rFull > rAdc, "exact re-rank must improve on codes-only ranking")
   }
 
   test("lshBandKeys handles non-64 embedding dimensions") {
