@@ -15,7 +15,8 @@ import graft.functions.{BpeCount, FloatDot, HashedShingles, RollingHash, SimHash
   * Registered functions:
   *  - `float_dot(array<float>, array<float>) → double`
   *  - `rolling_hash(string[, mult, mod]) → bigint`
-  *  - `hashed_shingles(string, n) → array<bigint>`
+  *  - `hashed_shingles(string, n[, distinct]) → array<bigint>` (distinct=false
+  *    keeps every occurrence in token order — the substring-dedup shape)
   *  - `srp_band_keys(array<float>, bands, bitsPerBand) → array<bigint>`
   *  - `bpe_count(string) → bigint`
   *  - `simhash64(string) → bigint` (64-bit distinct-token SimHash)
@@ -53,8 +54,15 @@ object GraftExtensions {
       }
     },
     "hashed_shingles" -> { args: Seq[Expression] =>
-      require(args.length == 2, "hashed_shingles(text, n)")
-      HashedShingles(args(0), longLit(args(1), "n").toInt)
+      args match {
+        case Seq(t, n) => HashedShingles(t, longLit(n, "n").toInt)
+        // 3-arg form: distinct=false keeps every occurrence in token order
+        // (index = position) — the substring-dedup input shape
+        case Seq(t, n, Literal(d: Boolean, _)) =>
+          HashedShingles(t, longLit(n, "n").toInt, distinct = d)
+        case _ => throw new IllegalArgumentException(
+          "hashed_shingles(text, n[, distinct])")
+      }
     },
     "srp_band_keys" -> { args: Seq[Expression] =>
       require(args.length == 3, "srp_band_keys(emb, bands, bitsPerBand)")

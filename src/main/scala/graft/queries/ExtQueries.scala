@@ -257,6 +257,25 @@ object ExtQueries {
     Dedup.duplicateSpans(documents(s, d), "text", "doc_id", n = 13)
       .orderBy("doc_id", "span_start")
 
+  /** Per-doc duplication summary off the span map — the signal a pipeline
+    * thresholds on ("drop docs >50% duplicated"). Composition: spans →
+    * per-doc aggregate → left join onto per-doc token counts (docs with no
+    * spans report zeros). */
+  private val extDedupSpanStats: Q = (s, d) => {
+    val docs = documents(s, d)
+    val stats = Dedup.duplicateSpans(docs, "text", "doc_id", n = 13)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum("span_tokens").as("dup_tokens"))
+    docs.select(col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        rnd4(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   private val extDedupSimhash: Q = (s, d) =>
     Dedup.simhashPairs(documents(s, d), "text", "doc_id", maxHamming = 3)
       .orderBy("doc_a", "doc_b")
@@ -663,6 +682,7 @@ object ExtQueries {
     "ext_dedup_ngram" -> extDedupNgram,
     "ext_dedup_minhash" -> extDedupMinhash,
     "ext_dedup_spans" -> extDedupSpans,
+    "ext_dedup_span_stats" -> extDedupSpanStats,
     "ext_quality_gopher" -> extQualityGopher,
     "ext_dedup_simhash" -> extDedupSimhash,
     "ext_dedup_cluster" -> extDedupCluster,
@@ -705,6 +725,35 @@ object ExtQueries {
       |         unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
       |                               i -> array_to_string(t[i:i+2], ' '))) AS shingle
       |       FROM toks)""".stripMargin
+
+  /** Duplicate-substring span CTEs — ONE definition for the span map and
+    * its per-doc stats, mirroring [[Dedup.duplicateSpans]]: positional
+    * 13-grams (NOT distinct — in-doc repeats count toward df), zipped
+    * unnests keep pos and gram aligned, islands merge on touch
+    * (pos = prev_end + 1). */
+  private val spansSqlCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest(generate_series(1, greatest(len(t) - 12, 0))) - 1 AS pos,
+      |        unnest(list_transform(generate_series(1, greatest(len(t) - 12, 0)),
+      |                              i -> array_to_string(t[i:i+12], ' '))) AS gram
+      |      FROM toks),
+      |d AS (SELECT doc_id, pos FROM (
+      |        SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS df FROM g)
+      |      WHERE df >= 2),
+      |m AS (SELECT doc_id, pos,
+      |        CASE WHEN pos > coalesce(max(pos + 12) OVER (
+      |               PARTITION BY doc_id ORDER BY pos
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+      |             THEN 1 ELSE 0 END AS new_span
+      |      FROM d),
+      |i AS (SELECT doc_id, pos,
+      |        sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+      |      FROM m),
+      |sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+      |              CAST(max(pos) + 12 AS BIGINT) AS span_end,
+      |              CAST(max(pos) + 12 - min(pos) + 1 AS BIGINT) AS span_tokens
+      |       FROM i GROUP BY doc_id, span)""".stripMargin
 
   /** Exact 3-gram Jaccard pairs ≥ 0.5 — oracle for BOTH ext_dedup_ngram and
     * ext_dedup_minhash (LSH recall ≈ 1 at the fixture's j ≥ 0.9; see doc). */
@@ -911,32 +960,23 @@ object ExtQueries {
     "ext_dedup_ngram" -> jaccardSql,
     "ext_dedup_minhash" -> jaccardSql,
 
-    // positional 13-grams (NOT distinct — in-doc repeats count toward df),
-    // zipped unnests keep pos and gram aligned; islands merge on touch
-    // (pos = prev_end + 1), mirroring Dedup.duplicateSpans
     "ext_dedup_spans" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |g AS (SELECT doc_id,
-        |        unnest(generate_series(1, greatest(len(t) - 12, 0))) - 1 AS pos,
-        |        unnest(list_transform(generate_series(1, greatest(len(t) - 12, 0)),
-        |                              i -> array_to_string(t[i:i+12], ' '))) AS gram
-        |      FROM toks),
-        |d AS (SELECT doc_id, pos FROM (
-        |        SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS df FROM g)
-        |      WHERE df >= 2),
-        |m AS (SELECT doc_id, pos,
-        |        CASE WHEN pos > coalesce(max(pos + 12) OVER (
-        |               PARTITION BY doc_id ORDER BY pos
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
-        |             THEN 1 ELSE 0 END AS new_span
-        |      FROM d),
-        |i AS (SELECT doc_id, pos,
-        |        sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span
-        |      FROM m)
-        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-        |       CAST(max(pos) + 12 AS BIGINT) AS span_end,
-        |       CAST(max(pos) + 12 - min(pos) + 1 AS BIGINT) AS span_tokens
-        |FROM i GROUP BY doc_id, span ORDER BY doc_id, span_start""".stripMargin,
+      s"""WITH $spansSqlCte
+        |SELECT doc_id, span_start, span_end, span_tokens
+        |FROM sp ORDER BY doc_id, span_start""".stripMargin,
+
+    "ext_dedup_span_stats" ->
+      s"""WITH $spansSqlCte,
+        |st AS (SELECT doc_id, count(*) AS n_spans,
+        |              CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+        |       FROM sp GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       coalesce(n_spans, CAST(0 AS BIGINT)) AS n_spans,
+        |       coalesce(dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+        |       ${rnd4Sql("CAST(coalesce(dup_tokens, 0) AS DOUBLE) / len(string_split(text, ' '))")} AS dup_frac
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "ext_contamination" ->
       s"""WITH pairs AS ($jaccardSql)

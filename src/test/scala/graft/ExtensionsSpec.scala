@@ -28,6 +28,14 @@ class ExtensionsSpec extends SparkSpec {
       .as[Array[Long]].collect().head.toSeq
     assert(viaSql === viaCol && viaSql.length === 2)
 
+    // 3-arg positional form: repeats survive, index = token position
+    val posSql = spark.sql("SELECT hashed_shingles('a b a b', 2, false) AS r")
+      .as[Array[Long]].collect().head.toSeq
+    val posCol = Seq("a b a b").toDF("t")
+      .select(graft.functions.TextFns.hashedShinglesAll(col("t"), 2))
+      .as[Array[Long]].collect().head.toSeq
+    assert(posSql === posCol && posSql.length === 3 && posSql(0) === posSql(2))
+
     // srp_band_keys: same values as the Column-API form
     val sqlKeys = spark.sql(
       "SELECT srp_band_keys(array(cast(1.0 AS float), cast(-2.0 AS float)), 3, 4) AS r")
