@@ -199,6 +199,54 @@ object TrainPrep {
         expr(s"((window_offset + greatest(n_tokens, 1L) - 1L) div $budgetTokens) + 1L"))
   }
 
+  /** Greedy DOCUMENT-PRESERVING packing — the other packing mode a loader
+    * offers: docs are never split across windows (no cross-doc attention
+    * within a truncated tail); a doc that would overflow the current
+    * window's `budgetTokens` starts a new window, and a doc bigger than
+    * the whole budget gets a window alone (`oversize` marks it for the
+    * loader's truncate/skip policy).
+    *
+    * Greedy fill is a running sum WITH RESET — inherently sequential per
+    * shard, not expressible as a Spark window function — so this is the
+    * repo's one deliberate `mapPartitions` operator (SURVEY §2's preference
+    * order, case (d)): one exchange on shard, a within-partition sort, and
+    * a single stateful pass per shard. Shards are the parallelism dial
+    * exactly as in [[packWindows]]; at 100 TB this per-shard sequential
+    * scan is precisely what the loader itself would run.
+    *
+    * Output: (idCol, shard, n_tokens, window_id, window_pos, oversize) —
+    * `window_pos` is the doc's token offset inside its window. */
+  def packGreedy(docs: DataFrame, idCol: String, textCol: String,
+                 budgetTokens: Long, nShards: Int,
+                 tokenCount: Column => Column = TextFns.bpeEstimate): DataFrame = {
+    require(budgetTokens > 0, s"packGreedy: budget must be positive, got $budgetTokens")
+    require(nShards > 0, s"packGreedy: nShards must be positive, got $nShards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"),
+        pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+        tokenCount(col(textCol)).as("n_tokens"))
+      // one exchange; a partition may hold several whole shards, so the
+      // stateful pass resets on shard change under the (shard, id) sort
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curShard = -1L
+        var win = 0L
+        var fill = 0L
+        it.map { case (id, sh, t) =>
+          if (sh != curShard) { curShard = sh; win = 0L; fill = 0L }
+          if (fill > 0 && fill + t > budgetTokens) { win += 1; fill = 0L }
+          val pos = fill
+          fill += t
+          (id, sh, t, win, pos, t > budgetTokens)
+        }
+      }
+      .toDF(idCol, "shard", "n_tokens", "window_id", "window_pos", "oversize")
+  }
+
   /** Per-window manifest over a [[packWindows]] plan: one row per
     * (shard, window) listing the docs that START there — the contiguous
     * id-ordered span a loader range-scans — plus how many tokens they

@@ -529,6 +529,16 @@ object ExtQueries {
       budgetTokens = 2048L, nShards = 8)
       .orderBy("doc_id")
 
+  /** Document-PRESERVING greedy packing (docs never split; oversize docs
+    * flagged) — the loader's other packing mode, next to the
+    * concat-and-chunk plan above. Per-shard sequential fill via the repo's
+    * one deliberate mapPartitions (see [[TrainPrep.packGreedy]]); the
+    * oracle replays the same greedy recurrence as a recursive CTE. */
+  private val extPackGreedy: Q = (s, d) =>
+    TrainPrep.packGreedy(documents(s, d), "doc_id", "text",
+      budgetTokens = 2048L, nShards = 8)
+      .orderBy("doc_id")
+
   /** Top-3 tf·idf terms per doc with the log-free BM25-shaped idf (see
     * [[TrainPrep.topTerms]] — IEEE-exact arithmetic keeps rankings
     * engine-identical, which is what makes this oracle-checkable). */
@@ -703,6 +713,7 @@ object ExtQueries {
     "ext_embed_pq" -> extEmbedPq,
     "ext_sim_knn_pq" -> extSimKnnPq,
     "ext_pack_windows" -> extPackWindows,
+    "ext_pack_greedy" -> extPackGreedy,
     "ext_chunk_docs" -> extChunkDocs,
     "ext_mix_plan" -> extMixPlan,
     "ext_tfidf_terms" -> extTfidfTerms,
@@ -1111,6 +1122,35 @@ object ExtQueries {
         |SELECT doc_id, shard, n_tokens,
         |       $packColsSql
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the greedy fill recurrence replayed row-by-row per shard: the
+    // recursive term advances rn by 1 and carries (window_id, fill);
+    // identical roll rule to TrainPrep.packGreedy
+    "ext_pack_greedy" ->
+      s"""WITH RECURSIVE t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         ${TextFns.bpeEstimateSql("text")} AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, shard, n_tokens,
+        |             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        |      FROM t),
+        |g AS (
+        |  SELECT doc_id, shard, n_tokens, rn,
+        |         CAST(0 AS BIGINT) AS window_id, CAST(0 AS BIGINT) AS window_pos,
+        |         n_tokens AS fill
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.doc_id, r.shard, r.n_tokens, r.rn,
+        |         CASE WHEN g.fill > 0 AND g.fill + r.n_tokens > 2048
+        |              THEN g.window_id + 1 ELSE g.window_id END,
+        |         CASE WHEN g.fill > 0 AND g.fill + r.n_tokens > 2048
+        |              THEN CAST(0 AS BIGINT) ELSE g.fill END,
+        |         CASE WHEN g.fill > 0 AND g.fill + r.n_tokens > 2048
+        |              THEN r.n_tokens ELSE g.fill + r.n_tokens END
+        |  FROM g JOIN r ON r.shard = g.shard AND r.rn = g.rn + 1)
+        |SELECT doc_id, shard, n_tokens, window_id, window_pos,
+        |       n_tokens > 2048 AS oversize
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "ext_pack_manifest" ->
       s"""WITH ${packSqlCte("documents")}

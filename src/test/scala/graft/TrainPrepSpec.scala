@@ -297,6 +297,39 @@ class TrainPrepSpec extends SparkSpec {
     assert(defRows === bpeRows)
   }
 
+  test("packGreedy never splits docs, rolls on overflow, isolates oversize docs") {
+    // one shard; token counts ride a caller column: 4,4,4,12,3 at budget 10
+    val d = Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 12L), (4L, 3L))
+      .toDF("doc_id", "n_toks").withColumn("text", lit("ignored"))
+    val got = TrainPrep.packGreedy(d, "doc_id", "text", budgetTokens = 10L, nShards = 1,
+      tokenCount = _ => col("n_toks"))
+      .select("doc_id", "window_id", "window_pos", "oversize")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    // d0 fills 0..4, d1 fits at 4, d2 overflows → w1, d3 (oversize) → w2
+    // alone, d4 → w3
+    assert(got.toSeq === Seq(
+      (0L, 0L, 0L, false), (1L, 0L, 4L, false), (2L, 1L, 0L, false),
+      (3L, 2L, 0L, true), (4L, 3L, 0L, false)))
+  }
+
+  test("packGreedy windows respect the budget per (shard, window) on the fixture") {
+    val packed = TrainPrep.packGreedy(
+      Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text",
+      budgetTokens = 2048L, nShards = 8)
+    val bad = packed.groupBy("shard", "window_id")
+      .agg(sum("n_tokens").as("w_tokens"), count(lit(1)).as("n_docs"),
+        max(col("oversize").cast("int")).as("has_over"))
+      .filter(col("w_tokens") > 2048L && !(col("n_docs") === 1 && col("has_over") === 1))
+      .count()
+    assert(bad === 0L, "a multi-doc window exceeded the budget")
+    // windows are contiguous from 0 within every shard
+    val gaps = packed.groupBy("shard")
+      .agg(min("window_id").as("lo"), max("window_id").as("hi"),
+        countDistinct("window_id").as("n"))
+      .filter(col("lo") =!= 0L || col("n") =!= col("hi") + 1).count()
+    assert(gaps === 0L, "window ids must be gapless per shard")
+  }
+
   test("BpeMergeCount runs the real greedy rank-priority merge loop") {
     import graft.functions.BpeMerge
     val merges = Seq(("a", "b"), ("ab", "c"), ("c", "d"))
