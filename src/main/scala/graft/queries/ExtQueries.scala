@@ -539,6 +539,19 @@ object ExtQueries {
       budgetTokens = 2048L, nShards = 8)
       .orderBy("doc_id")
 
+  /** Loader manifest over the greedy plan: per (shard, window) the
+    * contiguous doc span, token fill and the oversize flag — no spill
+    * columns because greedy windows never straddle (that's the mode's
+    * point). One (shard, window) aggregate past the greedy pass. */
+  private val extPackGreedyManifest: Q = (s, d) =>
+    TrainPrep.packGreedy(documents(s, d), "doc_id", "text",
+      budgetTokens = 2048L, nShards = 8)
+      .groupBy("shard", "window_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+        sum("n_tokens").as("n_tokens"), max(col("oversize")).as("oversize"))
+      .orderBy("shard", "window_id")
+
   /** Top-3 tf·idf terms per doc with the log-free BM25-shaped idf (see
     * [[TrainPrep.topTerms]] — IEEE-exact arithmetic keeps rankings
     * engine-identical, which is what makes this oracle-checkable). */
@@ -714,6 +727,7 @@ object ExtQueries {
     "ext_sim_knn_pq" -> extSimKnnPq,
     "ext_pack_windows" -> extPackWindows,
     "ext_pack_greedy" -> extPackGreedy,
+    "ext_pack_greedy_manifest" -> extPackGreedyManifest,
     "ext_chunk_docs" -> extChunkDocs,
     "ext_mix_plan" -> extMixPlan,
     "ext_tfidf_terms" -> extTfidfTerms,
@@ -820,6 +834,33 @@ object ExtQueries {
   private val packColsSql =
     """tok_before // 2048 AS window_id, tok_before % 2048 AS window_offset,
       |       ((tok_before % 2048 + greatest(n_tokens, 1) - 1) // 2048) + 1 AS n_windows""".stripMargin
+
+  /** Greedy-packing CTEs: the fill recurrence of [[TrainPrep.packGreedy]]
+    * replayed row-by-row per shard — the recursive term advances rn by 1
+    * and carries (window_id, fill); identical roll rule. ONE definition for
+    * the plan and its manifest. */
+  private val greedySqlCte =
+    s"""t AS (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |         ${TextFns.bpeEstimateSql("text")} AS n_tokens
+      |  FROM documents),
+      |r AS (SELECT doc_id, shard, n_tokens,
+      |             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      |      FROM t),
+      |g AS (
+      |  SELECT doc_id, shard, n_tokens, rn,
+      |         CAST(0 AS BIGINT) AS window_id, CAST(0 AS BIGINT) AS window_pos,
+      |         n_tokens AS fill
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.doc_id, r.shard, r.n_tokens, r.rn,
+      |         CASE WHEN g.fill > 0 AND g.fill + r.n_tokens > 2048
+      |              THEN g.window_id + 1 ELSE g.window_id END,
+      |         CASE WHEN g.fill > 0 AND g.fill + r.n_tokens > 2048
+      |              THEN CAST(0 AS BIGINT) ELSE g.fill END,
+      |         CASE WHEN g.fill > 0 AND g.fill + r.n_tokens > 2048
+      |              THEN r.n_tokens ELSE g.fill + r.n_tokens END
+      |  FROM g JOIN r ON r.shard = g.shard AND r.rn = g.rn + 1)""".stripMargin
 
   /** Quality components (stop_ratio / ttr / len_sat) over `from` — ONE
     * definition for the quality-score oracle and the corpus-prep gate,
@@ -1123,34 +1164,19 @@ object ExtQueries {
         |       $packColsSql
         |FROM c ORDER BY doc_id""".stripMargin,
 
-    // the greedy fill recurrence replayed row-by-row per shard: the
-    // recursive term advances rn by 1 and carries (window_id, fill);
-    // identical roll rule to TrainPrep.packGreedy
     "ext_pack_greedy" ->
-      s"""WITH RECURSIVE t AS (
-        |  SELECT doc_id, doc_id % 8 AS shard,
-        |         ${TextFns.bpeEstimateSql("text")} AS n_tokens
-        |  FROM documents),
-        |r AS (SELECT doc_id, shard, n_tokens,
-        |             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
-        |      FROM t),
-        |g AS (
-        |  SELECT doc_id, shard, n_tokens, rn,
-        |         CAST(0 AS BIGINT) AS window_id, CAST(0 AS BIGINT) AS window_pos,
-        |         n_tokens AS fill
-        |  FROM r WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r.doc_id, r.shard, r.n_tokens, r.rn,
-        |         CASE WHEN g.fill > 0 AND g.fill + r.n_tokens > 2048
-        |              THEN g.window_id + 1 ELSE g.window_id END,
-        |         CASE WHEN g.fill > 0 AND g.fill + r.n_tokens > 2048
-        |              THEN CAST(0 AS BIGINT) ELSE g.fill END,
-        |         CASE WHEN g.fill > 0 AND g.fill + r.n_tokens > 2048
-        |              THEN r.n_tokens ELSE g.fill + r.n_tokens END
-        |  FROM g JOIN r ON r.shard = g.shard AND r.rn = g.rn + 1)
+      s"""WITH RECURSIVE $greedySqlCte
         |SELECT doc_id, shard, n_tokens, window_id, window_pos,
         |       n_tokens > 2048 AS oversize
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "ext_pack_greedy_manifest" ->
+      s"""WITH RECURSIVE $greedySqlCte
+        |SELECT shard, window_id, count(*) AS n_docs,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |       max(n_tokens > 2048) AS oversize
+        |FROM g GROUP BY shard, window_id ORDER BY shard, window_id""".stripMargin,
 
     "ext_pack_manifest" ->
       s"""WITH ${packSqlCte("documents")}

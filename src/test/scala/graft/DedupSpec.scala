@@ -78,6 +78,37 @@ class DedupSpec extends SparkSpec {
     assert(r === Set((1L, 0L, 2L, 3L), (1L, 7L, 9L, 3L)))
   }
 
+  test("duplicateSpans matches a driver-side reference on random dense corpora") {
+    // tiny alphabet → heavy repetition, the regime where merge logic is
+    // stressed; reference recomputes spans with plain Scala collections
+    def refSpans(rows: Seq[(Long, String)], n: Int): Set[(Long, Long, Long, Long)] = {
+      val grams = rows.flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        (0 to t.length - n).map(p => (id, p, t.slice(p, p + n).mkString(" ")))
+      }
+      val df = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      grams.filter(g => df(g._3) >= 2).groupBy(_._1).flatMap { case (id, ps) =>
+        val spans = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+        for (p <- ps.map(_._2).sorted) {
+          val e = p + n - 1
+          if (spans.nonEmpty && p <= spans.last._2 + 1) {
+            val (s0, e0) = spans.last
+            spans(spans.size - 1) = (s0, math.max(e0, e))
+          } else spans += ((p, e))
+        }
+        spans.map { case (s0, e0) => (id, s0.toLong, e0.toLong, (e0 - s0 + 1).toLong) }
+      }.toSet
+    }
+    for (seed <- Seq(1, 7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0L until 20L).map(id =>
+        id -> Seq.fill(5 + rnd.nextInt(26))("t" + rnd.nextInt(8)).mkString(" "))
+      val got = Dedup.duplicateSpans(rows.toDF("doc_id", "text"), "text", "doc_id", n = 3)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === refSpans(rows, 3), s"seed $seed diverged")
+    }
+  }
+
   test("duplicateClusters propagates min labels across chains") {
     // chain 1-2-3 (no direct 1-3 edge) plus isolated pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
