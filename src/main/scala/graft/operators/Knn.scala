@@ -402,31 +402,109 @@ object Knn {
     * math decides the answer. `rerank = 0` returns raw ADC ranking (the
     * codes-only lower bound KnnSpec measures). Recall floors for both
     * modes are pinned in KnnSpec. */
-  def pqKnn(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
-            k: Int, m: Int, nCodes: Int, iters: Int, sampleN: Int = 0,
-            rerank: Int = 0): DataFrame = {
-    val books = pqCodebooks(corpus, idCol, embCol, m, nCodes, iters, sampleN)
+  /** Per-query ADC distance table against literal codebooks:
+    * `dtable[s][c] = ‖emb_s − books[s][c]‖²` as array<array<double>>. */
+  private def pqDistTable(books: Seq[Seq[Array[Float]]], emb: Column): Column = {
     val sub = books.head.head.length
     val cb = typedLit(books.map(_.map(_.toSeq)))
-    val coded = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__c_emb"),
-      transform(pqAssignExpr(books, col(embCol)), p => p.getField("c")).as("__codes"))
-    // per-query distance table: dtable[s][c] = ‖q_s − books[s][c]‖²
-    val mm = books.length
-    val dtable = transform(sequence(lit(0), lit(mm - 1)), s => {
-      val qsub = slice(col(embCol), s * sub + 1, lit(sub))
+    transform(sequence(lit(0), lit(books.length - 1)), s => {
+      val qsub = slice(emb, s * sub + 1, lit(sub))
       transform(element_at(cb, s + 1), cent =>
         aggregate(zip_with(qsub, cent, (x, y) => ((x - y) * (x - y)).cast("double")),
           lit(0.0), _ + _))
     })
+  }
+
+  /** Codes-only distance: Σ_s dtable[s][codes[s]] — m array lookups. */
+  private def adcDist(dt: Column, codes: Column): Column =
+    aggregate(zip_with(dt, codes, (t, c) => element_at(t, c + 1)), lit(0.0), _ + _)
+
+  def pqKnn(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+            k: Int, m: Int, nCodes: Int, iters: Int, sampleN: Int = 0,
+            rerank: Int = 0): DataFrame = {
+    val books = pqCodebooks(corpus, idCol, embCol, m, nCodes, iters, sampleN)
+    val coded = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__c_emb"),
+      transform(pqAssignExpr(books, col(embCol)), p => p.getField("c")).as("__codes"))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(embCol).as("__q_emb"),
-      dtable.as("__dt")))
-    val dist = aggregate(
-      zip_with(col("__dt"), col("__codes"),
-        (t, c) => element_at(t, c + 1)),
-      lit(0.0), _ + _)
+      pqDistTable(books, col(embCol)).as("__dt")))
+    val dist = adcDist(col("__dt"), col("__codes"))
     val wAdc = Window.partitionBy(col("query_id")).orderBy(col("__adc"), col("neighbor_id"))
     val adcRanked = coded.join(q, col("neighbor_id") =!= col("query_id"))
       .withColumn("__adc", dist)
+      .withColumn("__adc_rank", row_number().over(wAdc).cast("long"))
+    if (rerank <= 0)
+      adcRanked.filter(col("__adc_rank") <= k)
+        .select(col("query_id"), col("__adc_rank").as("rank"), col("neighbor_id"),
+          graft.Tables.rnd4(col("__adc")).as("adc_dist"))
+    else {
+      val exactL2 = aggregate(
+        zip_with(col("__q_emb"), col("__c_emb"),
+          (x, y) => ((x - y) * (x - y)).cast("double")),
+        lit(0.0), _ + _)
+      val wExact = Window.partitionBy(col("query_id")).orderBy(col("__l2"), col("neighbor_id"))
+      adcRanked.filter(col("__adc_rank") <= math.max(k, rerank))
+        .withColumn("__l2", exactL2)
+        .withColumn("rank", row_number().over(wExact).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          graft.Tables.rnd4(col("__l2")).as("l2_dist"))
+    }
+  }
+
+  /** IVF-PQ — the composed billion-vector index (coarse quantizer routes,
+    * PQ residual codes score): k-means cells from [[ivfCentroids]], each
+    * corpus vector stored as (cell, PQ codes of its RESIDUAL v − c_cell)
+    * — residual coding spends the codebook's resolution on the within-cell
+    * offset, not the cell's absolute position (the standard IVF-PQ/ADC
+    * layout). Queries probe their `nProbe` nearest cells; inside a probed
+    * cell the distance is ADC between the query's residual (q − c_cell)
+    * and the row's residual codes; the top `rerank` candidates per query
+    * get exact-L2 re-ranked.
+    *
+    * 100 TB shape: both trainings are sample-bound (corpus-size-
+    * independent); the corpus is scanned once for cell assignment +
+    * residual coding; queries and their per-cell distance tables broadcast
+    * (nProbe tables per query, each m×nCodes doubles); scoring touches
+    * ~nProbe/nCells of the corpus per query and moves only (query, cell)-
+    * routed code rows, never raw vectors; the exchanges are the ranking
+    * windows. */
+  def ivfPqKnn(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+               k: Int, nCells: Int, cellIters: Int, nProbe: Int,
+               m: Int, nCodes: Int, pqIters: Int,
+               sampleN: Int = 0, rerank: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = centroidFrame(spark, ivfCentroids(corpus, idCol, embCol, nCells, cellIters, sampleN))
+    val residual = zip_with(col(embCol), col("cvec"), (x, y) => x - y)
+    def assignResiduals(vectors: DataFrame): DataFrame =
+      vectors.join(nearestCell(vectors, cents, idCol, embCol), idCol)
+        .join(broadcast(cents.select(col("cell"), col("cvec"))), "cell")
+        .withColumn("__res", residual)
+    // PQ codebooks train on residuals of the SAMPLE (lowest-id rows, the
+    // sampling contract everywhere else) — sampling BEFORE assignment, so
+    // training never triggers a full-corpus cell-assignment pass; the
+    // corpus is assigned exactly once, in the coding pass below
+    val sampleBase = corpus.select(col(idCol), col(embCol)).orderBy(col(idCol))
+      .limit(if (sampleN > 0) sampleN else nCodes * 32)
+    val books = pqCodebooks(assignResiduals(sampleBase).select(col(idCol), col("__res")),
+      idCol, "__res", m, nCodes, pqIters, sampleN)
+    val assigned = assignResiduals(corpus)
+    val coded = assigned.select(col(idCol).as("neighbor_id"), col("cell"),
+      col(embCol).as("__c_emb"),
+      transform(pqAssignExpr(books, col("__res")), p => p.getField("c")).as("__codes"))
+    // query side: nProbe nearest cells, one residual distance table each
+    val probeW = Window.partitionBy(col(idCol)).orderBy(col("__d"), col("cell"))
+    val probes = broadcast(
+      queries.crossJoin(broadcast(cents))
+        .withColumn("__d", col("cnorm2") - lit(2.0) * VectorFns.dot(col(embCol), col("cvec")))
+        .withColumn("__r", row_number().over(probeW))
+        .filter(col("__r") <= nProbe)
+        .withColumn("__qres", residual)
+        .select(col(idCol).as("query_id"), col("cell"), col(embCol).as("__q_emb"),
+          pqDistTable(books, col("__qres")).as("__dt")))
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("__adc"), col("neighbor_id"))
+    val adcRanked = coded.join(probes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__adc", adcDist(col("__dt"), col("__codes")))
       .withColumn("__adc_rank", row_number().over(wAdc).cast("long"))
     if (rerank <= 0)
       adcRanked.filter(col("__adc_rank") <= k)

@@ -521,6 +521,18 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** The composed IVF-PQ index (coarse cells route, residual PQ codes
+    * score, exact re-rank): the IVF and PQ contracts above glued into the
+    * billion-vector layout. Rows-only; KnnSpec pins recall vs exact L2. */
+  private val extSimKnnIvfPq: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    Knn.ivfPqKnn(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = IvfK, nCells = IvfCells, cellIters = IvfIters, nProbe = IvfProbe,
+      m = PqM, nCodes = PqK, pqIters = PqIters, sampleN = PqSampleN,
+      rerank = PqRerank)
+      .orderBy("query_id", "rank")
+  }
+
   /** Concat-and-chunk context-window packing plan (2048-token windows, 8
     * shards): each doc labelled with the window its first token lands in
     * and its offset — one shuffle on shard, windows never span shards. */
@@ -725,6 +737,7 @@ object ExtQueries {
     "ext_embed_quantize" -> extEmbedQuantize,
     "ext_embed_pq" -> extEmbedPq,
     "ext_sim_knn_pq" -> extSimKnnPq,
+    "ext_sim_knn_ivfpq" -> extSimKnnIvfPq,
     "ext_pack_windows" -> extPackWindows,
     "ext_pack_greedy" -> extPackGreedy,
     "ext_pack_greedy_manifest" -> extPackGreedyManifest,

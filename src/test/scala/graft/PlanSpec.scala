@@ -190,6 +190,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"centroids must ride as literals, not a join:\n${p.take(1500)}")
   }
 
+  test("greedy packing costs one shard exchange and no window sort machinery") {
+    val p = plan("ext_pack_greedy")
+    val shuffles = p.split("Exchange hashpartitioning").length - 1
+    assert(shuffles == 1, s"expected only the shard exchange:\n${p.take(2000)}")
+    assert(!p.contains("Window"), s"greedy fill must not plan a window:\n${p.take(1500)}")
+  }
+
   test("gopher rule battery is one row-local scan — zero exchanges") {
     val p = plan("ext_quality_gopher")
     assert(!p.contains("Exchange hashpartitioning"),
