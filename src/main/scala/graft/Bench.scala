@@ -35,7 +35,8 @@ import org.apache.spark.sql.SparkSession
   * `"regressed":[...]` list (warm > 2× best) on the totals line, so a
   * contaminated artifact self-identifies per query; read the regressed
   * list against the load bracket — under heavy load it may cry wolf,
-  * never the reverse.
+  * never the reverse. `"load_comparable"` (load_max < 5) applies that bar
+  * in the artifact itself.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -145,8 +146,12 @@ object Bench {
     // Detail line first (large; tail-truncatable), compact totals line LAST.
     println(s"""{"metric":"bench_detail","queries":$cold,"queries_warm":$warm,""" +
       s""""queries_best":$bestJson,"sf":"$sfDir"}""")
+    // load_comparable applies the repo's own comparability bar (load_max < 5,
+    // BASELINE.md round-3 precedent): a regressed list produced under
+    // co-tenant drag is flagged as such instead of adjudicated by hand
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,""" +
       s""""warmup_sec":$warmupSec,"regressed":$regressedJson,""" +
+      s""""load_comparable":${loadMax < 5.0},""" +
       s""""load_before":$loadBefore,"load_max":$loadMax,"load_after":$loadAfter,"sf":"$sfDir"}""")
     spark.stop()
   }

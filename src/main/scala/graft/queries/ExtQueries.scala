@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.{documents, embeddings, rnd4, rnd4Sql}
@@ -172,6 +173,32 @@ object ExtQueries {
       rnd4(TextFns.typeTokenRatio(col("text"))).as("ttr"),
       rnd4(TextFns.qualityScore(col("text"))).as("quality"))
       .orderBy("doc_id")
+
+  /** Corpus-frequency rarity profile per doc — the unigram-LM quality
+    * proxy with integer-exact semantics (a log-prob perplexity proxy would
+    * hang the oracle on cross-engine `ln` ulps; rank/ratio arithmetic
+    * can't diverge). `mean_df` = occurrence-weighted mean document
+    * frequency of the doc's tokens (how "common" its vocabulary is);
+    * `rare_frac` = fraction of occurrences whose token appears in ≤ 2
+    * docs (OCR garbage / gibberish density).
+    *
+    * Shape: one (doc, token) pre-aggregate (map-side combined), df via a
+    * count-window over its distinct-by-construction rows (one row per doc
+    * per token — no join back), then the per-doc rollup. Three exchanges,
+    * each carrying one row per distinct group, never raw occurrences. */
+  private val extTextRarity: Q = (s, d) => {
+    val tc = documents(s, d)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
+    val byTok = Window.partitionBy("t")
+    tc.withColumn("df", count(lit(1)).over(byTok))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        rnd4(sum(col("cnt") * col("df")).cast("double") / sum(col("cnt"))).as("mean_df"),
+        rnd4(sum(when(col("df") <= 2, col("cnt")).otherwise(0L)).cast("double")
+          / sum(col("cnt"))).as("rare_frac"))
+      .orderBy("doc_id")
+  }
 
   /** Gopher/MassiveText quality-rule battery thresholds (Rae et al. 2021,
     * §A1.1) — ONE definition interpolated into both the Spark flags and the
@@ -707,6 +734,7 @@ object ExtQueries {
   val queries: Map[String, Q] = Map(
     "ext_text_stats" -> extTextStats,
     "ext_text_repetition" -> extTextRepetition,
+    "ext_text_rarity" -> extTextRarity,
     "ext_text_pii" -> extTextPii,
     "ext_ngram_counts" -> extNgramCounts,
     "ext_token_count" -> extTokenCount,
@@ -924,6 +952,15 @@ object ExtQueries {
         |                CAST(0 AS DOUBLE)) AS top_bigram_frac
         |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
         |ORDER BY ts.doc_id""".stripMargin,
+
+    "ext_text_rarity" ->
+      s"""WITH tc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |c AS (SELECT doc_id, t, count(*) AS cnt FROM tc GROUP BY 1, 2),
+        |w AS (SELECT doc_id, cnt, count(*) OVER (PARTITION BY t) AS df FROM c)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |       ${rnd4Sql("CAST(sum(cnt * df) AS DOUBLE) / sum(cnt)")} AS mean_df,
+        |       ${rnd4Sql("CAST(sum(CASE WHEN df <= 2 THEN cnt ELSE 0 END) AS DOUBLE) / sum(cnt)")} AS rare_frac
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "ext_text_pii" -> {
       // SQL single-quoted strings pass backslashes through verbatim, so the
