@@ -176,10 +176,11 @@ object Knn {
     finally sample.unpersist(false)
   }
 
-  /** The Lloyd rounds of [[ivfCentroids]], factored out so [[pqCodebooks]]
-    * can train per-subspace codebooks on slices of ONE shared sample.
-    * `sample` must already be persisted and driver-manageable: every round
-    * scans it and collects O(nCells·dim) back. */
+  /** The Lloyd rounds of [[ivfCentroids]]. `sample` must already be
+    * persisted and driver-manageable: every round scans it and collects
+    * O(nCells·dim) back. [[pqCodebooks]] deliberately does NOT reuse this
+    * loop — it runs its own (subspace, cell)-keyed variant so all m
+    * subspaces train in one job per round instead of m. */
   private def lloyd(sample: DataFrame, idCol: String, embCol: String,
                     nCells: Int, iters: Int): Seq[(Int, Array[Float])] = {
     val spark = sample.sparkSession
@@ -281,9 +282,8 @@ object Knn {
   /** Product-quantization codebooks (Jégou, Douze, Schmid 2011, "Product
     * Quantization for Nearest Neighbor Search"): the vector splits into `m`
     * contiguous subvectors; each subspace gets its own `k`-centroid
-    * codebook, trained by [[lloyd]] on ONE shared deterministic sample
-    * (the IVF sampling contract — training cost independent of corpus
-    * size). Returned codebooks are DENSE: a code is a position in the
+    * codebook, Lloyd-trained on ONE shared deterministic sample (the IVF
+    * sampling contract — training cost independent of corpus size). Returned codebooks are DENSE: a code is a position in the
     * returned list, so emptied Lloyd cells just shrink a codebook rather
     * than leaving holes the assignment could index into.
     *
@@ -373,13 +373,18 @@ object Knn {
     transform(sequence(lit(0), lit(m - 1)), s => {
       val subv = slice(emb, s * sub + 1, lit(sub))
       val zero = struct(lit(-1).cast("int").as("c"), lit(Double.MaxValue).as("d"))
-      // per-subspace length: an emptied Lloyd cell shrinks ONE codebook
+      // per-subspace length: an emptied Lloyd cell shrinks ONE codebook.
+      // The acc.c === -1 arm forces candidate 0 on the first step even when
+      // its distance is NaN (a corrupt embedding): a strict-< alone would
+      // leave code -1, which silently poisons pqCodes and faults adcDist's
+      // element_at under ANSI mode. A NaN row codes to 0 deterministically.
       aggregate(sequence(lit(0), size(element_at(cb, s + 1)) - 1), zero, (acc, c) => {
         val cent = element_at(element_at(cb, s + 1), c + 1)
         val d = aggregate(
           zip_with(subv, cent, (x, y) => ((x - y) * (x - y)).cast("double")),
           lit(0.0), _ + _)
-        when(d < acc.getField("d"), struct(c.cast("int").as("c"), d.as("d"))).otherwise(acc)
+        when(acc.getField("c") === -1 || d < acc.getField("d"),
+          struct(c.cast("int").as("c"), d.as("d"))).otherwise(acc)
       })
     })
   }
@@ -423,33 +428,49 @@ object Knn {
             k: Int, m: Int, nCodes: Int, iters: Int, sampleN: Int = 0,
             rerank: Int = 0): DataFrame = {
     val books = pqCodebooks(corpus, idCol, embCol, m, nCodes, iters, sampleN)
-    val coded = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__c_emb"),
+    val coded = corpus.select(col(idCol).as("neighbor_id"),
       transform(pqAssignExpr(books, col(embCol)), p => p.getField("c")).as("__codes"))
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(embCol).as("__q_emb"),
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
       pqDistTable(books, col(embCol)).as("__dt")))
-    val dist = adcDist(col("__dt"), col("__codes"))
     val wAdc = Window.partitionBy(col("query_id")).orderBy(col("__adc"), col("neighbor_id"))
     val adcRanked = coded.join(q, col("neighbor_id") =!= col("query_id"))
-      .withColumn("__adc", dist)
+      .withColumn("__adc", adcDist(col("__dt"), col("__codes")))
       .withColumn("__adc_rank", row_number().over(wAdc).cast("long"))
+      .select(col("query_id"), col("neighbor_id"), col("__adc"), col("__adc_rank"))
+    finishAdc(adcRanked,
+      corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__c_emb")),
+      queries.select(col(idCol).as("query_id"), col(embCol).as("__q_emb")),
+      k, rerank)
+  }
+
+  /** Shared ADC output tail: codes-only top-k, or prune-to-`rerank` then
+    * exact-L2 re-rank. The candidate set that leaves the ADC ranking is
+    * (query_id, neighbor_id) PAIRS ONLY — raw vectors re-enter through a
+    * broadcast join of the tiny candidate list against the corpus, so the
+    * ADC window's exchange moves code rows, never embeddings (at corpus
+    * scale that bandwidth IS the point of PQ). */
+  private def finishAdc(adcRanked: DataFrame, corpusEmb: DataFrame, queryEmb: DataFrame,
+                        k: Int, rerank: Int): DataFrame =
     if (rerank <= 0)
       adcRanked.filter(col("__adc_rank") <= k)
         .select(col("query_id"), col("__adc_rank").as("rank"), col("neighbor_id"),
           graft.Tables.rnd4(col("__adc")).as("adc_dist"))
     else {
+      val cand = adcRanked.filter(col("__adc_rank") <= math.max(k, rerank))
+        .select(col("query_id"), col("neighbor_id"))
       val exactL2 = aggregate(
         zip_with(col("__q_emb"), col("__c_emb"),
           (x, y) => ((x - y) * (x - y)).cast("double")),
         lit(0.0), _ + _)
       val wExact = Window.partitionBy(col("query_id")).orderBy(col("__l2"), col("neighbor_id"))
-      adcRanked.filter(col("__adc_rank") <= math.max(k, rerank))
+      broadcast(cand).join(corpusEmb, "neighbor_id")
+        .join(broadcast(queryEmb), "query_id")
         .withColumn("__l2", exactL2)
         .withColumn("rank", row_number().over(wExact).cast("long"))
         .filter(col("rank") <= k)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           graft.Tables.rnd4(col("__l2")).as("l2_dist"))
     }
-  }
 
   /** IVF-PQ — the composed billion-vector index (coarse quantizer routes,
     * PQ residual codes score): k-means cells from [[ivfCentroids]], each
@@ -489,7 +510,6 @@ object Knn {
       idCol, "__res", m, nCodes, pqIters, sampleN)
     val assigned = assignResiduals(corpus)
     val coded = assigned.select(col(idCol).as("neighbor_id"), col("cell"),
-      col(embCol).as("__c_emb"),
       transform(pqAssignExpr(books, col("__res")), p => p.getField("c")).as("__codes"))
     // query side: nProbe nearest cells, one residual distance table each
     val probeW = Window.partitionBy(col(idCol)).orderBy(col("__d"), col("cell"))
@@ -499,29 +519,17 @@ object Knn {
         .withColumn("__r", row_number().over(probeW))
         .filter(col("__r") <= nProbe)
         .withColumn("__qres", residual)
-        .select(col(idCol).as("query_id"), col("cell"), col(embCol).as("__q_emb"),
+        .select(col(idCol).as("query_id"), col("cell"),
           pqDistTable(books, col("__qres")).as("__dt")))
     val wAdc = Window.partitionBy(col("query_id")).orderBy(col("__adc"), col("neighbor_id"))
     val adcRanked = coded.join(probes, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("__adc", adcDist(col("__dt"), col("__codes")))
       .withColumn("__adc_rank", row_number().over(wAdc).cast("long"))
-    if (rerank <= 0)
-      adcRanked.filter(col("__adc_rank") <= k)
-        .select(col("query_id"), col("__adc_rank").as("rank"), col("neighbor_id"),
-          graft.Tables.rnd4(col("__adc")).as("adc_dist"))
-    else {
-      val exactL2 = aggregate(
-        zip_with(col("__q_emb"), col("__c_emb"),
-          (x, y) => ((x - y) * (x - y)).cast("double")),
-        lit(0.0), _ + _)
-      val wExact = Window.partitionBy(col("query_id")).orderBy(col("__l2"), col("neighbor_id"))
-      adcRanked.filter(col("__adc_rank") <= math.max(k, rerank))
-        .withColumn("__l2", exactL2)
-        .withColumn("rank", row_number().over(wExact).cast("long"))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          graft.Tables.rnd4(col("__l2")).as("l2_dist"))
-    }
+      .select(col("query_id"), col("neighbor_id"), col("__adc"), col("__adc_rank"))
+    finishAdc(adcRanked,
+      corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__c_emb")),
+      queries.select(col(idCol).as("query_id"), col(embCol).as("__q_emb")),
+      k, rerank)
   }
 }

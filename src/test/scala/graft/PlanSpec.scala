@@ -173,7 +173,8 @@ class PlanSpec extends SparkSpec {
     // static plan: partial-agg exchange on the hash + probe-side exchange
     // (AQE elides it when the dup set broadcasts, the realistic case) +
     // the doc_id islands exchange. A count-window design would instead
-    // SORT every positional row on the hash (10× slower on the fixture).
+    // SORT every positional row on the hash (part of the 7.6x combined
+    // win measured at sf0.1; see Dedup.duplicateSpans).
     val shuffles = p.split("Exchange hashpartitioning").length - 1
     assert(shuffles <= 3, s"positional rows over-shuffle:\n${p.take(2000)}")
     assert(p.contains("partial_count") || p.contains("partial count") ||
