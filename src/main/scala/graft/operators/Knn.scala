@@ -24,6 +24,9 @@ import graft.functions.VectorFns
   */
 object Knn {
 
+  /** Per-subspace PQ codebooks (dense: a code IS a list position). */
+  type Codebooks = Seq[Seq[Array[Float]]]
+
   /** cosine from a precomputed-norm pair: dot / (normA·normB) — identical
     * double arithmetic to sqrt(dot aa)·sqrt(dot bb) computed inline. */
   private def cos(aEmb: Column, bEmb: Column, aNorm: Column, bNorm: Column): Column =
@@ -351,8 +354,16 @@ object Knn {
     * is the caller's output ordering. Ties break toward the lower code
     * (strict-< accumulator), keeping codes a pure function of the corpus. */
   def pqCodes(corpus: DataFrame, idCol: String, embCol: String,
-              m: Int, k: Int, iters: Int, sampleN: Int = 0): DataFrame = {
-    val books = pqCodebooks(corpus, idCol, embCol, m, k, iters, sampleN)
+              m: Int, k: Int, iters: Int, sampleN: Int = 0): DataFrame =
+    pqCodesWith(pqCodebooks(corpus, idCol, embCol, m, k, iters, sampleN),
+      corpus, idCol, embCol)
+
+  /** [[pqCodes]] against PRE-TRAINED codebooks — the index-build/query
+    * split every ANN store has: train once ([[pqCodebooks]]), code any
+    * number of frames against the result. Codebooks are a pure function of
+    * (corpus, params), so the split never changes an output. */
+  def pqCodesWith(books: Codebooks, corpus: DataFrame,
+                  idCol: String, embCol: String): DataFrame =
     corpus
       .withColumn("__pq", pqAssignExpr(books, col(embCol)))
       .select(col(idCol).as("vec_id"),
@@ -360,7 +371,6 @@ object Knn {
         graft.Tables.rnd4(
           aggregate(transform(col("__pq"), p => p.getField("d")), lit(0.0), _ + _))
           .as("recon_err"))
-  }
 
   /** Per-subspace (code, squared-error) assignment against literal
     * codebooks: array of m structs, argmin over each subspace's codebook.
@@ -426,8 +436,13 @@ object Knn {
 
   def pqKnn(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
             k: Int, m: Int, nCodes: Int, iters: Int, sampleN: Int = 0,
-            rerank: Int = 0): DataFrame = {
-    val books = pqCodebooks(corpus, idCol, embCol, m, nCodes, iters, sampleN)
+            rerank: Int = 0): DataFrame =
+    pqKnnWith(pqCodebooks(corpus, idCol, embCol, m, nCodes, iters, sampleN),
+      corpus, queries, idCol, embCol, k, rerank)
+
+  /** [[pqKnn]] against pre-trained codebooks (see [[pqCodesWith]]). */
+  def pqKnnWith(books: Codebooks, corpus: DataFrame, queries: DataFrame,
+                idCol: String, embCol: String, k: Int, rerank: Int = 0): DataFrame = {
     val coded = corpus.select(col(idCol).as("neighbor_id"),
       transform(pqAssignExpr(books, col(embCol)), p => p.getField("c")).as("__codes"))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
@@ -492,22 +507,50 @@ object Knn {
   def ivfPqKnn(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
                k: Int, nCells: Int, cellIters: Int, nProbe: Int,
                m: Int, nCodes: Int, pqIters: Int,
-               sampleN: Int = 0, rerank: Int = 0): DataFrame = {
+               sampleN: Int = 0, rerank: Int = 0): DataFrame =
+    ivfPqKnnWith(
+      ivfPqIndex(corpus, idCol, embCol, nCells, cellIters, m, nCodes, pqIters, sampleN),
+      corpus, queries, idCol, embCol, k, nProbe, rerank)
+
+  /** The driver-held IVF-PQ model: coarse cells + residual codebooks —
+    * O(nCells·dim + m·nCodes·dim/m) floats, the thing a store persists
+    * once and queries forever. */
+  final case class IvfPqIndex(cells: Seq[(Int, Array[Float])], books: Codebooks)
+
+  /** Train the [[IvfPqIndex]]: coarse cells on the sample, then PQ
+    * codebooks on the SAMPLE's residuals (sampling BEFORE assignment, so
+    * training never triggers a full-corpus cell-assignment pass). */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, embCol: String,
+                 nCells: Int, cellIters: Int, m: Int, nCodes: Int, pqIters: Int,
+                 sampleN: Int = 0): IvfPqIndex = {
     val spark = corpus.sparkSession
-    val cents = centroidFrame(spark, ivfCentroids(corpus, idCol, embCol, nCells, cellIters, sampleN))
+    val cells = ivfCentroids(corpus, idCol, embCol, nCells, cellIters, sampleN)
+    val cents = centroidFrame(spark, cells)
+    val residual = zip_with(col(embCol), col("cvec"), (x, y) => x - y)
+    val sampleBase = corpus.select(col(idCol), col(embCol)).orderBy(col(idCol))
+      .limit(if (sampleN > 0) sampleN else nCodes * 32)
+    val sampleRes = sampleBase
+      .join(nearestCell(sampleBase, cents, idCol, embCol), idCol)
+      .join(broadcast(cents.select(col("cell"), col("cvec"))), "cell")
+      .withColumn("__res", residual)
+      .select(col(idCol), col("__res"))
+    IvfPqIndex(cells, pqCodebooks(sampleRes, idCol, "__res", m, nCodes, pqIters, sampleN))
+  }
+
+  /** [[ivfPqKnn]] against a pre-trained [[IvfPqIndex]] — one corpus
+    * assignment + coding pass, then probe-and-score (see [[pqCodesWith]]
+    * for why the split is output-invariant). */
+  def ivfPqKnnWith(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
+                   idCol: String, embCol: String, k: Int, nProbe: Int,
+                   rerank: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = centroidFrame(spark, index.cells)
+    val books = index.books
     val residual = zip_with(col(embCol), col("cvec"), (x, y) => x - y)
     def assignResiduals(vectors: DataFrame): DataFrame =
       vectors.join(nearestCell(vectors, cents, idCol, embCol), idCol)
         .join(broadcast(cents.select(col("cell"), col("cvec"))), "cell")
         .withColumn("__res", residual)
-    // PQ codebooks train on residuals of the SAMPLE (lowest-id rows, the
-    // sampling contract everywhere else) — sampling BEFORE assignment, so
-    // training never triggers a full-corpus cell-assignment pass; the
-    // corpus is assigned exactly once, in the coding pass below
-    val sampleBase = corpus.select(col(idCol), col(embCol)).orderBy(col(idCol))
-      .limit(if (sampleN > 0) sampleN else nCodes * 32)
-    val books = pqCodebooks(assignResiduals(sampleBase).select(col(idCol), col("__res")),
-      idCol, "__res", m, nCodes, pqIters, sampleN)
     val assigned = assignResiduals(corpus)
     val coded = assigned.select(col(idCol).as("neighbor_id"), col("cell"),
       transform(pqAssignExpr(books, col("__res")), p => p.getField("c")).as("__codes"))

@@ -520,6 +520,26 @@ object ExtQueries {
   final val PqIters = 2
   final val PqSampleN = 128
 
+  /** Session-scoped built-index registry, keyed by fixture dir (all other
+    * inputs are the compile-time contract constants above). Both models
+    * are pure functions of (corpus, params), so reuse cannot change an
+    * output — it only reproduces the index-build/query lifecycle every ANN
+    * store has (train once, query repeatedly; the join_bucketed
+    * session-table pattern). Fixtures are immutable within a session. */
+  private val pqBooksByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Knn.Codebooks]()
+  private val ivfPqIndexByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Knn.IvfPqIndex]()
+  private def pqBooks(s: SparkSession, d: String): Knn.Codebooks =
+    pqBooksByDir.computeIfAbsent(d, _ =>
+      Knn.pqCodebooks(embeddings(s, d), "vec_id", "embedding",
+        m = PqM, k = PqK, iters = PqIters, sampleN = PqSampleN))
+  private def ivfPqIdx(s: SparkSession, d: String): Knn.IvfPqIndex =
+    ivfPqIndexByDir.computeIfAbsent(d, _ =>
+      Knn.ivfPqIndex(embeddings(s, d), "vec_id", "embedding",
+        nCells = IvfCells, cellIters = IvfIters, m = PqM, nCodes = PqK,
+        pqIters = PqIters, sampleN = PqSampleN))
+
   /** PQ codes + reconstruction error over the embedding column — the
     * deep-compression tier of the ANN storage story (int8 → PQ → IVF).
     * Rows-only: k-means isn't oracle-expressible; KnnSpec pins assignment
@@ -527,8 +547,7 @@ object ExtQueries {
     * monotonicity. Assignment is a pure per-row projection against
     * driver-trained literal codebooks (see [[Knn.pqCodes]]). */
   private val extEmbedPq: Q = (s, d) =>
-    Knn.pqCodes(embeddings(s, d), "vec_id", "embedding",
-      m = PqM, k = PqK, iters = PqIters, sampleN = PqSampleN)
+    Knn.pqCodesWith(pqBooks(s, d), embeddings(s, d), "vec_id", "embedding")
       .orderBy("vec_id")
 
   /** ADC search contract: top `PqRerank` candidates by codes-only distance,
@@ -542,9 +561,8 @@ object ExtQueries {
     * same (PqM, PqK, PqRerank) contract. */
   private val extSimKnnPq: Q = (s, d) => {
     val emb = embeddings(s, d)
-    Knn.pqKnn(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-      k = IvfK, m = PqM, nCodes = PqK, iters = PqIters, sampleN = PqSampleN,
-      rerank = PqRerank)
+    Knn.pqKnnWith(pqBooks(s, d), emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = IvfK, rerank = PqRerank)
       .orderBy("query_id", "rank")
   }
 
@@ -553,10 +571,8 @@ object ExtQueries {
     * billion-vector layout. Rows-only; KnnSpec pins recall vs exact L2. */
   private val extSimKnnIvfPq: Q = (s, d) => {
     val emb = embeddings(s, d)
-    Knn.ivfPqKnn(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-      k = IvfK, nCells = IvfCells, cellIters = IvfIters, nProbe = IvfProbe,
-      m = PqM, nCodes = PqK, pqIters = PqIters, sampleN = PqSampleN,
-      rerank = PqRerank)
+    Knn.ivfPqKnnWith(ivfPqIdx(s, d), emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = IvfK, nProbe = IvfProbe, rerank = PqRerank)
       .orderBy("query_id", "rank")
   }
 
