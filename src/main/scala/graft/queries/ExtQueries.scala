@@ -607,6 +607,28 @@ object ExtQueries {
         sum("n_tokens").as("n_tokens"), max(col("oversize")).as("oversize"))
       .orderBy("shard", "window_id")
 
+  /** Materialized window text off the greedy plan — the actual training
+    * rows a loader emits: per (shard, window) the member docs' texts
+    * joined in doc_id order with a newline separator. Safe to materialize
+    * at any corpus size: a greedy window's text is bounded by the token
+    * budget (oversize docs are their own window), so each output row is
+    * ≤ ~budget tokens regardless of corpus scale; the concat is one
+    * (shard, window) aggregate past the greedy pass, carrying each text
+    * exactly once. */
+  private val extPackText: Q = (s, d) => {
+    val docs = documents(s, d)
+    TrainPrep.packGreedy(docs, "doc_id", "text", budgetTokens = 2048L, nShards = 8)
+      .select(col("doc_id"), col("shard"), col("window_id"))
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .groupBy(col("shard"), col("window_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("doc_id"), col("text")))),
+            p => p.getField("text")),
+          "\n").as("window_text"))
+      .orderBy("shard", "window_id")
+  }
+
   /** Top-3 tf·idf terms per doc with the log-free BM25-shaped idf (see
     * [[TrainPrep.topTerms]] — IEEE-exact arithmetic keeps rankings
     * engine-identical, which is what makes this oracle-checkable). */
@@ -785,6 +807,7 @@ object ExtQueries {
     "ext_pack_windows" -> extPackWindows,
     "ext_pack_greedy" -> extPackGreedy,
     "ext_pack_greedy_manifest" -> extPackGreedyManifest,
+    "ext_pack_text" -> extPackText,
     "ext_chunk_docs" -> extChunkDocs,
     "ext_mix_plan" -> extMixPlan,
     "ext_tfidf_terms" -> extTfidfTerms,
@@ -1243,6 +1266,13 @@ object ExtQueries {
         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |       max(n_tokens > 2048) AS oversize
         |FROM g GROUP BY shard, window_id ORDER BY shard, window_id""".stripMargin,
+
+    "ext_pack_text" ->
+      s"""WITH RECURSIVE $greedySqlCte
+        |SELECT g.shard, g.window_id, count(*) AS n_docs,
+        |       string_agg(d.text, chr(10) ORDER BY g.doc_id) AS window_text
+        |FROM g JOIN documents d ON g.doc_id = d.doc_id
+        |GROUP BY g.shard, g.window_id ORDER BY g.shard, g.window_id""".stripMargin,
 
     "ext_pack_manifest" ->
       s"""WITH ${packSqlCte("documents")}
