@@ -24,6 +24,7 @@ import graft.functions.{BpeCount, FloatDot, HashedShingles, RollingHash, SimHash
   *  - `split_bucket(id) → bigint` (deterministic [0,1000) holdout bucket,
   *    independent multiplier — see [[graft.operators.TrainPrep.splitBucket]])
   *  - `shuffle_key(id) → bigint` (deterministic training-order shuffle key)
+  *  - `mix_bucket(id) → bigint` (deterministic [0,1000) mixture-repeat bucket)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -86,6 +87,8 @@ object GraftExtensions {
     "sample_bucket" -> guardedMulHash("sample_bucket", 2654435761L, 40503L, 1000L),
     "split_bucket" -> guardedMulHash("split_bucket",
       graft.operators.TrainPrep.SplitMult, graft.operators.TrainPrep.SplitInc, 1000L),
+    "mix_bucket" -> guardedMulHash("mix_bucket",
+      graft.operators.TrainPrep.MixMult, graft.operators.TrainPrep.MixInc, 1000L),
     "shuffle_key" -> guardedMulHash("shuffle_key",
       graft.operators.TrainPrep.ShuffleMult, graft.operators.TrainPrep.ShuffleInc,
       graft.operators.TrainPrep.ShuffleMod))

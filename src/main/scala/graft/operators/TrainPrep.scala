@@ -65,6 +65,16 @@ object TrainPrep {
   def splitBucket(id: Column): Column =
     mulHash(id, SplitMult, SplitInc, 1000L, "splitBucket")
 
+  private[graft] val MixMult = 2654435789L // odd, distinct from every stream above
+  private[graft] val MixInc = 7919L
+
+  /** Deterministic per-row mixture bucket in [0, 1000) — decides which
+    * docs get the FRACTIONAL extra repeat when a mix factor isn't an
+    * integer; its own multiplier so oversampling never correlates with
+    * the sampling or holdout decisions. */
+  def mixBucket(id: Column): Column =
+    mulHash(id, MixMult, MixInc, 1000L, "mixBucket")
+
   /** Stratified downsampling: keep a row iff its [[sampleBucket]] falls
     * under its stratum's permille rate — the classic training-mix rebalance
     * (e.g. cap the dominant language, keep the tail). A pure per-row

@@ -693,11 +693,16 @@ object ExtQueries {
     * target — en capped at 400‰, the tail lifted to 150‰ each. One
     * aggregate + a broadcast 1-row total; arithmetic in fixed double op
     * order so the factors are engine-exact under rnd4. */
+  /** Target token shares (permille) per language — ONE definition for the
+    * plan and its application; a lang outside the list targets 0 and is
+    * dropped by the apply step. */
+  private val MixTargets = Seq("de" -> 150L, "en" -> 400L, "es" -> 150L, "fr" -> 150L, "zh" -> 150L)
+  private def mixTargetCol: Column = MixTargets.foldLeft(lit(0L)) {
+    case (acc, (k, v)) => when(col("lang") === k, v).otherwise(acc)
+  }
+
   private val extMixPlan: Q = (s, d) => {
-    val targets = Seq("de" -> 150L, "en" -> 400L, "es" -> 150L, "fr" -> 150L, "zh" -> 150L)
-    val target = targets.foldLeft(lit(0L)) {
-      case (acc, (k, v)) => when(col("lang") === k, v).otherwise(acc)
-    }
+    val target = mixTargetCol
     val per = documents(s, d).groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(TextFns.bpeEstimate(col("text"))).as("n_tokens"))
@@ -708,6 +713,35 @@ object ExtQueries {
         target.as("target_permille"),
         rnd4((target.cast("double") / 1000.0) / share).as("repeat_factor"))
       .orderBy("lang")
+  }
+
+  /** APPLY the mixture plan deterministically — the epoch-materialization
+    * step: each doc repeats floor(factor) times, plus one more iff its
+    * [[TrainPrep.mixBucket]] clears the factor's fractional part in
+    * permille (expected copies = factor; rerun-stable; independent hash
+    * stream, so oversampling never correlates with sampling/holdout).
+    * The factor arithmetic is the SAME fixed-op-order expression as
+    * ext_mix_plan before ONE floor(·1000) — integer from there on, so no
+    * engine's rounding can flip a copy count. Copies fan out as a per-row
+    * sequence explode past a broadcast factor join: zero extra exchanges. */
+  private val extMixApply: Q = (s, d) => {
+    val per = documents(s, d).groupBy(col("lang"))
+      .agg(sum(TextFns.bpeEstimate(col("text"))).as("n_tokens"))
+    val share = col("n_tokens").cast("double") / col("__total").cast("double")
+    val fac = per.crossJoin(broadcast(per.agg(sum(col("n_tokens")).as("__total"))))
+      .select(col("lang"),
+        floor((mixTargetCol.cast("double") / 1000.0) / share * 1000.0).cast("long")
+          .as("factor_millis"))
+    documents(s, d).select(col("doc_id"), col("lang"))
+      .join(broadcast(fac), "lang")
+      .withColumn("n_copies",
+        expr("factor_millis div 1000") +
+          when(TrainPrep.mixBucket(col("doc_id")) < pmod(col("factor_millis"), lit(1000L)), 1L)
+            .otherwise(0L))
+      .select(col("doc_id"), col("lang"),
+        explode(when(col("n_copies") >= 1L, sequence(lit(1L), col("n_copies")))
+          .otherwise(array().cast("array<bigint>"))).as("copy"))
+      .orderBy("doc_id", "copy")
   }
 
   /** The composed training-data pipeline: exact dedup → quality ≥ 0.3 →
@@ -810,6 +844,7 @@ object ExtQueries {
     "ext_pack_text" -> extPackText,
     "ext_chunk_docs" -> extChunkDocs,
     "ext_mix_plan" -> extMixPlan,
+    "ext_mix_apply" -> extMixApply,
     "ext_tfidf_terms" -> extTfidfTerms,
     "ext_token_quantiles" -> extTokenQuantiles,
     "ext_token_quantiles_fast" -> extTokenQuantilesFast,
@@ -1328,6 +1363,28 @@ object ExtQueries {
          |       ${rnd4Sql("(CAST(CASE lang WHEN 'en' THEN 400 ELSE 150 END AS DOUBLE) / 1000.0)" +
         " / (CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE))")} AS repeat_factor
          |FROM per, tot ORDER BY lang""".stripMargin,
+
+    "ext_mix_apply" -> {
+      val tSql = "CASE lang " +
+        MixTargets.map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ") + " ELSE 0 END"
+      s"""WITH per AS (
+         |  SELECT lang, CAST(sum(${TextFns.bpeEstimateSql("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per),
+         |fac AS (
+         |  SELECT lang,
+         |         CAST(floor(((CAST($tSql AS DOUBLE) / 1000.0)
+         |                / (CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE))) * 1000.0) AS BIGINT)
+         |           AS fm
+         |  FROM per, tot),
+         |n AS (
+         |  SELECT d.doc_id, d.lang,
+         |         fm // 1000 + CASE WHEN (d.doc_id * ${TrainPrep.MixMult} + ${TrainPrep.MixInc}) % 1000 < fm % 1000
+         |                           THEN 1 ELSE 0 END AS n_copies
+         |  FROM documents d JOIN fac ON d.lang = fac.lang)
+         |SELECT doc_id, lang, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy
+         |FROM n WHERE n_copies >= 1 ORDER BY doc_id, copy""".stripMargin
+    },
 
     "ext_tfidf_terms" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -74,6 +74,11 @@ class ExtensionsSpec extends SparkSpec {
     assert(sqlSplit === colSplit && sqlSplit === (42L * 2246822519L + 104729L) % 1000L)
     val sqlKey = spark.sql("SELECT shuffle_key(42L) AS r").collect().head.getLong(0)
     assert(sqlKey === (42L * 1779033703L + 512927357L) % 1000000007L)
+    val sqlMix = spark.sql("SELECT mix_bucket(42L) AS r").collect().head.getLong(0)
+    val colMix = Seq(42L).toDF("id")
+      .select(graft.operators.TrainPrep.mixBucket(col("id")))
+      .as[Long].collect().head
+    assert(sqlMix === colMix && sqlMix === (42L * 2654435789L + 7919L) % 1000L)
 
     // out-of-domain ids raise through the SQL surface too (same guard as the
     // Column form — no silent 64-bit wrap). sample_bucket is additionally
@@ -86,7 +91,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(Iterator.iterate(boundaryE: Throwable)(_.getCause).takeWhile(_ != null)
       .map(_.toString).mkString("; ").contains("overflows the 64-bit product"))
     val overflowId = Long.MaxValue / 2
-    for (fn <- Seq("sample_bucket", "split_bucket", "shuffle_key")) {
+    for (fn <- Seq("sample_bucket", "split_bucket", "shuffle_key", "mix_bucket")) {
       val e = intercept[Exception] {
         spark.sql(s"SELECT $fn(${overflowId}L)").collect()
       }
