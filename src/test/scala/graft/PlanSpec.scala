@@ -198,6 +198,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"greedy fill must not plan a window:\n${p.take(1500)}")
   }
 
+  test("mix application explodes copies past a broadcast factor join — corpus never shuffles") {
+    val p = plan("ext_mix_apply")
+    assert(p.contains("BroadcastHashJoin"), s"factor table must broadcast:\n${p.take(1500)}")
+    // the tiny per-lang aggregate plans twice (factor numerator + the 1-row
+    // total reuses it) — both lang-keyed and lang-sized; the corpus side
+    // itself must contribute NO exchange
+    val shuffles = p.split("Exchange hashpartitioning").length - 1
+    assert(shuffles <= 2, s"corpus shuffled for copy fan-out:\n${p.take(2000)}")
+  }
+
+  test("packed window text is one grouped concat past the greedy pass") {
+    val p = plan("ext_pack_text")
+    assert(!p.contains("CartesianProduct"))
+    // shard exchange (greedy) + doc_id join + (shard, window) aggregate
+    val shuffles = p.split("Exchange hashpartitioning").length - 1
+    assert(shuffles <= 3, s"window concat over-shuffles:\n${p.take(2000)}")
+  }
+
   test("gopher rule battery is one row-local scan — zero exchanges") {
     val p = plan("ext_quality_gopher")
     assert(!p.contains("Exchange hashpartitioning"),
