@@ -21,6 +21,12 @@ object Profile {
         SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
         println(f"[profile] $n run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
+      // match Bench's cache hygiene between queries, so a profiled number
+      // is comparable to the bench's and later queries don't time under
+      // earlier queries' persists/GC pressure
+      graft.operators.Dedup.unpersistAll()
+      spark.catalog.clearCache()
+      println(f"[profile] $n load: ${java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage}%.1f")
     }
     spark.stop()
   }
