@@ -23,10 +23,12 @@ object Profile {
       }
       // match Bench's cache hygiene between queries, so a profiled number
       // is comparable to the bench's and later queries don't time under
-      // earlier queries' persists/GC pressure
+      // earlier queries' persists/GC pressure. The load print is the
+      // 1-MINUTE TRAILING average sampled after the runs — a co-tenant
+      // drag indicator for the run bracket, not a per-query attribution
       graft.operators.Dedup.unpersistAll()
       spark.catalog.clearCache()
-      println(f"[profile] $n load: ${java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage}%.1f")
+      println(f"[profile] $n load_1m_trailing: ${java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage}%.1f")
     }
     spark.stop()
   }

@@ -517,6 +517,16 @@ object Knn {
     * once and queries forever. */
   final case class IvfPqIndex(cells: Seq[(Int, Array[Float])], books: Codebooks)
 
+  /** Nearest cell + residual (v − c_cell) as `__res` — ONE definition for
+    * the training sample and the query-time coding pass, so the residual
+    * a codebook was trained on can never drift from the residual it
+    * scores. */
+  private def assignResiduals(cents: DataFrame, vectors: DataFrame,
+                              idCol: String, embCol: String): DataFrame =
+    vectors.join(nearestCell(vectors, cents, idCol, embCol), idCol)
+      .join(broadcast(cents.select(col("cell"), col("cvec"))), "cell")
+      .withColumn("__res", zip_with(col(embCol), col("cvec"), (x, y) => x - y))
+
   /** Train the [[IvfPqIndex]]: coarse cells on the sample, then PQ
     * codebooks on the SAMPLE's residuals (sampling BEFORE assignment, so
     * training never triggers a full-corpus cell-assignment pass). */
@@ -526,13 +536,9 @@ object Knn {
     val spark = corpus.sparkSession
     val cells = ivfCentroids(corpus, idCol, embCol, nCells, cellIters, sampleN)
     val cents = centroidFrame(spark, cells)
-    val residual = zip_with(col(embCol), col("cvec"), (x, y) => x - y)
     val sampleBase = corpus.select(col(idCol), col(embCol)).orderBy(col(idCol))
       .limit(if (sampleN > 0) sampleN else nCodes * 32)
-    val sampleRes = sampleBase
-      .join(nearestCell(sampleBase, cents, idCol, embCol), idCol)
-      .join(broadcast(cents.select(col("cell"), col("cvec"))), "cell")
-      .withColumn("__res", residual)
+    val sampleRes = assignResiduals(cents, sampleBase, idCol, embCol)
       .select(col(idCol), col("__res"))
     IvfPqIndex(cells, pqCodebooks(sampleRes, idCol, "__res", m, nCodes, pqIters, sampleN))
   }
@@ -546,12 +552,7 @@ object Knn {
     val spark = corpus.sparkSession
     val cents = centroidFrame(spark, index.cells)
     val books = index.books
-    val residual = zip_with(col(embCol), col("cvec"), (x, y) => x - y)
-    def assignResiduals(vectors: DataFrame): DataFrame =
-      vectors.join(nearestCell(vectors, cents, idCol, embCol), idCol)
-        .join(broadcast(cents.select(col("cell"), col("cvec"))), "cell")
-        .withColumn("__res", residual)
-    val assigned = assignResiduals(corpus)
+    val assigned = assignResiduals(cents, corpus, idCol, embCol)
     val coded = assigned.select(col(idCol).as("neighbor_id"), col("cell"),
       transform(pqAssignExpr(books, col("__res")), p => p.getField("c")).as("__codes"))
     // query side: nProbe nearest cells, one residual distance table each
@@ -561,7 +562,7 @@ object Knn {
         .withColumn("__d", col("cnorm2") - lit(2.0) * VectorFns.dot(col(embCol), col("cvec")))
         .withColumn("__r", row_number().over(probeW))
         .filter(col("__r") <= nProbe)
-        .withColumn("__qres", residual)
+        .withColumn("__qres", zip_with(col(embCol), col("cvec"), (x, y) => x - y))
         .select(col(idCol).as("query_id"), col("cell"),
           pqDistTable(books, col("__qres")).as("__dt")))
     val wAdc = Window.partitionBy(col("query_id")).orderBy(col("__adc"), col("neighbor_id"))

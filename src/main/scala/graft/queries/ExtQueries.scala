@@ -687,12 +687,6 @@ object ExtQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
-  /** Source-mixture plan over `lang` (the data-mixing step of a training
-    * run): per stratum, its document/token mass, actual token share, the
-    * target share, and the repeat (oversample) factor that realizes the
-    * target — en capped at 400‰, the tail lifted to 150‰ each. One
-    * aggregate + a broadcast 1-row total; arithmetic in fixed double op
-    * order so the factors are engine-exact under rnd4. */
   /** Target token shares (permille) per language — ONE definition for the
     * plan and its application; a lang outside the list targets 0 and is
     * dropped by the apply step. */
@@ -701,6 +695,12 @@ object ExtQueries {
     case (acc, (k, v)) => when(col("lang") === k, v).otherwise(acc)
   }
 
+  /** Source-mixture plan over `lang` (the data-mixing step of a training
+    * run): per stratum, its document/token mass, actual token share, the
+    * target share, and the repeat (oversample) factor that realizes the
+    * target — en capped at 400‰, the tail lifted to 150‰ each. One
+    * aggregate + a broadcast 1-row total; arithmetic in fixed double op
+    * order so the factors are engine-exact under rnd4. */
   private val extMixPlan: Q = (s, d) => {
     val target = mixTargetCol
     val per = documents(s, d).groupBy(col("lang"))
