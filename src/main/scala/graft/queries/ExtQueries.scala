@@ -183,15 +183,19 @@ object ExtQueries {
     * docs (OCR garbage / gibberish density).
     *
     * Shape: one (doc, token) pre-aggregate (map-side combined), df via a
-    * count-window over its distinct-by-construction rows (one row per doc
-    * per token — no join back), then the per-doc rollup. Three exchanges,
-    * each carrying one row per distinct group, never raw occurrences. */
+    * token-keyed count aggregate JOINED back — deliberately not a
+    * count-window: unigram frequencies are maximally Zipf-skewed, and a
+    * window partition for "the" (billions of rows at corpus scale) is an
+    * unsplittable straggler, while AQE's skew-join can split the hot
+    * token's join partition because every split meets the same 1-row df
+    * side. Then the per-doc rollup. Every exchange carries one row per
+    * distinct group, never raw occurrences. */
   private val extTextRarity: Q = (s, d) => {
     val tc = documents(s, d)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
-    val byTok = Window.partitionBy("t")
-    tc.withColumn("df", count(lit(1)).over(byTok))
+    val dfTab = tc.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    tc.join(dfTab, "t")
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_tokens"),
         rnd4(sum(col("cnt") * col("df")).cast("double") / sum(col("cnt"))).as("mean_df"),
