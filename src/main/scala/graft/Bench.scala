@@ -82,6 +82,7 @@ object Bench {
       // operators persist intermediates (e.g. Dedup's shingle tables); drop
       // them so the next cold pass isn't timed under cache/GC pressure
       graft.operators.Dedup.unpersistAll()
+      graft.operators.TrainPrep.unpersistAll()
       spark.catalog.clearCache()
     }
 

@@ -27,6 +27,7 @@ object Profile {
       // 1-MINUTE TRAILING average sampled after the runs — a co-tenant
       // drag indicator for the run bracket, not a per-query attribution
       graft.operators.Dedup.unpersistAll()
+      graft.operators.TrainPrep.unpersistAll()
       spark.catalog.clearCache()
       println(f"[profile] $n load_1m_trailing: ${java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage}%.1f")
     }

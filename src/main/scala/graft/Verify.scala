@@ -26,6 +26,7 @@ object Verify {
       }
       // operators may persist intermediates; drop them between queries
       graft.operators.Dedup.unpersistAll()
+      graft.operators.TrainPrep.unpersistAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -330,6 +330,15 @@ class TrainPrepSpec extends SparkSpec {
     assert(gaps === 0L, "window ids must be gapless per shard")
   }
 
+  test("topTerms' persisted tf drains through unpersistAll (caller-owned lifecycle)") {
+    val d = docs((1L, "en", "a b c a"), (2L, "en", "b c d"))
+    TrainPrep.topTerms(d, "doc_id", "text", k = 2).collect()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty) // tf was persisted
+    TrainPrep.unpersistAll()
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("BpeMergeCount runs the real greedy rank-priority merge loop") {
     import graft.functions.BpeMerge
     val merges = Seq(("a", "b"), ("ab", "c"), ("c", "d"))
