@@ -113,6 +113,22 @@ object TrainPrep {
       .filter(col("bucket") < rate)
   }
 
+  /** Quality-weighted deterministic resampling (the DCLM/FineWeb reweight
+    * shape): keep a row iff its [[sampleBucket]] falls under weight·1000,
+    * so a doc's survival rate equals its weight in [0, 1] while the
+    * decision stays a pure function of (id, weight) — a per-row filter
+    * with ZERO shuffles, rerun-stable, and engine-exact whenever the
+    * weight expression is computed in identical op order on both sides
+    * (the [[graft.functions.TextFns.qualityScore]] contract). Weights are
+    * clamped per-row: ≤ 0 keeps nothing, ≥ 1 keeps everything. */
+  def weightedSample(docs: DataFrame, idCol: String, weight: Column): DataFrame = {
+    require(!docs.columns.contains("bucket"),
+      "weightedSample generates a `bucket` column; rename the input's")
+    docs
+      .withColumn("bucket", sampleBucket(col(idCol)))
+      .filter(col("bucket").cast("double") < weight * 1000.0)
+  }
+
   /** Deterministic train/val/test holdout assignment: `test` below
     * `testPermille`, `val` in the next `valPermille`, `train` above — a
     * pure per-row expression over [[splitBucket]], ZERO shuffles, stable

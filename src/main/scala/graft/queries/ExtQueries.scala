@@ -253,6 +253,38 @@ object ExtQueries {
 
   private val extQualityGopher: Q = (s, d) => gopherQuality(documents(s, d))
 
+  /** C4-style policy-filter thresholds (Raffel et al. 2020 §2.2 shape):
+    * a substring blocklist plus word-count bounds, ONE definition shared
+    * with the oracle SQL. The paper's line-level rules (terminal
+    * punctuation, brace / lorem-ipsum pages) have no signal on the
+    * single-line punctuation-free fixture corpus, so the battery keeps the
+    * SHAPE with fixture-meaningful phrases — production swaps the
+    * constants for its real lists. Phrases must be regex-metachar-free
+    * (they interpolate into both engines' regexp counters). */
+  private val PolicyBlocklist = Seq("slow scan", "vector")
+  private val PolicyMinTokens = 20L
+  private val PolicyMaxTokens = 80L
+
+  /** The policy battery itself: per-doc blocklist hit count + word-count
+    * bounds + per-rule flags — row-local expressions, one corpus scan,
+    * zero shuffles at any scale. Flags stay separate so a pipeline can
+    * audit WHICH rule dropped a doc (the C4 reporting convention). */
+  private[graft] def policyFilter(docs: DataFrame): DataFrame = {
+    val n = size(TextFns.tokens(col("text"))).cast("long")
+    val nBlocked = PolicyBlocklist
+      .map(p => regexp_count(col("text"), lit(p)).cast("long"))
+      .reduce(_ + _)
+    val passBounds = n >= PolicyMinTokens && n <= PolicyMaxTokens
+    val passBlock = nBlocked === 0L
+    docs.select(
+      col("doc_id"), n.as("n_tokens"), nBlocked.as("n_blocked_hits"),
+      passBounds.as("pass_bounds"), passBlock.as("pass_blocklist"),
+      (passBounds && passBlock).as("pass"))
+      .orderBy("doc_id")
+  }
+
+  private val extFilterPolicy: Q = (s, d) => policyFilter(documents(s, d))
+
   /** Rolling polynomial fingerprint over characters:
     * fp = fold((acc·31 + codepoint) mod P) — codegen'd ([[RollingHash]]);
     * the modulus keeps every intermediate exact in 64-bit on both engines. */
@@ -467,6 +499,19 @@ object ExtQueries {
     TrainPrep.stratifiedSample(documents(s, d), "doc_id", "lang",
       permille = Map("en" -> 250), defaultPermille = 800)
       .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+
+  /** Quality-weighted resampling: survival probability = the composite
+    * quality score (stop ratio / TTR / length saturation), so better docs
+    * are kept preferentially — the DCLM/FineWeb-style quality reweight as
+    * a pure per-row filter (see [[TrainPrep.weightedSample]]); ZERO
+    * shuffles. Kept rows report their bucket and (rnd4) weight so every
+    * decision is auditable. */
+  private val extSampleWeighted: Q = (s, d) =>
+    TrainPrep.weightedSample(documents(s, d), "doc_id",
+      TextFns.qualityScore(col("text")))
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        rnd4(TextFns.qualityScore(col("text"))).as("weight"))
       .orderBy("doc_id")
 
   /** Deterministic fixed-size sample: the 20 docs per language that come
@@ -823,6 +868,7 @@ object ExtQueries {
     "ext_dedup_spans" -> extDedupSpans,
     "ext_dedup_span_stats" -> extDedupSpanStats,
     "ext_quality_gopher" -> extQualityGopher,
+    "ext_filter_policy" -> extFilterPolicy,
     "ext_dedup_simhash" -> extDedupSimhash,
     "ext_dedup_cluster" -> extDedupCluster,
     "ext_dedup_keep" -> extDedupKeep,
@@ -835,6 +881,7 @@ object ExtQueries {
     "ext_sim_neardup_lsh" -> extSimNeardupLsh,
     "ext_sim_cluster" -> extSimCluster,
     "ext_sample_stratified" -> extSampleStratified,
+    "ext_sample_weighted" -> extSampleWeighted,
     "ext_sample_bottomk" -> extSampleBottomk,
     "ext_split_assign" -> extSplitAssign,
     "ext_shuffle_shard" -> extShuffleShard,
@@ -1126,6 +1173,21 @@ object ExtQueries {
          |FROM m ORDER BY doc_id""".stripMargin
     },
 
+    "ext_filter_policy" -> {
+      val hits = PolicyBlocklist
+        .map(p => s"len(regexp_extract_all(text, '$p'))").mkString(" + ")
+      val bounds = s"n_tokens >= $PolicyMinTokens AND n_tokens <= $PolicyMaxTokens"
+      s"""WITH m AS (SELECT doc_id,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |             CAST($hits AS BIGINT) AS n_blocked_hits
+         |           FROM documents)
+         |SELECT doc_id, n_tokens, n_blocked_hits,
+         |       $bounds AS pass_bounds,
+         |       n_blocked_hits = 0 AS pass_blocklist,
+         |       ($bounds) AND n_blocked_hits = 0 AS pass
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
     "ext_fingerprint" ->
       s"""SELECT doc_id,
          |       list_reduce(list_transform(generate_series(1, length(text)),
@@ -1243,6 +1305,15 @@ object ExtQueries {
         |FROM documents
         |WHERE $bucketSql < CASE WHEN lang = 'en' THEN 250 ELSE 800 END
         |ORDER BY doc_id""".stripMargin,
+
+    "ext_sample_weighted" ->
+      s"""WITH ${qualitySqlCte("documents", "lang,")},
+         |w AS (SELECT doc_id, lang, $bucketSql AS bucket,
+         |             stop_ratio * 0.4 + ttr * 0.3 + len_sat * 0.3 AS weight
+         |      FROM q)
+         |SELECT doc_id, lang, bucket, ${rnd4Sql("weight")} AS weight
+         |FROM w WHERE CAST(bucket AS DOUBLE) < weight * 1000.0
+         |ORDER BY doc_id""".stripMargin,
 
     "ext_sample_bottomk" ->
       s"""SELECT doc_id, lang, sample_rank FROM (

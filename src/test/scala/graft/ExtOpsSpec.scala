@@ -38,6 +38,26 @@ class ExtOpsSpec extends SparkSpec {
     assert((got(5L)._6, got(5L)._7) === ((false, false)))
   }
 
+  test("policyFilter trips exactly the planted rule per doc") {
+    val clean = (1 to 30).map(i => s"word$i").mkString(" ") // 30 tokens, no phrases
+    val d = docs(
+      (0L, clean),
+      (1L, "too short doc"),                                    // < 20 tokens
+      (2L, (1 to 99).map(i => s"w$i").mkString(" ")),           // > 80 tokens
+      (3L, clean + " vector stuff and a slow scan ahead"),      // 2 blocklist hits
+      (4L, clean + " vector vector"))                           // 2 hits, same phrase
+    val got = ExtQueries.policyFilter(d)
+      .select("doc_id", "n_tokens", "n_blocked_hits",
+        "pass_bounds", "pass_blocklist", "pass")
+      .as[(Long, Long, Long, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(0L) === ((0L, 30L, 0L, true, true, true)))
+    assert((got(1L)._4, got(1L)._6) === ((false, false)))
+    assert((got(2L)._4, got(2L)._6) === ((false, false)))
+    assert((got(3L)._3, got(3L)._5, got(3L)._6) === ((2L, false, false)))
+    assert((got(4L)._3, got(4L)._5, got(4L)._6) === ((2L, false, false)))
+  }
+
   test("piiScan counts and redacts each planted signal class") {
     val d = docs(
       (0L, "write to alice.smith+x@example.co.uk or bob@sub.domain.org today"),

@@ -56,6 +56,19 @@ class PlanSpec extends SparkSpec {
       s"sampling shuffled:\n${p.take(1500)}")
   }
 
+  test("weighted sampling is a pure filter — zero exchanges, nothing but the scan") {
+    val p = plan("ext_sample_weighted")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"sampling shuffled:\n${p.take(1500)}")
+  }
+
+  test("policy filter is row-local — zero exchanges, one corpus scan") {
+    val p = plan("ext_filter_policy")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"policy battery shuffled:\n${p.take(1500)}")
+    assert(p.split("Scan parquet").length - 1 == 1)
+  }
+
   test("window packing shuffles once on shard; the running sum is one window over it") {
     val p = plan("ext_pack_windows")
     val shuffles = p.split("Exchange hashpartitioning").length - 1

@@ -255,6 +255,35 @@ class TrainPrepSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("weightedSample keeps exactly the rows whose bucket clears weight*1000") {
+    // weight = (doc_id % 5) / 4.0 → 0, .25, .5, .75, 1.0 — spans the clamp ends
+    val d = docs((0L until 200L).map(i => (i, "en", s"text $i")): _*)
+    val w = (col("doc_id") % 5).cast("double") / 4.0
+    val kept = TrainPrep.weightedSample(d, "doc_id", w)
+      .select("doc_id").as[Long].collect().toSet
+    def bucket(id: Long): Long = {
+      val h = (id * 2654435761L + 40503L) % 1000L
+      if (h < 0) h + 1000L else h
+    }
+    val expect = (0L until 200L).filter(i => bucket(i) < (i % 5) / 4.0 * 1000.0).toSet
+    assert(kept === expect)
+    // the clamp ends: weight 0 keeps nothing, weight 1 keeps everything
+    assert((0L until 200L).filter(_ % 5 == 0).forall(!kept.contains(_)))
+    assert((0L until 200L).filter(_ % 5 == 4).forall(kept.contains))
+    // rerun is byte-stable
+    val again = TrainPrep.weightedSample(d, "doc_id", w)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === kept)
+  }
+
+  test("weightedSample rejects an input that already carries a bucket column") {
+    val d = docs((0L, "en", "t")).withColumn("bucket", lit(7L))
+    val e = intercept[IllegalArgumentException] {
+      TrainPrep.weightedSample(d, "doc_id", lit(0.5))
+    }
+    assert(e.getMessage.contains("bucket"))
+  }
+
   test("stratifiedSample rejects an input that already carries a bucket column") {
     val d = docs((0L, "en", "t")).withColumn("bucket", lit(7L))
     val e = intercept[IllegalArgumentException] {
