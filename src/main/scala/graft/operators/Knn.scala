@@ -576,4 +576,61 @@ object Knn {
       queries.select(col(idCol).as("query_id"), col(embCol).as("__q_emb")),
       k, rerank)
   }
+
+  /** Zero-shuffle cell assignment: argmin over ‖c‖² − 2·v·c as ONE per-row
+    * expression against LITERAL centroids (the codebook-literal pattern of
+    * [[pqAssignExpr]]) — the assignment [[nearestCell]] computes with a
+    * broadcast join + argmin aggregate becomes a pure map, so the corpus
+    * never exchanges for it. Distance ties break by cell id via struct
+    * ordering — the same rule as [[nearestCell]], so both assignments are
+    * interchangeable. */
+  private def rowNearestCell(emb: Column, cs: Seq[(Int, Array[Float])]): Column = {
+    val cands = cs.map { case (cell, cv) =>
+      val cnorm2 = cv.foldLeft(0.0)((a, x) => a + x.toDouble * x)
+      struct((lit(cnorm2) - lit(2.0) * VectorFns.dot(emb, typedLit(cv.toSeq))).as("d"),
+        lit(cell).as("cell"))
+    }
+    // `least` rejects a single argument (the one-cell degenerate case)
+    (if (cands.length == 1) cands.head else least(cands: _*)).getField("cell")
+  }
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup over embeddings — k-means
+    * cells bound the candidate space, pairs above the cosine threshold are
+    * found only WITHIN a cell, near-dup groups are closed transitively, and
+    * each group keeps its min-id representative. Lexical dedup (MinHash,
+    * spans) cannot see a paraphrase; this is the embedding-space member of
+    * the dedup tier list.
+    *
+    * Output: one row per corpus vector — (id, cell, rep_id, kept); a doc is
+    * kept iff it is its group's representative (singletons keep themselves).
+    *
+    * 100 TB shape: centroids train on a deterministic sample
+    * ([[ivfCentroids]] — cost independent of corpus size), assignment is the
+    * zero-shuffle literal-centroid map above, and the within-cell pair join
+    * is an equi-join on cell. Per-cell work is quadratic in CELL size —
+    * exactly the paper's design: nCells is the scale dial (they use 50k
+    * cells for LAION), chosen so n/nCells stays bounded as the corpus
+    * grows. Grouping reuses the alternating-star CC machinery (tiny
+    * verified pair sets short-circuit to the single-task union-find). */
+  def semanticDedup(corpus: DataFrame, idCol: String, embCol: String,
+                    threshold: Double, nCells: Int, iters: Int,
+                    sampleN: Int = 0): DataFrame = {
+    val cs = ivfCentroids(corpus, idCol, embCol, nCells, iters, sampleN)
+    val assigned = corpus.select(col(idCol), col(embCol),
+      rowNearestCell(col(embCol), cs).as("cell"))
+    val a = assigned.select(col("cell"), col(idCol).as("id_a"),
+      col(embCol).as("__ea"), VectorFns.norm(col(embCol)).as("__na"))
+    val b = assigned.select(col("cell").as("__cell_b"), col(idCol).as("id_b"),
+      col(embCol).as("__eb"), VectorFns.norm(col(embCol)).as("__nb"))
+    val pairs = a.join(b, col("cell") === col("__cell_b") && col("id_a") < col("id_b"))
+      .filter(cos(col("__ea"), col("__eb"), col("__na"), col("__nb")) >= threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val reps = Dedup.duplicateClusters(pairs)
+      .select(col("doc_id").as(idCol), col("cluster_id").as("rep_id"))
+    assigned.select(col(idCol), col("cell"))
+      .join(reps, Seq(idCol), "left")
+      .select(col(idCol), col("cell").cast("int").as("cell"),
+        coalesce(col("rep_id"), col(idCol)).as("rep_id"))
+      .withColumn("kept", col("rep_id") === col(idCol))
+  }
 }

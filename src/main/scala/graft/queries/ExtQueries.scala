@@ -456,6 +456,27 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** The SemDeDup entry's contract, shared with KnnSpec's planted-duplicate
+    * and candidate-bound pins (the IVF pattern): the spec asserts THIS
+    * parameterization groups planted near-identical vectors and touches
+    * only within-cell pairs. `sampleN` keeps quantizer training
+    * corpus-independent (the 100 TB shape). */
+  final val SemCells = 16
+  final val SemIters = 2
+  final val SemSampleN = 128
+  final val SemThreshold = 0.3
+
+  /** SemDeDup (Abbas et al. 2023): embedding-space semantic dedup — k-means
+    * cells bound candidates, within-cell cosine ≥ t pairs close into groups,
+    * min-id representative kept. One row per vector (id, cell, rep_id,
+    * kept); rows-only (the quantizer is not oracle-expressible) — grouping
+    * semantics pinned by KnnSpec's planted-duplicate properties. */
+  private val extSimSemdedup: Q = (s, d) =>
+    Knn.semanticDedup(embeddings(s, d), "vec_id", "embedding",
+      threshold = SemThreshold, nCells = SemCells, iters = SemIters,
+      sampleN = SemSampleN)
+      .orderBy("vec_id")
+
   /** Embedding-cosine near-duplicate pairs within one label partition. */
   private val extSimNeardup: Q = (s, d) =>
     Knn.cosineNearDup(embeddings(s, d).filter(col("label") === 0),
@@ -880,6 +901,7 @@ object ExtQueries {
     "ext_sim_neardup" -> extSimNeardup,
     "ext_sim_neardup_lsh" -> extSimNeardupLsh,
     "ext_sim_cluster" -> extSimCluster,
+    "ext_sim_semdedup" -> extSimSemdedup,
     "ext_sample_stratified" -> extSampleStratified,
     "ext_sample_weighted" -> extSampleWeighted,
     "ext_sample_bottomk" -> extSampleBottomk,

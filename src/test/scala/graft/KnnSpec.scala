@@ -334,4 +334,55 @@ class KnnSpec extends SparkSpec {
     val recall = (got & brute).size.toDouble / brute.size
     assert(recall >= 0.8, s"entry recall $recall below floor")
   }
+
+  test("semanticDedup groups planted colinear duplicates and keeps min-id reps") {
+    // two orthogonal duplicate groups + a singleton (cross-group cosine 0);
+    // the two lowest ids seed the two cells, one per group — ids chosen so
+    // Lloyd separates the groups instead of splitting one across cells
+    val v = vecs(
+      1L -> Seq(1f, 0f, 0f, 0f), 3L -> Seq(2f, 0f, 0f, 0f), 5L -> Seq(3f, 0f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f, 0f), 4L -> Seq(0f, 3f, 0f, 0f),
+      20L -> Seq(0f, 0f, 1f, 0f))
+    val r = Knn.semanticDedup(v, "vec_id", "embedding",
+      threshold = 0.95, nCells = 2, iters = 2)
+      .select("vec_id", "rep_id", "kept").as[(Long, Long, Boolean)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(1L) === ((1L, true)) && r(3L) === ((1L, false)) && r(5L) === ((1L, false)))
+    assert(r(2L) === ((2L, true)) && r(4L) === ((2L, false)))
+    assert(r(20L) === ((20L, true)))
+  }
+
+  test("semanticDedup closes groups transitively (chain below pairwise threshold)") {
+    // angles 0° / 15° / 30°: adjacent cosines ≈ 0.966 ≥ t = 0.95, but the
+    // endpoints' cosine ≈ 0.866 < t — only transitivity links them
+    def at(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val v = vecs(1L -> at(0), 2L -> at(15), 3L -> at(30))
+    val r = Knn.semanticDedup(v, "vec_id", "embedding",
+      threshold = 0.95, nCells = 1, iters = 1)
+      .select("vec_id", "rep_id").as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("the registered ext_sim_semdedup entry holds its structural contract") {
+    val dir = "/root/testdata/sf0.001"
+    val run = SparkEntry.queries("ext_sim_semdedup")(spark, dir)
+      .select("vec_id", "cell", "rep_id", "kept")
+      .as[(Long, Int, Long, Boolean)].collect()
+    val n = Tables.embeddings(spark, dir).count()
+    assert(run.length.toLong === n) // one row per corpus vector
+    val byId = run.map(r => r._1 -> r).toMap
+    run.foreach { case (id, cell, rep, kept) =>
+      assert(rep <= id)                    // canonical min-id labels
+      assert(kept === (rep == id))         // kept iff representative
+      assert(byId(rep)._3 === rep)         // reps are closed (rep of rep = itself)
+      assert(byId(rep)._2 === cell)        // groups never cross cells
+    }
+    assert(run.exists(!_._4), "fixture produced no duplicate groups — threshold has no signal")
+    // determinism: the index + labels are a pure function of the corpus
+    val again = SparkEntry.queries("ext_sim_semdedup")(spark, dir)
+      .select("vec_id", "cell", "rep_id", "kept")
+      .as[(Long, Int, Long, Boolean)].collect()
+    assert(again.toSeq === run.toSeq)
+  }
 }

@@ -56,6 +56,12 @@ class PlanSpec extends SparkSpec {
       s"sampling shuffled:\n${p.take(1500)}")
   }
 
+  test("semdedup candidates come from the cell equi-join, never an all-pairs product") {
+    val p = plan("ext_sim_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      s"within-cell pairing degenerated to all-pairs:\n${p.take(2000)}")
+  }
+
   test("weighted sampling is a pure filter — zero exchanges, nothing but the scan") {
     val p = plan("ext_sample_weighted")
     assert(!p.contains("Exchange hashpartitioning"),
