@@ -260,3 +260,99 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
+
+/** Codegen'd multi-set token counter: per-language stopword hit counts for
+  * ALL languages in ONE scan of the string. Semantics per language are
+  * identical to [[TokenSetCount]] over that language's word list, but a
+  * token resolves against one word → language-bitmask map instead of one
+  * HashSet probe (and one full string traversal) PER language — the
+  * language-ID argmax drops from |langs| text scans to one. Output is
+  * `array<long>` in the caller's list order; bounded at 64 sets by the
+  * bitmask width. */
+case class MultiTokenSetCount(child: Expression, sets: Seq[Seq[String]])
+  extends UnaryExpression {
+
+  require(sets.nonEmpty && sets.length <= 64,
+    s"multi_token_set_count supports 1..64 sets, got ${sets.length}")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"multi_token_set_count expects string, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val masks: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    sets.zipWithIndex.foreach { case (words, idx) =>
+      words.foreach { w =>
+        val prev = m.get(w)
+        m.put(w, java.lang.Long.valueOf((if (prev == null) 0L else prev.longValue()) | (1L << idx)))
+      }
+    }
+    m
+  }
+
+  private def count(s: String): Array[Long] = {
+    val cnts = new Array[Long](sets.length)
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        val m = masks.get(s.substring(start, i))
+        if (m != null) {
+          var rest = m.longValue()
+          while (rest != 0L) {
+            val b = java.lang.Long.numberOfTrailingZeros(rest)
+            cnts(b) += 1L
+            rest &= rest - 1L
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    cnts
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      count(input.asInstanceOf[UTF8String].toString))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("masks", masks, "java.util.HashMap<String, java.lang.Long>")
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val cnts = ctx.freshName("cnts")
+      val start = ctx.freshName("start")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val rest = ctx.freshName("rest")
+      val b = ctx.freshName("b")
+      s"""
+         |final String $s = $c.toString();
+         |final long[] $cnts = new long[${sets.length}];
+         |int $start = 0;
+         |int $i = 0;
+         |while ($i <= $s.length()) {
+         |  if ($i == $s.length() || $s.charAt($i) == ' ') {
+         |    final java.lang.Long $m = $mapRef.get($s.substring($start, $i));
+         |    if ($m != null) {
+         |      long $rest = $m.longValue();
+         |      while ($rest != 0L) {
+         |        final int $b = java.lang.Long.numberOfTrailingZeros($rest);
+         |        $cnts[$b] += 1L;
+         |        $rest &= $rest - 1L;
+         |      }
+         |    }
+         |    $start = $i + 1;
+         |  }
+         |  $i++;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($cnts);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): MultiTokenSetCount = copy(child = c)
+}

@@ -61,6 +61,13 @@ object TextFns {
     org.apache.spark.sql.GraftColumnBridge.column(
       TokenSetCount(org.apache.spark.sql.GraftColumnBridge.expression(text), set))
 
+  /** All sets counted in ONE text scan (`array<long>` in `sets` order) —
+    * per-element semantics identical to [[tokenSetCount]] of that set
+    * (see [[MultiTokenSetCount]]). */
+  def multiTokenSetCount(text: Column, sets: Seq[Seq[String]]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      MultiTokenSetCount(org.apache.spark.sql.GraftColumnBridge.expression(text), sets))
+
   /** Tiny per-language stopword tables for the n-gram/stopword language-ID
     * heuristic. Public-knowledge closed-class words; deliberately small —
     * language ID at corpus scale is a ratio over these sets, not a model. */

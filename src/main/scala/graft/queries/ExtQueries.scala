@@ -150,14 +150,21 @@ object ExtQueries {
       .orderBy("doc_id")
 
   /** Stopword-ratio language ID: argmax over per-language stopword hit
-    * counts, first-in-order tie-break, 'und' when nothing hits. */
+    * counts, first-in-order tie-break, 'und' when nothing hits. All
+    * language counts come from ONE codegen'd text scan
+    * ([[graft.functions.MultiTokenSetCount]] — one word→mask probe per
+    * token instead of |langs| full scans); the argmax then reads the
+    * materialized array, so the string work never repeats per language. */
   private val extLangId: Q = (s, d) => {
-    val hits = TextFns.langOrder.map(l => TextFns.tokenSetCount(col("text"), TextFns.stopwords(l)))
+    val langs = TextFns.langOrder
+    val withHits = documents(s, d).withColumn("__hits",
+      TextFns.multiTokenSetCount(col("text"), langs.map(TextFns.stopwords)))
+    val hits = langs.indices.map(i => element_at(col("__hits"), i + 1))
     val m = greatest(hits: _*)
-    val guess = TextFns.langOrder.zip(hits)
+    val guess = langs.zip(hits)
       .foldLeft(when(m <= 0, "und")) { case (acc, (l, h)) => acc.when(h === m, l) }
       .otherwise("und")
-    documents(s, d).select(
+    withHits.select(
       col("doc_id"), guess.as("lang_guess"), col("lang"),
       (guess === col("lang")).as("hit"))
       .orderBy("doc_id")

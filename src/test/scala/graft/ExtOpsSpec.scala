@@ -38,6 +38,26 @@ class ExtOpsSpec extends SparkSpec {
     assert((got(5L)._6, got(5L)._7) === ((false, false)))
   }
 
+  test("multiTokenSetCount matches per-set tokenSetCount element-wise in one scan") {
+    import graft.functions.TextFns
+    val sets = TextFns.langOrder.map(TextFns.stopwords)
+    val d = docs(
+      (0L, "the de la of und que el est in le"), // words shared across languages
+      (1L, "的 是 在 and the"),                    // multi-byte + en mix
+      (2L, ""),                                   // empty string (one empty token)
+      (3L, "no stop words here at all"),
+      (4L, "the the the und und 的"))             // repeats count every occurrence
+    val fused = d.select(col("doc_id"),
+      TextFns.multiTokenSetCount(col("text"), sets).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val single = d.select(col("doc_id") +:
+      sets.zipWithIndex.map { case (s2, i) =>
+        TextFns.tokenSetCount(col("text"), s2).as(s"c$i") }: _*)
+      .collect().map(r => r.getLong(0) -> sets.indices.map(i => r.getLong(i + 1))).toMap
+    assert(fused.keySet === single.keySet)
+    fused.foreach { case (id, arr) => assert(arr === single(id), s"doc $id") }
+  }
+
   test("policyFilter trips exactly the planted rule per doc") {
     val clean = (1 to 30).map(i => s"word$i").mkString(" ") // 30 tokens, no phrases
     val d = docs(

@@ -56,6 +56,15 @@ class PlanSpec extends SparkSpec {
       s"sampling shuffled:\n${p.take(1500)}")
   }
 
+  test("lang-id counts all languages in ONE fused scan that the optimizer doesn't re-inline") {
+    // CollapseProject must keep the multi-set count in its own projection
+    // (it is referenced once per language); an inlined copy per reference
+    // would undo the single-scan fusion
+    val p = plan("ext_lang_id")
+    assert(p.split("multitokensetcount").length - 1 == 1,
+      s"fused scan duplicated per language:\n${p.take(2000)}")
+  }
+
   test("semdedup candidates come from the cell equi-join, never an all-pairs product") {
     val p = plan("ext_sim_semdedup")
     assert(!p.contains("CartesianProduct"),
