@@ -584,14 +584,53 @@ object Knn {
     * never exchanges for it. Distance ties break by cell id via struct
     * ordering — the same rule as [[nearestCell]], so both assignments are
     * interchangeable. */
-  private def rowNearestCell(emb: Column, cs: Seq[(Int, Array[Float])]): Column = {
+  private def rowNearestCell(emb: Column, cs: Seq[(Int, Array[Float])]): Column =
+    rowNearestCellStruct(emb, cs).getField("cell")
+
+  /** The full argmin struct (d = ‖c‖² − 2·v·c, cell) — callers that also
+    * need the distance read both fields off ONE evaluation. */
+  private def rowNearestCellStruct(emb: Column, cs: Seq[(Int, Array[Float])]): Column = {
     val cands = cs.map { case (cell, cv) =>
       val cnorm2 = cv.foldLeft(0.0)((a, x) => a + x.toDouble * x)
       struct((lit(cnorm2) - lit(2.0) * VectorFns.dot(emb, typedLit(cv.toSeq))).as("d"),
         lit(cell).as("cell"))
     }
     // `least` rejects a single argument (the one-cell degenerate case)
-    (if (cands.length == 1) cands.head else least(cands: _*)).getField("cell")
+    if (cands.length == 1) cands.head else least(cands: _*)
+  }
+
+  /** Embedding QC: distance-to-assigned-centroid outlier flags — the sanity
+    * tier an embedding store runs before indexing (corrupt encoders, wrong
+    * dims, NaN-adjacent junk all show up as far-from-every-centroid rows).
+    * Per vector: its cell, its exact ‖v − c‖², the cell's mean, and an
+    * outlier flag at `factor`× the cell mean.
+    *
+    * 100 TB shape: training is sample-bound ([[ivfCentroids]]), assignment
+    * is the zero-shuffle literal-centroid map, the only exchange is the
+    * nCells-row cell-mean aggregate (broadcast back), and the corpus is
+    * scanned once. Mean over DOUBLE partial sums is order-sensitive in the
+    * last ulps, so the flag compares against a rnd4-stable factor·mean —
+    * a vector within 1e-4 of the boundary is fixture-pathological, not a
+    * production concern. */
+  def centroidOutliers(corpus: DataFrame, idCol: String, embCol: String,
+                       nCells: Int, iters: Int, factor: Double,
+                       sampleN: Int = 0): DataFrame = {
+    val cs = ivfCentroids(corpus, idCol, embCol, nCells, iters, sampleN)
+    val assigned = corpus
+      // one argmin evaluation; cell AND distance read off the same struct
+      // (a separate projection step so CollapseProject keeps it single)
+      .withColumn("__nc", rowNearestCellStruct(col(embCol), cs))
+      .select(col(idCol), col("__nc.cell").as("cell"),
+        // ‖v−c‖² = ‖v‖² + (‖c‖² − 2·v·c) — the parenthesized term is __nc.d
+        (VectorFns.dot(col(embCol), col(embCol)) + col("__nc.d")).as("dist2"))
+    val cellMeans = assigned.groupBy(col("cell"))
+      .agg(avg(col("dist2")).as("cell_mean_dist2"))
+    assigned.join(broadcast(cellMeans), Seq("cell"))
+      .select(col(idCol), col("cell").cast("int").as("cell"),
+        graft.Tables.rnd4(col("dist2")).as("dist2"),
+        graft.Tables.rnd4(col("cell_mean_dist2")).as("cell_mean_dist2"),
+        (graft.Tables.rnd4(col("dist2")) >
+          graft.Tables.rnd4(lit(factor) * col("cell_mean_dist2"))).as("outlier"))
   }
 
   /** SemDeDup (Abbas et al. 2023): semantic dedup over embeddings — k-means

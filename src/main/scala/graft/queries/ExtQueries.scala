@@ -484,6 +484,17 @@ object ExtQueries {
       sampleN = SemSampleN)
       .orderBy("vec_id")
 
+  /** Embedding QC: distance-to-assigned-centroid outlier flags (corrupt
+    * encoders / junk vectors surface as far-from-every-centroid rows) —
+    * sample-trained cells, zero-shuffle assignment, one nCells-row mean
+    * aggregate broadcast back; rows-only (the quantizer is not
+    * oracle-expressible), planted-outlier pin in KnnSpec. Shares the
+    * SemDeDup index contract constants. */
+  private val extEmbedOutliers: Q = (s, d) =>
+    Knn.centroidOutliers(embeddings(s, d), "vec_id", "embedding",
+      nCells = SemCells, iters = SemIters, factor = 1.2, sampleN = SemSampleN)
+      .orderBy("vec_id")
+
   /** Embedding-cosine near-duplicate pairs within one label partition. */
   private val extSimNeardup: Q = (s, d) =>
     Knn.cosineNearDup(embeddings(s, d).filter(col("label") === 0),
@@ -909,6 +920,7 @@ object ExtQueries {
     "ext_sim_neardup_lsh" -> extSimNeardupLsh,
     "ext_sim_cluster" -> extSimCluster,
     "ext_sim_semdedup" -> extSimSemdedup,
+    "ext_embed_outliers" -> extEmbedOutliers,
     "ext_sample_stratified" -> extSampleStratified,
     "ext_sample_weighted" -> extSampleWeighted,
     "ext_sample_bottomk" -> extSampleBottomk,

@@ -364,6 +364,23 @@ class KnnSpec extends SparkSpec {
     assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("centroidOutliers flags the planted far vector and only it") {
+    // an exact-duplicate cluster on x (dist2 = 0 for every member) + a y
+    // cluster with one far-out junk vector; the two lowest ids seed the two
+    // cells (one per direction) so Lloyd separates them. All margins are
+    // exact-arithmetic-clean: cell means 0 and 468.75, junk dist2 1406.25
+    // vs threshold 937.5.
+    val v = vecs(
+      1L -> Seq(10f, 0f), 3L -> Seq(10f, 0f), 4L -> Seq(10f, 0f),
+      2L -> Seq(0f, 10f), 7L -> Seq(0f, 10f), 8L -> Seq(0f, 10f),
+      9L -> Seq(0f, 60f)) // junk: same direction as cell 2, 6× out
+    val r = Knn.centroidOutliers(v, "vec_id", "embedding",
+      nCells = 2, iters = 2, factor = 2.0)
+      .select("vec_id", "outlier").as[(Long, Boolean)].collect().toMap
+    assert(r(9L), "planted junk vector not flagged")
+    assert(r.filter(_._2).keySet === Set(9L), s"extra outliers: $r")
+  }
+
   test("the registered ext_sim_semdedup entry holds its structural contract") {
     val dir = "/root/testdata/sf0.001"
     val run = SparkEntry.queries("ext_sim_semdedup")(spark, dir)
