@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, And, Cast, CreateMap, Expression, ExpressionInfo, GreaterThanOrEqual, If, LessThanOrEqual, Literal, Multiply, Pmod, RaiseError}
 import org.apache.spark.sql.types.LongType
 
-import graft.functions.{BpeCount, FloatDot, HashedShingles, RollingHash, SimHash64, SrpBandKeys}
+import graft.functions.{BpeCount, FloatDot, HashedShingles, MultiTokenSetCount, RollingHash, SimHash64, SrpBandKeys, TokenSetCount}
 
 /** SQL surface for the library's codegen'd expressions. Two entry points:
   *
@@ -20,6 +20,9 @@ import graft.functions.{BpeCount, FloatDot, HashedShingles, RollingHash, SimHash
   *  - `srp_band_keys(array<float>, bands, bitsPerBand) → array<bigint>`
   *  - `bpe_count(string) → bigint`
   *  - `simhash64(string) → bigint` (64-bit distinct-token SimHash)
+  *  - `token_set_count(string, array<string> literal) → bigint` (tokens ∈ set)
+  *  - `lang_hits(string) → array<bigint>` (per-language stopword hit counts
+  *    in `TextFns.langOrder` order, ONE text scan)
   *  - `sample_bucket(id) → bigint` (deterministic [0,1000) sampling bucket)
   *  - `split_bucket(id) → bigint` (deterministic [0,1000) holdout bucket,
   *    independent multiplier — see [[graft.operators.TrainPrep.splitBucket]])
@@ -40,6 +43,21 @@ object GraftExtensions {
     case Literal(v: Long, _) => v
     case Literal(v: Int, _) => v.toLong
     case other => throw new IllegalArgumentException(s"$what must be a literal, got $other")
+  }
+
+  private def stringSeqLit(e: Expression, what: String): Seq[String] = e match {
+    // array('a', 'b', ...) arrives as CreateArray before constant folding
+    case org.apache.spark.sql.catalyst.expressions.CreateArray(children, _) =>
+      children.map {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"$what must be string literals, got $other")
+      }
+    case Literal(data: org.apache.spark.sql.catalyst.util.ArrayData, _) =>
+      data.toArray[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    case other => throw new IllegalArgumentException(
+      s"$what must be an array literal, got $other")
   }
 
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -76,6 +94,15 @@ object GraftExtensions {
     "simhash64" -> { args: Seq[Expression] =>
       require(args.length == 1, "simhash64(text)")
       SimHash64(args(0))
+    },
+    "token_set_count" -> { args: Seq[Expression] =>
+      require(args.length == 2, "token_set_count(text, array('w', ...))")
+      TokenSetCount(args(0), stringSeqLit(args(1), "token_set_count words"))
+    },
+    "lang_hits" -> { args: Seq[Expression] =>
+      require(args.length == 1, "lang_hits(text)")
+      MultiTokenSetCount(args(0),
+        graft.functions.TextFns.langOrder.map(graft.functions.TextFns.stopwords))
     },
     // composites of built-in expressions (not codegen'd classes): the same
     // guarded pmod(id·mult + inc, m) tree the TrainPrep bucket helpers build

@@ -59,6 +59,16 @@ class ExtensionsSpec extends SparkSpec {
       .as[Long].collect().head
     assert(sqlBpe === colBpe && sqlBpe === 3L) // ceil(4/4) + ceil(5/4)
 
+    // token_set_count: same value as the Column-API form
+    val sqlTsc = spark.sql("SELECT token_set_count('the a of x', array('the', 'of')) AS r")
+      .collect().head.getLong(0)
+    assert(sqlTsc === 2L)
+
+    // lang_hits: per-language counts in langOrder order, one scan
+    val sqlLang = spark.sql("SELECT lang_hits('the der el le 的') AS r")
+      .as[Seq[Long]].collect().head
+    assert(sqlLang === Seq(1L, 1L, 1L, 1L, 1L)) // one planted hit per language
+
     // sample_bucket: same value as the Column-API form
     val sqlBucket = spark.sql("SELECT sample_bucket(42L) AS r").collect().head.getLong(0)
     val colBucket = Seq(42L).toDF("id")
