@@ -87,12 +87,29 @@ object StreamQueries {
       .orderBy("event_id")
   }
 
+  /** The corpus-ingest pipeline run in BATCH mode over a DOUBLED delivery
+    * (at-least-once): gate → digest-keyed min-id-wins survivor merge. The
+    * merge is commutative + idempotent, so the doubled log collapses to the
+    * clean single-run answer — which is what the oracle computes directly.
+    * The live path (file stream, checkpointed restart, cross-batch
+    * convergence) is exercised end-to-end by StreamingSpec. */
+  private val streamCorpusIngest: Q = (s, d) => {
+    val docs = s.read.schema(graft.streaming.CorpusIngest.docsFileSchema)
+      .parquet(s"$d/documents.parquet")
+    val once = graft.streaming.CorpusIngest.transform(docs)
+    val twice = once.unionByName(once) // two deliveries
+    graft.streaming.CorpusIngest.mergeSurvivors(twice.limit(0), twice)
+      .select(col("doc_id"), col("lang"), Tables.rnd4(col("quality")).as("quality"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "source_changestream" -> sourceChangestream,
     "sink_checkpoint" -> sinkCheckpointReplay,
     "stream_sessionize" -> streamSessionize,
     "stream_window_counts" -> streamWindowCounts,
-    "stream_dedup" -> streamDedup)
+    "stream_dedup" -> streamDedup,
+    "stream_corpus_ingest" -> streamCorpusIngest)
 
   val oracle: Map[String, String] = Map(
     "source_changestream" ->
@@ -142,5 +159,27 @@ object StreamQueries {
     "stream_dedup" ->
       s"""SELECT DISTINCT event_id, ${fmtTsSql("ts")} AS ts_s, user_id, event_type, value
          |FROM (SELECT * FROM events UNION ALL SELECT * FROM events) e
-         |ORDER BY event_id""".stripMargin)
+         |ORDER BY event_id""".stripMargin,
+
+    // idempotent ingest over a doubled delivery ≡ the clean single run:
+    // quality gate then min-id winner per content digest (the quality
+    // components mirror TextFns' fixed op order — the corpus-prep gate)
+    "stream_corpus_ingest" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, text,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |                x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) AS stop_ratio,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) AS ttr,
+        |         least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) AS len_sat
+        |  FROM documents),
+        |g AS (SELECT doc_id, lang,
+        |             stop_ratio * 0.4 + ttr * 0.3 + len_sat * 0.3 AS quality,
+        |             sha256(lower(trim(text))) AS dg
+        |      FROM q
+        |      WHERE stop_ratio * 0.4 + ttr * 0.3 + len_sat * 0.3 >= CAST(0.3 AS DOUBLE))
+        |SELECT doc_id, lang, floor(quality * 10000 + 0.5) / 10000 AS quality
+        |FROM (SELECT *, row_number() OVER (PARTITION BY dg ORDER BY doc_id) AS rn FROM g)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
 }

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFns
+
+/** Streaming corpus ingest — the training-data analog of [[CdcPipeline]]
+  * (SURVEY §2.7 × §2.8): a document stream arrives at-least-once; each
+  * micro-batch is quality-gated and folded into corpus state keyed by
+  * content digest, the min-id document winning each digest group. The merge
+  * is commutative, associative and idempotent (a min over a fixed key), so
+  * redelivered batches, checkpointed restarts, and ANY micro-batch split of
+  * the input converge to the one-shot batch answer — the same
+  * exactly-once-from-at-least-once argument as the CDC upsert, with
+  * min-id-wins in place of last-write-wins.
+  *
+  * 100 TB shape: the gate is a per-row expression; per batch the only
+  * exchange is the digest groupBy (rows ride it once, 8-byte digests +
+  * narrow metadata — text itself never enters the state); state size is one
+  * row per distinct surviving document. In production the state rewrite is
+  * a transactional MERGE INTO keyed on digest; the dedup-then-merge shape
+  * and its convergence are identical.
+  */
+object CorpusIngest {
+
+  /** `documents.parquet` physical schema (the file-stream source needs it
+    * declared up front). */
+  val docsFileSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Shared batch/stream transform: quality gate (the corpus-prep
+    * threshold) + the ingest projection — digest identity and the kept
+    * metadata. Gating BEFORE the state merge means junk never shuffles. */
+  def transform(docs: DataFrame, minQuality: Double = 0.3): DataFrame =
+    docs
+      .withColumn("quality", TextFns.qualityScore(col("text")))
+      .filter(col("quality") >= minQuality)
+      .select(col("doc_id"), col("lang"), col("quality"),
+        sha2(lower(trim(col("text"))), 256).as("digest"))
+
+  /** Min-id-wins survivor merge: one row per digest across state ∪ batch.
+    * The struct min is ordered by doc_id first (ids are unique), so the
+    * surviving row is exactly the min-id document's — the batch analog is
+    * [[graft.operators.Dedup.exactSurvivors]]. */
+  def mergeSurvivors(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(batch)
+      .groupBy(col("digest"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("quality"))).as("m"))
+      .select(col("digest"), col("m.doc_id").as("doc_id"),
+        col("m.lang").as("lang"), col("m.quality").as("quality"))
+
+  /** One idempotent micro-batch apply (the [[CdcPipeline.applyBatch]]
+    * lifecycle: merge against current state, lineage-truncate, overwrite). */
+  def applyBatch(spark: SparkSession, batch: DataFrame, targetDir: String): Unit = {
+    val merged =
+      if (new java.io.File(targetDir).exists()) {
+        val base = spark.read.parquet(targetDir)
+        mergeSurvivors(base, batch.select(base.columns.toIndexedSeq.map(col): _*))
+      } else mergeSurvivors(batch.limit(0), batch)
+    merged.localCheckpoint(true)
+      .write.mode("overwrite").parquet(targetDir)
+  }
+
+  /** Start the ingest: document source dir → gate/project → foreachBatch
+    * digest-keyed survivor merge into `targetDir`. `availableNow = true`
+    * drains what exists and stops (test/replay mode). */
+  def start(spark: SparkSession, sourceDir: String, targetDir: String,
+            checkpointDir: String, minQuality: Double = 0.3,
+            availableNow: Boolean = true): StreamingQuery = {
+    val raw = spark.readStream.schema(docsFileSchema).parquet(sourceDir)
+    val trigger =
+      if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
+    transform(raw, minQuality)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(spark, batch, targetDir)
+      }
+      .start()
+  }
+}

@@ -295,6 +295,58 @@ class StreamingSpec extends SparkSpec {
     assert(got.sorted === Seq(1L, 2L, 3L), s"redelivery leaked through: $got")
   }
 
+  test("corpus ingest: redelivery + restart converge to the batch survivor answer") {
+    import graft.streaming.CorpusIngest
+    import spark.implicits._
+    val src = tmp("ingest-src")
+    val tgt = tmp("ingest-tgt").resolve("state").toString
+    val ckp = tmp("ingest-ckp").toString
+
+    val good = "the quick brown fox jumps over a lazy dog and the dog is not amused at all of it"
+    def deliver(name: String, rows: Seq[(Long, String, String)]): Unit = {
+      val staging = tmp(s"ingest-stage-$name")
+      rows.map { case (id, text, lang) => (id, text, lang, "web", text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, src.resolve(s"$name-${f.getName}")))
+    }
+
+    // wave 1: a kept doc, its higher-id in-batch duplicate, and junk the
+    // quality gate must drop before any state is touched
+    val wave1 = Seq((10L, good, "en"), (30L, good, "en"), (40L, "zz zz", "xx"))
+    deliver("w1", wave1)
+    CorpusIngest.start(spark, src.toString, tgt, ckp).awaitTermination()
+
+    // wave 2: wave 1 redelivered (at-least-once) + a LOWER-id duplicate of
+    // the kept doc + a genuinely new doc — the min-id winner must flip to 5
+    val wave2 = wave1 ++ Seq((5L, good, "en"),
+      (50L, good.replace("fox", "cat"), "en"))
+    deliver("w2", wave2)
+    CorpusIngest.start(spark, src.toString, tgt, ckp).awaitTermination()
+
+    val got = spark.read.parquet(tgt)
+      .select("doc_id", "lang", "quality").as[(Long, String, Double)]
+      .collect().sortBy(_._1)
+    // batch answer over the union of everything delivered once
+    val all = (wave1 ++ wave2).distinct
+      .map { case (id, text, lang) => (id, text, lang, "web", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val expect = CorpusIngest.mergeSurvivors(
+      CorpusIngest.transform(all).limit(0), CorpusIngest.transform(all))
+      .select("doc_id", "lang", "quality").as[(Long, String, Double)]
+      .collect().sortBy(_._1)
+    assert(got === expect)
+    assert(got.map(_._1).toSeq === Seq(5L, 50L)) // min-id flip + new doc; junk gated out
+
+    // replay with no new data: state unchanged (idempotence)
+    CorpusIngest.start(spark, src.toString, tgt, ckp).awaitTermination()
+    val again = spark.read.parquet(tgt)
+      .select("doc_id", "lang", "quality").as[(Long, String, Double)]
+      .collect().sortBy(_._1)
+    assert(again === got)
+  }
+
   test("flatMapGroupsWithState sessionization: state survives restart; gap rules match batch") {
     import graft.streaming.Sessionize
     import Sessionize.OpenSession
