@@ -165,6 +165,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("corpus-ingest survivor merge converges under any batch split and redelivery") {
+    import graft.streaming.CorpusIngest
+    // docs with planted duplicate texts; quality gate irrelevant here (all
+    // pass) — the property under test is the merge algebra alone
+    val texts = Seq(
+      "the quick brown fox jumps over a lazy dog and the dog is not amused",
+      "a second document with the usual mix of words and it is fine to keep",
+      "the third text is a bit different and that is the point of it all")
+    val docs = (0L until 30L).map(i => (i, texts((i % 3).toInt) + " tail" + (i % 5), "en"))
+      .map { case (id, t, l) => (id, t, l, "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ingest = CorpusIngest.transform(docs, minQuality = 0.0)
+    def run(batches: Seq[DataFrame]): Set[(String, Long)] =
+      batches.foldLeft(ingest.limit(0)) { (state, b) =>
+        CorpusIngest.mergeSurvivors(state, b)
+      }.select("digest", "doc_id").as[(String, Long)].collect().toSet
+    val oneShot = run(Seq(ingest))
+    val rnd = new scala.util.Random(7)
+    (0 until 5).foreach { _ =>
+      // random split into micro-batches, each redelivered 1–2 times, in a
+      // shuffled order — at-least-once with arbitrary batching
+      val cut1 = rnd.nextInt(31)
+      val cut2 = cut1 + rnd.nextInt(31 - cut1)
+      val parts = Seq(
+        ingest.filter(col("doc_id") < cut1),
+        ingest.filter(col("doc_id") >= cut1 && col("doc_id") < cut2),
+        ingest.filter(col("doc_id") >= cut2))
+      val delivered = rnd.shuffle(parts.flatMap(p => Seq.fill(1 + rnd.nextInt(2))(p)))
+      assert(run(delivered) === oneShot, "split/redelivery diverged from the one-shot merge")
+    }
+  }
+
   test("replaying any suffix from a checkpointed state is a no-op on the final state") {
     samples(8).foreach { rows =>
       val full = df(rows)
