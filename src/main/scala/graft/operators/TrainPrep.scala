@@ -366,6 +366,60 @@ object TrainPrep {
         col("q_tokens"))
   }
 
+  /** Top-k corpus vocabulary with cumulative coverage — the tokenizer-prep
+    * profile: for each of the k most frequent whitespace tokens, its corpus
+    * term frequency `tf`, document frequency `df`, rank, and the cumulative
+    * fraction of ALL corpus token occurrences the vocabulary covers through
+    * that rank (the "how big must my vocab be for X% coverage" curve).
+    * Ranking ties break on the token string, so the order — and therefore
+    * the coverage column — is deterministic across engines.
+    *
+    * Shape: one explode → token-keyed aggregate (map-side combined; the
+    * exchange moves one row per distinct (partition, token)), PERSISTED so
+    * the corpus-total denominator reads the aggregate, not the corpus. The
+    * top-k limit plans as a distributed TakeOrdered; only the k survivors
+    * reach the single-partition ranking window, so the unpartitioned window
+    * is k rows at any corpus scale. */
+  def vocabTop(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"vocabTop: k must be positive, got $k")
+    val counts = registered(docs
+      .select(col(idCol).as("doc_id"), explode(TextFns.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df")))
+    val total = broadcast(counts.agg(sum(col("tf")).as("__total")))
+    val byFreq = Window.orderBy(col("tf").desc, col("token"))
+    counts
+      .orderBy(col("tf").desc, col("token")).limit(k)
+      .crossJoin(total)
+      .withColumn("rank", row_number().over(byFreq).cast("long"))
+      .withColumn("coverage", graft.Tables.rnd4(
+        sum(col("tf")).over(byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / col("__total").cast("double")))
+      .select(col("rank"), col("token"), col("tf"), col("df"), col("coverage"))
+  }
+
+  /** Per-document out-of-vocabulary profile against the [[vocabTop]]
+    * vocabulary: token occurrences outside the top-k vocab and their
+    * fraction — the "will this tokenizer cover my corpus" signal that
+    * decides vocab size and UNK handling.
+    *
+    * Shape: the vocab is k rows → broadcast; the corpus side explodes once
+    * and aggregates straight to doc_id (map-side combined), so the only
+    * exchange is one row per doc. The OOV flag rides the broadcast hash
+    * join — no shuffle touches the token rows. */
+  def vocabOov(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val vocab = vocabTop(docs, idCol, textCol, k)
+      .select(col("token"), lit(1L).as("__in_vocab"))
+    docs
+      .select(col(idCol).as("doc_id"), explode(TextFns.tokens(col(textCol))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", graft.Tables.rnd4(
+        col("n_oov").cast("double") / col("n_tokens").cast("double")))
+  }
+
   /** Top-k salient terms per document, scored tf·idf with a BM25-shaped,
     * LOG-FREE idf: `score = tf · (N − df + 0.5)/(df + 0.5)`. Dropping the
     * usual `ln` is deliberate: every remaining op (integer→double casts,

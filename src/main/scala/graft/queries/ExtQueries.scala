@@ -724,6 +724,19 @@ object ExtQueries {
     TrainPrep.topTerms(documents(s, d), "doc_id", "text", k = 3)
       .orderBy("doc_id", "rank")
 
+  /** Top-20 corpus vocabulary with tf/df and cumulative coverage — the
+    * tokenizer-prep profile (see [[TrainPrep.vocabTop]]; ties break on the
+    * token string, so ranks and coverage are engine-deterministic). */
+  private val extVocabTop: Q = (s, d) =>
+    TrainPrep.vocabTop(documents(s, d), "doc_id", "text", k = 20)
+      .orderBy("rank")
+
+  /** Per-doc out-of-vocabulary profile against the top-20 vocab (see
+    * [[TrainPrep.vocabOov]] — the vocab-size/UNK-handling signal). */
+  private val extVocabOov: Q = (s, d) =>
+    TrainPrep.vocabOov(documents(s, d), "doc_id", "text", k = 20)
+      .orderBy("doc_id")
+
   /** Per-language p50/p90/p99 token-count quantiles — exact, rank-based,
     * integer-arithmetic ranks (see [[TrainPrep.tokenQuantiles]]). */
   private val extTokenQuantiles: Q = (s, d) =>
@@ -938,6 +951,8 @@ object ExtQueries {
     "ext_mix_plan" -> extMixPlan,
     "ext_mix_apply" -> extMixApply,
     "ext_tfidf_terms" -> extTfidfTerms,
+    "ext_vocab_top" -> extVocabTop,
+    "ext_vocab_oov" -> extVocabOov,
     "ext_token_quantiles" -> extTokenQuantiles,
     "ext_token_quantiles_fast" -> extTokenQuantilesFast,
     "ext_corpus_prep" -> extCorpusPrep,
@@ -989,6 +1004,18 @@ object ExtQueries {
 
   /** Exact 3-gram Jaccard pairs ≥ 0.5 — oracle for BOTH ext_dedup_ngram and
     * ext_dedup_minhash (LSH recall ≈ 1 at the fixture's j ≥ 0.9; see doc). */
+  /** Shared oracle CTE for the vocabulary surface: token occurrences, the
+    * token-keyed tf/df aggregate, the corpus-total denominator, and the
+    * top-20 vocab (ties break on the token string — the [[TrainPrep
+    * .vocabTop]] contract). */
+  private val vocabSqlCte =
+    """vtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |vc AS (SELECT token, CAST(count(*) AS BIGINT) AS tf,
+      |              CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |       FROM vtok GROUP BY 1),
+      |vtot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM vc),
+      |vtop AS (SELECT * FROM vc ORDER BY tf DESC, token LIMIT 20)""".stripMargin
+
   private val jaccardSql =
     s"""WITH $shingleSql,
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -1516,6 +1543,24 @@ object ExtQueries {
          |      FROM sc)
          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, ${rnd4Sql("score")} AS score
          |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "ext_vocab_top" ->
+      s"""WITH $vocabSqlCte
+         |SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rank,
+         |       token, tf, df,
+         |       ${rnd4Sql("CAST(sum(tf) OVER (ORDER BY tf DESC, token " +
+                 "ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(total AS DOUBLE)")} AS coverage
+         |FROM vtop, vtot ORDER BY rank""".stripMargin,
+
+    "ext_vocab_oov" ->
+      s"""WITH $vocabSqlCte,
+         |oov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |               CAST(sum(CASE WHEN token IN (SELECT token FROM vtop)
+         |                             THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+         |        FROM vtok GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_oov,
+         |       ${rnd4Sql("CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)")} AS oov_rate
+         |FROM oov ORDER BY doc_id""".stripMargin,
 
     "ext_token_quantiles" ->
       s"""WITH t AS (

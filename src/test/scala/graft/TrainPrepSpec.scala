@@ -491,4 +491,41 @@ class TrainPrepSpec extends SparkSpec {
       .select("doc_id", "n_tokens", "window_id").as[(Long, Long, Long)].collect().sortBy(_._1)
     proxy.foreach { case (id, n, w) => assert(n === 2L && w === id / 3L, s"doc $id") }
   }
+
+  test("vocabTop ranks by frequency with deterministic ties and a monotone coverage curve") {
+    // frequencies: a×6, b×4, c×4, d×1 over 3 docs → total 15
+    val d = docs(
+      (0L, "en", "a a b c a b"), (1L, "en", "a b c c a"), (2L, "en", "a b c d"))
+    val top = TrainPrep.vocabTop(d, "doc_id", "text", k = 3)
+      .select("rank", "token", "tf", "df", "coverage")
+      .as[(Long, String, Long, Long, Double)].collect().sortBy(_._1)
+    // b/c tie at tf=4 breaks on the token string
+    assert(top.map(r => (r._1, r._2, r._3, r._4)) ===
+      Array((1L, "a", 6L, 3L), (2L, "b", 4L, 3L), (3L, "c", 4L, 3L)))
+    // coverage = running tf / corpus total (15 tokens), strictly increasing
+    assert(top.map(_._5) === Array(0.4, 10.0 / 15, 14.0 / 15).map(v =>
+      math.floor(v * 10000 + 0.5) / 10000))
+    // k past the vocab size covers everything
+    val all = TrainPrep.vocabTop(d, "doc_id", "text", k = 100)
+      .orderBy(col("rank").desc).select("coverage").as[Double].first()
+    assert(all === 1.0)
+  }
+
+  test("vocabOov counts exactly the occurrences outside the top-k vocab") {
+    val d = docs(
+      (0L, "en", "a a b c a b"), (1L, "en", "a b c c a"), (2L, "en", "a b c d"))
+    // k=1 vocab = {a}: everything else is OOV
+    val got = TrainPrep.vocabOov(d, "doc_id", "text", k = 1)
+      .select("doc_id", "n_tokens", "n_oov", "oov_rate")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3)) ===
+      Array((0L, 6L, 3L), (1L, 5L, 3L), (2L, 4L, 3L)))
+    got.foreach { case (_, n, oov, rate) =>
+      assert(rate === math.floor(oov.toDouble / n * 10000 + 0.5) / 10000)
+    }
+    // full-vocab k → zero OOV everywhere
+    val full = TrainPrep.vocabOov(d, "doc_id", "text", k = 10)
+      .agg(sum("n_oov")).as[Long].first()
+    assert(full === 0L)
+  }
 }
