@@ -372,6 +372,59 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-source corpus dashboard — the rollup a pipeline review reads:
+    * document and token mass, language spread, and the pass rates of the
+    * quality gate (the corpus-prep threshold on the ROUNDED score — a
+    * deterministic boundary) and the policy blocklist, per corpus slice.
+    * All counts integer; rates are integer ratios rounded through [[rnd4]],
+    * so the report is engine-exact. One exchange keyed by source with
+    * map-side partial aggregation — every signal is a row-local expression
+    * fused into the scan. */
+  private val extCorpusReport: Q = (s, d) => {
+    val n = size(TextFns.tokens(col("text"))).cast("long")
+    val nBlocked = PolicyBlocklist
+      .map(p => regexp_count(col("text"), lit(p)).cast("long")).reduce(_ + _)
+    val qPass = (rnd4(TextFns.qualityScore(col("text"))) >= lit(0.3)).cast("long")
+    documents(s, d)
+      .select(col("source"), col("lang"), n.as("n_tokens"),
+        qPass.as("q_pass"), (nBlocked === 0L).cast("long").as("clean"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("q_pass")).as("n_quality_pass"),
+        sum(col("clean")).as("n_policy_clean"))
+      .withColumn("quality_pass_rate",
+        rnd4(col("n_quality_pass").cast("double") / col("n_docs").cast("double")))
+      .withColumn("policy_clean_rate",
+        rnd4(col("n_policy_clean").cast("double") / col("n_docs").cast("double")))
+      .orderBy("source")
+  }
+
+  /** What dedup buys, in tokens: per duplicate cluster, the member count,
+    * total token mass, the kept (min-id representative) tokens, and the
+    * tokens dedup saves — the number that justifies the dedup stage's cost
+    * in a pipeline review ("N% of the corpus is redundant mass").
+    *
+    * Shape: cluster labels are tiny relative to the corpus (only clustered
+    * docs have rows) → broadcast to the slim (doc_id, n_tokens) projection,
+    * so the corpus side never shuffles; the rollup is one exchange keyed by
+    * cluster_id. All-integer aggregates — engine-exact. */
+  private val extDedupSavings: Q = (s, d) => {
+    val labels = Dedup.duplicateClusters(
+      Dedup.ngramJaccard(documents(s, d), "text", "doc_id", n = 3, threshold = 0.5))
+    val ntok = documents(s, d).select(col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+    ntok.join(broadcast(labels), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("doc_id") === col("cluster_id"), col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"))
+      .withColumn("saved_tokens", col("total_tokens") - col("kept_tokens"))
+      .orderBy("cluster_id")
+  }
+
   /** Train/eval contamination detection: near-duplicate pairs that CROSS
     * `source` boundaries — the leakage check a training pipeline runs
     * between its corpus slices (pretraining shard vs held-out eval set).
@@ -924,6 +977,8 @@ object ExtQueries {
     "ext_dedup_simhash" -> extDedupSimhash,
     "ext_dedup_cluster" -> extDedupCluster,
     "ext_dedup_keep" -> extDedupKeep,
+    "ext_dedup_savings" -> extDedupSavings,
+    "ext_corpus_report" -> extCorpusReport,
     "ext_contamination" -> extContamination,
     "ext_contamination_ngram" -> extContaminationNgram,
     "ext_sim_knn" -> extSimKnn,
@@ -1322,6 +1377,53 @@ object ExtQueries {
          |  SELECT e.u, r.label FROM e JOIN reach r ON e.v = r.id)
          |SELECT id AS doc_id, min(label) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "ext_corpus_report" -> {
+      val hits = PolicyBlocklist
+        .map(p => s"len(regexp_extract_all(text, '$p'))").mkString(" + ")
+      s"""WITH ${qualitySqlCte("documents", "source, lang, text,")},
+         |m AS (SELECT source, lang,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |        CASE WHEN $qualitySql >= CAST(0.3 AS DOUBLE) THEN 1 ELSE 0 END AS q_pass,
+         |        CASE WHEN CAST($hits AS BIGINT) = 0 THEN 1 ELSE 0 END AS clean
+         |      FROM q)
+         |SELECT source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |       CAST(sum(q_pass) AS BIGINT) AS n_quality_pass,
+         |       CAST(sum(clean) AS BIGINT) AS n_policy_clean,
+         |       ${rnd4Sql("CAST(sum(q_pass) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+         |         AS quality_pass_rate,
+         |       ${rnd4Sql("CAST(sum(clean) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+         |         AS policy_clean_rate
+         |FROM m GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // the cluster-label CTE joined to whitespace token counts — all-integer
+    // rollup, so the savings are engine-exact
+    "ext_dedup_savings" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardSql),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM e),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.u, r.label FROM e JOIN reach r ON e.v = r.id),
+         |lab AS (SELECT id AS doc_id, min(label) AS cluster_id
+         |        FROM reach GROUP BY id),
+         |nt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |       FROM documents)
+         |SELECT cluster_id,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |       CAST(sum(CASE WHEN lab.doc_id = cluster_id THEN n_tokens ELSE 0 END)
+         |            AS BIGINT) AS kept_tokens,
+         |       CAST(sum(CASE WHEN lab.doc_id = cluster_id THEN 0 ELSE n_tokens END)
+         |            AS BIGINT) AS saved_tokens
+         |FROM lab JOIN nt USING (doc_id)
+         |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     "ext_dedup_keep" ->
       s"""WITH RECURSIVE pairs AS ($jaccardSql),

@@ -229,4 +229,61 @@ class ExtOpsSpec extends SparkSpec {
     // every vector saturates at least once: max |x| quantizes to ±127
     assert(got.forall(_._6 >= 1L))
   }
+
+  test("dedup savings roll cluster token mass up against the labels and keep set") {
+    val sf = "/root/testdata/sf0.001"
+    val labels = ExtQueries.queries("ext_dedup_cluster")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val ntok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val got = ExtQueries.queries("ext_dedup_savings")(spark, sf)
+      .select("cluster_id", "n_docs", "total_tokens", "kept_tokens", "saved_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // one row per cluster, totals recomputed independently from the labels
+    val byCluster = labels.groupBy(_._2)
+    assert(got.map(_._1).toSet === byCluster.keySet)
+    got.foreach { case (cid, nDocs, total, kept, saved) =>
+      val members = byCluster(cid).keys.toSeq
+      assert(nDocs === members.size.toLong, s"cluster $cid")
+      assert(total === members.map(ntok).sum, s"cluster $cid total")
+      assert(kept === ntok(cid), s"cluster $cid keeps its min-id representative")
+      assert(saved === total - kept, s"cluster $cid savings")
+      assert(saved > 0L, s"cluster $cid: a duplicate cluster always saves tokens")
+    }
+    // the savings line a pipeline review quotes: redundant mass exists
+    assert(got.map(_._5).sum > 0L)
+  }
+
+  test("corpus report rolls the row-level gate queries up per source") {
+    val sf = "/root/testdata/sf0.001"
+    val meta = Tables.documents(spark, sf)
+      .select("doc_id", "source", "lang").as[(Long, String, String)].collect()
+    // the two row-level gate queries this report aggregates — both already
+    // oracle-pinned, so agreement here chains the report to the gates
+    val policy = ExtQueries.queries("ext_filter_policy")(spark, sf)
+      .select("doc_id", "n_tokens", "pass_blocklist")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val quality = ExtQueries.queries("ext_quality_score")(spark, sf)
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    val got = ExtQueries.queries("ext_corpus_report")(spark, sf)
+      .select("source", "n_docs", "n_tokens", "n_langs",
+        "n_quality_pass", "n_policy_clean", "quality_pass_rate", "policy_clean_rate")
+      .as[(String, Long, Long, Long, Long, Long, Double, Double)].collect()
+    val bySource = meta.groupBy(_._2)
+    assert(got.map(_._1).toSet === bySource.keySet)
+    got.foreach { case (src, nDocs, nTok, nLangs, qPass, clean, qRate, cRate) =>
+      val docs = bySource(src)
+      assert(nDocs === docs.size.toLong, src)
+      assert(nTok === docs.map(r => policy(r._1)._1).sum, src)
+      assert(nLangs === docs.map(_._3).distinct.size.toLong, src)
+      assert(qPass === docs.count(r => quality(r._1) >= 0.3).toLong, src)
+      assert(clean === docs.count(r => policy(r._1)._2).toLong, src)
+      assert(qRate === math.floor(qPass.toDouble / nDocs * 10000 + 0.5) / 10000, src)
+      assert(cRate === math.floor(clean.toDouble / nDocs * 10000 + 0.5) / 10000, src)
+    }
+    // the gates have real signal on the fixture: neither rate is stuck at 0/1
+    assert(got.exists(r => r._7 > 0.0 && r._7 < 1.0) || got.exists(r => r._8 < 1.0))
+  }
 }
