@@ -103,13 +103,30 @@ object StreamQueries {
       .orderBy("doc_id")
   }
 
+  /** The streaming decontamination gate run in BATCH mode over a DOUBLED
+    * delivery (at-least-once): `src0` plays the held-out eval set, the other
+    * sources the corpus stream. The verdict is a pure per-row function of
+    * (document, static index), so the doubled log's verdicts are
+    * byte-identical and the keyed merge collapses them to the single-run
+    * answer — what the oracle computes directly. The live path (file
+    * stream, checkpointed restart, redelivery) is in StreamingSpec. */
+  private val streamDecontam: Q = (s, d) => {
+    import graft.streaming.{CorpusIngest, Decontam}
+    val docs = s.read.schema(CorpusIngest.docsFileSchema).parquet(s"$d/documents.parquet")
+    val index = Decontam.evalIndex(docs.filter(col("source") === "src0"))
+    val once = Decontam.gate(docs.filter(col("source") =!= "src0"), index)
+    val twice = once.unionByName(once) // two deliveries
+    Decontam.mergeVerdicts(twice.limit(0), twice).orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "source_changestream" -> sourceChangestream,
     "sink_checkpoint" -> sinkCheckpointReplay,
     "stream_sessionize" -> streamSessionize,
     "stream_window_counts" -> streamWindowCounts,
     "stream_dedup" -> streamDedup,
-    "stream_corpus_ingest" -> streamCorpusIngest)
+    "stream_corpus_ingest" -> streamCorpusIngest,
+    "stream_decontam" -> streamDecontam)
 
   val oracle: Map[String, String] = Map(
     "source_changestream" ->
@@ -181,5 +198,27 @@ object StreamQueries {
         |      WHERE stop_ratio * 0.4 + ttr * 0.3 + len_sat * 0.3 >= CAST(0.3 AS DOUBLE))
         |SELECT doc_id, lang, floor(quality * 10000 + 0.5) / 10000 AS quality
         |FROM (SELECT *, row_number() OVER (PARTITION BY dg ORDER BY doc_id) AS rn FROM g)
-        |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // pure per-row verdict ⇒ doubled delivery collapses to the single run:
+    // per corpus doc, how many of its distinct 13-grams appear anywhere in
+    // the eval slice (src0); string shingles stand in for the engine's
+    // xxhash64'd ones (shared-shingle counts are hash-invariant)
+    "stream_decontam" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |         unnest(list_transform(generate_series(1, greatest(len(t) - 12, 0)),
+        |                               i -> array_to_string(t[i:i+12], ' '))) AS shingle
+        |       FROM toks),
+        |idx AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+        |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |         FROM sh JOIN idx USING (shingle)
+        |         WHERE sh.source <> 'src0'
+        |         GROUP BY 1)
+        |SELECT d.doc_id, d.source,
+        |       coalesce(h.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+        |       coalesce(h.n_shared, CAST(0 AS BIGINT)) = 0 AS clean
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.source <> 'src0'
+        |ORDER BY d.doc_id""".stripMargin)
 }

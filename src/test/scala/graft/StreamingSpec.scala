@@ -347,6 +347,67 @@ class StreamingSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("streaming decontamination: verdicts match the batch gate; redelivery and replay are no-ops") {
+    import graft.streaming.Decontam
+    import spark.implicits._
+    val src = tmp("decon-src")
+    val tgt = tmp("decon-tgt").resolve("verdicts").toString
+    val ckp = tmp("decon-ckp").toString
+
+    // the eval set: one benchmark prompt of 16 tokens — any 13-token window
+    // of it is a contaminating shingle
+    val evalText = "what is the capital of france and when was the eiffel tower " +
+      "finished according to records"
+    val evalDocs = Seq((9000L, evalText, "en", "eval", evalText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val contaminated = "noise before the span what is the capital of france and " +
+      "when was the eiffel tower finished according to plan and noise after"
+    val clean = "the quick brown fox jumps over a lazy dog while the cat watches " +
+      "from a warm windowsill nearby every single afternoon"
+
+    def deliver(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = tmp(s"decon-stage-$name")
+      rows.map { case (id, text) => (id, text, "en", "web", text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, src.resolve(s"$name-${f.getName}")))
+    }
+
+    // wave 1: one contaminated doc, one clean doc
+    val wave1 = Seq((1L, contaminated), (2L, clean))
+    deliver("w1", wave1)
+    Decontam.start(spark, src.toString, evalDocs, tgt, ckp).awaitTermination()
+
+    // wave 2: wave 1 redelivered (at-least-once) + a new clean doc
+    val wave2 = wave1 ++ Seq((3L, clean.replace("fox", "hare") + " entirely"))
+    deliver("w2", wave2)
+    Decontam.start(spark, src.toString, evalDocs, tgt, ckp).awaitTermination()
+
+    val got = spark.read.parquet(tgt)
+      .select("doc_id", "source", "n_shared", "clean")
+      .as[(Long, String, Long, Boolean)].collect().sortBy(_._1)
+
+    // batch answer: the gate run once over everything delivered exactly once
+    val all = (wave1 ++ wave2).distinct
+      .map { case (id, text) => (id, text, "en", "web", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val expect = Decontam.gate(all, Decontam.evalIndex(evalDocs))
+      .select("doc_id", "source", "n_shared", "clean")
+      .as[(Long, String, Long, Boolean)].collect().sortBy(_._1)
+    assert(got === expect)
+    assert(got.map(t => t._1 -> t._4).toMap === Map(1L -> false, 2L -> true, 3L -> true))
+    assert(got.find(_._1 == 1L).get._3 > 0L) // the straddling 13-grams were counted
+
+    // replay with no new data: verdict table unchanged (idempotence)
+    Decontam.start(spark, src.toString, evalDocs, tgt, ckp).awaitTermination()
+    val again = spark.read.parquet(tgt)
+      .select("doc_id", "source", "n_shared", "clean")
+      .as[(Long, String, Long, Boolean)].collect().sortBy(_._1)
+    assert(again === got)
+  }
+
   test("flatMapGroupsWithState sessionization: state survives restart; gap rules match batch") {
     import graft.streaming.Sessionize
     import Sessionize.OpenSession
