@@ -483,4 +483,77 @@ object TrainPrep {
     packWindows(sampled, idCol, textCol, budgetTokens, nShards,
       carry = Seq(stratumCol, "quality"), tokenCount = tokenCount)
   }
+
+  /** Length-bucketed batching plan — the pad-waste profile a loader uses
+    * to batch variable-length docs efficiently: each doc lands in the
+    * smallest power-of-two token bucket that holds it (clamped to
+    * [`minCap`, `maxCap`]; docs beyond `maxCap` truncate), and per bucket
+    * the plan reports doc/batch counts plus the padding and truncation
+    * token mass that bucketing choice costs. Minimizing `pad_tokens`
+    * across bucket configs is the standard "bucketed batching" tuning
+    * loop (the fewer buckets, the more padding; this emits the curve's
+    * data points for one config).
+    *
+    * Shape: one corpus scan; the bucket label is a pure per-row CASE over
+    * ~`log2(maxCap/minCap)` branches, and the rollup is a map-side-combined
+    * aggregate onto a handful of bucket rows — no data-sized shuffle at any
+    * scale. All outputs integer (the ratio column is left to the caller),
+    * so the plan is engine-exact. */
+  def lengthBuckets(docs: DataFrame, textCol: String,
+                    minCap: Long = 32L, maxCap: Long = 2048L, batchDocs: Long = 16L,
+                    tokenCount: Column => Column = TextFns.bpeEstimate): DataFrame = {
+    require(minCap > 0 && maxCap >= minCap,
+      s"lengthBuckets: need 0 < minCap <= maxCap, got ($minCap, $maxCap)")
+    require(batchDocs > 0, s"lengthBuckets: batchDocs must be positive, got $batchDocs")
+    val caps = Iterator.iterate(minCap)(_ * 2).takeWhile(_ < maxCap).toSeq :+ maxCap
+    val tok = tokenCount(col(textCol))
+    // smallest cap that holds the doc; oversize clamps to maxCap (truncation)
+    val cap = caps.init.reverse.foldLeft(lit(maxCap)) {
+      case (acc, c) => when(tok <= c, c).otherwise(acc)
+    }
+    docs
+      .select(tok.as("n_tokens"), cap.as("bucket_cap"))
+      .groupBy(col("bucket_cap"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("bucket_cap") - least(col("n_tokens"), col("bucket_cap")))
+          .as("pad_tokens"),
+        sum(greatest(col("n_tokens") - lit(maxCap), lit(0L))).as("trunc_tokens"))
+      .withColumn("n_batches", expr(s"(n_docs + ${batchDocs - 1}L) div ${batchDocs}L"))
+  }
+
+  /** Temperature-scaled source-mixture plan (the mT5/multilingual data-
+    * balancing standard, Xue et al. 2021 §3.1 shape with α = 1/2): target
+    * share of stratum i ∝ mass_i^α — big sources are damped, small ones
+    * lifted, without the hand-set per-stratum targets of the fixed-target
+    * mix plan. α is fixed at 1/2 because `sqrt` is IEEE-correctly-rounded
+    * in both engines (a general `pow` is not), which is what keeps the
+    * plan oracle-exact: weight = ⌊√mass · 10⁴⌋ is integer from there on,
+    * and shares/repeat factors are integer micromille/millis divisions.
+    * Valid while `n_tokens` per stratum < 2⁵³ (≈ 9e15 tokens ≈ 36 PB of
+    * text — beyond the 100 TB design point).
+    *
+    * Shape: one map-side-combined aggregate onto a stratum-count-sized
+    * frame, then a broadcast 1-row total — no data-sized shuffle; the
+    * repeat factor feeds [[mixBucket]]-style application exactly like the
+    * fixed-target plan. */
+  def temperatureMix(docs: DataFrame, stratumCol: String, textCol: String,
+                     tokenCount: Column => Column = TextFns.bpeEstimate): DataFrame = {
+    val per = docs.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokenCount(col(textCol))).as("n_tokens"))
+      .withColumn("weight",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(10000.0)).cast("long"))
+    val tot = broadcast(per.agg(
+      sum(col("n_tokens")).as("__tot_tokens"), sum(col("weight")).as("__tot_weight")))
+    per.crossJoin(tot)
+      .select(col("stratum"), col("n_docs"), col("n_tokens"), col("weight"),
+        expr("(n_tokens * 1000000L) div __tot_tokens").as("actual_mmille"),
+        expr("(weight * 1000000L) div __tot_weight").as("target_mmille"),
+        // repeat factor in millis off the integer shares (±1‰ resolution:
+        // plenty for an oversample dial, and no FP division can drift)
+        expr("((weight * 1000000L) div __tot_weight) * 1000L " +
+          "div greatest((n_tokens * 1000000L) div __tot_tokens, 1L)")
+          .as("repeat_millis"))
+  }
 }

@@ -898,6 +898,25 @@ object ExtQueries {
       .orderBy("doc_id", "copy")
   }
 
+  /** Temperature-scaled mixture plan over `source` (α = 1/2; see
+    * [[TrainPrep.temperatureMix]]) — the no-hand-targets companion to
+    * ext_mix_plan. Integer micromille shares keep it engine-exact. */
+  private val extMixTemperature: Q = (s, d) =>
+    TrainPrep.temperatureMix(documents(s, d), "source", "text")
+      .orderBy("stratum")
+
+  /** Length-bucketed batching plan (see [[TrainPrep.lengthBuckets]]):
+    * power-of-two token buckets 32..2048, 16-doc batches, and the padding
+    * fraction each bucket pays — one scan, bucket-count-sized output. */
+  private val extBatchBuckets: Q = (s, d) =>
+    TrainPrep.lengthBuckets(documents(s, d), "text")
+      .withColumn("pad_frac",
+        rnd4(col("pad_tokens").cast("double") /
+          (col("n_docs") * col("bucket_cap")).cast("double")))
+      .select("bucket_cap", "n_docs", "n_batches", "n_tokens",
+        "pad_tokens", "trunc_tokens", "pad_frac")
+      .orderBy("bucket_cap")
+
   /** The composed training-data pipeline: exact dedup → quality ≥ 0.3 →
     * stratified rebalance (en capped) → 2048-token window packing. Two
     * exchanges end to end (see [[TrainPrep.corpusPrep]]). */
@@ -1005,6 +1024,8 @@ object ExtQueries {
     "ext_chunk_docs" -> extChunkDocs,
     "ext_mix_plan" -> extMixPlan,
     "ext_mix_apply" -> extMixApply,
+    "ext_mix_temperature" -> extMixTemperature,
+    "ext_batch_buckets" -> extBatchBuckets,
     "ext_tfidf_terms" -> extTfidfTerms,
     "ext_vocab_top" -> extVocabTop,
     "ext_vocab_oov" -> extVocabOov,
@@ -1630,6 +1651,44 @@ object ExtQueries {
          |SELECT doc_id, lang, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy
          |FROM n WHERE n_copies >= 1 ORDER BY doc_id, copy""".stripMargin
     },
+
+    // α=1/2 temperature plan: ⌊√mass·10⁴⌋ is IEEE-exact in both engines
+    // (sqrt is correctly rounded; one fixed-order ·10⁴ each), integer from
+    // there — micromille shares and millis repeat factor are `div`s
+    "ext_mix_temperature" ->
+      s"""WITH per AS (
+         |  SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(${TextFns.bpeEstimateSql("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |w AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 10000) AS BIGINT)
+         |               AS weight FROM per),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+         |               CAST(sum(weight) AS BIGINT) AS tw FROM w)
+         |SELECT stratum, n_docs, n_tokens, weight,
+         |       (n_tokens * 1000000) // tt AS actual_mmille,
+         |       (weight * 1000000) // tw AS target_mmille,
+         |       ((weight * 1000000) // tw) * 1000
+         |         // greatest((n_tokens * 1000000) // tt, 1) AS repeat_millis
+         |FROM w, tot ORDER BY stratum""".stripMargin,
+
+    // power-of-two length buckets: CASE chain mirrors the Scala fold; all
+    // counts integer, the one double division has identical operands
+    "ext_batch_buckets" ->
+      s"""WITH t AS (SELECT ${TextFns.bpeEstimateSql("text")} AS n_tokens FROM documents),
+         |b AS (SELECT n_tokens,
+         |        CAST(CASE WHEN n_tokens <= 32 THEN 32 WHEN n_tokens <= 64 THEN 64
+         |             WHEN n_tokens <= 128 THEN 128 WHEN n_tokens <= 256 THEN 256
+         |             WHEN n_tokens <= 512 THEN 512 WHEN n_tokens <= 1024 THEN 1024
+         |             ELSE 2048 END AS BIGINT) AS bucket_cap
+         |      FROM t)
+         |SELECT bucket_cap, CAST(count(*) AS BIGINT) AS n_docs,
+         |       (CAST(count(*) AS BIGINT) + 15) // 16 AS n_batches,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(sum(bucket_cap - least(n_tokens, bucket_cap)) AS BIGINT) AS pad_tokens,
+         |       CAST(sum(greatest(n_tokens - 2048, 0)) AS BIGINT) AS trunc_tokens,
+         |       ${rnd4Sql("CAST(sum(bucket_cap - least(n_tokens, bucket_cap)) AS DOUBLE)" +
+        " / (CAST(count(*) AS BIGINT) * bucket_cap)")} AS pad_frac
+         |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin,
 
     "ext_tfidf_terms" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

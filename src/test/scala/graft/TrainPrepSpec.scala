@@ -528,4 +528,60 @@ class TrainPrepSpec extends SparkSpec {
       .agg(sum("n_oov")).as[Long].first()
     assert(full === 0L)
   }
+
+  test("lengthBuckets assigns the smallest power-of-two cap and accounts every token") {
+    // bpe estimate: a length-4k token counts k ⇒ craft exact sizes.
+    // sizes: 8 → cap 32; 33 → cap 64; 100 → cap 128; 3000 → cap 2048 (trunc)
+    def t(n: Long) = Seq.fill(n.toInt)("abcd").mkString(" ")
+    val d = docs((0L, "en", t(8)), (1L, "en", t(33)), (2L, "en", t(100)),
+      (3L, "en", t(3000)), (4L, "en", t(20)))
+    val got = TrainPrep.lengthBuckets(d, "text", batchDocs = 2L)
+      .select("bucket_cap", "n_docs", "n_batches", "n_tokens", "pad_tokens", "trunc_tokens")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === Array(
+      (32L, 2L, 1L, 28L, 36L, 0L),       // 8+20 tokens, pad 24+12
+      (64L, 1L, 1L, 33L, 31L, 0L),
+      (128L, 1L, 1L, 100L, 28L, 0L),
+      (2048L, 1L, 1L, 3000L, 0L, 952L))) // clamped: no pad, 952 truncated
+    // conservation: every input token is either kept, padding's complement,
+    // or truncated — sum(min(tok,cap)) + trunc == sum(tok)
+    val (kept, trunc, tot) = got.map { case (cap, n, _, tk, pad, tr) =>
+      (n * cap - pad, tr, tk)
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+    assert(kept + trunc === tot)
+  }
+
+  test("lengthBuckets rejects degenerate cap and batch configs") {
+    val d = docs((0L, "en", "abcd"))
+    intercept[IllegalArgumentException](TrainPrep.lengthBuckets(d, "text", minCap = 0))
+    intercept[IllegalArgumentException](
+      TrainPrep.lengthBuckets(d, "text", minCap = 64, maxCap = 32))
+    intercept[IllegalArgumentException](TrainPrep.lengthBuckets(d, "text", batchDocs = 0))
+  }
+
+  test("temperatureMix damps big strata and lifts small ones (α = 1/2 contract)") {
+    // masses 1600 vs 100 (16:1) → sqrt weights 40:10 (4:1): the big
+    // stratum's target share shrinks, the small one's grows
+    def t(n: Long) = Seq.fill(n.toInt)("abcd").mkString(" ")
+    val d = Seq((0L, "big", t(1600)), (1L, "small", t(100)))
+      .toDF("doc_id", "src", "text")
+    val got = TrainPrep.temperatureMix(d, "src", "text")
+      .select("stratum", "n_tokens", "weight", "actual_mmille", "target_mmille",
+        "repeat_millis")
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val Array(big, small) = got
+    assert(big._1 === "big" && small._1 === "small")
+    // exact integer contract, recomputed independently
+    assert(big._3 === math.floor(math.sqrt(1600.0) * 10000).toLong)   // 400000
+    assert(small._3 === math.floor(math.sqrt(100.0) * 10000).toLong)  // 100000
+    assert(big._4 === 1600L * 1000000L / 1700L)   // actual 941176
+    assert(big._5 === 400000L * 1000000L / 500000L) // target 800000: damped
+    assert(small._5 === 100000L * 1000000L / 500000L) // 200000: lifted from 58823
+    assert(big._5 < big._4 && small._5 > small._4)
+    // repeat factor realizes target/actual at millis resolution
+    assert(small._6 === small._5 * 1000L / small._4)
+    assert(small._6 > 1000L && big._6 < 1000L) // small oversampled, big damped
+    // shares are a partition of ≤ 1e6 (floor division loses < 1 per stratum)
+    assert(got.map(_._5).sum <= 1000000L && got.map(_._5).sum >= 1000000L - 2)
+  }
 }
