@@ -467,6 +467,74 @@ object ExtQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cross-source duplication matrix — the corpus-review heatmap over the
+    * near-dup pair set: per unordered source pair, how many near-dup pairs
+    * cross it, how many distinct docs are involved, and the redundant
+    * token mass (the smaller doc of each pair — what dedup would reclaim).
+    * The per-pair rollup of [[extContamination]]'s row-level answer.
+    *
+    * Shape: pairs are prefix-filter/LSH bounded (never all-pairs); each
+    * side joins a slim (doc_id, source, n_tokens) projection; both rollups
+    * land on a ≤ |sources|² frame (map-side combined). All integer. */
+  private[graft] def overlapSources(docs: DataFrame): DataFrame = {
+    val pairs = Dedup.ngramJaccard(docs, "text", "doc_id", n = 3, threshold = 0.5)
+    val meta = docs.select(col("doc_id"), col("source"),
+      TextFns.bpeEstimate(col("text")).as("n_tokens"))
+    val j = pairs
+      .join(meta.select(col("doc_id").as("doc_a"), col("source").as("sa"),
+        col("n_tokens").as("ta")), "doc_a")
+      .join(meta.select(col("doc_id").as("doc_b"), col("source").as("sb"),
+        col("n_tokens").as("tb")), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+      .select(least(col("sa"), col("sb")).as("source_lo"),
+        greatest(col("sa"), col("sb")).as("source_hi"),
+        col("doc_a"), col("doc_b"), least(col("ta"), col("tb")).as("dt"))
+    val pairAgg = j.groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).as("n_pairs"), sum("dt").as("dup_tokens"))
+    val docAgg = j
+      .select(col("source_lo"), col("source_hi"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy("source_lo", "source_hi")
+      .agg(countDistinct(col("doc")).as("n_docs"))
+    pairAgg.join(docAgg, Seq("source_lo", "source_hi"))
+      .select("source_lo", "source_hi", "n_pairs", "n_docs", "dup_tokens")
+      .orderBy("source_lo", "source_hi")
+  }
+
+  private val extOverlapSources: Q = (s, d) => overlapSources(documents(s, d))
+
+  /** Distributed BPE pair counting — the counting step of BPE tokenizer
+    * training (Sennrich et al. 2016): weighted adjacent-symbol-pair
+    * frequencies whose argmax is the next merge. The top-k table this
+    * emits is exactly what a ranked merge list ([[TextFns.bpeMergeCount]])
+    * consumes, so the two operators compose into train-then-apply.
+    *
+    * Scale shape — the reason distributed BPE training is cheap: the
+    * corpus-sized work is ONE token-frequency aggregate; the symbol-pair
+    * explode then runs over DISTINCT tokens (vocab-sized, corpus-size-
+    * independent) weighted by tf. The final ranking window is global but
+    * its input is the symbol-pair alphabet (≤ |chars|² rows). */
+  private[graft] def bpePairs(docs: DataFrame, k: Int): DataFrame = {
+    val tf = docs
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+    // global window over the symbol-pair alphabet (≤ |chars|² rows)
+    val byFreq = Window.orderBy(col("n_occ").desc, col("sym_a"), col("sym_b"))
+    tf.filter(length(col("token")) >= 2)
+      .select(col("token"), col("tf"),
+        explode(expr("transform(sequence(1, length(token) - 1), " +
+          "i -> struct(substring(token, i, 1) AS a, substring(token, i + 1, 1) AS b))"))
+          .as("p"))
+      .groupBy(col("p.a").as("sym_a"), col("p.b").as("sym_b"))
+      .agg(sum("tf").as("n_occ"), countDistinct(col("token")).as("n_types"))
+      .withColumn("rank", row_number().over(byFreq).cast("long"))
+      .filter(col("rank") <= k)
+      .select("rank", "sym_a", "sym_b", "n_occ", "n_types")
+      .orderBy("rank")
+  }
+
+  private val extBpePairs: Q = (s, d) => bpePairs(documents(s, d), k = 20)
+
   // -- similarity search -----------------------------------------------------
 
   /** Exact top-5 cosine neighbours for the first 10 vectors. */
@@ -1000,6 +1068,8 @@ object ExtQueries {
     "ext_corpus_report" -> extCorpusReport,
     "ext_contamination" -> extContamination,
     "ext_contamination_ngram" -> extContaminationNgram,
+    "ext_overlap_sources" -> extOverlapSources,
+    "ext_bpe_pairs" -> extBpePairs,
     "ext_sim_knn" -> extSimKnn,
     "ext_sim_knn_lsh" -> extSimKnnLsh,
     "ext_sim_knn_ivf" -> extSimKnnIvf,
@@ -1651,6 +1721,43 @@ object ExtQueries {
          |SELECT doc_id, lang, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy
          |FROM n WHERE n_copies >= 1 ORDER BY doc_id, copy""".stripMargin
     },
+
+    "ext_overlap_sources" ->
+      s"""WITH pairs AS ($jaccardSql),
+         |j AS (SELECT least(da.source, db.source) AS source_lo,
+         |             greatest(da.source, db.source) AS source_hi,
+         |             doc_a, doc_b,
+         |             least(${TextFns.bpeEstimateSql("da.text")},
+         |                   ${TextFns.bpeEstimateSql("db.text")}) AS dt
+         |      FROM pairs
+         |      JOIN documents da ON doc_a = da.doc_id
+         |      JOIN documents db ON doc_b = db.doc_id
+         |      WHERE da.source <> db.source),
+         |p AS (SELECT source_lo, source_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+         |             CAST(sum(dt) AS BIGINT) AS dup_tokens
+         |      FROM j GROUP BY 1, 2),
+         |e AS (SELECT source_lo, source_hi, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+         |      FROM (SELECT source_lo, source_hi, unnest([doc_a, doc_b]) AS doc FROM j)
+         |      GROUP BY 1, 2)
+         |SELECT source_lo, source_hi, n_pairs, n_docs, dup_tokens
+         |FROM p JOIN e USING (source_lo, source_hi)
+         |ORDER BY source_lo, source_hi""".stripMargin,
+
+    "ext_bpe_pairs" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1),
+        |g AS (SELECT token, tf,
+        |        unnest(generate_series(1, CAST(length(token) AS INT) - 1)) AS i
+        |      FROM tf WHERE length(token) >= 2),
+        |agg AS (SELECT substring(token, i, 1) AS sym_a, substring(token, i + 1, 1) AS sym_b,
+        |               CAST(sum(tf) AS BIGINT) AS n_occ,
+        |               CAST(count(DISTINCT token) AS BIGINT) AS n_types
+        |        FROM g GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, sym_a, sym_b) AS BIGINT)
+        |           AS rank, sym_a, sym_b, n_occ, n_types
+        |  FROM agg)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     // α=1/2 temperature plan: ⌊√mass·10⁴⌋ is IEEE-exact in both engines
     // (sqrt is correctly rounded; one fixed-order ·10⁴ each), integer from

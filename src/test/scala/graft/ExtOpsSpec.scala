@@ -286,4 +286,40 @@ class ExtOpsSpec extends SparkSpec {
     // the gates have real signal on the fixture: neither rate is stuck at 0/1
     assert(got.exists(r => r._7 > 0.0 && r._7 < 1.0) || got.exists(r => r._8 < 1.0))
   }
+
+  test("overlapSources rolls cross-source near-dup pairs into the per-pair matrix") {
+    val same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten eleven twelve"
+    val d = Seq(
+      (0L, "A", same), (1L, "B", same), (4L, "C", same), // pairs (0,1) (0,4) (1,4)
+      (5L, "A", other), (6L, "A", other),                // same-source pair: excluded
+      (7L, "B", "nothing like the rest appears in this standalone document text")
+    ).toDF("doc_id", "source", "text")
+    val got = ExtQueries.overlapSources(d)
+      .as[(String, String, Long, Long, Long)].collect()
+    // identical texts: jaccard 1; bpe token mass of `same` = 10 (each word ≤4 chars... )
+    val tok = same.split(" ").map(w => (w.length + 3) / 4).sum.toLong
+    assert(got.toSet === Set(
+      ("A", "B", 1L, 2L, tok), ("A", "C", 1L, 2L, tok), ("B", "C", 1L, 2L, tok)))
+    // ordered output, all-integer columns (engine-exact by construction)
+    assert(got.map(r => (r._1, r._2)).toSeq === got.map(r => (r._1, r._2)).toSeq.sorted)
+  }
+
+  test("bpePairs counts tf-weighted adjacent symbol pairs over the vocab") {
+    // tf: ab=3, aab=1, ba=1, z=1 (length-1: no pairs)
+    val d = docs((0L, "ab ab aab z"), (1L, "ab ba"))
+    val got = ExtQueries.bpePairs(d, k = 10)
+      .as[(Long, String, String, Long, Long)].collect()
+    // (a,b): 3 (from ab) + 1 (from aab) = 4 across 2 token types;
+    // (a,a): 1 from aab; (b,a): 1 from ba — tie broken by symbol order
+    assert(got === Array(
+      (1L, "a", "b", 4L, 2L), (2L, "a", "a", 1L, 1L), (3L, "b", "a", 1L, 1L)))
+    // the argmax pair is BPE's first merge — compose with the greedy merger:
+    // merging (a,b) makes "ab" a single symbol, so "ab" counts 1 piece
+    val merged = d.select(
+      graft.functions.TextFns.bpeMergeCount(Seq(("a", "b")))(col("text")).as("n"))
+      .as[Long].collect()
+    assert(merged.sum === (3L /* ab→1 piece ×3 */ + 2L /* aab→a+ab */ +
+      2L /* ba */ + 1L /* z */))
+  }
 }
