@@ -276,6 +276,56 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, cache: CacheHandle = tracked()): DataFrame =
     clusterRounds(pairs, cache)._1
 
+  /** Cluster-purity audit — the QC pass over [[duplicateClusters]]'s
+    * transitive closure: connected components merge through CHAINS, so two
+    * docs can share a cluster while their direct similarity is far below
+    * the pairing threshold (A~B ≥ t, B~C ≥ t, but A~C ≪ t). Per cluster
+    * (clusters up to `maxMembers`), every unordered member pair's exact
+    * Jaccard is recomputed and the rollup reports how many pairs are
+    * direct (≥ threshold) vs weak (chained), plus the worst pairwise
+    * similarity — the "should this cluster really be one group" number a
+    * dedup review thresholds before dropping non-canonical members.
+    *
+    * Shape: the all-pairs step is per-cluster and `maxMembers`-capped, so
+    * its cost is Σ min(|C|, cap)² over clusters — independent of corpus
+    * size (clustered docs are the tiny near-dup slice). The pair join is
+    * keyed on cluster_id and carries the docs' int64 shingle arrays
+    * (already materialized for the verify step); oversized clusters are
+    * excluded rather than exploded (audit them by sampling, not all-pairs).
+    * All comparisons use the same unrounded ratio as [[ngramJaccard]]'s
+    * verify, so "direct" here means exactly "would have been a pair". */
+  def clusterPurity(docs: DataFrame, textCol: String, idCol: String, n: Int,
+                    threshold: Double, maxMembers: Int = 64,
+                    cache: CacheHandle = tracked()): DataFrame = {
+    require(maxMembers >= 2, s"clusterPurity: maxMembers must be >= 2, got $maxMembers")
+    val arrs = shingleArrays(docs, textCol, idCol, n, cache)
+    val edges = verifyJaccard(
+      prefixCandidates(shingled(arrs, cache), threshold, cache), arrs, threshold)
+    // the CC labels feed the member rollup AND both sides of the pair
+    // self-join — persist them (and the slim labelled-member frame) or the
+    // whole shingle→candidate→verify→CC pipeline recomputes per consumer
+    val labels = cache.register(duplicateClusters(edges, cache))
+    val memb = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") <= maxMembers)
+    val lm = cache.register(labels.join(memb, "cluster_id")
+      .join(arrs.select(col("doc_id"), col("__arr"), col("__n_sh")), "doc_id"))
+    val mp = lm.select(col("cluster_id"), col("n_members"), col("doc_id").as("doc_a"),
+        col("__arr").as("__arr_a"), col("__n_sh").as("na"))
+      .join(lm.select(col("cluster_id"), col("doc_id").as("doc_b"),
+        col("__arr").as("__arr_b"), col("__n_sh").as("nb")), "cluster_id")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("__arr_a"), col("__arr_b"))).cast("long"))
+      .withColumn("jac",
+        col("n_common") * lit(1.0) / (col("na") + col("nb") - col("n_common")))
+    mp.groupBy(col("cluster_id"), col("n_members"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("jac") >= threshold, 1L).otherwise(0L)).as("n_direct"),
+        graft.Tables.rnd4(min(col("jac"))).as("min_jaccard"))
+      .withColumn("n_weak", col("n_pairs") - col("n_direct"))
+      .select("cluster_id", "n_members", "n_pairs", "n_direct", "n_weak", "min_jaccard")
+  }
+
   /** Default [[clusterRounds]] single-task cutover: 1M canonical edges is
     * ~tens of MB of union-find state — one task solves it in milliseconds,
     * against rounds × job-latency for the star loop. Near-dup edge sets

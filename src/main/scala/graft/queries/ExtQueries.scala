@@ -358,6 +358,14 @@ object ExtQueries {
       Dedup.ngramJaccard(documents(s, d), "text", "doc_id", n = 3, threshold = 0.5))
       .orderBy("doc_id")
 
+  /** Cluster-purity audit over the near-dup clusters (see
+    * [[Dedup.clusterPurity]]): per cluster, direct vs chained (weak) member
+    * pairs and the worst pairwise Jaccard — flags transitive-closure
+    * false-positive merges before the drop step commits them. */
+  private val extDedupPurity: Q = (s, d) =>
+    Dedup.clusterPurity(documents(s, d), "text", "doc_id", n = 3, threshold = 0.5)
+      .orderBy("cluster_id")
+
   /** The keep side of near-dup dedup: every document except non-canonical
     * cluster members — what actually flows downstream once the
     * [[extDedupCluster]] labels are applied. The drop list (cluster members
@@ -1063,6 +1071,7 @@ object ExtQueries {
     "ext_filter_policy" -> extFilterPolicy,
     "ext_dedup_simhash" -> extDedupSimhash,
     "ext_dedup_cluster" -> extDedupCluster,
+    "ext_dedup_purity" -> extDedupPurity,
     "ext_dedup_keep" -> extDedupKeep,
     "ext_dedup_savings" -> extDedupSavings,
     "ext_corpus_report" -> extCorpusReport,
@@ -1468,6 +1477,43 @@ object ExtQueries {
          |  SELECT e.u, r.label FROM e JOIN reach r ON e.v = r.id)
          |SELECT id AS doc_id, min(label) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // replays the cluster CC, then audits every intra-cluster pair's exact
+    // Jaccard (zero-intersection pairs enter via the LEFT JOIN with c=0);
+    // same unrounded ratio + threshold as the pair oracle, rnd4 only on
+    // the min (floor-rounding is monotone, so min-then-round = round-then-min)
+    "ext_dedup_purity" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardSql),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM e),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.u, r.label FROM e JOIN reach r ON e.v = r.id),
+         |lab AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+         |memb AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         |         FROM lab GROUP BY 1 HAVING count(*) <= 64),
+         |$shingleSql,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |lm AS (SELECT l.doc_id, l.cluster_id, m.n_members
+         |       FROM lab l JOIN memb m USING (cluster_id)),
+         |mp AS (SELECT a.cluster_id, a.n_members, a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM lm a JOIN lm b ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id),
+         |cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c
+         |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |r AS (SELECT mp.cluster_id, mp.n_members,
+         |             coalesce(cm.c, 0) * 1.0 / (sa.n + sb.n - coalesce(cm.c, 0)) AS jac
+         |      FROM mp LEFT JOIN cm ON mp.doc_a = cm.doc_a AND mp.doc_b = cm.doc_b
+         |      JOIN sizes sa ON mp.doc_a = sa.doc_id
+         |      JOIN sizes sb ON mp.doc_b = sb.doc_id)
+         |SELECT cluster_id, n_members, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_direct,
+         |       CAST(count(*) - sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_weak,
+         |       ${rnd4Sql("min(jac)")} AS min_jaccard
+         |FROM r GROUP BY 1, 2 ORDER BY cluster_id""".stripMargin,
 
     "ext_corpus_report" -> {
       val hits = PolicyBlocklist

@@ -249,4 +249,26 @@ class DedupSpec extends SparkSpec {
     assert(fast.size === ref.size && fast.nonEmpty)
     assert(fast === ref)
   }
+
+  test("clusterPurity flags chained pairs whose direct similarity is below threshold") {
+    // sliding chain over t1..t16: A~B and B~C both J = 8/12 ≥ 0.5, but
+    // A~C J = 6/14 < 0.5 — the transitive closure merges all three
+    def toks(a: Int, b: Int) = (a to b).map(i => s"t$i").mkString(" ")
+    val d = docs(
+      (10L, toks(1, 12)), (11L, toks(3, 14)), (12L, toks(5, 16)),
+      (20L, "x1 x2 x3 x4 x5 x6"), (21L, "x1 x2 x3 x4 x5 x6"), // identical pair
+      (30L, "y1 y2 y3 y4 y5 y6 y7"))                          // unclustered
+    val got = Dedup.clusterPurity(d, "text", "doc_id", n = 3, threshold = 0.5)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got === Array(
+      (10L, 3L, 3L, 2L, 1L, math.floor(6.0 / 14 * 10000 + 0.5) / 10000),
+      (20L, 2L, 1L, 1L, 0L, 1.0)))
+    // the cap excludes oversized clusters instead of exploding them
+    val capped = Dedup.clusterPurity(d, "text", "doc_id", n = 3, threshold = 0.5,
+      maxMembers = 2)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(capped.map(_._1).toSeq === Seq(20L))
+    intercept[IllegalArgumentException](
+      Dedup.clusterPurity(d, "text", "doc_id", n = 3, threshold = 0.5, maxMembers = 1))
+  }
 }
