@@ -252,4 +252,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       s"gopher rules shuffled:\n${p.take(1500)}")
   }
+
+  test("batch-bucket plan is one map-side-combined aggregate — no data-sized shuffle") {
+    val p = plan("ext_batch_buckets")
+    // the only hash exchange carries the ~7 bucket_cap partial-agg rows
+    val shuffles = p.split("Exchange hashpartitioning").length - 1
+    assert(shuffles === 1, s"bucket rollup over-shuffles:\n${p.take(2000)}")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"no partial aggregation before the exchange:\n${p.take(1500)}")
+  }
+
+  test("temperature mix totals ride a broadcast — the per-stratum frame never re-shuffles wide") {
+    val p = plan("ext_mix_temperature")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row total must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("BPE pair counting aggregates token tf BEFORE the symbol-pair explode") {
+    val p = plan("ext_bpe_pairs")
+    // corpus-sized work is the tf aggregate; the explode consumes its
+    // output (vocab), so Generate must sit above the first HashAggregate
+    val gen = p.indexOf("Generate explode")
+    val agg = p.lastIndexOf("HashAggregate")
+    assert(gen >= 0 && agg > gen,
+      s"pair explode must run over the aggregated vocab, not raw tokens:\n${p.take(2000)}")
+  }
+
+  test("purity audit self-joins on cluster_id with equi-joins only") {
+    val p = plan("ext_dedup_purity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"member pairing must be the cluster_id equi-join:\n${p.take(2000)}")
+  }
 }
