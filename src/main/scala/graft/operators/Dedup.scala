@@ -391,7 +391,7 @@ object Dedup {
 
   /** Drop the block-manager blocks behind a `localCheckpoint`ed frame (its
     * analyzed plan is a leaf [[LogicalRDD]] over the persisted RDD). */
-  private def releaseCheckpointBlocks(df: DataFrame): Unit =
+  private[graft] def releaseCheckpointBlocks(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()

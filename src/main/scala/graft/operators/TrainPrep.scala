@@ -556,4 +556,112 @@ object TrainPrep {
           "div greatest((n_tokens * 1000000L) div __tot_tokens, 1L)")
           .as("repeat_millis"))
   }
+
+  // -- distributed BPE merge learning (Sennrich et al. 2016) -----------------
+
+  /** Symbol wrappers for the BPE training state: every symbol rides inside
+    * one string per token as RS·sym·US, so applying the merge (a, b) is a
+    * plain `replace` of RS·a·US·RS·b·US with RS·ab·US. The wrappers make a
+    * match start/end unambiguous, and string replace scans left-to-right
+    * over non-overlapping occurrences in both Spark (UTF8String.replace)
+    * and ANSI SQL engines — which IS BPE's leftmost-first merge order, so
+    * the whole training loop replays exactly in the oracle's recursive CTE
+    * (the greedy-packing replay pattern). Tokens containing either marker
+    * code point are excluded from the vocabulary (a guard, not a
+    * restriction: U+001E/U+001F don't occur in text). */
+  private[graft] val SymOpen = "\u001e"  // RS
+  private[graft] val SymClose = "\u001f" // US
+
+  /** Learn the first `nMerges` BPE merges from a corpus — the counting +
+    * argmax training loop of Sennrich et al. 2016 §3.2 (whose output merge
+    * list is what [[graft.functions.BpeMergeCount]] applies; together they
+    * are tokenizer train-then-apply). Returns one row per learned merge:
+    * (merge_rank, sym_a, sym_b, merged, n_occ), rank 1 = first merge,
+    * n_occ = the pair's tf-weighted occurrence count when chosen. Ties
+    * break on (sym_a, sym_b) so the list is engine-deterministic.
+    *
+    * Scale shape: corpus-sized work is exactly ONE token-tf aggregate
+    * (map-side combined); every iteration after it runs over the DISTINCT-
+    * token vocabulary — corpus-size-independent, the 100 TB posture (a
+    * trillion-token corpus has a ~10M-row vocab). The per-iteration argmax
+    * plans as TakeOrdered(1) and is broadcast back onto the vocab, so
+    * nothing data-sized ever collects to the driver; each round's state is
+    * lineage-cut exactly like [[Dedup.clusterRounds]] (localCheckpoint in
+    * local mode, reliable checkpoint — required — on a cluster), previous
+    * rounds' blocks released as soon as the next round materializes. The
+    * loop ends early if the vocabulary runs out of pairs. */
+  def bpeTrain(docs: DataFrame, nMerges: Int,
+               tokens: Column => Column = TextFns.tokens): DataFrame = {
+    val spark = docs.sparkSession
+    val sc = spark.sparkContext
+    val localMaster = sc.master.startsWith("local")
+    if (!localMaster && sc.getCheckpointDir.isEmpty)
+      throw new IllegalStateException(
+        "bpeTrain on a cluster requires sparkContext.setCheckpointDir on SHARED storage: " +
+          "per-round reliable checkpoints on a driver-local path are silently " +
+          "unrecoverable after executor loss")
+    val (cut, release): (DataFrame => DataFrame, DataFrame => Unit) =
+      if (localMaster && sc.getCheckpointDir.isEmpty)
+        (df => df.localCheckpoint(eager = true), Dedup.releaseCheckpointBlocks)
+      else (df => df.checkpoint(eager = true), _ => ())
+
+    // single-char tokens never produce a pair — drop them from the state
+    var state = cut(
+      docs.select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("tf"))
+        .filter(length(col("token")) >= 2 &&
+          !col("token").contains(SymOpen) && !col("token").contains(SymClose))
+        .select(col("tf"),
+          regexp_replace(col("token"), "(.)", SymOpen + "$1" + SymClose).as("s")))
+
+    // the chosen pair's replace pattern/replacement, as columns of `best`
+    val pat = concat(lit(SymOpen), col("a"), lit(SymClose),
+      lit(SymOpen), col("b"), lit(SymClose))
+    val rep = concat(lit(SymOpen), col("a"), col("b"), lit(SymClose))
+    val syms = split(expr("substring(s, 2, length(s) - 2)"),
+      java.util.regex.Pattern.quote(SymClose + SymOpen))
+
+    val mergeRows = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val bestFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val best = cut(state
+        .select(col("tf"), syms.as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("tf"), explode(expr(
+          "transform(sequence(1, size(sy) - 1), " +
+            "i -> struct(element_at(sy, i) AS a, element_at(sy, i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("tf").as("n_occ"))
+        .orderBy(col("n_occ").desc, col("a"), col("b"))
+        .limit(1))
+      // bounded driver check on an already-materialized 1-row frame (the
+      // IVF-centroid standard): the LOOP must know the vocab ran dry
+      if (best.isEmpty) exhausted = true
+      else {
+        bestFrames += best
+        mergeRows += best.select(lit(rank.toLong).as("merge_rank"),
+          col("a").as("sym_a"), col("b").as("sym_b"),
+          concat(col("a"), col("b")).as("merged"), col("n_occ"))
+        val next = cut(state.crossJoin(broadcast(best))
+          .select(col("tf"), replace(col("s"), pat, rep).as("s")))
+        release(state)
+        state = next
+      }
+      rank += 1
+    }
+    release(state)
+    // pin the (≤ nMerges)-row result into a caller-drained persist, then
+    // free the per-round 1-row checkpoint blocks it was computed from
+    val merges = mergeRows.reduceOption(_ union _).getOrElse(
+      spark.createDataFrame(sc.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "merge_rank BIGINT, sym_a STRING, sym_b STRING, merged STRING, n_occ BIGINT")))
+      .orderBy("merge_rank")
+    val out = registered(merges)
+    out.count()
+    bestFrames.foreach(release)
+    out
+  }
 }

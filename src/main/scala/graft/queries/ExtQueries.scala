@@ -543,6 +543,15 @@ object ExtQueries {
 
   private val extBpePairs: Q = (s, d) => bpePairs(documents(s, d), k = 20)
 
+  /** Merge count for the [[TrainPrep.bpeTrain]] entry — small enough that
+    * the recursive-CTE oracle replay stays cheap, deep enough that merged
+    * symbols feed later merges on the fixture (rank-2+ pairs contain
+    * rank-1 output). Shared with BpeTrainSpec's composition pin. */
+  final val BpeTrainMerges = 8
+
+  private val extBpeTrain: Q = (s, d) =>
+    TrainPrep.bpeTrain(documents(s, d), nMerges = BpeTrainMerges)
+
   // -- similarity search -----------------------------------------------------
 
   /** Exact top-5 cosine neighbours for the first 10 vectors. */
@@ -1079,6 +1088,7 @@ object ExtQueries {
     "ext_contamination_ngram" -> extContaminationNgram,
     "ext_overlap_sources" -> extOverlapSources,
     "ext_bpe_pairs" -> extBpePairs,
+    "ext_bpe_train" -> extBpeTrain,
     "ext_sim_knn" -> extSimKnn,
     "ext_sim_knn_lsh" -> extSimKnnLsh,
     "ext_sim_knn_ivf" -> extSimKnnIvf,
@@ -1804,6 +1814,46 @@ object ExtQueries {
         |           AS rank, sym_a, sym_b, n_occ, n_types
         |  FROM agg)
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // the train loop replayed as a recursive CTE (the greedy-packing
+    // sequential-recurrence pattern): working table = the wrapped-symbol
+    // vocab state, recursive term = argmax pair over it (aggregate
+    // subquery) + replace-applied merge. replace() is left-to-right over
+    // non-overlapping matches in both engines — BPE's leftmost-first order
+    // — and chr(30)/chr(31) wrappers make matches unambiguous, so each
+    // iteration is byte-identical to the Spark loop.
+    "ext_bpe_train" ->
+      s"""WITH RECURSIVE vocab AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         |  WHERE length(token) >= 2
+         |    AND NOT contains(token, chr(30)) AND NOT contains(token, chr(31))
+         |  GROUP BY token),
+         |st AS (
+         |  SELECT 0 AS it, tf,
+         |         regexp_replace(token, '(.)', chr(30) || '\\1' || chr(31), 'g') AS s,
+         |         '' AS m_a, '' AS m_b, CAST(0 AS BIGINT) AS m_occ
+         |  FROM vocab
+         |  UNION ALL
+         |  SELECT it + 1, tf,
+         |         replace(s, chr(30)||best.a||chr(31)||chr(30)||best.b||chr(31),
+         |                 chr(30)||best.a||best.b||chr(31)),
+         |         best.a, best.b, best.n_occ
+         |  FROM st, (
+         |    SELECT p.a AS a, p.b AS b, CAST(sum(tf) AS BIGINT) AS n_occ
+         |    FROM (
+         |      SELECT tf, unnest(list_transform(range(1, len(sy)), i ->
+         |               struct_pack(a := sy[i], b := sy[i+1]))) AS p
+         |      FROM (SELECT tf, string_split(s[2:length(s)-1], chr(31)||chr(30)) AS sy
+         |            FROM st) t
+         |      WHERE len(sy) >= 2) pp
+         |    GROUP BY p.a, p.b
+         |    ORDER BY n_occ DESC, a, b
+         |    LIMIT 1) best
+         |  WHERE it < $BpeTrainMerges)
+         |SELECT DISTINCT CAST(it AS BIGINT) AS merge_rank, m_a AS sym_a, m_b AS sym_b,
+         |       m_a || m_b AS merged, m_occ AS n_occ
+         |FROM st WHERE it >= 1 ORDER BY merge_rank""".stripMargin,
 
     // α=1/2 temperature plan: ⌊√mass·10⁴⌋ is IEEE-exact in both engines
     // (sqrt is correctly rounded; one fixed-order ·10⁴ each), integer from

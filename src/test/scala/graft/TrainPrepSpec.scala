@@ -584,4 +584,66 @@ class TrainPrepSpec extends SparkSpec {
     // shares are a partition of ≤ 1e6 (floor division loses < 1 per stratum)
     assert(got.map(_._5).sum <= 1000000L && got.map(_._5).sum >= 1000000L - 2)
   }
+
+  // -- bpeTrain ---------------------------------------------------------------
+
+  private def trained(d: DataFrame, n: Int): Seq[(Long, String, String, String, Long)] = {
+    val out = TrainPrep.bpeTrain(d, nMerges = n)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    TrainPrep.unpersistAll()
+    out
+  }
+
+  test("bpeTrain learns the hand-computed merge list, merged symbols feeding later merges") {
+    // tf: abab=10, abc=5, ab=3, banana=2 — the classic worked example:
+    //   rank 1 (a,b)   n_occ 2·10+5+3 = 28
+    //   rank 2 (ab,ab) n_occ 10          ← rank-1 output on both sides
+    //   rank 3 (ab,c)  n_occ 5
+    //   rank 4 (a,n)   n_occ 4           ← tie with (n,a) broken on sym_a
+    val d = docs(
+      (0L, "en", Seq.fill(10)("abab").mkString(" ")),
+      (1L, "en", Seq.fill(5)("abc").mkString(" ")),
+      (2L, "en", Seq.fill(3)("ab").mkString(" ")),
+      (3L, "en", Seq.fill(2)("banana").mkString(" ")))
+    assert(trained(d, 4) === Seq(
+      (1L, "a", "b", "ab", 28L),
+      (2L, "ab", "ab", "abab", 10L),
+      (3L, "ab", "c", "abc", 5L),
+      (4L, "a", "n", "an", 4L)))
+  }
+
+  test("bpeTrain merges self-pairs leftmost-first (aaa → [aa, a], never [a, aa])") {
+    val d = docs((0L, "en", Seq.fill(3)("aaa").mkString(" ")))
+    // per 'aaa': pass 1 sees pairs (a,a)×2, merges the LEFT one → [aa, a];
+    // pass 2's only pair is (aa, a)
+    assert(trained(d, 3) === Seq(
+      (1L, "a", "a", "aa", 6L),
+      (2L, "aa", "a", "aaa", 3L)))
+  }
+
+  test("bpeTrain stops early when the vocabulary runs out of pairs") {
+    val d = docs((0L, "en", "ab ab ab"))
+    assert(trained(d, 5) === Seq((1L, "a", "b", "ab", 3L)))
+  }
+
+  test("bpeTrain is invariant to input partitioning") {
+    val d = docs((0L until 40L).map(i =>
+      (i, "en", Seq("alpha", "beta", "gamma", "delta")(i.toInt % 4) * 1)): _*)
+    assert(trained(d.repartition(7), 6) === trained(d.coalesce(1), 6))
+  }
+
+  test("bpeTrain's merge list drives BpeMergeCount (train-then-apply composition)") {
+    import graft.functions.BpeMerge
+    val d = docs(
+      (0L, "en", Seq.fill(10)("abab").mkString(" ")),
+      (1L, "en", Seq.fill(5)("abc").mkString(" ")))
+    val merges = trained(d, 2).map(m => (m._2, m._3))
+    assert(merges === Seq(("a", "b"), ("ab", "ab")))
+    val rank = BpeMerge.rankMap(merges)
+    // rank-priority greedy apply under the learned table: abab collapses to
+    // one piece, abc to [ab, c] (no (ab,c) merge was learned at depth 2)
+    assert(BpeMerge.countToken("abab", rank) === 1L)
+    assert(BpeMerge.countToken("abc", rank) === 2L)
+    assert(BpeMerge.countToken("banana", rank) === 6L)
+  }
 }
