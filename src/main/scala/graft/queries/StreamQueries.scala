@@ -119,6 +119,31 @@ object StreamQueries {
     Decontam.mergeVerdicts(twice.limit(0), twice).orderBy("doc_id")
   }
 
+  /** Drift alarm threshold shared by the query entry and StreamingSpec —
+    * 100‰ ≈ "a source's quality-pass rate moved 10 points vs baseline". */
+  final val DriftPermille = 100
+
+  /** Batch-replay form of the quality-drift monitor: baseline profile from
+    * an even-BLOCK reference snapshot ((doc_id div 20) % 2 — block parity,
+    * because raw doc_id parity correlates perfectly with the fixture's
+    * round-robin source assignment and would leave every arrival source
+    * baseline-less), arrivals = the odd-block slice delivered TWICE
+    * (at-least-once). The verdict is pure per-row, so the doubled delivery
+    * collapses through the keyed merge to the single-run report — what the
+    * oracle computes directly. Live path (file stream, checkpointed
+    * restart, redelivery) is in StreamingSpec. */
+  private val streamQualityDrift: Q = (s, d) => {
+    import graft.streaming.{CorpusIngest, QualityDrift}
+    val docs = s.read.schema(CorpusIngest.docsFileSchema).parquet(s"$d/documents.parquet")
+    val blockPar = expr("(doc_id div 20L) % 2")
+    val base = QualityDrift.baseline(docs.filter(blockPar === 0))
+    val once = QualityDrift.gate(docs.filter(blockPar === 1))
+    val twice = once.unionByName(once) // two deliveries
+    QualityDrift.report(QualityDrift.mergeVerdicts(twice.limit(0), twice),
+      base, DriftPermille)
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "source_changestream" -> sourceChangestream,
     "sink_checkpoint" -> sinkCheckpointReplay,
@@ -126,7 +151,8 @@ object StreamQueries {
     "stream_window_counts" -> streamWindowCounts,
     "stream_dedup" -> streamDedup,
     "stream_corpus_ingest" -> streamCorpusIngest,
-    "stream_decontam" -> streamDecontam)
+    "stream_decontam" -> streamDecontam,
+    "stream_quality_drift" -> streamQualityDrift)
 
   val oracle: Map[String, String] = Map(
     "source_changestream" ->
@@ -220,5 +246,41 @@ object StreamQueries {
         |       coalesce(h.n_shared, CAST(0 AS BIGINT)) = 0 AS clean
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.source <> 'src0'
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // pure per-row verdict ⇒ doubled delivery collapses to the single run;
+    // the gate mirrors the corpus-report quality rule (rnd4'd score ≥ 0.3,
+    // fixed op order), rates are floored integer permilles on both sides
+    "stream_quality_drift" -> {
+      val en = graft.functions.TextFns.stopwords("en").map(w => s"'$w'").mkString(",")
+      val score = Tables.rnd4Sql("stop_ratio * 0.4 + ttr * 0.3 + len_sat * 0.3")
+      s"""WITH c AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |                x -> list_contains([$en], x))) AS DOUBLE)
+         |           / len(string_split(text, ' ')) AS stop_ratio,
+         |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |           / len(string_split(text, ' ')) AS ttr,
+         |         least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) AS len_sat
+         |  FROM documents),
+         |v AS (SELECT doc_id, source, n_tokens,
+         |             CASE WHEN $score >= CAST(0.3 AS DOUBLE) THEN 1 ELSE 0 END AS pass
+         |      FROM c),
+         |base AS (SELECT source, CAST(count(*) AS BIGINT) AS base_docs,
+         |                CAST(sum(pass) AS BIGINT) AS base_pass
+         |         FROM v WHERE (doc_id // 20) % 2 = 0 GROUP BY source),
+         |arr AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |               CAST(sum(pass) AS BIGINT) AS n_pass,
+         |               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |        FROM v WHERE (doc_id // 20) % 2 = 1 GROUP BY source)
+         |SELECT a.source, n_docs, n_pass, n_tokens,
+         |       CAST(n_pass * 1000 // n_docs AS BIGINT) AS pass_permille,
+         |       CAST(base_pass * 1000 // base_docs AS BIGINT) AS base_permille,
+         |       (base_docs IS NULL) OR
+         |         abs(n_pass * 1000 // n_docs - base_pass * 1000 // base_docs)
+         |           > $DriftPermille AS drift
+         |FROM arr a LEFT JOIN base b USING (source)
+         |ORDER BY a.source""".stripMargin
+    })
 }

@@ -468,6 +468,75 @@ class StreamingSpec extends SparkSpec {
       (2L, sec("09:00"), sec("09:05"), 2L)))
   }
 
+  test("streaming quality drift: report matches batch; degraded wave flips the flag; replay is a no-op") {
+    import graft.streaming.QualityDrift
+    import spark.implicits._
+    val src = tmp("drift-src")
+    val tgt = tmp("drift-tgt").resolve("verdicts").toString
+    val ckp = tmp("drift-ckp").toString
+
+    // stopword-rich, varied text → passes the gate; spam → fails it
+    val good = "the quick brown fox jumps over a lazy dog while the cat watches " +
+      "from a warm windowsill nearby every single afternoon"
+    val junk = "buy buy buy buy buy buy buy buy"
+
+    def doc(id: Long, text: String, source: String) =
+      (id, text, "en", source, text.length.toLong)
+    def deliver(name: String, rows: Seq[(Long, String, String, String, Long)]): Unit = {
+      val staging = tmp(s"drift-stage-$name")
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, src.resolve(s"$name-${f.getName}")))
+    }
+
+    // static baseline: both known sources pass 100% (permille 1000)
+    val base = QualityDrift.baseline(Seq(
+      doc(100L, good, "web"), doc(101L, good + " indeed", "web"),
+      doc(102L, good, "feed"), doc(103L, good + " again", "feed"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+    // wave 1: all good; wave 2 redelivers wave 1 (at-least-once) + a junk
+    // flood on `feed` + one doc from a source the baseline never saw
+    val wave1 = Seq(doc(1L, good, "web"), doc(2L, good + " truly", "feed"))
+    deliver("w1", wave1)
+    QualityDrift.start(spark, src.toString, tgt, ckp).awaitTermination()
+    val report1 = QualityDrift.report(spark.read.parquet(tgt), base,
+      graft.queries.StreamQueries.DriftPermille)
+      .select("source", "n_docs", "pass_permille", "drift")
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(report1 === Array(("feed", 1L, 1000L, false), ("web", 1L, 1000L, false)))
+
+    val wave2 = wave1 ++ Seq(doc(3L, junk, "feed"), doc(4L, junk + " now", "feed"),
+      doc(5L, good, "mystery"))
+    deliver("w2", wave2)
+    QualityDrift.start(spark, src.toString, tgt, ckp).awaitTermination()
+
+    val verdicts = spark.read.parquet(tgt)
+    // verdict table equals the batch gate over everything delivered ONCE —
+    // the redelivered wave-1 docs collapsed through the keyed merge
+    val all = (wave1 ++ wave2).distinct.toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(verdicts.select("doc_id", "source", "n_tokens", "pass")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1) ===
+      QualityDrift.gate(all).as[(Long, String, Long, Long)].collect().sortBy(_._1))
+
+    val report2 = QualityDrift.report(verdicts, base,
+      graft.queries.StreamQueries.DriftPermille)
+      .select("source", "n_docs", "pass_permille", "drift")
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(report2 === Array(
+      ("feed", 3L, 333L, true),      // junk flood: 1/3 pass vs baseline 1000‰
+      ("mystery", 1L, 1000L, true),  // unknown source alarms by definition
+      ("web", 1L, 1000L, false)))    // steady source stays quiet
+
+    // replay with no new data: verdict table unchanged (idempotence)
+    QualityDrift.start(spark, src.toString, tgt, ckp).awaitTermination()
+    assert(spark.read.parquet(tgt).select("doc_id", "source", "n_tokens", "pass")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1) ===
+      verdicts.select("doc_id", "source", "n_tokens", "pass")
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1))
+  }
+
   private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2(): Map[(A, B), C] = rows.map { case (a, b, c) => (a, b) -> c }.toMap
   }
