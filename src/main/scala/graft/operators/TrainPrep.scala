@@ -557,6 +557,40 @@ object TrainPrep {
           .as("repeat_millis"))
   }
 
+  /** Curriculum-stage assignment (the curriculum-learning data ordering of
+    * Bengio et al. 2009, as a pipeline op): rank every doc by a difficulty/
+    * quality score and split the ranking into `k` stages — stage 0 trains
+    * first. Assignment is by cumulative count of STRICTLY-lower scores
+    * (`stage = docs_below · k div total`), so equal scores always share a
+    * stage (deterministic under ties; stage widths flex around heavy ties
+    * rather than splitting them arbitrarily).
+    *
+    * Scale shape: the score histogram is a map-side-combined aggregate onto
+    * the score DOMAIN (callers pass a [[graft.Tables.rnd4]]'d score, so the
+    * domain is ≤ 10⁴ rows — corpus-size-INDEPENDENT); the cumulative window
+    * runs over that tiny frame (single-partition by construction, bounded by
+    * the domain, never by the corpus) and broadcasts back onto the docs as
+    * an equi-join on the score. Two small exchanges total; the corpus never
+    * sorts. Identical-op-order scores make the join keys bit-identical on
+    * both engines (the rnd4 contract). */
+  def curriculumStages(docs: DataFrame, score: Column, k: Int): DataFrame = {
+    require(k >= 1, s"curriculumStages: k must be ≥ 1, got $k")
+    val generated = Seq("score", "stage").filter(docs.columns.contains)
+    require(generated.isEmpty,
+      s"curriculumStages generates $generated; rename the input's column(s)")
+    val hist = docs.select(score.as("score"))
+      .groupBy(col("score")).agg(count(lit(1)).as("n"))
+    val below = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = broadcast(hist.agg(sum(col("n")).as("__total")))
+    val staged = hist
+      .withColumn("docs_below", coalesce(sum(col("n")).over(below), lit(0L)))
+      .crossJoin(total)
+      .select(col("score"), expr(s"docs_below * ${k}L div __total").as("stage"))
+    docs.withColumn("score", score)
+      .join(broadcast(staged), Seq("score"))
+  }
+
   // -- distributed BPE merge learning (Sennrich et al. 2016) -----------------
 
   /** Symbol wrappers for the BPE training state: every symbol rides inside

@@ -1002,6 +1002,34 @@ object ExtQueries {
         "pad_tokens", "trunc_tokens", "pad_frac")
       .orderBy("bucket_cap")
 
+  /** Stage count for the curriculum entries (shared with the oracles). */
+  final val CurriculumK = 4
+
+  /** [[TrainPrep.curriculumStages]] over the quality score — the rnd4'd
+    * score keeps the histogram domain ≤ 10⁴ AND makes the stage join key
+    * bit-identical on both engines. */
+  private def curriculumStaged(s: SparkSession, d: String) =
+    TrainPrep.curriculumStages(documents(s, d),
+      rnd4(TextFns.qualityScore(col("text"))), k = CurriculumK)
+
+  /** Per-doc curriculum stage (quality-ordered, stage 0 = hardest to pass
+    * a filter = trains first under an easy-to-hard schedule when read in
+    * reverse; the ORDER is the artifact, the direction is the trainer's). */
+  private val extCurriculum: Q = (s, d) =>
+    curriculumStaged(s, d).select(col("doc_id"), col("score"), col("stage"))
+      .orderBy("doc_id")
+
+  /** Per-stage curriculum manifest: doc/token mass + score span — the
+    * stage-schedule summary a trainer sizes epochs against. One map-side-
+    * combined aggregate onto ≤ k rows. */
+  private val extCurriculumPlan: Q = (s, d) =>
+    curriculumStaged(s, d)
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextFns.tokens(col("text"))).cast("long")).as("n_tokens"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+      .orderBy("stage")
+
   /** The composed training-data pipeline: exact dedup → quality ≥ 0.3 →
     * stratified rebalance (en capped) → 2048-token window packing. Two
     * exchanges end to end (see [[TrainPrep.corpusPrep]]). */
@@ -1115,6 +1143,8 @@ object ExtQueries {
     "ext_mix_apply" -> extMixApply,
     "ext_mix_temperature" -> extMixTemperature,
     "ext_batch_buckets" -> extBatchBuckets,
+    "ext_curriculum" -> extCurriculum,
+    "ext_curriculum_plan" -> extCurriculumPlan,
     "ext_tfidf_terms" -> extTfidfTerms,
     "ext_vocab_top" -> extVocabTop,
     "ext_vocab_oov" -> extVocabOov,
@@ -1892,6 +1922,39 @@ object ExtQueries {
          |       ${rnd4Sql("CAST(sum(bucket_cap - least(n_tokens, bucket_cap)) AS DOUBLE)" +
         " / (CAST(count(*) AS BIGINT) * bucket_cap)")} AS pad_frac
          |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin,
+
+    // stage = docs-with-strictly-lower-score · k div total, computed over
+    // the rnd4'd score histogram — identical doubles on both engines make
+    // the score join key exact (the rnd4 contract)
+    "ext_curriculum" ->
+      s"""WITH ${qualitySqlCte("documents")},
+         |s AS (SELECT doc_id, $qualitySql AS score FROM q),
+         |h AS (SELECT score, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY score),
+         |c AS (SELECT score, CAST(coalesce(sum(n) OVER (ORDER BY score
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |        AS docs_below FROM h),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM s),
+         |st AS (SELECT score, CAST(docs_below * $CurriculumK // tot AS BIGINT) AS stage
+         |       FROM c, t)
+         |SELECT doc_id, score, stage FROM s JOIN st USING (score)
+         |ORDER BY doc_id""".stripMargin,
+
+    "ext_curriculum_plan" ->
+      s"""WITH ${qualitySqlCte("documents", "text,")},
+         |s AS (SELECT doc_id, $qualitySql AS score,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM q),
+         |h AS (SELECT score, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY score),
+         |c AS (SELECT score, CAST(coalesce(sum(n) OVER (ORDER BY score
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |        AS docs_below FROM h),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM s),
+         |st AS (SELECT score, CAST(docs_below * $CurriculumK // tot AS BIGINT) AS stage
+         |       FROM c, t)
+         |SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       min(score) AS min_score, max(score) AS max_score
+         |FROM s JOIN st USING (score)
+         |GROUP BY stage ORDER BY stage""".stripMargin,
 
     "ext_tfidf_terms" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -585,6 +585,33 @@ class TrainPrepSpec extends SparkSpec {
     assert(got.map(_._5).sum <= 1000000L && got.map(_._5).sum >= 1000000L - 2)
   }
 
+  test("curriculumStages splits a distinct-score ranking into equal stages") {
+    val d = (0L until 12L).map(i => (i, "en", s"t$i", i.toDouble)).toSeq
+      .toDF("doc_id", "lang", "text", "difficulty")
+    val got = TrainPrep.curriculumStages(d, col("difficulty"), k = 4)
+      .select("doc_id", "stage").as[(Long, Long)].collect().toMap
+    // 12 docs, 4 stages: stage = docs_below * 4 div 12 — 3 docs per stage
+    assert(got === (0L until 12L).map(i => i -> i / 3).toMap)
+  }
+
+  test("curriculumStages keeps equal scores in one stage (ties never split)") {
+    // 6 docs scoring 1.0 straddle the 4-doc stage width; all share stage 0
+    val d = ((0L until 6L).map(i => (i, 1.0)) ++ Seq((6L, 2.0), (7L, 3.0)))
+      .toDF("doc_id", "difficulty")
+    val got = TrainPrep.curriculumStages(d, col("difficulty"), k = 2)
+      .select("doc_id", "stage").as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L,
+      6L -> 1L, 7L -> 1L)) // 6 docs_below·2 div 8 = 1
+  }
+
+  test("curriculumStages rejects bad k and colliding columns") {
+    val d = Seq((0L, 1.0)).toDF("doc_id", "score")
+    intercept[IllegalArgumentException](
+      TrainPrep.curriculumStages(d, col("score"), k = 0))
+    intercept[IllegalArgumentException](
+      TrainPrep.curriculumStages(d, col("score") * 2, k = 2)) // input has `score`
+  }
+
   // -- bpeTrain ---------------------------------------------------------------
 
   private def trained(d: DataFrame, n: Int): Seq[(Long, String, String, String, Long)] = {
