@@ -623,9 +623,60 @@ object TrainPrep {
     * lineage-cut exactly like [[Dedup.clusterRounds]] (localCheckpoint in
     * local mode, reliable checkpoint — required — on a cluster), previous
     * rounds' blocks released as soon as the next round materializes. The
-    * loop ends early if the vocabulary runs out of pairs. */
+    * loop ends early if the vocabulary runs out of pairs. Vocabs at or
+    * under `localSolveMaxVocab` skip the rounds entirely and solve on the
+    * driver over a bounded-by-construction collect ([[LocalSolveMaxVocab]]);
+    * both paths are output-identical. */
+  /** Vocab-size ceiling for [[bpeTrain]]'s single-task fast path (the
+    * [[Dedup.LocalSolveMaxEdges]] pattern): at or below it the merge loop
+    * runs locally over the collected vocab — bounded by construction —
+    * replacing ~2·nMerges × job-latency with microseconds; above it the
+    * distributed rounds run. Both paths share the pair counts, the
+    * (count desc, a, b) tie-break, and leftmost-first application, so they
+    * are output-identical (spec-pinned on the same corpus). */
+  val LocalSolveMaxVocab: Long = 65536L
+
+  /** Leftmost-first non-overlapping application of merge (a, b) — the
+    * local twin of the wrapped-string `replace` (same scan order, so the
+    * same result; the `aaa` self-pair case is the distinguishing input). */
+  private def applyMerge(syms: Array[String], a: String, b: String): Array[String] = {
+    val buf = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        buf += a + b; i += 2
+      } else { buf += syms(i); i += 1 }
+    }
+    buf.result()
+  }
+
+  /** Driver-local merge loop over the collected wrapped vocab. */
+  private def localTrain(vocab: Array[(Long, String)],
+                         nMerges: Int): Seq[(Long, String, String, String, Long)] = {
+    val sep = java.util.regex.Pattern.quote(SymClose + SymOpen)
+    var state = vocab.map { case (tf, s) =>
+      (tf, s.substring(1, s.length - 1).split(sep)) }
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((tf, syms) <- state; i <- 0 until syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(c => Some(c.getOrElse(0L) + tf))
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), n) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((rank.toLong, a, b, a + b, n))
+        state = state.map { case (tf, syms) => (tf, applyMerge(syms, a, b)) }
+      }
+      rank += 1
+    }
+    out.result()
+  }
+
   def bpeTrain(docs: DataFrame, nMerges: Int,
-               tokens: Column => Column = TextFns.tokens): DataFrame = {
+               tokens: Column => Column = TextFns.tokens,
+               localSolveMaxVocab: Long = LocalSolveMaxVocab): DataFrame = {
     val spark = docs.sparkSession
     val sc = spark.sparkContext
     val localMaster = sc.master.startsWith("local")
@@ -647,6 +698,22 @@ object TrainPrep {
           !col("token").contains(SymOpen) && !col("token").contains(SymClose))
         .select(col("tf"),
           regexp_replace(col("token"), "(.)", SymOpen + "$1" + SymClose).as("s")))
+
+    // Single-task fast path: when the vocab fits one task comfortably, the
+    // whole loop runs locally over the collected (tf, state) rows — the
+    // collect is bounded by `localSolveMaxVocab` BY CONSTRUCTION (the
+    // Dedup local-solve standard); the count is one job over the already-
+    // materialized cut.
+    if (state.count() <= localSolveMaxVocab) {
+      val rows = state.collect().map(r => (r.getLong(0), r.getString(1)))
+      release(state)
+      import spark.implicits._
+      val out = registered(localTrain(rows, nMerges)
+        .toDF("merge_rank", "sym_a", "sym_b", "merged", "n_occ")
+        .orderBy("merge_rank"))
+      out.count()
+      return out
+    }
 
     // the chosen pair's replace pattern/replacement, as columns of `best`
     val pat = concat(lit(SymOpen), col("a"), lit(SymClose),

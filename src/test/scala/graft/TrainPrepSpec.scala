@@ -614,14 +614,18 @@ class TrainPrepSpec extends SparkSpec {
 
   // -- bpeTrain ---------------------------------------------------------------
 
-  private def trained(d: DataFrame, n: Int): Seq[(Long, String, String, String, Long)] = {
-    val out = TrainPrep.bpeTrain(d, nMerges = n)
+  /** maxVocab = 0 forces the distributed rounds; the default takes the
+    * single-task fast path (the DedupSpec local-solve convention). */
+  private def trained(d: DataFrame, n: Int,
+                      maxVocab: Long = TrainPrep.LocalSolveMaxVocab
+                     ): Seq[(Long, String, String, String, Long)] = {
+    val out = TrainPrep.bpeTrain(d, nMerges = n, localSolveMaxVocab = maxVocab)
       .as[(Long, String, String, String, Long)].collect().toSeq
     TrainPrep.unpersistAll()
     out
   }
 
-  test("bpeTrain learns the hand-computed merge list, merged symbols feeding later merges") {
+  test("bpeTrain learns the hand-computed merge list on BOTH paths") {
     // tf: abab=10, abc=5, ab=3, banana=2 — the classic worked example:
     //   rank 1 (a,b)   n_occ 2·10+5+3 = 28
     //   rank 2 (ab,ab) n_occ 10          ← rank-1 output on both sides
@@ -632,31 +636,37 @@ class TrainPrepSpec extends SparkSpec {
       (1L, "en", Seq.fill(5)("abc").mkString(" ")),
       (2L, "en", Seq.fill(3)("ab").mkString(" ")),
       (3L, "en", Seq.fill(2)("banana").mkString(" ")))
-    assert(trained(d, 4) === Seq(
+    val expect = Seq(
       (1L, "a", "b", "ab", 28L),
       (2L, "ab", "ab", "abab", 10L),
       (3L, "ab", "c", "abc", 5L),
-      (4L, "a", "n", "an", 4L)))
+      (4L, "a", "n", "an", 4L))
+    assert(trained(d, 4) === expect)                // local fast path
+    assert(trained(d, 4, maxVocab = 0L) === expect) // distributed rounds
   }
 
-  test("bpeTrain merges self-pairs leftmost-first (aaa → [aa, a], never [a, aa])") {
+  test("bpeTrain merges self-pairs leftmost-first (aaa → [aa, a]) on BOTH paths") {
     val d = docs((0L, "en", Seq.fill(3)("aaa").mkString(" ")))
     // per 'aaa': pass 1 sees pairs (a,a)×2, merges the LEFT one → [aa, a];
     // pass 2's only pair is (aa, a)
-    assert(trained(d, 3) === Seq(
+    val expect = Seq(
       (1L, "a", "a", "aa", 6L),
-      (2L, "aa", "a", "aaa", 3L)))
+      (2L, "aa", "a", "aaa", 3L))
+    assert(trained(d, 3) === expect)
+    assert(trained(d, 3, maxVocab = 0L) === expect)
   }
 
-  test("bpeTrain stops early when the vocabulary runs out of pairs") {
+  test("bpeTrain stops early when the vocabulary runs out of pairs, on BOTH paths") {
     val d = docs((0L, "en", "ab ab ab"))
     assert(trained(d, 5) === Seq((1L, "a", "b", "ab", 3L)))
+    assert(trained(d, 5, maxVocab = 0L) === Seq((1L, "a", "b", "ab", 3L)))
   }
 
-  test("bpeTrain is invariant to input partitioning") {
+  test("bpeTrain's distributed rounds are invariant to input partitioning") {
     val d = docs((0L until 40L).map(i =>
       (i, "en", Seq("alpha", "beta", "gamma", "delta")(i.toInt % 4) * 1)): _*)
-    assert(trained(d.repartition(7), 6) === trained(d.coalesce(1), 6))
+    assert(trained(d.repartition(7), 6, maxVocab = 0L) ===
+      trained(d.coalesce(1), 6, maxVocab = 0L))
   }
 
   test("bpeTrain's merge list drives BpeMergeCount (train-then-apply composition)") {
