@@ -211,6 +211,41 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM coherence — the oracle-exact stand-in for LM-perplexity
+    * quality filtering (the CCNet/RedPajama KenLM gate): a doc whose word
+    * SEQUENCES also occur elsewhere in the corpus reads like language; one
+    * whose adjacent pairs are one-off juxtapositions reads like noise. Per
+    * doc: bigram occurrences, mean bigram document-frequency, and the
+    * attested fraction (occurrences whose bigram appears in ≥ 2 distinct
+    * docs — order-sensitive, so it is NOT [[extTextRarity]]'s bag-of-words
+    * rarity). Ratios beat log-probs here: engine-exact (no `ln`), same
+    * monotone filter ordering.
+    *
+    * Shape: [[extTextRarity]]'s skew-splittable df form over bigrams — the
+    * df table is a separate aggregate joined back (AQE can split a hot
+    * bigram's join partition; a count-window over the occurrence table
+    * could not split its partition), and every exchange carries one row
+    * per distinct (doc, bigram), never raw occurrences. Docs with < 2
+    * tokens have no bigrams and no row (documented contract). */
+  private val extLmCoherence: Q = (s, d) => {
+    val docs = documents(s, d)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+    val bigrams = when(size(col("tk")) >= 2,
+      expr("transform(sequence(1, size(tk) - 1), " +
+        "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+      .otherwise(expr("array()").cast("array<string>"))
+    val bc = docs.select(col("doc_id"), explode(bigrams).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+    val dfTab = bc.groupBy(col("b")).agg(count(lit(1)).as("df"))
+    bc.join(dfTab, "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        rnd4(sum(col("cnt") * col("df")).cast("double") / sum(col("cnt"))).as("mean_df"),
+        rnd4(sum(when(col("df") >= 2, col("cnt")).otherwise(0L)).cast("double")
+          / sum(col("cnt"))).as("attested_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher/MassiveText quality-rule battery thresholds (Rae et al. 2021,
     * §A1.1) — ONE definition interpolated into both the Spark flags and the
     * oracle SQL so the rule constants cannot drift. */
@@ -1093,6 +1128,7 @@ object ExtQueries {
     "ext_text_stats" -> extTextStats,
     "ext_text_repetition" -> extTextRepetition,
     "ext_text_rarity" -> extTextRarity,
+    "ext_lm_coherence" -> extLmCoherence,
     "ext_text_pii" -> extTextPii,
     "ext_ngram_counts" -> extNgramCounts,
     "ext_token_count" -> extTokenCount,
@@ -1348,6 +1384,20 @@ object ExtQueries {
         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
         |       ${rnd4Sql("CAST(sum(cnt * df) AS DOUBLE) / sum(cnt)")} AS mean_df,
         |       ${rnd4Sql("CAST(sum(CASE WHEN df <= 2 THEN cnt ELSE 0 END) AS DOUBLE) / sum(cnt)")} AS rare_frac
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // zipped adjacent pairs via 1-based list indexing (range is exclusive
+    // of the stop, so i+1 stays in bounds); df = distinct-doc count
+    "ext_lm_coherence" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |                i -> t[i] || ' ' || t[i+1])) AS b
+        |       FROM tk WHERE len(t) >= 2),
+        |bc AS (SELECT doc_id, b, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |w AS (SELECT doc_id, cnt, count(*) OVER (PARTITION BY b) AS df FROM bc)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |       ${rnd4Sql("CAST(sum(cnt * df) AS DOUBLE) / sum(cnt)")} AS mean_df,
+        |       ${rnd4Sql("CAST(sum(CASE WHEN df >= 2 THEN cnt ELSE 0 END) AS DOUBLE) / sum(cnt)")} AS attested_frac
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "ext_text_pii" -> {
