@@ -31,32 +31,49 @@ object Tables {
     if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
   }
 
-  /** The events fixture carries TIMESTAMP(NANOS) parquet, which Spark cannot
-    * read as a timestamp (PARQUET_TYPE_ILLEGAL); read the nanos as INT64 and
-    * truncate to microseconds (integer div — a double div would lose
-    * precision on ~1.7e18 nanos). Second-aligned range predicates and the
-    * second-precision output format are unaffected by the truncation. */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    ensureNanosAsLong(spark)
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Normalize the events `ts` column to TimestampType whichever physical
+    * encoding the fixture generation used. Fixture generations have shipped
+    * `ts` two ways: TIMESTAMP(NANOS) — unreadable as a Spark timestamp
+    * (PARQUET_TYPE_ILLEGAL), so it arrives here as INT64 nanos via the
+    * nanosAsLong flag and is truncated to micros (integer div — a double div
+    * would lose precision on ~1.7e18 nanos) — and native TIMESTAMP(MICROS),
+    * which needs no conversion. Branching on the observed type keeps every
+    * events consumer correct across fixture regenerations. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case _ => df
   }
 
-  /** Events restricted to `[loSec, hiSec)` with the range applied to the RAW
-    * nanos column BEFORE the timestamp conversion: a range on the computed
-    * `ts` cannot reach the parquet scan (only `IsNotNull` pushes through
-    * arithmetic), while the equivalent nanos range — the conversion is
-    * monotonic and the bounds are second-aligned — lands in `PushedFilters`
-    * and prunes row groups. At 100 TB this is the difference between
-    * scanning a day and scanning the full log. */
-  def eventsInRange(spark: SparkSession, sfDir: String, loSec: String, hiSec: String): DataFrame = {
+  /** The events fixture as stored on disk (`ts` NOT yet normalized). */
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     ensureNanosAsLong(spark)
-    def nanos(s: String): Long =
-      java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
     table(spark, sfDir, "events")
-      .filter(col("ts") >= nanos(loSec) && col("ts") < nanos(hiSec))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** The events fixture with `ts` normalized to TimestampType. */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTs(eventsRaw(spark, sfDir))
+
+  /** Events restricted to `[loSec, hiSec)` with the range applied to the RAW
+    * stored column BEFORE any conversion: a range on a computed `ts` cannot
+    * reach the parquet scan (only `IsNotNull` pushes through arithmetic),
+    * while the same range expressed against the stored encoding — timestamp
+    * literals on a native timestamp column, or nanos longs on a NANOS column
+    * (the conversion is monotonic and the bounds second-aligned) — lands in
+    * `PushedFilters` and prunes row groups. At 100 TB this is the difference
+    * between scanning a day and scanning the full log. */
+  def eventsInRange(spark: SparkSession, sfDir: String, loSec: String, hiSec: String): DataFrame = {
+    val raw = eventsRaw(spark, sfDir)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        def nanos(s: String): Long =
+          java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+            .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+        normalizeTs(raw.filter(col("ts") >= nanos(loSec) && col("ts") < nanos(hiSec)))
+      case _ =>
+        raw.filter(col("ts") >= tsLit(loSec) && col("ts") < tsLit(hiSec))
+    }
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")

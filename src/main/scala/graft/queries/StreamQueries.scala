@@ -79,8 +79,8 @@ object StreamQueries {
     * path (`dropDuplicatesWithinWatermark`, cross-micro-batch) is
     * exercised end-to-end by StreamingSpec. */
   private val streamDedup: Q = (s, d) => {
-    val once = s.read.schema(CdcPipeline.eventsFileSchema).parquet(s"$d/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val once = Tables.normalizeTs(
+      s.read.schema(CdcPipeline.eventsFileSchema).parquet(s"$d/events.parquet"))
     CdcPipeline.dedupEvents(once.unionByName(once)) // two deliveries
       .select(col("event_id"), fmtTs(col("ts")).as("ts_s"), col("user_id"),
         col("event_type"), col("value"))

@@ -29,21 +29,23 @@ import graft.operators.CdcOps
   */
 object CdcPipeline {
 
-  /** `events.parquet` physical schema (ts = TIMESTAMP(NANOS) read as long;
-    * see [[graft.Tables.events]]). */
+  /** `events.parquet` schema for streaming reads (readStream demands an
+    * explicit schema). Matches the current fixture generation (native
+    * TIMESTAMP(MICROS) `ts`); [[transform]] normalizes adaptively, so a
+    * NANOS-generation fixture read as long still flows through unchanged —
+    * see [[graft.Tables.normalizeTs]]. */
   val eventsFileSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** The shared batch/stream transformation: nanos→timestamp, op-type
+  /** The shared batch/stream transformation: ts normalization, op-type
     * mapping, delete filtering, write-op projection (js:157–186). Applying
     * this to a bounded DataFrame is exactly the reference's
     * `--start-time/--end-time` replay path. */
   def transform(raw: DataFrame): DataFrame =
     CdcOps.dropDeletes(
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .withColumn("op_type", graft.Tables.opType))
+      graft.Tables.normalizeTs(raw).withColumn("op_type", graft.Tables.opType))
 
   /** At-least-once redelivery dedup: one row per `event_id`. The
     * reference's checkpoint-after-write design admits duplicate deliveries

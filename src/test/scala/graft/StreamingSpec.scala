@@ -46,11 +46,11 @@ class StreamingSpec extends SparkSpec {
     }
 
     // wave 1: events before the cut arrive as the first stream file
-    arrive("wave1", timestamp_micros(expr("ts div 1000")) < cut)
+    arrive("wave1", col("ts") < cut)
     CdcPipeline.start(spark, src.toString, tgt, ckp).awaitTermination()
 
     // wave 2: the rest arrives later; the query restarts from the checkpoint
-    arrive("wave2", timestamp_micros(expr("ts div 1000")) >= cut)
+    arrive("wave2", col("ts") >= cut)
     CdcPipeline.start(spark, src.toString, tgt, ckp).awaitTermination()
 
     val expected = CdcOps.lastWriteWins(
@@ -195,7 +195,7 @@ class StreamingSpec extends SparkSpec {
 
     // wave 1 arrives; the pipeline runs in CONTINUOUS mode (ProcessingTime
     // cadence — the reference's 5 s flush loop, js:349)
-    arrive("wave1", timestamp_micros(expr("ts div 1000")) < cut)
+    arrive("wave1", col("ts") < cut)
     val q = CdcPipeline.start(spark, src.toString, tgt, ckp, availableNow = false)
     val deadline = System.currentTimeMillis() + 60000
     while (q.recentProgress.forall(_.numInputRows == 0) && System.currentTimeMillis() < deadline)
@@ -206,7 +206,7 @@ class StreamingSpec extends SparkSpec {
 
     // wave 2 arrives while the pipeline is down; restart from the SAME
     // checkpoint drains it and converges to the batch answer
-    arrive("wave2", timestamp_micros(expr("ts div 1000")) >= cut)
+    arrive("wave2", col("ts") >= cut)
     CdcPipeline.start(spark, src.toString, tgt, ckp).awaitTermination()
 
     import spark.implicits._
@@ -261,13 +261,13 @@ class StreamingSpec extends SparkSpec {
   test("dropDuplicatesWithinWatermark collapses redelivered batches to exactly-once rows") {
     import spark.implicits._
     val src = tmp("dedup-src")
-    def nanos(hhmm: String): Long =
-      java.time.LocalDateTime.parse(s"2024-03-01T$hhmm")
-        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    def utc(hhmm: String): java.sql.Timestamp =
+      java.sql.Timestamp.from(java.time.LocalDateTime.parse(s"2024-03-01T$hhmm")
+        .toInstant(java.time.ZoneOffset.UTC))
     // one change batch of three events...
     def deliver(name: String): Unit = {
       val staging = tmp(s"dedup-stage-$name")
-      Seq((1L, nanos("10:00")), (2L, nanos("10:05")), (3L, nanos("10:10")))
+      Seq((1L, utc("10:00")), (2L, utc("10:05")), (3L, utc("10:10")))
         .map { case (id, ts) => (id, ts, id, "view", 1.0, "{}") }
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(staging.toString)
@@ -280,7 +280,6 @@ class StreamingSpec extends SparkSpec {
     val stream = spark.readStream.schema(CdcPipeline.eventsFileSchema)
       .option("maxFilesPerTrigger", 1) // force the duplicates into SEPARATE
       .parquet(src.toString)           // micro-batches: state-store dedup, not in-batch
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val q = CdcPipeline.dedupEvents(stream)
       .writeStream.outputMode("append")
       .option("checkpointLocation", tmp("dedup-ckp").toString)
@@ -422,15 +421,16 @@ class StreamingSpec extends SparkSpec {
     // only if the state store survives the checkpointed restart
     val src = tmp("sess-src")
     val ckp = tmp("sess-ckp").toString
-    def nanos(hhmm: String): Long =
+    def sec(hhmm: String): Long =
       java.time.LocalDateTime.parse(s"2024-03-01T$hhmm")
-        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
-    def sec(hhmm: String): Long = nanos(hhmm) / 1000000000L
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+    def utc(hhmm: String): java.sql.Timestamp =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec(hhmm)))
     def wave(name: String, rows: Seq[(Long, String, Long)]): Unit = {
       import spark.implicits._
       val staging = tmp(s"sess-stage-$name")
       rows.zipWithIndex
-        .map { case ((uid, t, _), i) => (i.toLong, nanos(t), uid, "view", 1.0, "{}") }
+        .map { case ((uid, t, _), i) => (i.toLong, utc(t), uid, "view", 1.0, "{}") }
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(staging.toString)
       staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
