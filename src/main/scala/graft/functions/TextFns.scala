@@ -127,6 +127,16 @@ object TextFns {
     org.apache.spark.sql.GraftColumnBridge.column(
       BpeMergeCount(org.apache.spark.sql.GraftColumnBridge.expression(text), merges))
 
+  /** Exact BPE ENCODING under a caller-supplied ranked merge table
+    * ([[BpeEncode]]): text → array<long> of token ids in piece order,
+    * under the [[BpeMerge.idMap]] derived-vocab scheme. The id-sequence
+    * form is what a training loader actually consumes; [[bpeMergeCount]]
+    * is its length. Same curried shape and same no-SQL-registry rationale
+    * as the count. */
+  def bpeEncode(merges: Seq[(String, String)])(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      BpeEncode(org.apache.spark.sql.GraftColumnBridge.expression(text), merges))
+
   /** 64-bit SimHash fingerprint of the text's distinct whitespace tokens —
     * one codegen'd row-local pass ([[SimHash64]]; bit-identical to the
     * vote-Aggregator form [[graft.operators.Dedup.simhashRef]], pinned by

@@ -587,6 +587,38 @@ object ExtQueries {
   private val extBpeTrain: Q = (s, d) =>
     TrainPrep.bpeTrain(documents(s, d), nMerges = BpeTrainMerges)
 
+  /** Session-scoped trained-merge cache, keyed by fixture dir (the pqBooks
+    * pattern): train once, encode repeatedly — the tokenizer lifecycle. The
+    * collect is bounded by construction (nMerges rows, not corpus-sized). */
+  private val bpeMergesByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private def trainedMerges(s: SparkSession, d: String): Seq[(String, String)] =
+    bpeMergesByDir.computeIfAbsent(d, _ =>
+      TrainPrep.bpeTrain(documents(s, d), nMerges = BpeTrainMerges)
+        .orderBy("merge_rank").select("sym_a", "sym_b")
+        .collect().toIndexedSeq.map(r => (r.getString(0), r.getString(1))))
+
+  /** Tokenizer train-then-APPLY, end to end: encode every document with the
+    * corpus-trained merge list ([[graft.functions.BpeEncode]] — one
+    * codegen'd pass, ids per the derived-vocab scheme). Surfaced as
+    * per-doc scalars (piece count, merged-piece count, id sum — the id
+    * MULTISET fingerprint); the id SEQUENCE is pinned by BpeTrainSpec's
+    * round-trip property. Oracle replays training via the ext_bpe_train
+    * recursive CTE, then applies the merges rank-by-rank with the same
+    * wrapped-symbol replace — leftmost-first application makes sequential
+    * rank-order replay identical to the greedy lowest-rank loop. */
+  private val extBpeEncode: Q = (s, d) => {
+    val ids = TextFns.bpeEncode(trainedMerges(s, d))(col("text"))
+    documents(s, d)
+      .select(col("doc_id"), ids.as("ids"))
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_pieces"),
+        size(filter(col("ids"), _ >= graft.functions.BpeMerge.MergedIdBase))
+          .cast("long").as("n_merged"),
+        aggregate(col("ids"), lit(0L), _ + _).as("id_sum"))
+      .orderBy("doc_id")
+  }
+
   // -- similarity search -----------------------------------------------------
 
   /** Exact top-5 cosine neighbours for the first 10 vectors. */
@@ -806,9 +838,16 @@ object ExtQueries {
     * Rows-only: k-means isn't oracle-expressible; KnnSpec pins assignment
     * correctness on planted clusters and the fixture's error-vs-codebook
     * monotonicity. Assignment is a pure per-row projection against
-    * driver-trained literal codebooks (see [[Knn.pqCodes]]). */
+    * driver-trained literal codebooks (see [[Knn.pqCodes]]). The m=8
+    * 4-bit codes ride as ONE base-16-packed BIGINT (`codes_packed`):
+    * scalar columns keep the dump sortable by any engine (an array column
+    * faulted the driver's rows-only compare in round 8), and the packed
+    * form is the byte layout a PQ store would persist anyway. */
   private val extEmbedPq: Q = (s, d) =>
     Knn.pqCodesWith(pqBooks(s, d), embeddings(s, d), "vec_id", "embedding")
+      .select(col("vec_id"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc * PqK + c).as("codes_packed"),
+        col("recon_err"))
       .orderBy("vec_id")
 
   /** ADC search contract: top `PqRerank` candidates by codes-only distance,
@@ -1153,6 +1192,7 @@ object ExtQueries {
     "ext_overlap_sources" -> extOverlapSources,
     "ext_bpe_pairs" -> extBpePairs,
     "ext_bpe_train" -> extBpeTrain,
+    "ext_bpe_encode" -> extBpeEncode,
     "ext_sim_knn" -> extSimKnn,
     "ext_sim_knn_lsh" -> extSimKnnLsh,
     "ext_sim_knn_ivf" -> extSimKnnIvf,
@@ -1345,6 +1385,40 @@ object ExtQueries {
   /** The weighted quality score over [[qualitySqlCte]]'s components —
     * oracle twin of [[TextFns.qualityScore]] (fixed op order). */
   private val qualitySql = rnd4Sql("stop_ratio * 0.4 + ttr * 0.3 + len_sat * 0.3")
+
+  /** The BPE training loop replayed as recursive-CTE text, shared by the
+    * ext_bpe_train and ext_bpe_encode oracles (one source for the replay,
+    * so the two gates can't drift). `vocab` = tf-weighted distinct tokens;
+    * `st` = the wrapped-symbol merge state, one iteration per rank. */
+  private val bpeTrainSqlCtes: String =
+    s"""vocab AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE length(token) >= 2
+       |    AND NOT contains(token, chr(30)) AND NOT contains(token, chr(31))
+       |  GROUP BY token),
+       |st AS (
+       |  SELECT 0 AS it, tf,
+       |         regexp_replace(token, '(.)', chr(30) || '\\1' || chr(31), 'g') AS s,
+       |         '' AS m_a, '' AS m_b, CAST(0 AS BIGINT) AS m_occ
+       |  FROM vocab
+       |  UNION ALL
+       |  SELECT it + 1, tf,
+       |         replace(s, chr(30)||best.a||chr(31)||chr(30)||best.b||chr(31),
+       |                 chr(30)||best.a||best.b||chr(31)),
+       |         best.a, best.b, best.n_occ
+       |  FROM st, (
+       |    SELECT p.a AS a, p.b AS b, CAST(sum(tf) AS BIGINT) AS n_occ
+       |    FROM (
+       |      SELECT tf, unnest(list_transform(range(1, len(sy)), i ->
+       |               struct_pack(a := sy[i], b := sy[i+1]))) AS p
+       |      FROM (SELECT tf, string_split(s[2:length(s)-1], chr(31)||chr(30)) AS sy
+       |            FROM st) t
+       |      WHERE len(sy) >= 2) pp
+       |    GROUP BY p.a, p.b
+       |    ORDER BY n_occ DESC, a, b
+       |    LIMIT 1) best
+       |  WHERE it < $BpeTrainMerges)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "ext_text_stats" ->
@@ -1903,37 +1977,61 @@ object ExtQueries {
     // — and chr(30)/chr(31) wrappers make matches unambiguous, so each
     // iteration is byte-identical to the Spark loop.
     "ext_bpe_train" ->
-      s"""WITH RECURSIVE vocab AS (
-         |  SELECT token, CAST(count(*) AS BIGINT) AS tf
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-         |  WHERE length(token) >= 2
-         |    AND NOT contains(token, chr(30)) AND NOT contains(token, chr(31))
-         |  GROUP BY token),
-         |st AS (
-         |  SELECT 0 AS it, tf,
-         |         regexp_replace(token, '(.)', chr(30) || '\\1' || chr(31), 'g') AS s,
-         |         '' AS m_a, '' AS m_b, CAST(0 AS BIGINT) AS m_occ
-         |  FROM vocab
-         |  UNION ALL
-         |  SELECT it + 1, tf,
-         |         replace(s, chr(30)||best.a||chr(31)||chr(30)||best.b||chr(31),
-         |                 chr(30)||best.a||best.b||chr(31)),
-         |         best.a, best.b, best.n_occ
-         |  FROM st, (
-         |    SELECT p.a AS a, p.b AS b, CAST(sum(tf) AS BIGINT) AS n_occ
-         |    FROM (
-         |      SELECT tf, unnest(list_transform(range(1, len(sy)), i ->
-         |               struct_pack(a := sy[i], b := sy[i+1]))) AS p
-         |      FROM (SELECT tf, string_split(s[2:length(s)-1], chr(31)||chr(30)) AS sy
-         |            FROM st) t
-         |      WHERE len(sy) >= 2) pp
-         |    GROUP BY p.a, p.b
-         |    ORDER BY n_occ DESC, a, b
-         |    LIMIT 1) best
-         |  WHERE it < $BpeTrainMerges)
+      s"""WITH RECURSIVE $bpeTrainSqlCtes
          |SELECT DISTINCT CAST(it AS BIGINT) AS merge_rank, m_a AS sym_a, m_b AS sym_b,
          |       m_a || m_b AS merged, m_occ AS n_occ
          |FROM st WHERE it >= 1 ORDER BY merge_rank""".stripMargin,
+
+    // train-then-apply replay: the trained merges (same CTE as
+    // ext_bpe_train) applied rank-by-rank to every distinct token with the
+    // same wrapped-symbol replace — sequential rank-order application ≡
+    // the greedy lowest-rank loop because both replace leftmost-first.
+    // Ids mirror BpeMerge.idMap: unicode codepoint for single-codepoint
+    // pieces, 1114112 + min-rank-by-string for merged ones. Scalars only
+    // (counts + id sum — the multiset fingerprint); sequence order is
+    // spec-pinned on the Spark side.
+    "ext_bpe_encode" ->
+      s"""WITH RECURSIVE $bpeTrainSqlCtes,
+         |merges AS (SELECT DISTINCT it AS rnk, m_a || m_b AS merged,
+         |                  chr(30)||m_a||chr(31)||chr(30)||m_b||chr(31) AS pat,
+         |                  chr(30)||m_a||m_b||chr(31) AS rep
+         |           FROM st WHERE it >= 1),
+         |enc AS (
+         |  SELECT 0 AS it, token,
+         |         regexp_replace(token, '(.)', chr(30) || '\\1' || chr(31), 'g') AS s
+         |  FROM (SELECT DISTINCT token
+         |        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         |        WHERE token <> '')
+         |  UNION ALL
+         |  SELECT e.it + 1, e.token,
+         |         CASE WHEN m.pat IS NULL THEN e.s ELSE replace(e.s, m.pat, m.rep) END
+         |  FROM enc e LEFT JOIN merges m ON m.rnk = e.it + 1
+         |  WHERE e.it < $BpeTrainMerges),
+         |pieces AS (
+         |  SELECT token, unnest(string_split(s[2:length(s)-1], chr(31)||chr(30))) AS p
+         |  FROM enc WHERE it = $BpeTrainMerges),
+         |mr AS (SELECT merged, MIN(rnk) AS rnk FROM merges GROUP BY merged),
+         |pid AS (SELECT token,
+         |               CASE WHEN length(p) = 1 THEN CAST(unicode(p) AS BIGINT)
+         |                    ELSE 1114112 + mr.rnk END AS id,
+         |               length(p) > 1 AS is_merged
+         |        FROM pieces LEFT JOIN mr ON pieces.p = mr.merged),
+         |tokstat AS (SELECT token, CAST(count(*) AS BIGINT) AS n_pieces,
+         |                   CAST(sum(CASE WHEN is_merged THEN 1 ELSE 0 END) AS BIGINT)
+         |                     AS n_merged,
+         |                   CAST(sum(id) AS BIGINT) AS id_sum
+         |            FROM pid GROUP BY token),
+         |doctok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |           FROM documents)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(sum(t.n_pieces), 0) AS BIGINT) AS n_pieces,
+         |       CAST(coalesce(sum(t.n_merged), 0) AS BIGINT) AS n_merged,
+         |       CAST(coalesce(sum(t.id_sum), 0) AS BIGINT) AS id_sum
+         |FROM documents d
+         |LEFT JOIN doctok dt ON d.doc_id = dt.doc_id AND dt.token <> ''
+         |LEFT JOIN tokstat t ON dt.token = t.token
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // α=1/2 temperature plan: ⌊√mass·10⁴⌋ is IEEE-exact in both engines
     // (sqrt is correctly rounded; one fixed-order ·10⁴ each), integer from

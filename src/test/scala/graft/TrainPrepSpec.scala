@@ -391,6 +391,33 @@ class TrainPrepSpec extends SparkSpec {
     assert(got === 4L) // 2 + 1 + 0 + 1
   }
 
+  test("BpeEncode emits the id sequence whose length is BpeMergeCount") {
+    import graft.functions.{BpeMerge, TextFns}
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val base = BpeMerge.MergedIdBase
+    // hand trace: abc → [abc] (ab fires, then abc), ab → [ab], the doubled
+    // space contributes nothing, x and № id as their codepoints
+    val got = Seq("abc ab  x №").toDF("t")
+      .select(TextFns.bpeEncode(merges)(col("t"))).as[Seq[Long]].collect().head
+    assert(got === Seq(base + 2, base + 1, 'x'.toLong, 0x2116L))
+    // the sequence's length IS the count expression, on varied text
+    val pairs = Seq("the quick ab abc abcd cd", "", "aaa bbb abab").toDF("t")
+      .select(size(TextFns.bpeEncode(merges)(col("t"))).cast("long"),
+        TextFns.bpeMergeCount(merges)(col("t"))).as[(Long, Long)].collect()
+    pairs.foreach { case (n, c) => assert(n === c) }
+    // round-trip: pieces concatenate back to the token (encode loses nothing)
+    val rank = BpeMerge.rankMap(merges)
+    for (tok <- Seq("abcd", "abcabc", "№ab", "x", ""))
+      assert(BpeMerge.mergeToken(tok, rank).toArray.mkString === tok)
+    // id is a function of the piece STRING: two merges both building "abc"
+    // share the first one's id (min rank), so encode stays path-independent
+    val amb = Seq(("b", "c"), ("a", "bc"), ("ab", "c"))
+    assert(BpeMerge.idMap(amb).get("abc") === base + 2)
+    val ambIds = Seq("abc").toDF("t")
+      .select(TextFns.bpeEncode(amb)(col("t"))).as[Seq[Long]].collect().head
+    assert(ambIds === Seq(base + 2))
+  }
+
   test("splitAssign pins each id's split by the hash contract, stable under corpus growth") {
     val d = docs((0L until 1000L).map(i => (i, "en", s"t $i")): _*)
     val got = TrainPrep.splitAssign(d, "doc_id", testPermille = 100, valPermille = 50)
