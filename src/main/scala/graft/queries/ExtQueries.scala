@@ -607,6 +607,19 @@ object ExtQueries {
     * recursive CTE, then applies the merges rank-by-rank with the same
     * wrapped-symbol replace — leftmost-first application makes sequential
     * rank-order replay identical to the greedy lowest-rank loop. */
+  /** Context-window packing driven by REAL tokenizer counts: the trained
+    * merge list plugged into [[TrainPrep.packWindows]]'s tokenCount slot —
+    * window boundaries land where the actual BPE pieces put them, not the
+    * chars/4 estimate ([[TrainPrep]] keeps the estimate as its
+    * oracle-default). Oracle composes the train+apply replay with the same
+    * running-sum pack CTE as ext_pack_windows, so the whole
+    * train→count→pack pipeline is hash-gated end to end. */
+  private val extPackWindowsBpe: Q = (s, d) =>
+    TrainPrep.packWindows(documents(s, d), "doc_id", "text",
+      budgetTokens = 2048L, nShards = 8,
+      tokenCount = TextFns.bpeMergeCount(trainedMerges(s, d)))
+      .orderBy("doc_id")
+
   private val extBpeEncode: Q = (s, d) => {
     val ids = TextFns.bpeEncode(trainedMerges(s, d))(col("text"))
     documents(s, d)
@@ -1193,6 +1206,7 @@ object ExtQueries {
     "ext_bpe_pairs" -> extBpePairs,
     "ext_bpe_train" -> extBpeTrain,
     "ext_bpe_encode" -> extBpeEncode,
+    "ext_pack_windows_bpe" -> extPackWindowsBpe,
     "ext_sim_knn" -> extSimKnn,
     "ext_sim_knn_lsh" -> extSimKnnLsh,
     "ext_sim_knn_ivf" -> extSimKnnIvf,
@@ -1419,6 +1433,33 @@ object ExtQueries {
        |    ORDER BY n_occ DESC, a, b
        |    LIMIT 1) best
        |  WHERE it < $BpeTrainMerges)""".stripMargin
+
+  /** Trained-merge APPLICATION as CTE text (follows [[bpeTrainSqlCtes]] in
+    * the same WITH RECURSIVE): `merges` = the learned (rank, pattern)
+    * table, `enc` = every distinct token re-merged rank-by-rank with the
+    * same wrapped-symbol replace, `pieces` = the final piece split. Shared
+    * by the encode and BPE-packing oracles. */
+  private val bpeApplySqlCtes: String =
+    s"""merges AS (SELECT DISTINCT it AS rnk, m_a || m_b AS merged,
+       |                  chr(30)||m_a||chr(31)||chr(30)||m_b||chr(31) AS pat,
+       |                  chr(30)||m_a||m_b||chr(31) AS rep
+       |           FROM st WHERE it >= 1),
+       |enc AS (
+       |  SELECT 0 AS it, token,
+       |         regexp_replace(token, '(.)', chr(30) || '\\1' || chr(31), 'g') AS s
+       |  FROM (SELECT DISTINCT token
+       |        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       |        WHERE token <> '')
+       |  UNION ALL
+       |  SELECT e.it + 1, e.token,
+       |         CASE WHEN m.pat IS NULL THEN e.s ELSE replace(e.s, m.pat, m.rep) END
+       |  FROM enc e LEFT JOIN merges m ON m.rnk = e.it + 1
+       |  WHERE e.it < $BpeTrainMerges),
+       |pieces AS (
+       |  SELECT token, unnest(string_split(s[2:length(s)-1], chr(31)||chr(30))) AS p
+       |  FROM enc WHERE it = $BpeTrainMerges),
+       |doctok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |           FROM documents)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "ext_text_stats" ->
@@ -1834,6 +1875,30 @@ object ExtQueries {
         |       $packColsSql
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // the pack CTE re-run over REAL per-doc BPE counts (train+apply replay
+    // feeding the same running sum) — window math identical to
+    // ext_pack_windows, only n_tokens changes meaning
+    "ext_pack_windows_bpe" ->
+      s"""WITH RECURSIVE $bpeTrainSqlCtes,
+         |$bpeApplySqlCtes,
+         |tokcnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n_pieces
+         |           FROM pieces GROUP BY token),
+         |dc AS (SELECT d.doc_id,
+         |              CAST(coalesce(sum(tc.n_pieces), 0) AS BIGINT) AS n_tokens
+         |       FROM documents d
+         |       LEFT JOIN doctok dt ON d.doc_id = dt.doc_id AND dt.token <> ''
+         |       LEFT JOIN tokcnt tc ON dt.token = tc.token
+         |       GROUP BY d.doc_id),
+         |t2 AS (SELECT doc_id, doc_id % 8 AS shard, n_tokens FROM dc),
+         |c2 AS (SELECT doc_id, shard, n_tokens,
+         |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |           AS tok_before
+         |       FROM t2)
+         |SELECT doc_id, shard, n_tokens,
+         |       $packColsSql
+         |FROM c2 ORDER BY doc_id""".stripMargin,
+
     "ext_pack_greedy" ->
       s"""WITH RECURSIVE $greedySqlCte
         |SELECT doc_id, shard, n_tokens, window_id, window_pos,
@@ -1992,24 +2057,7 @@ object ExtQueries {
     // spec-pinned on the Spark side.
     "ext_bpe_encode" ->
       s"""WITH RECURSIVE $bpeTrainSqlCtes,
-         |merges AS (SELECT DISTINCT it AS rnk, m_a || m_b AS merged,
-         |                  chr(30)||m_a||chr(31)||chr(30)||m_b||chr(31) AS pat,
-         |                  chr(30)||m_a||m_b||chr(31) AS rep
-         |           FROM st WHERE it >= 1),
-         |enc AS (
-         |  SELECT 0 AS it, token,
-         |         regexp_replace(token, '(.)', chr(30) || '\\1' || chr(31), 'g') AS s
-         |  FROM (SELECT DISTINCT token
-         |        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-         |        WHERE token <> '')
-         |  UNION ALL
-         |  SELECT e.it + 1, e.token,
-         |         CASE WHEN m.pat IS NULL THEN e.s ELSE replace(e.s, m.pat, m.rep) END
-         |  FROM enc e LEFT JOIN merges m ON m.rnk = e.it + 1
-         |  WHERE e.it < $BpeTrainMerges),
-         |pieces AS (
-         |  SELECT token, unnest(string_split(s[2:length(s)-1], chr(31)||chr(30))) AS p
-         |  FROM enc WHERE it = $BpeTrainMerges),
+         |$bpeApplySqlCtes,
          |mr AS (SELECT merged, MIN(rnk) AS rnk FROM merges GROUP BY merged),
          |pid AS (SELECT token,
          |               CASE WHEN length(p) = 1 THEN CAST(unicode(p) AS BIGINT)
@@ -2020,9 +2068,7 @@ object ExtQueries {
          |                   CAST(sum(CASE WHEN is_merged THEN 1 ELSE 0 END) AS BIGINT)
          |                     AS n_merged,
          |                   CAST(sum(id) AS BIGINT) AS id_sum
-         |            FROM pid GROUP BY token),
-         |doctok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-         |           FROM documents)
+         |            FROM pid GROUP BY token)
          |SELECT d.doc_id,
          |       CAST(coalesce(sum(t.n_pieces), 0) AS BIGINT) AS n_pieces,
          |       CAST(coalesce(sum(t.n_merged), 0) AS BIGINT) AS n_merged,
