@@ -459,6 +459,38 @@ object TrainPrep {
         graft.Tables.rnd4(col("score")).as("score"))
   }
 
+  /** Per-doc shingle NOVELTY: of each document's distinct n-gram shingles,
+    * how many occur in no other document — the corpus-diversity signal
+    * (high novelty = genuinely new material; low = assembled from spans the
+    * corpus already has) complementing pairwise dedup, which only sees
+    * similarity concentrated in single pairs.
+    *
+    * Shape: the shingle explode is persisted and read twice (document
+    * frequency aggregate + join-back — the [[topTerms]] df pattern: a
+    * join-back lets AQE split a hot shingle's partition where a count
+    * window could not). Two shingle-keyed exchanges + the per-doc rollup;
+    * only (doc_id, hash) longs ride any of them. Zero-shingle docs
+    * (shorter than n tokens) surface novelty 1000 — no evidence of
+    * duplication. */
+  def textNovelty(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val sh = registered(docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFns.hashedShingles(col(textCol), n)).as("sh")))
+    val dfTab = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val per = sh.join(dfTab, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+      .withColumn("novelty_permille",
+        when(col("n_shingles") === 0L, lit(1000L))
+          .otherwise(expr("n_unique * 1000 div n_shingles")))
+  }
+
   /** End-to-end corpus preparation — the composed shape of a training-data
     * pipeline run: exact dedup → quality gate → stratified rebalance →
     * context-window packing, as ONE declarative plan.

@@ -510,6 +510,15 @@ object ExtQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Per-doc 8-gram novelty ([[TrainPrep.textNovelty]]): the share of each
+    * document's shingles found nowhere else in the corpus. n = 8 sits
+    * between the 3-gram dedup similarity and the 13-gram verbatim-leak
+    * standard: long enough that sharing is real copying, short enough that
+    * partial reuse still registers. */
+  private val extTextNovelty: Q = (s, d) =>
+    TrainPrep.textNovelty(documents(s, d), "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+
   /** Cross-source duplication matrix — the corpus-review heatmap over the
     * near-dup pair set: per unordered source pair, how many near-dup pairs
     * cross it, how many distinct docs are involved, and the redundant
@@ -1179,6 +1188,7 @@ object ExtQueries {
   val queries: Map[String, Q] = Map(
     "ext_text_stats" -> extTextStats,
     "ext_text_repetition" -> extTextRepetition,
+    "ext_text_novelty" -> extTextNovelty,
     "ext_text_rarity" -> extTextRarity,
     "ext_lm_coherence" -> extLmCoherence,
     "ext_text_pii" -> extTextPii,
@@ -1491,6 +1501,27 @@ object ExtQueries {
         |                CAST(0 AS DOUBLE)) AS top_bigram_frac
         |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
         |ORDER BY ts.doc_id""".stripMargin,
+
+    // string shingles stand in for the engine's hashed ones (df counts are
+    // hash-invariant); zero-shingle docs read novelty 1000 on both sides
+    "ext_text_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(generate_series(1, greatest(len(t) - 7, 0)),
+        |                               i -> array_to_string(t[i:i+7], ' '))) AS shingle
+        |       FROM toks),
+        |df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+        |        FROM sh JOIN df USING (shingle) GROUP BY 1)
+        |SELECT d.doc_id,
+        |       coalesce(n_shingles, CAST(0 AS BIGINT)) AS n_shingles,
+        |       coalesce(n_unique, CAST(0 AS BIGINT)) AS n_unique,
+        |       CAST(CASE WHEN coalesce(n_shingles, 0) = 0 THEN 1000
+        |                 ELSE n_unique * 1000 // n_shingles END AS BIGINT)
+        |         AS novelty_permille
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "ext_text_rarity" ->
       s"""WITH tc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

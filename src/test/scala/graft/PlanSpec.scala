@@ -90,6 +90,20 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 1, s"packing needs exactly the shard exchange:\n${p.take(2000)}")
   }
 
+  test("BPE encode is one codegen'd per-row pass — zero hash exchanges, no UDF eval") {
+    val p = plan("ext_bpe_encode")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"encode shuffled the corpus:\n${p.take(1500)}")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"encode must be an Expression, not a UDF:\n${p.take(1500)}")
+  }
+
+  test("BPE-count packing keeps the one-shard-exchange pack plan") {
+    val p = plan("ext_pack_windows_bpe")
+    val shuffles = p.split("Exchange hashpartitioning").length - 1
+    assert(shuffles == 1, s"count swap must not add exchanges:\n${p.take(2000)}")
+  }
+
   test("tf-idf computes tf once — both the df rollup and the join probe read the persisted aggregate") {
     val p = plan("ext_tfidf_terms")
     // the tf aggregate is cached, so the df side and the probe side are

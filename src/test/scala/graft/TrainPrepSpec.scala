@@ -359,6 +359,23 @@ class TrainPrepSpec extends SparkSpec {
     assert(gaps === 0L, "window ids must be gapless per shard")
   }
 
+  test("textNovelty counts exactly the shingles no other doc has") {
+    val d = docs(
+      (0L, "en", "a b c d e f g h i"), // shares [a..h] with doc 1
+      (1L, "en", "a b c d e f g h j"),
+      (2L, "en", "z y x w v u t s r"), // fully novel
+      (3L, "en", "too short"))         // no 8-gram → vacuously novel
+    val got = TrainPrep.textNovelty(d, "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_shingles", "n_unique", "novelty_permille")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 2L, 1L, 500L), (1L, 2L, 1L, 500L), (2L, 2L, 2L, 1000L),
+      (3L, 0L, 0L, 1000L)))
+    TrainPrep.unpersistAll()
+    spark.catalog.clearCache()
+  }
+
   test("topTerms' persisted tf drains through unpersistAll (caller-owned lifecycle)") {
     val d = docs((1L, "en", "a b c a"), (2L, "en", "b c d"))
     TrainPrep.topTerms(d, "doc_id", "text", k = 2).collect()
