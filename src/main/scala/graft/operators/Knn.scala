@@ -367,37 +367,19 @@ object Knn {
     corpus
       .withColumn("__pq", pqAssignExpr(books, col(embCol)))
       .select(col(idCol).as("vec_id"),
-        transform(col("__pq"), p => p.getField("c")).as("codes"),
-        graft.Tables.rnd4(
-          aggregate(transform(col("__pq"), p => p.getField("d")), lit(0.0), _ + _))
-          .as("recon_err"))
+        col("__pq.codes").as("codes"),
+        graft.Tables.rnd4(col("__pq.err")).as("recon_err"))
 
-  /** Per-subspace (code, squared-error) assignment against literal
-    * codebooks: array of m structs, argmin over each subspace's codebook.
-    * Pure per-row expression — the shared core of [[pqCodes]] and
+  /** Per-row PQ assignment against literal codebooks →
+    * struct(codes: array<int>, err: double) — the codegen'd
+    * [[graft.functions.PqAssign]] kernel (argmin + error sum in one fused
+    * pass; see its Scaladoc for the tie/NaN contract the interpreted
+    * higher-order predecessor set). The shared core of [[pqCodes]] and
     * [[pqKnn]]'s corpus-coding side. */
-  private def pqAssignExpr(books: Seq[Seq[Array[Float]]], emb: Column): Column = {
-    val m = books.length
-    val sub = books.head.head.length
-    val cb = typedLit(books.map(_.map(_.toSeq)))
-    transform(sequence(lit(0), lit(m - 1)), s => {
-      val subv = slice(emb, s * sub + 1, lit(sub))
-      val zero = struct(lit(-1).cast("int").as("c"), lit(Double.MaxValue).as("d"))
-      // per-subspace length: an emptied Lloyd cell shrinks ONE codebook.
-      // The acc.c === -1 arm forces candidate 0 on the first step even when
-      // its distance is NaN (a corrupt embedding): a strict-< alone would
-      // leave code -1, which silently poisons pqCodes and faults adcDist's
-      // element_at under ANSI mode. A NaN row codes to 0 deterministically.
-      aggregate(sequence(lit(0), size(element_at(cb, s + 1)) - 1), zero, (acc, c) => {
-        val cent = element_at(element_at(cb, s + 1), c + 1)
-        val d = aggregate(
-          zip_with(subv, cent, (x, y) => ((x - y) * (x - y)).cast("double")),
-          lit(0.0), _ + _)
-        when(acc.getField("c") === -1 || d < acc.getField("d"),
-          struct(c.cast("int").as("c"), d.as("d"))).otherwise(acc)
-      })
-    })
-  }
+  private def pqAssignExpr(books: Seq[Seq[Array[Float]]], emb: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.PqAssign(
+        org.apache.spark.sql.GraftColumnBridge.expression(emb), books))
 
   /** PQ asymmetric-distance top-k (the ADC search of Jégou et al. 2011):
     * each query builds an m×k distance TABLE against the literal codebooks
@@ -444,7 +426,7 @@ object Knn {
   def pqKnnWith(books: Codebooks, corpus: DataFrame, queries: DataFrame,
                 idCol: String, embCol: String, k: Int, rerank: Int = 0): DataFrame = {
     val coded = corpus.select(col(idCol).as("neighbor_id"),
-      transform(pqAssignExpr(books, col(embCol)), p => p.getField("c")).as("__codes"))
+      pqAssignExpr(books, col(embCol)).getField("codes").as("__codes"))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       pqDistTable(books, col(embCol)).as("__dt")))
     val wAdc = Window.partitionBy(col("query_id")).orderBy(col("__adc"), col("neighbor_id"))
@@ -554,7 +536,7 @@ object Knn {
     val books = index.books
     val assigned = assignResiduals(cents, corpus, idCol, embCol)
     val coded = assigned.select(col(idCol).as("neighbor_id"), col("cell"),
-      transform(pqAssignExpr(books, col("__res")), p => p.getField("c")).as("__codes"))
+      pqAssignExpr(books, col("__res")).getField("codes").as("__codes"))
     // query side: nProbe nearest cells, one residual distance table each
     val probeW = Window.partitionBy(col(idCol)).orderBy(col("__d"), col("cell"))
     val probes = broadcast(
