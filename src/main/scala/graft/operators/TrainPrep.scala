@@ -136,6 +136,15 @@ object TrainPrep {
     * own multiplier). The split is a function of the id alone, so a doc
     * keeps its split when the corpus grows — the property that prevents
     * silent eval-set contamination across corpus versions. */
+  /** The split label as a pure column of the id — the
+    * joinable-without-a-join form of [[splitAssign]]: an audit that needs
+    * labels on PAIR rows (e.g. the leakage query) recomputes the hash on
+    * each side instead of joining the corpus back twice. */
+  def splitLabel(id: Column, testPermille: Int, valPermille: Int): Column =
+    when(splitBucket(id) < testPermille, "test")
+      .when(splitBucket(id) < testPermille + valPermille, "val")
+      .otherwise("train")
+
   def splitAssign(docs: DataFrame, idCol: String,
                   testPermille: Int, valPermille: Int): DataFrame = {
     require(testPermille >= 0 && valPermille >= 0 &&
@@ -146,10 +155,7 @@ object TrainPrep {
       s"splitAssign generates $generated; rename the input's column(s)")
     docs
       .withColumn("split_bucket", splitBucket(col(idCol)))
-      .withColumn("split",
-        when(col("split_bucket") < testPermille, "test")
-          .when(col("split_bucket") < testPermille + valPermille, "val")
-          .otherwise("train"))
+      .withColumn("split", splitLabel(col(idCol), testPermille, valPermille))
   }
 
   /** Deterministic global training-order shuffle PLAN: each doc gets a

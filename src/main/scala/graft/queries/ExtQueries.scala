@@ -798,6 +798,23 @@ object ExtQueries {
       .select(col("doc_id"), col("lang"), col("split_bucket"), col("split"))
       .orderBy("doc_id")
 
+  /** Split-LEAKAGE audit: near-dup pairs whose members land in different
+    * train/val/test splits — the eval-integrity check a holdout is worthless
+    * without (a test doc with a train-side near-duplicate is as leaked as a
+    * verbatim copy). Composes the prefix-filtered Jaccard pair set with
+    * [[TrainPrep.splitLabel]] recomputed per pair side: the split is a pure
+    * id-hash function, so labels attach with ZERO corpus join-backs — the
+    * pair frame (LSH/prefix-bounded, never all-pairs) is the only data in
+    * motion. Same 100/50‰ contract as `ext_split_assign`. */
+  private val extSplitLeakage: Q = (s, d) =>
+    Dedup.ngramJaccard(documents(s, d), "text", "doc_id", n = 3, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"),
+        TrainPrep.splitLabel(col("doc_a"), 100, 50).as("split_a"),
+        TrainPrep.splitLabel(col("doc_b"), 100, 50).as("split_b"),
+        col("jaccard"))
+      .filter(col("split_a") =!= col("split_b"))
+      .orderBy("doc_a", "doc_b")
+
   /** Deterministic global training-order shuffle plan (8 shards): each doc
     * gets a hash shuffle key, a shard, and its in-shard rank — the
     * reproducible `rand()`-free corpus shuffle a training loader consumes
@@ -1229,6 +1246,7 @@ object ExtQueries {
     "ext_sample_weighted" -> extSampleWeighted,
     "ext_sample_bottomk" -> extSampleBottomk,
     "ext_split_assign" -> extSplitAssign,
+    "ext_split_leakage" -> extSplitLeakage,
     "ext_shuffle_shard" -> extShuffleShard,
     "ext_embed_quantize" -> extEmbedQuantize,
     "ext_embed_pq" -> extEmbedPq,
@@ -1874,6 +1892,23 @@ object ExtQueries {
          |            WHEN (doc_id * 2246822519 + 104729) % 1000 < 150 THEN 'val'
          |            ELSE 'train' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // near-dup pairs crossing split boundaries; split labels recomputed
+    // from the id hash on each pair side (identical CASE to ext_split_assign)
+    "ext_split_leakage" -> {
+      def sp(idExpr: String) =
+        s"""CASE WHEN ($idExpr * 2246822519 + 104729) % 1000 < 100 THEN 'test'
+           |            WHEN ($idExpr * 2246822519 + 104729) % 1000 < 150 THEN 'val'
+           |            ELSE 'train' END""".stripMargin
+      s"""WITH pairs AS ($jaccardSql)
+         |SELECT doc_a, doc_b,
+         |       ${sp("doc_a")} AS split_a,
+         |       ${sp("doc_b")} AS split_b,
+         |       jaccard
+         |FROM pairs
+         |WHERE ${sp("doc_a")} <> ${sp("doc_b")}
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "ext_shuffle_shard" ->
       s"""WITH h AS (SELECT doc_id,
