@@ -607,6 +607,36 @@ object ExtQueries {
         .orderBy("merge_rank").select("sym_a", "sym_b")
         .collect().toIndexedSeq.map(r => (r.getString(0), r.getString(1))))
 
+  /** The derived VOCAB table — the tokenizer's vocab.json export next to
+    * ext_bpe_train's merges.txt: every base character observed in the
+    * corpus (id = codepoint) plus every merged piece (id = base + min
+    * rank, the [[graft.functions.BpeMerge.idMap]] scheme ext_bpe_encode
+    * emits). `merge_rank` 0 marks base rows. The char inventory is one
+    * distinct-aggregate over a per-token codepoint explode; the merged
+    * side is an nMerges-row literal frame — nothing corpus-sized moves. */
+  private val extBpeVocab: Q = (s, d) => {
+    import s.implicits._
+    val merges = trainedMerges(s, d)
+    val seen = scala.collection.mutable.LinkedHashMap[String, Long]()
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      val m = a + b
+      if (!seen.contains(m)) seen(m) = i + 1L
+    }
+    val mergedDf = seen.toSeq
+      .map { case (p, r) => (graft.functions.BpeMerge.MergedIdBase + r, p, "merged", r) }
+      .toDF("id", "piece", "kind", "merge_rank")
+    val chars = documents(s, d)
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .filter(char_length(col("token")) >= 1) // sequence(1,0) would DESCEND
+      .select(explode(expr(
+        "transform(sequence(1, char_length(token)), i -> substring(token, i, 1))"))
+        .as("piece"))
+      .distinct()
+      .select(ascii(col("piece")).cast("long").as("id"), col("piece"),
+        lit("char").as("kind"), lit(0L).as("merge_rank"))
+    chars.unionByName(mergedDf).orderBy("id", "piece")
+  }
+
   /** Tokenizer train-then-APPLY, end to end: encode every document with the
     * corpus-trained merge list ([[graft.functions.BpeEncode]] — one
     * codegen'd pass, ids per the derived-vocab scheme). Surfaced as
@@ -1233,6 +1263,7 @@ object ExtQueries {
     "ext_bpe_pairs" -> extBpePairs,
     "ext_bpe_train" -> extBpeTrain,
     "ext_bpe_encode" -> extBpeEncode,
+    "ext_bpe_vocab" -> extBpeVocab,
     "ext_pack_windows_bpe" -> extPackWindowsBpe,
     "ext_sim_knn" -> extSimKnn,
     "ext_sim_knn_lsh" -> extSimKnnLsh,
@@ -2112,6 +2143,29 @@ object ExtQueries {
          |SELECT DISTINCT CAST(it AS BIGINT) AS merge_rank, m_a AS sym_a, m_b AS sym_b,
          |       m_a || m_b AS merged, m_occ AS n_occ
          |FROM st WHERE it >= 1 ORDER BY merge_rank""".stripMargin,
+
+    // vocab = corpus char inventory (codepoint ids) ∪ merged pieces
+    // (base + min rank — the idMap scheme); merge_rank 0 marks base rows
+    "ext_bpe_vocab" ->
+      s"""WITH RECURSIVE $bpeTrainSqlCtes,
+         |mr AS (SELECT m_a || m_b AS merged, CAST(MIN(it) AS BIGINT) AS rnk
+         |       FROM st WHERE it >= 1 GROUP BY 1),
+         |tok AS (SELECT DISTINCT token
+         |        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         |        WHERE token <> ''),
+         |chars AS (SELECT DISTINCT
+         |            unnest(list_transform(generate_series(1, length(token)),
+         |                                  i -> substring(token, i, 1))) AS piece
+         |          FROM tok)
+         |SELECT * FROM (
+         |  SELECT CAST(unicode(piece) AS BIGINT) AS id, piece,
+         |         'char' AS kind, CAST(0 AS BIGINT) AS merge_rank
+         |  FROM chars
+         |  UNION ALL
+         |  SELECT CAST(1114112 + rnk AS BIGINT) AS id, merged AS piece,
+         |         'merged' AS kind, rnk AS merge_rank
+         |  FROM mr)
+         |ORDER BY id, piece""".stripMargin,
 
     // train-then-apply replay: the trained merges (same CTE as
     // ext_bpe_train) applied rank-by-rank to every distinct token with the
