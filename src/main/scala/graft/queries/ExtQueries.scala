@@ -541,14 +541,17 @@ object ExtQueries {
       .select(least(col("sa"), col("sb")).as("source_lo"),
         greatest(col("sa"), col("sb")).as("source_hi"),
         col("doc_a"), col("doc_b"), least(col("ta"), col("tb")).as("dt"))
-    val pairAgg = j.groupBy("source_lo", "source_hi")
-      .agg(count(lit(1)).as("n_pairs"), sum("dt").as("dup_tokens"))
-    val docAgg = j
-      .select(col("source_lo"), col("source_hi"),
+    // ONE pass over the pair frame: explode members first (2 rows per pair,
+    // each carrying the pair's dt), then a single rollup — n_pairs and
+    // dup_tokens halve exactly (always even), n_docs is the distinct count.
+    // The previous two-aggregate form re-executed the candidate join +
+    // Jaccard verify once per rollup (measured 2.6× the pair cost at sf0.1).
+    j.select(col("source_lo"), col("source_hi"), col("dt"),
         explode(array(col("doc_a"), col("doc_b"))).as("doc"))
       .groupBy("source_lo", "source_hi")
-      .agg(countDistinct(col("doc")).as("n_docs"))
-    pairAgg.join(docAgg, Seq("source_lo", "source_hi"))
+      .agg(expr("count(1) div 2").as("n_pairs"),
+        countDistinct(col("doc")).as("n_docs"),
+        expr("sum(dt) div 2").as("dup_tokens"))
       .select("source_lo", "source_hi", "n_pairs", "n_docs", "dup_tokens")
       .orderBy("source_lo", "source_hi")
   }
