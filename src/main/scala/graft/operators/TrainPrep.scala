@@ -23,7 +23,7 @@ object TrainPrep {
     * single-sequential-caller lifecycle — Bench/Verify drain between
     * queries. */
   private val persisted = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-  private def registered(df: DataFrame): DataFrame = {
+  private[graft] def registered(df: DataFrame): DataFrame = {
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     persisted.add(df)
     df

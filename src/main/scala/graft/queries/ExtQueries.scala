@@ -198,9 +198,11 @@ object ExtQueries {
     * side. Then the per-doc rollup. Every exchange carries one row per
     * distinct group, never raw occurrences. */
   private val extTextRarity: Q = (s, d) => {
-    val tc = documents(s, d)
+    // persisted: the df rollup and the join probe read ONE computation
+    // (TrainPrep.unpersistAll drains it between queries — topTerms' pattern)
+    val tc = TrainPrep.registered(documents(s, d)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt")))
     val dfTab = tc.groupBy(col("t")).agg(count(lit(1)).as("df"))
     tc.join(dfTab, "t")
       .groupBy(col("doc_id"))
@@ -234,8 +236,9 @@ object ExtQueries {
       expr("transform(sequence(1, size(tk) - 1), " +
         "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
       .otherwise(expr("array()").cast("array<string>"))
-    val bc = docs.select(col("doc_id"), explode(bigrams).as("b"))
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+    // persisted for the same two-reader reason as extTextRarity's tc
+    val bc = TrainPrep.registered(docs.select(col("doc_id"), explode(bigrams).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt")))
     val dfTab = bc.groupBy(col("b")).agg(count(lit(1)).as("df"))
     bc.join(dfTab, "b")
       .groupBy(col("doc_id"))
