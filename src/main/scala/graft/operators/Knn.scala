@@ -229,9 +229,13 @@ object Knn {
   def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
              k: Int, nCells: Int, iters: Int, nProbe: Int, sampleN: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
-    val cents = centroidFrame(spark, ivfCentroids(corpus, idCol, embCol, nCells, iters, sampleN))
-    val corpusCells = corpus.join(nearestCell(corpus, cents, idCol, embCol), idCol)
-      .select(col(idCol).as("neighbor_id"), col("cell"), col(embCol).as("__c_emb"),
+    val cells = ivfCentroids(corpus, idCol, embCol, nCells, iters, sampleN)
+    val cents = centroidFrame(spark, cells)
+    // zero-shuffle literal assignment (rowNearestCell ≡ nearestCell by the
+    // shared tie rule): the corpus neither fans out ×nCells nor re-joins
+    val corpusCells = corpus
+      .select(col(idCol).as("neighbor_id"),
+        rowNearestCell(col(embCol), cells).as("cell"), col(embCol).as("__c_emb"),
         VectorFns.norm(col(embCol)).as("__c_n"))
     val probeW = Window.partitionBy(col(idCol)).orderBy(col("__d"), col("cell"))
     val probes = broadcast(
@@ -502,12 +506,18 @@ object Knn {
   /** Nearest cell + residual (v − c_cell) as `__res` — ONE definition for
     * the training sample and the query-time coding pass, so the residual
     * a codebook was trained on can never drift from the residual it
-    * scores. */
-  private def assignResiduals(cents: DataFrame, vectors: DataFrame,
-                              idCol: String, embCol: String): DataFrame =
-    vectors.join(nearestCell(vectors, cents, idCol, embCol), idCol)
-      .join(broadcast(cents.select(col("cell"), col("cvec"))), "cell")
-      .withColumn("__res", zip_with(col(embCol), col("cvec"), (x, y) => x - y))
+    * scores. Assignment is the zero-shuffle literal map ([[rowNearestCell]],
+    * same tie rule as the join form it replaced); the assigned centroid
+    * rides as a literal cell→vector map lookup, so the corpus-sized coding
+    * pass has NO join and NO ×nCells fan-out. */
+  private def assignResiduals(cells: Seq[(Int, Array[Float])], vectors: DataFrame,
+                              idCol: String, embCol: String): DataFrame = {
+    val byCell = typedLit(cells.map { case (c, v) => c -> v.toSeq }.toMap)
+    vectors
+      .withColumn("cell", rowNearestCell(col(embCol), cells))
+      .withColumn("__res",
+        zip_with(col(embCol), element_at(byCell, col("cell")), (x, y) => x - y))
+  }
 
   /** Train the [[IvfPqIndex]]: coarse cells on the sample, then PQ
     * codebooks on the SAMPLE's residuals (sampling BEFORE assignment, so
@@ -520,7 +530,7 @@ object Knn {
     val cents = centroidFrame(spark, cells)
     val sampleBase = corpus.select(col(idCol), col(embCol)).orderBy(col(idCol))
       .limit(if (sampleN > 0) sampleN else nCodes * 32)
-    val sampleRes = assignResiduals(cents, sampleBase, idCol, embCol)
+    val sampleRes = assignResiduals(cells, sampleBase, idCol, embCol)
       .select(col(idCol), col("__res"))
     IvfPqIndex(cells, pqCodebooks(sampleRes, idCol, "__res", m, nCodes, pqIters, sampleN))
   }
@@ -534,7 +544,7 @@ object Knn {
     val spark = corpus.sparkSession
     val cents = centroidFrame(spark, index.cells)
     val books = index.books
-    val assigned = assignResiduals(cents, corpus, idCol, embCol)
+    val assigned = assignResiduals(index.cells, corpus, idCol, embCol)
     val coded = assigned.select(col(idCol).as("neighbor_id"), col("cell"),
       pqAssignExpr(books, col("__res")).getField("codes").as("__codes"))
     // query side: nProbe nearest cells, one residual distance table each
