@@ -100,6 +100,34 @@ object CdcQueries {
       .orderBy("user_id")
   }
 
+  /** Session-scoped day-partitioned copy of the change log, written once
+    * per fixture dir (the index-build lifecycle of the PQ/IVF caches): the
+    * warehouse LAYOUT a 100 TB event log actually lands in — one directory
+    * per event-time day, so any time-bounded consumer reads only its days'
+    * files instead of row-group-pruning a monolith. */
+  private val partitionedLogByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def partitionedLog(s: SparkSession, d: String): String =
+    partitionedLogByDir.computeIfAbsent(d, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-partlog-").toString
+      events(s, d).withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+      out
+    })
+
+  /** Partitioned sink + PRUNED read-back: one day's slice served from the
+    * day-partitioned copy. The plan must show the predicate as a
+    * `PartitionFilters` entry (directory pruning — PlanSpec-pinned), not a
+    * data filter: at 100 TB that is the difference between listing one
+    * directory and scanning the year. Values are oracle-checked against
+    * the flat table, pinning write→layout→prune→read end to end. */
+  private val sinkPartitioned: Q = (s, d) =>
+    s.read.parquet(partitionedLog(s, d))
+      .filter(col("day") === to_date(lit("2024-01-10")))
+      .select(col("event_id"), fmtTs(col("ts")).as("ts_s"), col("user_id"),
+        col("event_type"))
+      .orderBy("event_id")
+
   // -- aggregations ---------------------------------------------------------
 
   /** js:155, 254, 267–269 — per-op-type counters. */
@@ -264,6 +292,7 @@ object CdcQueries {
     "source_point_lookup" -> sourcePointLookup,
     "agg_lastwrite_wins" -> aggLastwriteWins,
     "sink_upsert" -> sinkUpsert,
+    "sink_partitioned" -> sinkPartitioned,
     "agg_op_counts" -> aggOpCounts,
     "agg_distinct_ids" -> aggDistinctIds,
     "agg_approx_distinct" -> aggApproxDistinct,
@@ -342,6 +371,12 @@ object CdcQueries {
          |           SELECT * FROM base b WHERE NOT EXISTS (SELECT 1 FROM batch x WHERE x.user_id = b.user_id))
          |SELECT user_id, ${TS("ts")} AS last_ts, event_type AS last_event, round(value, 4) AS last_value
          |FROM merged ORDER BY user_id""".stripMargin,
+
+    // the flat table filtered to the same day — layout must not change values
+    "sink_partitioned" ->
+      s"""SELECT event_id, ${TS("ts")} AS ts_s, user_id, event_type
+         |FROM events WHERE date_trunc('day', ts) = DATE '2024-01-10'
+         |ORDER BY event_id""".stripMargin,
 
     "agg_op_counts" ->
       s"""SELECT $OP AS op_type, count(*) AS n,

@@ -30,6 +30,13 @@ class PlanSpec extends SparkSpec {
       s"delete filter not pushed:\n${p.take(1500)}")
   }
 
+  test("partitioned read-back prunes by directory, not by data filter") {
+    val p = plan("sink_partitioned")
+    assert(p.contains("PartitionFilters") && """PartitionFilters: \[[^\]]*day""".r
+      .findFirstIn(p).isDefined,
+      s"day predicate must prune partitions:\n${p.take(1500)}")
+  }
+
   test("knn scoring runs the codegen'd dot product, not an interpreted fold") {
     val p = plan("ext_sim_knn")
     assert(p.contains("floatdot"))
