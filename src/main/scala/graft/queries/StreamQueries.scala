@@ -144,6 +144,33 @@ object StreamQueries {
       .orderBy("source")
   }
 
+  /** Vocab-drift contracts shared by the query entry and StreamingSpec:
+    * top-64 reference vocabulary, alarm at 50‰ of OOV token mass. */
+  final val VocabDriftK = 64
+  final val OovDriftPermille = 50
+
+  /** Batch-replay form of the vocabulary-drift monitor ([[graft.streaming
+    * .VocabDrift]]): static top-k vocab + per-source baseline from the
+    * even-BLOCK reference slice (block parity, same rationale as
+    * [[streamQualityDrift]]), arrivals = the odd-block slice delivered
+    * TWICE. The verdict is pure per-row against the static vocab, so the
+    * doubled delivery collapses through the keyed merge — what the oracle
+    * computes directly. Live path (file stream, checkpointed restart,
+    * degraded wave) is in StreamingSpec. */
+  private val streamVocabDrift: Q = (s, d) => {
+    import graft.streaming.{CorpusIngest, VocabDrift}
+    val docs = s.read.schema(CorpusIngest.docsFileSchema).parquet(s"$d/documents.parquet")
+    val blockPar = expr("(doc_id div 20L) % 2")
+    val refDocs = docs.filter(blockPar === 0)
+    val vocab = VocabDrift.vocab(refDocs, VocabDriftK)
+    val base = VocabDrift.baseline(refDocs, vocab)
+    val once = VocabDrift.gate(docs.filter(blockPar === 1), vocab)
+    val twice = once.unionByName(once) // two deliveries
+    VocabDrift.report(VocabDrift.mergeVerdicts(twice.limit(0), twice),
+      base, OovDriftPermille)
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "source_changestream" -> sourceChangestream,
     "sink_checkpoint" -> sinkCheckpointReplay,
@@ -152,7 +179,8 @@ object StreamQueries {
     "stream_dedup" -> streamDedup,
     "stream_corpus_ingest" -> streamCorpusIngest,
     "stream_decontam" -> streamDecontam,
-    "stream_quality_drift" -> streamQualityDrift)
+    "stream_quality_drift" -> streamQualityDrift,
+    "stream_vocab_drift" -> streamVocabDrift)
 
   val oracle: Map[String, String] = Map(
     "source_changestream" ->
@@ -282,5 +310,38 @@ object StreamQueries {
          |           > $DriftPermille AS drift
          |FROM arr a LEFT JOIN base b USING (source)
          |ORDER BY a.source""".stripMargin
-    })
+    },
+
+    // pure per-row verdict against the STATIC top-64 vocab (trained on the
+    // even-block slice, tf desc + token tie-break — the vocabTop ranking)
+    // ⇒ doubled delivery collapses to the single run; rates are floored
+    // integer permilles of TOKEN mass on both sides
+    "stream_vocab_drift" ->
+      s"""WITH rtok AS (SELECT unnest(string_split(text, ' ')) AS token
+         |             FROM documents WHERE (doc_id // 20) % 2 = 0),
+         |vc AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM rtok GROUP BY 1),
+         |vtop AS (SELECT token FROM vc ORDER BY tf DESC, token LIMIT $VocabDriftK),
+         |vl AS (SELECT list(token) AS vl FROM vtop),
+         |g AS (SELECT doc_id, source,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_filter(string_split(text, ' '),
+         |               x -> NOT list_contains(vl, x))) AS BIGINT) AS n_oov,
+         |        (doc_id // 20) % 2 AS par
+         |      FROM documents, vl),
+         |base AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS base_tokens,
+         |                CAST(sum(n_oov) AS BIGINT) AS base_oov
+         |         FROM g WHERE par = 0 GROUP BY source),
+         |arr AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |               CAST(sum(n_oov) AS BIGINT) AS n_oov
+         |        FROM g WHERE par = 1 GROUP BY source)
+         |SELECT a.source, n_docs, n_tokens, n_oov,
+         |       CAST(n_oov * 1000 // greatest(n_tokens, 1) AS BIGINT) AS oov_permille,
+         |       CAST(base_oov * 1000 // greatest(base_tokens, 1) AS BIGINT) AS base_permille,
+         |       (base_tokens IS NULL) OR
+         |         abs(n_oov * 1000 // greatest(n_tokens, 1)
+         |             - base_oov * 1000 // greatest(base_tokens, 1))
+         |           > $OovDriftPermille AS drift
+         |FROM arr a LEFT JOIN base b USING (source)
+         |ORDER BY a.source""".stripMargin)
 }

@@ -537,6 +537,75 @@ class StreamingSpec extends SparkSpec {
         .as[(Long, String, Long, Long)].collect().sortBy(_._1))
   }
 
+  test("streaming vocab drift: foreign-language wave flips the flag; replay is a no-op") {
+    import graft.streaming.VocabDrift
+    import spark.implicits._
+    val src = tmp("vdrift-src")
+    val tgt = tmp("vdrift-tgt").resolve("verdicts").toString
+    val ckp = tmp("vdrift-ckp").toString
+
+    val english = "the cat sat on the mat and the dog sat on the rug"
+    val foreign = "der hund liegt auf dem teppich und die katze schläft"
+
+    def doc(id: Long, text: String, source: String) =
+      (id, text, "en", source, text.length.toLong)
+    def deliver(name: String, rows: Seq[(Long, String, String, String, Long)]): Unit = {
+      val staging = tmp(s"vdrift-stage-$name")
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, src.resolve(s"$name-${f.getName}")))
+    }
+
+    // static vocab + baseline trained on English-only snapshots of both sources
+    val refDocs = Seq(
+      doc(100L, english, "web"), doc(101L, english + " again", "web"),
+      doc(102L, english, "feed"), doc(103L, english + " too", "feed"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val vocab = VocabDrift.vocab(refDocs, k = 16)
+    graft.operators.TrainPrep.unpersistAll() // drain vocabTop's tf persist
+    assert(vocab.contains("the") && vocab.contains("cat"))
+    val base = VocabDrift.baseline(refDocs, vocab)
+
+    // wave 1: in-vocab English arrivals — quiet (a single novel word would
+    // already be 70+‰ of a short doc's token mass, past the 50‰ alarm).
+    // wave 2 redelivers wave 1 (at-least-once) + a German flood on `feed`
+    val wave1 = Seq(doc(1L, english, "web"), doc(2L, "the dog sat on the mat", "feed"))
+    deliver("w1", wave1)
+    VocabDrift.start(spark, src.toString, tgt, ckp, vocab).awaitTermination()
+    val report1 = VocabDrift.report(spark.read.parquet(tgt), base,
+      graft.queries.StreamQueries.OovDriftPermille)
+      .select("source", "n_docs", "drift")
+      .as[(String, Long, Boolean)].collect().sortBy(_._1)
+    assert(report1 === Array(("feed", 1L, false), ("web", 1L, false)))
+
+    val wave2 = wave1 ++ Seq(doc(3L, foreign, "feed"), doc(4L, foreign + " ja", "feed"))
+    deliver("w2", wave2)
+    VocabDrift.start(spark, src.toString, tgt, ckp, vocab).awaitTermination()
+
+    val verdicts = spark.read.parquet(tgt)
+    // verdict table equals the batch gate over everything delivered ONCE
+    val all = (wave1 ++ wave2).distinct.toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(verdicts.select("doc_id", "source", "n_tokens", "n_oov")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1) ===
+      VocabDrift.gate(all, vocab).as[(Long, String, Long, Long)].collect().sortBy(_._1))
+
+    val report2 = VocabDrift.report(verdicts, base,
+      graft.queries.StreamQueries.OovDriftPermille)
+      .select("source", "n_docs", "drift")
+      .as[(String, Long, Boolean)].collect().sortBy(_._1)
+    assert(report2 === Array(
+      ("feed", 3L, true),   // German flood: OOV token mass jumps past 50‰
+      ("web", 1L, false)))  // steady source stays quiet
+
+    // replay with no new data: verdict table unchanged (idempotence)
+    VocabDrift.start(spark, src.toString, tgt, ckp, vocab).awaitTermination()
+    assert(spark.read.parquet(tgt).select("doc_id", "source", "n_tokens", "n_oov")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1) ===
+      verdicts.select("doc_id", "source", "n_tokens", "n_oov")
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1))
+  }
+
   private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2(): Map[(A, B), C] = rows.map { case (a, b, c) => (a, b) -> c }.toMap
   }
