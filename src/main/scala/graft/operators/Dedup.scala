@@ -70,7 +70,7 @@ object Dedup {
   /** Normalized-text identity for exact dedup: 32-byte digest of the
     * case/edge-whitespace-folded text — ONE definition shared by the group
     * and survivor forms so their notion of "duplicate" cannot drift. */
-  private def textDigest(textCol: String): Column =
+  private[graft] def textDigest(textCol: String): Column =
     sha2(lower(trim(col(textCol))), 256)
 
   /** Exact dedup groups: one row per distinct normalized text, with the

@@ -522,6 +522,43 @@ object TrainPrep {
       carry = Seq(stratumCol, "quality"), tokenCount = tokenCount)
   }
 
+  /** Per-document ACCOUNTING for the [[corpusPrep]] pipeline — the lineage
+    * table a data team audits: every input doc, its verdict (`duplicate` /
+    * `low_quality` / `sampled_out` / `kept`, in the pipeline's stage
+    * order), the survivor it lost to when deduplicated, and its token
+    * mass. `sum(n_tokens) where kept` reconciles exactly against the prep
+    * output; the drop reasons answer "where did my data go" without
+    * re-running the pipeline with probes.
+    *
+    * Stage semantics are the SHARED definitions ([[Dedup.textDigest]],
+    * [[graft.functions.TextFns.qualityScore]] rnd4'd, [[sampleBucket]]),
+    * so the audit cannot drift from the pipeline it explains. The sample
+    * bucket is a pure id function, so the `sampled_out` arm needs no
+    * actual sampling run — verdict precedence reproduces the stage order.
+    *
+    * Shape: ONE exchange (the dedup digest window — the same shuffle the
+    * pipeline itself pays); everything else is row-local. */
+  def prepAudit(docs: DataFrame, idCol: String, textCol: String, stratumCol: String,
+                minQuality: Double, permille: Map[String, Int], defaultPermille: Int,
+                tokenCount: Column => Column = TextFns.bpeEstimate): DataFrame = {
+    val wd = Window.partitionBy(Dedup.textDigest(textCol))
+    val rate = permille.toSeq.sortBy(_._1).foldLeft(lit(defaultPermille)) {
+      case (acc, (stratum, p)) => when(col(stratumCol) === stratum, p).otherwise(acc)
+    }
+    docs
+      .withColumn("survivor_id", min(col(idCol)).over(wd))
+      .withColumn("quality", graft.Tables.rnd4(TextFns.qualityScore(col(textCol))))
+      .withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("verdict",
+        when(col("survivor_id") =!= col(idCol), "duplicate")
+          .when(col("quality") < minQuality, "low_quality")
+          .when(sampleBucket(col(idCol)) >= rate, "sampled_out")
+          .otherwise("kept"))
+      .select(col(idCol), col(stratumCol).as("stratum"), col("survivor_id"),
+        col("quality"), col("n_tokens"), col("verdict"),
+        (col("verdict") === "kept").as("kept"))
+  }
+
   /** Length-bucketed batching plan — the pad-waste profile a loader uses
     * to batch variable-length docs efficiently: each doc lands in the
     * smallest power-of-two token bucket that holds it (clamped to

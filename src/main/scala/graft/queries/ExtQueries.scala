@@ -1190,6 +1190,14 @@ object ExtQueries {
         col("window_id"), col("window_offset"), col("n_windows"))
       .orderBy("doc_id")
 
+  /** Per-doc prep accounting ([[TrainPrep.prepAudit]]) under exactly the
+    * `ext_corpus_prep` contract (0.3 gate, en→250‰/800‰) — the two queries
+    * reconcile: audit `kept` rows = prep output rows. */
+  private val extPrepAudit: Q = (s, d) =>
+    TrainPrep.prepAudit(documents(s, d), "doc_id", "text", "lang",
+      minQuality = 0.3, permille = Map("en" -> 250), defaultPermille = 800)
+      .orderBy("doc_id")
+
   // -- multimodal ------------------------------------------------------------
 
   /** Opaque-binary decode plumbing: typed per-row decode of the media
@@ -1257,6 +1265,7 @@ object ExtQueries {
     "ext_dedup_span_stats" -> extDedupSpanStats,
     "ext_quality_gopher" -> extQualityGopher,
     "ext_filter_policy" -> extFilterPolicy,
+    "ext_prep_audit" -> extPrepAudit,
     "ext_dedup_simhash" -> extDedupSimhash,
     "ext_dedup_cluster" -> extDedupCluster,
     "ext_dedup_purity" -> extDedupPurity,
@@ -2049,6 +2058,30 @@ object ExtQueries {
          |SELECT doc_id, lang, quality, n_tokens,
          |       $packColsSql
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // stage expressions are the corpus_prep oracle's own (digest window,
+    // rnd4 quality, id-hash bucket); verdict CASE reproduces stage order
+    "ext_prep_audit" ->
+      s"""WITH ${qualitySqlCte("documents", "lang, text,")},
+         |a AS (SELECT doc_id, lang AS stratum,
+         |             min(doc_id) OVER (PARTITION BY sha256(lower(trim(text))))
+         |               AS survivor_id,
+         |             $qualitySql AS quality,
+         |             $bucketSql AS bucket,
+         |             ${TextFns.bpeEstimateSql("text")} AS n_tokens
+         |      FROM q)
+         |SELECT doc_id, stratum, survivor_id, quality, n_tokens,
+         |       CASE WHEN survivor_id <> doc_id THEN 'duplicate'
+         |            WHEN quality < CAST(0.3 AS DOUBLE) THEN 'low_quality'
+         |            WHEN bucket >= CASE WHEN stratum = 'en' THEN 250 ELSE 800 END
+         |              THEN 'sampled_out'
+         |            ELSE 'kept' END AS verdict,
+         |       CASE WHEN survivor_id <> doc_id THEN FALSE
+         |            WHEN quality < CAST(0.3 AS DOUBLE) THEN FALSE
+         |            WHEN bucket >= CASE WHEN stratum = 'en' THEN 250 ELSE 800 END
+         |              THEN FALSE
+         |            ELSE TRUE END AS kept
+         |FROM a ORDER BY doc_id""".stripMargin,
 
     "ext_chunk_docs" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t,

@@ -359,6 +359,26 @@ class TrainPrepSpec extends SparkSpec {
     assert(gaps === 0L, "window ids must be gapless per shard")
   }
 
+  test("prepAudit's kept set is exactly corpusPrep's output, one verdict per input doc") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val audit = TrainPrep.prepAudit(docs, "doc_id", "text", "lang",
+      minQuality = 0.3, permille = Map("en" -> 250), defaultPermille = 800)
+    assert(audit.count() === docs.count()) // accounting covers every doc
+    val kept = audit.filter(col("kept")).select("doc_id").as[Long].collect().sorted
+    val prep = TrainPrep.corpusPrep(docs, "doc_id", "text", "lang",
+      minQuality = 0.3, permille = Map("en" -> 250), defaultPermille = 800,
+      budgetTokens = 2048L, nShards = 8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === prep)
+    // a duplicate names the doc it lost to, and that survivor is kept or
+    // dropped for its OWN later-stage reasons, never as a duplicate
+    val dupSurvivors = audit.filter(col("verdict") === "duplicate")
+      .select("survivor_id").distinct().as[Long].collect().toSet
+    val survivorVerdicts = audit.filter(col("doc_id").isin(dupSurvivors.toSeq: _*))
+      .select("verdict").as[String].collect().toSet
+    assert(!survivorVerdicts.contains("duplicate"))
+  }
+
   test("textNovelty counts exactly the shingles no other doc has") {
     val d = docs(
       (0L, "en", "a b c d e f g h i"), // shares [a..h] with doc 1
