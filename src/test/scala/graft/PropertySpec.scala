@@ -197,6 +197,65 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("greedy lowest-rank BPE merging equals sequential rank-order replay") {
+    // the equivalence the ext_bpe_* oracles REST ON: applying merges one
+    // rank at a time with leftmost-first non-overlapping replacement (the
+    // recursive CTE's replace()) must reproduce the greedy lowest-rank
+    // loop the engine runs. Exercised over random small-alphabet tokens
+    // and random merge lists, self-pairs included ("aaa" is the
+    // distinguishing input for leftmost-first).
+    import graft.functions.BpeMerge
+    import scala.jdk.CollectionConverters._
+
+    // one leftmost-first non-overlapping pass per rank — exactly one
+    // wrapped-string replace() per CTE iteration
+    def replay(tok: String, merges: Seq[(String, String)]): Seq[String] = {
+      var syms: Seq[String] = tok.map(_.toString)
+      for ((a, b) <- merges) {
+        val out = Seq.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+
+    // merge lists honor the TRAINING invariant — rank r's operands are
+    // symbols buildable from merges < r (what bpeTrain emits). The
+    // equivalence genuinely requires it: with an ill-formed list like
+    // [(a,ab), (a,b)], greedy merges (a,b) first and then reaches the
+    // lower-rank (a,ab), which the one-pass-per-rank replay has already
+    // passed by. bpeTrain can never emit such a list (a pair over "ab"
+    // cannot be chosen before "ab" exists), so the oracle only ever
+    // replays well-formed lists.
+    val genMergeList: Gen[Seq[(String, String)]] = {
+      def step(syms: Vector[String], acc: Vector[(String, String)], k: Int): Gen[Vector[(String, String)]] =
+        if (k == 0) Gen.const(acc)
+        else for {
+          a <- Gen.oneOf(syms)
+          b <- Gen.oneOf(syms)
+          r <- step(syms :+ (a + b), acc :+ ((a, b)), k - 1)
+        } yield r
+      step(Vector("a", "b", "c"), Vector.empty, 5)
+    }
+    val genTok = Gen.stringOfN(8, Gen.oneOf('a', 'b', 'c'))
+    var seed = rng.Seed(7L)
+    for (_ <- 0 until 300) {
+      val tok = genTok.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val merges = genMergeList.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val greedy = BpeMerge.mergeToken(tok, BpeMerge.rankMap(merges)).asScala.toSeq
+      assert(greedy === replay(tok, merges),
+        s"tok=$tok merges=$merges greedy=$greedy replay=${replay(tok, merges)}")
+      assert(greedy.mkString === tok) // encode loses nothing, any list
+    }
+  }
+
   test("replaying any suffix from a checkpointed state is a no-op on the final state") {
     samples(8).foreach { rows =>
       val full = df(rows)
