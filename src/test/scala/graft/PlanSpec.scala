@@ -140,6 +140,12 @@ class PlanSpec extends SparkSpec {
       s"drop list should broadcast, corpus side must not shuffle:\n${p.take(2000)}")
   }
 
+  test("prep audit pays exactly the pipeline's own digest exchange, nothing more") {
+    val p = plan("ext_prep_audit")
+    val shuffles = p.split("Exchange hashpartitioning").length - 1
+    assert(shuffles == 1, s"audit should cost one digest window:\n${p.take(2000)}")
+  }
+
   test("corpus prep composes to exactly two hash exchanges: digest and shard") {
     val p = plan("ext_corpus_prep")
     val shuffles = p.split("Exchange hashpartitioning").length - 1
