@@ -23,7 +23,7 @@ object StreamQueries {
   /** js:221–248 — the change-stream tail (server-side $match + projection),
     * replayed over the bounded event log. */
   private val sourceChangestream: Q = (s, d) => {
-    val raw = s.read.schema(CdcPipeline.eventsFileSchema).parquet(s"$d/events.parquet")
+    val raw = Tables.eventsRaw(s, d)
     CdcPipeline.transform(raw)
       .select(col("event_id"), fmtTs(col("ts")).as("ts_s"), col("user_id"),
         col("op_type"), col("props"))
@@ -56,7 +56,7 @@ object StreamQueries {
     * (state store, checkpointed restart, event-time timeout) is exercised by
     * StreamingSpec and the split-invariance property in PropertySpec. */
   private val streamSessionize: Q = (s, d) => {
-    val raw = s.read.schema(CdcPipeline.eventsFileSchema).parquet(s"$d/events.parquet")
+    val raw = Tables.eventsRaw(s, d)
     graft.streaming.Sessionize.sessions(CdcPipeline.transform(raw)).toDF()
       .orderBy("user_id", "session_start")
   }
@@ -67,7 +67,7 @@ object StreamQueries {
     * pins the per-day op-count semantics under the DuckDB oracle, while the
     * live watermark/late-data path stays covered by StreamingSpec. */
   private val streamWindowCounts: Q = (s, d) => {
-    val raw = s.read.schema(CdcPipeline.eventsFileSchema).parquet(s"$d/events.parquet")
+    val raw = Tables.eventsRaw(s, d)
     CdcPipeline.windowedOpCounts(raw)
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("op_type"), col("n"))
       .orderBy("day", "op_type")
@@ -79,8 +79,7 @@ object StreamQueries {
     * path (`dropDuplicatesWithinWatermark`, cross-micro-batch) is
     * exercised end-to-end by StreamingSpec. */
   private val streamDedup: Q = (s, d) => {
-    val once = Tables.normalizeTs(
-      s.read.schema(CdcPipeline.eventsFileSchema).parquet(s"$d/events.parquet"))
+    val once = Tables.normalizeTs(Tables.eventsRaw(s, d))
     CdcPipeline.dedupEvents(once.unionByName(once)) // two deliveries
       .select(col("event_id"), fmtTs(col("ts")).as("ts_s"), col("user_id"),
         col("event_type"), col("value"))
@@ -94,8 +93,7 @@ object StreamQueries {
     * The live path (file stream, checkpointed restart, cross-batch
     * convergence) is exercised end-to-end by StreamingSpec. */
   private val streamCorpusIngest: Q = (s, d) => {
-    val docs = s.read.schema(graft.streaming.CorpusIngest.docsFileSchema)
-      .parquet(s"$d/documents.parquet")
+    val docs = s.read.parquet(s"$d/documents.parquet")
     val once = graft.streaming.CorpusIngest.transform(docs)
     val twice = once.unionByName(once) // two deliveries
     graft.streaming.CorpusIngest.mergeSurvivors(twice.limit(0), twice)
@@ -112,7 +110,7 @@ object StreamQueries {
     * stream, checkpointed restart, redelivery) is in StreamingSpec. */
   private val streamDecontam: Q = (s, d) => {
     import graft.streaming.{CorpusIngest, Decontam}
-    val docs = s.read.schema(CorpusIngest.docsFileSchema).parquet(s"$d/documents.parquet")
+    val docs = s.read.parquet(s"$d/documents.parquet")
     val index = Decontam.evalIndex(docs.filter(col("source") === "src0"))
     val once = Decontam.gate(docs.filter(col("source") =!= "src0"), index)
     val twice = once.unionByName(once) // two deliveries
@@ -134,7 +132,7 @@ object StreamQueries {
     * restart, redelivery) is in StreamingSpec. */
   private val streamQualityDrift: Q = (s, d) => {
     import graft.streaming.{CorpusIngest, QualityDrift}
-    val docs = s.read.schema(CorpusIngest.docsFileSchema).parquet(s"$d/documents.parquet")
+    val docs = s.read.parquet(s"$d/documents.parquet")
     val blockPar = expr("(doc_id div 20L) % 2")
     val base = QualityDrift.baseline(docs.filter(blockPar === 0))
     val once = QualityDrift.gate(docs.filter(blockPar === 1))
@@ -159,7 +157,7 @@ object StreamQueries {
     * degraded wave) is in StreamingSpec. */
   private val streamVocabDrift: Q = (s, d) => {
     import graft.streaming.{CorpusIngest, VocabDrift}
-    val docs = s.read.schema(CorpusIngest.docsFileSchema).parquet(s"$d/documents.parquet")
+    val docs = s.read.parquet(s"$d/documents.parquet")
     val blockPar = expr("(doc_id div 20L) % 2")
     val refDocs = docs.filter(blockPar === 0)
     val vocab = VocabDrift.vocab(refDocs, VocabDriftK)
