@@ -342,6 +342,28 @@ object ExtQueries {
         .as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Per-shard corpus FINGERPRINT manifest — the reproducibility record a
+    * dataset card pins ("is this byte-for-byte the corpus the model saw"):
+    * per shuffle shard, doc/token mass, the id span, and an order-free
+    * content digest (sum of per-doc rolling-hash fingerprints mod P —
+    * commutative, so partitioning/arrival order cannot change it; the sum
+    * accumulates in decimal so no doc count overflows it). Any single-doc
+    * edit moves its shard's fp_sum. */
+  private val extCorpusFingerprint: Q = (s, d) => {
+    val fp = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.RollingHash(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("text")), 31L, P))
+    documents(s, d)
+      .select(pmod(col("doc_id"), lit(8L)).as("shard"), col("doc_id"),
+        fp.as("fp"), TextFns.bpeEstimate(col("text")).as("n_tokens"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"),
+        (sum(col("fp").cast("decimal(38,0)")) % P).cast("long").as("fp_sum"))
+      .orderBy("shard")
+  }
+
   // -- dedup -----------------------------------------------------------------
 
   private val extDedupExact: Q = (s, d) =>
@@ -1258,6 +1280,7 @@ object ExtQueries {
     "ext_lang_id" -> extLangId,
     "ext_quality_score" -> extQuality,
     "ext_fingerprint" -> extFingerprint,
+    "ext_corpus_fingerprint" -> extCorpusFingerprint,
     "ext_dedup_exact" -> extDedupExact,
     "ext_dedup_ngram" -> extDedupNgram,
     "ext_dedup_minhash" -> extDedupMinhash,
@@ -1717,6 +1740,22 @@ object ExtQueries {
          |                                  i -> CAST(ascii(text[i:i]) AS BIGINT)),
          |                   (acc, c) -> (acc * 31 + c) % $P) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // order-free per-shard digest: sum of per-doc fingerprints mod P —
+    // DuckDB's sum(BIGINT) is HUGEINT, matching Spark's decimal accumulator
+    "ext_corpus_fingerprint" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, doc_id % 8 AS shard,
+         |         list_reduce(list_transform(generate_series(1, length(text)),
+         |                                    i -> CAST(ascii(text[i:i]) AS BIGINT)),
+         |                     (acc, c) -> (acc * 31 + c) % $P) AS fp,
+         |         ${TextFns.bpeEstimateSql("text")} AS n_tokens
+         |  FROM documents)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+         |       CAST(sum(fp) % $P AS BIGINT) AS fp_sum
+         |FROM f GROUP BY shard ORDER BY shard""".stripMargin,
 
     "ext_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
