@@ -128,6 +128,48 @@ object CdcQueries {
         col("event_type"))
       .orderBy("event_id")
 
+  /** Ordered conversion funnel over the event log — the classic
+    * event-analytics rollup a CDC consumer runs: users reaching each stage
+    * of signup → click → purchase, where each stage's event must come
+    * STRICTLY AFTER the user's previous-stage entry (a purchase before the
+    * first post-signup click does not convert). Output: one row per stage
+    * with reach and permille vs stage 1.
+    *
+    * Shape: each stage is a user-keyed min-ts aggregate joined to the
+    * previous stage's (user, entry-ts) frame — stage frames are USER-sized
+    * (≪ the event log), shrink monotonically, and join on the same user
+    * key; the event scan is pruned per stage by the pushed event_type
+    * predicate. At 100 TB the log is scanned per stage but never
+    * shuffled wider than one row per qualifying user. */
+  private val aggFunnel: Q = (s, d) => {
+    val e = events(s, d)
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val spark = s
+    import spark.implicits._
+    // literal stage table left-joined so a dry stage still reports 0
+    val labelled = Seq((1L, "signup"), (2L, "click"), (3L, "purchase"))
+      .toDF("stage_idx", "stage")
+    val reach = s1.select(lit(1L).as("stage_idx"), col("user_id"))
+      .unionByName(s2.select(lit(2L).as("stage_idx"), col("user_id")))
+      .unionByName(s3.select(lit(3L).as("stage_idx"), col("user_id")))
+      .groupBy(col("stage_idx")).agg(count(lit(1)).as("n_users"))
+    val agg = labelled.join(reach, Seq("stage_idx"), "left")
+      .withColumn("n_users", coalesce(col("n_users"), lit(0L)))
+    val top = broadcast(agg.filter(col("stage_idx") === 1)
+      .select(col("n_users").as("__top")))
+    agg.crossJoin(top)
+      .select(col("stage_idx"), col("stage"), col("n_users"),
+        expr("n_users * 1000 div greatest(__top, 1L)").as("conv_permille"))
+      .orderBy("stage_idx")
+  }
+
   // -- aggregations ---------------------------------------------------------
 
   /** js:155, 254, 267–269 — per-op-type counters. */
@@ -293,6 +335,7 @@ object CdcQueries {
     "agg_lastwrite_wins" -> aggLastwriteWins,
     "sink_upsert" -> sinkUpsert,
     "sink_partitioned" -> sinkPartitioned,
+    "agg_funnel" -> aggFunnel,
     "agg_op_counts" -> aggOpCounts,
     "agg_distinct_ids" -> aggDistinctIds,
     "agg_approx_distinct" -> aggApproxDistinct,
@@ -371,6 +414,28 @@ object CdcQueries {
          |           SELECT * FROM base b WHERE NOT EXISTS (SELECT 1 FROM batch x WHERE x.user_id = b.user_id))
          |SELECT user_id, ${TS("ts")} AS last_ts, event_type AS last_event, round(value, 4) AS last_value
          |FROM merged ORDER BY user_id""".stripMargin,
+
+    // each stage strictly after the user's previous-stage entry
+    "agg_funnel" ->
+      s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+         |            WHERE event_type = 'signup' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+         |       WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+         |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1),
+         |agg AS (
+         |  SELECT st.stage_idx, st.stage, coalesce(r.n_users, CAST(0 AS BIGINT)) AS n_users
+         |  FROM (VALUES (CAST(1 AS BIGINT), 'signup'), (CAST(2 AS BIGINT), 'click'),
+         |               (CAST(3 AS BIGINT), 'purchase')) st(stage_idx, stage)
+         |  LEFT JOIN (
+         |    SELECT 1 AS stage_idx, CAST(count(*) AS BIGINT) AS n_users FROM s1
+         |    UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM s2
+         |    UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM s3) r
+         |    ON st.stage_idx = r.stage_idx),
+         |top AS (SELECT n_users AS t FROM agg WHERE stage_idx = 1)
+         |SELECT stage_idx, stage, n_users,
+         |       CAST(n_users * 1000 // greatest(t, 1) AS BIGINT) AS conv_permille
+         |FROM agg, top ORDER BY stage_idx""".stripMargin,
 
     // the flat table filtered to the same day — layout must not change values
     "sink_partitioned" ->
