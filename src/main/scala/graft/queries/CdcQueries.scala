@@ -170,6 +170,36 @@ object CdcQueries {
       .orderBy("stage_idx")
   }
 
+  /** Weekly retention cohorts — the other classic event-log rollup: users
+    * cohorted by their first-signup epoch-week, with per-(cohort, weeks
+    * since signup) active-user counts and retention permille vs the
+    * cohort's week 0. Weeks are INTEGER epoch-week numbers
+    * (`epoch_sec div 604800`) rather than calendar `date_trunc('week')` —
+    * engine-exact by construction, immune to week-start conventions.
+    *
+    * Shape: the anchor frame is one user-keyed min-ts aggregate; activity
+    * distinct-collapses to (user, cohort, week) before counting, so the
+    * count exchange carries at most users × active-weeks rows; week-0
+    * denominators ride back as a broadcast. */
+  private val aggRetention: Q = (s, d) => {
+    val e = events(s, d)
+    val first = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val act = e.join(first, "user_id").filter(col("ts") >= col("t0"))
+      .select(col("user_id"),
+        expr("unix_timestamp(t0) div 604800").as("cohort_week"),
+        expr("(unix_timestamp(ts) - unix_timestamp(t0)) div 604800").as("week_n"))
+      .distinct()
+    val cnt = act.groupBy(col("cohort_week"), col("week_n"))
+      .agg(count(lit(1)).as("n_users"))
+    val w0 = broadcast(cnt.filter(col("week_n") === 0)
+      .select(col("cohort_week"), col("n_users").as("__w0")))
+    cnt.join(w0, "cohort_week")
+      .select(col("cohort_week"), col("week_n"), col("n_users"),
+        expr("n_users * 1000 div greatest(__w0, 1L)").as("retention_permille"))
+      .orderBy("cohort_week", "week_n")
+  }
+
   // -- aggregations ---------------------------------------------------------
 
   /** js:155, 254, 267–269 — per-op-type counters. */
@@ -336,6 +366,7 @@ object CdcQueries {
     "sink_upsert" -> sinkUpsert,
     "sink_partitioned" -> sinkPartitioned,
     "agg_funnel" -> aggFunnel,
+    "agg_retention" -> aggRetention,
     "agg_op_counts" -> aggOpCounts,
     "agg_distinct_ids" -> aggDistinctIds,
     "agg_approx_distinct" -> aggApproxDistinct,
@@ -414,6 +445,26 @@ object CdcQueries {
          |           SELECT * FROM base b WHERE NOT EXISTS (SELECT 1 FROM batch x WHERE x.user_id = b.user_id))
          |SELECT user_id, ${TS("ts")} AS last_ts, event_type AS last_event, round(value, 4) AS last_value
          |FROM merged ORDER BY user_id""".stripMargin,
+
+    // integer epoch-weeks (div 604800) on both sides; floor(epoch()) is the
+    // second truncation unix_timestamp performs
+    "agg_retention" ->
+      s"""WITH first AS (SELECT user_id, min(ts) AS t0 FROM events
+         |               WHERE event_type = 'signup' GROUP BY 1),
+         |act AS (SELECT DISTINCT e.user_id,
+         |          CAST(floor(epoch(t0)) AS BIGINT) // 604800 AS cohort_week,
+         |          (CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(t0)) AS BIGINT))
+         |            // 604800 AS week_n
+         |        FROM events e JOIN first USING (user_id)
+         |        WHERE ts >= t0),
+         |cnt AS (SELECT cohort_week, week_n, CAST(count(*) AS BIGINT) AS n_users
+         |        FROM act GROUP BY 1, 2),
+         |w0 AS (SELECT cohort_week, n_users AS w0_users FROM cnt WHERE week_n = 0)
+         |SELECT c.cohort_week, week_n, n_users,
+         |       CAST(n_users * 1000 // greatest(w0_users, 1) AS BIGINT)
+         |         AS retention_permille
+         |FROM cnt c JOIN w0 USING (cohort_week)
+         |ORDER BY cohort_week, week_n""".stripMargin,
 
     // each stage strictly after the user's previous-stage entry
     "agg_funnel" ->
