@@ -30,6 +30,13 @@ class PlanSpec extends SparkSpec {
       s"delete filter not pushed:\n${p.take(1500)}")
   }
 
+  test("funnel stages push their event-type predicates to the scan") {
+    val p = plan("agg_funnel")
+    for (t <- Seq("signup", "click", "purchase"))
+      assert(p.contains(s"EqualTo(event_type,$t)"),
+        s"stage filter $t not pushed:\n${p.take(1500)}")
+  }
+
   test("partitioned read-back prunes by directory, not by data filter") {
     val p = plan("sink_partitioned")
     assert(p.contains("PartitionFilters") && """PartitionFilters: \[[^\]]*day""".r
