@@ -170,6 +170,40 @@ object CdcQueries {
       .orderBy("stage_idx")
   }
 
+  /** Conversion-lag profile — the funnel's timing companion: over users who
+    * complete the full signup → click → purchase chain, the exact p50/p90
+    * seconds from signup to purchase plus the integer mean. Quantiles are
+    * type-1 with INTEGER rank arithmetic (`(p‰·n + 999) div 1000` — the
+    * token-quantiles pattern), so both engines pick the same element.
+    *
+    * Shape: the converter frame is user-sized (one row per completer);
+    * the ranking window is global over that small frame, never the log. */
+  private val aggConversionLag: Q = (s, d) => {
+    val e = events(s, d)
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("t1")).as("t1"), min(col("ts")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("t1")).as("t1"), min(col("ts")).as("t3"))
+    val lag = s3.select(
+      (expr("unix_timestamp(t3)") - expr("unix_timestamp(t1)")).as("lag_sec"))
+    val n = broadcast(lag.agg(count(lit(1)).as("__n"), sum(col("lag_sec")).as("__sum")))
+    lag.crossJoin(n)
+      .withColumn("rn", row_number().over(Window.orderBy(col("lag_sec"))))
+      .filter(col("rn") === expr("(500 * __n + 999) div 1000") ||
+        col("rn") === expr("(900 * __n + 999) div 1000"))
+      .groupBy(col("__n"), col("__sum"))
+      .agg(min(when(col("rn") === expr("(500 * __n + 999) div 1000"), col("lag_sec")))
+          .as("p50_sec"),
+        max(when(col("rn") === expr("(900 * __n + 999) div 1000"), col("lag_sec")))
+          .as("p90_sec"))
+      .select(col("__n").as("n_converters"), col("p50_sec"), col("p90_sec"),
+        expr("__sum div greatest(__n, 1L)").as("mean_sec"))
+  }
+
   /** Weekly retention cohorts — the other classic event-log rollup: users
     * cohorted by their first-signup epoch-week, with per-(cohort, weeks
     * since signup) active-user counts and retention permille vs the
@@ -367,6 +401,7 @@ object CdcQueries {
     "sink_partitioned" -> sinkPartitioned,
     "agg_funnel" -> aggFunnel,
     "agg_retention" -> aggRetention,
+    "agg_conversion_lag" -> aggConversionLag,
     "agg_op_counts" -> aggOpCounts,
     "agg_distinct_ids" -> aggDistinctIds,
     "agg_approx_distinct" -> aggApproxDistinct,
@@ -445,6 +480,32 @@ object CdcQueries {
          |           SELECT * FROM base b WHERE NOT EXISTS (SELECT 1 FROM batch x WHERE x.user_id = b.user_id))
          |SELECT user_id, ${TS("ts")} AS last_ts, event_type AS last_event, round(value, 4) AS last_value
          |FROM merged ORDER BY user_id""".stripMargin,
+
+    // type-1 rank quantiles with integer rank arithmetic over the
+    // user-sized converter frame; p50 and p90 picked in one pass
+    "agg_conversion_lag" ->
+      s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+         |            WHERE event_type = 'signup' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(t1) AS t1, min(ts) AS t2
+         |       FROM events e JOIN s1 USING (user_id)
+         |       WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(t1) AS t1, min(ts) AS t3
+         |       FROM events e JOIN s2 USING (user_id)
+         |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1),
+         |lag AS (SELECT CAST(floor(epoch(t3)) AS BIGINT)
+         |               - CAST(floor(epoch(t1)) AS BIGINT) AS lag_sec FROM s3),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |               CAST(sum(lag_sec) AS BIGINT) AS sm FROM lag),
+         |r AS (SELECT lag_sec, row_number() OVER (ORDER BY lag_sec) AS rn FROM lag)
+         |SELECT n AS n_converters,
+         |       CAST(min(CASE WHEN rn = (500 * n + 999) // 1000 THEN lag_sec END)
+         |            AS BIGINT) AS p50_sec,
+         |       CAST(max(CASE WHEN rn = (900 * n + 999) // 1000 THEN lag_sec END)
+         |            AS BIGINT) AS p90_sec,
+         |       CAST(sm // greatest(n, 1) AS BIGINT) AS mean_sec
+         |FROM r, tot
+         |WHERE rn = (500 * n + 999) // 1000 OR rn = (900 * n + 999) // 1000
+         |GROUP BY n, sm""".stripMargin,
 
     // integer epoch-weeks (div 604800) on both sides; floor(epoch()) is the
     // second truncation unix_timestamp performs
