@@ -26,7 +26,7 @@ object Tables {
     * session's conf from a table loader are surprising side effects; a
     * caller who deliberately unset the flag keeps the PARQUET_TYPE_ILLEGAL
     * error instead of having it silently re-enabled mid-query. */
-  private def ensureNanosAsLong(spark: SparkSession): Unit = {
+  private[graft] def ensureNanosAsLong(spark: SparkSession): Unit = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
   }

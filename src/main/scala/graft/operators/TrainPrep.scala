@@ -129,13 +129,6 @@ object TrainPrep {
       .filter(col("bucket").cast("double") < weight * 1000.0)
   }
 
-  /** Deterministic train/val/test holdout assignment: `test` below
-    * `testPermille`, `val` in the next `valPermille`, `train` above — a
-    * pure per-row expression over [[splitBucket]], ZERO shuffles, stable
-    * across reruns/engines, and independent of the sampling decision (its
-    * own multiplier). The split is a function of the id alone, so a doc
-    * keeps its split when the corpus grows — the property that prevents
-    * silent eval-set contamination across corpus versions. */
   /** The split label as a pure column of the id — the
     * joinable-without-a-join form of [[splitAssign]]: an audit that needs
     * labels on PAIR rows (e.g. the leakage query) recomputes the hash on
@@ -145,6 +138,13 @@ object TrainPrep {
       .when(splitBucket(id) < testPermille + valPermille, "val")
       .otherwise("train")
 
+  /** Deterministic train/val/test holdout assignment: `test` below
+    * `testPermille`, `val` in the next `valPermille`, `train` above — a
+    * pure per-row expression over [[splitBucket]], ZERO shuffles, stable
+    * across reruns/engines, and independent of the sampling decision (its
+    * own multiplier). The split is a function of the id alone, so a doc
+    * keeps its split when the corpus grows — the property that prevents
+    * silent eval-set contamination across corpus versions. */
   def splitAssign(docs: DataFrame, idCol: String,
                   testPermille: Int, valPermille: Int): DataFrame = {
     require(testPermille >= 0 && valPermille >= 0 &&

@@ -30,14 +30,36 @@ import graft.operators.CdcOps
 object CdcPipeline {
 
   /** `events.parquet` schema for streaming reads (readStream demands an
-    * explicit schema). Matches the current fixture generation (native
-    * TIMESTAMP(MICROS) `ts`); [[transform]] normalizes adaptively, so a
-    * NANOS-generation fixture read as long still flows through unchanged —
-    * see [[graft.Tables.normalizeTs]]. */
+    * explicit schema) — the MICROS-generation default, used only when the
+    * source dir can't be probed (e.g. empty at start). [[start]] derives
+    * the schema from the OBSERVED files instead: an explicit TimestampType
+    * on a TIMESTAMP(NANOS) parquet fails at scan time
+    * (PARQUET_TYPE_ILLEGAL), so pinning this schema would break every
+    * streaming path on a NANOS-generation fixture even though
+    * [[transform]] normalizes either encoding once it's readable. */
   val eventsFileSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** The streaming-read schema as the fixture actually encodes it: batch-
+    * probe the source dir's footers (with the nanos-as-long flag armed, so
+    * a NANOS generation arrives as INT64 for [[graft.Tables.normalizeTs]]
+    * rather than failing the scan). A TIMESTAMP(isAdjustedToUTC=false)
+    * fixture infers as TIMESTAMP_NTZ, which watermarks reject
+    * (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — coerce to TimestampType in
+    * the schema, which the parquet reader accepts on either flavor (the
+    * session is pinned UTC, so the instant is identical). Falls back to
+    * [[eventsFileSchema]] when nothing is there to probe yet. */
+  def observedEventsSchema(spark: SparkSession, sourceDir: String): StructType =
+    try {
+      graft.Tables.ensureNanosAsLong(spark)
+      StructType(spark.read.parquet(sourceDir).schema.map {
+        case f if f.name == "ts" && f.dataType == TimestampNTZType =>
+          f.copy(dataType = TimestampType)
+        case f => f
+      })
+    } catch { case NonFatal(_) => eventsFileSchema }
 
   /** The shared batch/stream transformation: ts normalization, op-type
     * mapping, delete filtering, write-op projection (js:157–186). Applying
@@ -96,7 +118,8 @@ object CdcPipeline {
     * `false` runs continuously with the reference's 5 s cadence (js:349). */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
             checkpointDir: String, availableNow: Boolean = true): StreamingQuery = {
-    val raw = spark.readStream.schema(eventsFileSchema).parquet(sourceDir)
+    val raw = spark.readStream
+      .schema(observedEventsSchema(spark, sourceDir)).parquet(sourceDir)
     val trigger =
       if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
     transform(raw)

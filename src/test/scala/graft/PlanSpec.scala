@@ -31,10 +31,31 @@ class PlanSpec extends SparkSpec {
   }
 
   test("funnel stages push their event-type predicates to the scan") {
-    val p = plan("agg_funnel")
+    // pinned on the stage-frame BUILDER: the queries read the session-
+    // persisted copy (InMemoryTableScan), whose cached plan is this one
+    val p = graft.queries.CdcQueries.buildFunnelStages(spark, d)
+      .queryExecution.executedPlan.toString
     for (t <- Seq("signup", "click", "purchase"))
       assert(p.contains(s"EqualTo(event_type,$t)"),
         s"stage filter $t not pushed:\n${p.take(1500)}")
+  }
+
+  test("funnel, conversion-lag and retention read ONE session-persisted stage frame") {
+    graft.queries.CdcQueries.funnelStages(spark, d) // arm the shared persist
+    for (q <- Seq("agg_funnel", "agg_conversion_lag", "agg_retention"))
+      assert(plan(q).contains("InMemoryTableScan"),
+        s"$q must read the shared persisted stage frame, not recompute it")
+  }
+
+  test("conversion-lag quantiles rank the (lag_sec, n) domain histogram, not the converter frame") {
+    val p = plan("agg_conversion_lag")
+    assert(!p.contains("row_number"),
+      s"global row_number ranking is the 100 TB scale-killer:\n${p.take(2000)}")
+    val i = p.indexOf("Window")
+    assert(i >= 0, s"expected the cumulative-sum window:\n${p.take(2000)}")
+    assert(p.substring(i).contains("keys=[lag_sec"),
+      "the global window must sort the domain histogram (aggregate on lag_sec " +
+        s"below it), never the raw converter frame:\n${p.take(2000)}")
   }
 
   test("partitioned read-back prunes by directory, not by data filter") {

@@ -34,8 +34,7 @@ class StreamingSpec extends SparkSpec {
     // wave's part-files land flat in `src` under a unique prefix
     def arrive(wave: String, pred: org.apache.spark.sql.Column): Unit = {
       val staging = tmp(s"cdc-stage-$wave")
-      spark.read.schema(CdcPipeline.eventsFileSchema)
-        .parquet(s"$sf/events.parquet")
+      Tables.events(spark, sf)
         .filter(pred)
         .coalesce(1)
         .write.mode("overwrite").parquet(staging.toString)
@@ -82,7 +81,7 @@ class StreamingSpec extends SparkSpec {
 
     // stage the full events file as one stream input
     val staging = tmp("agg-stage")
-    spark.read.schema(CdcPipeline.eventsFileSchema).parquet(s"$sf/events.parquet")
+    Tables.events(spark, sf)
       .coalesce(1).write.mode("overwrite").parquet(staging.toString)
     staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
       .foreach(f => Files.move(f.toPath, src.resolve(f.getName)))
@@ -102,7 +101,7 @@ class StreamingSpec extends SparkSpec {
       .select(col("day").cast("string"), col("op_type"), col("n"))
       .as[(String, String, Long)].collect().toSet
     val batch = CdcPipeline.windowedOpCounts(
-      spark.read.schema(CdcPipeline.eventsFileSchema).parquet(s"$sf/events.parquet"))
+      Tables.events(spark, sf))
       .select(col("day").cast("string"), col("op_type"), col("n"))
       .as[(String, String, Long)].collect().toMap2()
 
@@ -135,7 +134,7 @@ class StreamingSpec extends SparkSpec {
     val src = tmp("lag-src")
     val ckp = tmp("lag-ckp").toString
     val staging = tmp("lag-stage")
-    spark.read.schema(CdcPipeline.eventsFileSchema).parquet(s"$sf/events.parquet")
+    Tables.events(spark, sf)
       .coalesce(1).write.mode("overwrite").parquet(staging.toString)
     staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
       .foreach(f => Files.move(f.toPath, src.resolve(f.getName)))
@@ -185,7 +184,7 @@ class StreamingSpec extends SparkSpec {
 
     def arrive(wave: String, pred: org.apache.spark.sql.Column): Unit = {
       val staging = tmp(s"cont-stage-$wave")
-      spark.read.schema(CdcPipeline.eventsFileSchema).parquet(s"$sf/events.parquet")
+      Tables.events(spark, sf)
         .filter(pred).coalesce(1).write.mode("overwrite").parquet(staging.toString)
       staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
         .zipWithIndex.foreach { case (f, i) =>
@@ -236,7 +235,7 @@ class StreamingSpec extends SparkSpec {
         // "operator fixes the source" between retries: dir appears with data
         Files.createDirectories(src)
         val staging = tmp("sup-stage")
-        spark.read.schema(CdcPipeline.eventsFileSchema).parquet(s"$sf/events.parquet")
+        Tables.events(spark, sf)
           .coalesce(1).write.mode("overwrite").parquet(staging.toString)
         staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
           .foreach(f => Files.move(f.toPath, src.resolve(f.getName)))
