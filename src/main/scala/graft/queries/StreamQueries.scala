@@ -117,6 +117,22 @@ object StreamQueries {
     Decontam.mergeVerdicts(twice.limit(0), twice).orderBy("doc_id")
   }
 
+  /** The incremental funnel run in BATCH mode over a DOUBLED delivery
+    * (at-least-once): per-user first-event state is an element-wise min, so
+    * the doubled log collapses through the keyed min-merge to the clean
+    * single-run state, and the report over it is the oracle's direct
+    * computation. First-event chain semantics by design — see
+    * [[graft.streaming.FunnelStream]] for why the strict chain is not
+    * incrementally computable with bounded state. The live path (file
+    * stream, checkpointed restart, redelivery) is in StreamingSpec. */
+  private val streamFunnel: Q = (s, d) => {
+    import graft.streaming.FunnelStream
+    val raw = Tables.eventsRaw(s, d)
+    val once = FunnelStream.userState(CdcPipeline.transform(raw))
+    val twice = once.unionByName(once) // two deliveries
+    FunnelStream.report(FunnelStream.mergeStates(twice.limit(0), twice))
+  }
+
   /** Drift alarm threshold shared by the query entry and StreamingSpec —
     * 100‰ ≈ "a source's quality-pass rate moved 10 points vs baseline". */
   final val DriftPermille = 100
@@ -175,6 +191,7 @@ object StreamQueries {
     "stream_sessionize" -> streamSessionize,
     "stream_window_counts" -> streamWindowCounts,
     "stream_dedup" -> streamDedup,
+    "stream_funnel" -> streamFunnel,
     "stream_corpus_ingest" -> streamCorpusIngest,
     "stream_decontam" -> streamDecontam,
     "stream_quality_drift" -> streamQualityDrift,
@@ -222,6 +239,30 @@ object StreamQueries {
          |       count(*) AS n
          |FROM events WHERE event_type IS DISTINCT FROM 'error'
          |GROUP BY 1, 2 ORDER BY day, op_type""".stripMargin,
+
+    // first-event chain over per-user min timestamps per stage type; the
+    // doubled delivery collapses through the min-merge, so the oracle is
+    // the clean single-run computation (deletes dropped by the shared
+    // transform — irrelevant here, 'error' is not a stage type)
+    "stream_funnel" ->
+      """WITH m AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+        |         min(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+        |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+        |  FROM events
+        |  WHERE event_type IN ('signup', 'click', 'purchase')
+        |  GROUP BY 1),
+        |r AS (SELECT CAST(count(t1) AS BIGINT) AS n1,
+        |             CAST(count(CASE WHEN tc > t1 THEN 1 END) AS BIGINT) AS n2,
+        |             CAST(count(CASE WHEN tc > t1 AND tp > tc THEN 1 END) AS BIGINT) AS n3
+        |      FROM m),
+        |s AS (SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage, n1 AS n_users, n1 FROM r
+        |      UNION ALL SELECT 2, 'click', n2, n1 FROM r
+        |      UNION ALL SELECT 3, 'purchase', n3, n1 FROM r)
+        |SELECT stage_idx, stage, n_users,
+        |       CAST(n_users * 1000 // greatest(n1, 1) AS BIGINT) AS conv_permille
+        |FROM s ORDER BY stage_idx""".stripMargin,
 
     // duplicate rows are byte-identical, so DISTINCT over the doubled log
     // is exactly the per-id dedup

@@ -406,6 +406,47 @@ class StreamingSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("incremental funnel: checkpointed restart + redelivery converge to the batch report") {
+    import graft.streaming.FunnelStream
+    val sf = "/root/testdata/sf0.001"
+    val src = tmp("fun-src")
+    val tgt = tmp("fun-tgt").resolve("state").toString
+    val ckp = tmp("fun-ckp").toString
+
+    val cut = Tables.tsLit("2024-01-15 00:00:00")
+    def arrive(wave: String, pred: org.apache.spark.sql.Column): Unit = {
+      val staging = tmp(s"fun-stage-$wave")
+      Tables.events(spark, sf).filter(pred)
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.move(f.toPath, src.resolve(s"$wave-$i.parquet"))
+        }
+    }
+
+    // wave 1, then wave 2 after a restart from the checkpoint — per-user
+    // chains spanning the cut must merge across the restart
+    arrive("wave1", col("ts") < cut)
+    FunnelStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    arrive("wave2", col("ts") >= cut)
+    FunnelStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long, Long)] =
+      df.as[(Long, String, Long, Long)].collect().toSeq
+    val expected = rows(FunnelStream.report(
+      FunnelStream.userState(CdcPipeline.transform(Tables.eventsRaw(spark, sf)))))
+    val got = rows(FunnelStream.report(spark.read.parquet(tgt)))
+    assert(expected.head._3 > 0) // the fixture has signups — a real funnel
+    assert(got === expected)
+
+    // wave 2 redelivered as fresh files (at-least-once): min-merge makes
+    // the replay a no-op
+    arrive("wave2again", col("ts") >= cut)
+    FunnelStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    assert(rows(FunnelStream.report(spark.read.parquet(tgt))) === expected)
+  }
+
   test("flatMapGroupsWithState sessionization: state survives restart; gap rules match batch") {
     import graft.streaming.Sessionize
     import Sessionize.OpenSession
