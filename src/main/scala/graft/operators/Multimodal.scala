@@ -7,29 +7,68 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing (SURVEY §2.8): image/audio/video payloads are
   * opaque `binary` columns with typed metadata travelling alongside. The
   * Spark-side machinery — schema, batch shape, partition-parallel decode,
-  * typed aggregation — is real; the codec itself is STUBBED with a
-  * deterministic fake (this container ships no image/audio libraries), so
-  * every test asserts on reproducible values. Swap [[fakeDecode]] for a real
-  * decoder (JNI/FFM) without touching anything else.
+  * typed aggregation — is real. The IMAGE codec is real too: payloads whose
+  * magic bytes an installed `javax.imageio` reader recognizes (PNG, BMP,
+  * JPEG, GIF, … — ships with the JDK, zero new dependencies) decode their
+  * true width/height/frame-count from the container header. Audio/video
+  * payloads — and the text-bytes fixture — have no in-JVM codec and fall
+  * back to [[fakeDecode]], a deterministic pseudo-metadata stub, so every
+  * fixture-driven test asserts on reproducible values. Swap the fallback
+  * for a real A/V decoder (JNI/FFM) without touching anything else.
   */
 object Multimodal {
 
-  /** Typed media metadata extracted by the (stubbed) decoder. */
+  /** Typed media metadata extracted by the decoder. */
   final case class MediaMeta(docId: Long, nBytes: Long, width: Int, height: Int, nFrames: Int)
 
-  /** STUB decoder: deterministic pseudo-metadata derived from the payload
-    * length. A real implementation parses the container header here. */
+  /** STUB fallback decoder: deterministic pseudo-metadata derived from the
+    * payload length, for payload types with no in-JVM codec (audio/video,
+    * and the fixture's text bytes). */
   def fakeDecode(docId: Long, payload: Array[Byte]): MediaMeta = {
     val n = payload.length.toLong
     MediaMeta(docId, n, width = (16 + n % 64).toInt, height = (16 + (n * 7) % 64).toInt,
       nFrames = (1 + n / 100).toInt)
   }
 
-  /** Attach an opaque binary `media` column (here: the utf-8 text bytes —
-    * the fixture has no real media; the column type and row shape are what
-    * matters downstream). */
+  /** REAL image decode via `javax.imageio`: sniff the payload's magic bytes
+    * for an installed reader and, if one claims it, read width/height (and
+    * frame count for multi-image containers like GIF) from the HEADER —
+    * `ImageReader.getWidth(0)` never decodes the raster, so this stays a
+    * cheap per-row metadata probe, not a full pixel decode. Returns None
+    * for anything no reader recognizes (then: [[fakeDecode]]). */
+  def imageDecode(docId: Long, payload: Array[Byte]): Option[MediaMeta] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    if (iis == null) return None // no cache SPI available in this JVM
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, /*seekForwardOnly=*/ false, /*ignoreMetadata=*/ true)
+          // allowSearch: bounded by the payload (already in memory)
+          val n = try math.max(r.getNumImages(true), 1)
+                  catch { case _: Exception => 1 }
+          Some(MediaMeta(docId, payload.length.toLong, r.getWidth(0), r.getHeight(0), n))
+        } finally r.dispose()
+      } // scan-time corruption (truncated header) falls through to the stub
+    } catch { case _: java.io.IOException => None }
+    finally if (iis != null) iis.close()
+  }
+
+  /** The decode slot: real image metadata when a JDK reader recognizes the
+    * payload, deterministic stub otherwise. */
+  def decode(docId: Long, payload: Array[Byte]): MediaMeta =
+    imageDecode(docId, payload).getOrElse(fakeDecode(docId, payload))
+
+  /** Attach an opaque binary `media` column when the frame doesn't already
+    * carry one (the fixture has no real media, so its utf-8 text bytes
+    * stand in; a frame that brings real payload bytes keeps them — the
+    * column type and row shape are what matters downstream). */
   def withMediaColumn(docs: DataFrame): DataFrame =
-    docs.withColumn("media", col("text").cast("binary"))
+    if (docs.columns.contains("media")) docs
+    else docs.withColumn("media", col("text").cast("binary"))
 
   /** Partition-parallel decode: mapPartitions over (docId, payload) so a
     * real codec amortizes per-batch setup (model load, JNI handles) across
@@ -39,8 +78,9 @@ object Multimodal {
     withMediaColumn(docs)
       .select(col("doc_id"), col("media"))
       .mapPartitions { rows: Iterator[Row] =>
-        // a real codec opens its decoder handle ONCE here, per partition
-        rows.map(row => fakeDecode(row.getLong(0), row.getAs[Array[Byte]](1)))
+        // a heavier codec would open its decoder handle ONCE here, per
+        // partition; ImageIO's per-row header sniff needs no shared handle
+        rows.map(row => decode(row.getLong(0), row.getAs[Array[Byte]](1)))
       }
   }
 

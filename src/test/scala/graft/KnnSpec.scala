@@ -280,6 +280,42 @@ class KnnSpec extends SparkSpec {
     assert(m === Multimodal.MediaMeta(1L, 4L, 16 + 4 % 64, 16 + (4 * 7) % 64, 1))
   }
 
+  /** Encode a w×h image to `fmt` bytes with the JDK's own writer. */
+  private def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff8800) // non-uniform content, not that it matters
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no JDK writer for $fmt")
+    out.toByteArray
+  }
+
+  test("image payloads decode their REAL dimensions via javax.imageio; others fall back to the stub") {
+    // real container headers, three formats, deliberately non-square
+    assert(Multimodal.decode(1L, imageBytes(7, 5, "png"))
+      .copy(nBytes = 0) === Multimodal.MediaMeta(1L, 0, 7, 5, 1))
+    assert(Multimodal.decode(2L, imageBytes(33, 9, "bmp"))
+      .copy(nBytes = 0) === Multimodal.MediaMeta(2L, 0, 33, 9, 1))
+    assert(Multimodal.decode(3L, imageBytes(4, 11, "gif"))
+      .copy(nBytes = 0) === Multimodal.MediaMeta(3L, 0, 4, 11, 1))
+    // nBytes is still the payload's true size
+    val png = imageBytes(7, 5, "png")
+    assert(Multimodal.decode(1L, png).nBytes === png.length.toLong)
+    // non-image bytes: the deterministic stub, unchanged
+    val txt = "abcd".getBytes("UTF-8")
+    assert(Multimodal.decode(9L, txt) === Multimodal.fakeDecode(9L, txt))
+    // a truncated header must not throw — stub fallback
+    assert(Multimodal.decode(4L, png.take(9)) === Multimodal.fakeDecode(4L, png.take(9)))
+  }
+
+  test("decodeMeta decodes a real media column end-to-end (frame brings its own bytes)") {
+    val rows = Seq((1L, imageBytes(20, 30, "png")), (2L, "not an image".getBytes("UTF-8")))
+    val docs = rows.toDF("doc_id", "media")
+    val metas = Multimodal.decodeMeta(docs)(spark).collect().sortBy(_.docId)
+    assert(metas(0).width === 20 && metas(0).height === 30 && metas(0).nFrames === 1)
+    assert(metas(1) === Multimodal.fakeDecode(2L, rows(1)._2))
+  }
+
   test("frameSample explodes every stride-th frame index per doc") {
     val docs = Seq((2L, "x" * 450)).toDF("doc_id", "text") // 450 bytes → 5 frames
     val rows = Multimodal.frameSample(docs, stride = 3)
@@ -317,6 +353,41 @@ class KnnSpec extends SparkSpec {
     // 0.06. IVF is the stronger path on such corpora; this floor guards
     // the banded form against regressing back to bucket-starved recall.
     assert(lshRecall >= 0.5, s"sf0.1 lsh recall $lshRecall below floor (0.60 when pinned)")
+    // pq / ivfpq — quantized scoring drops recall on weak-similarity
+    // corpora; the floors pin the re-ranked paths at bench scale too
+    val pq = SparkEntry.queries("ext_sim_knn_pq")(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pqRecall = (pq & brute).size.toDouble / brute.size
+    info(s"sf0.1 pq recall = $pqRecall")
+    assert(pqRecall >= 0.5, s"sf0.1 pq recall $pqRecall below floor")
+    val ivfpq = SparkEntry.queries("ext_sim_knn_ivfpq")(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfpqRecall = (ivfpq & brute).size.toDouble / brute.size
+    info(s"sf0.1 ivfpq recall = $ivfpqRecall")
+    assert(ivfpqRecall >= 0.4, s"sf0.1 ivfpq recall $ivfpqRecall below floor")
+  }
+
+  test("semanticDedup groups a PLANTED duplicate set at bench scale (sf0.1)") {
+    // colinear copies of a real sf0.1 vector, ids beyond the corpus: they
+    // must land in the original's group (transitive colinear merge), with
+    // the original's min-id representative and kept=false for every copy
+    val dir = "/root/testdata/sf0.1"
+    import org.apache.spark.sql.functions.{lit, transform}
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val seed = emb.filter($"vec_id" === 0L)
+    val planted = Seq(1000001L, 1000002L, 1000003L).map { id =>
+      seed.select(lit(id).as("vec_id"),
+        transform($"embedding", x => x * 2.0f).as("embedding"))
+    }.reduce(_ unionByName _)
+    val r = Knn.semanticDedup(emb.unionByName(planted), "vec_id", "embedding",
+      threshold = 0.95, nCells = 8, iters = 2)
+      .select("vec_id", "rep_id", "kept").as[(Long, Long, Boolean)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val repOf0 = r(0L)._1
+    for (id <- Seq(1000001L, 1000002L, 1000003L)) {
+      assert(r(id)._1 === repOf0, s"planted $id split from its duplicate group")
+      assert(!r(id)._2, s"planted $id kept despite a lower-id duplicate")
+    }
   }
 
   test("the registered ext_sim_knn_ivf entry holds the recall floor vs exact knn") {

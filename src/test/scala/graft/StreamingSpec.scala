@@ -406,6 +406,49 @@ class StreamingSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("MongoDB connector wiring: option map encodes the reference's watch call") {
+    import graft.streaming.MongoSource
+    val base = MongoSource.MongoCdc("mongodb://auth-host/", "appdb", "users")
+
+    // default start: latest (the watch default when no token/time, js:246)
+    val o = MongoSource.options(base)
+    assert(o("spark.mongodb.read.connection.uri") === "mongodb://auth-host/")
+    assert(o("spark.mongodb.read.database") === "appdb")
+    assert(o("spark.mongodb.read.collection") === "users")
+    assert(o("spark.mongodb.read.change.stream.startup.mode") === "latest")
+    // the server-side insert+update $match (js:221–223)
+    assert(o("spark.mongodb.read.aggregation.pipeline").contains("\"insert\"") &&
+      o("spark.mongodb.read.aggregation.pipeline").contains("\"update\"") &&
+      o("spark.mongodb.read.aggregation.pipeline").contains("operationType"))
+    // fullDocument: updateLookup (js:236)
+    assert(o("spark.mongodb.read.change.stream.lookup.full.document") === "updateLookup")
+
+    // startAtOperationTime (js:243–244) → timestamp startup mode, ISO-8601
+    val t = MongoSource.options(base.copy(startAtEpochSec = Some(1706745600L)))
+    assert(t("spark.mongodb.read.change.stream.startup.mode") === "timestamp")
+    assert(t("spark.mongodb.read.change.stream.startup.mode.timestamp.start.at.operation.time")
+      === "2024-02-01T00:00:00Z")
+
+    // resume tokens live in the checkpoint (js:241–242 → offset log)
+    assert(MongoSource.resumeFrom("/ckpt/run1", None) === "/ckpt/run1")
+    intercept[IllegalArgumentException] {
+      MongoSource.resumeFrom("/ckpt/run1", Some("82646E..."))
+    }
+
+    // the configured reader builds without the connector jar (load() is
+    // the only call that needs it)
+    MongoSource.reader(spark, base)
+
+    // envelope → canonical event shape (js:160–176)
+    import spark.implicits._
+    val env = Seq(("insert", java.sql.Timestamp.valueOf("2024-01-01 00:00:01"),
+      """{"_id": "u7"}""", """{"_id": "u7", "v": 1}"""))
+      .toDF("operationType", "clusterTime", "documentKey", "fullDocument")
+    val row = MongoSource.fromChangeStream(env)
+      .select("op_type", "doc_key", "doc").as[(String, String, String)].collect().head
+    assert(row === (("insert", "u7", """{"_id": "u7", "v": 1}""")))
+  }
+
   test("incremental funnel: checkpointed restart + redelivery converge to the batch report") {
     import graft.streaming.FunnelStream
     val sf = "/root/testdata/sf0.001"
