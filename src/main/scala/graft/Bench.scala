@@ -36,7 +36,10 @@ import org.apache.spark.sql.SparkSession
   * contaminated artifact self-identifies per query; read the regressed
   * list against the load bracket — under heavy load it may cry wolf,
   * never the reverse. `"load_comparable"` (load_max < 5) applies that bar
-  * in the artifact itself.
+  * in the artifact itself; a run whose bracket exceeds it retries ONCE
+  * and, if still contaminated, stamps `"status":"INVALID_LOAD"` (plus a
+  * loud stderr line) so a noisy artifact can never silently become the
+  * round's record.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -56,9 +59,6 @@ object Bench {
     def loadAvg(): Double =
       try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
       catch { case _: Throwable => -1.0 }
-
-    val loadBefore = loadAvg()
-    var loadMax = loadBefore
 
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -86,15 +86,44 @@ object Bench {
       spark.catalog.clearCache()
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val cold = runOnce(name, fn)                     // caches empty: fills persists
-      val warm = math.min(runOnce(name, fn), runOnce(name, fn))
-      dropCaches()
-      loadMax = math.max(loadMax, loadAvg())
-      (name, cold, warm)
+    // One full measurement pass with its own load bracket. If the bracket
+    // exceeds the comparability bar (load_max ≥ 5: co-tenant drag), retry
+    // ONCE — round 9's official artifact was load-contaminated noise, and
+    // a second attempt minutes later is usually past the burst. The
+    // final artifact carries the cleaner attempt and says loudly when
+    // even that one is contaminated (`"status":"INVALID_LOAD"`) so a
+    // noisy run can never silently become the round's record.
+    final case class Pass(results: Seq[(String, Double, Double)],
+                          loadBefore: Double, loadMax: Double, loadAfter: Double)
+    def measure(): Pass = {
+      val loadBefore = loadAvg()
+      var loadMax = loadBefore
+      val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val cold = runOnce(name, fn)                   // caches empty: fills persists
+        val warm = math.min(runOnce(name, fn), runOnce(name, fn))
+        dropCaches()
+        loadMax = math.max(loadMax, loadAvg())
+        (name, cold, warm)
+      }
+      val loadAfter = loadAvg()
+      Pass(results, loadBefore, math.max(loadMax, loadAfter), loadAfter)
     }
-    val loadAfter = loadAvg()
-    loadMax = math.max(loadMax, loadAfter)
+    val LoadBar = 5.0
+    val first = measure()
+    val pass =
+      if (first.loadMax < LoadBar) first
+      else {
+        System.err.println(
+          f"[bench] load_max ${first.loadMax}%.1f ≥ $LoadBar%.0f — artifact would be " +
+            "non-comparable; retrying once")
+        val second = measure()
+        if (second.loadMax < first.loadMax) second else first
+      }
+    val results = pass.results
+    val (loadBefore, loadMax, loadAfter) = (pass.loadBefore, pass.loadMax, pass.loadAfter)
+    if (loadMax >= LoadBar)
+      System.err.println(f"[bench] INVALID: best attempt still at load_max $loadMax%.1f — " +
+        "numbers are co-tenant-contaminated; do not read as a regression signal")
 
     // Best-known warm times for this SF (flat {"query":sec} file we write
     // ourselves, so a regex scan is a full parser for it). Minima are only
@@ -150,9 +179,10 @@ object Bench {
     // load_comparable applies the repo's own comparability bar (load_max < 5,
     // BASELINE.md round-3 precedent): a regressed list produced under
     // co-tenant drag is flagged as such instead of adjudicated by hand
+    val status = if (loadMax < LoadBar) "OK" else "INVALID_LOAD"
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,""" +
       s""""warmup_sec":$warmupSec,"regressed":$regressedJson,""" +
-      s""""load_comparable":${loadMax < 5.0},""" +
+      s""""status":"$status","load_comparable":${loadMax < LoadBar},""" +
       s""""load_before":$loadBefore,"load_max":$loadMax,"load_after":$loadAfter,"sf":"$sfDir"}""")
     spark.stop()
   }

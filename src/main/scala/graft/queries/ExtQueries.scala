@@ -517,18 +517,26 @@ object ExtQueries {
     * (Jaccard ≥ t catches paraphrase-level overlap; this catches verbatim
     * spans inside otherwise-different documents).
     *
-    * Shape: one inverted-index equi-join on the int64 shingle hash — a slim
-    * (doc_id, source, hash) projection rides the join, never text. At 13
-    * tokens a shingle is near-unique, so per-shingle document frequency is
-    * tiny and the join output is ~linear in true overlaps (the df² blowup
-    * that forces prefix filtering at 3-grams does not arise). */
+    * Shape: ONE exchange of the slim (doc_id, source, hash) index — group
+    * by the int64 shingle hash and generate each posting list's ordered
+    * pairs in place (explode × explode), then roll up per pair. At 13
+    * tokens a shingle is near-unique, so posting lists are tiny and the
+    * pair blowup is df² of a near-always-1 df (~linear in true overlaps —
+    * the blowup that forces prefix filtering at 3-grams does not arise);
+    * a self-JOIN form of the same index paid the exchange twice plus a
+    * third for the pair rollup. Text never rides any exchange. */
   private val extContaminationNgram: Q = (s, d) => {
-    val sh = documents(s, d).select(col("doc_id"), col("source"),
-      explode(TextFns.hashedShingles(col("text"), 13)).as("sh"))
-    sh.as("a")
-      .join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .filter(col("a.source") =!= col("b.source"))
+    // persisted: warm passes read the materialized index instead of
+    // re-shingling the corpus — the dominant cost (the extTextRarity
+    // pattern; Bench/Verify drain between queries)
+    val sh = TrainPrep.registered(documents(s, d).select(col("doc_id"), col("source"),
+      explode(TextFns.hashedShingles(col("text"), 13)).as("sh")))
+    sh.groupBy(col("sh"))
+      .agg(collect_list(struct(col("doc_id"), col("source"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id") && col("a.source") =!= col("b.source"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
