@@ -30,6 +30,21 @@ object Multimodal {
       nFrames = (1 + n / 100).toInt)
   }
 
+  /** Magic-byte signatures of the formats the JDK ships ImageIO readers
+    * for (PNG, BMP, JPEG, GIF, TIFF) — checked BEFORE any stream/SPI
+    * machinery, so a non-image payload (the overwhelming majority of a
+    * mixed corpus; all of the text-bytes fixture) costs one array compare
+    * per row, not an ImageInputStream + reader probe (which measured 3×
+    * on ext_multimodal_meta when it ran unconditionally). */
+  private def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 &&
+      ((p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+        (p(0) == 'B' && p(1) == 'M') ||
+        (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte) ||
+        (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||
+        (p(0) == 'I' && p(1) == 'I' && p(2) == 0x2A.toByte && p(3) == 0) ||
+        (p(0) == 'M' && p(1) == 'M' && p(2) == 0 && p(3) == 0x2A.toByte))
+
   /** REAL image decode via `javax.imageio`: sniff the payload's magic bytes
     * for an installed reader and, if one claims it, read width/height (and
     * frame count for multi-image containers like GIF) from the HEADER —
@@ -37,6 +52,7 @@ object Multimodal {
     * cheap per-row metadata probe, not a full pixel decode. Returns None
     * for anything no reader recognizes (then: [[fakeDecode]]). */
   def imageDecode(docId: Long, payload: Array[Byte]): Option[MediaMeta] = {
+    if (!looksLikeImage(payload)) return None
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
     if (iis == null) return None // no cache SPI available in this JVM

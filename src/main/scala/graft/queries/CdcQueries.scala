@@ -144,9 +144,10 @@ object CdcQueries {
     * codebook caches): one row per signed-up user with that user's strict
     * stage-entry timestamps — t1 = first signup, t2 = first click STRICTLY
     * AFTER t1, t3 = first purchase STRICTLY AFTER t2; t2/t3 null when the
-    * user never reached the stage. [[aggFunnel]], [[aggConversionLag]] and
-    * [[aggRetention]] all consume this one computation instead of each
-    * re-deriving per-stage min-ts frames from the log.
+    * user never reached the stage. [[aggFunnel]] and [[aggConversionLag]]
+    * consume this one computation instead of each re-deriving per-stage
+    * min-ts frames from the log ([[aggRetention]] shares the
+    * [[signupAnchors]] layer below it).
     *
     * Shape: each stage is a user-keyed min-ts aggregate joined to the
     * previous stage's (user, entry-ts) frame — stage frames are USER-sized
@@ -155,10 +156,24 @@ object CdcQueries {
     * predicate (PlanSpec pins it on the builder's plan). At 100 TB the log
     * is scanned per stage but never shuffled wider than one row per
     * qualifying user, and the persisted frame is user-sized. */
+  private[graft] def buildSignupAnchors(s: SparkSession, d: String): DataFrame =
+    events(s, d).filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+  private val signupAnchorsByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** The signup anchor frame alone, shared separately from the full stage
+    * frame: [[aggRetention]] needs ONLY first-signup times, so it must not
+    * pay the click/purchase stage joins when run in isolation (a bench
+    * regression when it did). */
+  private[graft] def signupAnchors(s: SparkSession, d: String): DataFrame = {
+    val f = signupAnchorsByDir.computeIfAbsent(d, _ => buildSignupAnchors(s, d))
+    if (f.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f
+  }
   private[graft] def buildFunnelStages(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
-    val s1 = e.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s1 = signupAnchors(s, d)
     val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
       .filter(col("ts") > col("t1"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
@@ -241,21 +256,27 @@ object CdcQueries {
     * (`epoch_sec div 604800`) rather than calendar `date_trunc('week')` —
     * engine-exact by construction, immune to week-start conventions.
     *
-    * Shape: the anchor frame is the shared [[funnelStages]] signup row
-    * (t1 = first signup — no per-query re-aggregation of the log); activity
+    * Shape: the anchor frame is the shared [[signupAnchors]] aggregate
+    * (t1 = first signup — no per-query re-aggregation of the log, and no
+    * dependence on the later funnel stages); activity
     * distinct-collapses to (user, cohort, week) before counting, so the
     * count exchange carries at most users × active-weeks rows; week-0
     * denominators ride back as a broadcast. */
   private val aggRetention: Q = (s, d) => {
     val e = events(s, d)
-    val first = funnelStages(s, d).select(col("user_id"), col("t1").as("t0"))
+    val first = signupAnchors(s, d).select(col("user_id"), col("t1").as("t0"))
     val act = e.join(first, "user_id").filter(col("ts") >= col("t0"))
       .select(col("user_id"),
         expr("unix_timestamp(t0) div 604800").as("cohort_week"),
         expr("(unix_timestamp(ts) - unix_timestamp(t0)) div 604800").as("week_n"))
       .distinct()
-    val cnt = act.groupBy(col("cohort_week"), col("week_n"))
-      .agg(count(lit(1)).as("n_users"))
+    // persisted: the per-(cohort, week) counts feed BOTH the report rows
+    // and the week-0 denominator broadcast — without it the events join +
+    // distinct runs twice (one per branch). Domain-sized (cohorts × active
+    // weeks), drained by Bench/Verify between queries.
+    val cnt = graft.operators.TrainPrep.registered(
+      act.groupBy(col("cohort_week"), col("week_n"))
+        .agg(count(lit(1)).as("n_users")))
     val w0 = broadcast(cnt.filter(col("week_n") === 0)
       .select(col("cohort_week"), col("n_users").as("__w0")))
     cnt.join(w0, "cohort_week")

@@ -31,11 +31,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("funnel stages push their event-type predicates to the scan") {
-    // pinned on the stage-frame BUILDER: the queries read the session-
-    // persisted copy (InMemoryTableScan), whose cached plan is this one
+    // pinned on the frame BUILDERS: the queries read the session-persisted
+    // copies (InMemoryTableScan), whose cached plans are these
+    val anchors = graft.queries.CdcQueries.buildSignupAnchors(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(anchors.contains("EqualTo(event_type,signup)"),
+      s"signup anchor filter not pushed:\n${anchors.take(1500)}")
     val p = graft.queries.CdcQueries.buildFunnelStages(spark, d)
       .queryExecution.executedPlan.toString
-    for (t <- Seq("signup", "click", "purchase"))
+    for (t <- Seq("click", "purchase"))
       assert(p.contains(s"EqualTo(event_type,$t)"),
         s"stage filter $t not pushed:\n${p.take(1500)}")
   }
