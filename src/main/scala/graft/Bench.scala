@@ -35,11 +35,14 @@ import org.apache.spark.sql.SparkSession
   * `"regressed":[...]` list (warm > 2× best) on the totals line, so a
   * contaminated artifact self-identifies per query; read the regressed
   * list against the load bracket — under heavy load it may cry wolf,
-  * never the reverse. `"load_comparable"` (load_max < 5) applies that bar
-  * in the artifact itself; a run whose bracket exceeds it retries ONCE
-  * and, if still contaminated, stamps `"status":"INVALID_LOAD"` (plus a
-  * loud stderr line) so a noisy artifact can never silently become the
-  * round's record.
+  * never the reverse. `"load_comparable"` applies the bar in the artifact
+  * itself: quiet at start (load_before < 5) AND mid-run excess over the
+  * start inside the bench's own ~5-thread-equivalents self-load envelope
+  * (load_max − load_before < 5; an absolute bar misread self-load as
+  * contamination). A run outside the bar retries ONCE and, if still
+  * contaminated, stamps `"status":"INVALID_LOAD"` (plus a loud stderr
+  * line) so a noisy artifact can never silently become the round's
+  * record.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -108,22 +111,34 @@ object Bench {
       val loadAfter = loadAvg()
       Pass(results, loadBefore, math.max(loadMax, loadAfter), loadAfter)
     }
-    val LoadBar = 5.0
+    // Comparability: the bench's own 32 worker threads legitimately push
+    // the 1-min loadavg ~4–5 over the pre-run baseline mid-run (observed
+    // 2.8–4.6 over a ~0.5–2 baseline across quiet rounds), so an absolute
+    // bar misreads self-load as contamination. Co-tenant drag shows as
+    // EXCESS beyond that envelope: the round-9 contaminated artifact ran
+    // 11.85 max over a 2.11 baseline (excess 9.7) with quiet before/after
+    // — mid-run burst, the exact signature this rule catches. Comparable ⇔
+    // the box was quiet at start AND the mid-run excess stayed inside the
+    // self-load envelope.
+    def comparable(p: Pass): Boolean =
+      p.loadBefore < 5.0 && (p.loadMax - p.loadBefore) < 5.0
     val first = measure()
     val pass =
-      if (first.loadMax < LoadBar) first
+      if (comparable(first)) first
       else {
         System.err.println(
-          f"[bench] load_max ${first.loadMax}%.1f ≥ $LoadBar%.0f — artifact would be " +
-            "non-comparable; retrying once")
+          f"[bench] load bracket ${first.loadBefore}%.1f→${first.loadMax}%.1f exceeds the " +
+            "self-load envelope — artifact would be non-comparable; retrying once")
         val second = measure()
-        if (second.loadMax < first.loadMax) second else first
+        if (comparable(second) || second.loadMax < first.loadMax) second else first
       }
     val results = pass.results
     val (loadBefore, loadMax, loadAfter) = (pass.loadBefore, pass.loadMax, pass.loadAfter)
-    if (loadMax >= LoadBar)
-      System.err.println(f"[bench] INVALID: best attempt still at load_max $loadMax%.1f — " +
-        "numbers are co-tenant-contaminated; do not read as a regression signal")
+    val loadComparable = comparable(pass)
+    if (!loadComparable)
+      System.err.println(f"[bench] INVALID: best attempt still at load " +
+        f"$loadBefore%.1f→$loadMax%.1f — numbers are co-tenant-contaminated; " +
+        "do not read as a regression signal")
 
     // Best-known warm times for this SF (flat {"query":sec} file we write
     // ourselves, so a regex scan is a full parser for it). Minima are only
@@ -179,10 +194,11 @@ object Bench {
     // load_comparable applies the repo's own comparability bar (load_max < 5,
     // BASELINE.md round-3 precedent): a regressed list produced under
     // co-tenant drag is flagged as such instead of adjudicated by hand
-    val status = if (loadMax < LoadBar) "OK" else "INVALID_LOAD"
+    val status = if (loadComparable) "OK" else "INVALID_LOAD"
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,""" +
       s""""warmup_sec":$warmupSec,"regressed":$regressedJson,""" +
-      s""""status":"$status","load_comparable":${loadMax < LoadBar},""" +
+      s""""status":"$status","load_comparable":$loadComparable,""" +
+      s""""load_excess":${loadMax - loadBefore},""" +
       s""""load_before":$loadBefore,"load_max":$loadMax,"load_after":$loadAfter,"sf":"$sfDir"}""")
     spark.stop()
   }
