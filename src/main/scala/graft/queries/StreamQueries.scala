@@ -133,6 +133,22 @@ object StreamQueries {
     FunnelStream.report(FunnelStream.mergeStates(twice.limit(0), twice))
   }
 
+  /** Incremental retention cohorts run in BATCH mode over a DOUBLED
+    * delivery (at-least-once): the state is distinct (user, kind, week)
+    * facts, so the doubled log collapses through the distinct-union merge
+    * to the clean single-run fact table, and the report over it is the
+    * oracle's direct computation. WEEK-granular anchors by design — see
+    * [[graft.streaming.RetentionStream]] for why second-anchored week_n is
+    * not incrementally computable with bounded state. Live path (file
+    * stream, checkpointed restart, redelivery) in StreamingSpec. */
+  private val streamRetention: Q = (s, d) => {
+    import graft.streaming.RetentionStream
+    val raw = Tables.eventsRaw(s, d)
+    val once = RetentionStream.userWeeks(CdcPipeline.transform(raw))
+    val twice = once.unionByName(once) // two deliveries
+    RetentionStream.report(RetentionStream.mergeFacts(twice.limit(0), twice))
+  }
+
   /** Drift alarm threshold shared by the query entry and StreamingSpec —
     * 100‰ ≈ "a source's quality-pass rate moved 10 points vs baseline". */
   final val DriftPermille = 100
@@ -192,6 +208,7 @@ object StreamQueries {
     "stream_window_counts" -> streamWindowCounts,
     "stream_dedup" -> streamDedup,
     "stream_funnel" -> streamFunnel,
+    "stream_retention" -> streamRetention,
     "stream_corpus_ingest" -> streamCorpusIngest,
     "stream_decontam" -> streamDecontam,
     "stream_quality_drift" -> streamQualityDrift,
@@ -263,6 +280,26 @@ object StreamQueries {
         |SELECT stage_idx, stage, n_users,
         |       CAST(n_users * 1000 // greatest(n1, 1) AS BIGINT) AS conv_permille
         |FROM s ORDER BY stage_idx""".stripMargin,
+
+    // week-granular distinct facts; the doubled delivery collapses through
+    // the distinct-union merge, so the oracle is the clean single-run
+    // computation (deletes dropped by the shared transform)
+    "stream_retention" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+        |           FROM events WHERE event_type IS DISTINCT FROM 'error'),
+        |s AS (SELECT user_id, min(week) AS w0 FROM e
+        |      WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id, w0 AS cohort_week, week - w0 AS week_n
+        |      FROM e JOIN s USING (user_id) WHERE week >= w0),
+        |cnt AS (SELECT cohort_week, week_n, CAST(count(*) AS BIGINT) AS n_users
+        |        FROM a GROUP BY 1, 2),
+        |w0t AS (SELECT cohort_week, n_users AS w0_users FROM cnt WHERE week_n = 0)
+        |SELECT c.cohort_week, week_n, n_users,
+        |       CAST(n_users * 1000 // greatest(w0_users, 1) AS BIGINT)
+        |         AS retention_permille
+        |FROM cnt c JOIN w0t USING (cohort_week)
+        |ORDER BY cohort_week, week_n""".stripMargin,
 
     // duplicate rows are byte-identical, so DISTINCT over the doubled log
     // is exactly the per-id dedup

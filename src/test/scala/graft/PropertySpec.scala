@@ -75,6 +75,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("funnel state merge converges under any batch split, order, and redelivery") {
+    import graft.streaming.FunnelStream
+    // THE property behind stream_funnel's at-least-once claim: for ANY
+    // event multiset, ANY split into micro-batches (shuffled, plus one
+    // batch delivered twice), folding mergeStates over per-batch
+    // userState equals the one-shot state — min-merge is commutative,
+    // associative, idempotent.
+    val rnd = new scala.util.Random(11)
+    val types = Seq("signup", "click", "purchase", "view")
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    (0 until 4).foreach { _ =>
+      val n = 20 + rnd.nextInt(30)
+      val rows = Seq.fill(n)((rnd.nextInt(6).toLong + 1,
+        types(rnd.nextInt(types.length)), ts(rnd.nextInt(100000).toLong)))
+      def frame(rs: Seq[(Long, String, java.sql.Timestamp)]) =
+        rs.toDF("user_id", "event_type", "ts")
+      def snap(df: DataFrame): Set[String] = df.collect().map(_.toString).toSet
+      val oneShot = FunnelStream.userState(frame(rows))
+      val shuffled = rnd.shuffle(rows)
+      val cuts = (Seq.fill(rnd.nextInt(3))(rnd.nextInt(n + 1)).sorted :+ n).distinct
+      val batches = cuts.foldLeft((Seq.empty[Seq[(Long, String, java.sql.Timestamp)]], 0)) {
+        case ((acc, from), to) => (acc :+ shuffled.slice(from, to), to)
+      }._1
+      val delivered = batches :+ batches(rnd.nextInt(batches.length)) // redelivery
+      val folded = delivered.foldLeft(oneShot.limit(0)) { (state, b) =>
+        FunnelStream.mergeStates(state, FunnelStream.userState(frame(b)))
+      }
+      assert(snap(folded) === snap(oneShot), s"split/order/redelivery sensitivity (n=$n)")
+    }
+  }
+
   test("session merge applies the exact-gap chain rule of the batch query") {
     import graft.streaming.Sessionize
     import Sessionize.OpenSession
