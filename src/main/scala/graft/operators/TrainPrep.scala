@@ -653,8 +653,13 @@ object TrainPrep {
     val generated = Seq("score", "stage").filter(docs.columns.contains)
     require(generated.isEmpty,
       s"curriculumStages generates $generated; rename the input's column(s)")
-    val hist = docs.select(score.as("score"))
-      .groupBy(col("score")).agg(count(lit(1)).as("n"))
+    // persisted: the cumulative window, the total, and the stage join all
+    // read ONE materialization of the domain histogram — unpersisted, each
+    // branch re-scans the corpus to rebuild it (6 scans observed for the
+    // curriculum entry; 2 with the persist: histogram fill + join-back).
+    // Domain-sized (≤ 10⁴ rows), drained by Bench/Verify between queries.
+    val hist = registered(docs.select(score.as("score"))
+      .groupBy(col("score")).agg(count(lit(1)).as("n")))
     val below = Window.orderBy(col("score"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val total = broadcast(hist.agg(sum(col("n")).as("__total")))
