@@ -171,17 +171,12 @@ object CdcQueries {
       f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     f
   }
-  private[graft] def buildFunnelStages(s: SparkSession, d: String): DataFrame = {
-    val e = events(s, d)
-    val s1 = signupAnchors(s, d)
-    val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
-      .filter(col("ts") > col("t1"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-    val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
-      .filter(col("ts") > col("t2"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
-  }
+  private[graft] def buildFunnelStages(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.stageEntryTimes(events(s, d), "user_id", "event_type", "ts",
+      Seq("signup", "click", "purchase"),
+      anchor = Some(signupAnchors(s, d).select(col("user_id"), col("t1").as("t_signup"))))
+      .select(col("user_id"), col("t_signup").as("t1"),
+        col("t_click").as("t2"), col("t_purchase").as("t3"))
   private val stageFramesByDir =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private[graft] def funnelStages(s: SparkSession, d: String): DataFrame = {
@@ -247,6 +242,19 @@ object CdcQueries {
           .as("p90_sec"))
       .select(col("__n").as("n_converters"), col("p50_sec"), col("p90_sec"),
         expr("__sum div greatest(__n, 1L)").as("mean_sec"))
+  }
+
+  /** The parameterized N-stage funnel ([[graft.operators.Funnel]])
+    * instantiated at FOUR stages — the same strict-chain semantics as
+    * [[aggFunnel]] with `view` inserted between signup and click, pinning
+    * that the operator composes at any k (the library form a user
+    * configures; the 3-stage entry above rides the shared session cache
+    * instead). */
+  private val aggFunnelSteps: Q = (s, d) => {
+    val stages = Seq("signup", "view", "click", "purchase")
+    graft.operators.Funnel.report(
+      graft.operators.Funnel.stageEntryTimes(
+        events(s, d), "user_id", "event_type", "ts", stages), stages)
   }
 
   /** Weekly retention cohorts — the other classic event-log rollup: users
@@ -451,6 +459,7 @@ object CdcQueries {
     "sink_upsert" -> sinkUpsert,
     "sink_partitioned" -> sinkPartitioned,
     "agg_funnel" -> aggFunnel,
+    "agg_funnel_steps" -> aggFunnelSteps,
     "agg_retention" -> aggRetention,
     "agg_conversion_lag" -> aggConversionLag,
     "agg_op_counts" -> aggOpCounts,
@@ -594,6 +603,33 @@ object CdcQueries {
          |    SELECT 1 AS stage_idx, CAST(count(*) AS BIGINT) AS n_users FROM s1
          |    UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM s2
          |    UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM s3) r
+         |    ON st.stage_idx = r.stage_idx),
+         |top AS (SELECT n_users AS t FROM agg WHERE stage_idx = 1)
+         |SELECT stage_idx, stage, n_users,
+         |       CAST(n_users * 1000 // greatest(t, 1) AS BIGINT) AS conv_permille
+         |FROM agg, top ORDER BY stage_idx""".stripMargin,
+
+    // the 4-stage strict chain: each stage's first event strictly after the
+    // user's previous-stage entry; same shape as agg_funnel at k=4
+    "agg_funnel_steps" ->
+      s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+         |            WHERE event_type = 'signup' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+         |       WHERE event_type = 'view' AND ts > t1 GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+         |       WHERE event_type = 'click' AND ts > t2 GROUP BY 1),
+         |s4 AS (SELECT e.user_id, min(ts) AS t4 FROM events e JOIN s3 USING (user_id)
+         |       WHERE event_type = 'purchase' AND ts > t3 GROUP BY 1),
+         |agg AS (
+         |  SELECT st.stage_idx, st.stage, coalesce(r.n_users, CAST(0 AS BIGINT)) AS n_users
+         |  FROM (VALUES (CAST(1 AS BIGINT), 'signup'), (CAST(2 AS BIGINT), 'view'),
+         |               (CAST(3 AS BIGINT), 'click'), (CAST(4 AS BIGINT), 'purchase'))
+         |       st(stage_idx, stage)
+         |  LEFT JOIN (
+         |    SELECT 1 AS stage_idx, CAST(count(*) AS BIGINT) AS n_users FROM s1
+         |    UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM s2
+         |    UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM s3
+         |    UNION ALL SELECT 4, CAST(count(*) AS BIGINT) FROM s4) r
          |    ON st.stage_idx = r.stage_idx),
          |top AS (SELECT n_users AS t FROM agg WHERE stage_idx = 1)
          |SELECT stage_idx, stage, n_users,

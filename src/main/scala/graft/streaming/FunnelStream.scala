@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -35,54 +35,73 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object FunnelStream {
 
-  /** The funnel's stage event types, in stage order. */
+  /** The fixture queries' stage event types, in stage order — every entry
+    * point is parameterized on a stage list ([[graft.operators.Funnel]]'s
+    * N-stage generality, in the streaming form); this is just the default
+    * instantiation. */
   val Stages: Seq[String] = Seq("signup", "click", "purchase")
 
   /** Per-user first-event state of one (bounded or micro-batch) slice:
-    * element-wise min timestamp per stage type, null where the slice has
-    * none. Non-stage events are filtered BEFORE the exchange. */
-  def userState(events: DataFrame): DataFrame =
-    events.filter(col("event_type").isin(Stages: _*))
+    * element-wise min timestamp per stage type (`t_<stage>` columns, in
+    * stage order), null where the slice has none. Non-stage events are
+    * filtered BEFORE the exchange. */
+  def userState(events: DataFrame, stages: Seq[String] = Stages): DataFrame = {
+    require(stages.nonEmpty && stages.distinct == stages,
+      s"funnel stages must be non-empty and distinct: $stages")
+    val mins = stages.map(st =>
+      min(when(col("event_type") === st, col("ts"))).as(s"t_$st"))
+    events.filter(col("event_type").isin(stages: _*))
       .groupBy(col("user_id"))
-      .agg(
-        min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
-        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
-        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      .agg(mins.head, mins.tail: _*)
+  }
 
   /** Keyed element-wise-min merge of two state tables — commutative,
     * associative, idempotent (min ignores nulls), hence convergent under
-    * at-least-once delivery and any batch split. */
-  def mergeStates(state: DataFrame, batch: DataFrame): DataFrame =
+    * at-least-once delivery and any batch split. Stage columns are
+    * inferred from the state schema, so any [[userState]] instantiation
+    * merges unchanged. */
+  def mergeStates(state: DataFrame, batch: DataFrame): DataFrame = {
+    val mins = state.columns.filterNot(_ == "user_id").toSeq
+      .map(c => min(col(c)).as(c))
     state.unionByName(batch)
       .groupBy(col("user_id"))
-      .agg(min(col("t_signup")).as("t_signup"),
-        min(col("t_click")).as("t_click"),
-        min(col("t_purchase")).as("t_purchase"))
+      .agg(mins.head, mins.tail: _*)
+  }
 
   /** Roll the state table up to the funnel report: one row per stage with
     * reach and permille vs stage 1 (the batch funnel's output shape). A
-    * user reaches stage k iff the first-event chain holds through k; a
-    * null min fails every comparison, so partial chains count only their
-    * reached prefix. One 1-row aggregate + `stack` unpivot. */
-  def report(state: DataFrame): DataFrame =
-    state.agg(
-      count(col("t_signup")).as("n1"),
-      count(when(col("t_click") > col("t_signup"), 1)).as("n2"),
-      count(when(col("t_click") > col("t_signup") &&
-        col("t_purchase") > col("t_click"), 1)).as("n3"))
+    * user reaches stage k iff the first-event chain holds through k
+    * (`t_1 < t_2 < … < t_k`); a null min fails every comparison, so
+    * partial chains count only their reached prefix. One 1-row aggregate
+    * + `stack` unpivot. */
+  def report(state: DataFrame, stages: Seq[String] = Stages): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val conds: Seq[Column] = stages.indices.map { i =>
+      if (i == 0) col(s"t_${stages.head}").isNotNull
+      else (1 to i).map(j => col(s"t_${stages(j)}") > col(s"t_${stages(j - 1)}"))
+        .reduce(_ && _)
+    }
+    val counts = conds.zipWithIndex.map { case (c, i) =>
+      count(when(c, 1)).as(s"__n$i")
+    }
+    val cells = stages.zipWithIndex
+      .map { case (st, i) => s"${i + 1}L, '$st', __n$i" }
+      .mkString(", ")
+    state.agg(counts.head, counts.tail: _*)
       .select(
-        expr("stack(3, 1L, 'signup', n1, 2L, 'click', n2, 3L, 'purchase', n3)" +
-          " AS (stage_idx, stage, n_users)"),
-        col("n1").as("__top"))
+        expr(s"stack(${stages.length}, $cells) AS (stage_idx, stage, n_users)"),
+        col("__n0").as("__top"))
       .select(col("stage_idx"), col("stage"), col("n_users"),
         expr("n_users * 1000 div greatest(__top, 1L)").as("conv_permille"))
       .orderBy("stage_idx")
+  }
 
   /** One idempotent micro-batch apply (the [[CdcPipeline.applyBatch]]
     * lifecycle: fold the batch slice's state into current state,
     * lineage-truncate, overwrite). */
-  def applyBatch(spark: SparkSession, batch: DataFrame, targetDir: String): Unit = {
-    val slice = userState(batch)
+  def applyBatch(spark: SparkSession, batch: DataFrame, targetDir: String,
+                 stages: Seq[String] = Stages): Unit = {
+    val slice = userState(batch, stages)
     val merged =
       if (new java.io.File(targetDir).exists()) {
         val base = spark.read.parquet(targetDir)
@@ -97,7 +116,8 @@ object FunnelStream {
     * into the `targetDir` state table ([[report]] reads it any time).
     * `availableNow = true` drains what exists and stops (test/replay). */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
-            checkpointDir: String, availableNow: Boolean = true): StreamingQuery = {
+            checkpointDir: String, availableNow: Boolean = true,
+            stages: Seq[String] = Stages): StreamingQuery = {
     val raw = spark.readStream
       .schema(CdcPipeline.observedEventsSchema(spark, sourceDir)).parquet(sourceDir)
     val trigger =
@@ -108,7 +128,7 @@ object FunnelStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(spark, batch, targetDir)
+        applyBatch(spark, batch, targetDir, stages)
       }
       .start()
   }

@@ -449,6 +449,22 @@ class StreamingSpec extends SparkSpec {
     assert(row === (("insert", "u7", """{"_id": "u7", "v": 1}""")))
   }
 
+  test("funnel and retention reports behave on EMPTY state (dry stream startup)") {
+    import graft.streaming.{FunnelStream, RetentionStream}
+    import spark.implicits._
+    // funnel: the 1-row aggregate + stack still yields all three stages,
+    // each 0 — a dashboard reading a just-started pipeline sees the frame,
+    // not an empty result
+    val noEvents = Seq.empty[(Long, String, java.sql.Timestamp)]
+      .toDF("user_id", "event_type", "ts")
+    val f = FunnelStream.report(FunnelStream.userState(noEvents))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(f === Seq((1L, "signup", 0L, 0L), (2L, "click", 0L, 0L), (3L, "purchase", 0L, 0L)))
+    // retention: no facts → no cohorts → zero rows (nothing to anchor)
+    assert(RetentionStream.report(
+      RetentionStream.userWeeks(noEvents)).collect().isEmpty)
+  }
+
   test("incremental funnel: checkpointed restart + redelivery converge to the batch report") {
     import graft.streaming.FunnelStream
     val sf = "/root/testdata/sf0.001"
