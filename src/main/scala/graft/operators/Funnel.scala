@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Parameterized N-stage conversion funnel (SURVEY §2.4): the library form
@@ -43,6 +44,35 @@ object Funnel {
       case (acc, _) => acc // single-stage window (sliding yields nothing)
     }.reverse
     perStage.reduceLeft((a, b) => a.join(b, Seq(idCol), "left"))
+  }
+
+  /** Type-1 p50/p90/integer-mean over a `lag_sec` column (integer
+    * seconds), by the domain-histogram pattern shared across the engine's
+    * exact-quantile paths: lags collapse to a (lag_sec, n) histogram —
+    * map-side combined, bounded by DISTINCT lag values (≤ the log's time
+    * span in seconds, corpus-size-INDEPENDENT) — and the quantile at rank
+    * r is `min{lag : cum(lag) ≥ r}` by cumulative sum over that domain
+    * frame. The only global sort is the window over the histogram; no
+    * data-sized frame is ever single-partition-sorted (a row_number over
+    * the converters would put 10⁸–10⁹ rows through one task at 100 TB).
+    * Ranks use INTEGER arithmetic (`(p‰·n + 999) div 1000`) so any
+    * oracle picks the same element. Empty input → zero rows. */
+  def lagQuantiles(lag: DataFrame): DataFrame = {
+    val hist = lag.groupBy(col("lag_sec")).agg(count(lit(1)).as("hn"))
+    val tot = broadcast(hist.agg(sum(col("hn")).as("__n"),
+      sum(col("lag_sec") * col("hn")).as("__sum")))
+    val cum = Window.orderBy(col("lag_sec"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum", sum(col("hn")).over(cum))
+      .crossJoin(tot)
+      .groupBy(col("__n"), col("__sum"))
+      .agg(
+        min(when(col("cum") >= expr("(500 * __n + 999) div 1000"), col("lag_sec")))
+          .as("p50_sec"),
+        min(when(col("cum") >= expr("(900 * __n + 999) div 1000"), col("lag_sec")))
+          .as("p90_sec"))
+      .select(col("__n").as("n_converters"), col("p50_sec"), col("p90_sec"),
+        expr("__sum div greatest(__n, 1L)").as("mean_sec"))
   }
 
   /** Roll a [[stageEntryTimes]] frame up to the funnel report: one row per

@@ -215,34 +215,14 @@ object CdcQueries {
     * type-1 with INTEGER rank arithmetic (`(p‰·n + 999) div 1000` — the
     * token-quantiles pattern), so both engines pick the same element.
     *
-    * Scale shape (the [[graft.operators.TrainPrep.curriculumStages]]
-    * domain-histogram pattern): converter lags collapse to a (lag_sec, n)
-    * histogram — map-side combined, bounded by the DISTINCT lag values
-    * (≤ the log's time span in seconds, corpus-size-INDEPENDENT) — and the
-    * type-1 quantile at rank r is `min{lag : cum(lag) ≥ r}` by cumulative
-    * sum over that domain frame. The only global sort is the window over
-    * the histogram; no data-sized frame is ever single-partition-sorted
-    * (the round-9 row_number form ranked every converter on one task —
-    * at 100 TB that is 10⁸–10⁹ rows through one sorter). */
-  private val aggConversionLag: Q = (s, d) => {
-    val lag = funnelStages(s, d).filter(col("t3").isNotNull)
-      .select((expr("unix_timestamp(t3)") - expr("unix_timestamp(t1)")).as("lag_sec"))
-    val hist = lag.groupBy(col("lag_sec")).agg(count(lit(1)).as("hn"))
-    val tot = broadcast(hist.agg(sum(col("hn")).as("__n"),
-      sum(col("lag_sec") * col("hn")).as("__sum")))
-    val cum = Window.orderBy(col("lag_sec"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hist.withColumn("cum", sum(col("hn")).over(cum))
-      .crossJoin(tot)
-      .groupBy(col("__n"), col("__sum"))
-      .agg(
-        min(when(col("cum") >= expr("(500 * __n + 999) div 1000"), col("lag_sec")))
-          .as("p50_sec"),
-        min(when(col("cum") >= expr("(900 * __n + 999) div 1000"), col("lag_sec")))
-          .as("p90_sec"))
-      .select(col("__n").as("n_converters"), col("p50_sec"), col("p90_sec"),
-        expr("__sum div greatest(__n, 1L)").as("mean_sec"))
-  }
+    * Scale shape: [[graft.operators.Funnel.lagQuantiles]] — the domain-
+    * histogram quantile pattern (see its scaladoc; the round-9 row_number
+    * form ranked every converter on one task, the 100 TB scale-killer this
+    * replaced) over the shared [[funnelStages]] converter slice. */
+  private val aggConversionLag: Q = (s, d) =>
+    graft.operators.Funnel.lagQuantiles(
+      funnelStages(s, d).filter(col("t3").isNotNull)
+        .select((expr("unix_timestamp(t3)") - expr("unix_timestamp(t1)")).as("lag_sec")))
 
   /** The parameterized N-stage funnel ([[graft.operators.Funnel]])
     * instantiated at FOUR stages — the same strict-chain semantics as

@@ -133,6 +133,20 @@ object StreamQueries {
     FunnelStream.report(FunnelStream.mergeStates(twice.limit(0), twice))
   }
 
+  /** The incremental funnel's conversion-lag report run in BATCH mode over
+    * a DOUBLED delivery: the same min-merged state table as
+    * [[streamFunnel]], rolled up to p50/p90/mean seconds over first-event
+    * chain completers via the shared domain-histogram quantiles. The
+    * oracle replays the first-event semantics with its own row_number
+    * ranking — rank-vs-histogram equivalence is part of what's pinned. */
+  private val streamConversionLag: Q = (s, d) => {
+    import graft.streaming.FunnelStream
+    val raw = Tables.eventsRaw(s, d)
+    val once = FunnelStream.userState(CdcPipeline.transform(raw))
+    val twice = once.unionByName(once) // two deliveries
+    FunnelStream.lagReport(FunnelStream.mergeStates(twice.limit(0), twice))
+  }
+
   /** Incremental retention cohorts run in BATCH mode over a DOUBLED
     * delivery (at-least-once): the state is distinct (user, kind, week)
     * facts, so the doubled log collapses through the distinct-union merge
@@ -209,6 +223,7 @@ object StreamQueries {
     "stream_dedup" -> streamDedup,
     "stream_funnel" -> streamFunnel,
     "stream_retention" -> streamRetention,
+    "stream_conversion_lag" -> streamConversionLag,
     "stream_corpus_ingest" -> streamCorpusIngest,
     "stream_decontam" -> streamDecontam,
     "stream_quality_drift" -> streamQualityDrift,
@@ -280,6 +295,34 @@ object StreamQueries {
         |SELECT stage_idx, stage, n_users,
         |       CAST(n_users * 1000 // greatest(n1, 1) AS BIGINT) AS conv_permille
         |FROM s ORDER BY stage_idx""".stripMargin,
+
+    // first-event chain completers' signup→purchase lag; type-1 integer-
+    // rank quantiles via row_number in the oracle vs the engine's domain
+    // histogram — same element by construction
+    "stream_conversion_lag" ->
+      """WITH m AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+        |         min(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+        |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+        |  FROM events
+        |  WHERE event_type IN ('signup', 'click', 'purchase')
+        |  GROUP BY 1),
+        |c AS (SELECT CAST(floor(epoch(tp)) AS BIGINT)
+        |             - CAST(floor(epoch(t1)) AS BIGINT) AS lag_sec
+        |      FROM m WHERE tc > t1 AND tp > tc),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(lag_sec) AS BIGINT) AS sm FROM c),
+        |r AS (SELECT lag_sec, row_number() OVER (ORDER BY lag_sec) AS rn FROM c)
+        |SELECT n AS n_converters,
+        |       CAST(min(CASE WHEN rn = (500 * n + 999) // 1000 THEN lag_sec END)
+        |            AS BIGINT) AS p50_sec,
+        |       CAST(max(CASE WHEN rn = (900 * n + 999) // 1000 THEN lag_sec END)
+        |            AS BIGINT) AS p90_sec,
+        |       CAST(sm // greatest(n, 1) AS BIGINT) AS mean_sec
+        |FROM r, tot
+        |WHERE rn = (500 * n + 999) // 1000 OR rn = (900 * n + 999) // 1000
+        |GROUP BY n, sm""".stripMargin,
 
     // week-granular distinct facts; the doubled delivery collapses through
     // the distinct-union merge, so the oracle is the clean single-run

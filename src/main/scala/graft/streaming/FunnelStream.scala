@@ -96,6 +96,23 @@ object FunnelStream {
       .orderBy("stage_idx")
   }
 
+  /** Conversion-lag profile over the SAME state table [[report]] reads:
+    * p50/p90/integer-mean seconds from first to last stage over users
+    * whose first-event chain completes — the timing companion the batch
+    * `agg_conversion_lag` computes, continuously maintained. Quantiles by
+    * [[graft.operators.Funnel.lagQuantiles]] (domain histogram — nothing
+    * data-sized ever single-partition-sorts, at report time either). */
+  def lagReport(state: DataFrame, stages: Seq[String] = Stages): DataFrame = {
+    require(stages.length >= 2, "a lag needs at least two stages")
+    val chain = (1 until stages.length)
+      .map(j => col(s"t_${stages(j)}") > col(s"t_${stages(j - 1)}"))
+      .reduce(_ && _)
+    graft.operators.Funnel.lagQuantiles(
+      state.filter(chain).select(
+        (unix_timestamp(col(s"t_${stages.last}")) -
+          unix_timestamp(col(s"t_${stages.head}"))).as("lag_sec")))
+  }
+
   /** One idempotent micro-batch apply (the [[CdcPipeline.applyBatch]]
     * lifecycle: fold the batch slice's state into current state,
     * lineage-truncate, overwrite). */

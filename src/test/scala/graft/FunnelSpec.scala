@@ -64,6 +64,25 @@ class FunnelSpec extends SparkSpec {
     assert(rep === Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("lagReport profiles chain completers via the domain-histogram quantiles") {
+    // three completers with lags 100, 200, 300 s; one chain-incomplete
+    // user (b before a) contributes nothing. n=3: p50 rank 2 → 200,
+    // p90 rank 3 → 300, mean = 200
+    val stages = Seq("a", "b")
+    val e = ev(
+      (1L, "a", 1000), (1L, "b", 1100),
+      (2L, "a", 1000), (2L, "b", 1200),
+      (3L, "a", 1000), (3L, "b", 1300),
+      (4L, "b", 900), (4L, "a", 1000))
+    val r = FunnelStream.lagReport(FunnelStream.userState(e, stages), stages)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r === Seq((3L, 200L, 300L, 200L)))
+    // empty converter set → zero rows, like the batch form
+    assert(FunnelStream.lagReport(
+      FunnelStream.userState(ev((4L, "b", 900), (4L, "a", 1000)), stages),
+      stages).collect().isEmpty)
+  }
+
   test("single-stage funnel degenerates to a reach count") {
     val e = ev((1L, "signup", 10), (2L, "signup", 20), (2L, "click", 30))
     val rep = Funnel.report(
