@@ -31,6 +31,9 @@ object Funnel {
                       anchor: Option[DataFrame] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(stages.distinct == stages, s"funnel stages must be distinct: $stages")
+    require(stages.forall(_.matches("[A-Za-z0-9_-]+")),
+      s"stage names must be plain identifiers (they name columns and ride " +
+        s"a stack() literal): $stages")
     val first = anchor.getOrElse(
       events.filter(col(typeCol) === stages.head)
         .groupBy(col(idCol)).agg(min(col(tsCol)).as(s"t_${stages.head}")))

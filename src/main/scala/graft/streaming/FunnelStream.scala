@@ -48,6 +48,9 @@ object FunnelStream {
   def userState(events: DataFrame, stages: Seq[String] = Stages): DataFrame = {
     require(stages.nonEmpty && stages.distinct == stages,
       s"funnel stages must be non-empty and distinct: $stages")
+    require(stages.forall(_.matches("[A-Za-z0-9_-]+")),
+      s"stage names must be plain identifiers (they name columns and ride " +
+        s"a stack() literal): $stages")
     val mins = stages.map(st =>
       min(when(col("event_type") === st, col("ts"))).as(s"t_$st"))
     events.filter(col("event_type").isin(stages: _*))

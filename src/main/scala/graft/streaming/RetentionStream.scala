@@ -35,13 +35,14 @@ object RetentionStream {
   private val SecondsPerWeek = 604800L
 
   /** The distinct (user_id, kind, week) facts of one (bounded or
-    * micro-batch) slice. Every event contributes an `act` fact; signups
+    * micro-batch) slice. Every event contributes an `act` fact; events of
+    * `anchorType` (the cohort-defining event — signup by default)
     * additionally contribute a `signup` fact. */
-  def userWeeks(events: DataFrame): DataFrame = {
+  def userWeeks(events: DataFrame, anchorType: String = "signup"): DataFrame = {
     // integer div (a double `/` would detour through FP)
     val week = expr(s"unix_timestamp(ts) div $SecondsPerWeek").as("week")
     val acts = events.select(col("user_id"), lit("act").as("kind"), week)
-    val signups = events.filter(col("event_type") === "signup")
+    val signups = events.filter(col("event_type") === anchorType)
       .select(col("user_id"), lit("signup").as("kind"), week)
     acts.unionByName(signups).distinct()
   }
@@ -76,8 +77,9 @@ object RetentionStream {
 
   /** One idempotent micro-batch apply (the [[CdcPipeline.applyBatch]]
     * lifecycle; insert-only facts, so the rewrite is a pure union). */
-  def applyBatch(spark: SparkSession, batch: DataFrame, targetDir: String): Unit = {
-    val slice = userWeeks(batch)
+  def applyBatch(spark: SparkSession, batch: DataFrame, targetDir: String,
+                 anchorType: String = "signup"): Unit = {
+    val slice = userWeeks(batch, anchorType)
     val merged =
       if (new java.io.File(targetDir).exists()) {
         val base = spark.read.parquet(targetDir)
@@ -91,7 +93,8 @@ object RetentionStream {
     * CDC transform → watermark → foreachBatch distinct-union into the
     * `targetDir` fact table ([[report]] reads it any time). */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
-            checkpointDir: String, availableNow: Boolean = true): StreamingQuery = {
+            checkpointDir: String, availableNow: Boolean = true,
+            anchorType: String = "signup"): StreamingQuery = {
     val raw = spark.readStream
       .schema(CdcPipeline.observedEventsSchema(spark, sourceDir)).parquet(sourceDir)
     val trigger =
@@ -102,7 +105,7 @@ object RetentionStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(spark, batch, targetDir)
+        applyBatch(spark, batch, targetDir, anchorType)
       }
       .start()
   }

@@ -52,14 +52,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("conversion-lag quantiles rank the (lag_sec, n) domain histogram, not the converter frame") {
-    val p = plan("agg_conversion_lag")
-    assert(!p.contains("row_number"),
-      s"global row_number ranking is the 100 TB scale-killer:\n${p.take(2000)}")
-    val i = p.indexOf("Window")
-    assert(i >= 0, s"expected the cumulative-sum window:\n${p.take(2000)}")
-    assert(p.substring(i).contains("keys=[lag_sec"),
-      "the global window must sort the domain histogram (aggregate on lag_sec " +
-        s"below it), never the raw converter frame:\n${p.take(2000)}")
+    // both lag profiles (batch strict-chain, streaming first-event state)
+    // must share the scale-safe shape: no global row_number, the one
+    // unpartitioned window running over the lag-domain aggregate
+    for (q <- Seq("agg_conversion_lag", "stream_conversion_lag")) {
+      val p = plan(q)
+      assert(!p.contains("row_number"),
+        s"$q: global row_number ranking is the 100 TB scale-killer:\n${p.take(2000)}")
+      val i = p.indexOf("Window")
+      assert(i >= 0, s"$q: expected the cumulative-sum window:\n${p.take(2000)}")
+      assert(p.substring(i).contains("keys=[lag_sec"),
+        s"$q: the global window must sort the domain histogram (aggregate on " +
+          s"lag_sec below it), never the raw converter frame:\n${p.take(2000)}")
+    }
   }
 
   test("partitioned read-back prunes by directory, not by data filter") {
