@@ -44,6 +44,33 @@ object CdcOps {
     log.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** SCD type-2 dimension history — the full-history counterpart of
+    * [[lastWriteWins]] (which is what the reference materializes,
+    * js:167–176, discarding everything but the last post-image): per key,
+    * one version row per CHANGE of the tracked attribute, consecutive
+    * same-value writes collapsed into the open interval, `[valid_from,
+    * valid_to)` chained by lead() and `is_current` on the open row.
+    * Returns (key, version, attr, valid_from, valid_to, is_current) with
+    * raw timestamp bounds (`valid_to` null on the current row).
+    *
+    * One shuffle on `key`; the change-filter lag, version row_number and
+    * interval lead all share the same `(key)×(ts, tiebreak)` window
+    * partitioning, so nothing ever sorts globally — the per-key shape
+    * that holds at any corpus size. */
+  def scd2(log: DataFrame, key: String, attr: String,
+           ts: String, tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    log
+      .withColumn("__prev", lag(col(attr), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attr))
+      .select(col(key), col(attr), col(ts), col(tiebreak))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
+      .select(col(key), col("version"), col(attr),
+        col(ts).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
   /** Idempotent upsert merge (js:149–202): rows from `batchState` win; rows
     * from `base` survive only for keys absent from the batch — `updateOne
     * {upsert:true}` semantics at table scale. Expressed as anti-join + union

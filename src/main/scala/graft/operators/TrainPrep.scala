@@ -465,6 +465,99 @@ object TrainPrep {
         graft.Tables.rnd4(col("score")).as("score"))
   }
 
+  /** Okapi BM25 retrieval (Robertson & Spärck Jones; the SMART/Okapi
+    * formulation) over whitespace tokens, scoring every document that
+    * contains at least one query term — the lexical half of a
+    * training-data curation retriever (decontamination lookups, targeted
+    * corpus slicing, eval-set mining). One deliberate deviation, shared
+    * with [[topTerms]]: the idf factor is the RATIONAL Robertson form
+    * `(N − df + 0.5)/(df + 0.5)` without the `ln(1 + ·)` wrap — `ln` is a
+    * transcendental whose last ulp differs across libm implementations, so
+    * the wrap would break bit-exact oracle replay; since `ln(1+x)` is
+    * strictly monotone in x, RANKINGS are identical to textbook BM25 and
+    * only magnitudes differ. Scores for multi-term queries are a sum of
+    * ≤ 2 per-term products when `queryTerms.size ≤ 2` (IEEE addition is
+    * commutative, so 2-term sums are order-independent; 3+ terms would
+    * need a fixed reduction order for engine-exactness).
+    *
+    * Shape: the posting-list predicate (`term isin queryTerms`) lands
+    * BEFORE the tf aggregate, so every exchange after the corpus scan is
+    * CANDIDATE-sized (docs containing a query term), not corpus-sized; df
+    * and the avgdl/N scalars ride back as broadcasts; the final top-k is
+    * TakeOrdered (no global sort). At 100 TB the one full scan is the
+    * avgdl/dl pass — pre-computing dl at ingest (a `n_tokens` column)
+    * removes it, and the candidate frames are what an inverted index
+    * would serve. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k: Int,
+           k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    // default k1/b are chosen EXACTLY representable in binary (1.5, 0.75),
+    // so every constant-folded subterm (k1+1 = 2.5, 1−b = 0.25) is the
+    // same double in Spark and in the oracle's SQL literal — the engine-
+    // exactness contract would silently weaken for a k1 like 1.2
+    require(queryTerms.nonEmpty, "bm25: queryTerms must be non-empty")
+    require(queryTerms.size <= 2,
+      "bm25: >2 query terms would make the per-doc double sum order-sensitive " +
+        "(IEEE addition is not associative); extend with a fixed-order fold first")
+    val toks = docs.select(col(idCol).as("doc_id"), TextFns.tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("dl"), col("__t"))
+    val stats = broadcast(toks.agg(
+      sum(col("dl")).as("__sum_dl"), count(lit(1)).as("__n_docs")))
+    // candidate posting lists: one row per (doc, query-term) with tf —
+    // persisted because both the df aggregate and the scorer read it
+    val post = registered(toks
+      .select(col("doc_id"), col("dl"), explode(col("__t")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    val dfTab = broadcast(post.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    val avgdl = col("__sum_dl").cast("double") / col("__n_docs").cast("double")
+    val idf = (col("__n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val tfSat = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    post
+      .join(dfTab, "term")
+      .crossJoin(stats)
+      .withColumn("__s", idf * tfSat)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__s")).as("__score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("__score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("__score").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_terms"),
+        graft.Tables.rnd4(col("__score")).as("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * merge two top-k rankings of the same id space into one list by
+    * `Σ 1/(c + rank)` — the standard hybrid-retrieval combiner (lexical
+    * BM25 × a dense or quality ranking) that needs no score calibration
+    * because it consumes only RANKS. Ids absent from one ranking
+    * contribute 0 from that side (the usual convention).
+    *
+    * Shape: both inputs arrive already top-k'd (TakeOrdered upstream), so
+    * everything here — the outer join, the fused sort — runs on ≤ 2k rows;
+    * at 100 TB the cost lives in the rankers, never the fusion. The fused
+    * score is a sum of two reciprocals of integer ranks: engine-exact
+    * (IEEE addition of two terms is commutative, division of integers is
+    * correctly rounded). */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              rankA: String, rankB: String, c: Int = 60): DataFrame = {
+    val fused =
+      coalesce(lit(1.0) / (lit(c) + col(rankA)).cast("double"), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(c) + col(rankB)).cast("double"), lit(0.0))
+    a.select(col(idCol), col(rankA))
+      .join(b.select(col(idCol), col(rankB)), Seq(idCol), "full_outer")
+      .withColumn("__f", fused)
+      .orderBy(col("__f").desc, col(idCol))
+      .withColumn("fused_rank",
+        row_number().over(Window.orderBy(col("__f").desc, col(idCol))).cast("long"))
+      .select(col("fused_rank"), col(idCol), col(rankA), col(rankB),
+        graft.Tables.rnd4(col("__f")).as("rrf_score"))
+  }
+
   /** Per-doc shingle NOVELTY: of each document's distinct n-gram shingles,
     * how many occur in no other document — the corpus-diversity signal
     * (high novelty = genuinely new material; low = assembled from spans the

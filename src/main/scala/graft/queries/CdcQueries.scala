@@ -382,6 +382,30 @@ object CdcQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** SCD type-2 dimension history from the change log — the warehouse
+    * materialization the reference's replication feeds but never builds
+    * (js:167–176 applies each post-image LAST-WRITE-WINS, discarding
+    * history; SCD2 is the standard shape that keeps it): per key, one
+    * version row per CHANGE of the tracked attribute (consecutive
+    * same-value updates collapse into the open interval), with
+    * `[valid_from, valid_to)` bounds chained by lead() and `is_current`
+    * on the open row.
+    *
+    * Shape: one lag() to drop no-change updates, then row_number() + lead()
+    * to number versions and close intervals — all three windows share the
+    * same `(user_id)×(ts, event_id)` partitioning, so the whole
+    * materialization is ONE shuffle of the change log and every window is
+    * per-key (no global sort anywhere). At 100 TB this is the incremental
+    * dimension-build that runs per key-partition; the streaming twin
+    * (`stream_scd2`) folds the same semantics per micro-batch. */
+  private val windowScd2: Q = (s, d) =>
+    CdcOps.scd2(CdcOps.dropDeletes(changeLog(s, d)),
+      "user_id", "event_type", "ts", "event_id")
+      .select(col("user_id"), col("version"), col("event_type"),
+        fmtTs(col("valid_from")).as("valid_from"),
+        fmtTs(col("valid_to")).as("valid_to"), col("is_current"))
+      .orderBy("user_id", "version")
+
   /** orderBy + limit — TakeOrderedAndProject (top-k, SURVEY §2.5). */
   private val sortTopk: Q = (s, d) =>
     events(s, d)
@@ -452,6 +476,7 @@ object CdcQueries {
     "window_running" -> windowRunning,
     "window_delta" -> windowDelta,
     "window_session" -> windowSession,
+    "window_scd2" -> windowScd2,
     "sort_topk" -> sortTopk,
     "scalar_datetime" -> scalarDatetime,
     "scalar_string" -> scalarString,
@@ -686,6 +711,25 @@ object CdcQueries {
          |       ${TS("min(ts)")} AS session_start, ${TS("max(ts)")} AS session_end
          |FROM s GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+
+    // lag drops no-change updates; version/valid_to windows rerun over the
+    // surviving change rows (same per-key partitioning on both engines)
+    "window_scd2" ->
+      s"""WITH f AS (SELECT * FROM events WHERE event_type IS DISTINCT FROM 'error'),
+         |ch AS (SELECT user_id, event_type, ts, event_id,
+         |              lag(event_type, 1) OVER
+         |                (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |       FROM f),
+         |v AS (SELECT user_id, event_type, ts,
+         |             CAST(row_number() OVER
+         |               (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+         |             lead(ts, 1) OVER
+         |               (PARTITION BY user_id ORDER BY ts, event_id) AS to_ts
+         |      FROM ch WHERE prev IS NULL OR prev <> event_type)
+         |SELECT user_id, version, event_type,
+         |       ${TS("ts")} AS valid_from, ${TS("to_ts")} AS valid_to,
+         |       to_ts IS NULL AS is_current
+         |FROM v ORDER BY user_id, version""".stripMargin,
 
     "sort_topk" ->
       """SELECT event_id, user_id, event_type, round(value, 4) AS value

@@ -1041,6 +1041,41 @@ object ExtQueries {
     TrainPrep.topTerms(documents(s, d), "doc_id", "text", k = 3)
       .orderBy("doc_id", "rank")
 
+  /** The retrieval queries' shared parameterization: a fixed two-term
+    * lexical query (2 terms keeps the per-doc score a commutative 2-double
+    * sum — see [[TrainPrep.bm25]]) and top-k depths for the standalone
+    * ranking vs the fusion candidates. */
+  private val Bm25Terms = Seq("vector", "spark")
+  private val Bm25K = 10
+  private val FusionK = 20
+
+  /** BM25 top-10 for the two-term query — lexical retrieval over the
+    * corpus, the decontamination/eval-mining lookup path (log-free
+    * Robertson idf; rankings match textbook BM25, see
+    * [[TrainPrep.bm25]]). */
+  private val extBm25: Q = (s, d) =>
+    TrainPrep.bm25(documents(s, d), "doc_id", "text", Bm25Terms, k = Bm25K)
+      .orderBy("rank")
+
+  /** Hybrid retrieval via reciprocal-rank fusion — BM25 top-20 fused with
+    * a quality-score top-20 (the "lexical match × quality prior" blend a
+    * curation pipeline uses to pick training shards; [[TrainPrep.rrfFuse]]
+    * consumes only ranks, so no score calibration). Both candidate lists
+    * arrive TakeOrdered; every fusion-side frame is ≤ 2k rows. */
+  private val extRankFusion: Q = (s, d) => {
+    val lex = TrainPrep.bm25(documents(s, d), "doc_id", "text", Bm25Terms, k = FusionK)
+      .select(col("doc_id"), col("rank").as("rank_lex"))
+    val qual = documents(s, d)
+      .select(col("doc_id"), rnd4(TextFns.qualityScore(col("text"))).as("__q"))
+      .orderBy(col("__q").desc, col("doc_id"))
+      .limit(FusionK)
+      .withColumn("rank_quality",
+        row_number().over(Window.orderBy(col("__q").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rank_quality"))
+    TrainPrep.rrfFuse(lex, qual, "doc_id", "rank_lex", "rank_quality")
+      .orderBy("fused_rank")
+  }
+
   /** Top-20 corpus vocabulary with tf/df and cumulative coverage — the
     * tokenizer-prep profile (see [[TrainPrep.vocabTop]]; ties break on the
     * token string, so ranks and coverage are engine-deterministic). */
@@ -1341,6 +1376,8 @@ object ExtQueries {
     "ext_curriculum" -> extCurriculum,
     "ext_curriculum_plan" -> extCurriculumPlan,
     "ext_tfidf_terms" -> extTfidfTerms,
+    "ext_bm25" -> extBm25,
+    "ext_rank_fusion" -> extRankFusion,
     "ext_vocab_top" -> extVocabTop,
     "ext_vocab_oov" -> extVocabOov,
     "ext_token_quantiles" -> extTokenQuantiles,
@@ -1504,6 +1541,33 @@ object ExtQueries {
   /** The weighted quality score over [[qualitySqlCte]]'s components —
     * oracle twin of [[TextFns.qualityScore]] (fixed op order). */
   private val qualitySql = rnd4Sql("stop_ratio * 0.4 + ttr * 0.3 + len_sat * 0.3")
+
+  /** Oracle-side twin of [[TrainPrep.bm25]] at the registered
+    * parameterization (k1 = 1.5, b = 0.75 — exactly-representable
+    * constants, so 2.5/0.25 fold to the same doubles on both engines; op
+    * order mirrors the Spark columns term by term). CTE chain ends in
+    * `bmr` = (doc_id, n_terms, score, rank), shared by the ext_bm25 and
+    * ext_rank_fusion oracles so the twins can't drift. */
+  private def bm25SqlCtes: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(",")
+    s"""bmt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |               unnest(string_split(text, ' ')) AS term FROM documents),
+       |bmst AS (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_dl,
+       |                CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |bmpost AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       |           FROM bmt WHERE term IN ($terms) GROUP BY 1, 2, 3),
+       |bmdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM bmpost GROUP BY 1),
+       |bmsc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |                sum(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |                    * ((CAST(tf AS DOUBLE) * 2.5)
+       |                       / (CAST(tf AS DOUBLE)
+       |                          + 1.5 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE)
+       |                              / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))) AS score
+       |         FROM bmpost JOIN bmdf USING (term), bmst GROUP BY doc_id),
+       |bmr AS (SELECT doc_id, n_terms, score,
+       |               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |        FROM bmsc)""".stripMargin
+  }
 
   /** The BPE training loop replayed as recursive-CTE text, shared by the
     * ext_bpe_train and ext_bpe_encode oracles (one source for the replay,
@@ -2370,6 +2434,29 @@ object ExtQueries {
          |      FROM sc)
          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, ${rnd4Sql("score")} AS score
          |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "ext_bm25" ->
+      s"""WITH $bm25SqlCtes
+         |SELECT rank, doc_id, n_terms, ${rnd4Sql("score")} AS score
+         |FROM bmr WHERE rank <= $Bm25K ORDER BY rank""".stripMargin,
+
+    // lex/quality candidate lists are the two rankers' top-20; the fusion
+    // score is a 2-term reciprocal sum over integer ranks (engine-exact)
+    "ext_rank_fusion" ->
+      s"""WITH $bm25SqlCtes,
+         |lex AS (SELECT doc_id, rank AS rank_lex FROM bmr WHERE rank <= $FusionK),
+         |${qualitySqlCte("documents")},
+         |qs AS (SELECT doc_id, $qualitySql AS qsc FROM q),
+         |qr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY qsc DESC, doc_id)
+         |                          AS BIGINT) AS rank_quality FROM qs),
+         |qual AS (SELECT doc_id, rank_quality FROM qr WHERE rank_quality <= $FusionK),
+         |f AS (SELECT coalesce(l.doc_id, u.doc_id) AS doc_id, rank_lex, rank_quality,
+         |             coalesce(1.0 / CAST(60 + rank_lex AS DOUBLE), 0.0)
+         |               + coalesce(1.0 / CAST(60 + rank_quality AS DOUBLE), 0.0) AS rrf
+         |      FROM lex l FULL OUTER JOIN qual u ON l.doc_id = u.doc_id)
+         |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS fused_rank,
+         |       doc_id, rank_lex, rank_quality, ${rnd4Sql("rrf")} AS rrf_score
+         |FROM f ORDER BY fused_rank""".stripMargin,
 
     "ext_vocab_top" ->
       s"""WITH $vocabSqlCte

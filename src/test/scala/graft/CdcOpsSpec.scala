@@ -61,4 +61,57 @@ class CdcOpsSpec extends SparkSpec {
       .select("user_id").as[Long].collect().toSet
     assert(r === Set(1L, 9L))
   }
+
+  private def attrLog(rows: (Long, Long, String, String)*): DataFrame =
+    rows.toDF("event_id", "user_id", "ts_s", "attr")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+
+  test("scd2 collapses no-change writes and versions only on attribute change") {
+    val l = attrLog(
+      (1, 1, "2024-01-01 00:00:00", "a"),
+      (2, 1, "2024-01-02 00:00:00", "a"), // no-change update → collapsed
+      (3, 1, "2024-01-03 00:00:00", "b"),
+      (4, 2, "2024-01-01 00:00:00", "x"))
+    val r = CdcOps.scd2(l, "user_id", "attr", "ts", "event_id")
+      .select("user_id", "version", "attr", "is_current")
+      .as[(Long, Long, String, Boolean)].collect().toSet
+    assert(r === Set((1L, 1L, "a", false), (1L, 2L, "b", true), (2L, 1L, "x", true)))
+  }
+
+  test("scd2 intervals chain: valid_to of version k = valid_from of k+1, open tail") {
+    val l = attrLog(
+      (1, 1, "2024-01-01 00:00:00", "a"),
+      (2, 1, "2024-01-05 00:00:00", "b"),
+      (3, 1, "2024-01-09 00:00:00", "c"))
+    val rows = CdcOps.scd2(l, "user_id", "attr", "ts", "event_id")
+      .orderBy("version")
+      .select(col("version"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"))
+      .as[(Long, String, String)].collect()
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(rows(0)._3 === rows(1)._2 && rows(1)._3 === rows(2)._2)
+    assert(rows(2)._3 === null)
+  }
+
+  test("scd2 reopens a returning value as a NEW version (a→b→a = 3 versions)") {
+    val l = attrLog(
+      (1, 1, "2024-01-01 00:00:00", "a"),
+      (2, 1, "2024-01-02 00:00:00", "b"),
+      (3, 1, "2024-01-03 00:00:00", "a"))
+    val r = CdcOps.scd2(l, "user_id", "attr", "ts", "event_id")
+      .select("version", "attr").as[(Long, String)].collect().toSet
+    assert(r === Set((1L, "a"), (2L, "b"), (3L, "a")))
+  }
+
+  test("scd2 breaks exact-ts ties by the tiebreaker column") {
+    val l = attrLog(
+      (5, 1, "2024-01-01 00:00:00", "a"),
+      (9, 1, "2024-01-01 00:00:00", "b"), // same ts: event_id 9 is LATER
+      (7, 1, "2024-01-01 00:00:00", "a"))
+    // order by (ts, event_id): a(5) → a(7) collapsed → b(9) current
+    val r = CdcOps.scd2(l, "user_id", "attr", "ts", "event_id")
+      .select("version", "attr", "is_current")
+      .as[(Long, String, Boolean)].collect().toSet
+    assert(r === Set((1L, "a", false), (2L, "b", true)))
+  }
 }

@@ -322,4 +322,47 @@ class ExtOpsSpec extends SparkSpec {
     assert(merged.sum === (3L /* ab→1 piece ×3 */ + 2L /* aab→a+ab */ +
       2L /* ba */ + 1L /* z */))
   }
+
+  test("bm25 ranks higher tf first, then shorter docs at equal tf (dl normalization)") {
+    val d = docs(
+      (0L, "q q q pad pad pad"),       // tf 3
+      (1L, "q pad pad pad pad pad"),   // tf 1, dl 6
+      (2L, "q pad"),                   // tf 1, dl 2 → beats doc 1
+      (3L, "pad pad pad pad pad pad")) // no hit → absent
+    val r = graft.operators.TrainPrep.bm25(d, "doc_id", "text", Seq("q"), k = 10)
+      .select("rank", "doc_id").as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 0L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("bm25 sums both terms' contributions and counts matched terms") {
+    val d = docs(
+      (0L, "q w pad pad"),  // both terms
+      (1L, "q pad pad pad") // one term
+    )
+    val r = graft.operators.TrainPrep.bm25(d, "doc_id", "text", Seq("q", "w"), k = 10)
+      .select("doc_id", "n_terms", "rank").as[(Long, Long, Long)].collect()
+      .map { case (id, n, rk) => id -> ((n, rk)) }.toMap
+    assert(r(0L) === ((2L, 1L)) && r(1L) === ((1L, 2L)))
+  }
+
+  test("bm25 refuses >2 query terms (order-sensitive double sum)") {
+    val d = docs((0L, "a b c"))
+    intercept[IllegalArgumentException] {
+      graft.operators.TrainPrep.bm25(d, "doc_id", "text", Seq("a", "b", "c"), k = 1)
+    }
+  }
+
+  test("rrfFuse: both-list ids beat single-list ids at comparable ranks; exact scores") {
+    val a = Seq((10L, 1L), (11L, 2L)).toDF("doc_id", "rank_a")
+    val b = Seq((10L, 2L), (12L, 1L)).toDF("doc_id", "rank_b")
+    val r = graft.operators.TrainPrep.rrfFuse(a, b, "doc_id", "rank_a", "rank_b")
+      .select("fused_rank", "doc_id", "rrf_score")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // 10: 1/61 + 1/62; 12: 1/61 (rank-1 single); 11: 1/62
+    assert(r.map(_._2).toSeq === Seq(10L, 12L, 11L))
+    def rnd4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    assert(r(0)._3 === rnd4(1.0 / 61 + 1.0 / 62))
+    assert(r(1)._3 === rnd4(1.0 / 61))
+    assert(r(2)._3 === rnd4(1.0 / 62))
+  }
 }
