@@ -71,6 +71,35 @@ object CdcOps {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** Point-in-time (temporal) join — each fact row matched to the dimension
+    * VERSION valid at the fact's event time: the consumer-side counterpart
+    * of [[scd2]] (a fact asks "what did this key look like when the event
+    * happened?", the question the reference answers with a per-document
+    * `findOne` at reconcile time, js:504–505, but against current state
+    * only — SCD2 history makes it answerable for ANY past instant).
+    *
+    * `dim` must be [[scd2]]-shaped on `key`: half-open `[valid_from,
+    * valid_to)` intervals, null `valid_to` on the open row, non-overlapping
+    * per key — so each fact matches at most one version and a fact before
+    * the key's first version (or with no dimension key at all) survives
+    * with null version columns (left join).
+    *
+    * Scale shape: an equi-join on `key` carrying the interval predicate as
+    * the join residual — Catalyst broadcasts the dimension when it fits
+    * (SCD2 history is change-sized, orders below the fact log) and falls
+    * back to a key-partitioned shuffle otherwise; either way the per-key
+    * match set is versions-per-key (small), never a range cross product. */
+  def temporalJoin(facts: DataFrame, dim: DataFrame,
+                   key: String, ts: String): DataFrame = {
+    val d = dim.withColumnRenamed(key, "__dim_key")
+    facts.join(d,
+        facts(key) === d("__dim_key") &&
+          facts(ts) >= d("valid_from") &&
+          (d("valid_to").isNull || facts(ts) < d("valid_to")),
+        "left")
+      .drop("__dim_key")
+  }
+
   /** Idempotent upsert merge (js:149–202): rows from `batchState` win; rows
     * from `base` survive only for keys absent from the batch — `updateOne
     * {upsert:true}` semantics at table scale. Expressed as anti-join + union

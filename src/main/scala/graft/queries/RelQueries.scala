@@ -132,6 +132,32 @@ object RelQueries {
         col("c_name"), col("c_mktsegment"))
       .orderBy("event_id")
 
+  /** Point-in-time join (§2.3 × §2.4): each purchase labeled with the
+    * user's funnel-touchpoint dimension version (SCD2 over the
+    * signup/click/view sub-log) valid AT PURCHASE TIME — the "what did the
+    * key look like when the fact happened" question the reference can only
+    * answer for NOW (its reconcile findOne reads current state,
+    * js:504–505); the [[CdcOps.scd2]] history makes any past instant
+    * addressable, and [[CdcOps.temporalJoin]] is the addressing operator.
+    * Left join: a purchase before the user's first touch keeps null
+    * version columns. Dimension history is change-sized → broadcast here;
+    * key-partitioned shuffle at 100 TB — either way versions-per-key
+    * matches, never a range cross product. */
+  private val joinTemporal: Q = (s, d) => {
+    val ev = events(s, d)
+    val dim = CdcOps.scd2(
+      ev.filter(col("event_type").isin("signup", "click", "view")),
+      "user_id", "event_type", "ts", "event_id")
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    CdcOps.temporalJoin(facts, dim, "user_id", "ts")
+      .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts_s"),
+        round(col("value"), 4).as("value"),
+        col("version").as("touch_version"), col("event_type").as("touch"),
+        fmtTs(col("valid_from")).as("touch_since"))
+      .orderBy("event_id")
+  }
+
   /** Fact ⋈ fact on identically-bucketed layouts (§4 partitioning story):
     * both sides written `bucketBy(8, orderkey) sortBy(orderkey)`, so the
     * join — and the per-key aggregate after it, which reuses the same
@@ -167,6 +193,7 @@ object RelQueries {
     "join_asof" -> joinAsof,
     "join_range" -> joinRange,
     "join_skew_salted" -> joinSkewSalted,
+    "join_temporal" -> joinTemporal,
     "join_bucketed" -> joinBucketed)
 
   val oracle: Map[String, String] = Map(
@@ -230,6 +257,31 @@ object RelQueries {
       """SELECT event_id, user_id, event_type, c_name, c_mktsegment
         |FROM events JOIN customer ON user_id = c_custkey
         |ORDER BY event_id""".stripMargin,
+
+    // SCD2 derivation identical to window_scd2's oracle; the join addresses
+    // a half-open interval per (user, purchase-instant)
+    "join_temporal" ->
+      s"""WITH f AS (SELECT user_id, event_type, ts, event_id FROM events
+         |           WHERE event_type IN ('signup', 'click', 'view')),
+         |ch AS (SELECT user_id, event_type, ts, event_id,
+         |              lag(event_type, 1) OVER
+         |                (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |       FROM f),
+         |v AS (SELECT user_id, event_type, ts,
+         |             CAST(row_number() OVER
+         |               (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+         |             lead(ts, 1) OVER
+         |               (PARTITION BY user_id ORDER BY ts, event_id) AS to_ts
+         |      FROM ch WHERE prev IS NULL OR prev <> event_type),
+         |p AS (SELECT event_id, user_id, ts, value FROM events
+         |      WHERE event_type = 'purchase')
+         |SELECT p.event_id, p.user_id, ${fmtTsSql("p.ts")} AS ts_s,
+         |       round(p.value, 4) AS value,
+         |       v.version AS touch_version, v.event_type AS touch,
+         |       ${fmtTsSql("v.ts")} AS touch_since
+         |FROM p LEFT JOIN v ON p.user_id = v.user_id
+         |  AND p.ts >= v.ts AND (v.to_ts IS NULL OR p.ts < v.to_ts)
+         |ORDER BY p.event_id""".stripMargin,
 
     // bucketing likewise: a layout choice, not a semantic one
     "join_bucketed" ->

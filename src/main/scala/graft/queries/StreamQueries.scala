@@ -147,6 +147,26 @@ object StreamQueries {
     FunnelStream.lagReport(FunnelStream.mergeStates(twice.limit(0), twice))
   }
 
+  /** The incremental SCD2 build run in BATCH mode over a DOUBLED delivery
+    * (at-least-once): state is the event_id-keyed deduped change set, so
+    * the doubled log collapses through the set-union merge to the clean
+    * single-run change set, and the report derives version/validity from
+    * it — BYTE-identical to the batch `window_scd2` materialization (the
+    * oracle is the same SQL), because unlike the funnel this state carries
+    * the full fact set, not a lossy summary. Live path (file stream,
+    * checkpointed restart, redelivery) is in StreamingSpec. */
+  private val streamScd2: Q = (s, d) => {
+    import graft.streaming.Scd2Stream
+    val raw = Tables.eventsRaw(s, d)
+    val once = Scd2Stream.slice(CdcPipeline.transform(raw))
+    val twice = once.unionByName(once) // two deliveries
+    Scd2Stream.report(Scd2Stream.mergeEvents(twice.limit(0), twice))
+      .select(col("user_id"), col("version"), col("event_type"),
+        fmtTs(col("valid_from")).as("valid_from"),
+        fmtTs(col("valid_to")).as("valid_to"), col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   /** Incremental retention cohorts run in BATCH mode over a DOUBLED
     * delivery (at-least-once): the state is distinct (user, kind, week)
     * facts, so the doubled log collapses through the distinct-union merge
@@ -222,6 +242,7 @@ object StreamQueries {
     "stream_window_counts" -> streamWindowCounts,
     "stream_dedup" -> streamDedup,
     "stream_funnel" -> streamFunnel,
+    "stream_scd2" -> streamScd2,
     "stream_retention" -> streamRetention,
     "stream_conversion_lag" -> streamConversionLag,
     "stream_corpus_ingest" -> streamCorpusIngest,
@@ -276,6 +297,25 @@ object StreamQueries {
     // doubled delivery collapses through the min-merge, so the oracle is
     // the clean single-run computation (deletes dropped by the shared
     // transform — irrelevant here, 'error' is not a stage type)
+    // set-union state makes the incremental build byte-identical to the
+    // batch window_scd2 materialization — same oracle SQL
+    "stream_scd2" ->
+      s"""WITH f AS (SELECT * FROM events WHERE event_type IS DISTINCT FROM 'error'),
+         |ch AS (SELECT user_id, event_type, ts, event_id,
+         |              lag(event_type, 1) OVER
+         |                (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |       FROM f),
+         |v AS (SELECT user_id, event_type, ts,
+         |             CAST(row_number() OVER
+         |               (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+         |             lead(ts, 1) OVER
+         |               (PARTITION BY user_id ORDER BY ts, event_id) AS to_ts
+         |      FROM ch WHERE prev IS NULL OR prev <> event_type)
+         |SELECT user_id, version, event_type,
+         |       ${fmtTsSql("ts")} AS valid_from, ${fmtTsSql("to_ts")} AS valid_to,
+         |       to_ts IS NULL AS is_current
+         |FROM v ORDER BY user_id, version""".stripMargin,
+
     "stream_funnel" ->
       """WITH m AS (
         |  SELECT user_id,

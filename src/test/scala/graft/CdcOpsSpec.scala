@@ -114,4 +114,47 @@ class CdcOpsSpec extends SparkSpec {
       .as[(Long, String, Boolean)].collect().toSet
     assert(r === Set((1L, "a", false), (2L, "b", true)))
   }
+
+  private def facts(rows: (Long, Long, String)*): DataFrame =
+    rows.toDF("fact_id", "user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+
+  test("temporalJoin addresses half-open [valid_from, valid_to) intervals") {
+    val dim = CdcOps.scd2(attrLog(
+      (1, 1, "2024-01-01 00:00:00", "a"),
+      (2, 1, "2024-01-03 00:00:00", "b")), "user_id", "attr", "ts", "event_id")
+    val f = facts(
+      (10, 1, "2024-01-02 00:00:00"), // inside v1
+      (11, 1, "2024-01-03 00:00:00"), // ON the boundary: v1's valid_to is
+                                      // EXCLUSIVE, v2's valid_from inclusive
+      (12, 1, "2024-01-09 00:00:00")) // open tail
+    val r = CdcOps.temporalJoin(f, dim, "user_id", "ts")
+      .select("fact_id", "version", "attr").as[(Long, Long, String)]
+      .collect().map { case (id, v, a) => id -> ((v, a)) }.toMap
+    assert(r === Map(10L -> (1L, "a"), 11L -> (2L, "b"), 12L -> (2L, "b")))
+  }
+
+  test("temporalJoin keeps facts before the first version / without a dim key (left join)") {
+    val dim = CdcOps.scd2(attrLog((1, 1, "2024-01-05 00:00:00", "a")),
+      "user_id", "attr", "ts", "event_id")
+    val f = facts(
+      (10, 1, "2024-01-02 00:00:00"), // before user 1's first version
+      (11, 2, "2024-01-06 00:00:00")) // user 2 has no dim history at all
+    val r = CdcOps.temporalJoin(f, dim, "user_id", "ts")
+      .select("fact_id", "version").as[(Long, Option[Long])].collect().toMap
+    assert(r === Map(10L -> None, 11L -> None))
+    // and each fact survives exactly once — a null match never drops or dups
+    assert(CdcOps.temporalJoin(f, dim, "user_id", "ts").count() === 2)
+  }
+
+  test("temporalJoin matches each fact to AT MOST one version (non-overlap)") {
+    val dim = CdcOps.scd2(attrLog(
+      (1, 1, "2024-01-01 00:00:00", "a"),
+      (2, 1, "2024-01-02 00:00:00", "b"),
+      (3, 1, "2024-01-03 00:00:00", "c")), "user_id", "attr", "ts", "event_id")
+    val f = facts((1 to 8).map(i => (100L + i, 1L, s"2024-01-0$i 12:00:00")): _*)
+    val joined = CdcOps.temporalJoin(f, dim, "user_id", "ts")
+    assert(joined.count() === 8) // one output row per fact, always
+    assert(joined.groupBy("fact_id").count().filter(col("count") > 1).count() === 0)
+  }
 }

@@ -506,6 +506,47 @@ class StreamingSpec extends SparkSpec {
     assert(rows(FunnelStream.report(spark.read.parquet(tgt))) === expected)
   }
 
+  test("incremental SCD2: checkpointed restart + redelivery converge to the batch history") {
+    import graft.streaming.Scd2Stream
+    val sf = "/root/testdata/sf0.001"
+    val src = tmp("scd-src")
+    val tgt = tmp("scd-tgt").resolve("state").toString
+    val ckp = tmp("scd-ckp").toString
+
+    val cut = Tables.tsLit("2024-01-15 00:00:00")
+    def arrive(wave: String, pred: org.apache.spark.sql.Column): Unit = {
+      val staging = tmp(s"scd-stage-$wave")
+      Tables.events(spark, sf).filter(pred)
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.move(f.toPath, src.resolve(s"$wave-$i.parquet"))
+        }
+    }
+
+    // wave 2 closes intervals wave 1 left open and renumbers nothing it
+    // shouldn't: versions spanning the cut must chain across the restart
+    arrive("wave1", col("ts") < cut)
+    Scd2Stream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    arrive("wave2", col("ts") >= cut)
+    Scd2Stream.start(spark, src.toString, tgt, ckp).awaitTermination()
+
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, String, Boolean)] =
+      df.select(col("user_id"), col("version"), col("event_type"), col("is_current"))
+        .as[(Long, Long, String, Boolean)].collect().toSet
+    val expected = rows(Scd2Stream.report(
+      Scd2Stream.slice(CdcPipeline.transform(Tables.eventsRaw(spark, sf)))))
+    assert(expected.exists(_._2 > 1)) // real multi-version histories
+    assert(rows(Scd2Stream.report(spark.read.parquet(tgt))) === expected)
+
+    // wave 2 redelivered as fresh files (at-least-once): the event_id-keyed
+    // set-union merge makes the replay a no-op
+    arrive("wave2again", col("ts") >= cut)
+    Scd2Stream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    assert(rows(Scd2Stream.report(spark.read.parquet(tgt))) === expected)
+  }
+
   test("incremental retention: checkpointed restart + redelivery converge to the batch report") {
     import graft.streaming.RetentionStream
     val sf = "/root/testdata/sf0.001"
