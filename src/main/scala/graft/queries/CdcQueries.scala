@@ -449,6 +449,59 @@ object CdcQueries {
         length(col("props")).cast("long").as("props_len"))
       .orderBy("event_id")
 
+  /** Calendar resample + gap fill (§2.5): each user's per-day last purchase
+    * value, re-gridded onto that user's full [first-day, last-day] calendar
+    * span with missing days carried forward (LOCF) — the time-series
+    * regularization every downstream daily model/report needs over an
+    * irregular event log. `observed` marks real vs filled days.
+    *
+    * Shape: per-(user, day) last value is one ranking window; the span is a
+    * per-user 2-row aggregate exploded through `sequence()` (array-of-days,
+    * bounded by the log's calendar span, never data-sized); the fill is a
+    * running last-non-null over a PER-USER window. Everything partitions by
+    * user — at 100 TB the output is users × span-days, the materialization
+    * the operator exists to produce, and no global sort or driver loop
+    * appears anywhere. */
+  private val windowGapFill: Q = (s, d) => {
+    val p = events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
+        col("event_id"), round(col("value"), 4).as("v"))
+    val wDay = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = p.withColumn("__rn", row_number().over(wDay))
+      .filter(col("__rn") === 1).select(col("user_id"), col("day"), col("v"))
+    val span = daily.groupBy("user_id")
+      .agg(min("day").as("lo"), max("day").as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    val wFill = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    span.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("value", last(col("v"), ignoreNulls = true).over(wFill))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("value"), col("v").isNotNull.as("observed"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Heavy hitters via a Misra–Gries sketch ([[graft.functions.MisraGries]],
+    * §2.4 sketch family): top-20 most frequent user_ids from a k=256-counter
+    * mergeable summary — ONE constant-size partial per partition merged up
+    * the combine tree, vs the full every-key shuffle exact top-k pays at
+    * 100 TB. k=256 exceeds the ORACLE fixtures' distinct-user count
+    * (sf ≤ 0.01), so no counter is ever evicted there and the sketch is
+    * EXACT under the plain count/top-k oracle; at bench scale (sf0.1,
+    * 1500 users) and beyond it runs in genuine eviction mode, where
+    * SketchesSpec pins the n/(k+1) one-sided bound and heavy-key
+    * retention the oracle can't express. */
+  private val aggHeavyHitters: Q = (s, d) => {
+    val mg = udaf(new graft.functions.MisraGries(256))
+    events(s, d)
+      .agg(mg(col("user_id").cast("string")).as("sketch"))
+      .select(explode(col("sketch")).as(Seq("k", "est_n")))
+      .select(col("k").cast("long").as("user_id"), col("est_n"))
+      .orderBy(col("est_n").desc, col("user_id"))
+      .limit(20)
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -477,6 +530,8 @@ object CdcQueries {
     "window_delta" -> windowDelta,
     "window_session" -> windowSession,
     "window_scd2" -> windowScd2,
+    "window_gap_fill" -> windowGapFill,
+    "agg_heavy_hitters" -> aggHeavyHitters,
     "sort_topk" -> sortTopk,
     "scalar_datetime" -> scalarDatetime,
     "scalar_string" -> scalarString,
@@ -730,6 +785,40 @@ object CdcQueries {
          |       ${TS("ts")} AS valid_from, ${TS("to_ts")} AS valid_to,
          |       to_ts IS NULL AS is_current
          |FROM v ORDER BY user_id, version""".stripMargin,
+
+    // LOCF via the count-of-non-nulls group trick (engine-portable; no
+    // IGNORE NULLS dependence): within a fill group only the first day is
+    // observed, so max() over (user, grp) is the carried value
+    "window_gap_fill" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+        |                  round(value, 4) AS v
+        |           FROM events WHERE event_type = 'purchase'),
+        |d AS (SELECT user_id, day, v FROM (
+        |        SELECT *, row_number() OVER
+        |          (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM p) q WHERE rn = 1),
+        |span AS (SELECT user_id,
+        |                CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |                                            CAST(hi AS TIMESTAMP),
+        |                                            INTERVAL 1 DAY)) AS DATE) AS day
+        |         FROM (SELECT user_id, min(day) AS lo, max(day) AS hi
+        |               FROM d GROUP BY user_id) b),
+        |j AS (SELECT s.user_id, s.day, d.v
+        |      FROM span s LEFT JOIN d ON s.user_id = d.user_id AND s.day = d.day),
+        |g AS (SELECT user_id, day, v,
+        |             count(v) OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |      FROM j)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |       max(v) OVER (PARTITION BY user_id, grp) AS value,
+        |       v IS NOT NULL AS observed
+        |FROM g ORDER BY user_id, day""".stripMargin,
+
+    // k=256 > distinct users ⇒ the sketch never evicts ⇒ exact counts; the
+    // oracle is therefore the plain frequency top-k
+    "agg_heavy_hitters" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS est_n
+        |FROM events GROUP BY user_id
+        |ORDER BY est_n DESC, user_id LIMIT 20""".stripMargin,
 
     "sort_topk" ->
       """SELECT event_id, user_id, event_type, round(value, 4) AS value

@@ -51,6 +51,20 @@ class PlanSpec extends SparkSpec {
         s"$q must read the shared persisted stage frame, not recompute it")
   }
 
+  test("gap fill: every window is user-partitioned; purchase filter reaches the scan") {
+    val p = plan("window_gap_fill")
+    // the LOCF fill and the per-day dedup are both per-user windows — an
+    // unpartitioned windowspec here would be a data-sized single-task sort
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.end).toSeq
+    assert(specs.nonEmpty, s"expected window specs:\n${p.take(1500)}")
+    specs.foreach { off =>
+      assert(p.substring(off).startsWith("user_id"),
+        s"window not partitioned by user_id:\n${p.substring(off - 30, off + 120)}")
+    }
+    assert(p.contains("EqualTo(event_type,purchase)"),
+      s"purchase filter not pushed:\n${p.take(1500)}")
+  }
+
   test("conversion-lag quantiles rank the (lag_sec, n) domain histogram, not the converter frame") {
     // both lag profiles (batch strict-chain, streaming first-event state)
     // must share the scale-safe shape: no global row_number, the one
