@@ -219,6 +219,54 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), graft.Tables.rnd4(j).as("jaccard"))
   }
 
+  /** Directional n-gram CONTAINMENT pairs: (doc_a, doc_b) where
+    * |sh(A) ∩ sh(B)| / |sh(A)| ≥ t — "A is (mostly) inside B", the
+    * sub-document duplication the symmetric Jaccard tiers above are blind
+    * to: a paragraph pasted into a 100× longer page has Jaccard ≈ 0.01
+    * against it but containment ≈ 1.0. The asymmetric counterpart of
+    * [[ngramJaccard]], sharing its shingle/verify machinery.
+    *
+    * Candidate generation is the containment form of the prefix filter:
+    * only A (the contained side) can be prefix-pruned — if C(A→B) ≥ t, at
+    * most |A| − ⌈t·|A|⌉ of A's shingles are outside B, so A's
+    * |A| − ⌈t·|A|⌉ + 1 globally-rarest shingles must hit B somewhere —
+    * while B joins through the FULL inverted index (no length rule: any
+    * |B| can contain A). Still bucketed end to end: candidate volume is
+    * Σ_{s ∈ prefixes} df(s), and prefixes hold each doc's RAREST shingles
+    * by construction. The ceil rides an ε so a float product landing
+    * exactly on an integer can't shorten the prefix below the lossless
+    * length (the [[prefixCandidates]] under-prune-only discipline).
+    * Verification is two joins to the 1-row-per-doc arrays — candidates
+    * never fan out to (pair × shingle) rows. */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String, n: Int,
+                       threshold: Double, cache: CacheHandle = tracked()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arrs = shingleArrays(docs, textCol, idCol, n, cache)
+    val sh = shingled(arrs, cache)
+    val docFreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("__df"), col("shingle"))
+    val all = Window.partitionBy(col("doc_id"))
+    val prefix = sh.join(docFreq, "shingle")
+      .withColumn("__pos", row_number().over(byRarity).cast("long"))
+      .withColumn("__n", count(lit(1)).over(all))
+      .filter(col("__pos") <= col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cand = prefix.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val a = arrs.select(col("doc_id"), col("__arr").as("__arr_a"), col("__n_sh").as("na"))
+    val b = arrs.select(col("doc_id"), col("__arr").as("__arr_b"))
+    val contain = col("n_common") * lit(1.0) / col("na")
+    cand
+      .join(a, col("doc_a") === a("doc_id")).drop("doc_id")
+      .join(b, col("doc_b") === b("doc_id")).drop("doc_id")
+      .withColumn("n_common", size(array_intersect(col("__arr_a"), col("__arr_b"))))
+      .filter(contain >= threshold)
+      .select(col("doc_a"), col("doc_b"), graft.Tables.rnd4(contain).as("containment"))
+  }
+
   /** Duplicate-substring spans (exact substring dedup in the style of
     * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     * Better"): the token ranges of each doc covered by any word n-gram

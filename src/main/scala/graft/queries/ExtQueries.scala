@@ -378,6 +378,15 @@ object ExtQueries {
       bands = 12, rowsPerBand = 4, threshold = 0.5)
       .orderBy("doc_a", "doc_b")
 
+  /** Directional sub-document duplication ([[Dedup.containmentPairs]]):
+    * docs ≥60%-contained in ANOTHER doc's shingle set — the asymmetric
+    * measure that catches a paragraph pasted into a much longer page,
+    * invisible to the symmetric Jaccard tiers (threshold/n match
+    * ext_dedup_ngram so the tiers compose into one report). */
+  private val extDedupContainment: Q = (s, d) =>
+    Dedup.containmentPairs(documents(s, d), "text", "doc_id", n = 3, threshold = 0.6)
+      .orderBy("doc_a", "doc_b")
+
   /** Exact duplicate-SUBSTRING spans (Lee et al. 2022 style): maximal
     * per-doc token ranges covered by any 13-gram occurring ≥2 times
     * corpus-wide — localizes WHERE duplication sits, vs the whole-doc
@@ -1326,6 +1335,7 @@ object ExtQueries {
     "ext_corpus_fingerprint" -> extCorpusFingerprint,
     "ext_dedup_exact" -> extDedupExact,
     "ext_dedup_ngram" -> extDedupNgram,
+    "ext_dedup_containment" -> extDedupContainment,
     "ext_dedup_minhash" -> extDedupMinhash,
     "ext_dedup_spans" -> extDedupSpans,
     "ext_dedup_span_stats" -> extDedupSpanStats,
@@ -1835,6 +1845,19 @@ object ExtQueries {
 
     "ext_dedup_ngram" -> jaccardSql,
     "ext_dedup_minhash" -> jaccardSql,
+
+    // directional: divide the common count by |A| only, keep both directions
+    "ext_dedup_containment" ->
+      s"""WITH $shingleSql,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, ${rnd4Sql("c * 1.0 / sa.n")} AS containment
+         |FROM common
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |WHERE c * 1.0 / sa.n >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "ext_dedup_spans" ->
       s"""WITH $spansSqlCte

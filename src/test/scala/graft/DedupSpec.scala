@@ -35,6 +35,39 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L, 0.5)))
   }
 
+  test("containmentPairs is directional: a pasted paragraph scores high A→B, low B→A") {
+    // doc1 = a 10-token paragraph; doc2 = a 60-token page with doc1 pasted in
+    val para = (1 to 10).map("p" + _).mkString(" ")
+    val page = (1 to 50).map("w" + _).mkString(" ") + " " + para
+    val d = docs((1, para), (2, page), (3, "q r s t u v"))
+    val got = Dedup.containmentPairs(d, "text", "doc_id", n = 3, threshold = 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    // doc1 has 8 shingles, all present in doc2 → C(1→2) = 1.0; doc2's 58
+    // shingles include ≤10 of doc1's (8 + 2 bridge) → C(2→1) ≈ 0.17, below
+    // threshold; symmetric Jaccard (8/58 ≈ 0.14) would never surface this
+    assert(got === Set((1L, 2L, 1.0)))
+  }
+
+  test("containmentPairs matches a brute-force reference on a dense corpus (lossless prefix)") {
+    // overlapping sliding windows over a tiny alphabet → many partial
+    // containments on both sides of the threshold
+    val rows = (0 until 24).map { i =>
+      (i.toLong, (0 until 8).map(j => "t" + ((i + j * (1 + i % 3)) % 17)).mkString(" "))
+    }
+    val d = rows.toDF("doc_id", "text")
+    val t = 0.5
+    def shingles(s: String): Set[Seq[String]] =
+      s.split(" ").toSeq.sliding(3).filter(_.size == 3).map(_.toSeq).toSet
+    val expected = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia != ib
+      sa = shingles(ta); sb = shingles(tb)
+      if sa.nonEmpty && (sa & sb).size.toDouble / sa.size >= t
+    } yield (ia, ib)).toSet
+    val got = Dedup.containmentPairs(d, "text", "doc_id", n = 3, threshold = t)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
   test("minhashLsh finds the planted near-dup pair with its exact jaccard") {
     val near = (1 to 30).map("w" + _).mkString(" ")
     val d = docs((1, near), (2, near + " extra"), (3, (100 to 130).map("z" + _).mkString(" ")))
