@@ -372,6 +372,46 @@ object TrainPrep {
         col("q_tokens"))
   }
 
+  /** Token co-occurrence lift over a bounded vocabulary — the PMI-family
+    * association signal (which vocab terms travel together across
+    * documents): for every pair of top-`vocabK`-df tokens co-occurring in
+    * ≥ `minPairs` docs, lift = P(a,b) / (P(a)·P(b)) = n_ab·N / (df_a·df_b),
+    * the monotone argument of PMI = log₂(lift). Reported AS the ratio, not
+    * the log — rankings are identical and the rational form stays IEEE-
+    * exact against the oracle (the BM25 log-free-idf discipline).
+    *
+    * Scale shape: the vocabulary CAP is what makes co-occurrence tractable
+    * — unbounded pairs are Σ(tokens-per-doc)², but the (doc, token) frame
+    * is first semi-joined to the broadcast k-row vocab, so the per-doc
+    * self-join emits ≤ k²/2 pairs per doc and the pair aggregate is
+    * map-side-combined into a ≤ k²-cell frame; N rides a broadcast 1-row
+    * total. Nothing data-sized is ever windowed or collected. */
+  def cooccurrenceLift(docs: DataFrame, idCol: String, textCol: String,
+                       vocabK: Int, minPairs: Long, topK: Int): DataFrame = {
+    require(vocabK > 0 && topK > 0, s"cooccurrenceLift: ($vocabK, $topK) must be positive")
+    val dt = registered(docs
+      .select(col(idCol).as("doc_id"), explode(TextFns.tokens(col(textCol))).as("token"))
+      .distinct())
+    val vocab = broadcast(
+      dt.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token")).limit(vocabK))
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("__nd")))
+    val v = dt.join(vocab, "token")
+    v.as("a")
+      .join(v.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.token") < col("b.token"))
+      .groupBy(col("a.token").as("token_a"), col("b.token").as("token_b"),
+        col("a.df").as("df_a"), col("b.df").as("df_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairs)
+      .crossJoin(nDocs)
+      .select(col("token_a"), col("token_b"), col("n_ab"),
+        graft.Tables.rnd4(
+          col("n_ab") * col("__nd") * lit(1.0) / (col("df_a") * col("df_b"))).as("lift"))
+      .orderBy(col("lift").desc, col("token_a"), col("token_b"))
+      .limit(topK)
+  }
+
   /** Top-k corpus vocabulary with cumulative coverage — the tokenizer-prep
     * profile: for each of the k most frequent whitespace tokens, its corpus
     * term frequency `tf`, document frequency `df`, rank, and the cumulative

@@ -1092,6 +1092,14 @@ object ExtQueries {
     TrainPrep.vocabTop(documents(s, d), "doc_id", "text", k = 20)
       .orderBy("rank")
 
+  /** Top-50 co-occurring vocab-term pairs by lift (the PMI argument; see
+    * [[TrainPrep.cooccurrenceLift]] — ratio reported instead of its log so
+    * the ranking stays IEEE-exact against the oracle). Vocabulary capped at
+    * the top-64 df terms, support floor 5 docs. */
+  private val extCooccurrence: Q = (s, d) =>
+    TrainPrep.cooccurrenceLift(documents(s, d), "doc_id", "text",
+      vocabK = 64, minPairs = 5, topK = 50)
+
   /** Per-doc out-of-vocabulary profile against the top-20 vocab (see
     * [[TrainPrep.vocabOov]] — the vocab-size/UNK-handling signal). */
   private val extVocabOov: Q = (s, d) =>
@@ -1389,6 +1397,7 @@ object ExtQueries {
     "ext_bm25" -> extBm25,
     "ext_rank_fusion" -> extRankFusion,
     "ext_vocab_top" -> extVocabTop,
+    "ext_cooccurrence" -> extCooccurrence,
     "ext_vocab_oov" -> extVocabOov,
     "ext_token_quantiles" -> extTokenQuantiles,
     "ext_token_quantiles_fast" -> extTokenQuantilesFast,
@@ -2488,6 +2497,25 @@ object ExtQueries {
          |       ${rnd4Sql("CAST(sum(tf) OVER (ORDER BY tf DESC, token " +
                  "ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(total AS DOUBLE)")} AS coverage
          |FROM vtop, vtot ORDER BY rank""".stripMargin,
+
+    // lift = n_ab·N / (df_a·df_b), the monotone argument of PMI — rational
+    // form, so both engines divide the same exact integers
+    "ext_cooccurrence" ->
+      s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+         |              FROM documents),
+         |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY token),
+         |vocab AS (SELECT token, df FROM dfq ORDER BY df DESC, token LIMIT 64),
+         |v AS (SELECT t.doc_id, t.token, vb.df FROM toks t JOIN vocab vb USING (token)),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |pairs AS (SELECT a.token AS token_a, b.token AS token_b,
+         |                 a.df AS df_a, b.df AS df_b, CAST(count(*) AS BIGINT) AS n_ab
+         |          FROM v a JOIN v b ON a.doc_id = b.doc_id AND a.token < b.token
+         |          GROUP BY 1, 2, 3, 4)
+         |SELECT token_a, token_b, n_ab,
+         |       ${rnd4Sql("n_ab * n * 1.0 / (df_a * df_b)")} AS lift
+         |FROM pairs, nd
+         |WHERE n_ab >= 5
+         |ORDER BY lift DESC, token_a, token_b LIMIT 50""".stripMargin,
 
     "ext_vocab_oov" ->
       s"""WITH $vocabSqlCte,

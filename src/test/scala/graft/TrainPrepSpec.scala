@@ -747,4 +747,24 @@ class TrainPrepSpec extends SparkSpec {
     assert(BpeMerge.countToken("abc", rank) === 2L)
     assert(BpeMerge.countToken("banana", rank) === 6L)
   }
+
+  test("cooccurrenceLift scores a planted pair exactly and ignores out-of-vocab tokens") {
+    // 8 docs: "x y" co-occur in 4, each also appears alone twice → df 6 each;
+    // "rare*" tokens are below the vocab cap and must never pair
+    val docs = (Seq.fill(4)("x y") ++ Seq.fill(2)("x f1") ++ Seq.fill(2)("y f2"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t + s" rare$i") }
+      .toDF("doc_id", "text")
+    val got = TrainPrep.cooccurrenceLift(docs, "doc_id", "text",
+      vocabK = 4, minPairs = 2, topK = 10)
+      .select("token_a", "token_b", "n_ab", "lift")
+      .as[(String, String, Long, Double)].collect()
+    // vocab by df: x(6), y(6), f1(2), f2(2) — every rare* token is df-1, out
+    val xy = got.find(r => r._1 == "x" && r._2 == "y").get
+    assert(xy._3 === 4L)
+    assert(math.abs(xy._4 - 4.0 * 8 / (6 * 6)) < 1e-4) // n_ab·N/(df_x·df_y) = 32/36
+    assert(got.forall(r => !r._1.startsWith("rare") && !r._2.startsWith("rare")))
+    // at the support floor: (f1, x) and (f2, y) co-occur twice, kept (pair
+    // order is lexicographic, so f* land in token_a); singletons are gone
+    assert(got.count(r => r._1 == "f1" || r._1 == "f2") === 2)
+  }
 }
