@@ -245,15 +245,35 @@ object Dedup {
     val sh = shingled(arrs, cache)
     val docFreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("__df"), col("shingle"))
-    val all = Window.partitionBy(col("doc_id"))
-    val prefix = sh.join(docFreq, "shingle")
-      .withColumn("__pos", row_number().over(byRarity).cast("long"))
-      .withColumn("__n", count(lit(1)).over(all))
+    // df-1 shingles exist in one doc only, so they can never join a
+    // cross-doc candidate — cut them BEFORE any window (in a mostly-unique
+    // corpus that is most of the index). Rarity positions over the FULL
+    // shingle set are still recoverable without windowing it: df is the
+    // PRIMARY sort key, so every df-1 shingle precedes every df≥2 shingle
+    // in a doc's rarity order — full position = (#df-1 shingles, i.e.
+    // |A| − |kept|) + rank within the kept block.
+    val shared = cache.register(sh.join(docFreq, "shingle").filter(col("__df") >= 2))
+    val n2 = shared.groupBy(col("doc_id")).agg(count(lit(1)).as("__n2"))
+    val sizes = arrs.select(col("doc_id"), col("__n_sh").as("__n"))
+    val withPos = cache.register(shared
+      .withColumn("__rn", row_number().over(byRarity).cast("long"))
+      .join(n2, "doc_id").join(sizes, "doc_id")
+      .withColumn("__pos", col("__n") - col("__n2") + col("__rn"))
+      .select(col("doc_id"), col("shingle"), col("__pos"), col("__n")))
+    val prefix = withPos
       .filter(col("__pos") <= col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1)
-      .select(col("doc_id"), col("shingle"))
+    // positional bound (the PPJoin rule, containment-normalized): the first
+    // common shingle in the shared global rarity order has every other
+    // common shingle at-or-after it in BOTH docs, so
+    // |A∩B| ≤ min(|A|−posA, |B|−posB) + 1; C(A→B) ≥ t needs that ≥ t·|A|.
+    // The first-common-shingle row attains the pair's max bound, so the
+    // trailing distinct keeps every qualifying pair (under-prune-only ε).
+    val overlapBound =
+      (least(col("a.__n") - col("a.__pos"), col("b.__n") - col("b.__pos")) + 1).cast("double")
     val cand = prefix.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+      .join(withPos.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id")
+          && overlapBound >= lit(threshold) * col("a.__n") - lit(1e-9))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val a = arrs.select(col("doc_id"), col("__arr").as("__arr_a"), col("__n_sh").as("na"))

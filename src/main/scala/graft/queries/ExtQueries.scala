@@ -381,10 +381,15 @@ object ExtQueries {
   /** Directional sub-document duplication ([[Dedup.containmentPairs]]):
     * docs ≥60%-contained in ANOTHER doc's shingle set — the asymmetric
     * measure that catches a paragraph pasted into a much longer page,
-    * invisible to the symmetric Jaccard tiers (threshold/n match
-    * ext_dedup_ngram so the tiers compose into one report). */
+    * invisible to the symmetric Jaccard tiers. 5-gram shingles (vs the
+    * Jaccard tiers' 3): containment joins the contained side's prefix
+    * against the FULL inverted index, so index selectivity is the whole
+    * cost model, and longer shingles keep it sharp (the 13-gram
+    * contamination logic, sized down so a ~10-token paragraph still
+    * carries several shingles) — on this corpus 90% of 5-grams are df-1
+    * and fall to the cross-doc cut, vs ~0% of 3-grams. */
   private val extDedupContainment: Q = (s, d) =>
-    Dedup.containmentPairs(documents(s, d), "text", "doc_id", n = 3, threshold = 0.6)
+    Dedup.containmentPairs(documents(s, d), "text", "doc_id", n = 5, threshold = 0.6)
       .orderBy("doc_a", "doc_b")
 
   /** Exact duplicate-SUBSTRING spans (Lee et al. 2022 style): maximal
@@ -1855,9 +1860,15 @@ object ExtQueries {
     "ext_dedup_ngram" -> jaccardSql,
     "ext_dedup_minhash" -> jaccardSql,
 
-    // directional: divide the common count by |A| only, keep both directions
+    // directional: divide the common count by |A| only, keep both
+    // directions; 5-gram shingles (see the query doc), hence the local CTE
+    // instead of the 3-gram shingleSql
     "ext_dedup_containment" ->
-      s"""WITH $shingleSql,
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest(list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+         |                               i -> array_to_string(t[i:i+4], ' '))) AS shingle
+         |       FROM toks),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
          |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
