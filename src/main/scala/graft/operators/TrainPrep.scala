@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -381,33 +381,57 @@ object TrainPrep {
     * exact against the oracle (the BM25 log-free-idf discipline).
     *
     * Scale shape: the vocabulary CAP is what makes co-occurrence tractable
-    * — unbounded pairs are Σ(tokens-per-doc)², but the (doc, token) frame
-    * is first semi-joined to the broadcast k-row vocab, so the per-doc
-    * self-join emits ≤ k²/2 pairs per doc and the pair aggregate is
-    * map-side-combined into a ≤ k²-cell frame; N rides a broadcast 1-row
-    * total. Nothing data-sized is ever windowed or collected. */
+    * — unbounded pairs are Σ(tokens-per-doc)². The k-row vocab (one
+    * token-keyed aggregate) is DRIVER-HELD and attached as literals (the
+    * VocabDrift discipline: a bounded-by-construction collect); each doc
+    * then reduces ROW-LOCALLY to a k-bit presence MASK (a literal-map
+    * lookup + bitwise fold — k ≤ 64 so one long), and
+    * [[graft.functions.CoocPairCounts]] accumulates the whole upper-
+    * triangular k×k count matrix as a fixed-size mergeable buffer: ≤ k²/2
+    * integer increments per doc inside the partial aggregate, elementwise
+    * array-add merges, ONE k²-cell row out. No pair ROW is ever
+    * materialized (an explode/self-join form moves Σ k²/2 pair rows —
+    * ~12M at sf0.1 on this vocab-dense corpus); the only exchanges are
+    * the vocab aggregate and the 1-row buffer combine. Alphabetic cell
+    * order falls out of the vocab-index sort, not a data sort. */
   def cooccurrenceLift(docs: DataFrame, idCol: String, textCol: String,
                        vocabK: Int, minPairs: Long, topK: Int): DataFrame = {
-    require(vocabK > 0 && topK > 0, s"cooccurrenceLift: ($vocabK, $topK) must be positive")
-    val dt = registered(docs
-      .select(col(idCol).as("doc_id"), explode(TextFns.tokens(col(textCol))).as("token"))
-      .distinct())
-    val vocab = broadcast(
-      dt.groupBy(col("token")).agg(count(lit(1)).as("df"))
-        .orderBy(col("df").desc, col("token")).limit(vocabK))
-    val nDocs = broadcast(docs.agg(count(lit(1)).as("__nd")))
-    val v = dt.join(vocab, "token")
-    v.as("a")
-      .join(v.as("b"),
-        col("a.doc_id") === col("b.doc_id") && col("a.token") < col("b.token"))
-      .groupBy(col("a.token").as("token_a"), col("b.token").as("token_b"),
-        col("a.df").as("df_a"), col("b.df").as("df_b"))
-      .agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= minPairs)
-      .crossJoin(nDocs)
-      .select(col("token_a"), col("token_b"), col("n_ab"),
+    require(vocabK > 0 && vocabK <= 64 && topK > 0,
+      s"cooccurrenceLift: need 0 < vocabK ≤ 64 (one-word presence mask; " +
+        s"multi-word masks are the >64 extension) and topK > 0, got ($vocabK, $topK)")
+    // ONE corpus scan: the distinct-token arrays are persisted and feed
+    // both the vocab aggregate (exploded) and the mask fold below
+    val toksF = registered(docs.select(TextFns.distinctTokens(col(textCol)).as("__toks")))
+    val vocabRows = toksF.select(explode(col("__toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(vocabK)
+      .collect() // ≤ vocabK rows by construction
+    // bit index i = ALPHABETIC rank, so cell (i, j) i<j is already the
+    // (token_a < token_b) orientation the report emits
+    val byToken = vocabRows.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val bitMap = map(byToken.zipWithIndex.flatMap { case ((t, _), i) =>
+      Seq(lit(t), lit(1L << i)) }.toIndexedSeq: _*)
+    val tokenArr = lit(byToken.map(_._1))
+    val dfArr = lit(byToken.map(_._2))
+    val nDocs = toksF.count() // reads the persisted arrays, not the corpus
+    // try_element_at: a non-vocab token is an expected miss, never an error
+    val mask = aggregate(col("__toks"), lit(0L),
+      (acc, t) => acc.bitwiseOR(coalesce(try_element_at(bitMap, t), lit(0L))))
+    val ia = expr("__idx div 64").cast("int") + 1
+    val ib = pmod(col("__idx"), lit(64)).cast("int") + 1
+    val coocUdaf = udaf(graft.functions.CoocPairCounts)
+    toksF
+      .select(mask.as("__mask"))
+      .agg(coocUdaf(col("__mask")).as("__cells"))
+      .select(posexplode(col("__cells")).as(Seq("__idx", "n_ab")))
+      .filter(col("n_ab") >= greatest(lit(minPairs), lit(1L))) // empty cells never surface
+      .select(
+        element_at(tokenArr, ia).as("token_a"),
+        element_at(tokenArr, ib).as("token_b"),
+        col("n_ab"),
         graft.Tables.rnd4(
-          col("n_ab") * col("__nd") * lit(1.0) / (col("df_a") * col("df_b"))).as("lift"))
+          col("n_ab") * lit(nDocs) * lit(1.0) /
+            (element_at(dfArr, ia) * element_at(dfArr, ib))).as("lift"))
       .orderBy(col("lift").desc, col("token_a"), col("token_b"))
       .limit(topK)
   }
