@@ -482,6 +482,30 @@ object CdcQueries {
       .orderBy("user_id", "day")
   }
 
+  /** 7-day trailing distinct-user reach per day (§2.5) — the sliding-window
+    * DISTINCT that plain window frames can't express (distinct doesn't
+    * decompose over a sliding frame): re-expressed as contribution explode
+    * — each (day, user) activity fact contributes to the 7 window-end days
+    * it is visible from, then one distinct-count per window end.
+    *
+    * Scale shape: facts are per-day-DEDUPED before the ×7 fan-out (the
+    * (day, user) frame is orders below the raw log), the fan-out is a
+    * bounded explode, and the count is a map-side-partitioned distinct
+    * aggregate keyed by day — no per-user state, no window sort, no
+    * quadratic day×day join. */
+  private val windowSlidingDistinct: Q = (s, d) => {
+    val e = events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = e.select(col("day").as("w_day")).distinct()
+    e.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("w_day"))
+      .join(days, "w_day") // report only observed days, not the +6 tail
+      .groupBy(col("w_day"))
+      .agg(countDistinct(col("user_id")).as("n_users_7d"))
+      .select(date_format(col("w_day"), "yyyy-MM-dd").as("day"), col("n_users_7d"))
+      .orderBy("day")
+  }
+
   /** Heavy hitters via a Misra–Gries sketch ([[graft.functions.MisraGries]],
     * §2.4 sketch family): top-20 most frequent user_ids from a k=256-counter
     * mergeable summary — ONE constant-size partial per partition merged up
@@ -531,6 +555,7 @@ object CdcQueries {
     "window_session" -> windowSession,
     "window_scd2" -> windowScd2,
     "window_gap_fill" -> windowGapFill,
+    "window_sliding_distinct" -> windowSlidingDistinct,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "sort_topk" -> sortTopk,
     "scalar_datetime" -> scalarDatetime,
@@ -812,6 +837,17 @@ object CdcQueries {
         |       max(v) OVER (PARTITION BY user_id, grp) AS value,
         |       v IS NOT NULL AS observed
         |FROM g ORDER BY user_id, day""".stripMargin,
+
+    // the oracle states the window directly as a range join; the engine's
+    // contribution-explode form must agree day for day
+    "window_sliding_distinct" ->
+      """WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM e),
+        |w AS (SELECT d.day AS w_day, e.user_id
+        |      FROM days d JOIN e ON e.day >= d.day - 6 AND e.day <= d.day)
+        |SELECT strftime(w_day, '%Y-%m-%d') AS day,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_7d
+        |FROM w GROUP BY w_day ORDER BY day""".stripMargin,
 
     // k=256 > distinct users ⇒ the sketch never evicts ⇒ exact counts; the
     // oracle is therefore the plain frequency top-k

@@ -454,6 +454,28 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Quality-ranked duplicate survivors — [[extDedupKeep]]'s production
+    * sibling: within each near-dup cluster keep the HIGHEST-QUALITY copy
+    * (rounded score, doc_id tiebreak), not the lowest id — what a real
+    * pipeline retains when duplicates differ in cleanliness. Unclustered
+    * docs survive as their own singleton. Cluster labels are doc-keyed and
+    * the pick is one per-cluster ranking window — everything partitions by
+    * cluster at any scale. */
+  private val extDedupKeepBest: Q = (s, d) => {
+    val labels = Dedup.duplicateClusters(
+      Dedup.ngramJaccard(documents(s, d), "text", "doc_id", n = 3, threshold = 0.5))
+    val scored = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        rnd4(TextFns.qualityScore(col("text"))).as("quality"))
+    val w = Window.partitionBy(col("__c")).orderBy(col("quality").desc, col("doc_id"))
+    scored.join(labels, Seq("doc_id"), "left")
+      .withColumn("__c", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source corpus dashboard — the rollup a pipeline review reads:
     * document and token mass, language spread, and the pass rates of the
     * quality gate (the corpus-prep threshold on the ROUNDED score — a
@@ -1359,6 +1381,7 @@ object ExtQueries {
     "ext_dedup_cluster" -> extDedupCluster,
     "ext_dedup_purity" -> extDedupPurity,
     "ext_dedup_keep" -> extDedupKeep,
+    "ext_dedup_keep_best" -> extDedupKeepBest,
     "ext_dedup_savings" -> extDedupSavings,
     "ext_corpus_report" -> extCorpusReport,
     "ext_contamination" -> extContamination,
@@ -2029,6 +2052,28 @@ object ExtQueries {
          |WHERE d.doc_id NOT IN (
          |  SELECT id FROM reach GROUP BY id HAVING id <> min(label))
          |ORDER BY d.doc_id""".stripMargin,
+
+    // same component labelling as ext_dedup_keep; the survivor is the
+    // quality-argmax per component instead of the min id
+    "ext_dedup_keep_best" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardSql),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM e),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.u, r.label FROM e JOIN reach r ON e.v = r.id),
+         |comp AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+         |${qualitySqlCte("documents", "lang, source,")},
+         |scored AS (SELECT doc_id, lang, source, $qualitySql AS quality FROM q),
+         |lab AS (SELECT s.*, coalesce(c.cluster_id, s.doc_id) AS cl
+         |        FROM scored s LEFT JOIN comp c ON s.doc_id = c.id),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY cl ORDER BY quality DESC, doc_id) AS rn
+         |      FROM lab)
+         |SELECT doc_id, lang, source, quality FROM r WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
 
     "ext_sim_knn" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
