@@ -37,9 +37,10 @@ import org.apache.spark.sql.SparkSession
   * list against the load bracket — under heavy load it may cry wolf,
   * never the reverse. `"load_comparable"` applies the bar in the artifact
   * itself: quiet at start (load_before < 5) AND mid-run excess over the
-  * start inside the bench's own ~5-thread-equivalents self-load envelope
-  * (load_max − load_before < 5; an absolute bar misread self-load as
-  * contamination). A run outside the bar retries ONCE and, if still
+  * start inside the bench's own self-load envelope (load_max − load_before
+  * < 7; an absolute bar misread self-load as contamination, and the
+  * envelope grows with the query surface — calibration note at
+  * `comparable`). A run outside the bar retries ONCE and, if still
   * contaminated, stamps `"status":"INVALID_LOAD"` (plus a loud stderr
   * line) so a noisy artifact can never silently become the round's
   * record.
@@ -112,16 +113,19 @@ object Bench {
       Pass(results, loadBefore, math.max(loadMax, loadAfter), loadAfter)
     }
     // Comparability: the bench's own 32 worker threads legitimately push
-    // the 1-min loadavg ~4–5 over the pre-run baseline mid-run (observed
-    // 2.8–4.6 over a ~0.5–2 baseline across quiet rounds), so an absolute
-    // bar misreads self-load as contamination. Co-tenant drag shows as
-    // EXCESS beyond that envelope: the round-9 contaminated artifact ran
-    // 11.85 max over a 2.11 baseline (excess 9.7) with quiet before/after
-    // — mid-run burst, the exact signature this rule catches. Comparable ⇔
-    // the box was quiet at start AND the mid-run excess stayed inside the
-    // self-load envelope.
+    // the 1-min loadavg over the pre-run baseline mid-run, so an absolute
+    // bar misreads self-load as contamination; co-tenant drag shows as
+    // EXCESS beyond the self-load envelope. The envelope GROWS with the
+    // query surface (longer sustained activity → higher 1-min loadavg
+    // plateau): observed 2.8–4.6 excess at the ~127-query surface, and
+    // 5.18 over a 0.69 baseline at the 142-query surface on a DIRECTLY
+    // VERIFIED idle box (nothing else running, quiet before and after) —
+    // while the round-9 contaminated artifact ran excess 9.7 with a
+    // mid-run burst. Bar at 7: above every observed clean plateau, well
+    // below the contamination signature. Comparable ⇔ quiet at start AND
+    // mid-run excess inside that envelope.
     def comparable(p: Pass): Boolean =
-      p.loadBefore < 5.0 && (p.loadMax - p.loadBefore) < 5.0
+      p.loadBefore < 5.0 && (p.loadMax - p.loadBefore) < 7.0
     val first = measure()
     val pass =
       if (comparable(first)) first
@@ -191,9 +195,10 @@ object Bench {
     // Detail line first (large; tail-truncatable), compact totals line LAST.
     println(s"""{"metric":"bench_detail","queries":$cold,"queries_warm":$warm,""" +
       s""""queries_best":$bestJson,"sf":"$sfDir"}""")
-    // load_comparable applies the repo's own comparability bar (load_max < 5,
-    // BASELINE.md round-3 precedent): a regressed list produced under
-    // co-tenant drag is flagged as such instead of adjudicated by hand
+    // load_comparable applies the repo's own comparability bar (quiet
+    // start + excess-over-start envelope, see `comparable`): a regressed
+    // list produced under co-tenant drag is flagged instead of adjudicated
+    // by hand
     val status = if (loadComparable) "OK" else "INVALID_LOAD"
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,""" +
       s""""warmup_sec":$warmupSec,"regressed":$regressedJson,""" +

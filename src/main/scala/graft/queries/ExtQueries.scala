@@ -155,20 +155,38 @@ object ExtQueries {
     * ([[graft.functions.MultiTokenSetCount]] — one word→mask probe per
     * token instead of |langs| full scans); the argmax then reads the
     * materialized array, so the string work never repeats per language. */
-  private val extLangId: Q = (s, d) => {
+  /** (doc_id, lang, lang_guess) — the shared n-gram-heuristic detection
+    * frame behind [[extLangId]] (per-doc verdicts) and [[extLangConfusion]]
+    * (the corpus-QC cross-tab). One codegen'd all-languages stopword scan
+    * per row, zero joins. */
+  private def langGuessed(docs: DataFrame): DataFrame = {
     val langs = TextFns.langOrder
-    val withHits = documents(s, d).withColumn("__hits",
+    val withHits = docs.withColumn("__hits",
       TextFns.multiTokenSetCount(col("text"), langs.map(TextFns.stopwords)))
     val hits = langs.indices.map(i => element_at(col("__hits"), i + 1))
     val m = greatest(hits: _*)
     val guess = langs.zip(hits)
       .foldLeft(when(m <= 0, "und")) { case (acc, (l, h)) => acc.when(h === m, l) }
       .otherwise("und")
-    withHits.select(
-      col("doc_id"), guess.as("lang_guess"), col("lang"),
-      (guess === col("lang")).as("hit"))
-      .orderBy("doc_id")
+    withHits.select(col("doc_id"), col("lang"), guess.as("lang_guess"))
   }
+
+  private val extLangId: Q = (s, d) =>
+    langGuessed(documents(s, d))
+      .select(col("doc_id"), col("lang_guess"), col("lang"),
+        (col("lang_guess") === col("lang")).as("hit"))
+      .orderBy("doc_id")
+
+  /** Declared-vs-detected language confusion matrix — the corpus-QC view
+    * of [[extLangId]]: which declared languages the detector mistakes for
+    * which (mislabeled slices surface as off-diagonal mass). One
+    * languages²-bounded map-side-combined aggregate over the row-local
+    * detection frame. */
+  private val extLangConfusion: Q = (s, d) =>
+    langGuessed(documents(s, d))
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "lang_guess")
 
   /** Composite quality score: stopword ratio + type-token ratio + length
     * saturation, in fixed double arithmetic (identical op order both
@@ -1365,6 +1383,7 @@ object ExtQueries {
     "ext_ngram_counts" -> extNgramCounts,
     "ext_token_count" -> extTokenCount,
     "ext_lang_id" -> extLangId,
+    "ext_lang_confusion" -> extLangConfusion,
     "ext_quality_score" -> extQuality,
     "ext_fingerprint" -> extFingerprint,
     "ext_corpus_fingerprint" -> extCorpusFingerprint,
@@ -1573,6 +1592,27 @@ object ExtQueries {
   /** Quality components (stop_ratio / ttr / len_sat) over `from` — ONE
     * definition for the quality-score oracle and the corpus-prep gate,
     * mirroring the [[TextFns]] component helpers. */
+  /** Language-detection CTE chain ending in `lid(doc_id, lang, lang_guess)`
+    * — oracle twin of [[langGuessed]], ONE definition shared by the
+    * ext_lang_id and ext_lang_confusion oracles so the twins can't drift. */
+  private def langIdSqlCtes: String = {
+    val sw = TextFns.stopwords
+    def hit(l: String) =
+      s"len(list_filter(t, x -> list_contains([${sw(l).map(w => s"'$w'").mkString(",")}], x)))"
+    val arms = TextFns.langOrder.map(l => s"WHEN h_$l = m THEN '$l'").mkString(" ")
+    val hitCols = TextFns.langOrder.map(l => s"${hit(l)} AS h_$l").mkString(",\n|       ")
+    s"""toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       |h AS (SELECT doc_id, lang,
+       |       $hitCols
+       |FROM toks),
+       |g AS (SELECT doc_id, lang,
+       |             greatest(${TextFns.langOrder.map("h_" + _).mkString(", ")}) AS m,
+       |             ${TextFns.langOrder.map("h_" + _).mkString(", ")} FROM h),
+       |lid AS (SELECT doc_id, lang,
+       |               CASE WHEN m <= 0 THEN 'und' $arms ELSE 'und' END AS lang_guess
+       |        FROM g)""".stripMargin
+  }
+
   private def qualitySqlCte(from: String, carryCols: String = ""): String = {
     val en = TextFns.stopwords("en").map(w => s"'$w'").mkString(",")
     s"""q AS (
@@ -1786,25 +1826,16 @@ object ExtQueries {
          |       ${TextFns.bpeEstimateSql("text")} AS n_bpe_est
          |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "ext_lang_id" -> {
-      val sw = TextFns.stopwords
-      def hit(l: String) =
-        s"len(list_filter(t, x -> list_contains([${sw(l).map(w => s"'$w'").mkString(",")}], x)))"
-      val arms = TextFns.langOrder.map(l => s"WHEN h_$l = m THEN '$l'").mkString(" ")
-      val hitCols = TextFns.langOrder.map(l => s"${hit(l)} AS h_$l").mkString(",\n|       ")
-      s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
-         |h AS (SELECT doc_id, lang,
-         |       $hitCols
-         |FROM toks),
-         |g AS (SELECT doc_id, lang,
-         |             greatest(${TextFns.langOrder.map("h_" + _).mkString(", ")}) AS m,
-         |             ${TextFns.langOrder.map("h_" + _).mkString(", ")} FROM h)
-         |SELECT doc_id,
-         |       CASE WHEN m <= 0 THEN 'und' $arms ELSE 'und' END AS lang_guess,
-         |       lang,
-         |       (CASE WHEN m <= 0 THEN 'und' $arms ELSE 'und' END) = lang AS hit
-         |FROM g ORDER BY doc_id""".stripMargin
-    },
+    "ext_lang_id" ->
+      s"""WITH $langIdSqlCtes
+         |SELECT doc_id, lang_guess, lang, lang_guess = lang AS hit
+         |FROM lid ORDER BY doc_id""".stripMargin,
+
+    "ext_lang_confusion" ->
+      s"""WITH $langIdSqlCtes
+         |SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM lid GROUP BY lang, lang_guess
+         |ORDER BY lang, lang_guess""".stripMargin,
 
     "ext_quality_score" ->
       s"""WITH ${qualitySqlCte("documents")}
