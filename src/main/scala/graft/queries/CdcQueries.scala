@@ -482,6 +482,29 @@ object CdcQueries {
       .orderBy("user_id", "day")
   }
 
+  /** Daily OHLC bars over purchase values (§2.4) — the classic
+    * time-series bar rollup (open = first value of the day, high/low,
+    * close = last): re-expressed so first/last are MIN/MAX OF A STRUCT
+    * ordered by (ts, tiebreak, value) — constant-size mergeable partials
+    * inside ONE map-side-combined day-keyed aggregate, where the textbook
+    * row_number-per-day form would shuffle and sort every raw row. The
+    * oracle computes the same bars via ranking windows, pinning the
+    * struct-extremum trick against the direct statement. */
+  private val aggDailyBars: Q = (s, d) => {
+    val p = events(s, d).filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"), col("ts"), col("event_id"),
+        round(col("value"), 4).as("v"))
+    p.groupBy(col("day"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("v"))).getField("v").as("open"),
+        max(col("v")).as("high"), min(col("v")).as("low"),
+        max(struct(col("ts"), col("event_id"), col("v"))).getField("v").as("close"),
+        count(lit(1)).as("n_events"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("open"), col("high"), col("low"), col("close"), col("n_events"))
+      .orderBy("day")
+  }
+
   /** 7-day trailing distinct-user reach per day (§2.5) — the sliding-window
     * DISTINCT that plain window frames can't express (distinct doesn't
     * decompose over a sliding frame): re-expressed as contribution explode
@@ -556,6 +579,7 @@ object CdcQueries {
     "window_scd2" -> windowScd2,
     "window_gap_fill" -> windowGapFill,
     "window_sliding_distinct" -> windowSlidingDistinct,
+    "agg_daily_bars" -> aggDailyBars,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "sort_topk" -> sortTopk,
     "scalar_datetime" -> scalarDatetime,
@@ -837,6 +861,26 @@ object CdcQueries {
         |       max(v) OVER (PARTITION BY user_id, grp) AS value,
         |       v IS NOT NULL AS observed
         |FROM g ORDER BY user_id, day""".stripMargin,
+
+    // first/last stated as ranking windows here vs struct extrema in the
+    // engine — the equivalence is what's pinned
+    "agg_daily_bars" ->
+      """WITH p AS (SELECT CAST(ts AS DATE) AS day, ts, event_id,
+        |                  round(value, 4) AS v
+        |           FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT day, v,
+        |             row_number() OVER (PARTITION BY day ORDER BY ts, event_id) AS rf,
+        |             row_number() OVER (PARTITION BY day ORDER BY ts DESC, event_id DESC) AS rl
+        |      FROM p),
+        |a AS (SELECT day, max(v) AS high, min(v) AS low,
+        |             CAST(count(*) AS BIGINT) AS n_events
+        |      FROM p GROUP BY day)
+        |SELECT strftime(a.day, '%Y-%m-%d') AS day,
+        |       o.v AS open, a.high, a.low, c.v AS close, a.n_events
+        |FROM a
+        |JOIN r o ON a.day = o.day AND o.rf = 1
+        |JOIN r c ON a.day = c.day AND c.rl = 1
+        |ORDER BY day""".stripMargin,
 
     // the oracle states the window directly as a range join; the engine's
     // contribution-explode form must agree day for day

@@ -147,6 +147,27 @@ class CdcOpsSpec extends SparkSpec {
     assert(CdcOps.temporalJoin(f, dim, "user_id", "ts").count() === 2)
   }
 
+  test("temporalJoin at 'now' agrees with lastWriteWins (the current-state degenerate case)") {
+    // the reference can only answer point-in-time questions for NOW
+    // (js:504-505); SCD2 + temporalJoin generalizes it — so at a ts beyond
+    // every change, the matched version must be exactly the last write
+    val l = attrLog(
+      (1, 1, "2024-01-01 00:00:00", "a"), (2, 1, "2024-01-03 00:00:00", "b"),
+      (3, 2, "2024-01-02 00:00:00", "x"), (4, 2, "2024-01-02 00:00:00", "y"),
+      (5, 3, "2024-01-05 00:00:00", "q"))
+    val dim = CdcOps.scd2(l, "user_id", "attr", "ts", "event_id")
+    val now = facts((1 to 3).map(u => (900L + u, u.toLong, "2024-12-31 00:00:00")): _*)
+    val viaTemporal = CdcOps.temporalJoin(now, dim, "user_id", "ts")
+      .select("user_id", "attr").as[(Long, String)].collect().toMap
+    val viaLww = CdcOps.lastWriteWins(l, "user_id", "ts", "event_id")
+      .select("user_id", "attr").as[(Long, String)].collect().toMap
+    assert(viaTemporal === viaLww)
+    // and the matched versions are exactly the open (is_current) rows
+    val current = CdcOps.temporalJoin(now, dim, "user_id", "ts")
+      .select("is_current").as[Boolean].collect()
+    assert(current.length === 3 && current.forall(identity))
+  }
+
   test("temporalJoin matches each fact to AT MOST one version (non-overlap)") {
     val dim = CdcOps.scd2(attrLog(
       (1, 1, "2024-01-01 00:00:00", "a"),

@@ -51,6 +51,14 @@ class PlanSpec extends SparkSpec {
         s"$q must read the shared persisted stage frame, not recompute it")
   }
 
+  test("temporal join broadcasts the change-sized dimension; no cartesian product") {
+    val p = plan("join_temporal")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dimension side should broadcast at fixture scale:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      s"interval residual must ride the equi-join, not a cross product:\n${p.take(1500)}")
+  }
+
   test("gap fill: every window is user-partitioned; purchase filter reaches the scan") {
     val p = plan("window_gap_fill")
     // the LOCF fill and the per-day dedup are both per-user windows — an
