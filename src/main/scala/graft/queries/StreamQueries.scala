@@ -147,6 +147,19 @@ object StreamQueries {
     FunnelStream.lagReport(FunnelStream.mergeStates(twice.limit(0), twice))
   }
 
+  /** The watermarked daily-bars aggregation run in BATCH mode — the same
+    * [[CdcPipeline.windowedDailyBars]] the streaming query executes
+    * (watermarks are a no-op on bounded input, so every closed-and-open
+    * window reports); pins the struct-extremum OHLC semantics under the
+    * oracle, while the live watermark path is in StreamingSpec. */
+  private val streamDailyBars: Q = (s, d) => {
+    val raw = Tables.eventsRaw(s, d)
+    CdcPipeline.windowedDailyBars(raw)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("open"),
+        col("high"), col("low"), col("close"), col("n_events"))
+      .orderBy("day")
+  }
+
   /** The incremental SCD2 build run in BATCH mode over a DOUBLED delivery
     * (at-least-once): state is the event_id-keyed deduped change set, so
     * the doubled log collapses through the set-union merge to the clean
@@ -243,6 +256,7 @@ object StreamQueries {
     "stream_dedup" -> streamDedup,
     "stream_funnel" -> streamFunnel,
     "stream_scd2" -> streamScd2,
+    "stream_daily_bars" -> streamDailyBars,
     "stream_retention" -> streamRetention,
     "stream_conversion_lag" -> streamConversionLag,
     "stream_corpus_ingest" -> streamCorpusIngest,
@@ -297,6 +311,26 @@ object StreamQueries {
     // doubled delivery collapses through the min-merge, so the oracle is
     // the clean single-run computation (deletes dropped by the shared
     // transform — irrelevant here, 'error' is not a stage type)
+    // identical to the batch agg_daily_bars oracle: on bounded input the
+    // watermark drops nothing and UTC day windows == calendar days
+    "stream_daily_bars" ->
+      """WITH p AS (SELECT CAST(ts AS DATE) AS day, ts, event_id,
+        |                  round(value, 4) AS v
+        |           FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT day, v,
+        |             row_number() OVER (PARTITION BY day ORDER BY ts, event_id) AS rf,
+        |             row_number() OVER (PARTITION BY day ORDER BY ts DESC, event_id DESC) AS rl
+        |      FROM p),
+        |a AS (SELECT day, max(v) AS high, min(v) AS low,
+        |             CAST(count(*) AS BIGINT) AS n_events
+        |      FROM p GROUP BY day)
+        |SELECT strftime(a.day, '%Y-%m-%d') AS day,
+        |       o.v AS open, a.high, a.low, c.v AS close, a.n_events
+        |FROM a
+        |JOIN r o ON a.day = o.day AND o.rf = 1
+        |JOIN r c ON a.day = c.day AND c.rl = 1
+        |ORDER BY day""".stripMargin,
+
     // set-union state makes the incremental build byte-identical to the
     // batch window_scd2 materialization — same oracle SQL
     "stream_scd2" ->

@@ -112,6 +112,29 @@ object CdcPipeline {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("day"), col("op_type"), col("n"))
 
+  /** Watermarked daily OHLC bars — the streaming form of the batch
+    * `agg_daily_bars` rollup: open/high/low/close per event-time day,
+    * continuously maintained with bounded state. First/last-of-day ride
+    * MIN/MAX of a (ts, tiebreak, value) struct — ordinary mergeable
+    * aggregates the streaming state store folds incrementally, so the
+    * state per open window is five scalars + a count, never the day's
+    * rows (a ranking-window form would be unexpressible here). Windows
+    * close when the watermark passes; the same code runs on a bounded
+    * frame (batch/stream unification — the oracle-gated replay). */
+  def windowedDailyBars(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    transform(events)
+      .filter(col("event_type") === "purchase")
+      .withColumn("v", round(col("value"), 4))
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("v"))).getField("v").as("open"),
+        max(col("v")).as("high"), min(col("v")).as("low"),
+        max(struct(col("ts"), col("event_id"), col("v"))).getField("v").as("close"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("day"), col("open"), col("high"),
+        col("low"), col("close"), col("n_events"))
+
   /** Start the streaming pipeline: source dir → transform → watermark →
     * foreachBatch idempotent upsert into `targetDir`.
     * `availableNow = true` drains what exists and stops (test/replay mode);

@@ -116,6 +116,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamedDays.size >= batchDays.size - 2) // at most the tail windows unclosed
   }
 
+  test("watermarked daily bars: closed windows match the batch OHLC exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val src = tmp("bars-src")
+    val ckp = tmp("bars-ckp").toString
+    val staging = tmp("bars-stage")
+    Tables.events(spark, sf)
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => Files.move(f.toPath, src.resolve(f.getName)))
+
+    val stream = spark.readStream
+      .schema(CdcPipeline.observedEventsSchema(spark, src.toString)).parquet(src.toString)
+    val q = CdcPipeline.windowedDailyBars(stream)
+      .writeStream
+      .option("checkpointLocation", ckp)
+      .format("memory").queryName("win_bars")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Double, Double, Double, Double, Long)] =
+      df.select(col("day").cast("string"), col("open"), col("high"),
+        col("low"), col("close"), col("n_events"))
+        .as[(String, Double, Double, Double, Double, Long)].collect().toSeq
+    val streamed = rows(spark.table("win_bars"))
+    val batch = rows(CdcPipeline.windowedDailyBars(Tables.events(spark, sf)))
+      .map(b => b._1 -> b).toMap
+    // append mode only emits watermark-closed windows; each emitted bar
+    // must equal the batch bar bit for bit (struct extrema incl. ties)
+    assert(streamed.nonEmpty)
+    streamed.foreach(b => assert(batch.get(b._1).contains(b), s"bar ${b._1} mismatch"))
+    assert(streamed.size >= batch.size - 2) // at most the tail windows unclosed
+  }
+
   test("LagMonitor flags a stalled source and clears a fresh one") {
     import graft.streaming.LagMonitor
 
