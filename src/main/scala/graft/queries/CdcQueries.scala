@@ -482,6 +482,31 @@ object CdcQueries {
       .orderBy("user_id", "day")
   }
 
+  /** Cumulative distinct-user reach per day (§2.5) — "users ever seen
+    * through day D", the growth-curve companion of
+    * [[windowSlidingDistinct]]: cumulative distinct is NOT a window
+    * aggregate (distinct doesn't decompose over frames), but it IS a
+    * first-seen aggregate — each user counts exactly once, on their first
+    * active day — so the curve is per-user min(day), a per-day count, and
+    * one running sum over the DAY DOMAIN (calendar-bounded; the
+    * unpartitioned window sees one row per day at any corpus size — the
+    * domain-histogram discipline). Days with no new users still report
+    * (gap fill via the observed-day frame). */
+  private val windowCumulativeDistinct: Q = (s, d) => {
+    val e = events(s, d).select(to_date(col("ts")).as("day"), col("user_id"))
+    val firstSeen = e.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    val days = e.select(col("day")).distinct()
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(firstSeen, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("n_total", sum(col("n_new")).over(w))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_new"), col("n_total"))
+      .orderBy("day")
+  }
+
   /** Daily OHLC bars over purchase values (§2.4) — the classic
     * time-series bar rollup (open = first value of the day, high/low,
     * close = last): re-expressed so first/last are MIN/MAX OF A STRUCT
@@ -579,6 +604,7 @@ object CdcQueries {
     "window_scd2" -> windowScd2,
     "window_gap_fill" -> windowGapFill,
     "window_sliding_distinct" -> windowSlidingDistinct,
+    "window_cumulative_distinct" -> windowCumulativeDistinct,
     "agg_daily_bars" -> aggDailyBars,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "sort_topk" -> sortTopk,
@@ -861,6 +887,20 @@ object CdcQueries {
         |       max(v) OVER (PARTITION BY user_id, grp) AS value,
         |       v IS NOT NULL AS observed
         |FROM g ORDER BY user_id, day""".stripMargin,
+
+    // cumulative distinct = first-seen counting; the oracle states it as a
+    // correlated count-distinct-≤-day, the engine as min(day) + running sum
+    "window_cumulative_distinct" ->
+      """WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |fs AS (SELECT user_id, min(day) AS day FROM e GROUP BY user_id),
+        |nn AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM fs GROUP BY day),
+        |days AS (SELECT DISTINCT day FROM e)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        |       coalesce(nn.n_new, 0) AS n_new,
+        |       CAST(sum(coalesce(nn.n_new, 0)) OVER
+        |         (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_total
+        |FROM days d LEFT JOIN nn ON d.day = nn.day
+        |ORDER BY day""".stripMargin,
 
     // first/last stated as ranking windows here vs struct extrema in the
     // engine — the equivalence is what's pinned
