@@ -172,8 +172,14 @@ object Bench {
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         else Map.empty // new fixture generation: rebase minima
       } else Map.empty
+    // A regression is MULTIPLICATIVE (a plan got worse); per-run jitter is
+    // ADDITIVE (~0.3–0.7 s random spikes under self-load, hitting a
+    // different handful of queries each run — observed across the round-10
+    // record runs). 2× a one-off sub-second floor is inside the additive
+    // band, so the flag requires both signatures: >2× the best AND >0.5 s
+    // over it. A real regression on anything expensive clears both bars.
     val regressed = results.collect {
-      case (name, _, warm) if best.get(name).exists(b => warm > 2 * b) => name
+      case (name, _, warm) if best.get(name).exists(b => warm > 2 * b && warm > b + 0.5) => name
     }.sorted
     val merged = results.map { case (name, _, warm) =>
       name -> math.min(warm, best.getOrElse(name, Double.MaxValue))

@@ -509,21 +509,25 @@ object CdcQueries {
 
   /** Daily OHLC bars over purchase values (§2.4) — the classic
     * time-series bar rollup (open = first value of the day, high/low,
-    * close = last): re-expressed so first/last are MIN/MAX OF A STRUCT
-    * ordered by (ts, tiebreak, value) — constant-size mergeable partials
-    * inside ONE map-side-combined day-keyed aggregate, where the textbook
-    * row_number-per-day form would shuffle and sort every raw row. The
-    * oracle computes the same bars via ranking windows, pinning the
-    * struct-extremum trick against the direct statement. */
+    * close = last): first/last are MIN_BY/MAX_BY keyed on the
+    * (ts, tiebreak) struct — constant-size mergeable partials inside ONE
+    * map-side-combined day-keyed aggregate. The struct ordering key makes
+    * Catalyst plan SortAggregate, but the sort is PARTITION-LOCAL on the
+    * low-cardinality day key over time-ordered log data (near-sorted
+    * already) and the partial combine still runs before the exchange —
+    * only one row per (partition, day) ever shuffles, where the textbook
+    * row_number-per-day form shuffles and sorts every raw row. The oracle
+    * computes the same bars via ranking windows, pinning the
+    * argmin/argmax statement. */
   private val aggDailyBars: Q = (s, d) => {
     val p = events(s, d).filter(col("event_type") === "purchase")
       .select(to_date(col("ts")).as("day"), col("ts"), col("event_id"),
         round(col("value"), 4).as("v"))
     p.groupBy(col("day"))
       .agg(
-        min(struct(col("ts"), col("event_id"), col("v"))).getField("v").as("open"),
+        min_by(col("v"), struct(col("ts"), col("event_id"))).as("open"),
         max(col("v")).as("high"), min(col("v")).as("low"),
-        max(struct(col("ts"), col("event_id"), col("v"))).getField("v").as("close"),
+        max_by(col("v"), struct(col("ts"), col("event_id"))).as("close"),
         count(lit(1)).as("n_events"))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("open"), col("high"), col("low"), col("close"), col("n_events"))

@@ -115,12 +115,13 @@ object CdcPipeline {
   /** Watermarked daily OHLC bars — the streaming form of the batch
     * `agg_daily_bars` rollup: open/high/low/close per event-time day,
     * continuously maintained with bounded state. First/last-of-day ride
-    * MIN/MAX of a (ts, tiebreak, value) struct — ordinary mergeable
-    * aggregates the streaming state store folds incrementally, so the
-    * state per open window is five scalars + a count, never the day's
-    * rows (a ranking-window form would be unexpressible here). Windows
-    * close when the watermark passes; the same code runs on a bounded
-    * frame (batch/stream unification — the oracle-gated replay). */
+    * MIN_BY/MAX_BY keyed on the (ts, tiebreak) struct — mergeable
+    * aggregates with constant-size buffers the streaming state store
+    * folds incrementally, so the state per open window is five scalars +
+    * a count, never the day's rows (a ranking-window form would be
+    * unexpressible here). Windows close when the watermark passes; the same
+    * code runs on a bounded frame (batch/stream unification — the
+    * oracle-gated replay). */
   def windowedDailyBars(events: DataFrame, delay: String = "1 hour"): DataFrame =
     transform(events)
       .filter(col("event_type") === "purchase")
@@ -128,9 +129,9 @@ object CdcPipeline {
       .withWatermark("ts", delay)
       .groupBy(window(col("ts"), "1 day").as("w"))
       .agg(
-        min(struct(col("ts"), col("event_id"), col("v"))).getField("v").as("open"),
+        min_by(col("v"), struct(col("ts"), col("event_id"))).as("open"),
         max(col("v")).as("high"), min(col("v")).as("low"),
-        max(struct(col("ts"), col("event_id"), col("v"))).getField("v").as("close"),
+        max_by(col("v"), struct(col("ts"), col("event_id"))).as("close"),
         count(lit(1)).as("n_events"))
       .select(col("w.start").as("day"), col("open"), col("high"),
         col("low"), col("close"), col("n_events"))

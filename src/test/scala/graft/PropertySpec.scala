@@ -41,6 +41,40 @@ class PropertySpec extends SparkSpec {
     CdcOps.lastWriteWins(log, "user_id", "ts", "event_id")
       .select("user_id", "event_id").as[(Long, Long)].collect().toSet
 
+  test("temporalJoin matches a driver-side point-in-time reference on random histories") {
+    samples(6).foreach { rows =>
+      val attrOf: Long => String = eid => "a" + (eid % 3)
+      val log = df(rows).withColumn("attr", concat(lit("a"), pmod(col("event_id"), lit(3))))
+      val dim = CdcOps.scd2(log, "user_id", "attr", "ts", "event_id")
+      // probe every row's instant plus its neighbours — boundary coverage
+      val probes = rows.flatMap { case (_, uid, t) => Seq((uid, t - 1), (uid, t), (uid, t + 1)) }
+        .distinct
+      val facts = probes.toDF("user_id", "t_off")
+        .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00"))
+          + col("t_off") * expr("INTERVAL 1 MINUTE"))
+      val outRows = CdcOps.temporalJoin(facts, dim, "user_id", "ts")
+        .select(col("user_id"), col("t_off"), col("attr"))
+        .as[(Long, Int, Option[String])].collect()
+      assert(outRows.length === probes.length, "each probe must survive exactly once")
+      val got = outRows.map { case (u, t, a) => (u, t) -> a }.toMap
+      // reference: per user, sort by (ts, event_id), collapse no-change
+      // writes, take the last collapsed change at-or-before the probe
+      val byUser = rows.map { case (eid, uid, t) => (uid, t, eid) }.distinct
+        .groupBy(_._1)
+      def ref(uid: Long, t: Int): Option[String] = {
+        val hist = byUser.getOrElse(uid, Nil).sortBy(h => (h._2, h._3))
+        val collapsed = hist.foldLeft(List.empty[(Int, String)]) { case (acc, (_, ts, eid)) =>
+          val a = attrOf(eid)
+          if (acc.headOption.exists(_._2 == a)) acc else (ts, a) :: acc
+        }.reverse
+        collapsed.takeWhile(_._1 <= t).lastOption.map(_._2)
+      }
+      probes.foreach { case (uid, t) =>
+        assert(got.get((uid, t)).flatten === ref(uid, t), s"user $uid at t=$t")
+      }
+    }
+  }
+
   test("lastWriteWins is insensitive to input row order") {
     samples(8).foreach { rows =>
       val a = state(df(rows))
