@@ -455,32 +455,17 @@ object CdcQueries {
     * regularization every downstream daily model/report needs over an
     * irregular event log. `observed` marks real vs filled days.
     *
-    * Shape: per-(user, day) last value is one ranking window; the span is a
-    * per-user 2-row aggregate exploded through `sequence()` (array-of-days,
-    * bounded by the log's calendar span, never data-sized); the fill is a
-    * running last-non-null over a PER-USER window. Everything partitions by
-    * user — at 100 TB the output is users × span-days, the materialization
-    * the operator exists to produce, and no global sort or driver loop
-    * appears anywhere. */
-  private val windowGapFill: Q = (s, d) => {
-    val p = events(s, d).filter(col("event_type") === "purchase")
-      .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
-        col("event_id"), round(col("value"), 4).as("v"))
-    val wDay = Window.partitionBy("user_id", "day")
-      .orderBy(col("ts").desc, col("event_id").desc)
-    val daily = p.withColumn("__rn", row_number().over(wDay))
-      .filter(col("__rn") === 1).select(col("user_id"), col("day"), col("v"))
-    val span = daily.groupBy("user_id")
-      .agg(min("day").as("lo"), max("day").as("hi"))
-      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
-    val wFill = Window.partitionBy("user_id").orderBy("day")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    span.join(daily, Seq("user_id", "day"), "left")
-      .withColumn("value", last(col("v"), ignoreNulls = true).over(wFill))
+    * Shape: [[graft.operators.TimeSeries.gapFillDaily]] (see its scaladoc
+    * for the per-key partitioning argument; edge semantics — single-day
+    * spans, multi-day gaps, same-day ties — are spec-pinned there). */
+  private val windowGapFill: Q = (s, d) =>
+    graft.operators.TimeSeries.gapFillDaily(
+      events(s, d).filter(col("event_type") === "purchase")
+        .withColumn("v", round(col("value"), 4)),
+      "user_id", "ts", "v", "event_id")
       .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
-        col("value"), col("v").isNotNull.as("observed"))
+        col("value"), col("observed"))
       .orderBy("user_id", "day")
-  }
 
   /** Cumulative distinct-user reach per day (§2.5) — "users ever seen
     * through day D", the growth-curve companion of
@@ -558,6 +543,33 @@ object CdcQueries {
       .orderBy("day")
   }
 
+  /** Daily-volume anomaly flags (§2.4) — the ingest-QC alarm over the
+    * event log: days whose count deviates more than 2σ from the mean.
+    * The textbook form compares against float mean/stddev — sum-of-squares
+    * accumulation order differs between engines, and a last-ulp difference
+    * FLIPS a boundary flag. The 2σ rule multiplied out is pure integer
+    * arithmetic: |n − S/D| > 2σ  ⇔  (n·D − S)² > 4·(D·SS − S²) for
+    * S = Σn, SS = Σn², D = #days — evaluated in decimal(38,0) (the
+    * quadratic terms exceed int64 around 10¹² events/window; the oracle's
+    * HUGEINT matches exactly). Flags are engine-exact by construction.
+    *
+    * Shape: one map-side-combined day aggregate; the (D, S, SS) stats ride
+    * a broadcast 1-row cross join; the flag is row-local. */
+  private val aggAnomalyDays: Q = (s, d) => {
+    val daily = events(s, d)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+    val stats = broadcast(daily.agg(
+      count(lit(1)).as("__D"), sum(col("n")).as("__S"),
+      sum(col("n") * col("n")).as("__SS")))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val dev = dec(col("n") * col("__D") - col("__S"))
+    daily.crossJoin(stats)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+        (dev * dev > lit(4) * (dec(col("__D")) * dec(col("__SS"))
+          - dec(col("__S")) * dec(col("__S")))).as("is_outlier"))
+      .orderBy("day")
+  }
+
   /** Heavy hitters via a Misra–Gries sketch ([[graft.functions.MisraGries]],
     * §2.4 sketch family): top-20 most frequent user_ids from a k=256-counter
     * mergeable summary — ONE constant-size partial per partition merged up
@@ -610,6 +622,7 @@ object CdcQueries {
     "window_sliding_distinct" -> windowSlidingDistinct,
     "window_cumulative_distinct" -> windowCumulativeDistinct,
     "agg_daily_bars" -> aggDailyBars,
+    "agg_anomaly_days" -> aggAnomalyDays,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "sort_topk" -> sortTopk,
     "scalar_datetime" -> scalarDatetime,
@@ -891,6 +904,21 @@ object CdcQueries {
         |       max(v) OVER (PARTITION BY user_id, grp) AS value,
         |       v IS NOT NULL AS observed
         |FROM g ORDER BY user_id, day""".stripMargin,
+
+    // the 2σ rule in multiplied-out integer form — HUGEINT here, decimal(38,0)
+    // in the engine; exact on both, so the boundary can never flip
+    "agg_anomaly_days" ->
+      """WITH dcount AS (SELECT CAST(ts AS DATE) AS day,
+        |                       CAST(count(*) AS BIGINT) AS n
+        |                FROM events GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS HUGEINT) AS D,
+        |              CAST(sum(n) AS HUGEINT) AS S,
+        |              CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS SS
+        |       FROM dcount)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n,
+        |       (CAST(n AS HUGEINT) * D - S) * (CAST(n AS HUGEINT) * D - S)
+        |         > 4 * (D * SS - S * S) AS is_outlier
+        |FROM dcount, st ORDER BY day""".stripMargin,
 
     // cumulative distinct = first-seen counting; the oracle states it as a
     // correlated count-distinct-≤-day, the engine as min(day) + running sum
