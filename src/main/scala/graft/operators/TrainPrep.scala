@@ -563,29 +563,40 @@ object TrainPrep {
     require(queryTerms.size <= 2,
       "bm25: >2 query terms would make the per-doc double sum order-sensitive " +
         "(IEEE addition is not associative); extend with a fixed-order fold first")
-    val toks = docs.select(col(idCol).as("doc_id"), TextFns.tokens(col(textCol)).as("__t"))
-      .select(col("doc_id"), size(col("__t")).cast("long").as("dl"), col("__t"))
-    val stats = broadcast(toks.agg(
-      sum(col("dl")).as("__sum_dl"), count(lit(1)).as("__n_docs")))
-    // candidate posting lists: one row per (doc, query-term) with tf —
-    // persisted because both the df aggregate and the scorer read it
-    val post = registered(toks
-      .select(col("doc_id"), col("dl"), explode(col("__t")).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf")))
-    val dfTab = broadcast(post.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    // per-term tf is ROW-LOCAL: the codegen'd token-in-set counter scans
+    // the text once per term — no corpus explode, no posting-list shuffle
+    // (the explode form moved every token through a (doc, term) aggregate
+    // just to count ≤2 literal terms). The projected (doc, dl, tf…) frame
+    // is persisted so the stats aggregate and the scorer share ONE scan;
+    // the only exchange anywhere is the broadcast 1-row stats.
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      TextFns.tokenSetCount(col(textCol), Seq(t)).cast("long").as(s"__tf$i")
+    }
+    val proj = registered(docs.select(
+      col(idCol).as("doc_id") +:
+        size(TextFns.tokens(col(textCol))).cast("long").as("dl") +: tfCols: _*))
+    val dfCols = queryTerms.indices.map(i =>
+      sum((col(s"__tf$i") > 0).cast("long")).as(s"__df$i"))
+    val statAggs = sum(col("dl")).as("__sum_dl") +:
+      count(lit(1)).as("__n_docs") +: dfCols
+    val stats = broadcast(proj.agg(statAggs.head, statAggs.tail: _*))
     val avgdl = col("__sum_dl").cast("double") / col("__n_docs").cast("double")
-    val idf = (col("__n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-    val tfSat = (col("tf").cast("double") * lit(k1 + 1.0)) /
-      (col("tf").cast("double") +
-        lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)))
-    post
-      .join(dfTab, "term")
+    def termScore(i: Int): Column = {
+      val idf = (col("__n_docs") - col(s"__df$i") + lit(0.5)) /
+        (col(s"__df$i") + lit(0.5))
+      val tfSat = (col(s"__tf$i").cast("double") * lit(k1 + 1.0)) /
+        (col(s"__tf$i").cast("double") +
+          lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)))
+      when(col(s"__tf$i") > 0, idf * tfSat).otherwise(lit(0.0))
+    }
+    // ≤2 terms ⇒ the fixed-order s0+s1 equals the posting-sum form bit for
+    // bit (IEEE addition of two doubles is commutative)
+    proj
       .crossJoin(stats)
-      .withColumn("__s", idf * tfSat)
-      .groupBy(col("doc_id"))
-      .agg(sum(col("__s")).as("__score"), count(lit(1)).as("n_terms"))
+      .withColumn("__score", queryTerms.indices.map(termScore).reduce(_ + _))
+      .withColumn("n_terms",
+        queryTerms.indices.map(i => (col(s"__tf$i") > 0).cast("long")).reduce(_ + _))
+      .filter(col("n_terms") > 0) // docs with no query term never ranked
       .orderBy(col("__score").desc, col("doc_id"))
       .limit(k)
       .withColumn("rank",
