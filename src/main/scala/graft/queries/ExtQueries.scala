@@ -1360,6 +1360,86 @@ object ExtQueries {
     Multimodal.resizePlan(documents(s, d), target = 224)
       .orderBy("doc_id")
 
+  // -- corpus statistics / drift ---------------------------------------------
+
+  /** Corpus-wide feature normalization — the z-score / min-max scaling pass
+    * a training pipeline runs before thresholding or mixing on a numeric
+    * quality column: every doc's `n_chars` against the corpus moments.
+    *
+    * Determinism: the moment aggregate keeps INTEGER sums (count, Σx, Σx²,
+    * min, max — exact at any aggregation order); mean/variance fall out of
+    * one double division each (`s1/n`, `s2/n − mean²`), the same two exact
+    * operands on both engines, so the pre-round doubles are bit-identical
+    * (the [[extTextRarity]] integer-numerator discipline).
+    *
+    * Scale shape: ONE map-side-combined 1-row aggregate broadcast onto the
+    * scan — no data-sized shuffle at all; at 100 TB this is a scan plus a
+    * 5-number broadcast. (Σx² of a bounded per-doc count stays well inside
+    * int64 here; an unbounded feature would move s2 to DOUBLE and accept
+    * the rnd4 tolerance like every other double aggregate.) */
+  private val extFeatureScale: Q = (s, d) => {
+    val stats = documents(s, d).agg(
+      count(lit(1)).as("__n"),
+      sum(col("n_chars")).as("__s1"),
+      sum(col("n_chars") * col("n_chars")).as("__s2"),
+      min(col("n_chars")).as("__lo"),
+      max(col("n_chars")).as("__hi"))
+    val mean = col("__s1").cast("double") / col("__n")
+    val variance = col("__s2").cast("double") / col("__n") - mean * mean
+    documents(s, d).select(col("doc_id"), col("n_chars"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("n_chars"),
+        rnd4((col("n_chars").cast("double") - mean) / sqrt(variance)).as("z_score"),
+        rnd4((col("n_chars") - col("__lo")).cast("double")
+          / (col("__hi") - col("__lo"))).as("minmax"))
+      .orderBy("doc_id")
+  }
+
+  /** Kolmogorov–Smirnov drift per source — "does this slice's length
+    * distribution match the corpus?", the distribution-shift gate run when
+    * a new crawl/source lands: for each `source`, the exact KS distance
+    * between its `n_chars` empirical CDF and the whole-corpus CDF.
+    *
+    * Exact and deterministic: both CDFs are integer cumulative counts over
+    * the shared VALUE DOMAIN (distinct n_chars), and the sup-difference is
+    * maximized on the integer cross-product `|cum_src·n_tot − cum_tot·n_src|`
+    * — one double division at the very end ([[rnd4]]).
+    *
+    * Scale shape: the only corpus-sized work is two map-side-combined
+    * histogram aggregates; everything after runs on the (sources × domain)
+    * grid — bounded by the feature's value domain, not the corpus (the
+    * curriculum/TrainPrep domain-histogram discipline). The corpus-CDF
+    * window is unpartitioned but DOMAIN-sized (≤ distinct n_chars values);
+    * the per-source window partitions by source. */
+  private val extKsDrift: Q = (s, d) => {
+    val docs = documents(s, d)
+    val h = docs.groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("__c"))
+    val dom = docs.select(col("n_chars")).distinct()
+    val srcTot = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val totHist = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("__ct"))
+    val nTot = docs.agg(count(lit(1)).as("__n_tot"))
+    // domain-sized: corpus cumulative count at every domain point
+    val cumTot = dom.join(totHist, Seq("n_chars"), "left")
+      .select(col("n_chars"),
+        sum(coalesce(col("__ct"), lit(0L)))
+          .over(Window.orderBy(col("n_chars"))).as("__cum_tot"))
+    // (sources × domain) grid: per-source cumulative count at every point
+    val grid = srcTot.crossJoin(dom)
+      .join(h, Seq("source", "n_chars"), "left")
+      .select(col("source"), col("n_src"), col("n_chars"),
+        sum(coalesce(col("__c"), lit(0L)))
+          .over(Window.partitionBy(col("source")).orderBy(col("n_chars")))
+          .as("__cum_src"))
+    grid.join(cumTot, "n_chars").crossJoin(broadcast(nTot))
+      .groupBy(col("source"), col("n_src"), col("__n_tot"))
+      .agg(max(abs(col("__cum_src") * col("__n_tot") - col("__cum_tot") * col("n_src")))
+        .as("__ks_num"))
+      .select(col("source"), col("n_src"),
+        rnd4(col("__ks_num").cast("double") / (col("n_src") * col("__n_tot")))
+          .as("ks_stat"))
+      .orderBy("source")
+  }
+
   /** Per-label embedding centroid via the typed Aggregator (map-side partial
     * merge), unpivoted to (label, pos, value) rows for the oracle. */
   private val extMultimodalCentroid: Q = (s, d) => {
@@ -1454,7 +1534,9 @@ object ExtQueries {
     "ext_multimodal_frames" -> extMultimodalFrames,
     "ext_multimodal_resize" -> extMultimodalResize,
     "ext_multimodal_features" -> extMultimodalFeatures,
-    "ext_multimodal_centroid" -> extMultimodalCentroid)
+    "ext_multimodal_centroid" -> extMultimodalCentroid,
+    "ext_feature_scale" -> extFeatureScale,
+    "ext_ks_drift" -> extKsDrift)
 
   // -- oracle ----------------------------------------------------------------
 
@@ -2676,5 +2758,39 @@ object ExtQueries {
       s"""SELECT CAST(label AS BIGINT) AS label, i AS pos,
          |       ${rnd4Sql("avg(embedding[i + 1])")} AS centroid
          |FROM embeddings, range(64) t(i)
-         |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin)
+         |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
+
+    // mean/variance from exact integer moments, one double division each —
+    // mirrors the Spark column op order term by term
+    "ext_feature_scale" ->
+      s"""WITH st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |                   CAST(sum(n_chars) AS BIGINT) AS s1,
+         |                   CAST(sum(n_chars * n_chars) AS BIGINT) AS s2,
+         |                   min(n_chars) AS lo, max(n_chars) AS hi
+         |            FROM documents)
+         |SELECT doc_id, n_chars,
+         |       ${rnd4Sql("(CAST(n_chars AS DOUBLE) - CAST(s1 AS DOUBLE) / n) / " +
+                  "sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))")} AS z_score,
+         |       ${rnd4Sql("CAST(n_chars - lo AS DOUBLE) / (hi - lo)")} AS minmax
+         |FROM documents, st ORDER BY doc_id""".stripMargin,
+
+    // integer CDF cross-product sup-difference; single trailing division
+    "ext_ks_drift" ->
+      s"""WITH h AS (SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+         |dom AS (SELECT DISTINCT n_chars FROM documents),
+         |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM documents GROUP BY 1),
+         |tot AS (SELECT n_chars, count(*) AS ct FROM documents GROUP BY 1),
+         |ctc AS (SELECT dom.n_chars,
+         |               CAST(sum(coalesce(ct, 0)) OVER (ORDER BY dom.n_chars) AS BIGINT) AS cum_tot
+         |        FROM dom LEFT JOIN tot USING (n_chars)),
+         |grid AS (SELECT st.source, st.n_src, dom.n_chars,
+         |                CAST(sum(coalesce(h.c, 0)) OVER (
+         |                  PARTITION BY st.source ORDER BY dom.n_chars) AS BIGINT) AS cum_src
+         |         FROM st CROSS JOIN dom
+         |         LEFT JOIN h ON h.source = st.source AND h.n_chars = dom.n_chars),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM documents)
+         |SELECT source, n_src,
+         |       ${rnd4Sql("CAST(max(abs(cum_src * n_tot - cum_tot * n_src)) AS DOUBLE) / (n_src * n_tot)")} AS ks_stat
+         |FROM grid JOIN ctc USING (n_chars), nt
+         |GROUP BY source, n_src, n_tot ORDER BY source""".stripMargin)
 }
