@@ -356,3 +356,76 @@ case class MultiTokenSetCount(child: Expression, sets: Seq[Seq[String]])
 
   override protected def withNewChildInternal(c: Expression): MultiTokenSetCount = copy(child = c)
 }
+
+/** Codegen'd Σc² over whitespace-token frequencies — the integer moment
+  * behind Simpson diversity (1 − Σc²/n²) and effective vocabulary
+  * (n²/Σc²): one row-local pass building a token→count map, then an exact
+  * long sum of squared counts. The Shannon form of the same concentration
+  * signal needs a transcendental log whose last-ulp rounding differs
+  * between engines (the reason the BM25 here is log-free); Σc² keeps the
+  * whole metric in exact integer arithmetic until one final division.
+  * Zero shuffles at any corpus size — the per-(doc, token) explode +
+  * count aggregate form shuffles every token occurrence. */
+case class TokenSqFreqSum(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"token_sq_freq_sum expects string, got $t")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val counts = new java.util.HashMap[String, Long]()
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        counts.merge(s.substring(start, i), 1L, (a, b) => a + b)
+        start = i + 1
+      }
+      i += 1
+    }
+    var sum = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next(); sum += c * c }
+    sum
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val counts = ctx.freshName("counts")
+      val start = ctx.freshName("start")
+      val i = ctx.freshName("i")
+      val prev = ctx.freshName("prev")
+      val sum = ctx.freshName("sum")
+      val it = ctx.freshName("it")
+      val cnt = ctx.freshName("cnt")
+      s"""
+         |final String $s = $c.toString();
+         |final java.util.HashMap<String, Long> $counts = new java.util.HashMap<String, Long>();
+         |int $start = 0;
+         |int $i = 0;
+         |while ($i <= $s.length()) {
+         |  if ($i == $s.length() || $s.charAt($i) == ' ') {
+         |    final java.lang.Long $prev = $counts.get($s.substring($start, $i));
+         |    $counts.put($s.substring($start, $i),
+         |      java.lang.Long.valueOf($prev == null ? 1L : $prev.longValue() + 1L));
+         |    $start = $i + 1;
+         |  }
+         |  $i++;
+         |}
+         |long $sum = 0L;
+         |final java.util.Iterator<Long> $it = $counts.values().iterator();
+         |while ($it.hasNext()) {
+         |  final long $cnt = ((java.lang.Long) $it.next()).longValue();
+         |  $sum += $cnt * $cnt;
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): TokenSqFreqSum = copy(child = c)
+}

@@ -145,6 +145,13 @@ object TextFns {
     org.apache.spark.sql.GraftColumnBridge.column(
       SimHash64(org.apache.spark.sql.GraftColumnBridge.expression(text)))
 
+  /** Σc² over whitespace-token frequencies — one codegen'd row-local pass
+    * ([[TokenSqFreqSum]]); the exact integer moment behind Simpson
+    * diversity and effective vocabulary. */
+  def tokenSqFreqSum(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      TokenSqFreqSum(org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
   /** The declarative higher-order form of [[bpeEstimate]] — kept (test-only)
     * as the semantic pin for the codegen'd expression: it materializes the
     * token array and walks an interpreted lambda per token. */

@@ -287,6 +287,93 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), graft.Tables.rnd4(contain).as("containment"))
   }
 
+  /** Edit-distance near-dup pairs — blocked fuzzy matching, the classic
+    * record-linkage shape: candidates from an inverted index over RARE
+    * n-token shingles (2 ≤ df ≤ `maxDf` — df-1 shingles can't form a
+    * cross-doc pair, df > maxDf shingles are background vocabulary that
+    * would quadratically inflate candidates), confirmed by character-level
+    * Levenshtein ≤ `maxDist` (`functions.levenshtein`, codegen'd). The
+    * edit-distance tier complements the set-similarity tiers: Jaccard and
+    * containment are blind to ORDER (a shuffled doc keeps its shingle set
+    * at n=1 and much of it at small n); Levenshtein charges every
+    * transposition.
+    *
+    * Contract is candidates-then-verify, like production fuzzy linkage:
+    * the output is exactly "pairs sharing ≥ 1 rare shingle with edit
+    * distance ≤ maxDist" — deterministic and oracle-expressible (the
+    * oracle replays the same blocking in SQL), not an "all pairs under
+    * maxDist" claim, which no sub-quadratic plan can make on adversarial
+    * input (two docs can sit at distance 1 yet share no shingle only if
+    * every shingle is corpus-unique — excluded here by df ≥ 2 being the
+    * only pair-forming shingles).
+    *
+    * Scale shape: candidate volume is Σ_{g rare} df(g)² ≤ maxDf · Σ df(g)
+    * — linear in the index size with a constant cap, never n². The
+    * verify join moves only candidate-pair text; at 100 TB the rare-shingle
+    * index is the working set and the DP confirm is per-pair constant
+    * (docs bounded by chunking upstream). */
+  def fuzzyPairs(docs: DataFrame, textCol: String, idCol: String, n: Int,
+                 maxDf: Long, maxDist: Int, cache: CacheHandle = tracked()): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(TextFns.hashedShingles(col(textCol), n)).as("shingle"))
+    val rare = cache.register(
+      sh.join(
+        sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df").between(2L, maxDf)),
+        "shingle"))
+    val cand = rare.as("a")
+      .join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val txt = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    cand
+      .join(txt.select(col("doc_id"), col("__text").as("__ta")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(txt.select(col("doc_id"), col("__text").as("__tb")), col("doc_b") === col("doc_id"))
+      .drop("doc_id")
+      .withColumn("distance", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .filter(col("distance") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("distance"))
+  }
+
+  /** Cross-document repeated-passage REMOVAL (the C4 "three-sentence"
+    * rule, tiled): cut every `p`-token passage whose text occurs in ≥ 2
+    * distinct documents, and REASSEMBLE each doc from its surviving
+    * passages in original order. The spans tier above localizes
+    * duplication; this one rewrites the corpus — the actual dedup pass a
+    * training pipeline ships. Within-doc repeats survive (they are
+    * repetition, not cross-doc duplication — [[Dedup]] has a separate
+    * signal for those).
+    *
+    * Scale shape: passages tile row-locally (no overlap fan-out — n/p
+    * rows per doc, not n); the doc-frequency aggregate and join-back are
+    * keyed on the 8-byte passage hash, never the text; reassembly is one
+    * doc-keyed aggregate whose `collect_list` is bounded by the doc's own
+    * passage count (a per-row bound, not a corpus bound). Three keyed
+    * exchanges end to end at any corpus size. */
+  def passageDedup(docs: DataFrame, textCol: String, idCol: String, p: Int,
+                   cache: CacheHandle = tracked()): DataFrame = {
+    val tk = TextFns.tokens(col(textCol))
+    val nPass = ceil(size(tk).cast("double") / p).cast("int")
+    val tiles = transform(sequence(lit(0), nPass - 1),
+      i => concat_ws(" ", slice(tk, i * p + 1, lit(p))))
+    val pass = cache.register(docs
+      .select(col(idCol).as("doc_id"), posexplode(tiles).as(Seq("pidx", "passage")))
+      .withColumn("__h", xxhash64(col("passage"))))
+    val dfTab = pass.groupBy(col("__h")).agg(countDistinct(col("doc_id")).as("__df"))
+    pass.join(dfTab, "__h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__df") === 1L, struct(col("pidx"), col("passage"))))),
+            s => s.getField("passage")),
+          " ").as("text_clean"))
+  }
+
   /** Duplicate-substring spans (exact substring dedup in the style of
     * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     * Better"): the token ranges of each doc covered by any word n-gram

@@ -543,6 +543,39 @@ object CdcQueries {
       .orderBy("day")
   }
 
+  /** 7-day exponentially-decayed smoothing of daily event volume (§2.5) —
+    * the trend line an ops dashboard draws over the raw daily counts:
+    * ewma(d) = Σ_{j=0..6} n(d−j)/2ʲ / Σ_{j} 1/2ʲ over OBSERVED days
+    * (a missing calendar day contributes neither value nor weight).
+    *
+    * Exactness: α = ½ makes every weight a power of two — weights come
+    * from `shiftleft`, never `pow` (transcendental, last-ulp
+    * engine-dependent) — so each term n/2ʲ and every partial sum is an
+    * EXACT double (counts ≪ 2⁴⁰, weights ≥ 2⁻⁶ ⇒ all sums are multiples
+    * of 2⁻⁶ well inside the mantissa): the result is order-independent
+    * and deterministic before [[graft.Tables.rnd4]] even rounds.
+    *
+    * Scale shape: the same contribution-explode as
+    * [[windowSlidingDistinct]] — per-day counts first (map-side combined,
+    * day-keyed), then a bounded ×7 fan-out of DAY-sized rows and one
+    * day-keyed sum; no window sort, no per-key state, no day×day join. */
+  private val windowEwma: Q = (s, d) => {
+    val daily = events(s, d)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+    val w2 = expr("shiftleft(1, __j)").cast("double")
+    val sm = daily
+      .select(col("day").as("__sday"), col("n").as("__sn"),
+        explode(sequence(lit(0), lit(6))).as("__j"))
+      .select(date_add(col("__sday"), col("__j")).as("day"),
+        (col("__sn").cast("double") / w2).as("__term"), (lit(1.0) / w2).as("__w"))
+      .groupBy(col("day"))
+      .agg(sum(col("__term")).as("__num"), sum(col("__w")).as("__den"))
+    daily.join(sm, "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+        graft.Tables.rnd4(col("__num") / col("__den")).as("ewma_7d"))
+      .orderBy("day")
+  }
+
   /** Daily-volume anomaly flags (§2.4) — the ingest-QC alarm over the
     * event log: days whose count deviates more than 2σ from the mean.
     * The textbook form compares against float mean/stddev — sum-of-squares
@@ -620,6 +653,7 @@ object CdcQueries {
     "window_scd2" -> windowScd2,
     "window_gap_fill" -> windowGapFill,
     "window_sliding_distinct" -> windowSlidingDistinct,
+    "window_ewma" -> windowEwma,
     "window_cumulative_distinct" -> windowCumulativeDistinct,
     "agg_daily_bars" -> aggDailyBars,
     "agg_anomaly_days" -> aggAnomalyDays,
@@ -964,6 +998,20 @@ object CdcQueries {
         |SELECT strftime(w_day, '%Y-%m-%d') AS day,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_7d
         |FROM w GROUP BY w_day ORDER BY day""".stripMargin,
+
+    // the oracle states the decayed window as a range join; 1 << j keeps
+    // every weight a power of two, so both engines' sums are exact (see
+    // the query doc)
+    "window_ewma" ->
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+         |              FROM events GROUP BY 1),
+         |c AS (SELECT a.day AS day, b.n AS bn, date_diff('day', b.day, a.day) AS j
+         |      FROM daily a JOIN daily b ON b.day >= a.day - 6 AND b.day <= a.day)
+         |SELECT strftime(c.day, '%Y-%m-%d') AS day, d.n AS n,
+         |       ${graft.Tables.rnd4Sql(
+                   "sum(CAST(bn AS DOUBLE) / (1 << j)) / sum(1.0 / (1 << j))")} AS ewma_7d
+         |FROM c JOIN daily d ON c.day = d.day
+         |GROUP BY c.day, d.n ORDER BY day""".stripMargin,
 
     // k=256 > distinct users ⇒ the sketch never evicts ⇒ exact counts; the
     // oracle is therefore the plain frequency top-k

@@ -410,6 +410,23 @@ object ExtQueries {
     Dedup.containmentPairs(documents(s, d), "text", "doc_id", n = 5, threshold = 0.6)
       .orderBy("doc_a", "doc_b")
 
+  /** Edit-distance near-dup tier ([[Dedup.fuzzyPairs]]): rare-5-shingle
+    * blocking + Levenshtein ≤ 40 confirm. maxDist 40 sits in the fixture's
+    * wide margin between planted near-dups (distance ≤ ~20: token-level
+    * edits on ~150-char docs) and chance shingle-sharers (≥ ~300);
+    * maxDf 10 keeps the inverted index to genuinely rare shingles. */
+  private val extDedupFuzzy: Q = (s, d) =>
+    Dedup.fuzzyPairs(documents(s, d), "text", "doc_id", n = 5, maxDf = 10L, maxDist = 40)
+      .orderBy("doc_a", "doc_b")
+
+  /** Cross-doc repeated-passage removal at 10-token tiles
+    * ([[Dedup.passageDedup]]): every passage text appearing in ≥ 2 docs is
+    * cut and the doc reassembled from the survivors — the corpus-rewriting
+    * dedup pass, vs the pair/span REPORTING tiers around it. */
+  private val extDedupPassages: Q = (s, d) =>
+    Dedup.passageDedup(documents(s, d), "text", "doc_id", p = 10)
+      .orderBy("doc_id")
+
   /** Exact duplicate-SUBSTRING spans (Lee et al. 2022 style): maximal
     * per-doc token ranges covered by any 13-gram occurring ≥2 times
     * corpus-wide — localizes WHERE duplication sits, vs the whole-doc
@@ -1395,6 +1412,33 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Token-concentration diversity per document — Simpson diversity
+    * (1 − Σc²/n², the probability two random tokens differ) and effective
+    * vocabulary (n²/Σc², the "equivalent number of equally-common tokens")
+    * — the repetition/diversity quality signal a pretraining filter
+    * thresholds on alongside the Gopher fractions. The Shannon-entropy
+    * form of the same signal needs transcendental logs whose last-ulp
+    * rounding differs between engines; Simpson carries it in EXACT integer
+    * arithmetic (Σc² — [[graft.functions.TokenSqFreqSum]]) until one final
+    * division ([[rnd4]]).
+    *
+    * Scale shape: one codegen'd row-local pass per doc, zero shuffles —
+    * the explode → per-(doc, token) count form shuffles every token
+    * occurrence in the corpus. */
+  private val extTextDiversity: Q = (s, d) => {
+    val n = size(TextFns.tokens(col("text"))).cast("long")
+    documents(s, d)
+      .select(col("doc_id"), n.as("n_tokens"),
+        size(TextFns.distinctTokens(col("text"))).cast("long").as("n_distinct"),
+        TextFns.tokenSqFreqSum(col("text")).as("__s2"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        rnd4((col("n_tokens") * col("n_tokens") - col("__s2")).cast("double")
+          / (col("n_tokens") * col("n_tokens"))).as("simpson"),
+        rnd4((col("n_tokens") * col("n_tokens")).cast("double") / col("__s2"))
+          .as("eff_vocab"))
+      .orderBy("doc_id")
+  }
+
   /** Kolmogorov–Smirnov drift per source — "does this slice's length
     * distribution match the corpus?", the distribution-shift gate run when
     * a new crawl/source lands: for each `source`, the exact KS distance
@@ -1470,6 +1514,8 @@ object ExtQueries {
     "ext_dedup_exact" -> extDedupExact,
     "ext_dedup_ngram" -> extDedupNgram,
     "ext_dedup_containment" -> extDedupContainment,
+    "ext_dedup_fuzzy" -> extDedupFuzzy,
+    "ext_dedup_passages" -> extDedupPassages,
     "ext_dedup_minhash" -> extDedupMinhash,
     "ext_dedup_spans" -> extDedupSpans,
     "ext_dedup_span_stats" -> extDedupSpanStats,
@@ -1536,7 +1582,8 @@ object ExtQueries {
     "ext_multimodal_features" -> extMultimodalFeatures,
     "ext_multimodal_centroid" -> extMultimodalCentroid,
     "ext_feature_scale" -> extFeatureScale,
-    "ext_ks_drift" -> extKsDrift)
+    "ext_ks_drift" -> extKsDrift,
+    "ext_text_diversity" -> extTextDiversity)
 
   // -- oracle ----------------------------------------------------------------
 
@@ -2014,6 +2061,46 @@ object ExtQueries {
          |JOIN sizes sa ON doc_a = sa.doc_id
          |WHERE c * 1.0 / sa.n >= 0.6
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same blocking replayed relationally: rare-shingle inverted index
+    // (2 ≤ df ≤ 10) → distinct pairs → Levenshtein confirm; distances are
+    // exact integers on both engines
+    "ext_dedup_fuzzy" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+        |                               i -> array_to_string(t[i:i+4], ' '))) AS shingle
+        |       FROM toks),
+        |rare AS (SELECT sh.doc_id, sh.shingle
+        |         FROM sh JOIN (SELECT shingle, count(*) AS df FROM sh GROUP BY 1) d
+        |           USING (shingle)
+        |         WHERE d.df BETWEEN 2 AND 10),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM rare a JOIN rare b USING (shingle) WHERE a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(levenshtein(da.text, db.text) AS BIGINT) AS distance
+        |FROM cand
+        |JOIN documents da ON doc_a = da.doc_id
+        |JOIN documents db ON doc_b = db.doc_id
+        |WHERE levenshtein(da.text, db.text) <= 40
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // 10-token tiling replayed relationally; string_agg(ORDER BY pidx)
+    // FILTER reproduces the ordered reassembly, coalesce matches Spark's
+    // empty-array → '' join
+    "ext_dedup_passages" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |p AS (SELECT doc_id, t,
+        |             unnest(generate_series(0, CAST(ceil(len(t) / 10.0) AS INTEGER) - 1)) AS pidx
+        |      FROM toks),
+        |pp AS (SELECT doc_id, pidx,
+        |              array_to_string(t[pidx * 10 + 1 : pidx * 10 + 10], ' ') AS passage
+        |       FROM p),
+        |df AS (SELECT passage, count(DISTINCT doc_id) AS df FROM pp GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+        |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       coalesce(string_agg(passage, ' ' ORDER BY pidx) FILTER (WHERE df = 1), '') AS text_clean
+        |FROM pp JOIN df USING (passage)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "ext_dedup_spans" ->
       s"""WITH $spansSqlCte
@@ -2792,5 +2879,19 @@ object ExtQueries {
          |SELECT source, n_src,
          |       ${rnd4Sql("CAST(max(abs(cum_src * n_tot - cum_tot * n_src)) AS DOUBLE) / (n_src * n_tot)")} AS ks_stat
          |FROM grid JOIN ctc USING (n_chars), nt
-         |GROUP BY source, n_src, n_tot ORDER BY source""".stripMargin)
+         |GROUP BY source, n_src, n_tot ORDER BY source""".stripMargin,
+
+    // Σc² via the relational explode form — integer-exact, so it matches
+    // the codegen'd single-pass expression bit for bit
+    "ext_text_diversity" ->
+      s"""WITH tc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |c AS (SELECT doc_id, t, count(*) AS cnt FROM tc GROUP BY 1, 2),
+         |m AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+         |             CAST(count(*) AS BIGINT) AS nd,
+         |             CAST(sum(cnt * cnt) AS BIGINT) AS s2
+         |      FROM c GROUP BY 1)
+         |SELECT doc_id, n AS n_tokens, nd AS n_distinct,
+         |       ${rnd4Sql("CAST(n * n - s2 AS DOUBLE) / (n * n)")} AS simpson,
+         |       ${rnd4Sql("CAST(n * n AS DOUBLE) / s2")} AS eff_vocab
+         |FROM m ORDER BY doc_id""".stripMargin)
 }

@@ -58,6 +58,25 @@ class ExtOpsSpec extends SparkSpec {
     fused.foreach { case (id, arr) => assert(arr === single(id), s"doc $id") }
   }
 
+  test("tokenSqFreqSum matches the explode-aggregate Σc² bit for bit") {
+    import graft.functions.TextFns
+    val d = docs(
+      (0L, "a a a a"),                       // one token, c=4 → 16
+      (1L, "a b c d"),                       // all distinct → 4
+      (2L, ""),                              // one empty token → 1
+      (3L, "x y x y x"),                     // 3² + 2² = 13
+      (4L, "的 的 and the 的"))               // multi-byte repeats → 9+1+1
+    val fused = d.select(col("doc_id"), TextFns.tokenSqFreqSum(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val ref = d.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").count()
+      .groupBy("doc_id").agg(sum(col("count") * col("count")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(fused === ref)
+    assert(fused(0L) === 16L && fused(1L) === 4L && fused(2L) === 1L
+      && fused(3L) === 13L && fused(4L) === 11L)
+  }
+
   test("policyFilter trips exactly the planted rule per doc") {
     val clean = (1 to 30).map(i => s"word$i").mkString(" ") // 30 tokens, no phrases
     val d = docs(
