@@ -196,6 +196,26 @@ object StreamQueries {
     RetentionStream.report(RetentionStream.mergeFacts(twice.limit(0), twice))
   }
 
+  /** The incremental gap-fill resample run in BATCH mode over a DOUBLED
+    * delivery (at-least-once): state is the per-(user, day) argmax fact
+    * table, so the doubled log collapses through the max-merge to the
+    * clean single-run facts, and the LOCF re-grid over them is
+    * BYTE-identical to the batch `window_gap_fill` materialization (the
+    * oracle is the same SQL — [[graft.streaming.GapFillStream.report]]
+    * delegates to the same [[graft.operators.TimeSeries.gapFillDaily]]).
+    * Live path (file stream, checkpointed restart, redelivery) is in
+    * StreamingSpec. */
+  private val streamGapFill: Q = (s, d) => {
+    import graft.streaming.GapFillStream
+    val raw = Tables.eventsRaw(s, d)
+    val once = GapFillStream.slice(CdcPipeline.transform(raw))
+    val twice = once.unionByName(once) // two deliveries
+    GapFillStream.report(GapFillStream.mergeFacts(twice.limit(0), twice))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("value"), col("observed"))
+      .orderBy("user_id", "day")
+  }
+
   /** Drift alarm threshold shared by the query entry and StreamingSpec —
     * 100‰ ≈ "a source's quality-pass rate moved 10 points vs baseline". */
   final val DriftPermille = 100
@@ -258,6 +278,7 @@ object StreamQueries {
     "stream_scd2" -> streamScd2,
     "stream_daily_bars" -> streamDailyBars,
     "stream_retention" -> streamRetention,
+    "stream_gap_fill" -> streamGapFill,
     "stream_conversion_lag" -> streamConversionLag,
     "stream_corpus_ingest" -> streamCorpusIngest,
     "stream_decontam" -> streamDecontam,
@@ -265,6 +286,10 @@ object StreamQueries {
     "stream_vocab_drift" -> streamVocabDrift)
 
   val oracle: Map[String, String] = Map(
+    // doubled delivery collapses to the clean run — the oracle IS the
+    // batch gap-fill's (one definition, twins can't drift)
+    "stream_gap_fill" -> CdcQueries.oracle("window_gap_fill"),
+
     "source_changestream" ->
       s"""SELECT event_id, ${fmtTsSql("ts")} AS ts_s, user_id, $OP AS op_type, props
          |FROM events WHERE event_type IS DISTINCT FROM 'error'

@@ -583,6 +583,48 @@ class StreamingSpec extends SparkSpec {
     assert(rows(Scd2Stream.report(spark.read.parquet(tgt))) === expected)
   }
 
+  test("incremental gap-fill: checkpointed restart + redelivery converge to the batch grid") {
+    import graft.streaming.GapFillStream
+    val sf = "/root/testdata/sf0.001"
+    val src = tmp("gf-src")
+    val tgt = tmp("gf-tgt").resolve("state").toString
+    val ckp = tmp("gf-ckp").toString
+
+    val cut = Tables.tsLit("2024-01-15 00:00:00")
+    def arrive(wave: String, pred: org.apache.spark.sql.Column): Unit = {
+      val staging = tmp(s"gf-stage-$wave")
+      Tables.events(spark, sf).filter(pred)
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.move(f.toPath, src.resolve(s"$wave-$i.parquet"))
+        }
+    }
+
+    // wave 2 extends spans wave 1 left short AND retro-fills days between
+    // wave-1 observations: the state merge must re-grid, not append
+    arrive("wave1", col("ts") < cut)
+    GapFillStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    arrive("wave2", col("ts") >= cut)
+    GapFillStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Double, Boolean)] =
+      df.select(col("user_id"), date_format(col("day"), "yyyy-MM-dd"),
+        col("value"), col("observed"))
+        .as[(Long, String, Double, Boolean)].collect().toSet
+    val expected = rows(GapFillStream.report(
+      GapFillStream.slice(CdcPipeline.transform(Tables.eventsRaw(spark, sf)))))
+    assert(expected.exists(!_._4)) // real filled (unobserved) days exist
+    assert(rows(GapFillStream.report(spark.read.parquet(tgt))) === expected)
+
+    // wave 2 redelivered as fresh files (at-least-once): the (user, day)
+    // argmax merge makes the replay a no-op
+    arrive("wave2again", col("ts") >= cut)
+    GapFillStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    assert(rows(GapFillStream.report(spark.read.parquet(tgt))) === expected)
+  }
+
   test("incremental retention: checkpointed restart + redelivery converge to the batch report") {
     import graft.streaming.RetentionStream
     val sf = "/root/testdata/sf0.001"
