@@ -314,12 +314,19 @@ object Dedup {
     * (docs bounded by chunking upstream). */
   def fuzzyPairs(docs: DataFrame, textCol: String, idCol: String, n: Int,
                  maxDf: Long, maxDist: Int, cache: CacheHandle = tracked()): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      explode(TextFns.hashedShingles(col(textCol), n)).as("shingle"))
+    // persisted: the explode (text deserialization + hashing, the
+    // dominant per-run cost) runs ONCE and is read twice — df aggregate
+    // and index probe (the textNovelty df pattern)
+    val sh = cache.register(docs.select(col(idCol).as("doc_id"),
+      explode(TextFns.hashedShingles(col(textCol), n)).as("shingle")))
+    // the df table filters to RARE shingles before the join, so it is the
+    // small side by construction — broadcast it explicitly (size estimates
+    // on the exploded probe side otherwise flip the build side and ship
+    // the whole index to the driver)
     val rare = cache.register(
       sh.join(
-        sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df").between(2L, maxDf)),
+        broadcast(sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df").between(2L, maxDf))),
         "shingle"))
     val cand = rare.as("a")
       .join(rare.as("b"),

@@ -34,19 +34,33 @@ object Knn {
 
   /** Exact top-k cosine neighbours for each query vector (excluding self).
     * Queries are broadcast; ranking is one window shuffle on query_id. */
-  def bruteForce(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(embCol).as("__q_emb"),
-      VectorFns.norm(col(embCol)).as("__q_n")))
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__c_emb"),
-      VectorFns.norm(col(embCol)).as("__c_n"))
-      .join(q, col("neighbor_id") =!= col("query_id"))
+  /** `scopeCols` turns this into FILTERED search (the tenant-/metadata-
+    * scoped ANN every production vector store exposes): neighbours must
+    * match the query on each scope column. The scope is an EQUI-join key,
+    * not a post-filter — the broadcast join hashes on it, so each query
+    * scores only its own slice of the corpus (the reason filtered search
+    * is CHEAPER than global search at scale, never a filtered-afterwards
+    * top-k that scored everything). */
+  def bruteForce(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+                 k: Int, scopeCols: Seq[String] = Nil): DataFrame = {
+    val q = broadcast(queries.select(
+      Seq(col(idCol).as("query_id"), col(embCol).as("__q_emb"),
+        VectorFns.norm(col(embCol)).as("__q_n")) ++
+        scopeCols.map(c => col(c).as(s"__q_$c")): _*))
+    val scope = scopeCols
+      .map(c => col(c) === col(s"__q_$c"))
+      .foldLeft(col("neighbor_id") =!= col("query_id"))(_ && _)
+    val scored = corpus.select(
+      Seq(col(idCol).as("neighbor_id"), col(embCol).as("__c_emb"),
+        VectorFns.norm(col(embCol)).as("__c_n")) ++ scopeCols.map(col): _*)
+      .join(q, scope)
       .withColumn("cosine", cos(col("__q_emb"), col("__c_emb"), col("__q_n"), col("__c_n")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        graft.Tables.rnd4(col("cosine")).as("cosine"))
+      .select(col("query_id") +: col("rank") +: col("neighbor_id") +:
+        graft.Tables.rnd4(col("cosine")).as("cosine") +: scopeCols.map(col): _*)
   }
 
   /** Deterministic pseudo-random hyperplanes: weight(plane, dim) derived

@@ -31,19 +31,67 @@ object TimeSeries {
     * anywhere. */
   def gapFillDaily(obs: DataFrame, key: String, ts: String,
                    value: String, tiebreak: String): DataFrame = {
+    val daily = dailyWinners(obs, key, ts, value, tiebreak)
+    val wFill = Window.partitionBy(col(key)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendarSpan(daily, key).join(daily, Seq(key, "day"), "left")
+      .withColumn("value", last(col("__v"), ignoreNulls = true).over(wFill))
+      .select(col(key), col("day"), col("value"), col("__v").isNotNull.as("observed"))
+  }
+
+  /** Per-(key, day) last observation — the shared re-grid input of
+    * [[gapFillDaily]] and [[interpolateDaily]]. */
+  private def dailyWinners(obs: DataFrame, key: String, ts: String,
+                           value: String, tiebreak: String): DataFrame = {
     val p = obs.select(col(key), to_date(col(ts)).as("day"), col(ts),
       col(tiebreak), col(value).as("__v"))
     val wDay = Window.partitionBy(col(key), col("day"))
       .orderBy(col(ts).desc, col(tiebreak).desc)
-    val daily = p.withColumn("__rn", row_number().over(wDay))
+    p.withColumn("__rn", row_number().over(wDay))
       .filter(col("__rn") === 1).select(col(key), col("day"), col("__v"))
-    val span = daily.groupBy(col(key))
+  }
+
+  /** Each key's full [first-day, last-day] calendar span (one row per
+    * (key, day); calendar-bounded explode, never data-sized). */
+  private def calendarSpan(daily: DataFrame, key: String): DataFrame =
+    daily.groupBy(col(key))
       .agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
       .select(col(key), explode(sequence(col("__lo"), col("__hi"))).as("day"))
-    val wFill = Window.partitionBy(col(key)).orderBy(col("day"))
+
+  /** [[gapFillDaily]]'s straight-line sibling: missing days take the
+    * LINEAR interpolation between the surrounding observations,
+    * v = vp + (vn − vp)·(d − dp)/(dn − dp), instead of carrying the last
+    * value flat. Span ends are observed by construction, so every filled
+    * day has both neighbours.
+    *
+    * Determinism: vp/vn are caller-rounded; the interpolation is ONE fixed
+    * sequence of IEEE ops ((d−dp)/(dn−dp) division first, then multiply,
+    * then add) on identical operands in both engines — no aggregation
+    * order anywhere — so the pre-round double is bit-identical (rounded
+    * through [[graft.Tables.rnd4]] for the oracle hash).
+    *
+    * Scale shape: identical to [[gapFillDaily]] — everything partitions by
+    * key; the neighbour lookups are two per-key running windows
+    * (last/first ignoreNulls), not joins. */
+  def interpolateDaily(obs: DataFrame, key: String, ts: String,
+                       value: String, tiebreak: String): DataFrame = {
+    val daily = dailyWinners(obs, key, ts, value, tiebreak)
+    val wPrev = Window.partitionBy(col(key)).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    span.join(daily, Seq(key, "day"), "left")
-      .withColumn("value", last(col("__v"), ignoreNulls = true).over(wFill))
-      .select(col(key), col("day"), col("value"), col("__v").isNotNull.as("observed"))
+    val wNext = Window.partitionBy(col(key)).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("__v").isNotNull, col("day"))
+    val frac = datediff(col("day"), col("__dp")).cast("double") /
+      datediff(col("__dn"), col("__dp")).cast("double")
+    calendarSpan(daily, key).join(daily, Seq(key, "day"), "left")
+      .withColumn("__vp", last(col("__v"), ignoreNulls = true).over(wPrev))
+      .withColumn("__dp", last(obsDay, ignoreNulls = true).over(wPrev))
+      .withColumn("__vn", first(col("__v"), ignoreNulls = true).over(wNext))
+      .withColumn("__dn", first(obsDay, ignoreNulls = true).over(wNext))
+      .withColumn("value",
+        when(col("__v").isNotNull, col("__v"))
+          .otherwise(col("__vp") + (col("__vn") - col("__vp")) * frac))
+      .select(col(key), col("day"), graft.Tables.rnd4(col("value")).as("value"),
+        col("__v").isNotNull.as("observed"))
   }
 }

@@ -138,6 +138,45 @@ object CdcQueries {
         col("event_type"))
       .orderBy("event_id")
 
+  /** Session-scoped Z-ORDERED copy of the event log ([[partitionedLog]]'s
+    * lifecycle): range-partitioned and sorted by the bit-interleaved
+    * (user_id, day-index) Morton key, so every file covers a bounded
+    * RECTANGLE in (user, day) — the lakehouse data-skipping layout for
+    * workloads that filter on BOTH dimensions, where a single-column sort
+    * clusters only its own column. */
+  private val zorderLogByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zorderLog(s: SparkSession, d: String): String =
+    zorderLogByDir.computeIfAbsent(d, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-zorder-")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }))
+      val withDims = events(s, d).select(col("event_id"), col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("day_idx"))
+      graft.operators.Bucketing.zOrderWrite(
+        withDims.withColumn("z_key",
+          graft.operators.Bucketing.zKey(col("user_id"), col("day_idx"), bits = 16)),
+        out.toString, "user_id", "day_idx", bits = 16, files = 8)
+      out.toString
+    })
+
+  /** Z-ordered sink + rectangle read-back: a (user-range × day-range)
+    * slice served from the Morton-clustered copy — at 100 TB the 2-D
+    * predicate prunes whole files via min/max stats on EITHER dimension
+    * (disjoint per-file z-ranges pinned by PartitionSpec). Values are
+    * oracle-checked against the flat table with the same interleave
+    * arithmetic, pinning write → layout → read end to end. */
+  private val sinkZorder: Q = (s, d) =>
+    s.read.parquet(zorderLog(s, d))
+      .filter(col("user_id").between(40, 80) && col("day_idx").between(5, 12))
+      .select(col("event_id"), col("user_id"), col("day_idx"), col("z_key"))
+      .orderBy("event_id")
+
   /** Shared funnel stage frame — built ONCE per fixture dir and persisted
     * for the session ([[partitionedLog]]'s lifecycle; goes stale only if
     * the fixture at the same path is regenerated in-process, like the PQ
@@ -467,6 +506,19 @@ object CdcQueries {
         col("value"), col("observed"))
       .orderBy("user_id", "day")
 
+  /** [[windowGapFill]]'s straight-line sibling (§2.5): missing days take
+    * the linear interpolation between surrounding observations instead of
+    * the last value flat ([[graft.operators.TimeSeries.interpolateDaily]]
+    * — determinism and per-key-window shape documented there). */
+  private val windowInterpolate: Q = (s, d) =>
+    graft.operators.TimeSeries.interpolateDaily(
+      events(s, d).filter(col("event_type") === "purchase")
+        .withColumn("v", round(col("value"), 4)),
+      "user_id", "ts", "v", "event_id")
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("value"), col("observed"))
+      .orderBy("user_id", "day")
+
   /** Cumulative distinct-user reach per day (§2.5) — "users ever seen
     * through day D", the growth-curve companion of
     * [[windowSlidingDistinct]]: cumulative distinct is NOT a window
@@ -636,6 +688,7 @@ object CdcQueries {
     "agg_lastwrite_wins" -> aggLastwriteWins,
     "sink_upsert" -> sinkUpsert,
     "sink_partitioned" -> sinkPartitioned,
+    "sink_zorder" -> sinkZorder,
     "agg_funnel" -> aggFunnel,
     "agg_funnel_steps" -> aggFunnelSteps,
     "agg_retention" -> aggRetention,
@@ -652,6 +705,7 @@ object CdcQueries {
     "window_session" -> windowSession,
     "window_scd2" -> windowScd2,
     "window_gap_fill" -> windowGapFill,
+    "window_interpolate" -> windowInterpolate,
     "window_sliding_distinct" -> windowSlidingDistinct,
     "window_ewma" -> windowEwma,
     "window_cumulative_distinct" -> windowCumulativeDistinct,
@@ -828,6 +882,17 @@ object CdcQueries {
          |FROM events WHERE date_trunc('day', ts) = DATE '2024-01-10'
          |ORDER BY event_id""".stripMargin,
 
+    // same shift/mask interleave terms via Bucketing.zKeySql — exact int64
+    "sink_zorder" -> {
+      val z = graft.operators.Bucketing.zKeySql("user_id", "day_idx", 16)
+      s"""WITH e AS (SELECT event_id, user_id,
+         |                  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_idx
+         |           FROM events)
+         |SELECT event_id, user_id, day_idx, $z AS z_key
+         |FROM e WHERE user_id BETWEEN 40 AND 80 AND day_idx BETWEEN 5 AND 12
+         |ORDER BY event_id""".stripMargin
+    },
+
     "agg_op_counts" ->
       s"""SELECT $OP AS op_type, count(*) AS n,
          |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value
@@ -938,6 +1003,40 @@ object CdcQueries {
         |       max(v) OVER (PARTITION BY user_id, grp) AS value,
         |       v IS NOT NULL AS observed
         |FROM g ORDER BY user_id, day""".stripMargin,
+
+    // the interpolation is one fixed op sequence (divide, multiply, add)
+    // on caller-rounded operands — bit-identical on both engines
+    "window_interpolate" ->
+      s"""WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+         |                  round(value, 4) AS v
+         |           FROM events WHERE event_type = 'purchase'),
+         |d AS (SELECT user_id, day, v FROM (
+         |        SELECT *, row_number() OVER
+         |          (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn
+         |        FROM p) q WHERE rn = 1),
+         |span AS (SELECT user_id,
+         |                CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+         |                                            CAST(hi AS TIMESTAMP),
+         |                                            INTERVAL 1 DAY)) AS DATE) AS day
+         |         FROM (SELECT user_id, min(day) AS lo, max(day) AS hi
+         |               FROM d GROUP BY user_id) b),
+         |j AS (SELECT s.user_id, s.day, d.v
+         |      FROM span s LEFT JOIN d ON s.user_id = d.user_id AND s.day = d.day),
+         |w AS (SELECT user_id, day, v,
+         |        last_value(v IGNORE NULLS) OVER wp AS vp,
+         |        last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wp AS dp,
+         |        first_value(v IGNORE NULLS) OVER wn AS vn,
+         |        first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wn AS dn
+         |      FROM j
+         |      WINDOW wp AS (PARTITION BY user_id ORDER BY day
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |             wn AS (PARTITION BY user_id ORDER BY day
+         |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+         |       ${Tables.rnd4Sql("CASE WHEN v IS NOT NULL THEN v ELSE vp + (vn - vp) * " +
+                  "(CAST(date_diff('day', dp, day) AS DOUBLE) / CAST(date_diff('day', dp, dn) AS DOUBLE)) END")} AS value,
+         |       v IS NOT NULL AS observed
+         |FROM w ORDER BY user_id, day""".stripMargin,
 
     // the 2σ rule in multiplied-out integer form — HUGEINT here, decimal(38,0)
     // in the engine; exact on both, so the boundary can never flip

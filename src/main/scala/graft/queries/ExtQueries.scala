@@ -787,6 +787,20 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** FILTERED exact top-k — metadata-scoped vector search (the
+    * tenant-/label-constrained query every production vector store
+    * exposes): neighbours must share the query's `label`. The scope is an
+    * equi-join KEY, not a post-filter ([[Knn.bruteForce]]'s scopeCols), so
+    * each query scores only its own label slice — filtered search is
+    * CHEAPER than global, the property that matters at 100 TB. */
+  private val extSimKnnFiltered: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    Knn.bruteForce(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, scopeCols = Seq("label"))
+      .withColumn("label", col("label").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Banded-LSH approximate variant: candidates are the union of the
     * query's bucket in 16 independent 6-bit tables, exact-rescored.
     * KnnSpec pins the recall floor vs exact knn at sf0.1 — a single-table
@@ -1538,6 +1552,7 @@ object ExtQueries {
     "ext_bpe_vocab" -> extBpeVocab,
     "ext_pack_windows_bpe" -> extPackWindowsBpe,
     "ext_sim_knn" -> extSimKnn,
+    "ext_sim_knn_filtered" -> extSimKnnFiltered,
     "ext_sim_knn_lsh" -> extSimKnnLsh,
     "ext_sim_knn_ivf" -> extSimKnnIvf,
     "ext_sim_neardup" -> extSimNeardup,
@@ -2287,6 +2302,23 @@ object ExtQueries {
          |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, ${rnd4Sql("cos")} AS cosine
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the scope predicate joins INTO the scoring join (c.label = q.label)
+    // — same cosine fold, label-sliced candidate set
+    "ext_sim_knn_filtered" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         CAST(c.label AS BIGINT) AS label,
+         |         ${cosSql("q.emb", "c.emb")} AS cos
+         |  FROM e q JOIN e c ON c.vec_id <> q.vec_id AND c.label = q.label
+         |  WHERE q.vec_id < 10),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, label, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, ${rnd4Sql("cos")} AS cosine, label
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "ext_sim_neardup" -> neardupSql,
