@@ -376,6 +376,26 @@ object CdcQueries {
         coalesce(col("dow"), lit(-1L)).as("dow"), col("n"))
       .orderBy("et", "dow")
 
+  /** Explicit GROUPING SETS (the general lattice [[aggRollup]]/[[aggCube]]
+    * specialize): the four sets {(type, dow), (type), (dow), ()} in ONE
+    * Expand pass, discriminated by `grouping_id()` — the bitmask
+    * (type = MSB) that tells a real NULL from an aggregated-away level,
+    * which the coalesce-to-sentinel trick alone cannot. Same single-shuffle
+    * shape as cube: Expand multiplies rows 4× map-side, the aggregate is
+    * map-side combined, nothing else moves. */
+  private val aggGroupingSets: Q = (s, d) =>
+    events(s, d)
+      .withColumn("dow", dayofweek(col("ts")).cast("long"))
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("dow")), Seq(col("event_type")),
+          Seq(col("dow")), Seq()),
+        col("event_type"), col("dow"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        CdcOps.exactSum(col("value")).as("sum_value"))
+      .select(col("gid"), coalesce(col("event_type"), lit("ALL")).as("et"),
+        coalesce(col("dow"), lit(-1L)).as("dow"), col("n"), col("sum_value"))
+      .orderBy("gid", "et", "dow")
+
   /** js:541–600 — replication-lag health check ("now" is a parameter). */
   private val aggHealth: Q = (s, d) =>
     CdcOps.healthCheck(events(s, d), "ts", nowEpochSec = 1706745600L, thresholdSec = 300L)
@@ -675,6 +695,89 @@ object CdcQueries {
       .limit(20)
   }
 
+  /** Grouped top-k (top-3 spenders per event_type, §2.5 sort family) as a
+    * HIERARCHICAL two-phase ranking: a per-(group, salt) partial top-3 over
+    * the user-sized spend aggregate, then the real ranking over the ≤
+    * salts×3-row survivors per group. A single ranking window partitioned
+    * only by event_type would funnel every user of a hot type through one
+    * task (the conversion-lag scale-killer shape, r9 verdict); hierarchical
+    * top-k bounds every sorted frame — phase 1 by 1/salts of a type's
+    * users, phase 2 by a CONSTANT 24 rows — and is exact: each salt's
+    * top-3 is a superset of that salt's contribution to the global top-3.
+    * Ties break on user_id, so ranks are engine-independent. */
+  private val sortTopkGroup: Q = (s, d) => {
+    val spend = events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(CdcOps.exactSum(col("value")).as("sum_value"))
+    val salted = spend.withColumn("__salt", pmod(col("user_id"), lit(8)))
+    val w1 = Window.partitionBy(col("event_type"), col("__salt"))
+      .orderBy(col("sum_value").desc, col("user_id"))
+    val survivors = salted
+      .withColumn("__r", row_number().over(w1)).filter(col("__r") <= 3)
+    val w2 = Window.partitionBy(col("event_type"))
+      .orderBy(col("sum_value").desc, col("user_id"))
+    survivors
+      .withColumn("rnk", row_number().over(w2).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("event_type"), col("rnk"), col("user_id"), col("sum_value"))
+      .orderBy("event_type", "rnk")
+  }
+
+  /** Quartile bucketing of each event_type's DAYS by daily volume (§2.5
+    * ranking family): ntile(4) partitioned by type over the daily-count
+    * aggregate — every ranked frame is calendar-bounded (days per type),
+    * never data-sized, at any corpus scale. Ordering (n desc, day) is
+    * total, so bucket assignment is engine-independent; both engines use
+    * the standard front-loaded ntile split (first buckets get the
+    * remainder rows). */
+  private val windowNtile: Q = (s, d) => {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("n").desc, col("day"))
+    daily.withColumn("quartile", ntile(4).over(w).cast("long"))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("quartile"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Per-type lag-{1,7} autocorrelation of the daily volume series (the
+    * time-series diagnostic behind seasonality detection). Pairs come from
+    * an EQUI-join of the daily frame to itself on (type, day − lag) — gap
+    * days pair with nothing, no positional lag() that silently misreads
+    * across holes — and Pearson r is assembled from INTEGER moments
+    * (n, Σx, Σy, Σxy, Σx², Σy² over long counts, products widened to
+    * decimal like [[aggAnomalyDays]]'s 2σ rule), so the only floating
+    * steps are one division and one IEEE-exact sqrt: bit-identical on any
+    * engine, any partitioning. Every frame is calendar-bounded. Constant
+    * series (zero variance) yield null r. */
+  private val windowAutocorr: Q = (s, d) => {
+    import s.implicits._
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val lagged = daily.crossJoin(broadcast(Seq(1, 7).toDF("lag")))
+      .withColumn("prev_day", date_sub(col("day"), col("lag")))
+    val pairs = lagged.alias("a").join(
+      daily.select(col("event_type"), col("day").as("prev_day"), col("n").as("pn")).alias("b"),
+      Seq("event_type", "prev_day"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val m = pairs.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("np"), sum(col("n")).as("sx"), sum(col("pn")).as("sy"),
+        sum(dec(col("n")) * dec(col("pn"))).as("sxy"),
+        sum(dec(col("n")) * dec(col("n"))).as("sxx"),
+        sum(dec(col("pn")) * dec(col("pn"))).as("syy"))
+    val num = dec(col("np")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))
+    val vx = dec(col("np")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))
+    val vy = dec(col("np")) * dec(col("syy")) - dec(col("sy")) * dec(col("sy"))
+    m.select(col("event_type"), col("lag").cast("long").as("lag"),
+        col("np").as("n_pairs"),
+        Tables.rnd4(when(vx > 0 && vy > 0,
+          num.cast("double") / sqrt(vx.cast("double") * vy.cast("double")))).as("r"))
+      .orderBy("event_type", "lag")
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -699,6 +802,7 @@ object CdcQueries {
     "agg_approx_distinct_fast" -> aggApproxDistinctFast,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
+    "agg_grouping_sets" -> aggGroupingSets,
     "agg_health" -> aggHealth,
     "window_running" -> windowRunning,
     "window_delta" -> windowDelta,
@@ -713,6 +817,9 @@ object CdcQueries {
     "agg_anomaly_days" -> aggAnomalyDays,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "sort_topk" -> sortTopk,
+    "sort_topk_group" -> sortTopkGroup,
+    "window_ntile" -> windowNtile,
+    "window_autocorr" -> windowAutocorr,
     "scalar_datetime" -> scalarDatetime,
     "scalar_string" -> scalarString,
     "scalar_json" -> scalarJson)
@@ -922,6 +1029,16 @@ object CdcQueries {
         |FROM (SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow FROM events) q
         |GROUP BY CUBE(event_type, dow) ORDER BY et, dow""".stripMargin,
 
+    "agg_grouping_sets" ->
+      """SELECT CAST(grouping_id(event_type, dow) AS BIGINT) AS gid,
+        |       coalesce(event_type, 'ALL') AS et, coalesce(dow, -1) AS dow,
+        |       count(*) AS n,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value
+        |FROM (SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, value
+        |      FROM events) q
+        |GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow), ())
+        |ORDER BY gid, et, dow""".stripMargin,
+
     "agg_health" ->
       s"""SELECT ${TS("max(ts)")} AS last_ts,
          |       1706745600 - CAST(floor(epoch(max(ts))) AS BIGINT) AS lag_seconds,
@@ -1122,6 +1239,53 @@ object CdcQueries {
     "sort_topk" ->
       """SELECT event_id, user_id, event_type, round(value, 4) AS value
         |FROM events ORDER BY round(value, 4) DESC, event_id LIMIT 20""".stripMargin,
+
+    // the oracle states grouped top-k as ONE ranking window; the engine's
+    // salted two-phase hierarchy must agree row for row
+    "sort_topk_group" ->
+      """WITH spend AS (SELECT event_type, user_id,
+        |        round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value
+        |      FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, sum_value,
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY sum_value DESC, user_id) AS rnk
+        |      FROM spend)
+        |SELECT event_type, CAST(rnk AS BIGINT) AS rnk, user_id, sum_value
+        |FROM r WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
+
+    "window_ntile" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                      CAST(count(*) AS BIGINT) AS n
+        |               FROM events GROUP BY 1, 2)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+        |       CAST(ntile(4) OVER (PARTITION BY event_type
+        |                           ORDER BY n DESC, day) AS BIGINT) AS quartile
+        |FROM daily ORDER BY event_type, day""".stripMargin,
+
+    // integer moments (HUGEINT here, decimal(38,0) in the engine) + one
+    // division + one IEEE sqrt — exact on both engines; see the query doc
+    "window_autocorr" ->
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |                      CAST(count(*) AS BIGINT) AS n
+         |               FROM events GROUP BY 1, 2),
+         |l AS (SELECT unnest([1, 7]) AS lag),
+         |p AS (SELECT a.event_type, l.lag, a.n AS x, b.n AS y
+         |      FROM daily a CROSS JOIN l
+         |      JOIN daily b ON b.event_type = a.event_type
+         |                  AND b.day = a.day - CAST(l.lag AS INTEGER)),
+         |m AS (SELECT event_type, lag, CAST(count(*) AS HUGEINT) AS np,
+         |             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         |             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         |             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         |             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+         |      FROM p GROUP BY 1, 2)
+         |SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(np AS BIGINT) AS n_pairs,
+         |       CASE WHEN np * sxx - sx * sx > 0 AND np * syy - sy * sy > 0 THEN
+         |         ${Tables.rnd4Sql("CAST(np * sxy - sx * sy AS DOUBLE) " +
+             "/ sqrt(CAST(np * sxx - sx * sx AS DOUBLE) " +
+             "* CAST(np * syy - sy * sy AS DOUBLE))")}
+         |       END AS r
+         |FROM m ORDER BY event_type, lag""".stripMargin,
 
     "scalar_datetime" ->
       """SELECT event_id,

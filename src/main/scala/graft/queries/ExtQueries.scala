@@ -267,6 +267,90 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Add-½-smoothed bigram language-model cross-entropy per document — the
+    * LM-quality signal CCNet-style pipelines filter and bucket corpora on
+    * (Wenzek et al. 2020 score with a 5-gram KenLM; the bigram form keeps
+    * the same shape oracle-checkable). The model is trained on the corpus
+    * itself: bigram type counts c2, head counts c1 = Σ_cur c2, vocab size
+    * V; a doc's score is mean −ln((c2+½)/(c1+½V)) over its bigram
+    * occurrences.
+    *
+    * Scale + determinism shape: corpus-sized work is two doc/bigram-keyed
+    * shuffles (per-(doc,bigram) tf — persisted, read by both the trainer
+    * and the scorer — and the per-doc sum); the model frames are
+    * VOCAB²-bounded. Log-probs are rounded to integer log-micronats ON THE
+    * TYPE FRAME (vocab²-sized, where a 1-ulp `ln` disagreement between
+    * engines flips a 1e-4 rounding with probability ~1e-12 per type), and
+    * per-doc totals are exact integer Σ tf·micronats — floating arithmetic
+    * never touches a data-sized frame, so the result is bit-identical on
+    * any engine and any partitioning. */
+  private val extLmPerplexity: Q = (s, d) => {
+    val docs = documents(s, d)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+    val pairs = docs.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> struct(element_at(tk, i) AS prev, element_at(tk, i + 1) AS cur))")).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val tf = TrainPrep.registered(
+      pairs.groupBy(col("doc_id"), col("prev"), col("cur")).agg(count(lit(1)).as("tf")))
+    val types = tf.groupBy(col("prev"), col("cur")).agg(sum(col("tf")).as("c2"))
+    val heads = types.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
+    val vocab = broadcast(docs.select(explode(col("tk")).as("t"))
+      .agg(countDistinct(col("t")).as("__v")))
+    val model = types.join(heads, "prev").crossJoin(vocab)
+      .select(col("prev"), col("cur"),
+        round(log((col("c2") + lit(0.5)) / (col("c1") + lit(0.5) * col("__v"))) * 10000)
+          .cast("long").as("micro"))
+    val perDoc = tf.join(model, Seq("prev", "cur"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("micro")).as("tot"), sum(col("tf")).as("nb"))
+    docs.select(col("doc_id"),
+        greatest(size(col("tk")) - 1, lit(0)).cast("long").as("n_bigrams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        rnd4(-col("tot").cast("double") / (col("nb") * lit(10000.0))).as("xent_nats"))
+      .orderBy("doc_id")
+  }
+
+  /** Positional-index phrase search — the retrieval primitive BM25's
+    * bag-of-words scoring cannot express: exact N-term phrase occurrence
+    * via a positional postings index (term, doc_id, pos) intersected with
+    * itself at offsets +1/+2, the classic positional-index merge. The
+    * phrase here is derived in-plan (the corpus's most frequent word
+    * trigram, count-then-lexicographic — deterministic), broadcast onto
+    * the postings as a runtime filter: each of the three legs is a
+    * broadcast-hash semi-filter over the persisted postings frame, then
+    * the legs equi-join on (doc_id, aligned pos). At 100 TB the postings
+    * frame would be a materialized index partitioned by term — the filter
+    * becomes a partition prune — and the offset joins stay keyed by
+    * (doc_id, pos), never wider than the phrase's own postings. */
+  private val extPhraseSearch: Q = (s, d) => {
+    val docs = documents(s, d)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+    val post = TrainPrep.registered(
+      docs.select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "term"))))
+    val phrase = broadcast(docs.filter(size(col("tk")) >= 3)
+      .select(explode(expr("transform(sequence(1, size(tk) - 2), " +
+        "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2, " +
+        "element_at(tk, i + 2) AS w3))")).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1"), col("w2"), col("w3"))
+      .limit(1)
+      .select("w1", "w2", "w3"))
+    val p1 = post.join(phrase, col("term") === col("w1"))
+      .select(col("doc_id"), col("pos"))
+    val p2 = post.join(phrase, col("term") === col("w2"))
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    val p3 = post.join(phrase, col("term") === col("w3"))
+      .select(col("doc_id"), (col("pos") - 2).as("pos"))
+    p1.join(p2, Seq("doc_id", "pos")).join(p3, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).cast("long").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher/MassiveText quality-rule battery thresholds (Rae et al. 2021,
     * §A1.1) — ONE definition interpolated into both the Spark flags and the
     * oracle SQL so the rule constants cannot drift. */
@@ -1517,6 +1601,8 @@ object ExtQueries {
     "ext_text_novelty" -> extTextNovelty,
     "ext_text_rarity" -> extTextRarity,
     "ext_lm_coherence" -> extLmCoherence,
+    "ext_lm_perplexity" -> extLmPerplexity,
+    "ext_phrase_search" -> extPhraseSearch,
     "ext_text_pii" -> extTextPii,
     "ext_ngram_counts" -> extNgramCounts,
     "ext_token_count" -> extTokenCount,
@@ -1935,6 +2021,48 @@ object ExtQueries {
         |       ${rnd4Sql("CAST(sum(cnt * df) AS DOUBLE) / sum(cnt)")} AS mean_df,
         |       ${rnd4Sql("CAST(sum(CASE WHEN df >= 2 THEN cnt ELSE 0 END) AS DOUBLE) / sum(cnt)")} AS attested_frac
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the oracle re-trains the same add-½ bigram LM; log-probs are rounded
+    // to integer log-micronats on the TYPE frame and doc totals are exact
+    // integer sums, so both engines' `ln` meet only on vocab²-many values
+    // (see the query doc for the 1-ulp analysis)
+    "ext_lm_perplexity" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |bg AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS prev, unnest(t[2:len(t)]) AS cur
+         |       FROM toks WHERE len(t) >= 2),
+         |tf AS (SELECT doc_id, prev, cur, CAST(count(*) AS BIGINT) AS tf
+         |       FROM bg GROUP BY ALL),
+         |tc AS (SELECT prev, cur, CAST(sum(tf) AS BIGINT) AS c2 FROM tf GROUP BY ALL),
+         |hd AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM tc GROUP BY 1),
+         |v AS (SELECT count(DISTINCT tok) AS nv
+         |      FROM (SELECT unnest(t) AS tok FROM toks)),
+         |m AS (SELECT prev, cur,
+         |             CAST(round(ln((c2 + 0.5) / (c1 + 0.5 * nv)) * 10000) AS BIGINT) AS micro
+         |      FROM tc JOIN hd USING (prev), v),
+         |pd AS (SELECT doc_id, CAST(sum(tf * micro) AS BIGINT) AS tot,
+         |              CAST(sum(tf) AS BIGINT) AS nb
+         |       FROM tf JOIN m USING (prev, cur) GROUP BY 1)
+         |SELECT t.doc_id, CAST(greatest(len(t.t) - 1, 0) AS BIGINT) AS n_bigrams,
+         |       ${rnd4Sql("-tot / (nb * 10000.0)")} AS xent_nats
+         |FROM toks t LEFT JOIN pd ON t.doc_id = pd.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+
+    // the oracle scans trigrams directly; the engine's three-leg positional
+    // postings intersection must agree per (doc, occurrence). Tie-break
+    // equivalence: space sorts below every token character, so gram-string
+    // order equals (w1, w2, w3) tuple order
+    "ext_phrase_search" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(generate_series(1, greatest(len(t) - 2, 0))) - 1 AS pos,
+        |        unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+        |                              i -> array_to_string(t[i:i+2], ' '))) AS gram
+        |      FROM toks),
+        |top AS (SELECT gram FROM (SELECT gram, count(*) AS c FROM g GROUP BY 1)
+        |        ORDER BY c DESC, gram LIMIT 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |       CAST(min(pos) AS BIGINT) AS first_pos
+        |FROM g JOIN top USING (gram) GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "ext_text_pii" -> {
       // SQL single-quoted strings pass backslashes through verbatim, so the
