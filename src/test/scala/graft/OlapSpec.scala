@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Value-level contracts for the round-10 OLAP/ranking/text additions that
+  * the fixture oracle alone can't isolate: hierarchical-top-k exactness,
+  * ntile balance, autocorrelation bounds, LM-score sign/null structure,
+  * phrase-hit mass conservation, and grouping-set lattice consistency. */
+class OlapSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, d)
+
+  test("salted two-phase grouped top-k equals the direct single-window ranking") {
+    val spend = graft.Tables.events(spark, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(graft.operators.CdcOps.exactSum(col("value")).as("sum_value"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("sum_value").desc, col("user_id"))
+    val direct = spend.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("event_type", "rnk", "user_id", "sum_value")
+      .orderBy("event_type", "rnk")
+      .collect().toSeq
+    assert(q("sort_topk_group").collect().toSeq === direct)
+  }
+
+  test("ntile buckets are front-loaded and balanced within 1 per event_type") {
+    val sizes = q("window_ntile").groupBy("event_type", "quartile").count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    sizes.groupBy(_._1).foreach { case (et, rows) =>
+      val byQ = rows.sortBy(_._2).map(_._3)
+      assert(byQ.length === 4, s"$et must fill all 4 quartiles at fixture scale")
+      assert(byQ.max - byQ.min <= 1, s"$et quartile sizes unbalanced: ${byQ.toSeq}")
+      assert(byQ.sameElements(byQ.sorted.reverse), s"$et remainder must front-load: ${byQ.toSeq}")
+    }
+  }
+
+  test("autocorrelation r stays in [-1, 1] and both requested lags appear per type") {
+    val rows = q("window_autocorr").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(3))
+        assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-12, s"|r| > 1: $r")
+    }
+    val lagsPerType = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    lagsPerType.foreach { case (et, lags) =>
+      assert(lags === Set(1L, 7L), s"$et lags: $lags")
+    }
+  }
+
+  test("LM cross-entropy is positive iff the doc has bigrams, null otherwise") {
+    val rows = q("ext_lm_perplexity").collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val nb = r.getLong(1)
+      if (nb == 0L) assert(r.isNullAt(2), s"bigram-less doc must score null: $r")
+      else assert(r.getDouble(2) > 0.0, s"smoothed bigram prob < 1 forces xent > 0: $r")
+    }
+  }
+
+  test("phrase hits conserve the top trigram's total occurrence count") {
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("tk"))
+    val triCounts = docs.filter(size(col("tk")) >= 3)
+      .select(explode(expr("transform(sequence(1, size(tk) - 2), " +
+        "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1), ' ', element_at(tk, i + 2)))")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val top = triCounts.orderBy(col("c").desc, col("g")).limit(1).collect()(0)
+    val hits = q("ext_phrase_search").collect()
+    assert(hits.map(_.getLong(1)).sum === top.getLong(1),
+      s"per-doc hits must sum to the corpus count of ${top.getString(0)}")
+    hits.foreach(r => assert(r.getLong(1) >= 1L && r.getLong(2) >= 0L))
+  }
+
+  test("grouping-set levels are mutually consistent (lattice sums agree)") {
+    val rows = q("agg_grouping_sets").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val fine = rows.filter(_._1 == 0L)
+    val byType = rows.filter(_._1 == 1L)
+    val byDow = rows.filter(_._1 == 2L)
+    val all = rows.filter(_._1 == 3L)
+    assert(all.length === 1)
+    assert(fine.map(_._4).sum === all.head._4)
+    assert(byType.map(_._4).sum === all.head._4)
+    assert(byDow.map(_._4).sum === all.head._4)
+    // per-type drill-down: the gid=0 rows of a type sum to its gid=1 row
+    byType.foreach { case (_, et, _, n) =>
+      assert(fine.filter(_._2 == et).map(_._4).sum === n, s"drill-down mismatch for $et")
+    }
+  }
+}

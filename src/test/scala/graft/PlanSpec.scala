@@ -370,4 +370,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"member pairing must be the cluster_id equi-join:\n${p.take(2000)}")
   }
+
+  test("grouped top-k: every ranking window is partitioned (salted or by group) — no global sort frame") {
+    val p = plan("sort_topk_group")
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.end).toSeq
+    assert(specs.nonEmpty, s"expected window specs:\n${p.take(1500)}")
+    specs.foreach { off =>
+      assert(p.substring(off).startsWith("event_type"),
+        s"ranking window must be event_type-partitioned:\n${p.substring(off - 30, off + 120)}")
+    }
+  }
+
+  test("ntile and autocorr stay on calendar-bounded frames; autocorr pairs via equi-join") {
+    val pn = plan("window_ntile")
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(pn).map(_.end).toSeq
+    assert(specs.nonEmpty && specs.forall(off => pn.substring(off).startsWith("event_type")),
+      s"ntile window must be event_type-partitioned:\n${pn.take(1500)}")
+    val pa = plan("window_autocorr")
+    assert(!pa.contains("CartesianProduct"),
+      s"lagged pairing must be the (type, day-lag) equi-join:\n${pa.take(2000)}")
+  }
+
+  test("grouping sets run as ONE Expand pass") {
+    val p = plan("agg_grouping_sets")
+    assert(p.contains("Expand"), s"expected Expand-based lattice:\n${p.take(1500)}")
+  }
+
+  test("perplexity trainer and scorer share ONE persisted (doc, bigram) tf frame") {
+    assert(plan("ext_lm_perplexity").contains("InMemoryTableScan"),
+      "tf frame must be session-persisted and shared, not recomputed per reader")
+  }
+
+  test("phrase search reads one persisted postings frame; no cartesian product") {
+    val p = plan("ext_phrase_search")
+    assert(p.contains("InMemoryTableScan"),
+      s"the three legs must read the shared postings persist:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      s"leg alignment must be the (doc_id, pos) equi-join:\n${p.take(2000)}")
+  }
 }
