@@ -298,6 +298,10 @@ object ExtQueries {
     val heads = types.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
     val vocab = broadcast(docs.select(explode(col("tk")).as("t"))
       .agg(countDistinct(col("t")).as("__v")))
+    // model is vocab²-bounded; AQE broadcasts it when the vocab is closed
+    // (fixture) and keeps the (prev, cur) equi-join at open-vocab scale —
+    // an explicit broadcast() hint here FORCED an eager blocking
+    // materialization that doubled cold time, so the choice stays AQE's
     val model = types.join(heads, "prev").crossJoin(vocab)
       .select(col("prev"), col("cur"),
         round(log((col("c2") + lit(0.5)) / (col("c1") + lit(0.5) * col("__v"))) * 10000)
