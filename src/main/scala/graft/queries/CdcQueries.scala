@@ -742,6 +742,41 @@ object CdcQueries {
       .orderBy("event_type", "day")
   }
 
+  /** Day-over-day leaderboard movement: each day's event types ranked by
+    * volume (ties broken by name ⇒ the rank is total and engine-
+    * independent), joined to the previous day's ranking on (type, day−1)
+    * for the movement delta — the "what surged overnight" monitor. Every
+    * ranking window is day-partitioned (frame = types-per-day, alphabet-
+    * bounded at any corpus scale); the day-over-day pairing is an
+    * equi-join of the day×type aggregate with itself. First-appearance
+    * days carry null prev_rnk/delta. */
+  private val windowRankChange: Q = (s, d) => {
+    val daily = events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("day")).orderBy(col("n").desc, col("event_type"))
+    val ranked = daily.withColumn("rnk", row_number().over(w).cast("long"))
+    val prev = ranked.select(col("event_type"),
+      date_add(col("day"), 1).as("day"), col("rnk").as("prev_rnk"))
+    ranked.join(prev, Seq("event_type", "day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("event_type"),
+        col("n"), col("rnk"), col("prev_rnk"),
+        (col("prev_rnk") - col("rnk")).as("delta"))
+      .orderBy("day", "event_type")
+  }
+
+  /** Seasonality profile: the (day-of-week × hour) activity matrix in long
+    * form — events and distinct users per cell. ONE map-side-combined
+    * aggregate to a 7×24-bounded frame; the distinct-user count shuffles
+    * one row per (cell, user), never raw events, at any scale. */
+  private val aggSeasonality: Q = (s, d) =>
+    events(s, d)
+      .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hh"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("dow", "hh")
+
   /** Per-type lag-{1,7} autocorrelation of the daily volume series (the
     * time-series diagnostic behind seasonality detection). Pairs come from
     * an EQUI-join of the daily frame to itself on (type, day − lag) — gap
@@ -820,6 +855,8 @@ object CdcQueries {
     "sort_topk_group" -> sortTopkGroup,
     "window_ntile" -> windowNtile,
     "window_autocorr" -> windowAutocorr,
+    "window_rank_change" -> windowRankChange,
+    "agg_seasonality" -> aggSeasonality,
     "scalar_datetime" -> scalarDatetime,
     "scalar_string" -> scalarString,
     "scalar_json" -> scalarJson)
@@ -1286,6 +1323,25 @@ object CdcQueries {
              "* CAST(np * syy - sy * sy AS DOUBLE))")}
          |       END AS r
          |FROM m ORDER BY event_type, lag""".stripMargin,
+
+    "window_rank_change" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |                      CAST(count(*) AS BIGINT) AS n
+        |               FROM events GROUP BY 1, 2),
+        |r AS (SELECT day, event_type, n,
+        |             CAST(row_number() OVER (PARTITION BY day
+        |                                     ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+        |      FROM daily)
+        |SELECT strftime(a.day, '%Y-%m-%d') AS day, a.event_type, a.n, a.rnk,
+        |       b.rnk AS prev_rnk, b.rnk - a.rnk AS delta
+        |FROM r a LEFT JOIN r b
+        |  ON b.event_type = a.event_type AND b.day = a.day - 1
+        |ORDER BY 1, 2""".stripMargin,
+
+    "agg_seasonality" ->
+      """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS hh,
+        |       count(*) AS n_events, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hh""".stripMargin,
 
     "scalar_datetime" ->
       """SELECT event_id,

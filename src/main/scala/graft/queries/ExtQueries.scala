@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.{documents, embeddings, rnd4, rnd4Sql}
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Dedup, Knn, Multimodal, TrainPrep}
+import graft.operators.{Dedup, Knn, Multimodal, Pca, TrainPrep}
 
 /** [EXT] LLM-data-pipeline queries (SURVEY §2.8) over the `documents` /
   * `embeddings` fixtures: text analysis, dedup (exact / n-gram Jaccard /
@@ -1097,6 +1097,32 @@ object ExtQueries {
     * output — it only reproduces the index-build/query lifecycle every ANN
     * store has (train once, query repeatedly; the join_bucketed
     * session-table pattern). Fixtures are immutable within a session. */
+  /** PCA contract constants: top-4 components, 512-vector training sample
+    * (the full fixture at oracle scale; a bounded subsample at bench+). */
+  final val PcaK = 4
+  final val PcaSampleN = 512
+
+  private val pcaModelByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Pca.Model]()
+  private[graft] def pcaModel(s: SparkSession, d: String): Pca.Model =
+    pcaModelByDir.computeIfAbsent(d, _ =>
+      Pca.fit(embeddings(s, d), "vec_id", "embedding", k = PcaK, sampleN = PcaSampleN))
+
+  /** Top-4 principal-component projections + off-subspace residual per
+    * embedding ([[graft.operators.Pca]]) — the linear-structure QC tier
+    * (what direction is the corpus' variance in; which vectors the
+    * dominant subspace fails to explain). Rows-only: the Jacobi eigensolve
+    * isn't oracle-expressible; PcaSpec pins orthonormality, descending
+    * eigenvalues, projection-variance ≈ eigenvalue, resid ≥ 0, and
+    * model determinism. Projection is a per-row codegen'd kernel against
+    * literal components — zero shuffles at any corpus size. */
+  private val extEmbedPca: Q = (s, d) =>
+    Pca.project(pcaModel(s, d), embeddings(s, d), "vec_id", "embedding")
+      .select(col("vec_id") +:
+        ((1 to PcaK).map(i => rnd4(col(s"pc$i")).as(s"pc$i")) :+
+          rnd4(col("resid")).as("resid")): _*)
+      .orderBy("vec_id")
+
   private val pqBooksByDir =
     new java.util.concurrent.ConcurrentHashMap[String, Knn.Codebooks]()
   private val ivfPqIndexByDir =
@@ -1658,6 +1684,7 @@ object ExtQueries {
     "ext_shuffle_shard" -> extShuffleShard,
     "ext_embed_quantize" -> extEmbedQuantize,
     "ext_embed_pq" -> extEmbedPq,
+    "ext_embed_pca" -> extEmbedPca,
     "ext_sim_knn_pq" -> extSimKnnPq,
     "ext_sim_knn_ivfpq" -> extSimKnnIvfPq,
     "ext_pack_windows" -> extPackWindows,
