@@ -160,6 +160,20 @@ object StreamQueries {
       .orderBy("day")
   }
 
+  /** The incremental daily top-K leaderboard run in BATCH mode — the same
+    * [[graft.streaming.TopkStream.dailyTypeCounts]] + `report` the
+    * streaming query maintains (dedup is a plain per-id collapse on a
+    * bounded frame; the fixture's ids are already unique). The live path —
+    * watermarked event-id dedup for redelivered rows, batch-id marker for
+    * replayed batches, additive state merge, checkpointed restart — is
+    * exercised end-to-end by StreamingSpec. */
+  private val streamTopk: Q = (s, d) => {
+    val raw = Tables.eventsRaw(s, d)
+    graft.streaming.TopkStream.report(
+      graft.streaming.TopkStream.dailyTypeCounts(
+        CdcPipeline.dedupEvents(CdcPipeline.transform(raw))))
+  }
+
   /** The incremental SCD2 build run in BATCH mode over a DOUBLED delivery
     * (at-least-once): state is the event_id-keyed deduped change set, so
     * the doubled log collapses through the set-union merge to the clean
@@ -277,6 +291,7 @@ object StreamQueries {
     "stream_funnel" -> streamFunnel,
     "stream_scd2" -> streamScd2,
     "stream_daily_bars" -> streamDailyBars,
+    "stream_topk" -> streamTopk,
     "stream_retention" -> streamRetention,
     "stream_gap_fill" -> streamGapFill,
     "stream_conversion_lag" -> streamConversionLag,
@@ -331,6 +346,20 @@ object StreamQueries {
          |       count(*) AS n
          |FROM events WHERE event_type IS DISTINCT FROM 'error'
          |GROUP BY 1, 2 ORDER BY day, op_type""".stripMargin,
+
+    // batch form of the incremental leaderboard: daily per-type counts
+    // (deletes dropped by the shared transform) ranked top-3 per day
+    "stream_topk" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |                      CAST(count(*) AS BIGINT) AS n
+        |               FROM events WHERE event_type IS DISTINCT FROM 'error'
+        |               GROUP BY 1, 2),
+        |r AS (SELECT day, event_type, n,
+        |             CAST(row_number() OVER (PARTITION BY day
+        |                                     ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+        |      FROM daily)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, rnk, event_type, n
+        |FROM r WHERE rnk <= 3 ORDER BY 1, 2""".stripMargin,
 
     // first-event chain over per-user min timestamps per stage type; the
     // doubled delivery collapses through the min-merge, so the oracle is
