@@ -23,6 +23,8 @@ import graft.functions.{BpeCount, FloatDot, HashedShingles, MultiTokenSetCount, 
   *  - `token_set_count(string, array<string> literal) → bigint` (tokens ∈ set)
   *  - `lang_hits(string) → array<bigint>` (per-language stopword hit counts
   *    in `TextFns.langOrder` order, ONE text scan)
+  *  - `token_sq_freq_sum(string) → bigint` (Σc² over token counts — the
+  *    Simpson-diversity kernel, one scan, no explode)
   *  - `sample_bucket(id) → bigint` (deterministic [0,1000) sampling bucket)
   *  - `split_bucket(id) → bigint` (deterministic [0,1000) holdout bucket,
   *    independent multiplier — see [[graft.operators.TrainPrep.splitBucket]])
@@ -103,6 +105,10 @@ object GraftExtensions {
       require(args.length == 1, "lang_hits(text)")
       MultiTokenSetCount(args(0),
         graft.functions.TextFns.langOrder.map(graft.functions.TextFns.stopwords))
+    },
+    "token_sq_freq_sum" -> { args: Seq[Expression] =>
+      require(args.length == 1, "token_sq_freq_sum(text)")
+      graft.functions.TokenSqFreqSum(args(0))
     },
     // composites of built-in expressions (not codegen'd classes): the same
     // guarded pmod(id·mult + inc, m) tree the TrainPrep bucket helpers build

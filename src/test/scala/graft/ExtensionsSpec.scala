@@ -69,6 +69,11 @@ class ExtensionsSpec extends SparkSpec {
       .as[Seq[Long]].collect().head
     assert(sqlLang === Seq(1L, 1L, 1L, 1L, 1L)) // one planted hit per language
 
+    // token_sq_freq_sum: Σc² over token counts (a a a b → 9 + 1)
+    val sqlSq = spark.sql("SELECT token_sq_freq_sum('a a a b') AS r")
+      .collect().head.getLong(0)
+    assert(sqlSq === 10L)
+
     // sample_bucket: same value as the Column-API form
     val sqlBucket = spark.sql("SELECT sample_bucket(42L) AS r").collect().head.getLong(0)
     val colBucket = Seq(42L).toDF("id")
