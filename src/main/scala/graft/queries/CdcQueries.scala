@@ -742,6 +742,33 @@ object CdcQueries {
       .orderBy("event_type", "day")
   }
 
+  /** Exact per-type value quantiles (p50/p90/p99) by the domain-histogram
+    * discipline ([[graft.operators.Funnel.lagQuantiles]] / the curriculum
+    * pattern): values live on a 0.01 grid, so they collapse to a
+    * (type, cents, n) histogram — map-side combined, bounded by the PRICE
+    * DOMAIN, not the corpus — and the type-1 quantile at permille p is
+    * `min{cents : cum ≥ ⌈p·n/1000⌉}` by cumulative sum per type. The only
+    * window sorts domain-sized frames; an `approx_percentile` sketch would
+    * trade the exactness for nothing here. Integer ranks ⇒ any engine
+    * picks the same element; cents/100.0 is one exact division. */
+  private val aggValueQuantiles: Q = (s, d) => {
+    val hist = events(s, d)
+      .groupBy(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .agg(count(lit(1)).as("hn"))
+    val tot = hist.groupBy(col("event_type")).agg(sum(col("hn")).as("__n"))
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def q(p: Int) =
+      min(when(col("cum") >= expr(s"($p * __n + 999) div 1000"), col("cents"))) / 100.0
+    hist.withColumn("cum", sum(col("hn")).over(cum))
+      .join(tot, "event_type")
+      .groupBy(col("event_type"), col("__n"))
+      .agg(q(500).as("p50"), q(900).as("p90"), q(990).as("p99"))
+      .select(col("event_type"), col("__n").as("n_events"),
+        col("p50"), col("p90"), col("p99"))
+      .orderBy("event_type")
+  }
+
   /** Day-over-day leaderboard movement: each day's event types ranked by
     * volume (ties broken by name ⇒ the rank is total and engine-
     * independent), joined to the previous day's ranking on (type, day−1)
@@ -857,6 +884,7 @@ object CdcQueries {
     "window_autocorr" -> windowAutocorr,
     "window_rank_change" -> windowRankChange,
     "agg_seasonality" -> aggSeasonality,
+    "agg_value_quantiles" -> aggValueQuantiles,
     "scalar_datetime" -> scalarDatetime,
     "scalar_string" -> scalarString,
     "scalar_json" -> scalarJson)
@@ -1342,6 +1370,25 @@ object CdcQueries {
       """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS hh,
         |       count(*) AS n_events, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY dow, hh""".stripMargin,
+
+    // the oracle states the quantiles directly as ordered-set ranks over
+    // the cents grid; the engine's histogram + cumulative-sum pick must
+    // agree element for element (type-1, integer ranks on both sides)
+    "agg_value_quantiles" ->
+      """WITH h AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+        |                  CAST(count(*) AS BIGINT) AS hn
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(hn) AS BIGINT) AS n FROM h GROUP BY 1),
+        |c AS (SELECT event_type, cents, hn,
+        |             CAST(sum(hn) OVER (PARTITION BY event_type ORDER BY cents
+        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM h)
+        |SELECT c.event_type, t.n AS n_events,
+        |       min(CASE WHEN cum >= (500 * n + 999) // 1000 THEN cents END) / 100.0 AS p50,
+        |       min(CASE WHEN cum >= (900 * n + 999) // 1000 THEN cents END) / 100.0 AS p90,
+        |       min(CASE WHEN cum >= (990 * n + 999) // 1000 THEN cents END) / 100.0 AS p99
+        |FROM c JOIN t USING (event_type)
+        |GROUP BY c.event_type, t.n ORDER BY c.event_type""".stripMargin,
 
     "scalar_datetime" ->
       """SELECT event_id,

@@ -284,7 +284,7 @@ object ExtQueries {
     * per-doc totals are exact integer Σ tf·micronats — floating arithmetic
     * never touches a data-sized frame, so the result is bit-identical on
     * any engine and any partitioning. */
-  private val extLmPerplexity: Q = (s, d) => {
+  private def lmXent(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
     val pairs = docs.filter(size(col("tk")) >= 2)
@@ -314,8 +314,35 @@ object ExtQueries {
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_bigrams"),
         rnd4(-col("tot").cast("double") / (col("nb") * lit(10000.0))).as("xent_nats"))
-      .orderBy("doc_id")
   }
+
+  private val extLmPerplexity: Q = (s, d) => lmXent(s, d).orderBy("doc_id")
+
+  /** CCNet-style perplexity-bucket filter thresholds (Wenzek et al. 2020
+    * split corpora into head/middle/tail by reference-LM perplexity and
+    * keep the first two): FIXED xent cutoffs — one Scala constant
+    * interpolated into both engines, so the boundary cannot drift — which
+    * is also the scale posture (corpus-derived tertiles would need a
+    * data-sized quantile of unique doc scores; production CCNet likewise
+    * fixes cutoffs from a reference run). */
+  final val PplHeadMax = 3.38
+  final val PplMiddleMax = 3.40
+
+  /** The perplexity filter itself: bucket each doc by [[lmXent]] (shared
+    * session-persisted tf frame with `ext_lm_perplexity`) and keep
+    * head + middle; docs too short to score (no bigrams) are `unscored`
+    * and dropped like tail. One extra row-local projection over the
+    * scoring pipeline — nothing new shuffles. */
+  private val extPplFilter: Q = (s, d) =>
+    lmXent(s, d)
+      .withColumn("bucket",
+        when(col("xent_nats").isNull, "unscored")
+          .when(col("xent_nats") <= PplHeadMax, "head")
+          .when(col("xent_nats") <= PplMiddleMax, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("xent_nats"), col("bucket"),
+        col("bucket").isin("head", "middle").as("kept"))
+      .orderBy("doc_id")
 
   /** Positional-index phrase search — the retrieval primitive BM25's
     * bag-of-words scoring cannot express: exact N-term phrase occurrence
@@ -1123,6 +1150,25 @@ object ExtQueries {
           rnd4(col("resid")).as("resid")): _*)
       .orderBy("vec_id")
 
+  /** Whitened projections — [[extEmbedPca]]'s normalized form: wᵢ = pcᵢ/√λᵢ
+    * gives each retained axis unit variance (over the training sample),
+    * the pre-rotation SemDeDup-style pipelines cluster in so no single
+    * dominant direction owns the metric. Same per-row literal-component
+    * kernel plus k scalar divides; PcaSpec pins Var(wᵢ) = 1. Degenerate
+    * axes (λ ≈ 0) yield nulls rather than exploding. */
+  private val extEmbedWhiten: Q = (s, d) => {
+    val m = pcaModel(s, d)
+    Pca.project(m, embeddings(s, d), "vec_id", "embedding")
+      .select(col("vec_id") +:
+        (1 to PcaK).map { i =>
+          val lam = m.eigenvalues(i - 1)
+          val w = if (lam > 1e-12) rnd4(col(s"pc$i") / math.sqrt(lam))
+                  else lit(null).cast("double")
+          w.as(s"w$i")
+        }: _*)
+      .orderBy("vec_id")
+  }
+
   private val pqBooksByDir =
     new java.util.concurrent.ConcurrentHashMap[String, Knn.Codebooks]()
   private val ivfPqIndexByDir =
@@ -1632,6 +1678,7 @@ object ExtQueries {
     "ext_text_rarity" -> extTextRarity,
     "ext_lm_coherence" -> extLmCoherence,
     "ext_lm_perplexity" -> extLmPerplexity,
+    "ext_ppl_filter" -> extPplFilter,
     "ext_phrase_search" -> extPhraseSearch,
     "ext_text_pii" -> extTextPii,
     "ext_ngram_counts" -> extNgramCounts,
@@ -1685,6 +1732,7 @@ object ExtQueries {
     "ext_embed_quantize" -> extEmbedQuantize,
     "ext_embed_pq" -> extEmbedPq,
     "ext_embed_pca" -> extEmbedPca,
+    "ext_embed_whiten" -> extEmbedWhiten,
     "ext_sim_knn_pq" -> extSimKnnPq,
     "ext_sim_knn_ivfpq" -> extSimKnnIvfPq,
     "ext_pack_windows" -> extPackWindows,
@@ -1718,6 +1766,29 @@ object ExtQueries {
     "ext_text_diversity" -> extTextDiversity)
 
   // -- oracle ----------------------------------------------------------------
+
+  /** Shared oracle CTE: the add-½ bigram-LM cross-entropy frame `x`
+    * (doc_id, n_bigrams, xent_nats) — one definition for the
+    * ext_lm_perplexity and ext_ppl_filter oracles. */
+  private val lmXentSqlCte =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |bg AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS prev, unnest(t[2:len(t)]) AS cur
+       |       FROM toks WHERE len(t) >= 2),
+       |tf AS (SELECT doc_id, prev, cur, CAST(count(*) AS BIGINT) AS tf
+       |       FROM bg GROUP BY ALL),
+       |tc AS (SELECT prev, cur, CAST(sum(tf) AS BIGINT) AS c2 FROM tf GROUP BY ALL),
+       |hd AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM tc GROUP BY 1),
+       |v AS (SELECT count(DISTINCT tok) AS nv
+       |      FROM (SELECT unnest(t) AS tok FROM toks)),
+       |m AS (SELECT prev, cur,
+       |             CAST(round(ln((c2 + 0.5) / (c1 + 0.5 * nv)) * 10000) AS BIGINT) AS micro
+       |      FROM tc JOIN hd USING (prev), v),
+       |pd AS (SELECT doc_id, CAST(sum(tf * micro) AS BIGINT) AS tot,
+       |              CAST(sum(tf) AS BIGINT) AS nb
+       |       FROM tf JOIN m USING (prev, cur) GROUP BY 1),
+       |x AS (SELECT t.doc_id, CAST(greatest(len(t.t) - 1, 0) AS BIGINT) AS n_bigrams,
+       |             ${rnd4Sql("-tot / (nb * 10000.0)")} AS xent_nats
+       |      FROM toks t LEFT JOIN pd ON t.doc_id = pd.doc_id)""".stripMargin
 
   /** Shared oracle CTE: distinct (doc_id, 3-shingle) pairs. */
   private val shingleSql =
@@ -2058,25 +2129,20 @@ object ExtQueries {
     // integer sums, so both engines' `ln` meet only on vocab²-many values
     // (see the query doc for the 1-ulp analysis)
     "ext_lm_perplexity" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |bg AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS prev, unnest(t[2:len(t)]) AS cur
-         |       FROM toks WHERE len(t) >= 2),
-         |tf AS (SELECT doc_id, prev, cur, CAST(count(*) AS BIGINT) AS tf
-         |       FROM bg GROUP BY ALL),
-         |tc AS (SELECT prev, cur, CAST(sum(tf) AS BIGINT) AS c2 FROM tf GROUP BY ALL),
-         |hd AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM tc GROUP BY 1),
-         |v AS (SELECT count(DISTINCT tok) AS nv
-         |      FROM (SELECT unnest(t) AS tok FROM toks)),
-         |m AS (SELECT prev, cur,
-         |             CAST(round(ln((c2 + 0.5) / (c1 + 0.5 * nv)) * 10000) AS BIGINT) AS micro
-         |      FROM tc JOIN hd USING (prev), v),
-         |pd AS (SELECT doc_id, CAST(sum(tf * micro) AS BIGINT) AS tot,
-         |              CAST(sum(tf) AS BIGINT) AS nb
-         |       FROM tf JOIN m USING (prev, cur) GROUP BY 1)
-         |SELECT t.doc_id, CAST(greatest(len(t.t) - 1, 0) AS BIGINT) AS n_bigrams,
-         |       ${rnd4Sql("-tot / (nb * 10000.0)")} AS xent_nats
-         |FROM toks t LEFT JOIN pd ON t.doc_id = pd.doc_id
-         |ORDER BY t.doc_id""".stripMargin,
+      s"""WITH $lmXentSqlCte
+         |SELECT doc_id, n_bigrams, xent_nats FROM x ORDER BY doc_id""".stripMargin,
+
+    // same LM replay; the bucket cutoffs interpolate the ONE Scala
+    // constant, so the head/middle/tail boundaries cannot drift
+    "ext_ppl_filter" ->
+      s"""WITH $lmXentSqlCte
+         |SELECT doc_id, xent_nats,
+         |       CASE WHEN xent_nats IS NULL THEN 'unscored'
+         |            WHEN xent_nats <= $PplHeadMax THEN 'head'
+         |            WHEN xent_nats <= $PplMiddleMax THEN 'middle'
+         |            ELSE 'tail' END AS bucket,
+         |       coalesce(xent_nats <= $PplMiddleMax, false) AS kept
+         |FROM x ORDER BY doc_id""".stripMargin,
 
     // the oracle scans trigrams directly; the engine's three-leg positional
     // postings intersection must agree per (doc, occurrence). Tie-break

@@ -74,6 +74,37 @@ class OlapSpec extends SparkSpec {
     hits.foreach(r => assert(r.getLong(1) >= 1L && r.getLong(2) >= 0L))
   }
 
+  test("value quantiles are ordered, observed values, and rank-correct per type") {
+    val rows = q("agg_value_quantiles").collect()
+    assert(rows.nonEmpty)
+    val vals = graft.Tables.events(spark, d)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    rows.foreach { r =>
+      val (et, n) = (r.getString(0), r.getLong(1))
+      val Seq(p50, p90, p99) = Seq(2, 3, 4).map(r.getDouble)
+      assert(p50 <= p90 && p90 <= p99, r.toString)
+      val sorted = vals(et)
+      assert(n === sorted.length)
+      // type-1: the value at 1-indexed rank ⌈p·n/1000⌉
+      def rank(p: Int) = sorted(((p * n + 999) / 1000 - 1).toInt) / 100.0
+      assert(p50 === rank(500) && p90 === rank(900) && p99 === rank(990), r.toString)
+    }
+  }
+
+  test("perplexity filter buckets partition the corpus at the fixed cutoffs") {
+    val rows = q("ext_ppl_filter").collect()
+    assert(rows.length === 500)
+    val byBucket = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail", "unscored")))
+    assert(byBucket.getOrElse("head", 0) > 0 && byBucket.getOrElse("tail", 0) > 0,
+      s"cutoffs must split the fixture non-trivially: $byBucket")
+    rows.foreach { r =>
+      val kept = r.getBoolean(3)
+      assert(kept === Set("head", "middle").contains(r.getString(2)), r.toString)
+    }
+  }
+
   test("grouping-set levels are mutually consistent (lattice sums agree)") {
     val rows = q("agg_grouping_sets").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))

@@ -70,6 +70,17 @@ class PcaSpec extends SparkSpec {
       s"top-4 variance share ${model.eigenvalues.sum / model.trace}")
   }
 
+  test("whitened axes carry unit variance over the training sample") {
+    val w = SparkEntry.queries("ext_embed_whiten")(spark, d)
+    val n = w.count().toDouble
+    (1 to graft.queries.ExtQueries.PcaK).foreach { i =>
+      val Array(s1, s2) = w.agg(sum(col(s"w$i")), sum(col(s"w$i") * col(s"w$i")))
+        .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+      val v = s2 / n - (s1 / n) * (s1 / n)
+      assert(math.abs(v - 1.0) < 1e-2, s"Var(w$i)=$v") // 4-dp output rounding
+    }
+  }
+
   test("the model is a pure function of (corpus, params) — refit is identical") {
     val again = Pca.fit(graft.Tables.embeddings(spark, d), "vec_id", "embedding",
       k = graft.queries.ExtQueries.PcaK, sampleN = graft.queries.ExtQueries.PcaSampleN)
