@@ -41,14 +41,21 @@ object Knn {
     * scores only its own slice of the corpus (the reason filtered search
     * is CHEAPER than global search at scale, never a filtered-afterwards
     * top-k that scored everything). */
+  /** `scopeEqual = false` flips every scope predicate to ≠ — hard-negative
+    * mining (nearest neighbours from OTHER classes, the contrastive-
+    * training sampler). The inequality can't be a hash key, so the scope
+    * rides the broadcast join as a residual filter; at scale the same
+    * IVF/LSH routing prunes candidates BEFORE the label test, exactly as
+    * for unfiltered search. */
   def bruteForce(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
-                 k: Int, scopeCols: Seq[String] = Nil): DataFrame = {
+                 k: Int, scopeCols: Seq[String] = Nil,
+                 scopeEqual: Boolean = true): DataFrame = {
     val q = broadcast(queries.select(
       Seq(col(idCol).as("query_id"), col(embCol).as("__q_emb"),
         VectorFns.norm(col(embCol)).as("__q_n")) ++
         scopeCols.map(c => col(c).as(s"__q_$c")): _*))
     val scope = scopeCols
-      .map(c => col(c) === col(s"__q_$c"))
+      .map(c => if (scopeEqual) col(c) === col(s"__q_$c") else col(c) =!= col(s"__q_$c"))
       .foldLeft(col("neighbor_id") =!= col("query_id"))(_ && _)
     val scored = corpus.select(
       Seq(col(idCol).as("neighbor_id"), col(embCol).as("__c_emb"),

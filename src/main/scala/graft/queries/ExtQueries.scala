@@ -916,6 +916,38 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Class-balance audit + reweighting plan over the labeled embedding set
+    * (training prep): per label, count, corpus share, and the
+    * inverse-frequency weight N/(k·nᵢ) a "balanced" sampler multiplies
+    * each class by (mean weight 1 under perfect balance). One map-side-
+    * combined label aggregate + a broadcast 1-row total — label-cardinality
+    * frames only, at any corpus size. */
+  private val extClassBalance: Q = (s, d) => {
+    val counts = embeddings(s, d)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+    val tot = broadcast(counts.agg(sum(col("n")).as("__N"),
+      count(lit(1)).as("__k")))
+    counts.crossJoin(tot)
+      .select(col("label"), col("n"),
+        rnd4(col("n").cast("double") / col("__N")).as("share"),
+        rnd4(col("__N").cast("double") / (col("__k") * col("n"))).as("weight"))
+      .orderBy("label")
+  }
+
+  /** Hard-negative mining for contrastive/embedding training (the
+    * in-batch-negatives upgrade every retrieval trainer wants): each
+    * query's top-3 nearest neighbours from OTHER classes — the most
+    * confusable wrong answers. [[extSimKnnFiltered]]'s machinery with the
+    * label scope NEGATED ([[Knn.bruteForce]] `scopeEqual = false`). */
+  private val extSampleHardneg: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    Knn.bruteForce(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 3, scopeCols = Seq("label"), scopeEqual = false)
+      .withColumn("label", col("label").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Banded-LSH approximate variant: candidates are the union of the
     * query's bucket in 16 independent 6-bit tables, exact-rescored.
     * KnnSpec pins the recall floor vs exact knn at sf0.1 — a single-table
@@ -1716,6 +1748,8 @@ object ExtQueries {
     "ext_pack_windows_bpe" -> extPackWindowsBpe,
     "ext_sim_knn" -> extSimKnn,
     "ext_sim_knn_filtered" -> extSimKnnFiltered,
+    "ext_sample_hardneg" -> extSampleHardneg,
+    "ext_class_balance" -> extClassBalance,
     "ext_sim_knn_lsh" -> extSimKnnLsh,
     "ext_sim_knn_ivf" -> extSimKnnIvf,
     "ext_sim_neardup" -> extSimNeardup,
@@ -2545,6 +2579,31 @@ object ExtQueries {
          |  FROM scored)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, ${rnd4Sql("cos")} AS cosine, label
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the filtered-search oracle with the label scope negated: nearest
+    // wrong-class neighbours, the contrastive hard-negative sampler
+    "ext_sample_hardneg" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         CAST(c.label AS BIGINT) AS label,
+         |         ${cosSql("q.emb", "c.emb")} AS cos
+         |  FROM e q JOIN e c ON c.vec_id <> q.vec_id AND c.label <> q.label
+         |  WHERE q.vec_id < 10),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, label, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, ${rnd4Sql("cos")} AS cosine, label
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "ext_class_balance" ->
+      s"""WITH c AS (SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n
+         |           FROM embeddings GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS k FROM c)
+         |SELECT label, n, ${rnd4Sql("CAST(n AS DOUBLE) / tot")} AS share,
+         |       ${rnd4Sql("CAST(tot AS DOUBLE) / (k * n)")} AS weight
+         |FROM c, t ORDER BY label""".stripMargin,
 
     "ext_sim_neardup" -> neardupSql,
     "ext_sim_neardup_lsh" -> neardupSql,

@@ -133,6 +133,32 @@ object ReconcileQueries {
 
   private val reconcileWindowQ: Q = reconcileWindow
 
+  /** Referential-integrity audit after a PARTIAL backfill — the
+    * parent/child consistency check a CDC replication validator runs
+    * alongside the per-doc diff: the target has replicated orders only
+    * from [[RefintCutoff]] onward (the mid-backfill state every initial
+    * sync passes through), so every lineitem whose parent order predates
+    * the cutoff is an ORPHAN in the target. One left join of the child
+    * fact to the replicated parent keyset (both sides hash on the order
+    * key — SortMergeJoin at scale) rolled up per return flag with an
+    * integer orphan-permille. Non-vacuous by construction: the cutoff
+    * splits the fixture's 1995–2001 order span. */
+  private val RefintCutoff = "1998-01-01"
+  private val reconcileRefint: Q = (s, d) => {
+    val target = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit(RefintCutoff)))
+      .select(col("o_orderkey"), lit(true).as("__replicated"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(target, col("l_orderkey") === col("o_orderkey"), "left")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("__replicated").isNull, 1)).as("n_orphans"))
+      .withColumn("orphan_permille",
+        expr("n_orphans * 1000 div greatest(n_lines, 1L)"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "join_full_outer_diff" -> joinFullOuterDiff,
     "join_existence" -> joinExistence,
@@ -140,6 +166,7 @@ object ReconcileQueries {
     "setop_except" -> setopExcept,
     "setop_intersect" -> setopIntersect,
     "reconcile_doc" -> reconcileDoc,
+    "reconcile_refint" -> reconcileRefint,
     "reconcile_window" -> reconcileWindowQ)
 
   val oracle: Map[String, String] = Map(
@@ -148,6 +175,16 @@ object ReconcileQueries {
     "reconcile_doc" -> fieldDiffSql(
       s"(SELECT * FROM customer WHERE c_custkey = $docKey)",
       s"(SELECT * FROM drifted WHERE c_custkey = $docKey)"),
+
+    "reconcile_refint" ->
+      s"""WITH tgt AS (SELECT o_orderkey FROM orders
+         |             WHERE o_orderdate >= TIMESTAMP '$RefintCutoff 00:00:00')
+         |SELECT l_returnflag, count(*) AS n_lines,
+         |       CAST(count(CASE WHEN t.o_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_orphans,
+         |       count(CASE WHEN t.o_orderkey IS NULL THEN 1 END) * 1000
+         |         // greatest(count(*), 1) AS orphan_permille
+         |FROM lineitem l LEFT JOIN tgt t ON l.l_orderkey = t.o_orderkey
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "join_existence" ->
       s"""WITH drifted AS ($driftedSql)
