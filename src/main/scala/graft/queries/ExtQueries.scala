@@ -1156,6 +1156,47 @@ object ExtQueries {
     * output — it only reproduces the index-build/query lifecycle every ANN
     * store has (train once, query repeatedly; the join_bucketed
     * session-table pattern). Fixtures are immutable within a session. */
+  /** Unigram-LM tokenizer contract constants ([[graft.operators.Unigram]]):
+    * 120-piece vocab, 400 seed candidates, 4 EM iterations, trained on the
+    * 4096 highest-tf word types (the full fixture vocabulary here). */
+  final val UniVocab = 120
+  final val UniSeed = 400
+  final val UniIters = 4
+  final val UniTrainWords = 4096
+
+  private val uniModelByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Unigram.Model]()
+  private[graft] def uniModel(s: SparkSession, d: String): graft.operators.Unigram.Model =
+    uniModelByDir.computeIfAbsent(d, _ =>
+      graft.operators.Unigram.train(documents(s, d), vocabSize = UniVocab,
+        seedSize = UniSeed, iters = UniIters, trainWords = UniTrainWords))
+
+  /** The trained unigram piece table (id, piece, integer log-micronat) —
+    * the model artifact a SentencePiece deployment ships. Rows-only
+    * (iterative float EM is not oracle-expressible); UnigramSpec pins the
+    * EM contract: monotone log-likelihood, normalized probabilities,
+    * single-char coverage, frequent-word pieces, refit determinism. */
+  private val extUnigramTrain: Q = (s, d) => {
+    import s.implicits._
+    uniModel(s, d).pieces.zipWithIndex
+      .map { case ((p, mi), i) => (i.toLong, p, mi) }
+      .toDF("piece_id", "piece", "logprob_micro")
+      .orderBy("piece_id")
+  }
+
+  /** Viterbi encoding of every document under the trained model: piece
+    * count, exact integer total score, unknown-char count — one codegen'd
+    * per-row pass against the literal piece table, zero shuffles at any
+    * scale ([[graft.functions.UnigramEncode]]). UnigramSpec pins lossless
+    * round-trip and score/sum agreement. */
+  private val extUnigramEncode: Q = (s, d) => {
+    val enc = graft.operators.Unigram.encode(uniModel(s, d), col("text"))
+    documents(s, d).select(col("doc_id"), enc.as("e"))
+      .select(col("doc_id"), size(col("e.ids")).cast("long").as("n_pieces"),
+        col("e.score_micro"), col("e.n_unk"))
+      .orderBy("doc_id")
+  }
+
   /** PCA contract constants: top-4 components, 512-vector training sample
     * (the full fixture at oracle scale; a bounded subsample at bench+). */
   final val PcaK = 4
@@ -1767,6 +1808,8 @@ object ExtQueries {
     "ext_embed_pq" -> extEmbedPq,
     "ext_embed_pca" -> extEmbedPca,
     "ext_embed_whiten" -> extEmbedWhiten,
+    "ext_unigram_train" -> extUnigramTrain,
+    "ext_unigram_encode" -> extUnigramEncode,
     "ext_sim_knn_pq" -> extSimKnnPq,
     "ext_sim_knn_ivfpq" -> extSimKnnIvfPq,
     "ext_pack_windows" -> extPackWindows,

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Unigram
+import graft.functions.UnigramViterbi
+
+/** EM/Viterbi contract for the unigram-LM tokenizer (no oracle — the
+  * training is iterative float EM): monotone log-likelihood, normalized
+  * probabilities, single-char coverage, frequent-word pieces, lossless
+  * Viterbi round-trip, exact integer scores, unknown-char accounting, and
+  * refit determinism. */
+class UnigramSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+  private lazy val model = graft.queries.ExtQueries.uniModel(spark, d)
+
+  test("EM log-likelihood is monotone non-decreasing across the pre-prune iterations") {
+    val pre = model.llHistory.take(graft.queries.ExtQueries.UniIters)
+    assert(pre.length >= 2)
+    pre.zip(pre.tail).foreach { case (a, b) =>
+      assert(b >= a - math.abs(a) * 1e-12, s"EM regressed: $a -> $b in ${model.llHistory}")
+    }
+  }
+
+  test("final probabilities normalize and every training character is covered") {
+    val s = model.probs.sum
+    assert(math.abs(s - 1.0) < 1e-9, s"Σp = $s")
+    val pieceSet = model.pieces.map(_._1).toSet
+    val chars = graft.Tables.documents(spark, d)
+      .select(explode(split(col("text"), "")).as("c"))
+      .filter(col("c") =!= " ").distinct()
+      .collect().map(_.getString(0)).toSet
+    val uncovered = chars.filterNot(pieceSet)
+    assert(uncovered.isEmpty, s"uncovered chars: $uncovered")
+  }
+
+  test("the corpus' most frequent words earn whole-word pieces") {
+    val top = graft.Tables.documents(spark, d)
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+      .groupBy("w").count().orderBy(col("count").desc, col("w"))
+      .limit(5).collect().map(_.getString(0))
+    val pieceSet = model.pieces.map(_._1).toSet
+    val missing = top.filterNot(w => w.length <= Unigram.MaxPieceLen && pieceSet(w))
+      .filter(_.length <= Unigram.MaxPieceLen)
+    assert(missing.isEmpty, s"top words without a piece: ${missing.toSeq}")
+  }
+
+  test("Viterbi round-trips losslessly with exact integer scores and zero unks on the fixture") {
+    val pieces = model.pieces
+    val rows = graft.Tables.documents(spark, d).limit(30)
+      .select(col("doc_id"), col("text"),
+        Unigram.encode(model, col("text")).as("e"))
+      .select(col("text"), col("e.ids"), col("e.score_micro"), col("e.n_unk"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val text = r.getString(0)
+      val ids = r.getSeq[Long](1)
+      assert(r.getLong(3) === 0L, "fixture chars are all covered")
+      val joined = ids.map(id => pieces(id.toInt)._1).mkString
+      assert(joined === text.replace(" ", ""), "pieces must reconstruct the text")
+      val score = ids.map(id => pieces(id.toInt)._2).sum
+      assert(score === r.getLong(2), "score must equal the sum of piece micros")
+    }
+  }
+
+  test("unknown characters encode as id -1 with the fixed penalty, counted per occurrence") {
+    val m = Unigram.fitLocal(Array(("ab", 5L), ("ba", 3L)), vocabSize = 10,
+      seedSize = 20, iters = 2)
+    val enc = new UnigramViterbi.Encoder(m.pieces)
+    val row = enc.encode("ab zz")
+    val ids = row.getArray(0).toLongArray()
+    assert(row.getLong(2) === 2L, "two unknown chars")
+    assert(ids.count(_ == -1L) === 2)
+    val knownScore = ids.filter(_ >= 0).map(i => m.pieces(i.toInt)._2).sum
+    assert(row.getLong(1) === knownScore + 2 * UnigramViterbi.UnkMicro)
+  }
+
+  test("ties prefer the longer last piece; refit is bit-identical") {
+    // vocab where 'abc' segments as [abc] even when [a][bc]/[ab][c] exist
+    val words = Array(("abc", 10L), ("ab", 5L), ("bc", 5L), ("a", 2L), ("c", 2L))
+    val m = Unigram.fitLocal(words, vocabSize = 12, seedSize = 30, iters = 3)
+    val enc = new UnigramViterbi.Encoder(m.pieces)
+    val ids = enc.encode("abc").getArray(0).toLongArray()
+    val seg = ids.map(i => m.pieces(i.toInt)._1).toSeq
+    assert(seg.mkString === "abc")
+    // whichever split wins must be a maximum-score one; recompute by brute force
+    def score(parts: Seq[String]): Option[Long] = {
+      val byPiece = m.pieces.map(p => p._1 -> p._2).toMap
+      val ms = parts.map(byPiece.get)
+      if (ms.forall(_.isDefined)) Some(ms.flatten.sum) else None
+    }
+    val all = Seq(Seq("abc"), Seq("a", "bc"), Seq("ab", "c"), Seq("a", "b", "c"))
+      .flatMap(p => score(p).map(p -> _))
+    val best = all.map(_._2).max
+    assert(score(seg).contains(best), s"viterbi picked $seg, scores: $all")
+
+    val again = graft.operators.Unigram.train(
+      graft.Tables.documents(spark, d), vocabSize = graft.queries.ExtQueries.UniVocab,
+      seedSize = graft.queries.ExtQueries.UniSeed, iters = graft.queries.ExtQueries.UniIters,
+      trainWords = graft.queries.ExtQueries.UniTrainWords)
+    assert(again.pieces === model.pieces)
+    assert(again.llHistory === model.llHistory)
+  }
+}
