@@ -78,6 +78,43 @@ object Multimodal {
   def decode(docId: Long, payload: Array[Byte]): MediaMeta =
     imageDecode(docId, payload).getOrElse(fakeDecode(docId, payload))
 
+  /** Typed AUDIO metadata — modality-specific schema, as a real pipeline
+    * keys each modality to its own meta struct. */
+  final case class AudioMeta(docId: Long, nBytes: Long, sampleRate: Int,
+                             channels: Int, nFrames: Long, durationMs: Long)
+
+  /** RIFF/WAVE or FORM/AIFF container signature — the same cheap pre-sniff
+    * discipline as [[looksLikeImage]]. */
+  private def looksLikeAudio(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      ((p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') ||
+        (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M' &&
+          p(8) == 'A' && p(9) == 'I' && p(10) == 'F'))
+
+  /** REAL audio metadata via `javax.sound.sampled` (pure JDK, zero new
+    * dependencies): WAV/AIFF container headers parse to sample rate,
+    * channel count, frame count and duration — a header probe like the
+    * image path, never a sample decode. Compressed formats (MP3 etc.) have
+    * no JDK codec and return None; swap in a real decoder behind the same
+    * slot. */
+  def audioDecode(docId: Long, payload: Array[Byte]): Option[AudioMeta] = {
+    if (!looksLikeAudio(payload)) return None
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = aff.getFormat
+      val frames = aff.getFrameLength.toLong
+      val rate = math.round(fmt.getSampleRate)
+      val durMs = if (rate > 0 && frames >= 0) frames * 1000L / rate else -1L
+      Some(AudioMeta(docId, payload.length.toLong, rate, fmt.getChannels,
+        frames, durMs))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
   /** Attach an opaque binary `media` column when the frame doesn't already
     * carry one (the fixture has no real media, so its utf-8 text bytes
     * stand in; a frame that brings real payload bytes keeps them — the

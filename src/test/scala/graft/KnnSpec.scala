@@ -308,6 +308,33 @@ class KnnSpec extends SparkSpec {
     assert(Multimodal.decode(4L, png.take(9)) === Multimodal.fakeDecode(4L, png.take(9)))
   }
 
+  /** Encode `frames` of silence at `rate` Hz, `ch` channels to WAV bytes
+    * with the JDK's own writer. */
+  private def wavBytes(rate: Float, ch: Int, frames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, ch, true, false)
+    val data = new Array[Byte](frames * fmt.getFrameSize)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("WAV payloads parse REAL audio metadata via the JDK; non-audio returns None") {
+    val wav = wavBytes(rate = 8000f, ch = 2, frames = 4000) // 500 ms stereo
+    val m = Multimodal.audioDecode(1L, wav)
+    assert(m.isDefined)
+    assert(m.get.sampleRate === 8000 && m.get.channels === 2)
+    assert(m.get.nFrames === 4000L && m.get.durationMs === 500L)
+    assert(m.get.nBytes === wav.length.toLong)
+    // text bytes and image bytes are not audio
+    assert(Multimodal.audioDecode(2L, "abcdefghijkl".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.audioDecode(3L, imageBytes(7, 5, "png")).isEmpty)
+    // a truncated RIFF header must not throw
+    assert(Multimodal.audioDecode(4L, wav.take(16)).isEmpty)
+  }
+
   test("decodeMeta decodes a real media column end-to-end (frame brings its own bytes)") {
     val rows = Seq((1L, imageBytes(20, 30, "png")), (2L, "not an image".getBytes("UTF-8")))
     val docs = rows.toDF("doc_id", "media")

@@ -401,6 +401,37 @@ class PlanSpec extends SparkSpec {
       "tf frame must be session-persisted and shared, not recomputed per reader")
   }
 
+  test("unigram encode is one codegen'd per-row pass — zero hash exchanges, no UDF eval") {
+    val p = plan("ext_unigram_encode")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"encode shuffled the corpus:\n${p.take(1500)}")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"encode must be an Expression, not a UDF:\n${p.take(1500)}")
+  }
+
+  test("hard-negative mining rides the broadcast query join — no cartesian product") {
+    val p = plan("ext_sample_hardneg")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"queries must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n${p.take(1500)}")
+  }
+
+  test("referential-integrity audit joins child to parent keyset on the order key") {
+    val p = plan("reconcile_refint")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"orphan check must be the orderkey equi-join:\n${p.take(1500)}")
+  }
+
+  test("value quantiles: the only window runs over the (type, cents) domain histogram") {
+    val p = plan("agg_value_quantiles")
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.end).toSeq
+    assert(specs.nonEmpty, s"expected the cumulative window:\n${p.take(1500)}")
+    specs.foreach { off =>
+      assert(p.substring(off).startsWith("event_type"),
+        s"cumulative window must be type-partitioned over the histogram:\n${p.substring(off - 30, off + 120)}")
+    }
+  }
+
   test("phrase search reads one persisted postings frame; no cartesian product") {
     val p = plan("ext_phrase_search")
     assert(p.contains("InMemoryTableScan"),
