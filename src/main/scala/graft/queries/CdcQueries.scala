@@ -742,6 +742,41 @@ object CdcQueries {
       .orderBy("event_type", "day")
   }
 
+  /** CUSUM level-shift detection on the daily volume series (Page 1954 —
+    * the change-point monitor that catches a sustained drift the 2σ
+    * single-day rule [[aggAnomalyDays]] cannot): the one-sided CUSUM
+    * recursion C_t = max(0, C_{t−1} + y_t) is re-expressed CLOSED-FORM as
+    * a running sum minus its running minimum (C_t = Y_t − min_{≤t} Y_t),
+    * so two windows over the calendar-bounded day domain replace the
+    * sequential recursion. Deviations are multiplied out to integers
+    * (y_t = D·n_t − S, the anomaly-days discipline), the 4σ alarm
+    * compares C_t² > 16·(D·SS − S²) in widened decimals — bit-exact on
+    * any engine, no float accumulation anywhere. Both drift directions
+    * surface (up = regression burst, down = source stall). */
+  private val windowCusum: Q = (s, d) => {
+    val daily = events(s, d)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+    val stats = broadcast(daily.agg(
+      count(lit(1)).as("__D"), sum(col("n")).as("__S"),
+      sum(col("n") * col("n")).as("__SS")))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val cum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val varY = dec(col("__D")) * dec(col("__SS")) - dec(col("__S")) * dec(col("__S"))
+    daily.crossJoin(stats)
+      .withColumn("y", col("n") * col("__D") - col("__S"))
+      .withColumn("cy", sum(col("y")).over(cum))
+      // the running extremum must include the EMPTY prefix (Y₀ = 0), or a
+      // series that only rises would under-report its own first days
+      .withColumn("cusum_up", col("cy") - least(min(col("cy")).over(cum), lit(0L)))
+      .withColumn("cusum_down", greatest(max(col("cy")).over(cum), lit(0L)) - col("cy"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+        col("cusum_up"), col("cusum_down"),
+        (dec(col("cusum_up")) * dec(col("cusum_up")) > lit(16) * varY).as("shift_up"),
+        (dec(col("cusum_down")) * dec(col("cusum_down")) > lit(16) * varY).as("shift_down"))
+      .orderBy("day")
+  }
+
   /** Exact per-type value quantiles (p50/p90/p99) by the domain-histogram
     * discipline ([[graft.operators.Funnel.lagQuantiles]] / the curriculum
     * pattern): values live on a 0.01 grid, so they collapse to a
@@ -885,6 +920,7 @@ object CdcQueries {
     "window_rank_change" -> windowRankChange,
     "agg_seasonality" -> aggSeasonality,
     "agg_value_quantiles" -> aggValueQuantiles,
+    "window_cusum" -> windowCusum,
     "scalar_datetime" -> scalarDatetime,
     "scalar_string" -> scalarString,
     "scalar_json" -> scalarJson)
@@ -1370,6 +1406,28 @@ object CdcQueries {
       """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS hh,
         |       count(*) AS n_events, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY dow, hh""".stripMargin,
+
+    // the oracle states the one-sided CUSUM recursion in its closed
+    // running-sum-minus-running-extremum form — identical integer
+    // arithmetic, HUGEINT where the engine widens to decimal
+    "window_cusum" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |               FROM events GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS HUGEINT) AS D, CAST(sum(n) AS HUGEINT) AS S,
+        |              CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS SS
+        |       FROM daily),
+        |c AS (SELECT day, n, CAST(n AS HUGEINT) * D - S AS y,
+        |             CAST(sum(CAST(n AS HUGEINT) * D - S) OVER w AS HUGEINT) AS cy
+        |      FROM daily, st WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+        |e AS (SELECT day, n,
+        |             cy - least(min(cy) OVER w, 0) AS up,
+        |             greatest(max(cy) OVER w, 0) - cy AS dn
+        |      FROM c WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING))
+        |SELECT strftime(e.day, '%Y-%m-%d') AS day, e.n,
+        |       CAST(up AS BIGINT) AS cusum_up, CAST(dn AS BIGINT) AS cusum_down,
+        |       up * up > 16 * (D * SS - S * S) AS shift_up,
+        |       dn * dn > 16 * (D * SS - S * S) AS shift_down
+        |FROM e, st ORDER BY day""".stripMargin,
 
     // the oracle states the quantiles directly as ordered-set ranks over
     // the cents grid; the engine's histogram + cumulative-sum pick must

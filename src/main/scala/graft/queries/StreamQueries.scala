@@ -174,6 +174,18 @@ object StreamQueries {
         CdcPipeline.dedupEvents(CdcPipeline.transform(raw))))
   }
 
+  /** The continuously-maintained CUSUM monitor run in BATCH mode — the
+    * second report off the SAME (day, type) count state `stream_topk`
+    * maintains (one state table, two reports). Deletes dropped by the
+    * shared transform, so the oracle filters 'error' where the batch
+    * `window_cusum` does not. */
+  private val streamCusum: Q = (s, d) => {
+    val raw = Tables.eventsRaw(s, d)
+    graft.streaming.TopkStream.cusumReport(
+      graft.streaming.TopkStream.dailyTypeCounts(
+        CdcPipeline.dedupEvents(CdcPipeline.transform(raw))))
+  }
+
   /** The incremental SCD2 build run in BATCH mode over a DOUBLED delivery
     * (at-least-once): state is the event_id-keyed deduped change set, so
     * the doubled log collapses through the set-union merge to the clean
@@ -292,6 +304,7 @@ object StreamQueries {
     "stream_scd2" -> streamScd2,
     "stream_daily_bars" -> streamDailyBars,
     "stream_topk" -> streamTopk,
+    "stream_cusum" -> streamCusum,
     "stream_retention" -> streamRetention,
     "stream_gap_fill" -> streamGapFill,
     "stream_conversion_lag" -> streamConversionLag,
@@ -360,6 +373,27 @@ object StreamQueries {
         |      FROM daily)
         |SELECT strftime(day, '%Y-%m-%d') AS day, rnk, event_type, n
         |FROM r WHERE rnk <= 3 ORDER BY 1, 2""".stripMargin,
+
+    // the closed-form CUSUM over daily totals of the deduped, delete-
+    // filtered stream — window_cusum's SQL with the transform's filter
+    "stream_cusum" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |               FROM events WHERE event_type IS DISTINCT FROM 'error'
+        |               GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS HUGEINT) AS D, CAST(sum(n) AS HUGEINT) AS S,
+        |              CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS SS
+        |       FROM daily),
+        |c AS (SELECT day, n, CAST(sum(CAST(n AS HUGEINT) * D - S) OVER w AS HUGEINT) AS cy
+        |      FROM daily, st WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+        |e AS (SELECT day, n,
+        |             cy - least(min(cy) OVER w, 0) AS up,
+        |             greatest(max(cy) OVER w, 0) - cy AS dn
+        |      FROM c WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING))
+        |SELECT strftime(e.day, '%Y-%m-%d') AS day, e.n,
+        |       CAST(up AS BIGINT) AS cusum_up, CAST(dn AS BIGINT) AS cusum_down,
+        |       up * up > 16 * (D * SS - S * S) AS shift_up,
+        |       dn * dn > 16 * (D * SS - S * S) AS shift_down
+        |FROM e, st ORDER BY day""".stripMargin,
 
     // first-event chain over per-user min timestamps per stage type; the
     // doubled delivery collapses through the min-merge, so the oracle is

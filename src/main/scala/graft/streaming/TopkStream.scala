@@ -58,6 +58,33 @@ object TopkStream {
       .orderBy("day", "rnk")
   }
 
+  /** CUSUM level-shift report over the SAME (day, type) count state the
+    * leaderboard maintains — the streaming form of the batch
+    * `window_cusum` monitor: collapse state to daily totals, then the
+    * closed-form running-sum-minus-running-extremum over the calendar-
+    * bounded day frame (one continuously-maintained state table serving
+    * two reports is the point: counts are the reusable fact). */
+  def cusumReport(state: DataFrame): DataFrame = {
+    val daily = state.groupBy(col("day")).agg(sum(col("n")).as("n"))
+    val stats = broadcast(daily.agg(
+      count(lit(1)).as("__D"), sum(col("n")).as("__S"),
+      sum(col("n") * col("n")).as("__SS")))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val cum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val varY = dec(col("__D")) * dec(col("__SS")) - dec(col("__S")) * dec(col("__S"))
+    daily.crossJoin(stats)
+      .withColumn("y", col("n") * col("__D") - col("__S"))
+      .withColumn("cy", sum(col("y")).over(cum))
+      .withColumn("cusum_up", col("cy") - least(min(col("cy")).over(cum), lit(0L)))
+      .withColumn("cusum_down", greatest(max(col("cy")).over(cum), lit(0L)) - col("cy"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+        col("cusum_up"), col("cusum_down"),
+        (dec(col("cusum_up")) * dec(col("cusum_up")) > lit(16) * varY).as("shift_up"),
+        (dec(col("cusum_down")) * dec(col("cusum_down")) > lit(16) * varY).as("shift_down"))
+      .orderBy("day")
+  }
+
   /** One batch-id-guarded micro-batch apply (see the object doc): skip if
     * `batchId` was already applied, else add the slice's counts and
     * advance the marker atomically-enough for the single-writer stream. */

@@ -105,6 +105,23 @@ class OlapSpec extends SparkSpec {
     }
   }
 
+  test("closed-form CUSUM equals the sequential max(0, C+y) recursion") {
+    val daily = graft.Tables.events(spark, d)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      .orderBy("day").collect().map(_.getLong(1))
+    val dd = daily.length.toLong
+    val ss = daily.sum
+    var cUp = 0L; var cDn = 0L
+    val expected = daily.map { n =>
+      val y = n * dd - ss
+      cUp = math.max(0L, cUp + y)
+      cDn = math.max(0L, cDn - y)
+      (cUp, cDn)
+    }
+    val got = q("window_cusum").collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("grouping-set levels are mutually consistent (lattice sums agree)") {
     val rows = q("agg_grouping_sets").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))

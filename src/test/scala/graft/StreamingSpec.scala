@@ -708,6 +708,14 @@ class StreamingSpec extends SparkSpec {
     TopkStream.applyBatch(spark,
       CdcPipeline.transform(Tables.eventsRaw(spark, sf)), tgt, batchId = 0L)
     assert(rows(TopkStream.report(spark.read.parquet(tgt))) === before)
+
+    // the SAME streamed state serves the CUSUM report — both reports off
+    // one continuously-maintained count table must match their batch forms
+    def cusumRows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long, Long, Boolean, Boolean)].collect().toSeq
+    val expectedCusum = cusumRows(TopkStream.cusumReport(TopkStream.dailyTypeCounts(
+      CdcPipeline.transform(Tables.eventsRaw(spark, sf)))))
+    assert(cusumRows(TopkStream.cusumReport(spark.read.parquet(tgt))) === expectedCusum)
   }
 
   test("flatMapGroupsWithState sessionization: state survives restart; gap rules match batch") {
