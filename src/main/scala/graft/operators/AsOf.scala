@@ -53,4 +53,63 @@ object AsOf {
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++ rightCols.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
   }
+
+  /** NEAREST-in-time as-of join: for each left row, the right row with the
+    * same key minimizing |rightTs − leftTs| within `toleranceSec`, ties
+    * between directions resolved BACKWARD (the market-data "nearest"
+    * flavour; plain as-of only looks back). No match inside the tolerance
+    * → null payload.
+    *
+    * Scale shape: the nearest backward candidate is the latest right
+    * ≤ leftTs and the nearest forward candidate the earliest right
+    * ≥ leftTs, so BOTH come from [[asOfJoin]]'s union-and-carry trick —
+    * one ascending and one descending ranking window over the SAME key
+    * partitioning: one shuffle, two sorts, linear state; never a
+    * range-join fan-out. The right payload rides ONE struct per direction,
+    * so every output column comes from the same right row (no per-column
+    * carry skew). Equal-timestamp right rows resolve by the tiebreak
+    * column, greatest wins, both directions. */
+  def asOfNearest(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String, rightTiebreak: String,
+                  rightCols: Seq[String], toleranceSec: Long): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val r0 = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .withColumn("__tb", col(rightTiebreak).cast("long"))
+      .withColumn("__p", struct(
+        col(rightTs).as("__pts") +: rightCols.map(c => col(c).as(c)): _*))
+    val pType = r0.schema("__p").dataType
+    val l0 = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__tb", lit(null).cast("long"))
+      .withColumn("__p", lit(null).cast(pType))
+    val r1 = leftCols.foldLeft(r0)((df, c) =>
+      if (c == key) df else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .select(l0.columns.toIndexedSeq.map(col): _*)
+    // ascending pass carries the latest right ≤ ts; descending pass the
+    // earliest right ≥ ts. Right rows (side 0) sort before left rows at
+    // equal ts in BOTH passes, so an exact-ts match is seen by each.
+    val wb = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col(key))
+      .orderBy(col("__ts").desc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l0.unionByName(r1)
+      .withColumn("__b", last(col("__p"), ignoreNulls = true).over(wb))
+      .withColumn("__f", last(col("__p"), ignoreNulls = true).over(wf))
+    val db = unix_timestamp(col("__ts")) - unix_timestamp(col("__b.__pts"))
+    val dfw = unix_timestamp(col("__f.__pts")) - unix_timestamp(col("__ts"))
+    val backOk = col("__b").isNotNull && db <= toleranceSec
+    val fwdOk = col("__f").isNotNull && dfw <= toleranceSec
+    val useBack = backOk && (!fwdOk || db <= dfw)
+    val chosen = when(useBack, col("__b")).when(fwdOk, col("__f"))
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        Seq(when(useBack, "backward").when(fwdOk, "forward").as("nearest_dir"),
+          when(useBack, db).when(fwdOk, dfw).as("nearest_delta_s")) ++
+        rightCols.map(c => chosen.getField(c).as(s"nearest_$c")): _*)
+  }
 }

@@ -88,6 +88,24 @@ object RelQueries {
       .orderBy("event_id")
   }
 
+  /** Nearest-in-time as-of: each purchase matched to the user's CLOSEST
+    * click within ±1 h (ties backward) — [[AsOf.asOfNearest]]'s two-window
+    * single-shuffle form; null when no click lands in the window. */
+  private val joinAsofNearest: Q = (s, d) => {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    AsOf.asOfNearest(purchases, clicks, "user_id", "ts", "ts", "event_id",
+      Seq("event_id", "value"), toleranceSec = 3600L)
+      .select(col("user_id"), col("event_id"), fmtTs(col("ts")).as("ts_s"),
+        col("nearest_dir"), col("nearest_delta_s"),
+        col("nearest_event_id").as("click_id"),
+        round(col("nearest_value"), 4).as("click_value"))
+      .orderBy("event_id")
+  }
+
   /** Range join, binned (SURVEY §2.3 extension): per order, line items
     * (any order's) shipped within 7 days of its order date — an interval
     * join that would be a nested loop without the bin equi-key.
@@ -191,6 +209,7 @@ object RelQueries {
     "join_antisemi" -> joinAntisemi,
     "join_post_image" -> joinPostImage,
     "join_asof" -> joinAsof,
+    "join_asof_nearest" -> joinAsofNearest,
     "join_range" -> joinRange,
     "join_skew_salted" -> joinSkewSalted,
     "join_temporal" -> joinTemporal,
@@ -237,6 +256,32 @@ object RelQueries {
          |  SELECT event_id, value FROM clicks c
          |  WHERE c.user_id = p.user_id AND c.ts <= p.ts
          |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON true
+         |ORDER BY p.event_id""".stripMargin,
+
+    // nearest stated directly: minimize |Δ|, backward on ties, greatest
+    // event_id within a direction — the engine's two-window pick must
+    // agree. Epochs floor PER TIMESTAMP (unix_timestamp semantics) before
+    // differencing: sub-second parts must not shift a delta by one
+    "join_asof_nearest" ->
+      s"""WITH purchases AS (SELECT user_id, event_id, ts, value,
+         |                          CAST(floor(epoch(ts)) AS BIGINT) AS es
+         |                   FROM events WHERE event_type = 'purchase'),
+         |clicks AS (SELECT user_id, event_id, ts, value,
+         |                  CAST(floor(epoch(ts)) AS BIGINT) AS es
+         |           FROM events WHERE event_type = 'click')
+         |SELECT p.user_id, p.event_id, ${fmtTsSql("p.ts")} AS ts_s,
+         |       CASE WHEN c.event_id IS NULL THEN NULL
+         |            WHEN c.ts <= p.ts THEN 'backward' ELSE 'forward' END AS nearest_dir,
+         |       abs(c.es - p.es) AS nearest_delta_s,
+         |       c.event_id AS click_id, round(c.value, 4) AS click_value
+         |FROM purchases p LEFT JOIN LATERAL (
+         |  SELECT event_id, value, ts, es FROM clicks c
+         |  WHERE c.user_id = p.user_id AND abs(c.es - p.es) <= 3600
+         |  ORDER BY abs(c.es - p.es) ASC,
+         |           CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END ASC,
+         |           CASE WHEN c.ts <= p.ts THEN -epoch(c.ts) ELSE epoch(c.ts) END ASC,
+         |           c.event_id DESC
+         |  LIMIT 1) c ON true
          |ORDER BY p.event_id""".stripMargin,
 
     "join_post_image" ->
