@@ -81,6 +81,23 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("bench scale (sf0.1): the sample-trained model keeps its contracts on the 4x corpus") {
+    val d1 = "/root/testdata/sf0.1"
+    val m = Pca.fit(graft.Tables.embeddings(spark, d1), "vec_id", "embedding",
+      k = graft.queries.ExtQueries.PcaK, sampleN = graft.queries.ExtQueries.PcaSampleN)
+    for (i <- m.components.indices; j <- i until m.components.length) {
+      val dot = m.components(i).zip(m.components(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9)
+    }
+    assert(m.eigenvalues.zip(m.eigenvalues.tail).forall { case (a, b) => a >= b - 1e-12 })
+    // projections of the FULL corpus through the sample-trained model stay
+    // finite with non-negative residuals (the out-of-sample path)
+    val proj = Pca.project(m, graft.Tables.embeddings(spark, d1), "vec_id", "embedding")
+    val bad = proj.filter(col("resid") < 0 || col("pc1").isNull).count()
+    assert(bad === 0L)
+    assert(proj.count() === 2000L)
+  }
+
   test("the model is a pure function of (corpus, params) — refit is identical") {
     val again = Pca.fit(graft.Tables.embeddings(spark, d), "vec_id", "embedding",
       k = graft.queries.ExtQueries.PcaK, sampleN = graft.queries.ExtQueries.PcaSampleN)

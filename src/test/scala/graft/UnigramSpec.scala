@@ -76,6 +76,21 @@ class UnigramSpec extends SparkSpec {
     assert(row.getLong(1) === knownScore + 2 * UnigramViterbi.UnkMicro)
   }
 
+  test("bench scale (sf0.1): sample-trained model still round-trips the 10x corpus") {
+    val d1 = "/root/testdata/sf0.1"
+    val m = graft.queries.ExtQueries.uniModel(spark, d1)
+    val pre = m.llHistory.take(graft.queries.ExtQueries.UniIters)
+    pre.zip(pre.tail).foreach { case (a, b) => assert(b >= a - math.abs(a) * 1e-12) }
+    val rows = graft.Tables.documents(spark, d1).limit(10)
+      .select(col("text"), graft.operators.Unigram.encode(m, col("text")).as("e"))
+      .select(col("text"), col("e.ids"), col("e.n_unk")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) === 0L)
+      val joined = r.getSeq[Long](1).map(id => m.pieces(id.toInt)._1).mkString
+      assert(joined === r.getString(0).replace(" ", ""))
+    }
+  }
+
   test("ties prefer the longer last piece; refit is bit-identical") {
     // vocab where 'abc' segments as [abc] even when [a][bc]/[ab][c] exist
     val words = Array(("abc", 10L), ("ab", 5L), ("bc", 5L), ("a", 2L), ("c", 2L))
