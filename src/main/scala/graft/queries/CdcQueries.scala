@@ -742,6 +742,28 @@ object CdcQueries {
       .orderBy("event_type", "day")
   }
 
+  /** Longest consecutive-active-day streak per user — the classic
+    * gaps-and-islands rewrite (engagement analytics; also the shape behind
+    * SLA uptime runs): per-user distinct active days, island id =
+    * day_index − row_number (constant within a consecutive run), then max
+    * island length. Every window is user-partitioned over that user's
+    * distinct DAYS (calendar-bounded at any corpus scale); the distinct
+    * collapse is the only corpus-sized shuffle, keyed by user. */
+  private val windowStreak: Q = (s, d) => {
+    val days = events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("di"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("di"))
+    val islands = days
+      .withColumn("island", col("di") - row_number().over(w))
+      .groupBy(col("user_id"), col("island")).agg(count(lit(1)).as("len"))
+    islands.groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"), sum(col("len")).as("n_active_days"))
+      .orderBy("user_id")
+  }
+
   /** CUSUM level-shift detection on the daily volume series (Page 1954 —
     * the change-point monitor that catches a sustained drift the 2σ
     * single-day rule [[aggAnomalyDays]] cannot): the one-sided CUSUM
@@ -921,6 +943,7 @@ object CdcQueries {
     "agg_seasonality" -> aggSeasonality,
     "agg_value_quantiles" -> aggValueQuantiles,
     "window_cusum" -> windowCusum,
+    "window_streak" -> windowStreak,
     "scalar_datetime" -> scalarDatetime,
     "scalar_string" -> scalarString,
     "scalar_json" -> scalarJson)
@@ -1406,6 +1429,19 @@ object CdcQueries {
       """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS hh,
         |       count(*) AS n_events, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY dow, hh""".stripMargin,
+
+    "window_streak" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |                     date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di
+        |              FROM events),
+        |isl AS (SELECT user_id,
+        |               di - row_number() OVER (PARTITION BY user_id ORDER BY di) AS island
+        |        FROM days),
+        |runs AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+        |         FROM isl GROUP BY 1, 2)
+        |SELECT user_id, max(len) AS longest_streak,
+        |       count(*) AS n_streaks, CAST(sum(len) AS BIGINT) AS n_active_days
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // the oracle states the one-sided CUSUM recursion in its closed
     // running-sum-minus-running-extremum form — identical integer
