@@ -296,7 +296,13 @@ object Dedup {
     * edit-distance tier complements the set-similarity tiers: Jaccard and
     * containment are blind to ORDER (a shuffled doc keeps its shingle set
     * at n=1 and much of it at small n); Levenshtein charges every
-    * transposition.
+    * transposition. The confirm is BANDED: `levenshtein(l, r, threshold)`
+    * limits the DP to the ±maxDist diagonal band (O(maxDist·min len) with
+    * early exit, returning −1 above threshold) instead of the full
+    * O(|a|·|b|) table, and a length-difference pre-filter
+    * (|len(a)−len(b)| > maxDist ⇒ distance > maxDist, since each unit of
+    * length gap costs ≥ 1 edit) prunes candidates before any DP runs —
+    * a plain column predicate evaluated below the verify expression.
     *
     * Contract is candidates-then-verify, like production fuzzy linkage:
     * the output is exactly "pairs sharing ≥ 1 rare shingle with edit
@@ -333,14 +339,22 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // length prune FIRST on an int-only frame, so pruned candidates never
+    // ship text; survivors fetch text for the banded DP confirm
+    val lens = docs.select(col(idCol).as("doc_id"), length(col(textCol)).as("__len"))
     val txt = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
     cand
+      .join(lens.select(col("doc_id"), col("__len").as("__la")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(lens.select(col("doc_id"), col("__len").as("__lb")), col("doc_b") === col("doc_id"))
+      .drop("doc_id")
+      .filter(abs(col("__la") - col("__lb")) <= maxDist)
       .join(txt.select(col("doc_id"), col("__text").as("__ta")), col("doc_a") === col("doc_id"))
       .drop("doc_id")
       .join(txt.select(col("doc_id"), col("__text").as("__tb")), col("doc_b") === col("doc_id"))
       .drop("doc_id")
-      .withColumn("distance", levenshtein(col("__ta"), col("__tb")).cast("long"))
-      .filter(col("distance") <= maxDist)
+      .withColumn("distance", levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
+      .filter(col("distance").between(0L, maxDist))
       .select(col("doc_a"), col("doc_b"), col("distance"))
   }
 
