@@ -1157,19 +1157,19 @@ object ExtQueries {
     * store has (train once, query repeatedly; the join_bucketed
     * session-table pattern). Fixtures are immutable within a session. */
   /** Unigram-LM tokenizer contract constants ([[graft.operators.Unigram]]):
-    * 120-piece vocab, 400 seed candidates, 4 EM iterations, trained on the
-    * 4096 highest-tf word types (the full fixture vocabulary here). */
+    * 120-piece vocab, 400 seed candidates, 4 EM iterations, trained
+    * corpus-wide (distributed E-step over the full word-type frame —
+    * no training sample, the model is sample-independent). */
   final val UniVocab = 120
   final val UniSeed = 400
   final val UniIters = 4
-  final val UniTrainWords = 4096
 
   private val uniModelByDir =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Unigram.Model]()
   private[graft] def uniModel(s: SparkSession, d: String): graft.operators.Unigram.Model =
     uniModelByDir.computeIfAbsent(d, _ =>
       graft.operators.Unigram.train(documents(s, d), vocabSize = UniVocab,
-        seedSize = UniSeed, iters = UniIters, trainWords = UniTrainWords))
+        seedSize = UniSeed, iters = UniIters))
 
   /** The trained unigram piece table (id, piece, integer log-micronat) —
     * the model artifact a SentencePiece deployment ships. Rows-only

@@ -76,7 +76,7 @@ class UnigramSpec extends SparkSpec {
     assert(row.getLong(1) === knownScore + 2 * UnigramViterbi.UnkMicro)
   }
 
-  test("bench scale (sf0.1): sample-trained model still round-trips the 10x corpus") {
+  test("bench scale (sf0.1): corpus-wide-trained model round-trips the 10x corpus") {
     val d1 = "/root/testdata/sf0.1"
     val m = graft.queries.ExtQueries.uniModel(spark, d1)
     val pre = m.llHistory.take(graft.queries.ExtQueries.UniIters)
@@ -112,9 +112,39 @@ class UnigramSpec extends SparkSpec {
 
     val again = graft.operators.Unigram.train(
       graft.Tables.documents(spark, d), vocabSize = graft.queries.ExtQueries.UniVocab,
-      seedSize = graft.queries.ExtQueries.UniSeed, iters = graft.queries.ExtQueries.UniIters,
-      trainWords = graft.queries.ExtQueries.UniTrainWords)
+      seedSize = graft.queries.ExtQueries.UniSeed, iters = graft.queries.ExtQueries.UniIters)
     assert(again.pieces === model.pieces)
     assert(again.llHistory === model.llHistory)
+  }
+
+  test("distributed corpus-wide fit is bit-identical to the local reference fit") {
+    // collect the full word-type frame and fit on the driver with the same
+    // lattice + integer-unit quantization; the distributed E-step must
+    // produce exactly the same longs, hence the same model
+    val words = graft.Tables.documents(spark, d)
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val local = Unigram.fitLocal(words, vocabSize = graft.queries.ExtQueries.UniVocab,
+      seedSize = graft.queries.ExtQueries.UniSeed, iters = graft.queries.ExtQueries.UniIters)
+    assert(local.pieces === model.pieces, "piece table must match the distributed fit")
+    assert(local.probs === model.probs)
+    assert(local.llHistory === model.llHistory)
+  }
+
+  test("log-space lattice survives word types long enough to underflow linear-space EM") {
+    // alpha in linear space underflows around p^k ~ 1e-308; a 400-char
+    // blob of per-char prob ~1e-2 is far past that. The log-space lattice
+    // must fit and round-trip it without tripping the coverage require.
+    val blob = Seq.tabulate(400)(i => ('a' + i % 7).toChar).mkString
+    val m = Unigram.fitLocal(Array((blob, 3L), ("abc", 10L), ("cab", 5L)),
+      vocabSize = 16, seedSize = 40, iters = 3)
+    assert(math.abs(m.probs.sum - 1.0) < 1e-9)
+    val enc = new UnigramViterbi.Encoder(m.pieces)
+    val row = enc.encode(blob)
+    val ids = row.getArray(0).toLongArray()
+    assert(row.getLong(2) === 0L, "all chars covered")
+    assert(ids.map(i => m.pieces(i.toInt)._1).mkString === blob)
   }
 }
