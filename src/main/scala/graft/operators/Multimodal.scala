@@ -22,8 +22,9 @@ object Multimodal {
   final case class MediaMeta(docId: Long, nBytes: Long, width: Int, height: Int, nFrames: Int)
 
   /** STUB fallback decoder: deterministic pseudo-metadata derived from the
-    * payload length, for payload types with no in-JVM codec (audio/video,
-    * and the fixture's text bytes). */
+    * payload length, for payload types no real tier recognizes (the
+    * fixture's text bytes, and containers whose headers fail to parse —
+    * images, WAV/AIFF, MP3 and MP4 metadata are all REAL above this). */
   def fakeDecode(docId: Long, payload: Array[Byte]): MediaMeta = {
     val n = payload.length.toLong
     MediaMeta(docId, n, width = (16 + n % 64).toInt, height = (16 + (n * 7) % 64).toInt,
@@ -69,7 +70,7 @@ object Multimodal {
           Some(MediaMeta(docId, payload.length.toLong, r.getWidth(0), r.getHeight(0), n))
         } finally r.dispose()
       } // scan-time corruption (truncated header) falls through to the stub
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
     finally if (iis != null) iis.close()
   }
 
@@ -92,14 +93,18 @@ object Multimodal {
         (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M' &&
           p(8) == 'A' && p(9) == 'I' && p(10) == 'F'))
 
-  /** REAL audio metadata via `javax.sound.sampled` (pure JDK, zero new
-    * dependencies): WAV/AIFF container headers parse to sample rate,
-    * channel count, frame count and duration — a header probe like the
-    * image path, never a sample decode. Compressed formats (MP3 etc.) have
-    * no JDK codec and return None; swap in a real decoder behind the same
-    * slot. */
+  /** REAL audio metadata, pure JDK, zero new dependencies. Two tiers:
+    * WAV/AIFF containers parse via `javax.sound.sampled` (sample rate,
+    * channels, frame count, duration); MP3 parses its own FRAME HEADER
+    * ([[mp3Decode]] — no codec needed for metadata, only the 4-byte sync
+    * word and the CBR arithmetic). Both are header probes, never a sample
+    * decode. Payloads neither tier recognizes return None (then: the
+    * deterministic stub). A malformed-but-sniff-passing header must never
+    * fail a scan, so the catch is NonFatal, not just the checked types —
+    * JDK readers can throw unchecked (ArrayIndexOutOfBounds etc.) on
+    * adversarial bytes. */
   def audioDecode(docId: Long, payload: Array[Byte]): Option[AudioMeta] = {
-    if (!looksLikeAudio(payload)) return None
+    if (!looksLikeAudio(payload)) return mp3Decode(docId, payload)
     try {
       val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
         new java.io.ByteArrayInputStream(payload))
@@ -109,10 +114,119 @@ object Multimodal {
       val durMs = if (rate > 0 && frames >= 0) frames * 1000L / rate else -1L
       Some(AudioMeta(docId, payload.length.toLong, rate, fmt.getChannels,
         frames, durMs))
-    } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  // MPEG audio frame-header tables (Layer III): sample rates by version,
+  // bitrates (kbps) by version class. Index 0 = "free", 15 = invalid.
+  private val Mp3RatesV1 = Array(44100, 48000, 32000)
+  private val Mp3RatesV2 = Array(22050, 24000, 16000)
+  private val Mp3RatesV25 = Array(11025, 12000, 8000)
+  private val Mp3BitrateV1 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitrateV2 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+  /** MP3 (MPEG-1/2/2.5 Layer III) metadata from the first frame header —
+    * pure byte parsing, the compressed-format slot the WAV/AIFF tier can't
+    * cover. Skips a leading ID3v2 tag (syncsafe size), validates the sync
+    * word + version/layer/bitrate/samplerate fields, then derives sample
+    * rate and channels exactly and frame count/duration by the CBR
+    * estimate (audio bytes ÷ frame size; VBR streams get the first-frame
+    * approximation — honest for a header probe). Returns None unless a
+    * plausible Layer-III frame starts where the audio should. */
+  def mp3Decode(docId: Long, payload: Array[Byte]): Option[AudioMeta] = {
+    try {
+      // ID3v2 tag: "ID3" + version(2) + flags(1) + syncsafe size(4)
+      val off =
+        if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' &&
+            payload(2) == '3') {
+          10 + (((payload(6) & 0x7F) << 21) | ((payload(7) & 0x7F) << 14) |
+            ((payload(8) & 0x7F) << 7) | (payload(9) & 0x7F))
+        } else 0
+      if (off < 0 || off + 4 > payload.length) return None
+      val b1 = payload(off) & 0xFF; val b2 = payload(off + 1) & 0xFF
+      val b3 = payload(off + 2) & 0xFF; val b4 = payload(off + 3) & 0xFF
+      if (b1 != 0xFF || (b2 & 0xE0) != 0xE0) return None
+      val versionBits = (b2 >> 3) & 3 // 0=MPEG2.5 1=reserved 2=MPEG2 3=MPEG1
+      val layerBits = (b2 >> 1) & 3   // 1 = Layer III
+      if (versionBits == 1 || layerBits != 1) return None
+      val bitrateIdx = (b3 >> 4) & 0xF
+      val rateIdx = (b3 >> 2) & 3
+      if (bitrateIdx == 0 || bitrateIdx == 15 || rateIdx == 3) return None
+      val padding = (b3 >> 1) & 1
+      val mpeg1 = versionBits == 3
+      val sampleRate = (versionBits match {
+        case 3 => Mp3RatesV1
+        case 2 => Mp3RatesV2
+        case _ => Mp3RatesV25
+      })(rateIdx)
+      val bitrate = (if (mpeg1) Mp3BitrateV1 else Mp3BitrateV2)(bitrateIdx) * 1000L
+      val samplesPerFrame = if (mpeg1) 1152L else 576L
+      val channels = if (((b4 >> 6) & 3) == 3) 1 else 2
+      val frameSize = samplesPerFrame / 8L * bitrate / sampleRate + padding
+      if (frameSize <= 4) return None
+      val audioBytes = (payload.length - off).toLong
+      val nFrames = math.max(audioBytes / frameSize, 1L)
+      val durMs = nFrames * samplesPerFrame * 1000L / sampleRate
+      Some(AudioMeta(docId, payload.length.toLong, sampleRate, channels,
+        nFrames * samplesPerFrame, durMs))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Typed VIDEO metadata from an MP4/ISO-BMFF container: presentation
+    * timescale (ticks/sec), duration in ticks and ms. */
+  final case class VideoMeta(docId: Long, nBytes: Long, timescale: Long,
+                             duration: Long, durationMs: Long)
+
+  /** MP4 `moov/mvhd` metadata — pure box-structure walking (size+fourcc
+    * headers, 64-bit largesize, version-0/1 mvhd layouts), no codec. The
+    * container's movie header carries the presentation clock: timescale +
+    * duration, which is what a sampling/packing pipeline needs before it
+    * ever decodes a frame. Returns None for anything that isn't an
+    * `ftyp`-led box stream with a parseable `moov/mvhd`. */
+  def mp4Decode(docId: Long, payload: Array[Byte]): Option[VideoMeta] = {
+    def u32(o: Int): Long =
+      ((payload(o) & 0xFFL) << 24) | ((payload(o + 1) & 0xFFL) << 16) |
+        ((payload(o + 2) & 0xFFL) << 8) | (payload(o + 3) & 0xFFL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def fourcc(o: Int): String =
+      new String(payload, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // walk the box stream in [from, until): yields (type, payloadStart, payloadEnd)
+    def boxes(from: Int, until: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var o = from
+        def hasNext: Boolean = o + 8 <= until
+        def next(): (String, Int, Int) = {
+          val sz = u32(o)
+          val (start, end) =
+            if (sz == 1 && o + 16 <= until) (o + 16, o + u64(o + 8))
+            else if (sz == 0) (o + 8, until.toLong)
+            else (o + 8, o + sz)
+          val t = fourcc(o)
+          val e = math.min(end, until.toLong).toInt
+          val cur = o
+          o = if (e > cur) e else until // malformed size: stop
+          (t, start, math.max(e, start))
+        }
+      }
+    try {
+      if (payload.length < 16 || fourcc(0) != "ftyp") return None
+      for {
+        (t, s, e) <- boxes(0, payload.length) if t == "moov"
+        (t2, s2, e2) <- boxes(s, e) if t2 == "mvhd" && s2 + 4 <= e2
+      } {
+        val version = payload(s2) & 0xFF
+        val (ts, dur) =
+          if (version == 1 && s2 + 32 <= e2) (u32(s2 + 20), u64(s2 + 24))
+          else if (version == 0 && s2 + 20 <= e2) (u32(s2 + 12), u32(s2 + 16))
+          else return None
+        if (ts <= 0) return None
+        return Some(VideoMeta(docId, payload.length.toLong, ts, dur,
+          dur * 1000L / ts))
+      }
+      None
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Attach an opaque binary `media` column when the frame doesn't already

@@ -335,6 +335,63 @@ class KnnSpec extends SparkSpec {
     assert(Multimodal.audioDecode(4L, wav.take(16)).isEmpty)
   }
 
+  test("MP3 frame headers parse real sample rate/channels/duration; junk returns None") {
+    // MPEG1 Layer III, 44100 Hz, 128 kbps, stereo, no padding:
+    // frameSize = 1152/8 * 128000 / 44100 = 417 bytes
+    val hdr = Array(0xFF, 0xFB, 0x90, 0x00).map(_.toByte)
+    val mp3 = hdr ++ new Array[Byte](417 * 10 - 4) // 10 CBR frames
+    val m = Multimodal.audioDecode(1L, mp3)
+    assert(m.isDefined)
+    assert(m.get.sampleRate === 44100 && m.get.channels === 2)
+    assert(m.get.nFrames === 10L * 1152L)
+    assert(m.get.durationMs === 10L * 1152L * 1000L / 44100L) // 261 ms
+    assert(m.get.nBytes === mp3.length.toLong)
+    // a leading ID3v2 tag (syncsafe size 100) is skipped
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 100) ++
+      new Array[Byte](100) ++ mp3
+    val mt = Multimodal.audioDecode(2L, id3)
+    assert(mt.isDefined && mt.get.sampleRate === 44100)
+    // mono MPEG2 (22050 Hz): version bits 10, channel mode 11
+    val hdr2 = Array(0xFF, 0xF3, 0x90, 0xC0).map(_.toByte)
+    val m2 = Multimodal.audioDecode(3L, hdr2 ++ new Array[Byte](2000))
+    assert(m2.isDefined && m2.get.sampleRate === 22050 && m2.get.channels === 1)
+    // junk: reserved version, bad bitrate, bad sync, truncation
+    assert(Multimodal.audioDecode(4L, Array(0xFF, 0xEB, 0x90, 0x00).map(_.toByte)).isEmpty)
+    assert(Multimodal.audioDecode(5L, Array(0xFF, 0xFB, 0xF0, 0x00).map(_.toByte)).isEmpty)
+    assert(Multimodal.audioDecode(6L, "plain text bytes".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.audioDecode(7L, hdr.take(3)).isEmpty)
+    // ID3 tag whose declared size exceeds the payload must not throw
+    assert(Multimodal.audioDecode(8L,
+      Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 7, 0) ++ new Array[Byte](4)).isEmpty)
+  }
+
+  /** Minimal ISO-BMFF: 16-byte ftyp + moov containing a version-0 mvhd. */
+  private def mp4Bytes(timescale: Int, duration: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + 108)
+    bb.putInt(16).put("ftyp".getBytes("US-ASCII")).put("isom".getBytes("US-ASCII")).putInt(0)
+    bb.putInt(8 + 108).put("moov".getBytes("US-ASCII"))
+    bb.putInt(108).put("mvhd".getBytes("US-ASCII"))
+    bb.putInt(0) // version 0 + flags
+    bb.putInt(0).putInt(0) // creation, modification
+    bb.putInt(timescale).putInt(duration)
+    while (bb.hasRemaining) bb.put(0.toByte) // rate/volume/matrix/next-track
+    bb.array()
+  }
+
+  test("MP4 mvhd parses real timescale/duration; malformed boxes return None") {
+    val mp4 = mp4Bytes(timescale = 600, duration = 3000)
+    val v = Multimodal.mp4Decode(1L, mp4)
+    assert(v.isDefined)
+    assert(v.get.timescale === 600L && v.get.duration === 3000L)
+    assert(v.get.durationMs === 5000L)
+    assert(v.get.nBytes === mp4.length.toLong)
+    // not a box stream / truncated moov / zero timescale: None, no throw
+    assert(Multimodal.mp4Decode(2L, "plain text bytes".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.mp4Decode(3L, mp4.take(40)).isEmpty)
+    assert(Multimodal.mp4Decode(4L, mp4Bytes(timescale = 0, duration = 10)).isEmpty)
+    assert(Multimodal.mp4Decode(5L, Array.empty[Byte]).isEmpty)
+  }
+
   test("decodeMeta decodes a real media column end-to-end (frame brings its own bytes)") {
     val rows = Seq((1L, imageBytes(20, 30, "png")), (2L, "not an image".getBytes("UTF-8")))
     val docs = rows.toDF("doc_id", "media")
