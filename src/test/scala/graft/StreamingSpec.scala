@@ -694,20 +694,20 @@ class StreamingSpec extends SparkSpec {
     val expected = rows(TopkStream.report(TopkStream.dailyTypeCounts(
       CdcPipeline.transform(Tables.eventsRaw(spark, sf)))))
     assert(expected.nonEmpty && expected.forall(_._2 <= 3))
-    assert(rows(TopkStream.report(spark.read.parquet(tgt))) === expected)
+    assert(rows(TopkStream.report(TopkStream.state(spark, tgt))) === expected)
 
     // redelivered rows (fresh file names, same events): the watermark
     // late-drop + within-watermark id dedup make the replay a no-op —
     // the additive merge never sees them
     arrive("wave2again", col("ts") >= cut)
     TopkStream.start(spark, src.toString, tgt, ckp).awaitTermination()
-    assert(rows(TopkStream.report(spark.read.parquet(tgt))) === expected)
+    assert(rows(TopkStream.report(TopkStream.state(spark, tgt))) === expected)
 
     // replayed BATCH (same id re-applied): the marker guard refuses it
-    val before = rows(TopkStream.report(spark.read.parquet(tgt)))
+    val before = rows(TopkStream.report(TopkStream.state(spark, tgt)))
     TopkStream.applyBatch(spark,
       CdcPipeline.transform(Tables.eventsRaw(spark, sf)), tgt, batchId = 0L)
-    assert(rows(TopkStream.report(spark.read.parquet(tgt))) === before)
+    assert(rows(TopkStream.report(TopkStream.state(spark, tgt))) === before)
 
     // the SAME streamed state serves the CUSUM report — both reports off
     // one continuously-maintained count table must match their batch forms
@@ -715,7 +715,31 @@ class StreamingSpec extends SparkSpec {
       df.as[(String, Long, Long, Long, Boolean, Boolean)].collect().toSeq
     val expectedCusum = cusumRows(TopkStream.cusumReport(TopkStream.dailyTypeCounts(
       CdcPipeline.transform(Tables.eventsRaw(spark, sf)))))
-    assert(cusumRows(TopkStream.cusumReport(spark.read.parquet(tgt))) === expectedCusum)
+    assert(cusumRows(TopkStream.cusumReport(TopkStream.state(spark, tgt))) === expectedCusum)
+
+    // crash BETWEEN version write and marker flip: reconstruct that exact
+    // disk state (new version fully written, marker still naming the old
+    // one, old version intact) and replay — the additive merge must come
+    // from the still-live old version, never re-merge the orphan: counts
+    // must not double
+    def copyDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      Files.createDirectories(to)
+      from.toFile.listFiles().foreach(f => Files.copy(f.toPath, to.resolve(f.getName)))
+    }
+    val markerPath = java.nio.file.Paths.get(tgt + ".applied")
+    val liveId = Files.readString(markerPath).trim.toLong
+    val liveDir = java.nio.file.Paths.get(s"$tgt.v$liveId")
+    val saved = tmp("topk-crash-save").resolve("v")
+    copyDir(liveDir, saved)
+    val replayBatch = CdcPipeline.transform(Tables.eventsRaw(spark, sf))
+      .limit(50).localCheckpoint(true)
+    TopkStream.applyBatch(spark, replayBatch, tgt, liveId + 1) // clean apply
+    val afterOnce = rows(TopkStream.report(TopkStream.state(spark, tgt)))
+    assert(afterOnce !== before, "the extra batch must have changed the counts")
+    copyDir(saved, liveDir) // resurrect the pre-crash live version
+    Files.writeString(markerPath, liveId.toString) // un-flip the marker
+    TopkStream.applyBatch(spark, replayBatch, tgt, liveId + 1) // crash replay
+    assert(rows(TopkStream.report(TopkStream.state(spark, tgt))) === afterOnce)
   }
 
   test("flatMapGroupsWithState sessionization: state survives restart; gap rules match batch") {
