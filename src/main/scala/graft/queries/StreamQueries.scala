@@ -186,6 +186,21 @@ object StreamQueries {
         CdcPipeline.dedupEvents(CdcPipeline.transform(raw))))
   }
 
+  /** The continuously-maintained per-type value quantiles run in BATCH
+    * mode — the same [[graft.streaming.QuantilesStream.histogram]] +
+    * `report` the streaming query maintains as (type, cents) count state
+    * (the domain-histogram IS the streaming state: additive, price-domain-
+    * bounded). Deletes dropped by the shared transform, so the oracle
+    * filters 'error' where the batch `agg_value_quantiles` does not. The
+    * live path — watermarked dedup, transactional batch-id guard,
+    * checkpointed restart — is exercised end-to-end by StreamingSpec. */
+  private val streamValueQuantiles: Q = (s, d) => {
+    val raw = Tables.eventsRaw(s, d)
+    graft.streaming.QuantilesStream.report(
+      graft.streaming.QuantilesStream.histogram(
+        CdcPipeline.dedupEvents(CdcPipeline.transform(raw))))
+  }
+
   /** The incremental SCD2 build run in BATCH mode over a DOUBLED delivery
     * (at-least-once): state is the event_id-keyed deduped change set, so
     * the doubled log collapses through the set-union merge to the clean
@@ -305,6 +320,7 @@ object StreamQueries {
     "stream_daily_bars" -> streamDailyBars,
     "stream_topk" -> streamTopk,
     "stream_cusum" -> streamCusum,
+    "stream_value_quantiles" -> streamValueQuantiles,
     "stream_retention" -> streamRetention,
     "stream_gap_fill" -> streamGapFill,
     "stream_conversion_lag" -> streamConversionLag,
@@ -394,6 +410,25 @@ object StreamQueries {
         |       up * up > 16 * (D * SS - S * S) AS shift_up,
         |       dn * dn > 16 * (D * SS - S * S) AS shift_down
         |FROM e, st ORDER BY day""".stripMargin,
+
+    // the exact histogram quantiles of the deduped, delete-filtered
+    // stream — agg_value_quantiles' SQL with the transform's filter
+    "stream_value_quantiles" ->
+      """WITH h AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+        |                  CAST(count(*) AS BIGINT) AS hn
+        |           FROM events WHERE event_type IS DISTINCT FROM 'error'
+        |           GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(hn) AS BIGINT) AS n FROM h GROUP BY 1),
+        |c AS (SELECT event_type, cents, hn,
+        |             CAST(sum(hn) OVER (PARTITION BY event_type ORDER BY cents
+        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM h)
+        |SELECT c.event_type, t.n AS n_events,
+        |       min(CASE WHEN cum >= (500 * n + 999) // 1000 THEN cents END) / 100.0 AS p50,
+        |       min(CASE WHEN cum >= (900 * n + 999) // 1000 THEN cents END) / 100.0 AS p90,
+        |       min(CASE WHEN cum >= (990 * n + 999) // 1000 THEN cents END) / 100.0 AS p99
+        |FROM c JOIN t USING (event_type)
+        |GROUP BY c.event_type, t.n ORDER BY c.event_type""".stripMargin,
 
     // first-event chain over per-user min timestamps per stage type; the
     // doubled delivery collapses through the min-merge, so the oracle is

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned, atomically-flipped micro-batch state commit — the shared
+  * exactly-once discipline for ADDITIVE foreachBatch state (counts,
+  * histograms), where the batch-replay guard genuinely must be
+  * transactional: an idempotent merge (min/distinct-union) absorbs a
+  * replay for free, but an additive merge applied twice double-counts.
+  *
+  * Commit protocol (single-writer stream):
+  *  1. the merged state for batch B lands in a FRESH `targetDir.vB`
+  *     directory — the live version is never touched;
+  *  2. the marker file flips to B via an atomic same-directory rename,
+  *     so marker and state commit together;
+  *  3. the superseded version is deleted only after the flip
+  *     (best-effort — leftovers are garbage, never state).
+  * A crash at any point leaves the marker naming a complete,
+  * fully-applied version: before the flip the replay re-merges from the
+  * still-intact previous version (overwriting any orphan vB); after the
+  * flip the batch-id guard refuses the replay. */
+private[streaming] object StateCommit {
+
+  private def markerFile(targetDir: String) = new java.io.File(targetDir + ".applied")
+  private def versionDir(targetDir: String, batchId: Long) = s"$targetDir.v$batchId"
+
+  /** Last committed batch id, or −1 before the first commit. */
+  def lastApplied(targetDir: String): Long = {
+    val marker = markerFile(targetDir)
+    if (marker.exists()) java.nio.file.Files.readString(marker.toPath).trim.toLong
+    else -1L
+  }
+
+  /** The LIVE state table: the marker names the exact versioned directory
+    * whose contents include every applied batch — readers never observe a
+    * half-written overwrite. */
+  def state(spark: SparkSession, targetDir: String): DataFrame = {
+    val id = lastApplied(targetDir)
+    require(id >= 0, s"StateCommit: no applied state at $targetDir")
+    spark.read.parquet(versionDir(targetDir, id))
+  }
+
+  /** One guarded apply: skip if `batchId` is already committed, else build
+    * the merged state from the live version (None before the first
+    * commit) and commit it under the protocol above. */
+  def applyBatch(spark: SparkSession, targetDir: String, batchId: Long)
+                (merge: Option[DataFrame] => DataFrame): Unit = {
+    val last = lastApplied(targetDir)
+    if (batchId <= last) return // replayed batch: no-op
+    val base =
+      if (last >= 0) Some(spark.read.parquet(versionDir(targetDir, last))) else None
+    merge(base).localCheckpoint(true)
+      .write.mode("overwrite").parquet(versionDir(targetDir, batchId))
+    val tmp = new java.io.File(targetDir + ".applied.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, batchId.toString)
+    java.nio.file.Files.move(tmp.toPath, markerFile(targetDir).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (last >= 0) deleteQuietly(new java.io.File(versionDir(targetDir, last)))
+  }
+
+  private def deleteQuietly(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteQuietly))
+    f.delete(); ()
+  }
+}

@@ -85,59 +85,26 @@ object TopkStream {
       .orderBy("day")
   }
 
-  private def markerFile(targetDir: String) = new java.io.File(targetDir + ".applied")
-  private def versionDir(targetDir: String, batchId: Long) = s"$targetDir.v$batchId"
-
-  /** The LIVE state table: the marker names the exact versioned directory
-    * whose contents include every applied batch — readers never observe a
-    * half-written overwrite. */
-  def state(spark: SparkSession, targetDir: String): DataFrame = {
-    val marker = markerFile(targetDir)
-    require(marker.exists(), s"TopkStream: no applied state at $targetDir")
-    val id = java.nio.file.Files.readString(marker.toPath).trim.toLong
-    spark.read.parquet(versionDir(targetDir, id))
-  }
+  /** The LIVE state table ([[StateCommit.state]]): readers resolve through
+    * the marker, never observing a half-written version. */
+  def state(spark: SparkSession, targetDir: String): DataFrame =
+    StateCommit.state(spark, targetDir)
 
   /** One batch-id-guarded micro-batch apply (see the object doc): skip if
-    * `batchId` was already applied, else add the slice's counts and commit.
-    *
-    * The additive merge genuinely NEEDS the replay guard to be
-    * transactional (unlike the idempotent-merge streams), so the commit is
-    * write-new-version-then-atomic-rename: merged state lands in a FRESH
-    * `targetDir.v<batchId>` (the live version is never touched), and the
-    * marker flips to it via an atomic same-directory rename. A crash at
-    * any point leaves the marker naming a complete, fully-applied version:
-    * before the flip the replay re-merges from the still-intact previous
-    * version; after the flip the batch-id guard refuses the replay. The
-    * superseded version is deleted only after the flip (best-effort —
-    * leftovers are garbage, never state). */
+    * `batchId` was already applied, else add the slice's counts and commit
+    * under the [[StateCommit]] versioned-write + atomic-marker-flip
+    * protocol — the additive merge genuinely needs the replay guard to be
+    * transactional, unlike the idempotent-merge streams. */
   def applyBatch(spark: SparkSession, batch: DataFrame, targetDir: String,
-                 batchId: Long): Unit = {
-    val marker = markerFile(targetDir)
-    val lastApplied =
-      if (marker.exists()) java.nio.file.Files.readString(marker.toPath).trim.toLong
-      else -1L
-    if (batchId <= lastApplied) return // replayed batch: no-op
-    val slice = dailyTypeCounts(batch)
-    val merged =
-      if (lastApplied >= 0) {
-        val base = spark.read.parquet(versionDir(targetDir, lastApplied))
+                 batchId: Long): Unit =
+    StateCommit.applyBatch(spark, targetDir, batchId) {
+      case Some(base) =>
+        val slice = dailyTypeCounts(batch)
         mergeCounts(base, slice.select(base.columns.toIndexedSeq.map(col): _*))
-      } else mergeCounts(slice.limit(0), slice)
-    merged.localCheckpoint(true)
-      .write.mode("overwrite").parquet(versionDir(targetDir, batchId))
-    val tmp = new java.io.File(targetDir + ".applied.tmp")
-    java.nio.file.Files.writeString(tmp.toPath, batchId.toString)
-    java.nio.file.Files.move(tmp.toPath, marker.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    if (lastApplied >= 0) deleteQuietly(new java.io.File(versionDir(targetDir, lastApplied)))
-  }
-
-  private def deleteQuietly(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteQuietly))
-    f.delete(); ()
-  }
+      case None =>
+        val slice = dailyTypeCounts(batch)
+        mergeCounts(slice.limit(0), slice)
+    }
 
   /** Start the incremental leaderboard: events source dir → shared CDC
     * transform → watermarked event-id dedup → foreachBatch additive apply

@@ -664,6 +664,55 @@ class StreamingSpec extends SparkSpec {
     assert(rows(RetentionStream.report(spark.read.parquet(tgt))) === expected)
   }
 
+  test("incremental value quantiles: restart + row redelivery + batch replay all converge") {
+    import graft.streaming.QuantilesStream
+    val sf = "/root/testdata/sf0.001"
+    val src = tmp("vq-src")
+    val tgt = tmp("vq-tgt").resolve("hist").toString
+    val ckp = tmp("vq-ckp").toString
+
+    val cut = Tables.tsLit("2024-01-15 00:00:00")
+    def arrive(wave: String, pred: org.apache.spark.sql.Column): Unit = {
+      val staging = tmp(s"vq-stage-$wave")
+      Tables.events(spark, sf).filter(pred)
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.move(f.toPath, src.resolve(s"$wave-$i.parquet"))
+        }
+    }
+
+    // the additive histogram must accumulate across the checkpointed restart
+    arrive("wave1", col("ts") < cut)
+    QuantilesStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    arrive("wave2", col("ts") >= cut)
+    QuantilesStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Double, Double, Double)] =
+      df.as[(String, Long, Double, Double, Double)].collect().toSeq
+    val expected = rows(QuantilesStream.report(QuantilesStream.histogram(
+      CdcPipeline.transform(Tables.eventsRaw(spark, sf)))))
+    assert(expected.nonEmpty && expected.forall(r => r._3 <= r._4 && r._4 <= r._5))
+    assert(rows(QuantilesStream.report(QuantilesStream.state(spark, tgt))) === expected)
+
+    // redelivered rows (fresh file names, same events): watermark late-drop
+    // + within-watermark id dedup — the additive histogram never sees them
+    arrive("wave2again", col("ts") >= cut)
+    QuantilesStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    assert(rows(QuantilesStream.report(QuantilesStream.state(spark, tgt))) === expected)
+
+    // replayed BATCH (same id re-applied): the transactional guard refuses it
+    QuantilesStream.applyBatch(spark,
+      CdcPipeline.transform(Tables.eventsRaw(spark, sf)), tgt, batchId = 0L)
+    assert(rows(QuantilesStream.report(QuantilesStream.state(spark, tgt))) === expected)
+
+    // and the maintained histogram must agree with the batch-replay query
+    // form (one definition, twins can't drift)
+    assert(rows(graft.queries.StreamQueries.queries("stream_value_quantiles")(spark, sf))
+      === expected)
+  }
+
   test("incremental top-k leaderboard: restart + row redelivery + batch replay all converge") {
     import graft.streaming.TopkStream
     val sf = "/root/testdata/sf0.001"
