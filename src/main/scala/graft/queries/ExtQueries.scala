@@ -881,6 +881,23 @@ object ExtQueries {
       tokenCount = TextFns.bpeMergeCount(trainedMerges(s, d)))
       .orderBy("doc_id")
 
+  /** The unigram-tokenizer twin of [[extPackWindowsBpe]]: the EM-trained
+    * model's Viterbi piece count ([[graft.operators.Unigram.encode]], one
+    * codegen'd pass) plugged into the same packWindows tokenCount slot —
+    * window boundaries land where the unigram pieces put them, closing
+    * the tokenizer symmetry (both tokenizers drive both the encode
+    * surface and the packing surface). Rows-only: the EM training
+    * underneath is not oracle-expressible (ext_unigram_train's contract);
+    * UnigramSpec hash-gates the train→count→pack composition — every
+    * window column must equal the running-sum recurrence replayed over
+    * the independently-encoded per-doc piece counts. */
+  private val extPackWindowsUnigram: Q = (s, d) =>
+    TrainPrep.packWindows(documents(s, d), "doc_id", "text",
+      budgetTokens = 2048L, nShards = 8,
+      tokenCount = c =>
+        size(graft.operators.Unigram.encode(uniModel(s, d), c).getField("ids")).cast("long"))
+      .orderBy("doc_id")
+
   private val extBpeEncode: Q = (s, d) => {
     val ids = TextFns.bpeEncode(trainedMerges(s, d))(col("text"))
     documents(s, d)
@@ -1787,6 +1804,7 @@ object ExtQueries {
     "ext_bpe_encode" -> extBpeEncode,
     "ext_bpe_vocab" -> extBpeVocab,
     "ext_pack_windows_bpe" -> extPackWindowsBpe,
+    "ext_pack_windows_unigram" -> extPackWindowsUnigram,
     "ext_sim_knn" -> extSimKnn,
     "ext_sim_knn_filtered" -> extSimKnnFiltered,
     "ext_sample_hardneg" -> extSampleHardneg,

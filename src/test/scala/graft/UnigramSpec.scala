@@ -133,6 +133,34 @@ class UnigramSpec extends SparkSpec {
     assert(local.llHistory === model.llHistory)
   }
 
+  test("train→count→pack composition: windows replay the running-sum recurrence over encode counts") {
+    // hash-grade gate for ext_pack_windows_unigram (rows-only at the
+    // driver): every window column must equal the concat-and-chunk
+    // recurrence replayed on the driver over independently-encoded counts
+    val budget = 2048L
+    val packed = graft.queries.ExtQueries.queries("ext_pack_windows_unigram")(spark, d)
+      .select("doc_id", "shard", "n_tokens", "window_id", "window_offset", "n_windows")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(packed.nonEmpty)
+    val counts = graft.Tables.documents(spark, d)
+      .select(col("doc_id"),
+        size(Unigram.encode(model, col("text")).getField("ids")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val replay = counts.keys.toSeq.sorted
+      .groupBy(_ % 8).flatMap { case (shard, ids) =>
+        var before = 0L
+        ids.sorted.map { id =>
+          val n = counts(id)
+          val row = (id, shard, n, before / budget, before % budget,
+            (before % budget + math.max(n, 1L) - 1L) / budget + 1L)
+          before += n
+          row
+        }
+      }.toSeq.sortBy(_._1)
+    assert(packed.toSeq.sortBy(_._1) === replay)
+  }
+
   test("log-space lattice survives word types long enough to underflow linear-space EM") {
     // alpha in linear space underflows around p^k ~ 1e-308; a 400-char
     // blob of per-char prob ~1e-2 is far past that. The log-space lattice
