@@ -96,6 +96,22 @@ class PlanSpec extends SparkSpec {
       s"day predicate must prune partitions:\n${p.take(1500)}")
   }
 
+  test("fuzzy dedup confirms with the BANDED edit distance; length prune never touches text") {
+    val p = plan("ext_dedup_fuzzy")
+    // the DP must be the threshold overload (O(maxDist·len) band, early
+    // exit), never the full O(|a|·|b|) table
+    assert("""levenshtein\([^)]*Some\(40\)\)""".r.findFirstIn(p).isDefined,
+      s"edit distance not banded:\n${p.take(2000)}")
+    // the |len_a − len_b| ≤ maxDist prune must exist AND be evaluated on
+    // the int-only length frame — a prune that references the text columns
+    // would mean pruned candidates already shipped text
+    val absLine = p.linesIterator.find(_.contains("abs((__la"))
+    assert(absLine.isDefined, s"length prune missing:\n${p.take(2000)}")
+    assert(absLine.get.contains("<= 40") &&
+      !absLine.get.contains("__ta") && !absLine.get.contains("__tb"),
+      s"length prune must see only lengths, not text: ${absLine.get}")
+  }
+
   test("knn scoring runs the codegen'd dot product, not an interpreted fold") {
     val p = plan("ext_sim_knn")
     assert(p.contains("floatdot"))
