@@ -201,6 +201,22 @@ object StreamQueries {
         CdcPipeline.dedupEvents(CdcPipeline.transform(raw))))
   }
 
+  /** The continuously-maintained heavy-hitters sketch run in BATCH mode —
+    * the same [[graft.streaming.HeavyHittersStream.sketch]] + `report` the
+    * streaming query maintains as ≤ K-counter Misra–Gries state. K = 256
+    * exceeds the oracle fixtures' distinct-user count, so no counter is
+    * evicted and the sketch is exact under the plain top-k oracle (the
+    * `agg_heavy_hitters` discipline); the merged-sketch error bound in
+    * eviction mode is pinned by SketchesSpec. Deletes dropped by the
+    * shared transform, so the oracle filters 'error'. The live path is
+    * exercised end-to-end by StreamingSpec. */
+  private val streamHeavyHitters: Q = (s, d) => {
+    val raw = Tables.eventsRaw(s, d)
+    graft.streaming.HeavyHittersStream.report(
+      graft.streaming.HeavyHittersStream.sketch(
+        CdcPipeline.dedupEvents(CdcPipeline.transform(raw))))
+  }
+
   /** The incremental SCD2 build run in BATCH mode over a DOUBLED delivery
     * (at-least-once): state is the event_id-keyed deduped change set, so
     * the doubled log collapses through the set-union merge to the clean
@@ -321,6 +337,7 @@ object StreamQueries {
     "stream_topk" -> streamTopk,
     "stream_cusum" -> streamCusum,
     "stream_value_quantiles" -> streamValueQuantiles,
+    "stream_heavy_hitters" -> streamHeavyHitters,
     "stream_retention" -> streamRetention,
     "stream_gap_fill" -> streamGapFill,
     "stream_conversion_lag" -> streamConversionLag,
@@ -410,6 +427,14 @@ object StreamQueries {
         |       up * up > 16 * (D * SS - S * S) AS shift_up,
         |       dn * dn > 16 * (D * SS - S * S) AS shift_down
         |FROM e, st ORDER BY day""".stripMargin,
+
+    // exact top-k of the deduped, delete-filtered stream — valid as the
+    // sketch oracle because K=256 > the fixture's distinct users (no
+    // eviction ⇒ the Misra–Gries estimates ARE the exact counts)
+    "stream_heavy_hitters" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS est_n
+        |FROM events WHERE event_type IS DISTINCT FROM 'error'
+        |GROUP BY user_id ORDER BY est_n DESC, user_id LIMIT 20""".stripMargin,
 
     // the exact histogram quantiles of the deduped, delete-filtered
     // stream — agg_value_quantiles' SQL with the transform's filter

@@ -47,6 +47,37 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("streaming sketch merge preserves the summed-n bound across any batch split (eviction mode)") {
+    // the DataFrame-level mergeSketch must honor the mergeable-summaries
+    // theorem: merging per-slice sketches keeps true − (n1+n2+…)/(k+1) ≤
+    // est ≤ true, even when every slice AND every merge evicts
+    import graft.streaming.HeavyHittersStream
+    val k = 9
+    val slices = Seq(
+      (0 until 600).map(i => if (i % 3 != 2) "hot" else s"a${i / 3}"),
+      (0 until 500).map(i => if (i % 4 != 3) "hot" else s"b${i / 4}"),
+      (0 until 400).map(i => s"c${i % 40}") ++ Seq.fill(100)("hot"))
+    val truth = truthOf(slices.flatten)
+    val n = slices.map(_.size).sum
+    val mg = udaf(new MisraGries(k))
+    def sliceSketch(data: Seq[String]): org.apache.spark.sql.DataFrame =
+      data.toDF("key").agg(mg(col("key")).as("sk"), count(lit(1)).as("__n"))
+        .select(explode(map_concat(col("sk"), map(lit(" n"), col("__n"))))
+          .as(Seq("k", "est_n")))
+    val merged = slices.map(sliceSketch).reduce(
+      (a, b) => HeavyHittersStream.mergeSketch(a, b, k))
+    val est = merged.filter(col("k") =!= " n")
+      .as[(String, Long)].collect().toMap
+    assert(est.size <= k)
+    est.foreach { case (key, c) =>
+      assert(c <= truth(key), s"overcount on $key")
+      assert(truth(key) - c <= n / (k + 1), s"undercount beyond Σn/(k+1) on $key")
+    }
+    assert(est.contains("hot") && est("hot") >= truth("hot") - n / (k + 1))
+    // the n row sums through the merges
+    assert(merged.filter(col("k") === " n").as[(String, Long)].head()._2 === n.toLong)
+  }
+
   test("agg_heavy_hitters' exactness precondition holds on the ORACLE fixtures (k=256 ≥ distinct users)") {
     // the driver's correctness gate runs at sf0.01 — there the sketch must
     // be in the no-eviction (exact) regime for the plain-count oracle to be

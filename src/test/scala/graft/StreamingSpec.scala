@@ -664,6 +664,56 @@ class StreamingSpec extends SparkSpec {
     assert(rows(RetentionStream.report(spark.read.parquet(tgt))) === expected)
   }
 
+  test("incremental heavy hitters: restart + row redelivery + batch replay all converge") {
+    import graft.streaming.HeavyHittersStream
+    val sf = "/root/testdata/sf0.001"
+    val src = tmp("hh-src")
+    val tgt = tmp("hh-tgt").resolve("sketch").toString
+    val ckp = tmp("hh-ckp").toString
+
+    val cut = Tables.tsLit("2024-01-15 00:00:00")
+    def arrive(wave: String, pred: org.apache.spark.sql.Column): Unit = {
+      val staging = tmp(s"hh-stage-$wave")
+      Tables.events(spark, sf).filter(pred)
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.move(f.toPath, src.resolve(s"$wave-$i.parquet"))
+        }
+    }
+
+    // K=256 > the fixture's distinct users: every per-batch sketch and
+    // every merge stays exact, so the maintained state must equal the
+    // batch form bit for bit across the restart
+    arrive("wave1", col("ts") < cut)
+    HeavyHittersStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    arrive("wave2", col("ts") >= cut)
+    HeavyHittersStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.as[(Long, Long)].collect().toSeq
+    val clean = CdcPipeline.transform(Tables.eventsRaw(spark, sf))
+    val expected = rows(HeavyHittersStream.report(HeavyHittersStream.sketch(clean)))
+    assert(expected.nonEmpty)
+    assert(rows(HeavyHittersStream.report(
+      HeavyHittersStream.state(spark, tgt))) === expected)
+    // the state's n row carries the total deduped stream length
+    assert(HeavyHittersStream.seenN(
+      HeavyHittersStream.state(spark, tgt)) === clean.count())
+
+    // redelivered rows: watermark late-drop + id dedup keep the sketch exact
+    arrive("wave2again", col("ts") >= cut)
+    HeavyHittersStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    assert(rows(HeavyHittersStream.report(
+      HeavyHittersStream.state(spark, tgt))) === expected)
+
+    // replayed BATCH: the transactional guard refuses the re-merge
+    HeavyHittersStream.applyBatch(spark, clean, tgt, batchId = 0L)
+    assert(rows(HeavyHittersStream.report(
+      HeavyHittersStream.state(spark, tgt))) === expected)
+  }
+
   test("incremental value quantiles: restart + row redelivery + batch replay all converge") {
     import graft.streaming.QuantilesStream
     val sf = "/root/testdata/sf0.001"
