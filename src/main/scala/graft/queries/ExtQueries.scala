@@ -1347,6 +1347,33 @@ object ExtQueries {
         sum("n_tokens").as("n_tokens"), max(col("oversize")).as("oversize"))
       .orderBy("shard", "window_id")
 
+  /** Loader-efficiency report over the greedy plan — the padding-waste
+    * metric a training pipeline tracks per shard: window count, doc and
+    * token totals, PADDING tokens (budget − fill for under-full windows:
+    * the compute a fixed-shape batch burns on pad ids), TRUNCATED tokens
+    * (fill beyond budget in oversize-doc windows: data the loader's
+    * truncate policy drops), and the integer fill permille
+    * ⌊Σ used·1000 / (windows·budget)⌋. ALL-INTEGER arithmetic on the
+    * (shard, window) rollup — oracle-exact, and the 8-row shard report is
+    * the dashboard a capacity planner actually reads. Scale shape: one
+    * (shard, window) aggregate past the greedy pass, then an 8-row shard
+    * rollup — nothing new shuffles beyond the pack plan itself. */
+  private val extPackStats: Q = (s, d) =>
+    TrainPrep.packGreedy(documents(s, d), "doc_id", "text",
+      budgetTokens = 2048L, nShards = 8)
+      .groupBy(col("shard"), col("window_id"))
+      .agg(count(lit(1)).as("wd"), sum(col("n_tokens")).as("fill"))
+      .select(col("shard"), col("wd"), col("fill"),
+        least(col("fill"), lit(2048L)).as("used"),
+        (lit(2048L) - least(col("fill"), lit(2048L))).as("pad"),
+        greatest(col("fill") - lit(2048L), lit(0L)).as("tr"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_windows"), sum(col("wd")).as("n_docs"),
+        sum(col("fill")).as("n_tokens"), sum(col("pad")).as("padding_tokens"),
+        sum(col("tr")).as("truncated_tokens"),
+        expr("sum(used) * 1000 div (count(1) * 2048)").as("fill_permille"))
+      .orderBy("shard")
+
   /** Materialized window text off the greedy plan — the actual training
     * rows a loader emits: per (shard, window) the member docs' texts
     * joined in doc_id order with a newline separator. Safe to materialize
@@ -1833,6 +1860,7 @@ object ExtQueries {
     "ext_pack_windows" -> extPackWindows,
     "ext_pack_greedy" -> extPackGreedy,
     "ext_pack_greedy_manifest" -> extPackGreedyManifest,
+    "ext_pack_stats" -> extPackStats,
     "ext_pack_text" -> extPackText,
     "ext_chunk_docs" -> extChunkDocs,
     "ext_mix_plan" -> extMixPlan,
@@ -2800,6 +2828,26 @@ object ExtQueries {
         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |       max(n_tokens > 2048) AS oversize
         |FROM g GROUP BY shard, window_id ORDER BY shard, window_id""".stripMargin,
+
+    // the greedy recurrence rolled up to the all-integer padding/truncation
+    // ledger — same CTE, then least/greatest window arithmetic per
+    // (shard, window) and an 8-row shard report
+    "ext_pack_stats" ->
+      s"""WITH RECURSIVE $greedySqlCte,
+        |w AS (SELECT shard, window_id, CAST(count(*) AS BIGINT) AS wd,
+        |             CAST(sum(n_tokens) AS BIGINT) AS fill
+        |      FROM g GROUP BY 1, 2),
+        |x AS (SELECT shard, wd, fill, least(fill, 2048) AS used,
+        |             2048 - least(fill, 2048) AS pad,
+        |             greatest(fill - 2048, 0) AS tr
+        |      FROM w)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_windows,
+        |       CAST(sum(wd) AS BIGINT) AS n_docs,
+        |       CAST(sum(fill) AS BIGINT) AS n_tokens,
+        |       CAST(sum(pad) AS BIGINT) AS padding_tokens,
+        |       CAST(sum(tr) AS BIGINT) AS truncated_tokens,
+        |       CAST(sum(used) * 1000 // (count(*) * 2048) AS BIGINT) AS fill_permille
+        |FROM x GROUP BY shard ORDER BY shard""".stripMargin,
 
     "ext_pack_text" ->
       s"""WITH RECURSIVE $greedySqlCte
