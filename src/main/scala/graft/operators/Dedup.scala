@@ -395,6 +395,43 @@ object Dedup {
           " ").as("text_clean"))
   }
 
+  /** Per-source BOILERPLATE fraction — template text repeated across
+    * documents of the SAME source (nav chrome, disclaimers, generator
+    * headers): the per-source form of the corpus-wide passage tiers. A
+    * doc's `p`-token tiles occurring in ≥ `minDf` distinct docs of its own
+    * source are boilerplate; the report is per-doc tile counts plus the
+    * integer permille a cleaning pass would cut. Scoped WITHIN source, not
+    * corpus-wide, deliberately: template text is a property of the SITE —
+    * a phrase shared across sources is duplication ([[passageDedup]] /
+    * the span tiers), not boilerplate, and a corpus-wide df would flag
+    * common English instead of chrome.
+    *
+    * Scale shape: tiles are row-local (n/p rows per doc, no overlap
+    * fan-out); the df aggregate and join-back are keyed on (source,
+    * 8-byte tile hash), never text; the rollup is doc-keyed. Three keyed
+    * exchanges end to end at any corpus size — the [[passageDedup]] shape
+    * with a source key. */
+  def boilerplate(docs: DataFrame, textCol: String, idCol: String,
+                  sourceCol: String, p: Int, minDf: Long,
+                  cache: CacheHandle = tracked()): DataFrame = {
+    val tk = TextFns.tokens(col(textCol))
+    val nPass = ceil(size(tk).cast("double") / p).cast("int")
+    val tiles = transform(sequence(lit(0), nPass - 1),
+      i => concat_ws(" ", slice(tk, i * p + 1, lit(p))))
+    val pass = cache.register(docs
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        explode(tiles).as("passage"))
+      .withColumn("__h", xxhash64(col("passage"))))
+    val dfTab = pass.groupBy(col("source"), col("__h"))
+      .agg(countDistinct(col("doc_id")).as("__df"))
+    pass.join(dfTab, Seq("source", "__h"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tiles"),
+        sum(when(col("__df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("source"), col("n_tiles"), col("n_boiler"),
+        expr("n_boiler * 1000 div n_tiles").as("boiler_permille"))
+  }
+
   /** Duplicate-substring spans (exact substring dedup in the style of
     * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     * Better"): the token ranges of each doc covered by any word n-gram

@@ -542,6 +542,17 @@ object ExtQueries {
     Dedup.passageDedup(documents(s, d), "text", "doc_id", p = 10)
       .orderBy("doc_id")
 
+  /** Per-source boilerplate fraction at 5-token tiles
+    * ([[Dedup.boilerplate]]): tiles repeated in ≥ 2 distinct docs of the
+    * SAME source are template chrome, not content — the within-source
+    * companion of the corpus-wide passage removal above (a site's
+    * disclaimer is boilerplate; a phrase shared across sites is
+    * duplication). */
+  private val extTextBoilerplate: Q = (s, d) =>
+    Dedup.boilerplate(documents(s, d), "text", "doc_id", "source",
+      p = 5, minDf = 2L)
+      .orderBy("doc_id")
+
   /** Exact duplicate-SUBSTRING spans (Lee et al. 2022 style): maximal
     * per-doc token ranges covered by any 13-gram occurring ≥2 times
     * corpus-wide — localizes WHERE duplication sits, vs the whole-doc
@@ -1810,6 +1821,7 @@ object ExtQueries {
     "ext_dedup_containment" -> extDedupContainment,
     "ext_dedup_fuzzy" -> extDedupFuzzy,
     "ext_dedup_passages" -> extDedupPassages,
+    "ext_text_boilerplate" -> extTextBoilerplate,
     "ext_dedup_minhash" -> extDedupMinhash,
     "ext_dedup_spans" -> extDedupSpans,
     "ext_dedup_span_stats" -> extDedupSpanStats,
@@ -2464,6 +2476,25 @@ object ExtQueries {
         |       coalesce(string_agg(passage, ' ' ORDER BY pidx) FILTER (WHERE df = 1), '') AS text_clean
         |FROM pp JOIN df USING (passage)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the passage tiling scoped per source: df counts distinct docs of the
+    // SAME source, tiles are 5 tokens, report is the integer permille
+    "ext_text_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |p AS (SELECT doc_id, source, t,
+        |             unnest(generate_series(0, CAST(ceil(len(t) / 5.0) AS INTEGER) - 1)) AS pidx
+        |      FROM toks),
+        |pp AS (SELECT doc_id, source,
+        |              array_to_string(t[pidx * 5 + 1 : pidx * 5 + 5], ' ') AS passage
+        |       FROM p),
+        |df AS (SELECT source, passage, count(DISTINCT doc_id) AS df FROM pp GROUP BY 1, 2),
+        |j AS (SELECT pp.doc_id, pp.source, CAST(count(*) AS BIGINT) AS n_tiles,
+        |             CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+        |      FROM pp JOIN df ON pp.source = df.source AND pp.passage = df.passage
+        |      GROUP BY 1, 2)
+        |SELECT doc_id, source, n_tiles, n_boiler,
+        |       CAST(n_boiler * 1000 // n_tiles AS BIGINT) AS boiler_permille
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     "ext_dedup_spans" ->
       s"""WITH $spansSqlCte

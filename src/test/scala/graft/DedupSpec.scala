@@ -233,6 +233,25 @@ class DedupSpec extends SparkSpec {
     assert(mism === 0)
   }
 
+  test("boilerplate flags within-source template tiles, never cross-source phrases") {
+    val chrome = "subscribe to our newsletter now" // one 5-token tile
+    val docs = Seq(
+      (1L, s"$chrome alpha beta gamma delta epsilon", "siteA"),
+      (2L, s"$chrome zeta eta theta iota kappa", "siteA"),
+      (3L, s"$chrome lambda mu nu xi omicron", "siteB"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.operators.Dedup
+      .boilerplate(docs, "text", "doc_id", "source", p = 5, minDf = 2L)
+      .collect().map(x => x.getLong(0) -> (x.getLong(2), x.getLong(3), x.getLong(4)))
+      .toMap
+    // siteA docs: the chrome tile repeats within the source → 1 of 2 tiles
+    assert(r(1L) === ((2L, 1L, 500L)))
+    assert(r(2L) === ((2L, 1L, 500L)))
+    // siteB carries the SAME phrase but it is unique within its source:
+    // cross-source repeats are duplication, not boilerplate
+    assert(r(3L) === ((2L, 0L, 0L)))
+  }
+
   test("positional HashedShingles keeps every occurrence in token order") {
     // declarative positional reference: hash of each token n-tuple, NO distinct
     def posRef(text: org.apache.spark.sql.Column, n: Int) = {
