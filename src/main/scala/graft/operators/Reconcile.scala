@@ -122,4 +122,73 @@ object Reconcile {
   /** The four comparable customer fields (skip the key — js:463). */
   val customerFields: Seq[FieldEnc] =
     Seq(plain("c_name"), plain("c_nationkey"), cents("c_acctbal"), plain("c_mktsegment"))
+
+  /** One integer-encoded field for aggregate fingerprinting: the encoding
+    * must be EXACT integers (cents, lengths, plain ints) so per-bucket
+    * sums are engine- and order-independent. */
+  final case class IntEnc(name: String, enc: Column => Column)
+
+  def intPlain(name: String): IntEnc = IntEnc(name, _.cast("long"))
+  def intCents(name: String): IntEnc =
+    IntEnc(name, c => round(c * 100, 0).cast("long"))
+  def intLen(name: String): IntEnc = IntEnc(name, c => length(c).cast("long"))
+
+  /** Modulus for the key-weighted cross term: 2³¹ − 1 keeps every per-row
+    * term in [0, 2³¹) and every (key mod M)·(enc mod M) product within
+    * long range before its reduction. */
+  final val ChecksumMod = 2147483647L
+
+  /** Bucketized aggregate-FINGERPRINT reconciliation — the comparison a
+    * 100 TB CDC pipeline actually runs where the full-outer row diff
+    * ([[fieldDiff]]) is too expensive to run blind: hash both tables into
+    * `buckets` key-buckets, reduce each bucket to exact integer
+    * fingerprints (row count, Σ key, Σ each encoded field, and a
+    * key-WEIGHTED cross term Σ ((key mod M)·(enc mod M) mod M) that
+    * catches same-sum value swaps between rows), and compare per bucket.
+    * Dirty buckets then scope the expensive row-level diff to the keys
+    * that can possibly differ — the two-tier shape of production
+    * consistency checkers.
+    *
+    * Scale shape: each side is ONE map-side-combined aggregate to
+    * `buckets` rows (nothing else moves — vs the full-outer diff
+    * shuffling both tables in their entirety); the compare is a
+    * buckets-sized join. Sums ride decimal(38,0), exact past 10¹² rows of
+    * 2³¹-bounded terms; every per-row term is integer arithmetic both
+    * engines evaluate identically (no hash function needed — the oracle
+    * replays the same polynomial).
+    *
+    * Output per bucket: row counts, per-component match booleans, and
+    * `bucket_clean` (the scoping predicate). */
+  def bucketChecksum(src: DataFrame, tgt: DataFrame, key: String,
+                     fields: Seq[IntEnc], buckets: Int): DataFrame = {
+    val M = ChecksumMod
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def fingerprints(df: DataFrame, tag: String): DataFrame = {
+      val k = col(key).cast("long")
+      val cross = fields.foldLeft(lit(0L)) { (acc, f) =>
+        val term = (((k % M) * (f.enc(col(f.name)) % M)) % M + M) % M
+        acc + term // ≤ fields·M per row: far inside long range
+      }
+      val aggs = count(lit(1)).as(s"n_$tag") +:
+        sum(dec(k)).as(s"key_$tag") +:
+        sum(dec(cross)).as(s"cross_$tag") +:
+        fields.map(f => sum(dec(f.enc(col(f.name)))).as(s"${f.name}_$tag"))
+      df.groupBy(pmod(k, lit(buckets.toLong)).as("bucket"))
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    val s = fingerprints(src, "src")
+    val t = fingerprints(tgt, "tgt")
+    val matchDefs: Seq[(String, Column)] =
+      ("key_match", col("key_src") <=> col("key_tgt")) +:
+        ("cross_match", col("cross_src") <=> col("cross_tgt")) +:
+        fields.map(f =>
+          (s"${f.name}_match", col(s"${f.name}_src") <=> col(s"${f.name}_tgt")))
+    val clean = ((col("n_src") <=> col("n_tgt")) +: matchDefs.map(_._2)).reduce(_ && _)
+    s.join(t, Seq("bucket"), "full_outer")
+      .select((col("bucket") +:
+        coalesce(col("n_src"), lit(0L)).as("n_src") +:
+        coalesce(col("n_tgt"), lit(0L)).as("n_tgt") +:
+        matchDefs.map { case (n, c) => c.as(n) }) :+ clean.as("bucket_clean"): _*)
+      .orderBy("bucket")
+  }
 }

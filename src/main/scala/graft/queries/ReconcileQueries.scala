@@ -159,6 +159,20 @@ object ReconcileQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Bucketized aggregate-fingerprint reconciliation
+    * ([[Reconcile.bucketChecksum]]) — the 100 TB-first consistency check:
+    * 256 key-buckets, exact integer fingerprints per side (count, Σ key,
+    * Σ nationkey, Σ balance-cents, Σ name/segment lengths, key-weighted
+    * cross term), per-bucket match booleans + the `bucket_clean` scoping
+    * predicate the expensive row diff then restricts to. Each side is ONE
+    * map-side-combined aggregate to 256 rows; nothing else moves. */
+  private val reconcileChecksum: Q = (s, d) =>
+    Reconcile.bucketChecksum(
+      customer(s, d), Reconcile.driftedCustomer(customer(s, d)), key,
+      Seq(Reconcile.intPlain("c_nationkey"), Reconcile.intCents("c_acctbal"),
+        Reconcile.intLen("c_name"), Reconcile.intLen("c_mktsegment")),
+      buckets = 256)
+
   val queries: Map[String, Q] = Map(
     "join_full_outer_diff" -> joinFullOuterDiff,
     "join_existence" -> joinExistence,
@@ -167,10 +181,54 @@ object ReconcileQueries {
     "setop_intersect" -> setopIntersect,
     "reconcile_doc" -> reconcileDoc,
     "reconcile_refint" -> reconcileRefint,
+    "reconcile_checksum" -> reconcileChecksum,
     "reconcile_window" -> reconcileWindowQ)
+
+  /** One side's 256-bucket fingerprint aggregate — the SQL twin of
+    * [[Reconcile.bucketChecksum]]'s per-side reduction (HUGEINT sums stand
+    * in for the decimal(38,0) exact sums; the per-row cross polynomial is
+    * identical integer arithmetic). */
+  private def checksumSideSql(rel: String): String = {
+    val m = Reconcile.ChecksumMod
+    def term(enc: String) =
+      s"((((c_custkey % $m) * (($enc) % $m)) % $m + $m) % $m)"
+    val cross = Seq("c_nationkey", "CAST(round(c_acctbal * 100, 0) AS BIGINT)",
+      "length(c_name)", "length(c_mktsegment)").map(term).mkString(" + ")
+    s"""SELECT c_custkey % 256 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       |       sum(CAST(c_custkey AS HUGEINT)) AS key_f,
+       |       sum(CAST($cross AS HUGEINT)) AS cross_f,
+       |       sum(CAST(c_nationkey AS HUGEINT)) AS nat_f,
+       |       sum(CAST(CAST(round(c_acctbal * 100, 0) AS BIGINT) AS HUGEINT)) AS bal_f,
+       |       sum(CAST(length(c_name) AS HUGEINT)) AS name_f,
+       |       sum(CAST(length(c_mktsegment) AS HUGEINT)) AS seg_f
+       |FROM $rel GROUP BY 1""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "join_full_outer_diff" -> fieldDiffSql("customer", "drifted"),
+
+    "reconcile_checksum" ->
+      s"""WITH drifted AS ($driftedSql),
+         |s AS (${checksumSideSql("customer")}),
+         |t AS (${checksumSideSql("drifted")})
+         |SELECT coalesce(s.bucket, t.bucket) AS bucket,
+         |       CAST(coalesce(s.n, 0) AS BIGINT) AS n_src,
+         |       CAST(coalesce(t.n, 0) AS BIGINT) AS n_tgt,
+         |       s.key_f IS NOT DISTINCT FROM t.key_f AS key_match,
+         |       s.cross_f IS NOT DISTINCT FROM t.cross_f AS cross_match,
+         |       s.nat_f IS NOT DISTINCT FROM t.nat_f AS c_nationkey_match,
+         |       s.bal_f IS NOT DISTINCT FROM t.bal_f AS c_acctbal_match,
+         |       s.name_f IS NOT DISTINCT FROM t.name_f AS c_name_match,
+         |       s.seg_f IS NOT DISTINCT FROM t.seg_f AS c_mktsegment_match,
+         |       (s.n IS NOT DISTINCT FROM t.n
+         |        AND s.key_f IS NOT DISTINCT FROM t.key_f
+         |        AND s.cross_f IS NOT DISTINCT FROM t.cross_f
+         |        AND s.nat_f IS NOT DISTINCT FROM t.nat_f
+         |        AND s.bal_f IS NOT DISTINCT FROM t.bal_f
+         |        AND s.name_f IS NOT DISTINCT FROM t.name_f
+         |        AND s.seg_f IS NOT DISTINCT FROM t.seg_f) AS bucket_clean
+         |FROM s FULL OUTER JOIN t ON s.bucket = t.bucket
+         |ORDER BY 1""".stripMargin,
 
     "reconcile_doc" -> fieldDiffSql(
       s"(SELECT * FROM customer WHERE c_custkey = $docKey)",

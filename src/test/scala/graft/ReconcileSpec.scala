@@ -61,4 +61,41 @@ class ReconcileSpec extends SparkSpec {
       .select("id", "field").as[(Long, String)].collect().toSet
     assert(d === Set((1L, "name")))
   }
+
+  private val ckFields =
+    Seq(Reconcile.intLen("name"), Reconcile.intCents("bal"))
+
+  private def checksumRows(src: DataFrame, tgt: DataFrame) =
+    Reconcile.bucketChecksum(src, tgt, "id", ckFields, buckets = 4)
+      .select("bucket", "n_src", "n_tgt", "bal_match", "cross_match", "bucket_clean")
+      .as[(Long, Long, Long, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+
+  test("bucketChecksum: identical sides are clean; a drifted value dirties only its bucket") {
+    val src = t((1, "a", 1.00), (2, "b", 2.00), (5, "c", 3.00), (6, "d", 4.00))
+    assert(checksumRows(src, src).values.forall(_._6), "diff(x,x) must be clean")
+    // drift id=5's balance: only bucket 5 % 4 = 1 goes dirty, and the
+    // balance component names the culprit
+    val tgt = t((1, "a", 1.00), (2, "b", 2.00), (5, "c", 3.50), (6, "d", 4.00))
+    val r = checksumRows(src, tgt)
+    assert(!r(1L)._6 && !r(1L)._4, "bucket 1 must flag the balance component")
+    assert(r(2L)._6 && r(2L)._4, "untouched buckets stay clean")
+  }
+
+  test("bucketChecksum: the key-weighted cross term catches a same-sum value swap") {
+    // ids 1 and 5 share bucket 1 (mod 4); swapping their balances keeps
+    // every per-field SUM identical — only the key-weighted term can tell
+    val src = t((1, "a", 1.00), (5, "b", 9.00))
+    val tgt = t((1, "a", 9.00), (5, "b", 1.00))
+    val r = checksumRows(src, tgt)
+    assert(r(1L)._4, "per-field sums agree by construction")
+    assert(!r(1L)._5 && !r(1L)._6, "the cross term must flag the swap")
+  }
+
+  test("bucketChecksum: one-sided buckets report zero counts and dirty flags") {
+    val src = t((1, "a", 1.00), (2, "b", 2.00))
+    val tgt = t((1, "a", 1.00))
+    val r = checksumRows(src, tgt)
+    assert(r(2L)._2 === 1L && r(2L)._3 === 0L && !r(2L)._6)
+  }
 }
