@@ -489,6 +489,26 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, cache: CacheHandle = tracked()): DataFrame =
     clusterRounds(pairs, cache)._1
 
+  /** Soft dedup: the REWEIGHT alternative to dropping duplicates (the
+    * SoftDeDup idea — keep every copy but shrink its sampling weight to
+    * 1/|cluster|, so a 40-copy boilerplate page contributes one page's
+    * worth of training signal while its unique tail tokens survive).
+    * `labels` is a [[duplicateClusters]] frame over the near-dup slice;
+    * docs outside it are singletons with full weight. Weights are integer
+    * parts-per-million (`1000000 div n` — engine-exact, no float division
+    * anywhere). Shape: the label join is doc-keyed, the size rollup and
+    * join-back are cluster-keyed over the tiny near-dup slice — three
+    * keyed exchanges on slim id frames; document text never moves. */
+  def softWeights(docs: DataFrame, idCol: String, labels: DataFrame): DataFrame = {
+    val lab = docs.select(col(idCol))
+      .join(labels.withColumnRenamed(labels.columns.head, idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+    val sizes = lab.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_copies"))
+    lab.join(sizes, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("n_copies"),
+        expr("1000000 div n_copies").as("weight_ppm"))
+  }
+
   /** Cluster-purity audit — the QC pass over [[duplicateClusters]]'s
     * transitive closure: connected components merge through CHAINS, so two
     * docs can share a cluster while their direct similarity is far below

@@ -113,6 +113,26 @@ object TrainPrep {
       .filter(col("bucket") < rate)
   }
 
+  /** Per-group document cap (the RefinedWeb/C4 anti-domination rule: no
+    * single domain/source may contribute more than `k` documents): keep
+    * each group's `k` lowest-`orderCol` rows with their in-group rank.
+    * Hierarchical salted top-k (the `sort_topk_group` discipline): phase 1
+    * ranks within (group, salt) — each task sorts 1/`salts` of even a hot
+    * group — and keeps ≤ k; phase 2 ranks the ≤ salts·k survivors per
+    * group, a CONSTANT-bounded frame. Exact, because each salt's local
+    * top-k is a superset of that salt's contribution to the group's global
+    * top-k. `orderCol` must be unique (ids) so both rankings are total and
+    * the kept set is engine-independent. */
+  def groupCap(df: DataFrame, groupCol: String, orderCol: String, k: Int,
+               salts: Int = 8): DataFrame = {
+    val w1 = Window.partitionBy(col(groupCol), pmod(col(orderCol), lit(salts.toLong)))
+      .orderBy(col(orderCol))
+    val w2 = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+    df.withColumn("__r", row_number().over(w1)).filter(col("__r") <= k)
+      .withColumn("rk", row_number().over(w2).cast("long")).filter(col("rk") <= k)
+      .drop("__r")
+  }
+
   /** Quality-weighted deterministic resampling (the DCLM/FineWeb reweight
     * shape): keep a row iff its [[sampleBucket]] falls under weight·1000,
     * so a doc's survival rate equals its weight in [0, 1] while the

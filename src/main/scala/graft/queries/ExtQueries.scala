@@ -615,6 +615,30 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Soft dedup ([[Dedup.softWeights]]): every document survives, but
+    * near-dup cluster members carry sampling weight 1/|cluster| — the
+    * reweight alternative to dropping, for when duplicates carry unique
+    * tails worth keeping. Integer ppm weights; labels from the same CC
+    * pipeline as [[extDedupCluster]]. */
+  private val extDedupSoft: Q = (s, d) => {
+    val docs = documents(s, d)
+    Dedup.softWeights(docs, "doc_id",
+      Dedup.duplicateClusters(
+        Dedup.ngramJaccard(docs, "text", "doc_id", n = 3, threshold = 0.5)))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source document cap K=15 ([[TrainPrep.groupCap]]): the
+    * anti-domination rule — no source contributes more than K docs; each
+    * kept doc carries its in-source rank. Salted two-phase top-k, so a hot
+    * source never funnels through one task. */
+  private val SourceCapK = 15
+  private val extSourceCaps: Q = (s, d) =>
+    TrainPrep.groupCap(documents(s, d).select(col("doc_id"), col("source")),
+      "source", "doc_id", k = SourceCapK)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy("source", "rk")
+
   /** Quality-ranked duplicate survivors — [[extDedupKeep]]'s production
     * sibling: within each near-dup cluster keep the HIGHEST-QUALITY copy
     * (rounded score, doc_id tiebreak), not the lowest id — what a real
@@ -1830,6 +1854,8 @@ object ExtQueries {
     "ext_prep_audit" -> extPrepAudit,
     "ext_dedup_simhash" -> extDedupSimhash,
     "ext_dedup_cluster" -> extDedupCluster,
+    "ext_dedup_soft" -> extDedupSoft,
+    "ext_source_caps" -> extSourceCaps,
     "ext_dedup_purity" -> extDedupPurity,
     "ext_dedup_keep" -> extDedupKeep,
     "ext_dedup_keep_best" -> extDedupKeepBest,
@@ -2548,6 +2574,35 @@ object ExtQueries {
          |  SELECT e.u, r.label FROM e JOIN reach r ON e.v = r.id)
          |SELECT id AS doc_id, min(label) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // the cluster-label CTE left-joined back to ALL docs (singletons weigh
+    // 1000000); integer ppm division, so weights are engine-exact
+    "ext_dedup_soft" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardSql),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM e),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.u, r.label FROM e JOIN reach r ON e.v = r.id),
+         |lab AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+         |al AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |       FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_copies
+         |       FROM al GROUP BY 1)
+         |SELECT doc_id, al.cluster_id, n_copies,
+         |       CAST(1000000 // n_copies AS BIGINT) AS weight_ppm
+         |FROM al JOIN sz ON al.cluster_id = sz.cluster_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "ext_source_caps" ->
+      s"""SELECT doc_id, source, rk FROM (
+         |  SELECT doc_id, source,
+         |         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+         |              AS BIGINT) AS rk
+         |  FROM documents)
+         |WHERE rk <= $SourceCapK ORDER BY source, rk""".stripMargin,
 
     // replays the cluster CC, then audits every intra-cluster pair's exact
     // Jaccard (zero-intersection pairs enter via the LEFT JOIN with c=0);

@@ -150,6 +150,18 @@ class DedupSpec extends SparkSpec {
     assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("softWeights: cluster members split a unit ppm weight, singletons keep it all") {
+    // cluster {1,2,3} (chained labels) + singletons 7 and 8
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.duplicateClusters(pairs)
+    val d = docs((1, "x"), (2, "x"), (3, "x"), (7, "y"), (8, "z"))
+    val w = Dedup.softWeights(d, "doc_id", labels)
+      .select("doc_id", "cluster_id", "n_copies", "weight_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(w === Set((1L, 1L, 3L, 333333L), (2L, 1L, 3L, 333333L),
+      (3L, 1L, 3L, 333333L), (7L, 7L, 1L, 1000000L), (8L, 8L, 1L, 1000000L)))
+  }
+
   test("duplicateClusters converges in O(log n) rounds on a long chain") {
     // path graph 1-2-…-40 (diameter 39): naive min-label propagation needs
     // ~39 rounds; alternating large-star/small-star must stay logarithmic.

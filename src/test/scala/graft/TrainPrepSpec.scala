@@ -36,6 +36,23 @@ class TrainPrepSpec extends SparkSpec {
     assert(again === kept)
   }
 
+  test("groupCap equals the unsalted per-group top-k, ranks total and contiguous") {
+    // uneven groups (sizes 30/7/1) with ids interleaved across salts
+    val rows = (0L until 38L).map { i =>
+      (i, if (i < 30) "big" else if (i < 37) "mid" else "one")
+    }
+    val d = rows.toDF("doc_id", "source")
+    val got = TrainPrep.groupCap(d, "source", "doc_id", k = 5)
+      .select("doc_id", "source", "rk").as[(Long, String, Long)].collect().toSet
+    // reference: plain per-group sort, first 5
+    val expect = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      rs.map(_._1).sorted.take(5).zipWithIndex.map { case (id, i) => (id, g, i + 1L) }
+    }.toSet
+    assert(got === expect)
+    // a group smaller than k keeps everything
+    assert(got.count(_._2 == "one") === 1)
+  }
+
   test("packWindows reproduces the sequential concat-and-chunk plan per shard") {
     // texts of known bpe-estimate sizes: a token of length 4k estimates k
     val d = docs((0L until 40L).map { i =>
