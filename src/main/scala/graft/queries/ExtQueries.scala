@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.{documents, embeddings, rnd4, rnd4Sql}
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Dedup, Knn, Multimodal, Pca, TrainPrep}
+import graft.operators.{Dedup, Knn, Multimodal, NaiveBayes, Pca, TrainPrep}
 
 /** [EXT] LLM-data-pipeline queries (SURVEY §2.8) over the `documents` /
   * `embeddings` fixtures: text analysis, dedup (exact / n-gram Jaccard /
@@ -343,6 +343,24 @@ object ExtQueries {
       .select(col("doc_id"), col("xent_nats"), col("bucket"),
         col("bucket").isin("head", "middle").as("kept"))
       .orderBy("doc_id")
+
+  /** Multinomial Naive Bayes language-model classifier, trained on the
+    * corpus's own `lang` labels ([[NaiveBayes.train]]) — the fastText-
+    * shaped router/gate of corpus pipelines. Model = complete
+    * (label × vocab) grid of counts + smoothed integer log-micronats. */
+  private val extNbTrain: Q = (s, d) =>
+    NaiveBayes.train(documents(s, d), "text", "lang")
+      .orderBy("label", "token")
+
+  /** Self-scoring pass of the NB classifier ([[NaiveBayes.score]]): per
+    * doc the argmax label, its integer score, and the accuracy flag — the
+    * audit a pipeline runs before trusting the router. */
+  private val extNbScore: Q = (s, d) => {
+    val docs = documents(s, d)
+    NaiveBayes.score(docs, "text", "lang", "doc_id",
+      NaiveBayes.train(docs, "text", "lang"))
+      .orderBy("doc_id")
+  }
 
   /** Positional-index phrase search — the retrieval primitive BM25's
     * bag-of-words scoring cannot express: exact N-term phrase occurrence
@@ -1831,6 +1849,8 @@ object ExtQueries {
     "ext_lm_coherence" -> extLmCoherence,
     "ext_lm_perplexity" -> extLmPerplexity,
     "ext_ppl_filter" -> extPplFilter,
+    "ext_nb_train" -> extNbTrain,
+    "ext_nb_score" -> extNbScore,
     "ext_phrase_search" -> extPhraseSearch,
     "ext_text_pii" -> extTextPii,
     "ext_ngram_counts" -> extNgramCounts,
@@ -1950,6 +1970,25 @@ object ExtQueries {
        |x AS (SELECT t.doc_id, CAST(greatest(len(t.t) - 1, 0) AS BIGINT) AS n_bigrams,
        |             ${rnd4Sql("-tot / (nb * 10000.0)")} AS xent_nats
        |      FROM toks t LEFT JOIN pd ON t.doc_id = pd.doc_id)""".stripMargin
+
+  /** Shared oracle CTEs for the Naive Bayes surface — the complete
+    * (label × vocab) smoothed model in integer log-micronats, mirroring
+    * [[graft.operators.NaiveBayes.train]] term for term. */
+  private val nbModelSqlCte =
+    """ntk AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      |        FROM documents),
+      |ncnt AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+      |         FROM ntk GROUP BY 1, 2),
+      |ncls AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cl FROM ncnt GROUP BY 1),
+      |nvoc AS (SELECT DISTINCT token FROM ntk),
+      |nv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM nvoc),
+      |nlab AS (SELECT DISTINCT lang FROM documents),
+      |nmodel AS (SELECT l.lang AS label, w.token, coalesce(c.c, 0) AS c,
+      |             CAST(round(ln((coalesce(c.c, 0) + 0.5) / (s.cl + 0.5 * nv.v))
+      |                        * 10000) AS BIGINT) AS logprob_micro
+      |           FROM nlab l CROSS JOIN nvoc w
+      |           LEFT JOIN ncnt c ON l.lang = c.lang AND w.token = c.token
+      |           JOIN ncls s ON l.lang = s.lang, nv)""".stripMargin
 
   /** Shared oracle CTE: distinct (doc_id, 3-shingle) pairs. */
   private val shingleSql =
@@ -2284,6 +2323,34 @@ object ExtQueries {
         |       ${rnd4Sql("CAST(sum(cnt * df) AS DOUBLE) / sum(cnt)")} AS mean_df,
         |       ${rnd4Sql("CAST(sum(CASE WHEN df >= 2 THEN cnt ELSE 0 END) AS DOUBLE) / sum(cnt)")} AS attested_frac
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ext_nb_train" ->
+      s"""WITH $nbModelSqlCte
+         |SELECT label, token, c, logprob_micro FROM nmodel
+         |ORDER BY label, token""".stripMargin,
+
+    "ext_nb_score" ->
+      s"""WITH $nbModelSqlCte,
+         |ntf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |        FROM ntk GROUP BY 1, 2),
+         |npri AS (SELECT lang AS label,
+         |           CAST(round(ln(CAST(count(*) AS DOUBLE) /
+         |                         (SELECT CAST(count(*) AS DOUBLE) FROM documents))
+         |                      * 10000) AS BIGINT) AS prior
+         |         FROM documents GROUP BY 1),
+         |nsc AS (SELECT t.doc_id, m.label,
+         |          p.prior + CAST(sum(t.tf * m.logprob_micro) AS BIGINT) AS score_micro
+         |        FROM ntf t JOIN nmodel m ON t.token = m.token
+         |        JOIN npri p ON m.label = p.label
+         |        GROUP BY 1, 2, p.prior),
+         |nbest AS (SELECT doc_id, label, score_micro,
+         |            row_number() OVER (PARTITION BY doc_id
+         |                               ORDER BY score_micro DESC, label) AS rn
+         |          FROM nsc)
+         |SELECT d.doc_id, d.lang AS label, b.label AS pred_label, b.score_micro,
+         |       d.lang = b.label AS correct
+         |FROM documents d JOIN nbest b ON d.doc_id = b.doc_id AND b.rn = 1
+         |ORDER BY 1""".stripMargin,
 
     // the oracle re-trains the same add-½ bigram LM; log-probs are rounded
     // to integer log-micronats on the TYPE frame and doc totals are exact
