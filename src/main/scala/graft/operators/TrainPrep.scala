@@ -113,6 +113,49 @@ object TrainPrep {
       .filter(col("bucket") < rate)
   }
 
+  /** DSIR importance weights (Data Selection via Importance Resampling,
+    * Xie et al. 2023): score every document by how much more likely it is
+    * under a TARGET-slice unigram LM than under the whole-corpus LM —
+    * log p_tgt(doc) − log p_raw(doc) — the principled "select data that
+    * looks like my reference set" gate (the hashed-n-gram production form
+    * collapses to this with a whole-token feature map). Both LMs are
+    * Laplace-½ smoothed over the SHARED corpus vocabulary, so the ratio is
+    * defined for every token and no OOV branch exists.
+    *
+    * Determinism: the `ext_lm_perplexity` discipline — log-probs rounded
+    * to integer micronats on the vocab-bounded model frame, per-doc totals
+    * exact integer Σ tf·(tgt−raw). Scale: ONE explode feeding a persisted
+    * (doc, token) tf frame; both models are token-keyed rollups of it
+    * (vocab-bounded); scoring is one tokens⋈model join + doc-keyed sum.
+    * `keep` = ratio > 0 (fixed threshold: a corpus-derived quantile would
+    * need a data-sized sort; production DSIR likewise fixes the budget). */
+  def dsirWeights(docs: DataFrame, textCol: String, idCol: String,
+                  isTarget: Column): DataFrame = {
+    val tf = registered(docs
+      .select(col(idCol), isTarget.as("__tgt"),
+        explode(TextFns.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("__tgt"), col("token"))
+      .agg(count(lit(1)).as("tf")))
+    val voc = tf.select(col("token")).distinct()
+    val v = broadcast(voc.agg(count(lit(1)).as("__v")))
+    def lm(counts: DataFrame, name: String) = {
+      val tot = broadcast(counts.agg(coalesce(sum(col("c")), lit(0L)).as("__t")))
+      voc.join(counts, Seq("token"), "left").crossJoin(tot).crossJoin(v)
+        .select(col("token"),
+          round(log((coalesce(col("c"), lit(0L)) + lit(0.5)) /
+            (col("__t") + lit(0.5) * col("__v"))) * 10000).cast("long").as(name))
+    }
+    val rawC = tf.groupBy(col("token")).agg(sum(col("tf")).as("c"))
+    val tgtC = tf.filter(col("__tgt")).groupBy(col("token")).agg(sum(col("tf")).as("c"))
+    val model = lm(tgtC, "tgt_micro").join(lm(rawC, "raw_micro"), "token")
+    tf.join(model, "token")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * (col("tgt_micro") - col("raw_micro"))).as("logratio_micro"))
+      .select(col(idCol), col("n_tokens"), col("logratio_micro"),
+        (col("logratio_micro") > 0).as("keep"))
+  }
+
   /** Per-group document cap (the RefinedWeb/C4 anti-domination rule: no
     * single domain/source may contribute more than `k` documents): keep
     * each group's `k` lowest-`orderCol` rows with their in-group rank.

@@ -362,6 +362,15 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** DSIR importance weights ([[TrainPrep.dsirWeights]]): every doc scored
+    * by log p_target/p_corpus under smoothed unigram LMs — target slice =
+    * the `en` documents. keep = ratio > 0. */
+  private val DsirTargetLang = "en"
+  private val extDsirWeights: Q = (s, d) =>
+    TrainPrep.dsirWeights(documents(s, d), "text", "doc_id",
+      col("lang") === DsirTargetLang)
+      .orderBy("doc_id")
+
   /** Positional-index phrase search — the retrieval primitive BM25's
     * bag-of-words scoring cannot express: exact N-term phrase occurrence
     * via a positional postings index (term, doc_id, pos) intersected with
@@ -1851,6 +1860,7 @@ object ExtQueries {
     "ext_ppl_filter" -> extPplFilter,
     "ext_nb_train" -> extNbTrain,
     "ext_nb_score" -> extNbScore,
+    "ext_dsir_weights" -> extDsirWeights,
     "ext_phrase_search" -> extPhraseSearch,
     "ext_text_pii" -> extTextPii,
     "ext_ngram_counts" -> extNgramCounts,
@@ -2328,6 +2338,34 @@ object ExtQueries {
       s"""WITH $nbModelSqlCte
          |SELECT label, token, c, logprob_micro FROM nmodel
          |ORDER BY label, token""".stripMargin,
+
+    // both unigram LMs retrained relationally over the SHARED vocab;
+    // micronat rounding on the vocab frame, exact integer doc sums
+    "ext_dsir_weights" ->
+      s"""WITH dtk AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+         |             FROM documents),
+         |dtf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |        FROM dtk GROUP BY 1, 2),
+         |dvoc AS (SELECT DISTINCT token FROM dtk),
+         |dv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM dvoc),
+         |rawc AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM dtk GROUP BY 1),
+         |rawt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM rawc),
+         |tgtc AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM dtk
+         |         WHERE lang = '$DsirTargetLang' GROUP BY 1),
+         |tgtt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS t FROM tgtc),
+         |m AS (SELECT w.token,
+         |        CAST(round(ln((coalesce(tc.c, 0) + 0.5) / (tgtt.t + 0.5 * dv.v))
+         |                   * 10000) AS BIGINT) AS tgt_micro,
+         |        CAST(round(ln((coalesce(rc.c, 0) + 0.5) / (rawt.t + 0.5 * dv.v))
+         |                   * 10000) AS BIGINT) AS raw_micro
+         |      FROM dvoc w LEFT JOIN tgtc tc ON w.token = tc.token
+         |      LEFT JOIN rawc rc ON w.token = rc.token, tgtt, rawt, dv)
+         |SELECT f.doc_id, CAST(sum(f.tf) AS BIGINT) AS n_tokens,
+         |       CAST(sum(f.tf * (m.tgt_micro - m.raw_micro)) AS BIGINT)
+         |         AS logratio_micro,
+         |       sum(f.tf * (m.tgt_micro - m.raw_micro)) > 0 AS keep
+         |FROM dtf f JOIN m ON f.token = m.token
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ext_nb_score" ->
       s"""WITH $nbModelSqlCte,

@@ -36,6 +36,25 @@ class TrainPrepSpec extends SparkSpec {
     assert(again === kept)
   }
 
+  test("dsirWeights scores target-looking docs positive, off-target negative") {
+    // target slice speaks 'q'; the raw corpus adds 'z'-heavy noise docs
+    val d = docs(
+      (1, "en", "q q q"), (2, "en", "q q z"),
+      (3, "de", "z z z"), (4, "de", "q z z"))
+    val r = TrainPrep.dsirWeights(d, "text", "doc_id", col("lang") === "en")
+      .select("doc_id", "n_tokens", "logratio_micro", "keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(x => x._1 -> x).toMap
+    TrainPrep.unpersistAll()
+    // closed form: V=2; tgt: q=5,z=1,T=6; raw: q=6,z=6,T=12
+    def micro(c: Long, t: Long) = math.round(math.log((c + 0.5) / (t + 0.5 * 2)) * 10000)
+    val dq = micro(5, 6) - micro(6, 12)
+    val dz = micro(1, 6) - micro(6, 12)
+    assert(r(1L) === ((1L, 3L, 3 * dq, 3 * dq > 0)))
+    assert(r(4L) === ((4L, 3L, dq + 2 * dz, dq + 2 * dz > 0)))
+    assert(r(1L)._3 > 0 && r(3L)._3 < 0, "separable docs must separate")
+  }
+
   test("groupCap equals the unsalted per-group top-k, ranks total and contiguous") {
     // uneven groups (sizes 30/7/1) with ids interleaved across salts
     val rows = (0L until 38L).map { i =>
