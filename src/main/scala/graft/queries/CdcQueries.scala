@@ -897,9 +897,57 @@ object CdcQueries {
       .orderBy("event_type", "lag")
   }
 
+  /** Event-type Markov transition matrix — the sequence-analytics rollup
+    * behind "what do users do next" dashboards and session-model priors:
+    * per user, consecutive (ts, event_id)-ordered event pairs → corpus
+    * (from, to) counts + integer row-permille probabilities. ONE
+    * user-partitioned lead() window over the scan (each user's events
+    * sort within their own partition slice), then a map-side-combined
+    * aggregate to a |types|²-bounded frame — the matrix never grows with
+    * the corpus. Tie-break on event_id makes the ordering total, so the
+    * pairing is engine-independent. */
+  private val aggTransitionMatrix: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events(s, d)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy("from_type").agg(sum(col("n")).as("__t"))
+    pairs.join(tot, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000 div __t").as("permille"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Last-touch conversion attribution — the marketing-analytics classic:
+    * each purchase is credited to the user's most recent PRIOR
+    * non-purchase event (the "touch"), purchases with no prior touch fall
+    * to 'none'; rollup = conversions + exact revenue per channel. ONE
+    * user-partitioned `last(ignoreNulls)` window over an unbounded-
+    * preceding-to-−1 frame (running state, no self-join, no per-purchase
+    * scan-back), then a |types|-bounded aggregate. The window is the same
+    * user-keyed shape as the session/funnel family — nothing sorts
+    * outside its user partition at any scale. */
+  private val aggAttribution: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = events(s, d)
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+    touched.filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("none")).as("attributed_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        CdcOps.exactSum(col("value")).as("total_value"))
+      .orderBy("attributed_type")
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "agg_transition_matrix" -> aggTransitionMatrix,
+    "agg_attribution" -> aggAttribution,
     "filter_optype" -> filterOptype,
     "filter_time_range" -> filterTimeRange,
     "filter_oplog_pred" -> filterOplogPred,
@@ -949,6 +997,33 @@ object CdcQueries {
     "scalar_json" -> scalarJson)
 
   val oracle: Map[String, String] = Map(
+    "agg_transition_matrix" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |                                    ORDER BY ts, event_id) AS to_type
+        |           FROM events),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tt FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |       CAST(c.n * 1000 // t.tt AS BIGINT) AS permille
+        |FROM c JOIN t ON c.from_type = t.from_type
+        |ORDER BY 1, 2""".stripMargin,
+
+    "agg_attribution" ->
+      """WITH tch AS (SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT coalesce(touch, 'none') AS attributed_type,
+        |       CAST(count(*) AS BIGINT) AS n_purchases,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+        |         AS total_value
+        |FROM tch WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "filter_optype" ->
       s"""SELECT event_id, user_id, event_type, $OP AS op_type, round(value, 4) AS value
          |FROM events WHERE event_type IS DISTINCT FROM 'error' ORDER BY event_id""".stripMargin,

@@ -138,4 +138,45 @@ class OlapSpec extends SparkSpec {
       assert(fine.filter(_._2 == et).map(_._4).sum === n, s"drill-down mismatch for $et")
     }
   }
+
+  test("transition matrix: rows sum to per-from totals and pair mass = events - users") {
+    val rows = q("agg_transition_matrix").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val ev = graft.Tables.events(spark, d)
+    val nPairs = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum === nPairs, "every consecutive pair counted exactly once")
+    // permille = floor(1000 n / rowTotal), recomputed per from-type
+    rows.groupBy(_._1).foreach { case (ft, rs) =>
+      val t = rs.map(_._3).sum
+      rs.foreach { case (_, _, n, pm) => assert(pm === n * 1000 / t, s"$ft permille") }
+    }
+  }
+
+  test("attribution: conversions conserve purchase count; a touchless purchase lands on 'none'") {
+    import spark.implicits._
+    val rows = q("agg_attribution").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val nPurch = graft.Tables.events(spark, d)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_._2).sum === nPurch, "every purchase attributed exactly once")
+    assert(rows.forall(_._1 != "purchase"), "a purchase can never be its own touch")
+    // planted micro-case: first event is a purchase → 'none'; later purchase
+    // credits the latest prior non-purchase touch even across a purchase
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 7L, "purchase", 5.0),
+      (2L, "2024-01-01 00:01:00", 7L, "view", 0.0),
+      (3L, "2024-01-01 00:02:00", 7L, "purchase", 3.0),
+      (4L, "2024-01-01 00:03:00", 7L, "purchase", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val got = ev.withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), coalesce(col("touch"), lit("none")).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "none", 3L -> "view", 4L -> "view"))
+  }
 }
