@@ -897,6 +897,47 @@ object CdcQueries {
       .orderBy("event_type", "lag")
   }
 
+  /** Robust per-type outlier detection by median/MAD (the
+    * median-absolute-deviation rule that survives the very outliers a
+    * mean/σ z-score is dragged by): per event_type the exact lower median
+    * of value, the MAD, and how many events sit beyond 3·MAD. Both
+    * medians ride the [[aggValueQuantiles]] domain-histogram discipline —
+    * the corpus collapses ONCE to a (type, cents, n) histogram (map-side
+    * combined, PRICE-domain-bounded); the deviation pass re-groups that
+    * HISTOGRAM (never the corpus) around the per-type median, and every
+    * rank pick is an integer-rank cumulative-sum min — no data-sized sort
+    * anywhere, engine-exact at any scale. Lower-median (rank ⌈n/2⌉)
+    * convention keeps every statistic an integer cents value. */
+  private val aggRobustOutliers: Q = (s, d) => {
+    val hist = graft.operators.TrainPrep.registered(
+      events(s, d)
+        .groupBy(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+        .agg(count(lit(1)).as("hn")))
+    val tot = hist.groupBy("event_type").agg(sum(col("hn")).as("__n"))
+    def lowerMedian(h: DataFrame, valueCol: String, outCol: String): DataFrame = {
+      val cum = Window.partitionBy(col("event_type")).orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("cum", sum(col("hn")).over(cum))
+        .join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(min(when(col("cum") >= expr("(__n + 1) div 2"), col(valueCol))).as(outCol))
+    }
+    val med = lowerMedian(hist, "cents", "med")
+    val dev = hist.join(med, "event_type")
+      .groupBy(col("event_type"), abs(col("cents") - col("med")).as("dev"))
+      .agg(sum(col("hn")).as("hn"))
+    val mad = lowerMedian(dev, "dev", "mad")
+    dev.join(mad, "event_type").join(med, "event_type").join(tot, "event_type")
+      .groupBy(col("event_type"), col("__n"), col("med"), col("mad"))
+      .agg(coalesce(sum(when(col("dev") > lit(3) * col("mad"), col("hn"))), lit(0L))
+        .as("n_outliers"))
+      .select(col("event_type"), col("__n").as("n_events"),
+        (col("med") / 100.0).as("median"), (col("mad") / 100.0).as("mad"),
+        col("n_outliers"),
+        expr("n_outliers * 1000 div __n").as("outlier_permille"))
+      .orderBy("event_type")
+  }
+
   /** Event-type Markov transition matrix — the sequence-analytics rollup
     * behind "what do users do next" dashboards and session-model priors:
     * per user, consecutive (ts, event_id)-ordered event pairs → corpus
@@ -948,6 +989,7 @@ object CdcQueries {
   val queries: Map[String, Q] = Map(
     "agg_transition_matrix" -> aggTransitionMatrix,
     "agg_attribution" -> aggAttribution,
+    "agg_robust_outliers" -> aggRobustOutliers,
     "filter_optype" -> filterOptype,
     "filter_time_range" -> filterTimeRange,
     "filter_oplog_pred" -> filterOplogPred,
@@ -1009,6 +1051,40 @@ object CdcQueries {
         |       CAST(c.n * 1000 // t.tt AS BIGINT) AS permille
         |FROM c JOIN t ON c.from_type = t.from_type
         |ORDER BY 1, 2""".stripMargin,
+
+    // the quantile histogram twice over: corpus → cents histogram → lower
+    // median; histogram re-grouped by |cents − med| → MAD; all integer
+    "agg_robust_outliers" ->
+      """WITH h AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+        |                  CAST(count(*) AS BIGINT) AS hn
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(hn) AS BIGINT) AS n FROM h GROUP BY 1),
+        |c1 AS (SELECT event_type, cents, hn,
+        |              sum(hn) OVER (PARTITION BY event_type ORDER BY cents
+        |                            ROWS UNBOUNDED PRECEDING) AS cum
+        |       FROM h),
+        |med AS (SELECT c1.event_type,
+        |               min(CASE WHEN cum >= (n + 1) // 2 THEN cents END) AS med
+        |        FROM c1 JOIN t USING (event_type) GROUP BY 1),
+        |dv AS (SELECT h.event_type, abs(h.cents - med.med) AS dev,
+        |              CAST(sum(hn) AS BIGINT) AS hn
+        |       FROM h JOIN med USING (event_type) GROUP BY 1, 2),
+        |c2 AS (SELECT event_type, dev, hn,
+        |              sum(hn) OVER (PARTITION BY event_type ORDER BY dev
+        |                            ROWS UNBOUNDED PRECEDING) AS cum
+        |       FROM dv),
+        |mad AS (SELECT c2.event_type,
+        |               min(CASE WHEN cum >= (n + 1) // 2 THEN dev END) AS mad
+        |        FROM c2 JOIN t USING (event_type) GROUP BY 1)
+        |SELECT dv.event_type, t.n AS n_events,
+        |       med.med / 100.0 AS median, mad.mad / 100.0 AS mad,
+        |       CAST(coalesce(sum(CASE WHEN dv.dev > 3 * mad.mad THEN dv.hn END), 0)
+        |            AS BIGINT) AS n_outliers,
+        |       CAST(coalesce(sum(CASE WHEN dv.dev > 3 * mad.mad THEN dv.hn END), 0)
+        |            * 1000 // t.n AS BIGINT) AS outlier_permille
+        |FROM dv JOIN med USING (event_type) JOIN mad USING (event_type)
+        |JOIN t USING (event_type)
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
 
     "agg_attribution" ->
       """WITH tch AS (SELECT event_type, value,

@@ -139,6 +139,24 @@ class OlapSpec extends SparkSpec {
     }
   }
 
+  test("robust outliers: median/MAD equal the brute-force sorted reference per type") {
+    val vals = graft.Tables.events(spark, d)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def lowerMed(xs: Seq[Long]): Long = xs((xs.length + 1) / 2 - 1)
+    val got = q("agg_robust_outliers").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    vals.foreach { case (et, xs) =>
+      val med = lowerMed(xs)
+      val mad = lowerMed(xs.map(x => math.abs(x - med)).sorted)
+      val out = xs.count(x => math.abs(x - med) > 3 * mad)
+      assert(got(et) === ((xs.length.toLong, med / 100.0, mad / 100.0, out.toLong)), et)
+    }
+    graft.operators.TrainPrep.unpersistAll()
+  }
+
   test("transition matrix: rows sum to per-from totals and pair mass = events - users") {
     val rows = q("agg_transition_matrix").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
