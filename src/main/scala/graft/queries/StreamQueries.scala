@@ -117,6 +117,24 @@ object StreamQueries {
     Decontam.mergeVerdicts(twice.limit(0), twice).orderBy("doc_id")
   }
 
+  /** The ingest near-dup pipeline run in BATCH mode over a DOUBLED
+    * delivery (at-least-once): the index merge is union-distinct and a
+    * pair is a pure function of the two docs' shingle sets, so the
+    * doubled log collapses to the single-run pair set — which equals the
+    * full-corpus exact-Jaccard similarity join the oracle computes
+    * directly (candidate generation is lossless: qualifying pairs share
+    * ≥ 1 shingle by J > 0). Live path (file stream, checkpointed restart,
+    * cross-batch pair completion) in StreamingSpec. */
+  private val streamNeardup: Q = (s, d) => {
+    import graft.streaming.NeardupStream
+    val docs = s.read.parquet(s"$d/documents.parquet")
+    val once = NeardupStream.shingleRows(docs)
+    val twice = once.unionByName(once) // two deliveries
+    val idx = NeardupStream.mergeIndex(twice.limit(0), twice)
+    val fresh = NeardupStream.newPairs(idx, idx) // one batch completes all pairs
+    NeardupStream.mergePairs(fresh.limit(0), fresh).orderBy("doc_a", "doc_b")
+  }
+
   /** The incremental funnel run in BATCH mode over a DOUBLED delivery
     * (at-least-once): per-user first-event state is an element-wise min, so
     * the doubled log collapses through the keyed min-merge to the clean
@@ -343,6 +361,7 @@ object StreamQueries {
     "stream_conversion_lag" -> streamConversionLag,
     "stream_corpus_ingest" -> streamCorpusIngest,
     "stream_decontam" -> streamDecontam,
+    "stream_neardup" -> streamNeardup,
     "stream_quality_drift" -> streamQualityDrift,
     "stream_vocab_drift" -> streamVocabDrift)
 
@@ -350,6 +369,10 @@ object StreamQueries {
     // doubled delivery collapses to the clean run — the oracle IS the
     // batch gap-fill's (one definition, twins can't drift)
     "stream_gap_fill" -> CdcQueries.oracle("window_gap_fill"),
+
+    // doubled ingest replay collapses to the single-run pair set — the
+    // oracle IS the batch exact-Jaccard join's (one definition)
+    "stream_neardup" -> ExtQueries.oracle("ext_dedup_ngram"),
 
     "source_changestream" ->
       s"""SELECT event_id, ${fmtTsSql("ts")} AS ts_s, user_id, $OP AS op_type, props

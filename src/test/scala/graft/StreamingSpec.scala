@@ -442,6 +442,56 @@ class StreamingSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("streaming near-dup: pairs complete across batches and match the batch join") {
+    import graft.streaming.NeardupStream
+    import spark.implicits._
+    val src = tmp("ndup-src")
+    val tgt = tmp("ndup-tgt").toString
+    val ckp = tmp("ndup-ckp").toString
+
+    val a = "a b c d e f g h"       // 6 shingles
+    val b = "a b c d e f g x"       // shares 5 of 7 distinct → J = 5/7
+    val c = "p q r s t u v w"       // unrelated
+
+    def deliver(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = tmp(s"ndup-stage-$name")
+      rows.map { case (id, text) => (id, text, "en", "web", text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, src.resolve(s"$name-${f.getName}")))
+    }
+
+    // wave 1: doc a alone — no pairs can exist yet
+    deliver("w1", Seq((1L, a)))
+    NeardupStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    assert(spark.read.parquet(s"$tgt/pairs").count() === 0L)
+
+    // wave 2: near-dup b arrives (+ unrelated c, + a redelivered) —
+    // the cross-batch pair (1, 2) must complete now
+    deliver("w2", Seq((1L, a), (2L, b), (3L, c)))
+    NeardupStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    val got = spark.read.parquet(s"$tgt/pairs")
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    val all = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val expect = graft.operators.Dedup
+      .ngramJaccard(all, "text", "doc_id", n = 3, threshold = NeardupStream.Threshold)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    graft.operators.Dedup.unpersistAll()
+    assert(got === expect)
+    assert(got.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)))
+
+    // replay with no new data: state unchanged (idempotence)
+    NeardupStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    val again = spark.read.parquet(s"$tgt/pairs")
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    assert(again === got)
+    // the index holds each doc's distinct shingles exactly once
+    val idxCounts = spark.read.parquet(s"$tgt/index")
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(idxCounts === Map(1L -> 6L, 2L -> 6L, 3L -> 6L))
+  }
+
   test("MongoDB connector wiring: option map encodes the reference's watch call") {
     import graft.streaming.MongoSource
     val base = MongoSource.MongoCdc("mongodb://auth-host/", "appdb", "users")
