@@ -53,24 +53,29 @@ object ReconcileQueries {
     (Seq("NOT in_s", "NOT in_t") ++
       fields.map(f => s"s_${f.name} IS DISTINCT FROM t_${f.name}")).mkString(" OR ")
 
-  /** SQL twin of [[Reconcile.fieldDiff]] over given src/tgt relations:
-    * `_doc_` rows for one-sided keys + one row per mismatching field. */
-  private def fieldDiffSql(srcRel: String, tgtRel: String): String = {
+  /** The UNION ALL body of the per-field diff over a CTE named `j` —
+    * shared by [[fieldDiffSql]] and the scoped-diff oracle. */
+  private def diffArmsSql: String = {
     val mismatchArms = fields.map { f =>
       s"""SELECT c_custkey, '${f.name}' AS field, 'value_mismatch' AS diff_type,
          |       s_${f.name} AS src_val, t_${f.name} AS tgt_val
          |FROM j WHERE in_s AND in_t AND s_${f.name} IS DISTINCT FROM t_${f.name}""".stripMargin
     }
-    s"""WITH drifted AS ($driftedSql),
-       |j AS (${joinedSql(srcRel, tgtRel)})
-       |SELECT * FROM (
-       |SELECT c_custkey, '_doc_' AS field,
+    s"""SELECT c_custkey, '_doc_' AS field,
        |       CASE WHEN in_s THEN 'missing_in_target' ELSE 'missing_in_source' END AS diff_type,
        |       CAST(NULL AS VARCHAR) AS src_val, CAST(NULL AS VARCHAR) AS tgt_val
        |FROM j WHERE NOT in_s OR NOT in_t
-       |${mismatchArms.map(a => s"UNION ALL\n$a").mkString("\n")}
-       |) ORDER BY c_custkey, field""".stripMargin
+       |${mismatchArms.map(a => s"UNION ALL\n$a").mkString("\n")}""".stripMargin
   }
+
+  /** SQL twin of [[Reconcile.fieldDiff]] over given src/tgt relations:
+    * `_doc_` rows for one-sided keys + one row per mismatching field. */
+  private def fieldDiffSql(srcRel: String, tgtRel: String): String =
+    s"""WITH drifted AS ($driftedSql),
+       |j AS (${joinedSql(srcRel, tgtRel)})
+       |SELECT * FROM (
+       |$diffArmsSql
+       |) ORDER BY c_custkey, field""".stripMargin
 
   // -- queries ---------------------------------------------------------------
 
@@ -166,12 +171,39 @@ object ReconcileQueries {
     * cross term), per-bucket match booleans + the `bucket_clean` scoping
     * predicate the expensive row diff then restricts to. Each side is ONE
     * map-side-combined aggregate to 256 rows; nothing else moves. */
+  private val checksumFields = Seq(
+    Reconcile.intPlain("c_nationkey"), Reconcile.intCents("c_acctbal"),
+    Reconcile.intLen("c_name"), Reconcile.intLen("c_mktsegment"))
+
   private val reconcileChecksum: Q = (s, d) =>
     Reconcile.bucketChecksum(
       customer(s, d), Reconcile.driftedCustomer(customer(s, d)), key,
-      Seq(Reconcile.intPlain("c_nationkey"), Reconcile.intCents("c_acctbal"),
-        Reconcile.intLen("c_name"), Reconcile.intLen("c_mktsegment")),
-      buckets = 256)
+      checksumFields, buckets = 256)
+
+  /** Tier 2 of the checksum protocol: the row-level field diff SCOPED to
+    * the fingerprint's dirty buckets — the composition a 100 TB
+    * consistency checker actually executes (tier 1 reduces each side to
+    * 256 rows; tier 2 full-outer-joins ONLY the buckets that can possibly
+    * differ). The dirty-bucket list is ≤ buckets rows, broadcast onto
+    * both scans as a semi-join runtime filter, so the expensive join's
+    * input shrinks to the damaged slice — on a mostly-clean replica the
+    * diff touches almost nothing. Fingerprints are multi-component
+    * (count, Σkey, per-field sums, key-weighted cross term), so a
+    * differing row perturbs ≥ 1 component except under engineered
+    * cancellation; ReconcileSpec pins scoped ≡ full on the planted
+    * drift. */
+  private val reconcileScopedDiff: Q = (s, d) => {
+    val src = customer(s, d)
+    val tgt = Reconcile.driftedCustomer(customer(s, d))
+    val dirty = Reconcile.bucketChecksum(src, tgt, key, checksumFields, buckets = 256)
+      .filter(!col("bucket_clean")).select(col("bucket"))
+    def scoped(df: DataFrame) =
+      df.join(broadcast(dirty), pmod(col(key), lit(256L)) === col("bucket"), "left_semi")
+    Reconcile.fieldDiff(scoped(src), scoped(tgt), key, fields)
+      .select(pmod(col(key), lit(256L)).as("bucket"), col(key), col("field"),
+        col("diff_type"), col("src_val"), col("tgt_val"))
+      .orderBy(key, "field")
+  }
 
   val queries: Map[String, Q] = Map(
     "join_full_outer_diff" -> joinFullOuterDiff,
@@ -182,6 +214,7 @@ object ReconcileQueries {
     "reconcile_doc" -> reconcileDoc,
     "reconcile_refint" -> reconcileRefint,
     "reconcile_checksum" -> reconcileChecksum,
+    "reconcile_scoped_diff" -> reconcileScopedDiff,
     "reconcile_window" -> reconcileWindowQ)
 
   /** One side's 256-bucket fingerprint aggregate — the SQL twin of
@@ -229,6 +262,30 @@ object ReconcileQueries {
          |        AND s.seg_f IS NOT DISTINCT FROM t.seg_f) AS bucket_clean
          |FROM s FULL OUTER JOIN t ON s.bucket = t.bucket
          |ORDER BY 1""".stripMargin,
+
+    "reconcile_scoped_diff" -> {
+      val scopedSrc =
+        "(SELECT * FROM customer WHERE c_custkey % 256 IN (SELECT bucket FROM dirty))"
+      val scopedTgt =
+        "(SELECT * FROM drifted WHERE c_custkey % 256 IN (SELECT bucket FROM dirty))"
+      s"""WITH drifted AS ($driftedSql),
+         |s AS (${checksumSideSql("customer")}),
+         |t AS (${checksumSideSql("drifted")}),
+         |dirty AS (SELECT coalesce(s.bucket, t.bucket) AS bucket
+         |          FROM s FULL OUTER JOIN t ON s.bucket = t.bucket
+         |          WHERE NOT (s.n IS NOT DISTINCT FROM t.n
+         |                 AND s.key_f IS NOT DISTINCT FROM t.key_f
+         |                 AND s.cross_f IS NOT DISTINCT FROM t.cross_f
+         |                 AND s.nat_f IS NOT DISTINCT FROM t.nat_f
+         |                 AND s.bal_f IS NOT DISTINCT FROM t.bal_f
+         |                 AND s.name_f IS NOT DISTINCT FROM t.name_f
+         |                 AND s.seg_f IS NOT DISTINCT FROM t.seg_f)),
+         |j AS (${joinedSql(scopedSrc, scopedTgt)})
+         |SELECT c_custkey % 256 AS bucket, c_custkey, field, diff_type, src_val, tgt_val
+         |FROM (
+         |$diffArmsSql
+         |) ORDER BY 2, 3""".stripMargin
+    },
 
     "reconcile_doc" -> fieldDiffSql(
       s"(SELECT * FROM customer WHERE c_custkey = $docKey)",

@@ -92,6 +92,16 @@ class ReconcileSpec extends SparkSpec {
     assert(!r(1L)._5 && !r(1L)._6, "the cross term must flag the swap")
   }
 
+  test("scoped diff over dirty buckets equals the unscoped full diff (fixture drift)") {
+    val d = "/root/testdata/sf0.001"
+    val full = SparkEntry.queries("join_full_outer_diff")(spark, d)
+      .collect().map(_.toSeq).toSet
+    val scoped = SparkEntry.queries("reconcile_scoped_diff")(spark, d)
+      .drop("bucket").collect().map(_.toSeq).toSet
+    assert(scoped === full, "every differing row must fall in a dirty bucket")
+    assert(full.nonEmpty)
+  }
+
   test("bucketChecksum: one-sided buckets report zero counts and dirty flags") {
     val src = t((1, "a", 1.00), (2, "b", 2.00))
     val tgt = t((1, "a", 1.00))
