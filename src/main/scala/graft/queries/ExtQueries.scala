@@ -490,6 +490,42 @@ object ExtQueries {
 
   private val extFilterPolicy: Q = (s, d) => policyFilter(documents(s, d))
 
+  /** Flesch-style readability estimate on the single-sentence fixture:
+    * syllables ≈ vowel-group runs (the classic heuristic), words =
+    * whitespace tokens, sentences = 1 (single-line corpus, no terminal
+    * punctuation) — so reading-ease = 206.835 − 1.015·words −
+    * 84.6·syllables/words in FIXED left-associated IEEE op order (one
+    * definition both engines). Pure row-local regexp + arithmetic over
+    * one scan — zero shuffles at any scale. */
+  private val extTextReadability: Q = (s, d) => {
+    val n = size(TextFns.tokens(col("text"))).cast("long")
+    val syl = regexp_count(col("text"), lit("[aeiouAEIOU]+")).cast("long")
+    documents(s, d).select(col("doc_id"), n.as("n_tokens"), syl.as("n_syllables"),
+      rnd4(lit(206.835) - lit(1.015) * n.cast("double") -
+        lit(84.6) * (syl.cast("double") / n.cast("double"))).as("flesch"))
+      .orderBy("doc_id")
+  }
+
+  /** The ASSEMBLED final keep gate — what a pretraining pipeline actually
+    * executes before sharding: Gopher rule battery ∧ C4 policy filter ∧
+    * CCNet perplexity bucket, with per-stage flags so every rejection is
+    * attributable. Pure composition of the three SHARED stage definitions
+    * (one constant set each — the pipeline cannot drift from its
+    * standalone stage audits). The two row-local stages fuse into scans;
+    * the LM stage reuses the session-persisted scoring pipeline; the
+    * assembly is two doc-keyed joins. */
+  private val extFilterPipeline: Q = (s, d) => {
+    val g = gopherQuality(documents(s, d))
+      .select(col("doc_id"), col("pass").as("gopher_pass"))
+    val p = policyFilter(documents(s, d))
+      .select(col("doc_id"), col("pass").as("policy_pass"))
+    val x = lmXent(s, d).select(col("doc_id"),
+      coalesce(col("xent_nats") <= PplMiddleMax, lit(false)).as("ppl_pass"))
+    g.join(p, "doc_id").join(x, "doc_id")
+      .withColumn("kept", col("gopher_pass") && col("policy_pass") && col("ppl_pass"))
+      .orderBy("doc_id")
+  }
+
   /** Rolling polynomial fingerprint over characters:
     * fp = fold((acc·31 + codepoint) mod P) — codegen'd ([[RollingHash]]);
     * the modulus keeps every intermediate exact in 64-bit on both engines. */
@@ -1881,6 +1917,8 @@ object ExtQueries {
     "ext_dedup_span_stats" -> extDedupSpanStats,
     "ext_quality_gopher" -> extQualityGopher,
     "ext_filter_policy" -> extFilterPolicy,
+    "ext_filter_pipeline" -> extFilterPipeline,
+    "ext_text_readability" -> extTextReadability,
     "ext_prep_audit" -> extPrepAudit,
     "ext_dedup_simhash" -> extDedupSimhash,
     "ext_dedup_cluster" -> extDedupCluster,
@@ -2517,6 +2555,58 @@ object ExtQueries {
          |       n_blocked_hits = 0 AS pass_blocklist,
          |       ($bounds) AND n_blocked_hits = 0 AS pass
          |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "ext_text_readability" ->
+      s"""WITH m AS (SELECT doc_id,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |             CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS BIGINT)
+         |               AS n_syllables
+         |           FROM documents)
+         |SELECT doc_id, n_tokens, n_syllables,
+         |       ${rnd4Sql("206.835 - 1.015 * CAST(n_tokens AS DOUBLE) - " +
+           "84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_tokens AS DOUBLE))")} AS flesch
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // the three stage predicates verbatim (same constants), CTE-renamed to
+    // avoid colliding with the LM pipeline's names; two doc-keyed joins
+    "ext_filter_pipeline" -> {
+      val en = TextFns.stopwords("en").map(w => s"'$w'").mkString(",")
+      val gopherPass = Seq(
+        s"gm.n_tokens >= $GopherMinTokens AND gm.n_tokens <= $GopherMaxTokens",
+        s"gm.mean_word_len >= $GopherMinWordLen AND gm.mean_word_len <= $GopherMaxWordLen",
+        s"gm.symbol_ratio <= $GopherMaxSymbolRatio",
+        s"gm.alpha_frac >= $GopherMinAlphaFrac",
+        s"gm.n_stop_distinct >= $GopherMinStopwords").map(p => s"($p)").mkString(" AND ")
+      val hits = PolicyBlocklist
+        .map(p => s"len(regexp_extract_all(text, '$p'))").mkString(" + ")
+      val policyPass = s"(pm.n_tokens >= $PolicyMinTokens AND " +
+        s"pm.n_tokens <= $PolicyMaxTokens AND pm.n_blocked_hits = 0)"
+      s"""WITH $lmXentSqlCte,
+         |gt AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+         |gm AS (SELECT doc_id,
+         |         CAST(len(t) AS BIGINT) AS n_tokens,
+         |         CAST(list_sum(list_transform(t, y -> len(y))) AS DOUBLE) / len(t)
+         |           AS mean_word_len,
+         |         CAST(len(regexp_extract_all(text, '$GopherSymbolPattern')) AS DOUBLE)
+         |           / len(t) AS symbol_ratio,
+         |         CAST(len(list_filter(t, y -> regexp_matches(y, '[A-Za-z]'))) AS DOUBLE)
+         |           / len(t) AS alpha_frac,
+         |         CAST(len(list_intersect(list_distinct(t), [$en])) AS BIGINT)
+         |           AS n_stop_distinct
+         |       FROM gt),
+         |pm AS (SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         CAST($hits AS BIGINT) AS n_blocked_hits
+         |       FROM documents)
+         |SELECT gm.doc_id,
+         |       $gopherPass AS gopher_pass,
+         |       $policyPass AS policy_pass,
+         |       coalesce(x.xent_nats <= $PplMiddleMax, false) AS ppl_pass,
+         |       ($gopherPass) AND $policyPass
+         |         AND coalesce(x.xent_nats <= $PplMiddleMax, false) AS kept
+         |FROM gm JOIN pm ON gm.doc_id = pm.doc_id JOIN x ON gm.doc_id = x.doc_id
+         |ORDER BY 1""".stripMargin
     },
 
     "ext_fingerprint" ->

@@ -384,4 +384,22 @@ class ExtOpsSpec extends SparkSpec {
     assert(r(1)._3 === rnd4(1.0 / 61))
     assert(r(2)._3 === rnd4(1.0 / 62))
   }
+
+  test("filter pipeline flags equal the standalone stage audits, kept = conjunction") {
+    val d = "/root/testdata/sf0.001"
+    def m(name: String, flag: String) = SparkEntry.queries(name)(spark, d)
+      .select("doc_id", flag).collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val gopher = m("ext_quality_gopher", "pass")
+    val policy = m("ext_filter_policy", "pass")
+    val ppl = m("ext_ppl_filter", "kept")
+    val got = SparkEntry.queries("ext_filter_pipeline")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4)))
+    assert(got.nonEmpty && got.length === gopher.size)
+    got.foreach { case (id, g, p, x, kept) =>
+      assert(g === gopher(id) && p === policy(id) && x === ppl(id), s"doc $id stage drift")
+      assert(kept === (g && p && x), s"doc $id conjunction")
+    }
+    graft.operators.TrainPrep.unpersistAll()
+  }
 }
