@@ -938,6 +938,36 @@ object CdcQueries {
       .orderBy("event_type")
   }
 
+  /** Burstiness per event type: the Fano factor (variance-to-mean ratio)
+    * of HOURLY event counts — ≈1 for a Poisson-steady source, ≫1 when
+    * traffic arrives in bursts (incident storms, batch jobs, replays).
+    * Domain-histogram discipline: the calendar-hour domain comes from one
+    * global min/max aggregate and `sequence` (zero-count hours count —
+    * dropping them understates variance), the per-(type, hour) counts are
+    * map-side combined, and the grid is (types × hours)-bounded, never
+    * corpus-sized. Fano = (n·Σc² − (Σc)²)/(n·Σc): exact integer moments,
+    * ONE trailing division ⇒ bit-identical cross-engine. Int64 bound:
+    * per-(type, hour) counts ≤ ~10⁹ keep c² in range; beyond that widen
+    * the moment sums to decimal. */
+  private val aggBurstiness: Q = (s, d) => {
+    val ev = events(s, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+    val counts = ev.groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+    val hours = ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    ev.select(col("event_type")).distinct()
+      .crossJoin(hours)
+      .join(counts, Seq("event_type", "h"), "left")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(coalesce(col("c"), lit(0L))).as("n_events"),
+        sum(coalesce(col("c"), lit(0L)) * coalesce(col("c"), lit(0L))).as("s2"))
+      .select(col("event_type"), col("n_hours"), col("n_events"),
+        Tables.rnd4((col("n_hours") * col("s2") - col("n_events") * col("n_events")).cast("double") /
+          (col("n_hours") * col("n_events")).cast("double")).as("fano"))
+      .orderBy("event_type")
+  }
+
   /** Event-type Markov transition matrix — the sequence-analytics rollup
     * behind "what do users do next" dashboards and session-model priors:
     * per user, consecutive (ts, event_id)-ordered event pairs → corpus
@@ -988,6 +1018,7 @@ object CdcQueries {
 
   val queries: Map[String, Q] = Map(
     "agg_transition_matrix" -> aggTransitionMatrix,
+    "agg_burstiness" -> aggBurstiness,
     "agg_attribution" -> aggAttribution,
     "agg_robust_outliers" -> aggRobustOutliers,
     "filter_optype" -> filterOptype,
@@ -1051,6 +1082,29 @@ object CdcQueries {
         |       CAST(c.n * 1000 // t.tt AS BIGINT) AS permille
         |FROM c JOIN t ON c.from_type = t.from_type
         |ORDER BY 1, 2""".stripMargin,
+
+    // the hour domain is generate_series over the global min/max so
+    // zero-count hours enter the moments; Fano in exact integer arithmetic
+    "agg_burstiness" ->
+      """WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+        |hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |          FROM b),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |cnt AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS c
+        |        FROM ev GROUP BY 1, 2),
+        |grid AS (SELECT t.event_type, coalesce(c.c, 0) AS c
+        |         FROM types t CROSS JOIN hours hr
+        |         LEFT JOIN cnt c ON c.event_type = t.event_type AND c.h = hr.h),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |             CAST(sum(c) AS BIGINT) AS n_events,
+        |             CAST(sum(c * c) AS BIGINT) AS s2
+        |      FROM grid GROUP BY 1)
+        |SELECT event_type, n_hours, n_events,
+        |       floor((CAST(n_hours * s2 - n_events * n_events AS DOUBLE) /
+        |              CAST(n_hours * n_events AS DOUBLE)) * 10000 + 0.5) / 10000
+        |         AS fano
+        |FROM m ORDER BY event_type""".stripMargin,
 
     // the quantile histogram twice over: corpus → cents histogram → lower
     // median; histogram re-grouped by |cents − med| → MAD; all integer

@@ -526,6 +526,64 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Integer log-micronats: round(ln x · 10⁶) — the cross-engine-safe log
+    * discipline (a 1-ulp libm difference moves ln·10⁶ by ~10⁻⁹, far from any
+    * .5 boundary on integer inputs; same argument as the NB/LM models). */
+  private def lnMicro(c: Column): Column = round(log(c) * 1e6).cast("long")
+  private def lnMicroSql(e: String): String =
+    s"CAST(round(ln($e) * 1000000) AS BIGINT)"
+
+  /** Character-level Shannon entropy per document — the compressibility
+    * proxy corpus filters threshold to drop degenerate text (repeated
+    * filler scores low; random/base64 blobs score anomalously high).
+    * chars → per-(doc, char) counts → per-doc aggregate; H = ln n −
+    * (Σ c·ln c)/n evaluated as the EXACT integer n·L(n) − Σ c·L(c) in
+    * log-micronats ([[lnMicro]]) with ONE trailing division, so the
+    * pre-round doubles are bit-identical cross-engine. The explode's
+    * char-count shuffle is doc-keyed (co-located partial aggregation,
+    * ≤ alphabet-size rows per doc); nothing else moves. */
+  private val extTextEntropy: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "") // split("") edge artifacts; oracle's '.' never yields one
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct_chars"),
+        sum(col("c") * lnMicro(col("c"))).as("s"))
+      .select(col("doc_id"), col("n").as("n_chars"), col("n_distinct_chars"),
+        rnd4((col("n") * lnMicro(col("n")) - col("s")).cast("double") /
+          (col("n") * lit(1000000L)).cast("double")).as("entropy_nats"))
+      .orderBy("doc_id")
+
+  /** Corpus-level Zipf diagnostic: least-squares slope of ln(frequency) on
+    * ln(rank) over the top-100 terms — natural text sits near −1; a corpus
+    * polluted by templates/boilerplate flattens or steepens the curve.
+    * Term counts shuffle once on the term key with map-side combine; the
+    * top-100 cut is `orderBy.limit` (TakeOrdered — no global sort), so the
+    * only full-order work is on a 100-row frame. The regression runs on
+    * integer log-micronats ([[lnMicro]]) with exact integer moments
+    * (x,y ≤ 2·10⁷ ⇒ k·Σxy ≤ ~10¹⁸ stays in int64) and one trailing
+    * division; the intercept reuses the same unrounded slope double in a
+    * FIXED op order, so both engines round the same bits. */
+  private val extTextZipf: Q = (s, d) => {
+    val top = documents(s, d)
+      .select(explode(TextFns.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("t")).limit(100)
+    val xy = top
+      .withColumn("r", row_number()
+        .over(Window.orderBy(col("f").desc, col("t"))).cast("long"))
+      .select(lnMicro(col("r")).as("x"), lnMicro(col("f")).as("y"))
+    xy.agg(count(lit(1)).as("k"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("__slope",
+        (col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .select(col("k").as("n_terms"), rnd4(col("__slope")).as("zipf_slope"),
+        rnd4((col("sy").cast("double") - col("__slope") * col("sx").cast("double"))
+          / col("k").cast("double") / lit(1000000.0)).as("intercept_nats"))
+  }
+
   /** Rolling polynomial fingerprint over characters:
     * fp = fold((acc·31 + codepoint) mod P) — codegen'd ([[RollingHash]]);
     * the modulus keeps every intermediate exact in 64-bit on both engines. */
@@ -1919,6 +1977,8 @@ object ExtQueries {
     "ext_filter_policy" -> extFilterPolicy,
     "ext_filter_pipeline" -> extFilterPipeline,
     "ext_text_readability" -> extTextReadability,
+    "ext_text_entropy" -> extTextEntropy,
+    "ext_text_zipf" -> extTextZipf,
     "ext_prep_audit" -> extPrepAudit,
     "ext_dedup_simhash" -> extDedupSimhash,
     "ext_dedup_cluster" -> extDedupCluster,
@@ -2608,6 +2668,40 @@ object ExtQueries {
          |FROM gm JOIN pm ON gm.doc_id = pm.doc_id JOIN x ON gm.doc_id = x.doc_id
          |ORDER BY 1""".stripMargin
     },
+
+    "ext_text_entropy" ->
+      s"""WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+         |            FROM documents),
+         |cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+         |       FROM ch GROUP BY 1, 2),
+         |ag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |              CAST(count(*) AS BIGINT) AS n_distinct_chars,
+         |              CAST(sum(c * ${lnMicroSql("c")}) AS BIGINT) AS s
+         |       FROM cc GROUP BY 1)
+         |SELECT doc_id, n AS n_chars, n_distinct_chars,
+         |       ${rnd4Sql(s"CAST(n * ${lnMicroSql("n")} - s AS DOUBLE) / " +
+           "CAST(n * 1000000 AS DOUBLE)")} AS entropy_nats
+         |FROM ag ORDER BY doc_id""".stripMargin,
+
+    "ext_text_zipf" ->
+      s"""WITH tf AS (SELECT t, CAST(count(*) AS BIGINT) AS f
+         |            FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+         |            GROUP BY 1),
+         |top AS (SELECT f, row_number() OVER (ORDER BY f DESC, t) AS r
+         |        FROM tf ORDER BY f DESC, t LIMIT 100),
+         |xy AS (SELECT ${lnMicroSql("r")} AS x, ${lnMicroSql("f")} AS y FROM top),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(x) AS BIGINT) AS sx,
+         |             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+         |             CAST(sum(x * x) AS BIGINT) AS sxx
+         |      FROM xy),
+         |sl AS (SELECT k, sx, sy,
+         |              CAST(k * sxy - sx * sy AS DOUBLE) /
+         |                CAST(k * sxx - sx * sx AS DOUBLE) AS slope
+         |       FROM m)
+         |SELECT k AS n_terms, ${rnd4Sql("slope")} AS zipf_slope,
+         |       ${rnd4Sql("(CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) " +
+           "/ CAST(k AS DOUBLE) / 1000000.0")} AS intercept_nats
+         |FROM sl""".stripMargin,
 
     "ext_fingerprint" ->
       s"""SELECT doc_id,

@@ -170,6 +170,70 @@ class OlapSpec extends SparkSpec {
     }
   }
 
+  test("char entropy replays the sequential Shannon definition (oracle-blind-formula guard)") {
+    val docs = graft.Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = q("ext_text_entropy").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === docs.size)
+    got.foreach { case (id, n, k, h) =>
+      val counts = docs(id).groupBy(identity).view.mapValues(_.length.toLong).toMap
+      assert(n === docs(id).length.toLong, s"doc $id char count")
+      assert(k === counts.size.toLong, s"doc $id distinct chars")
+      val exact = math.log(n.toDouble) -
+        counts.values.map(c => c * math.log(c.toDouble)).sum / n
+      // micro-nat rounding moves each log by ≤ 5e-7, the weighted average
+      // by ≤ 1e-6; the output is 4-dp rounded on top
+      assert(math.abs(h - exact) <= 2e-4, s"doc $id entropy $h vs $exact")
+      assert(h >= 0.0 && h <= math.log(k.toDouble) + 2e-4, s"doc $id range")
+    }
+  }
+
+  test("zipf slope matches a least-squares replay over the exact top-100 term counts") {
+    val tf = graft.Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("f"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val top = tf.sortBy { case (t, f) => (-f, t) }.take(100)
+    val pts = top.zipWithIndex.map { case ((_, f), i) =>
+      (math.log((i + 1).toDouble), math.log(f.toDouble)) }
+    val k = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    val r = q("ext_text_zipf").collect().head
+    assert(r.getLong(0) === pts.length.toLong)
+    assert(math.abs(r.getDouble(1) - slope) <= 1e-3, s"slope ${r.getDouble(1)} vs $slope")
+    assert(r.getDouble(1) < 0.0, "natural text rank-frequency slope is negative")
+  }
+
+  test("burstiness replays the Fano definition over hand-built hourly counts (zero hours included)") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .as[(String, java.sql.Timestamp)].collect()
+    val hours = {
+      val all = ev.map(_._2.getTime).distinct
+      (all.min to all.max by 3600000L)
+    }
+    val got = q("agg_burstiness").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.map(_._1) === got.map(_._1).sorted)
+    got.foreach { case (tpe, nh, ne, fano) =>
+      assert(nh === hours.length.toLong, s"$tpe hour-domain size")
+      val byHour = ev.filter(_._1 == tpe).groupBy(_._2.getTime)
+        .view.mapValues(_.length.toLong).toMap
+      val cs = hours.map(h => byHour.getOrElse(h, 0L))
+      assert(ne === cs.sum, s"$tpe event count")
+      val n = cs.length.toDouble
+      val mean = cs.sum / n
+      val varp = cs.map(c => (c - mean) * (c - mean)).sum / n
+      assert(math.abs(fano - varp / mean) <= 1e-3, s"$tpe fano $fano vs ${varp / mean}")
+    }
+  }
+
   test("attribution: conversions conserve purchase count; a touchless purchase lands on 'none'") {
     import spark.implicits._
     val rows = q("agg_attribution").collect()
