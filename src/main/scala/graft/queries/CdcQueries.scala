@@ -441,6 +441,29 @@ object CdcQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** Rolling 7-event median of purchase value per user — the robust
+    * smoothing baseline a mean-based rolling average can't give (one fat
+    * outlier drags a mean for 7 rows; the median shrugs it off). Spark has
+    * no median window function; the frame is ROWS 6 PRECEDING..CURRENT —
+    * BOUNDED — so `collect_list` over the window is a ≤7-element array and
+    * the lower median (rank ⌈k/2⌉, = DuckDB `quantile_disc 0.5`) is an
+    * ELEMENT PICK from `array_sort`: no interpolation arithmetic, bit-exact
+    * cross-engine. One user-keyed shuffle; the per-row array never grows
+    * with the corpus. */
+  private val windowRollingMedian: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, Window.currentRow)
+    val sorted = array_sort(collect_list(col("value")).over(w))
+    events(s, d).filter(col("event_type") === "purchase")
+      .withColumn("__s", sorted)
+      .select(col("user_id"), col("event_id"), fmtTs(col("ts")).as("ts_s"),
+        round(col("value"), 4).as("value"),
+        size(col("__s")).cast("long").as("n_frame"),
+        round(element_at(col("__s"),
+          floor((size(col("__s")) + 1) / 2).cast("int")), 4).as("rolling_median"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** SCD type-2 dimension history from the change log — the warehouse
     * materialization the reference's replication feeds but never builds
     * (js:167–176 applies each post-image LAST-WRITE-WINS, discarding
@@ -1065,6 +1088,7 @@ object CdcQueries {
     "agg_value_quantiles" -> aggValueQuantiles,
     "window_cusum" -> windowCusum,
     "window_streak" -> windowStreak,
+    "window_rolling_median" -> windowRollingMedian,
     "scalar_datetime" -> scalarDatetime,
     "scalar_string" -> scalarString,
     "scalar_json" -> scalarJson)
@@ -1647,6 +1671,18 @@ object CdcQueries {
         |SELECT user_id, max(len) AS longest_streak,
         |       count(*) AS n_streaks, CAST(sum(len) AS BIGINT) AS n_active_days
         |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // quantile_disc(0.5) is the discrete lower median — the same element
+    // the engine picks from its sorted bounded frame (no interpolation)
+    "window_rolling_median" ->
+      s"""SELECT user_id, event_id, ${TS("ts")} AS ts_s,
+         |       round(value, 4) AS value,
+         |       CAST(count(*) OVER w AS BIGINT) AS n_frame,
+         |       round(quantile_disc(value, 0.5) OVER w, 4) AS rolling_median
+         |FROM events WHERE event_type = 'purchase'
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, event_id""".stripMargin,
 
     // the oracle states the one-sided CUSUM recursion in its closed
     // running-sum-minus-running-extremum form — identical integer

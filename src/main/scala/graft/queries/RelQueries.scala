@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.{changeLog, customer, events, fmtTs, fmtTsSql, lineitem, nation, orders, region}
@@ -203,7 +204,50 @@ object RelQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Which user sessions overlapped an error incident — a true interval ×
+    * interval overlap join (§2.3): left = 30-min-gap user sessions (the
+    * `window_session` definition, same 1800 s constant), right = 10-min-gap
+    * incident windows sessionized over the error sub-log. Executed by
+    * [[RangeJoin.overlapBinned]] with 1-hour bins: equi-join on the bin,
+    * exact overlap as a residual, each pair kept only in its canonical bin —
+    * no nested loop, no post-join distinct. The error sub-log is
+    * ops-alert-sized (rate-bounded by the alarm pipeline it feeds), so its
+    * single-sequence incident window is a domain fact, not a scale leak —
+    * shard by day and merge boundary incidents if errors ever become
+    * corpus-sized. Epochs floor PER TIMESTAMP before the overlap-seconds
+    * arithmetic (sub-second parts must not shift the count). */
+  private val joinIntervalOverlap: Q = (s, d) => {
+    val ev = events(s, d)
+    val ep = unix_timestamp(col("ts"))
+    def sessionize(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec,
+                   gapSecs: Long): DataFrame = {
+      val gap = ep - lag(ep, 1).over(w)
+      df.withColumn("__new", when(gap.isNull || gap > gapSecs, 1L).otherwise(0L))
+        .withColumn("__sid",
+          sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }
+    val sessions = sessionize(ev,
+      Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")), 1800L)
+      .groupBy(col("user_id"), col("__sid").as("session_id"))
+      .agg(min(col("ts")).as("s_lo"), max(col("ts")).as("s_hi"),
+        count(lit(1)).as("n_events"))
+    val incidents = sessionize(ev.filter(col("event_type") === "error"),
+      Window.orderBy(col("ts"), col("event_id")), 600L)
+      .groupBy(col("__sid").as("incident_id"))
+      .agg(min(col("ts")).as("i_lo"), max(col("ts")).as("i_hi"),
+        count(lit(1)).as("n_errors"))
+    RangeJoin.overlapBinned(sessions, "s_lo", "s_hi", incidents, "i_lo", "i_hi", 3600L)
+      .select(col("user_id"), col("session_id"), col("incident_id"),
+        fmtTs(col("s_lo")).as("session_start"), fmtTs(col("i_lo")).as("incident_start"),
+        (least(unix_timestamp(col("s_hi")), unix_timestamp(col("i_hi"))) -
+          greatest(unix_timestamp(col("s_lo")), unix_timestamp(col("i_lo"))) + 1)
+          .as("overlap_secs"),
+        col("n_events"), col("n_errors"))
+      .orderBy("user_id", "session_id", "incident_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_interval_overlap" -> joinIntervalOverlap,
     "join_broadcast" -> joinBroadcast,
     "join_sortmerge" -> joinSortmerge,
     "join_antisemi" -> joinAntisemi,
@@ -216,6 +260,50 @@ object RelQueries {
     "join_bucketed" -> joinBucketed)
 
   val oracle: Map[String, String] = Map(
+    // sessions/incidents restated with the window_session CTE shape; the
+    // overlap join stated directly as the inequality pair predicate
+    "join_interval_overlap" ->
+      s"""WITH e AS (
+         |  SELECT user_id, ts, event_id,
+         |         CAST(floor(epoch(ts)) AS BIGINT)
+         |           - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+         |             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+         |  FROM events),
+         |sx AS (
+         |  SELECT user_id, ts,
+         |         CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         |  FROM e),
+         |sess AS (SELECT user_id, session_id, min(ts) AS s_lo, max(ts) AS s_hi,
+         |                CAST(count(*) AS BIGINT) AS n_events
+         |         FROM sx GROUP BY 1, 2),
+         |er AS (
+         |  SELECT ts, event_id,
+         |         CAST(floor(epoch(ts)) AS BIGINT)
+         |           - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+         |             OVER (ORDER BY ts, event_id) AS gap
+         |  FROM events WHERE event_type = 'error'),
+         |ix AS (
+         |  SELECT ts,
+         |         CAST(sum(CASE WHEN gap IS NULL OR gap > 600 THEN 1 ELSE 0 END)
+         |           OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |           AS incident_id
+         |  FROM er),
+         |inc AS (SELECT incident_id, min(ts) AS i_lo, max(ts) AS i_hi,
+         |               CAST(count(*) AS BIGINT) AS n_errors
+         |        FROM ix GROUP BY 1)
+         |SELECT s.user_id, s.session_id, i.incident_id,
+         |       ${fmtTsSql("s.s_lo")} AS session_start,
+         |       ${fmtTsSql("i.i_lo")} AS incident_start,
+         |       least(CAST(floor(epoch(s.s_hi)) AS BIGINT),
+         |             CAST(floor(epoch(i.i_hi)) AS BIGINT))
+         |         - greatest(CAST(floor(epoch(s.s_lo)) AS BIGINT),
+         |                    CAST(floor(epoch(i.i_lo)) AS BIGINT)) + 1 AS overlap_secs,
+         |       s.n_events, i.n_errors
+         |FROM sess s JOIN inc i ON s.s_lo <= i.i_hi AND i.i_lo <= s.s_hi
+         |ORDER BY 1, 2, 3""".stripMargin,
+
     "join_broadcast" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
         |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_acctbal

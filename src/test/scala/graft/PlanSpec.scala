@@ -51,6 +51,12 @@ class PlanSpec extends SparkSpec {
         s"$q must read the shared persisted stage frame, not recompute it")
   }
 
+  test("interval overlap join rides the bin equi-key — no nested loop anywhere") {
+    val p = plan("join_interval_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap must equi-join on the bin, not cross-join:\n${p.take(1500)}")
+  }
+
   test("temporal join broadcasts the change-sized dimension; no cartesian product") {
     val p = plan("join_temporal")
     assert(p.contains("BroadcastHashJoin"),
