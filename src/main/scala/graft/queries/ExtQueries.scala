@@ -1193,6 +1193,57 @@ object ExtQueries {
       nCells = SemCells, iters = SemIters, factor = 1.2, sampleN = SemSampleN)
       .orderBy("vec_id")
 
+  /** Per-dimension embedding QC — mean / population variance / zero share
+    * per coordinate: the "is the encoder emitting dead or collapsed
+    * dimensions" audit run before an ANN index is built over a new
+    * embedding batch. posexplode → ONE dim-keyed aggregate (map-side
+    * combined, d-bounded output). Floats land on an exact 10⁻⁴ integer
+    * grid first — floor(x·10⁴ + 0.5), the [[rnd4]] binary-rounding form,
+    * never Spark's string-reparsing `round` (see rnd4's scaladoc) — so
+    * the moment sums are EXACT int64 (|xi| ≤ 10⁴ ⇒ Σxi² ≤ n·10⁸ and the
+    * variance numerator n·Σx² − (Σx)² stay < 2⁵³ up to ~10⁸ rows —
+    * widen the sums to decimal beyond that) and each output is one
+    * trailing division on bit-identical integers. `n_zero` counts
+    * coordinates dead at 10⁻⁴ resolution. */
+  private val extEmbedDimStats: Q = (s, d) =>
+    embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("pos").cast("long").as("dim"),
+        floor(col("x").cast("double") * 1e4 + 0.5).cast("long").as("xi"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("xi")).as("s1"),
+        sum(col("xi") * col("xi")).as("s2"),
+        sum(when(col("xi") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        min(col("xi")).as("minv"), max(col("xi")).as("maxv"))
+      .select(col("dim"), col("n"), col("n_zero"),
+        rnd4(col("s1").cast("double") / (col("n") * lit(10000L)).cast("double"))
+          .as("mean"),
+        rnd4((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n") * col("n")).cast("double") / lit(100000000.0)).as("variance"),
+        rnd4(col("minv").cast("double") / lit(10000.0)).as("vmin"),
+        rnd4(col("maxv").cast("double") / lit(10000.0)).as("vmax"))
+      .orderBy("dim")
+
+  /** Split leakage in EMBEDDING space: near-dup pairs (exact-cosine-verified
+    * LSH candidates — [[Knn.cosineNearDupLsh]], the `ext_sim_neardup_lsh`
+    * scale path and recall argument) whose members land in different
+    * train/val/test splits. The n-gram leakage audit (`ext_split_leakage`)
+    * catches verbatim copies; this catches PARAPHRASE leakage — an eval doc
+    * whose semantic twin sits in train is as leaked as a verbatim copy.
+    * Split labels are the pure id-hash function ([[TrainPrep.splitLabel]],
+    * same 100/50‰ contract as `ext_split_assign`) recomputed per pair
+    * side — zero corpus join-backs; the LSH-bounded pair frame is the only
+    * data in motion. */
+  private val extSplitLeakageEmbed: Q = (s, d) =>
+    Knn.cosineNearDupLsh(embeddings(s, d).filter(col("label") === 0),
+      "vec_id", "embedding", threshold = 0.3, bands = 16, bitsPerBand = 2)
+      .select(col("id_a"), col("id_b"),
+        TrainPrep.splitLabel(col("id_a"), 100, 50).as("split_a"),
+        TrainPrep.splitLabel(col("id_b"), 100, 50).as("split_b"),
+        col("cosine"))
+      .filter(col("split_a") =!= col("split_b"))
+      .orderBy("id_a", "id_b")
+
   /** Embedding-cosine near-duplicate pairs within one label partition. */
   private val extSimNeardup: Q = (s, d) =>
     Knn.cosineNearDup(embeddings(s, d).filter(col("label") === 0),
@@ -2004,6 +2055,8 @@ object ExtQueries {
     "ext_class_balance" -> extClassBalance,
     "ext_sim_knn_lsh" -> extSimKnnLsh,
     "ext_sim_knn_ivf" -> extSimKnnIvf,
+    "ext_embed_dim_stats" -> extEmbedDimStats,
+    "ext_split_leakage_embed" -> extSplitLeakageEmbed,
     "ext_sim_neardup" -> extSimNeardup,
     "ext_sim_neardup_lsh" -> extSimNeardupLsh,
     "ext_sim_cluster" -> extSimCluster,
@@ -3071,6 +3124,41 @@ object ExtQueries {
 
     "ext_sim_neardup" -> neardupSql,
     "ext_sim_neardup_lsh" -> neardupSql,
+
+    // lockstep unnest zips (position, element); floats snap to the exact
+    // 1e-4 integer grid via the binary floor(+0.5) form; moments integer
+    "ext_embed_dim_stats" ->
+      s"""WITH x AS (SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim,
+         |                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
+         |                       AS BIGINT) AS xi
+         |           FROM embeddings),
+         |m AS (SELECT dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(xi) AS BIGINT) AS s1,
+         |             CAST(sum(xi * xi) AS BIGINT) AS s2,
+         |             CAST(sum(CASE WHEN xi = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |             min(xi) AS minv, max(xi) AS maxv
+         |      FROM x GROUP BY 1)
+         |SELECT CAST(dim AS BIGINT) AS dim, n, n_zero,
+         |       ${rnd4Sql("CAST(s1 AS DOUBLE) / CAST(n * 10000 AS DOUBLE)")} AS mean,
+         |       ${rnd4Sql("CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE) " +
+           "/ 100000000.0")} AS variance,
+         |       ${rnd4Sql("CAST(minv AS DOUBLE) / 10000.0")} AS vmin,
+         |       ${rnd4Sql("CAST(maxv AS DOUBLE) / 10000.0")} AS vmax
+         |FROM m ORDER BY dim""".stripMargin,
+
+    // the embedding near-dup pair set (same CTE as ext_sim_neardup) with
+    // the split CASE of ext_split_assign recomputed on each pair side
+    "ext_split_leakage_embed" -> {
+      def sp(idExpr: String) =
+        s"""CASE WHEN ($idExpr * 2246822519 + 104729) % 1000 < 100 THEN 'test'
+           |     WHEN ($idExpr * 2246822519 + 104729) % 1000 < 150 THEN 'val'
+           |     ELSE 'train' END""".stripMargin
+      s"""WITH pairs AS ($neardupSql)
+         |SELECT id_a, id_b, split_a, split_b, cosine FROM (
+         |  SELECT id_a, id_b, ${sp("id_a")} AS split_a, ${sp("id_b")} AS split_b, cosine
+         |  FROM pairs)
+         |WHERE split_a <> split_b
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     // transitive closure of the cosine ≥ 0.3 pair graph (same recursive-CTE
     // shape as ext_dedup_cluster, over the embedding near-dup pairs)

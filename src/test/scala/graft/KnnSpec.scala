@@ -557,4 +557,44 @@ class KnnSpec extends SparkSpec {
       .as[(Long, Int, Long, Boolean)].collect()
     assert(again.toSeq === run.toSeq)
   }
+
+  test("dim stats replay the per-coordinate mean/variance on the raw floats") {
+    val d = "/root/testdata/sf0.001"
+    val raw = Tables.embeddings(spark, d).select("embedding")
+      .as[Array[Float]].collect()
+    val got = SparkEntry.queries("ext_embed_dim_stats")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.length === raw.head.length)
+    got.foreach { case (dim, n, nZero, mean, varp) =>
+      val xs = raw.map(_(dim.toInt).toDouble)
+      assert(n === xs.length.toLong)
+      val m = xs.sum / xs.length
+      val v = xs.map(x => (x - m) * (x - m)).sum / xs.length
+      // the 1e-4 grid snap moves each x by ≤ 5e-5; 4-dp rounding on top
+      assert(math.abs(mean - m) <= 2e-4, s"dim $dim mean $mean vs $m")
+      assert(math.abs(varp - v) <= 2e-4, s"dim $dim var $varp vs $v")
+      assert(nZero === xs.count(x => math.abs(x) < 0.5e-4).toLong, s"dim $dim zeros")
+    }
+  }
+
+  test("embedding split leakage = the neardup-lsh pair set filtered by recomputed split labels") {
+    val d = "/root/testdata/sf0.01"
+    val pairs = SparkEntry.queries("ext_sim_neardup_lsh")(spark, d)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def split(id: Long) = ((id * 2246822519L + 104729L) % 1000L) match {
+      case b if b < 100 => "test"
+      case b if b < 150 => "val"
+      case _            => "train"
+    }
+    val got = SparkEntry.queries("ext_split_leakage_embed")(spark, d)
+      .select("id_a", "id_b", "split_a", "split_b")
+      .as[(Long, Long, String, String)].collect()
+    assert(got.nonEmpty, "fixture produced no cross-split near-dup pair — audit is vacuous")
+    got.foreach { case (a, b, sa, sb) =>
+      assert(pairs.contains((a, b)), s"($a,$b) not a near-dup pair")
+      assert(sa === split(a) && sb === split(b) && sa != sb, s"($a,$b) labels")
+    }
+    val expected = pairs.filter { case (a, b) => split(a) != split(b) }
+    assert(got.map(r => (r._1, r._2)).toSet === expected, "leak set must be the exact filter")
+  }
 }
