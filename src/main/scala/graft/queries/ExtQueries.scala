@@ -1952,35 +1952,17 @@ object ExtQueries {
     * grid — bounded by the feature's value domain, not the corpus (the
     * curriculum/TrainPrep domain-histogram discipline). The corpus-CDF
     * window is unpartitioned but DOMAIN-sized (≤ distinct n_chars values);
-    * the per-source window partitions by source. */
-  private val extKsDrift: Q = (s, d) => {
-    val docs = documents(s, d)
-    val h = docs.groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("__c"))
-    val dom = docs.select(col("n_chars")).distinct()
-    val srcTot = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
-    val totHist = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("__ct"))
-    val nTot = docs.agg(count(lit(1)).as("__n_tot"))
-    // domain-sized: corpus cumulative count at every domain point
-    val cumTot = dom.join(totHist, Seq("n_chars"), "left")
-      .select(col("n_chars"),
-        sum(coalesce(col("__ct"), lit(0L)))
-          .over(Window.orderBy(col("n_chars"))).as("__cum_tot"))
-    // (sources × domain) grid: per-source cumulative count at every point
-    val grid = srcTot.crossJoin(dom)
-      .join(h, Seq("source", "n_chars"), "left")
-      .select(col("source"), col("n_src"), col("n_chars"),
-        sum(coalesce(col("__c"), lit(0L)))
-          .over(Window.partitionBy(col("source")).orderBy(col("n_chars")))
-          .as("__cum_src"))
-    grid.join(cumTot, "n_chars").crossJoin(broadcast(nTot))
-      .groupBy(col("source"), col("n_src"), col("__n_tot"))
-      .agg(max(abs(col("__cum_src") * col("__n_tot") - col("__cum_tot") * col("n_src")))
-        .as("__ks_num"))
-      .select(col("source"), col("n_src"),
-        rnd4(col("__ks_num").cast("double") / (col("n_src") * col("__n_tot")))
-          .as("ks_stat"))
+    * the per-source window partitions by source.
+    *
+    * Since round 11 the arithmetic lives in [[graft.streaming.KsDriftStream
+    * .report]] — ONE definition shared with the continuously-maintained
+    * `stream_ks_drift` twin, computed off the (source, n_chars) histogram
+    * (one corpus scan; the totals derive from the histogram instead of
+    * three more scans). */
+  private val extKsDrift: Q = (s, d) =>
+    graft.streaming.KsDriftStream.report(
+      graft.streaming.KsDriftStream.histogram(documents(s, d)))
       .orderBy("source")
-  }
 
   /** Per-label embedding centroid via the typed Aggregator (map-side partial
     * merge), unpivoted to (label, pos, value) rows for the oracle. */

@@ -343,6 +343,23 @@ object StreamQueries {
       .orderBy("source")
   }
 
+  /** Batch-replay form of the KS drift monitor ([[graft.streaming
+    * .KsDriftStream]]): the projection delivered TWICE (at-least-once),
+    * folded through the doc_id-keyed IDEMPOTENT survivor merge — the
+    * doubled delivery collapses by algebra, so the report equals the clean
+    * one-shot computation, which is exactly the batch `ext_ks_drift`
+    * oracle (one shared report definition). Live path (file stream,
+    * checkpointed restart, redelivered wave, replayed batch) is in
+    * StreamingSpec. */
+  private val streamKsDrift: Q = (s, d) => {
+    import graft.streaming.KsDriftStream
+    val once = KsDriftStream.transform(s.read.parquet(s"$d/documents.parquet"))
+    val twice = once.unionByName(once)
+    KsDriftStream.report(KsDriftStream.histogram(
+      KsDriftStream.mergeDocs(twice.limit(0), twice)))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "source_changestream" -> sourceChangestream,
     "sink_checkpoint" -> sinkCheckpointReplay,
@@ -363,9 +380,14 @@ object StreamQueries {
     "stream_decontam" -> streamDecontam,
     "stream_neardup" -> streamNeardup,
     "stream_quality_drift" -> streamQualityDrift,
-    "stream_vocab_drift" -> streamVocabDrift)
+    "stream_vocab_drift" -> streamVocabDrift,
+    "stream_ks_drift" -> streamKsDrift)
 
   val oracle: Map[String, String] = Map(
+    // stream and batch share ONE report definition, so they share the
+    // oracle too — the doubled delivery collapses through the idempotent
+    // doc-keyed merge before any histogramming
+    "stream_ks_drift" -> ExtQueries.oracle("ext_ks_drift"),
     // doubled delivery collapses to the clean run — the oracle IS the
     // batch gap-fill's (one definition, twins can't drift)
     "stream_gap_fill" -> CdcQueries.oracle("window_gap_fill"),

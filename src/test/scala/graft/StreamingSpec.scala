@@ -381,6 +381,53 @@ class StreamingSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("incremental KS drift: restart + redelivery + batch replay converge to the batch report") {
+    import graft.streaming.KsDriftStream
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val src = tmp("ks-src")
+    val tgt = tmp("ks-tgt").resolve("state").toString
+    val ckp = tmp("ks-ckp").toString
+
+    def arrive(wave: String, pred: org.apache.spark.sql.Column): Unit = {
+      val staging = tmp(s"ks-stage-$wave")
+      Tables.documents(spark, sf).filter(pred)
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, src.resolve(s"$wave-${f.getName}")))
+    }
+
+    // the survivor state must accumulate across the checkpointed restart
+    arrive("wave1", col("doc_id") < 200)
+    KsDriftStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    arrive("wave2", col("doc_id") >= 200)
+    KsDriftStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Double)] =
+      df.orderBy("source").as[(String, Long, Double)].collect().toSeq
+    val expected = rows(SparkEntry.queries("ext_ks_drift")(spark, sf))
+    assert(expected.nonEmpty && expected.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+    assert(rows(KsDriftStream.report(KsDriftStream.histogram(
+      KsDriftStream.state(spark, tgt)))) === expected)
+
+    // redelivered rows (fresh file names, same docs): the idempotent
+    // doc-keyed merge absorbs them by algebra
+    arrive("wave2again", col("doc_id") >= 200)
+    KsDriftStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    assert(rows(KsDriftStream.report(KsDriftStream.histogram(
+      KsDriftStream.state(spark, tgt)))) === expected)
+
+    // replayed batch (the whole corpus re-applied out of band): still a no-op
+    KsDriftStream.applyBatch(spark,
+      KsDriftStream.transform(Tables.documents(spark, sf)), tgt)
+    assert(rows(KsDriftStream.report(KsDriftStream.histogram(
+      KsDriftStream.state(spark, tgt)))) === expected)
+
+    // and the batch-replay query form shares the definition (twins can't drift)
+    assert(rows(graft.queries.StreamQueries.queries("stream_ks_drift")(spark, sf))
+      === expected)
+  }
+
   test("streaming decontamination: verdicts match the batch gate; redelivery and replay are no-ops") {
     import graft.streaming.Decontam
     import spark.implicits._
