@@ -1054,6 +1054,32 @@ object ExtQueries {
         size(graft.operators.Unigram.encode(uniModel(s, d), c).getField("ids")).cast("long"))
       .orderBy("doc_id")
 
+  /** Tokenizer-efficiency table by language: corpus fertility (BPE pieces
+    * per whitespace word) and compression (chars per piece) — the numbers a
+    * tokenizer review reads before committing a vocab to a multilingual
+    * run (fertility ≫ 1 on a language = that language pays more sequence
+    * length per word). Per-doc piece counts come from the SAME trained
+    * encode expression as `ext_bpe_encode` (one session-shared merge
+    * list); the rollup is one lang-keyed map-side-combined aggregate with
+    * exact integer sums and two trailing divisions. */
+  private val extTokenizerFertility: Q = (s, d) => {
+    val ids = TextFns.bpeEncode(trainedMerges(s, d))(col("text"))
+    documents(s, d)
+      .select(col("lang"),
+        size(TextFns.tokens(col("text"))).cast("long").as("nw"),
+        length(col("text")).cast("long").as("nc"),
+        size(ids).cast("long").as("np"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+        sum(col("np")).as("n_pieces"), sum(col("nc")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_pieces"),
+        rnd4(col("n_pieces").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        rnd4(col("n_chars").cast("double") / col("n_pieces").cast("double"))
+          .as("chars_per_piece"))
+      .orderBy("lang")
+  }
+
   private val extBpeEncode: Q = (s, d) => {
     val ids = TextFns.bpeEncode(trainedMerges(s, d))(col("text"))
     documents(s, d)
@@ -2028,6 +2054,7 @@ object ExtQueries {
     "ext_bpe_pairs" -> extBpePairs,
     "ext_bpe_train" -> extBpeTrain,
     "ext_bpe_encode" -> extBpeEncode,
+    "ext_tokenizer_fertility" -> extTokenizerFertility,
     "ext_bpe_vocab" -> extBpeVocab,
     "ext_pack_windows_bpe" -> extPackWindowsBpe,
     "ext_pack_windows_unigram" -> extPackWindowsUnigram,
@@ -3506,6 +3533,30 @@ object ExtQueries {
          |LEFT JOIN tokstat t ON dt.token = t.token
          |GROUP BY d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // per-token piece counts from the shared train+apply replay, folded to
+    // per-doc then per-lang integer sums; two trailing divisions
+    "ext_tokenizer_fertility" ->
+      s"""WITH RECURSIVE $bpeTrainSqlCtes,
+         |$bpeApplySqlCtes,
+         |pcount AS (SELECT token, CAST(count(*) AS BIGINT) AS n_pieces
+         |           FROM pieces GROUP BY token),
+         |perdoc AS (SELECT d.doc_id, d.lang,
+         |                  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nw,
+         |                  CAST(length(d.text) AS BIGINT) AS nc,
+         |                  CAST(coalesce(sum(p.n_pieces), 0) AS BIGINT) AS np
+         |           FROM documents d
+         |           LEFT JOIN doctok dt ON d.doc_id = dt.doc_id AND dt.token <> ''
+         |           LEFT JOIN pcount p ON dt.token = p.token
+         |           GROUP BY d.doc_id, d.lang, d.text)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(nw) AS BIGINT) AS n_words,
+         |       CAST(sum(np) AS BIGINT) AS n_pieces,
+         |       ${rnd4Sql("CAST(sum(np) AS DOUBLE) / CAST(sum(nw) AS DOUBLE)")}
+         |         AS fertility,
+         |       ${rnd4Sql("CAST(sum(nc) AS DOUBLE) / CAST(sum(np) AS DOUBLE)")}
+         |         AS chars_per_piece
+         |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin,
 
     // α=1/2 temperature plan: ⌊√mass·10⁴⌋ is IEEE-exact in both engines
     // (sqrt is correctly rounded; one fixed-order ·10⁴ each), integer from

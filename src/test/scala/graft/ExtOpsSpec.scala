@@ -385,6 +385,32 @@ class ExtOpsSpec extends SparkSpec {
     assert(r(2)._3 === rnd4(1.0 / 62))
   }
 
+  test("tokenizer fertility aggregates the per-doc bpe_encode piece counts exactly") {
+    val d = "/root/testdata/sf0.001"
+    val pieces = SparkEntry.queries("ext_bpe_encode")(spark, d)
+      .select("doc_id", "n_pieces").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.Tables.documents(spark, d)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val got = SparkEntry.queries("ext_tokenizer_fertility")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    got.foreach { case (lang, nDocs, nWords, nPieces, fert, cpp) =>
+      val mine = docs.filter(_._2 == lang)
+      assert(nDocs === mine.length.toLong, s"$lang docs")
+      val w = mine.map(_._3.split(" ", -1).length.toLong).sum
+      val p = mine.map(t => pieces(t._1)).sum
+      val c = mine.map(_._3.length.toLong).sum
+      assert(nWords === w && nPieces === p, s"$lang sums")
+      assert(math.abs(fert - p.toDouble / w) <= 1e-4, s"$lang fertility")
+      assert(math.abs(cpp - c.toDouble / p) <= 1e-4, s"$lang chars/piece")
+      assert(fert >= 1.0 - 1e-9, "a word is never fewer than one piece")
+    }
+    graft.operators.TrainPrep.unpersistAll()
+  }
+
   test("filter pipeline flags equal the standalone stage audits, kept = conjunction") {
     val d = "/root/testdata/sf0.001"
     def m(name: String, flag: String) = SparkEntry.queries(name)(spark, d)
