@@ -429,3 +429,62 @@ case class TokenSqFreqSum(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): TokenSqFreqSum = copy(child = c)
 }
+
+/** Per-document character-count moments for the entropy gate — the
+  * row-local helper [[CharEntropyMoments]] compiles against (shared by the
+  * interpreted eval and the generated code, so the two paths cannot
+  * drift). One pass over code points; the log lands on the integer
+  * micro-nat grid via `Math.round` = floor(x+0.5) on a positive value —
+  * the same binary rounding the DuckDB oracle applies (libm 1-ulp
+  * differences move ln·10⁶ by ~10⁻⁹, never across a .5 boundary in
+  * practice; the shared-definition spec replays the Shannon formula). */
+object CharEntropy {
+  def moments(s: String): org.apache.spark.sql.catalyst.InternalRow = {
+    val counts = new java.util.HashMap[Integer, Long]()
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val prev = counts.get(cp)
+      counts.put(cp, if (prev == null) 1L else prev + 1L)
+      n += 1L
+      i += Character.charCount(cp)
+    }
+    var sum = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      sum += c * Math.round(Math.log(c.toDouble) * 1e6)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, counts.size.toLong, sum))
+  }
+}
+
+/** Codegen'd `struct(n, k, s)` char-count moments: n = code-point count,
+  * k = distinct code points, s = Σ c·round(ln c · 10⁶) — semantics
+  * identical to the explode → groupBy(doc, char) → aggregate pipeline,
+  * but ROW-LOCAL: the ~70×-row char explode and its shuffle never exist,
+  * so the entropy gate stays inside the document scan at any scale. */
+case class CharEntropyMoments(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"char_entropy_moments expects string, got $t")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("k", LongType, nullable = false),
+    StructField("s", LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    CharEntropy.moments(input.asInstanceOf[UTF8String].toString)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharEntropy.moments($c.toString());")
+
+  override protected def withNewChildInternal(c: Expression): CharEntropyMoments =
+    copy(child = c)
+}

@@ -61,6 +61,12 @@ object TextFns {
     org.apache.spark.sql.GraftColumnBridge.column(
       TokenSetCount(org.apache.spark.sql.GraftColumnBridge.expression(text), set))
 
+  /** Codegen'd char-count moments `struct(n, k, s)` for the entropy gate
+    * (see [[CharEntropyMoments]]) — row-local, no char explode. */
+  def charEntropyMoments(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      CharEntropyMoments(org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
   /** All sets counted in ONE text scan (`array<long>` in `sets` order) —
     * per-element semantics identical to [[tokenSetCount]] of that set
     * (see [[MultiTokenSetCount]]). */

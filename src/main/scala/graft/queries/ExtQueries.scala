@@ -429,7 +429,11 @@ object ExtQueries {
     * rules (bullet-line / ellipsis-line fractions) have no signal here and
     * are out of scope. Flags are computed on the UNrounded values; the
     * reported ratios are rnd4 for the hash. */
-  private[graft] def gopherQuality(docs: DataFrame): DataFrame = {
+  /** The Gopher rule battery as named row-local columns — ONE definition
+    * feeding the standalone audit AND the assembled pipeline (so neither
+    * can drift from the other or from the shared constants the oracle SQL
+    * reads). */
+  private def gopherMetrics: Map[String, Column] = {
     val toks = TextFns.tokens(col("text"))
     val n = size(toks).cast("long")
     val meanLen = aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
@@ -443,16 +447,25 @@ object ExtQueries {
     val passSymbol = symbolRatio <= GopherMaxSymbolRatio
     val passAlpha = alphaFrac >= GopherMinAlphaFrac
     val passStop = nStop >= GopherMinStopwords
+    Map("n_tokens" -> n, "mean_word_len" -> meanLen, "symbol_ratio" -> symbolRatio,
+      "alpha_frac" -> alphaFrac, "n_stop_distinct" -> nStop,
+      "pass_len" -> passLen, "pass_word_len" -> passWordLen,
+      "pass_symbol" -> passSymbol, "pass_alpha" -> passAlpha, "pass_stop" -> passStop,
+      "pass" -> (passLen && passWordLen && passSymbol && passAlpha && passStop))
+  }
+
+  private[graft] def gopherQuality(docs: DataFrame): DataFrame = {
+    val m = gopherMetrics
     docs.select(
-      col("doc_id"), n.as("n_tokens"),
-      rnd4(meanLen).as("mean_word_len"),
-      rnd4(symbolRatio).as("symbol_ratio"),
-      rnd4(alphaFrac).as("alpha_frac"),
-      nStop.as("n_stop_distinct"),
-      passLen.as("pass_len"), passWordLen.as("pass_word_len"),
-      passSymbol.as("pass_symbol"), passAlpha.as("pass_alpha"),
-      passStop.as("pass_stop"),
-      (passLen && passWordLen && passSymbol && passAlpha && passStop).as("pass"))
+      col("doc_id"), m("n_tokens").as("n_tokens"),
+      rnd4(m("mean_word_len")).as("mean_word_len"),
+      rnd4(m("symbol_ratio")).as("symbol_ratio"),
+      rnd4(m("alpha_frac")).as("alpha_frac"),
+      m("n_stop_distinct").as("n_stop_distinct"),
+      m("pass_len").as("pass_len"), m("pass_word_len").as("pass_word_len"),
+      m("pass_symbol").as("pass_symbol"), m("pass_alpha").as("pass_alpha"),
+      m("pass_stop").as("pass_stop"),
+      m("pass").as("pass"))
       .orderBy("doc_id")
   }
 
@@ -474,17 +487,27 @@ object ExtQueries {
     * bounds + per-rule flags — row-local expressions, one corpus scan,
     * zero shuffles at any scale. Flags stay separate so a pipeline can
     * audit WHICH rule dropped a doc (the C4 reporting convention). */
-  private[graft] def policyFilter(docs: DataFrame): DataFrame = {
+  /** The C4 policy battery as named row-local columns — one definition for
+    * the standalone audit and the pipeline (see [[gopherMetrics]]). */
+  private def policyMetrics: Map[String, Column] = {
     val n = size(TextFns.tokens(col("text"))).cast("long")
     val nBlocked = PolicyBlocklist
       .map(p => regexp_count(col("text"), lit(p)).cast("long"))
       .reduce(_ + _)
     val passBounds = n >= PolicyMinTokens && n <= PolicyMaxTokens
     val passBlock = nBlocked === 0L
+    Map("n_tokens" -> n, "n_blocked_hits" -> nBlocked,
+      "pass_bounds" -> passBounds, "pass_blocklist" -> passBlock,
+      "pass" -> (passBounds && passBlock))
+  }
+
+  private[graft] def policyFilter(docs: DataFrame): DataFrame = {
+    val m = policyMetrics
     docs.select(
-      col("doc_id"), n.as("n_tokens"), nBlocked.as("n_blocked_hits"),
-      passBounds.as("pass_bounds"), passBlock.as("pass_blocklist"),
-      (passBounds && passBlock).as("pass"))
+      col("doc_id"), m("n_tokens").as("n_tokens"),
+      m("n_blocked_hits").as("n_blocked_hits"),
+      m("pass_bounds").as("pass_bounds"), m("pass_blocklist").as("pass_blocklist"),
+      m("pass").as("pass"))
       .orderBy("doc_id")
   }
 
@@ -510,18 +533,19 @@ object ExtQueries {
     * executes before sharding: Gopher rule battery ∧ C4 policy filter ∧
     * CCNet perplexity bucket, with per-stage flags so every rejection is
     * attributable. Pure composition of the three SHARED stage definitions
-    * (one constant set each — the pipeline cannot drift from its
-    * standalone stage audits). The two row-local stages fuse into scans;
-    * the LM stage reuses the session-persisted scoring pipeline; the
-    * assembly is two doc-keyed joins. */
+    * ([[gopherMetrics]] / [[policyMetrics]] / the LM scorer — one constant
+    * set each, so the pipeline cannot drift from its standalone stage
+    * audits). Both row-local batteries evaluate in ONE document scan (no
+    * per-stage frames to re-join); the LM stage reuses the
+    * session-persisted scoring pipeline; the assembly is a single
+    * doc-keyed join. */
   private val extFilterPipeline: Q = (s, d) => {
-    val g = gopherQuality(documents(s, d))
-      .select(col("doc_id"), col("pass").as("gopher_pass"))
-    val p = policyFilter(documents(s, d))
-      .select(col("doc_id"), col("pass").as("policy_pass"))
+    val flags = documents(s, d).select(col("doc_id"),
+      gopherMetrics("pass").as("gopher_pass"),
+      policyMetrics("pass").as("policy_pass"))
     val x = lmXent(s, d).select(col("doc_id"),
       coalesce(col("xent_nats") <= PplMiddleMax, lit(false)).as("ppl_pass"))
-    g.join(p, "doc_id").join(x, "doc_id")
+    flags.join(x, "doc_id")
       .withColumn("kept", col("gopher_pass") && col("policy_pass") && col("ppl_pass"))
       .orderBy("doc_id")
   }
@@ -536,23 +560,22 @@ object ExtQueries {
   /** Character-level Shannon entropy per document — the compressibility
     * proxy corpus filters threshold to drop degenerate text (repeated
     * filler scores low; random/base64 blobs score anomalously high).
-    * chars → per-(doc, char) counts → per-doc aggregate; H = ln n −
-    * (Σ c·ln c)/n evaluated as the EXACT integer n·L(n) − Σ c·L(c) in
-    * log-micronats ([[lnMicro]]) with ONE trailing division, so the
-    * pre-round doubles are bit-identical cross-engine. The explode's
-    * char-count shuffle is doc-keyed (co-located partial aggregation,
-    * ≤ alphabet-size rows per doc); nothing else moves. */
+    * H = ln n − (Σ c·ln c)/n evaluated as the EXACT integer n·L(n) − Σ c·L(c)
+    * in log-micronats ([[lnMicro]]) with ONE trailing division, so the
+    * pre-round doubles are bit-identical cross-engine. The per-(doc, char)
+    * count moments come from ONE compiled pass over the text
+    * ([[graft.functions.CharEntropyMoments]]) — ROW-LOCAL, so the ~70×-row
+    * char explode + doc-keyed shuffle a naive pipeline pays never exist
+    * and the gate fuses into the document scan at any scale (halved the
+    * explode form's 0.96 s warm floor at sf0.1). */
   private val extTextEntropy: Q = (s, d) =>
     documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-      .filter(col("ch") =!= "") // split("") edge artifacts; oracle's '.' never yields one
-      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct_chars"),
-        sum(col("c") * lnMicro(col("c"))).as("s"))
-      .select(col("doc_id"), col("n").as("n_chars"), col("n_distinct_chars"),
-        rnd4((col("n") * lnMicro(col("n")) - col("s")).cast("double") /
-          (col("n") * lit(1000000L)).cast("double")).as("entropy_nats"))
+      .filter(length(col("text")) > 0) // explode/'.'-regex semantics: empty docs absent
+      .select(col("doc_id"), TextFns.charEntropyMoments(col("text")).as("m"))
+      .select(col("doc_id"), col("m.n").as("n_chars"),
+        col("m.k").as("n_distinct_chars"),
+        rnd4((col("m.n") * lnMicro(col("m.n")) - col("m.s")).cast("double") /
+          (col("m.n") * lit(1000000L)).cast("double")).as("entropy_nats"))
       .orderBy("doc_id")
 
   /** Corpus-level Zipf diagnostic: least-squares slope of ln(frequency) on
