@@ -961,6 +961,76 @@ object CdcQueries {
       .orderBy("event_type")
   }
 
+  /** Per-user purchase drawdown — the running-peak shortfall curve
+    * (finance's max-drawdown, read here as "how far below their best
+    * cumulative spend level is this user now"): cumulative value, running
+    * peak, current drawdown and the worst drawdown so far, per purchase.
+    * ALL integer cents (values live on the 0.01 grid): three running
+    * aggregates over ONE user-keyed ordering — a single shuffle, no
+    * self-join; each output is one exact /100.0 at the end. */
+  private val windowDrawdown: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d).filter(col("event_type") === "purchase")
+      .withColumn("__cents", round(col("value") * 100).cast("long"))
+      .withColumn("__cum", sum(col("__cents")).over(w))
+      .withColumn("__peak", max(col("__cum")).over(w))
+      .withColumn("__dd", col("__peak") - col("__cum"))
+      .select(col("user_id"), col("event_id"), fmtTs(col("ts")).as("ts_s"),
+        (col("__cum") / 100.0).as("cum_value"),
+        (col("__peak") / 100.0).as("peak_value"),
+        (col("__dd") / 100.0).as("drawdown"),
+        (max(col("__dd")).over(w) / 100.0).as("max_drawdown"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Audience overlap between event types: for every type pair, how many
+    * users do BOTH, with the Jaccard of the two audiences — the
+    * cross-feature adoption matrix. The corpus collapses ONCE to the
+    * distinct (user, type) frame; the pair count is a user-keyed self-join
+    * whose fan-out is (types-per-user choose 2) ≤ |types|² — bounded by
+    * the type alphabet, never by event volume; totals are |types|-sized.
+    * Jaccard = c/(na+nb−c): integer counts, one trailing division. */
+  private val aggAudienceOverlap: Q = (s, d) => {
+    val u = events(s, d).select(col("user_id"), col("event_type")).distinct()
+    val tot = u.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = u.as("a").join(u.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(tot.select(col("event_type").as("type_a"), col("n").as("n_a")), "type_a")
+      .join(tot.select(col("event_type").as("type_b"), col("n").as("n_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        Tables.rnd4(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double")).as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Gini concentration of engagement per event type — "is this feature's
+    * usage spread across users or owned by a few": over per-user event
+    * counts c₁≤…≤cₙ, G = (2·Σi·cᵢ − (n+1)·Σc)/(n·Σc). The corpus
+    * collapses ONCE to (type, user, c); the rank runs within the type's
+    * user slice (user-domain-sized window); ties rank by (c, user_id) but
+    * Σi·cᵢ is tie-order-invariant (equal c swap freely), so the statistic
+    * is engine-independent. Exact integer moments, ONE trailing division. */
+  private val aggGini: Q = (s, d) => {
+    val counts = events(s, d)
+      .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("c"), col("user_id"))
+    counts
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("c")).as("n_events"),
+        sum(col("i") * col("c")).as("s_ic"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        Tables.rnd4(
+          (lit(2L) * col("s_ic") - (col("n_users") + 1L) * col("n_events")).cast("double") /
+            (col("n_users") * col("n_events")).cast("double")).as("gini"))
+      .orderBy("event_type")
+  }
+
   /** Burstiness per event type: the Fano factor (variance-to-mean ratio)
     * of HOURLY event counts — ≈1 for a Poisson-steady source, ≫1 when
     * traffic arrives in bursts (incident storms, batch jobs, replays).
@@ -1042,6 +1112,9 @@ object CdcQueries {
   val queries: Map[String, Q] = Map(
     "agg_transition_matrix" -> aggTransitionMatrix,
     "agg_burstiness" -> aggBurstiness,
+    "agg_audience_overlap" -> aggAudienceOverlap,
+    "agg_gini" -> aggGini,
+    "window_drawdown" -> windowDrawdown,
     "agg_attribution" -> aggAttribution,
     "agg_robust_outliers" -> aggRobustOutliers,
     "filter_optype" -> filterOptype,
@@ -1106,6 +1179,63 @@ object CdcQueries {
         |       CAST(c.n * 1000 // t.tt AS BIGINT) AS permille
         |FROM c JOIN t ON c.from_type = t.from_type
         |ORDER BY 1, 2""".stripMargin,
+
+    // the three running aggregates layer CTE by CTE (DuckDB forbids nested
+    // window calls); all integer cents until the final /100.0
+    "window_drawdown" ->
+      s"""WITH p AS (SELECT user_id, event_id, ts,
+         |                  CAST(round(value * 100) AS BIGINT) AS cents
+         |           FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, event_id, ts,
+         |             CAST(sum(cents) OVER w AS BIGINT) AS cum
+         |      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |                          ROWS UNBOUNDED PRECEDING)),
+         |k AS (SELECT user_id, event_id, ts, cum,
+         |             CAST(max(cum) OVER w AS BIGINT) AS peak
+         |      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |                          ROWS UNBOUNDED PRECEDING)),
+         |dd AS (SELECT user_id, event_id, ts, cum, peak, peak - cum AS d,
+         |              CAST(max(peak - cum) OVER w AS BIGINT) AS mdd
+         |       FROM k WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |                           ROWS UNBOUNDED PRECEDING))
+         |SELECT user_id, event_id, ${TS("ts")} AS ts_s,
+         |       cum / 100.0 AS cum_value, peak / 100.0 AS peak_value,
+         |       d / 100.0 AS drawdown, mdd / 100.0 AS max_drawdown
+         |FROM dd ORDER BY user_id, event_id""".stripMargin,
+
+    // distinct (user, type) self-join on the user key; totals |types|-sized
+    "agg_audience_overlap" ->
+      """WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |             CAST(count(*) AS BIGINT) AS n_both
+        |      FROM u a JOIN u b ON a.user_id = b.user_id
+        |                       AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, ta.n AS n_a, tb.n AS n_b, p.n_both,
+        |       floor((CAST(p.n_both AS DOUBLE) /
+        |              CAST(ta.n + tb.n - p.n_both AS DOUBLE)) * 10000 + 0.5) / 10000
+        |         AS jaccard
+        |FROM p JOIN t ta ON p.type_a = ta.event_type
+        |       JOIN t tb ON p.type_b = tb.event_type
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Σi·cᵢ over the (c, user_id)-ranked counts is tie-order-invariant
+    "agg_gini" ->
+      """WITH c AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, c,
+        |             CAST(row_number() OVER (PARTITION BY event_type
+        |                                     ORDER BY c, user_id) AS BIGINT) AS i
+        |      FROM c),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        |             CAST(sum(c) AS BIGINT) AS n_events,
+        |             CAST(sum(i * c) AS BIGINT) AS s_ic
+        |      FROM r GROUP BY 1)
+        |SELECT event_type, n_users, n_events,
+        |       floor((CAST(2 * s_ic - (n_users + 1) * n_events AS DOUBLE) /
+        |              CAST(n_users * n_events AS DOUBLE)) * 10000 + 0.5) / 10000 AS gini
+        |FROM m ORDER BY event_type""".stripMargin,
 
     // the hour domain is generate_series over the global min/max so
     // zero-count hours enter the moments; Fano in exact integer arithmetic
