@@ -16,24 +16,33 @@ import graft.functions.TextFns
   * fastText/NB family is what production corpus pipelines actually run.
   *
   * Determinism discipline (the `ext_lm_perplexity` pattern): Laplace-0.5
-  * smoothed log-probs are rounded to integer log-MICROnats on the model
-  * frame — (labels × vocab)-bounded, where a 1-ulp cross-engine `ln`
-  * disagreement flips a rounding with probability ~1e-12 per entry — and
-  * every data-sized frame only ever sums exact integers (tf ·
-  * logprob_micro). Results are bit-identical on any engine and any
-  * partitioning.
+  * smoothed log-probs are rounded to integer log-MICROnats (×1e6 — the
+  * repo-wide lnMicro unit) on the model frame — (labels × vocab)-bounded,
+  * where a 1-ulp cross-engine `ln` disagreement flips a rounding with
+  * probability ~1e-10 per entry — and every data-sized frame only ever
+  * sums exact integers (tf · logprob_micro). Results are bit-identical on
+  * any engine and any partitioning.
   *
   * Scale shape: the model is a COMPLETE (label × vocab) grid (a zero
   * count smooths to the unseen log-prob), so scoring needs no OOV
   * branch: labels are enum-bounded and the grid is vocab-sized — model
-  * frames, not corpus frames. Corpus-sized work is two token-keyed
-  * exchanges (count pass, score join) + one doc-keyed rollup; the
-  * per-doc argmax window partitions by doc_id. */
+  * frames, not corpus frames. Class PRIORS are part of the model (learned
+  * from the TRAINING corpus — scoring never looks at the scored frame's
+  * label distribution, so an unlabeled frame scores fine and an eval
+  * set's label mix can't leak into predictions). Corpus-sized work is two
+  * token-keyed exchanges (count pass, score join) + one doc-keyed rollup;
+  * the per-doc argmax window partitions by doc_id. */
 object NaiveBayes {
 
-  /** Train: complete (label, token) model with raw counts and smoothed
-    * integer log-micronat probabilities.
-    * logprob = ln((c + 0.5) / (c_label + 0.5·V)), V = corpus vocab size. */
+  private def lnMicro(c: org.apache.spark.sql.Column) =
+    round(log(c) * 1e6).cast("long")
+
+  /** Train: complete (label, token) model with raw counts, smoothed
+    * integer log-micronat probabilities, and the label's log-prior
+    * (constant per label — the model is self-contained; [[score]] needs
+    * nothing else).
+    * logprob = ln((c + 0.5) / (c_label + 0.5·V)), V = corpus vocab size;
+    * prior = ln(n_label_docs / n_docs). */
   def train(docs: DataFrame, textCol: String, classCol: String): DataFrame = {
     val toks = docs.select(col(classCol).as("label"),
       explode(TextFns.tokens(col(textCol))).as("token"))
@@ -41,40 +50,61 @@ object NaiveBayes {
     val cls = cnt.groupBy(col("label")).agg(sum(col("c")).as("__cl"))
     val voc = toks.select(col("token")).distinct()
     val v = broadcast(voc.agg(count(lit(1)).as("__v")))
-    val labels = docs.select(col(classCol).as("label")).distinct()
+    val n = broadcast(docs.agg(count(lit(1)).as("__n")))
+    val labels = docs.groupBy(col(classCol).as("label")).agg(count(lit(1)).as("__nc"))
+      .crossJoin(n)
+      .select(col("label"),
+        lnMicro(col("__nc").cast("double") / col("__n")).as("prior_micro"))
     labels.crossJoin(voc)
       .join(cnt, Seq("label", "token"), "left")
       .join(cls, "label").crossJoin(v)
       .withColumn("c", coalesce(col("c"), lit(0L)))
       .select(col("label"), col("token"), col("c"),
-        round(log((col("c") + lit(0.5)) / (col("__cl") + lit(0.5) * col("__v"))) * 10000)
-          .cast("long").as("logprob_micro"))
+        lnMicro((col("c") + lit(0.5)) / (col("__cl") + lit(0.5) * col("__v")))
+          .as("logprob_micro"),
+        col("prior_micro"))
   }
 
   /** Score each doc against a [[train]] model: per-label integer score =
     * prior_micro + Σ tf·logprob_micro, argmax with label-asc tie-break
-    * (total order ⇒ engine-independent prediction). Output carries the
-    * actual label for accuracy audit. */
-  def score(docs: DataFrame, textCol: String, classCol: String, idCol: String,
+    * (total order ⇒ engine-independent prediction). Takes only (docs,
+    * text, id, model) — no labels needed on the scored frame. A doc with
+    * NO tokens (empty/whitespace text) has no evidence, so its score is
+    * the bare prior and its prediction the prior argmax — the left join +
+    * prior fallback keeps one output row per input doc. */
+  def score(docs: DataFrame, textCol: String, idCol: String,
             model: DataFrame): DataFrame = {
+    val pri = model.select(col("label"), col("prior_micro")).distinct()
     val tf = docs.select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-    val n = broadcast(docs.agg(count(lit(1)).as("__n")))
-    val pri = docs.groupBy(col(classCol).as("label")).agg(count(lit(1)).as("__nc"))
-      .crossJoin(n)
-      .select(col("label"),
-        round(log(col("__nc").cast("double") / col("__n").cast("double")) * 10000)
-          .cast("long").as("__prior"))
     val scores = tf.join(model.select(col("label"), col("token"), col("logprob_micro")), "token")
       .groupBy(col(idCol), col("label"))
       .agg(sum(col("tf") * col("logprob_micro")).as("__s"))
       .join(pri, "label")
-      .select(col(idCol), col("label"), (col("__prior") + col("__s")).as("score_micro"))
+      .select(col(idCol), col("label"),
+        (col("prior_micro") + col("__s")).as("score_micro"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("score_micro").desc, col("label"))
     val best = scores.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-    docs.select(col(idCol), col(classCol).as("label"))
+    // prior argmax (label-asc tie-break): the zero-evidence prediction —
+    // a 1-row label-bounded frame, broadcast to the empty-doc rows
+    val topPrior = broadcast(pri
+      .orderBy(col("prior_micro").desc, col("label")).limit(1)
+      .select(col("label").as("__p_label"), col("prior_micro").as("__p_score")))
+    docs.select(col(idCol))
       .join(best.select(col(idCol), col("label").as("pred_label"), col("score_micro")),
-        Seq(idCol))
-      .withColumn("correct", col("label") === col("pred_label"))
+        Seq(idCol), "left")
+      .crossJoin(topPrior)
+      .select(col(idCol),
+        coalesce(col("pred_label"), col("__p_label")).as("pred_label"),
+        coalesce(col("score_micro"), col("__p_score")).as("score_micro"))
   }
+
+  /** [[score]] plus the accuracy audit against a labeled frame — the check
+    * a pipeline runs before trusting the router. Kept separate so the
+    * classifier API itself never requires labels at scoring time. */
+  def scoreAudit(docs: DataFrame, textCol: String, classCol: String, idCol: String,
+                 model: DataFrame): DataFrame =
+    docs.select(col(idCol), col(classCol).as("label"))
+      .join(score(docs, textCol, idCol, model), Seq(idCol))
+      .withColumn("correct", col("label") === col("pred_label"))
 }

@@ -138,16 +138,24 @@ object TrainPrep {
       .agg(count(lit(1)).as("tf")))
     val voc = tf.select(col("token")).distinct()
     val v = broadcast(voc.agg(count(lit(1)).as("__v")))
-    def lm(counts: DataFrame, name: String) = {
-      val tot = broadcast(counts.agg(coalesce(sum(col("c")), lit(0L)).as("__t")))
-      voc.join(counts, Seq("token"), "left").crossJoin(tot).crossJoin(v)
-        .select(col("token"),
-          round(log((coalesce(col("c"), lit(0L)) + lit(0.5)) /
-            (col("__t") + lit(0.5) * col("__v"))) * 10000).cast("long").as(name))
-    }
-    val rawC = tf.groupBy(col("token")).agg(sum(col("tf")).as("c"))
-    val tgtC = tf.filter(col("__tgt")).groupBy(col("token")).agg(sum(col("tf")).as("c"))
-    val model = lm(tgtC, "tgt_micro").join(lm(rawC, "raw_micro"), "token")
+    // BOTH LMs in one pass over the shared vocab (two left joins, one
+    // projection) — a vocab-sized frame either way, but one fewer vocab
+    // join and one fewer crossJoin pair than building each LM separately.
+    // Log-probs in integer log-micronats (×1e6, the repo-wide lnMicro
+    // unit), rounded on this vocab-bounded frame only.
+    val rawC = tf.groupBy(col("token")).agg(sum(col("tf")).as("__rc"))
+    val tgtC = tf.filter(col("__tgt")).groupBy(col("token")).agg(sum(col("tf")).as("__tc"))
+    val rawT = broadcast(rawC.agg(coalesce(sum(col("__rc")), lit(0L)).as("__rt")))
+    val tgtT = broadcast(tgtC.agg(coalesce(sum(col("__tc")), lit(0L)).as("__tt")))
+    def micro(c: Column, t: Column) =
+      round(log((coalesce(c, lit(0L)) + lit(0.5)) / (t + lit(0.5) * col("__v"))) * 1e6)
+        .cast("long")
+    val model = voc
+      .join(tgtC, Seq("token"), "left").join(rawC, Seq("token"), "left")
+      .crossJoin(tgtT).crossJoin(rawT).crossJoin(v)
+      .select(col("token"),
+        micro(col("__tc"), col("__tt")).as("tgt_micro"),
+        micro(col("__rc"), col("__rt")).as("raw_micro"))
     tf.join(model, "token")
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_tokens"),

@@ -352,12 +352,14 @@ object ExtQueries {
     NaiveBayes.train(documents(s, d), "text", "lang")
       .orderBy("label", "token")
 
-  /** Self-scoring pass of the NB classifier ([[NaiveBayes.score]]): per
-    * doc the argmax label, its integer score, and the accuracy flag — the
-    * audit a pipeline runs before trusting the router. */
+  /** Self-scoring pass of the NB classifier ([[NaiveBayes.scoreAudit]]):
+    * per doc the argmax label (priors from the TRAINED model, empty docs
+    * falling back to the prior argmax), its integer score, and the
+    * accuracy flag — the audit a pipeline runs before trusting the
+    * router. */
   private val extNbScore: Q = (s, d) => {
     val docs = documents(s, d)
-    NaiveBayes.score(docs, "text", "lang", "doc_id",
+    NaiveBayes.scoreAudit(docs, "text", "lang", "doc_id",
       NaiveBayes.train(docs, "text", "lang"))
       .orderBy("doc_id")
   }
@@ -2175,10 +2177,14 @@ object ExtQueries {
       |ncls AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cl FROM ncnt GROUP BY 1),
       |nvoc AS (SELECT DISTINCT token FROM ntk),
       |nv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM nvoc),
-      |nlab AS (SELECT DISTINCT lang FROM documents),
+      |nlab AS (SELECT lang, CAST(round(ln(CAST(count(*) AS DOUBLE) /
+      |                  (SELECT CAST(count(*) AS DOUBLE) FROM documents))
+      |                  * 1000000) AS BIGINT) AS prior_micro
+      |         FROM documents GROUP BY 1),
       |nmodel AS (SELECT l.lang AS label, w.token, coalesce(c.c, 0) AS c,
       |             CAST(round(ln((coalesce(c.c, 0) + 0.5) / (s.cl + 0.5 * nv.v))
-      |                        * 10000) AS BIGINT) AS logprob_micro
+      |                        * 1000000) AS BIGINT) AS logprob_micro,
+      |             l.prior_micro
       |           FROM nlab l CROSS JOIN nvoc w
       |           LEFT JOIN ncnt c ON l.lang = c.lang AND w.token = c.token
       |           JOIN ncls s ON l.lang = s.lang, nv)""".stripMargin
@@ -2519,7 +2525,7 @@ object ExtQueries {
 
     "ext_nb_train" ->
       s"""WITH $nbModelSqlCte
-         |SELECT label, token, c, logprob_micro FROM nmodel
+         |SELECT label, token, c, logprob_micro, prior_micro FROM nmodel
          |ORDER BY label, token""".stripMargin,
 
     // both unigram LMs retrained relationally over the SHARED vocab;
@@ -2538,9 +2544,9 @@ object ExtQueries {
          |tgtt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS t FROM tgtc),
          |m AS (SELECT w.token,
          |        CAST(round(ln((coalesce(tc.c, 0) + 0.5) / (tgtt.t + 0.5 * dv.v))
-         |                   * 10000) AS BIGINT) AS tgt_micro,
+         |                   * 1000000) AS BIGINT) AS tgt_micro,
          |        CAST(round(ln((coalesce(rc.c, 0) + 0.5) / (rawt.t + 0.5 * dv.v))
-         |                   * 10000) AS BIGINT) AS raw_micro
+         |                   * 1000000) AS BIGINT) AS raw_micro
          |      FROM dvoc w LEFT JOIN tgtc tc ON w.token = tc.token
          |      LEFT JOIN rawc rc ON w.token = rc.token, tgtt, rawt, dv)
          |SELECT f.doc_id, CAST(sum(f.tf) AS BIGINT) AS n_tokens,
@@ -2550,27 +2556,30 @@ object ExtQueries {
          |FROM dtf f JOIN m ON f.token = m.token
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // priors live in the trained model (nlab); an empty/whitespace doc has
+    // no ntf row, so the LEFT join falls back to the prior argmax — the
+    // engine's zero-evidence prediction, mirrored
     "ext_nb_score" ->
       s"""WITH $nbModelSqlCte,
          |ntf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
          |        FROM ntk GROUP BY 1, 2),
-         |npri AS (SELECT lang AS label,
-         |           CAST(round(ln(CAST(count(*) AS DOUBLE) /
-         |                         (SELECT CAST(count(*) AS DOUBLE) FROM documents))
-         |                      * 10000) AS BIGINT) AS prior
-         |         FROM documents GROUP BY 1),
          |nsc AS (SELECT t.doc_id, m.label,
-         |          p.prior + CAST(sum(t.tf * m.logprob_micro) AS BIGINT) AS score_micro
+         |          CAST(m.prior_micro + sum(t.tf * m.logprob_micro) AS BIGINT)
+         |            AS score_micro
          |        FROM ntf t JOIN nmodel m ON t.token = m.token
-         |        JOIN npri p ON m.label = p.label
-         |        GROUP BY 1, 2, p.prior),
+         |        GROUP BY 1, 2, m.prior_micro),
          |nbest AS (SELECT doc_id, label, score_micro,
          |            row_number() OVER (PARTITION BY doc_id
          |                               ORDER BY score_micro DESC, label) AS rn
-         |          FROM nsc)
-         |SELECT d.doc_id, d.lang AS label, b.label AS pred_label, b.score_micro,
-         |       d.lang = b.label AS correct
-         |FROM documents d JOIN nbest b ON d.doc_id = b.doc_id AND b.rn = 1
+         |          FROM nsc),
+         |ntop AS (SELECT lang AS p_label, prior_micro AS p_score
+         |         FROM nlab ORDER BY prior_micro DESC, lang LIMIT 1)
+         |SELECT d.doc_id, d.lang AS label,
+         |       coalesce(b.label, ntop.p_label) AS pred_label,
+         |       coalesce(b.score_micro, ntop.p_score) AS score_micro,
+         |       d.lang = coalesce(b.label, ntop.p_label) AS correct
+         |FROM documents d
+         |LEFT JOIN nbest b ON d.doc_id = b.doc_id AND b.rn = 1, ntop
          |ORDER BY 1""".stripMargin,
 
     // the oracle re-trains the same add-½ bigram LM; log-probs are rounded
@@ -2754,8 +2763,11 @@ object ExtQueries {
          |ORDER BY 1""".stripMargin
     },
 
+    // [\s\S] (not '.') so newlines count as code points — RE2's '.' skips
+    // them while the engine's CharEntropyMoments counts every code point;
+    // single-line fixtures would hide the divergence
     "ext_text_entropy" ->
-      s"""WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+      s"""WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\\s\\S]')) AS ch
          |            FROM documents),
          |cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
          |       FROM ch GROUP BY 1, 2),

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Append-only micro-batch state for MONOTONE UNION state — the companion
+  * discipline to [[StateCommit]] (which covers ADDITIVE state). Union
+  * state (a shingle index, a verdict table, a survivor set, a pair table)
+  * grows with the corpus, so the overwrite-in-place lifecycle the additive
+  * streams use is wrong twice over at 100 TB: every micro-batch rewrites
+  * O(corpus) parquet to absorb an O(batch) delta, and a crash mid-overwrite
+  * leaves the ONLY copy of the state torn. This helper writes each batch as
+  * its own immutable delta directory instead:
+  *
+  *  - layout: `targetDir/delta=<batchId>/…` plus an optional compacted
+  *    `targetDir/base=<id>/…` named by the highest batch id folded into it
+  *    (a `.base` marker file holds that id — readers take base(marker) ∪
+  *    deltas with id > marker);
+  *  - publish: the delta lands in a hidden `targetDir/.tmp-<batchId>`
+  *    directory first, then a same-filesystem atomic rename flips it to
+  *    `delta=<batchId>` — readers can never observe a half-written delta,
+  *    and a crash mid-write leaves only a dot-dir that the replay clears;
+  *  - replay: an existing `delta=<batchId>` (or batchId ≤ the compaction
+  *    marker) makes the append a no-op. The guard is an I/O saving, not a
+  *    correctness requirement: union-state merges are idempotent, so even
+  *    a doubled delta collapses through the merge-on-read. (As with every
+  *    foreachBatch state, batch ids are meaningful only relative to their
+  *    checkpoint — state dir and checkpoint dir live and die as a unit.)
+  *
+  * Readers apply the state's keyed/distinct merge ON READ (each stream owns
+  * its merge: distinct for an index, min-struct for survivor sets) — the
+  * merge is commutative/associative/idempotent, so reducing the union of
+  * deltas equals reducing any arrival order. [[compact]] folds the current
+  * deltas into a fresh base under [[StateCommit]]'s marker-flip protocol,
+  * bounding read amplification without ever blocking the writer.
+  *
+  * 100 TB shape: per-batch I/O is O(batch) — the delta is the only write.
+  * Merge-on-read touches base + deltas, which periodic compaction keeps at
+  * O(corpus + recent); production would run compaction as the same leveled
+  * merge an LSM tree uses. */
+private[streaming] object AppendState {
+
+  private def deltaDir(targetDir: String, batchId: Long) =
+    new java.io.File(targetDir, s"delta=$batchId")
+  private def tmpDir(targetDir: String, batchId: Long) =
+    new java.io.File(targetDir, s".tmp-$batchId")
+  private def baseDir(targetDir: String, upTo: Long) =
+    new java.io.File(targetDir, s"base=$upTo")
+  private def baseMarker(targetDir: String) = new java.io.File(targetDir, ".base")
+
+  /** Highest batch id folded into the compacted base, or −1 if never
+    * compacted. */
+  def baseId(targetDir: String): Long = {
+    val m = baseMarker(targetDir)
+    if (m.exists()) java.nio.file.Files.readString(m.toPath).trim.toLong else -1L
+  }
+
+  /** Committed delta batch ids (ascending), EXCLUDING those folded into the
+    * base. */
+  def deltaIds(targetDir: String): Seq[Long] = {
+    val base = baseId(targetDir)
+    Option(new java.io.File(targetDir).listFiles()).map(_.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("delta="))
+      .map(_.getName.stripPrefix("delta=").toLong)
+      .filter(_ > base).sorted).getOrElse(Nil)
+  }
+
+  def exists(targetDir: String): Boolean =
+    baseId(targetDir) >= 0 || deltaIds(targetDir).nonEmpty
+
+  /** Publish batch `batchId`'s rows as an immutable delta (write to a
+    * dot-dir, atomic rename). No-op if the delta already exists or was
+    * already compacted into the base (a replayed batch). A NEGATIVE
+    * `batchId` means "out-of-band apply, no checkpoint identity": the
+    * delta gets the next free id and the replay guard is skipped —
+    * correctness then rests on the merge-on-read being idempotent, which
+    * is the union-state contract. */
+  def append(delta: DataFrame, targetDir: String, batchId0: Long): Unit = {
+    val batchId =
+      if (batchId0 >= 0) batchId0
+      else (deltaIds(targetDir) :+ baseId(targetDir)).max + 1
+    if (batchId <= baseId(targetDir) || deltaDir(targetDir, batchId).exists()) return
+    val tmp = tmpDir(targetDir, batchId)
+    if (tmp.exists()) deleteQuietly(tmp) // torn write from a previous crash
+    delta.write.mode("overwrite").parquet(tmp.toString)
+    java.nio.file.Files.move(tmp.toPath, deltaDir(targetDir, batchId).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The raw union of base + committed deltas. Rows may repeat across
+    * deltas (redelivery in later batches) — callers apply their
+    * idempotent merge on top. None before the first append. */
+  def raw(spark: SparkSession, targetDir: String): Option[DataFrame] = {
+    val base = baseId(targetDir)
+    val dirs = (if (base >= 0) Seq(baseDir(targetDir, base).toString) else Nil) ++
+      deltaIds(targetDir).map(id => deltaDir(targetDir, id).toString)
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
+  /** Fold base + all current deltas into a fresh compacted base via
+    * `merge` (the state's own idempotent reduction). Protocol mirrors
+    * [[StateCommit]]: the new base lands in a FRESH `base=<upTo>` dir, the
+    * `.base` marker flips via atomic rename (the commit point), then the
+    * folded deltas and old base are deleted best-effort (leftovers are
+    * garbage, never state — readers filter on the marker). */
+  def compact(spark: SparkSession, targetDir: String,
+              merge: DataFrame => DataFrame): Unit = {
+    val oldBase = baseId(targetDir)
+    val folded = deltaIds(targetDir)
+    if (folded.isEmpty) return
+    val upTo = folded.max
+    val all = raw(spark, targetDir).get
+    val target = baseDir(targetDir, upTo)
+    if (target.exists()) deleteQuietly(target) // orphan from a previous crash
+    merge(all).localCheckpoint(true).write.parquet(target.toString)
+    val tmp = new java.io.File(targetDir, ".base.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, upTo.toString)
+    java.nio.file.Files.move(tmp.toPath, baseMarker(targetDir).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    folded.foreach(id => deleteQuietly(deltaDir(targetDir, id)))
+    if (oldBase >= 0) deleteQuietly(baseDir(targetDir, oldBase))
+  }
+
+  private def deleteQuietly(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteQuietly))
+    f.delete(); ()
+  }
+}

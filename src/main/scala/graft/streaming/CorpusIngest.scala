@@ -18,11 +18,12 @@ import graft.functions.TextFns
   * min-id-wins in place of last-write-wins.
   *
   * 100 TB shape: the gate is a per-row expression; per batch the only
-  * exchange is the digest groupBy (rows ride it once, 8-byte digests +
-  * narrow metadata — text itself never enters the state); state size is one
-  * row per distinct surviving document. In production the state rewrite is
-  * a transactional MERGE INTO keyed on digest; the dedup-then-merge shape
-  * and its convergence are identical.
+  * exchange is the batch-local digest groupBy (rows ride it once, 8-byte
+  * digests + narrow metadata — text itself never enters the state) and the
+  * only write is the O(batch) [[AppendState]] delta — the corpus-sized
+  * survivor set is never rewritten per micro-batch (merge-on-read +
+  * periodic [[compact]], the LSM shape; a lakehouse deployment would use
+  * MERGE INTO keyed on digest with identical convergence).
   */
 object CorpusIngest {
 
@@ -54,17 +55,27 @@ object CorpusIngest {
       .select(col("digest"), col("m.doc_id").as("doc_id"),
         col("m.lang").as("lang"), col("m.quality").as("quality"))
 
-  /** One idempotent micro-batch apply (the [[CdcPipeline.applyBatch]]
-    * lifecycle: merge against current state, lineage-truncate, overwrite). */
-  def applyBatch(spark: SparkSession, batch: DataFrame, targetDir: String): Unit = {
-    val merged =
-      if (new java.io.File(targetDir).exists()) {
-        val base = spark.read.parquet(targetDir)
-        mergeSurvivors(base, batch.select(base.columns.toIndexedSeq.map(col): _*))
-      } else mergeSurvivors(batch.limit(0), batch)
-    merged.localCheckpoint(true)
-      .write.mode("overwrite").parquet(targetDir)
-  }
+  /** The LIVE survivor state: min-id-wins merge-on-read over the
+    * append-only deltas ([[AppendState]] — per-batch I/O is O(batch), the
+    * corpus-sized survivor set is never rewritten per micro-batch). */
+  def state(spark: SparkSession, targetDir: String): DataFrame =
+    AppendState.raw(spark, targetDir)
+      .map(r => mergeSurvivors(r.limit(0), r))
+      .getOrElse(spark.range(0).select(lit("").as("digest"),
+        col("id").as("doc_id"), lit("").as("lang"), lit(0.0).as("quality")))
+
+  /** Fold the deltas (run periodically to bound read amplification). */
+  def compact(spark: SparkSession, targetDir: String): Unit =
+    AppendState.compact(spark, targetDir, r => mergeSurvivors(r.limit(0), r))
+
+  /** One micro-batch apply: batch-local digest reduction, then an atomic
+    * append-only delta publish — replayed batches skip by id, out-of-band
+    * replays collapse through the idempotent merge-on-read. */
+  def applyBatch(spark: SparkSession, batch: DataFrame, targetDir: String,
+                 batchId: Long = -1L): Unit =
+    AppendState.append(
+      mergeSurvivors(batch.limit(0), batch).localCheckpoint(true),
+      targetDir, batchId)
 
   /** Start the ingest: document source dir → gate/project → foreachBatch
     * digest-keyed survivor merge into `targetDir`. `availableNow = true`
@@ -79,8 +90,8 @@ object CorpusIngest {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(spark, batch, targetDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(spark, batch, targetDir, batchId)
       }
       .start()
   }

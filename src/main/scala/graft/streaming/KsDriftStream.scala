@@ -26,11 +26,13 @@ import graft.Tables.rnd4
   * (sources × length-domain) grid, ONE trailing division), so stream and
   * batch literally share this one definition and cannot drift.
   *
-  * 100 TB shape: per batch the only exchange is the doc-keyed merge (8-byte
-  * ids + two narrow columns — text never enters the state); in production
-  * the state rewrite is a transactional MERGE INTO keyed on doc_id. The
-  * report reads two columns of the state (column-pruned scan) and collapses
-  * it map-side to the (sources × lengths) histogram before any window. */
+  * 100 TB shape: per batch the only exchange is the batch-local first-wins
+  * reduction (8-byte ids + two narrow columns — text never enters the
+  * state) and the only WRITE is the O(batch) [[AppendState]] delta — the
+  * corpus-sized survivor set is never rewritten per micro-batch; periodic
+  * [[compact]] bounds read amplification. The report reads two columns of
+  * the merged state (column-pruned scan) and collapses it map-side to the
+  * (sources × lengths) histogram before any window. */
 object KsDriftStream {
 
   /** Shared batch/stream projection — the three columns the monitor keeps. */
@@ -80,21 +82,28 @@ object KsDriftStream {
           .as("ks_stat"))
   }
 
-  /** The LIVE survivor state. */
+  /** The LIVE survivor state: first-wins merge-on-read over the
+    * append-only deltas ([[AppendState]] — per-batch I/O is O(batch), the
+    * corpus-sized survivor set is never rewritten per micro-batch). */
   def state(spark: SparkSession, targetDir: String): DataFrame =
-    spark.read.parquet(targetDir)
+    AppendState.raw(spark, targetDir)
+      .map(r => mergeDocs(r.limit(0), r))
+      .getOrElse(spark.range(0).select(col("id").as("doc_id"),
+        lit("").as("source"), lit(0L).as("n_chars")))
 
-  /** One idempotent micro-batch apply (the [[CorpusIngest.applyBatch]]
-    * lifecycle: merge against current state, lineage-truncate, overwrite —
-    * idempotence makes a replayed batch a no-op by algebra, not by guard). */
-  def applyBatch(spark: SparkSession, batch: DataFrame, targetDir: String): Unit = {
-    val merged =
-      if (new java.io.File(targetDir).exists()) {
-        val base = spark.read.parquet(targetDir)
-        mergeDocs(base, batch.select(base.columns.toIndexedSeq.map(col): _*))
-      } else mergeDocs(batch.limit(0), batch)
-    merged.localCheckpoint(true)
-      .write.mode("overwrite").parquet(targetDir)
+  /** Fold the deltas (run periodically to bound read amplification). */
+  def compact(spark: SparkSession, targetDir: String): Unit =
+    AppendState.compact(spark, targetDir, r => mergeDocs(r.limit(0), r))
+
+  /** One micro-batch apply: batch-local first-wins reduction, then an
+    * atomic append-only delta publish — a replayed batch is skipped by id,
+    * and even an out-of-band replay (fresh id, same docs) collapses
+    * through the idempotent merge-on-read. */
+  def applyBatch(spark: SparkSession, batch: DataFrame, targetDir: String,
+                 batchId: Long = -1L): Unit = {
+    val b = batch.select(col("doc_id"), col("source"), col("n_chars"))
+    AppendState.append(mergeDocs(b.limit(0), b).localCheckpoint(true),
+      targetDir, batchId)
   }
 
   /** Start the drift monitor: document source dir → projection →
@@ -110,8 +119,8 @@ object KsDriftStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(spark, batch, targetDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(spark, batch, targetDir, batchId)
       }
       .start()
   }

@@ -14,14 +14,21 @@ import graft.functions.TextFns
   * the index absorbs the batch — so duplication is known the moment the
   * second copy arrives, not at the next full-corpus batch job.
   *
-  * State and its merge discipline:
+  * State rides [[AppendState]] (append-only deltas, atomic publish,
+  * merge-on-read), so per-batch I/O is O(batch), not O(corpus):
   *  - `index`: distinct (doc_id, 3-shingle-hash) rows — the same int64
-  *    shingle rep as [[graft.operators.Dedup]]. Merge = union-distinct
-  *    (idempotent ∧ commutative: redelivered docs contribute byte-equal
-  *    rows that collapse).
+  *    shingle rep as [[graft.operators.Dedup]]. Each batch APPENDS only its
+  *    own batch-local-distinct rows; cross-delta duplicates from
+  *    redelivery collapse through [[indexState]]'s distinct-on-read (or a
+  *    periodic [[compact]]) — and [[newPairs]] itself is duplicate-TOLERANT
+  *    (per-pair/per-shingle counts are countDistinct), so the probe reads
+  *    the RAW delta union and never pays a corpus-wide distinct.
+  *  - `sizes`: (doc_id, n distinct shingles) — a doc's set size is fixed
+  *    at arrival, so it is STATE maintained with an O(batch) aggregate,
+  *    not re-derived from the corpus-sized index every batch.
   *  - `pairs`: (doc_a < doc_b, jaccard). A pair is a PURE function of the
-  *    two documents' shingle sets, so any redelivery/split recomputes
-  *    byte-identical rows and the keyed distinct-merge collapses them —
+  *    two documents' full shingle sets, so any redelivery/split recomputes
+  *    byte-equal rows and the keyed min-merge-on-read collapses them —
   *    the [[Decontam]] exactly-once-from-at-least-once argument.
   * Convergence to the batch answer: pair (a, b) is emitted by the batch
   * that completes the pair — when the LATER of a, b first enters the
@@ -29,51 +36,125 @@ import graft.functions.TextFns
   * index side the older doc's full set, so the intersection count is
   * exact regardless of how arrivals were split across batches).
   *
-  * Candidate generation is the plain inverted-index probe (share ≥ 1
-  * shingle), NOT the batch path's PPJoin prefix filter: the prefix is
-  * defined by corpus-wide rarity order, which shifts with every arrival —
-  * a prefix chosen under today's df is not lossless under tomorrow's.
-  * The probe stays lossless under ANY arrival order; its cost is
-  * per-batch × index collision rate (never corpus²), and at 100 TB the
-  * index is partitioned by shingle so the probe is a co-located
-  * equi-join. Batch-replay form oracle-gated as `stream_neardup` against
-  * the exact-Jaccard SQL; live restart/redelivery paths in StreamingSpec. */
+  * Candidate generation carries the stop-shingle cap of the batch tiers:
+  * candidates come only from shingles with arrival-time df in [2, maxDf]
+  * (df-1 shingles can't form a cross-doc pair; df > maxDf shingles are
+  * boilerplate whose postings would make one stop-shingle cost
+  * batch × corpus candidates — the batch path's `__df BETWEEN 2 AND maxDf`
+  * cut, [[graft.operators.Dedup.fuzzyPairs]]). The emitted Jaccard stays
+  * EXACT: common shingles ABOVE the cap are added back by a per-candidate
+  * hot-correction join (bounded by candidates × hot-shingle TYPES, and
+  * free when nothing exceeds the cap). Tradeoff, stated honestly: a pair
+  * whose EVERY common shingle is hot at probe time is invisible to this
+  * tier — boilerplate-blindness, the price of boundedness (pair it with
+  * `ext_text_boilerplate`, which measures exactly that template mass).
+  * Arrival-time df only grows, so the stream's candidate set contains the
+  * final-df-capped batch one; with maxDf = ∞ it converges to the exact
+  * batch join. The probe is a plain inverted-index probe, NOT the batch
+  * path's PPJoin prefix filter: the prefix is defined by corpus-wide
+  * rarity order, which shifts with every arrival — a prefix chosen under
+  * today's df is not lossless under tomorrow's. No posting list is ever
+  * materialized as an in-memory array (a hot shingle's postings are
+  * unbounded) — everything streams as rows through keyed exchanges.
+  *
+  * 100 TB shape, per batch: df and postings are computed over the index
+  * SEMI-JOINED to the batch's shingles (posting-list fetch, not a corpus
+  * aggregate — with the index partitioned by shingle this is a pruned,
+  * co-located read); the only writes are the three O(batch) deltas.
+  * Batch-replay form oracle-gated as `stream_neardup` against the
+  * exact-Jaccard SQL; live restart / redelivery / torn-write paths in
+  * StreamingSpec. */
 object NeardupStream {
 
   val Threshold = 0.5
+
+  /** Stop-shingle cap: probe-time document frequency above which a shingle
+    * is treated as boilerplate and excluded from CANDIDATE generation
+    * (the Jaccard of emitted pairs still counts it, via the hot
+    * correction). Generous by default — at fixture scale nothing reaches
+    * it; the mechanism is pinned in StateLayoutSpec with a small cap. */
+  val DefaultMaxDf = 10000L
 
   /** Distinct (doc_id, sh) shingle rows of a document frame — the unit of
     * both the probe side and the index state. Deterministic per doc. */
   def shingleRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(TextFns.hashedShingles(col("text"), 3)).as("sh"))
 
-  /** Pairs completed by this batch: the batch docs' shingles probe the
-    * ALREADY-MERGED index (state ∪ batch), so new-old and new-new pairs
-    * both carry exact intersection counts. A new-new pair is emitted in
-    * BOTH join directions (each side is in the batch AND the index);
-    * after (min, max) normalization every shared shingle therefore
-    * appears once (new-old) or twice (new-new) — `countDistinct(sh)`
-    * yields |A∩B| exactly in both cases. */
-  def newPairs(batchSh: DataFrame, mergedIndex: DataFrame): DataFrame = {
-    val sizes = mergedIndex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = batchSh.as("l")
-      .join(mergedIndex.as("r"), col("l.sh") === col("r.sh") &&
-        col("l.doc_id") =!= col("r.doc_id"))
-      .groupBy(least(col("l.doc_id"), col("r.doc_id")).as("doc_a"),
-        greatest(col("l.doc_id"), col("r.doc_id")).as("doc_b"))
-      .agg(countDistinct(col("l.sh")).as("c"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")) >= Threshold)
+  /** Per-doc distinct shingle-set sizes of a (distinct) shingle frame —
+    * the batch's contribution to the `sizes` state. */
+  def sizeRows(batchSh: DataFrame): DataFrame =
+    batchSh.groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
+
+  /** Pairs completed by this batch, in three row-streamed legs:
+    *  1. `touched`: the merged index's postings for the BATCH's shingles
+    *     only (left-semi on sh — the inverted-index probe); its df table
+    *     (countDistinct, immune to redelivered duplicate rows) splits the
+    *     shingles into gated [2, maxDf] and hot (> maxDf);
+    *  2. `cg`: probe ⋈ gated postings, then per normalized pair
+    *     countDistinct(sh) = |A∩B| over gated shingles (countDistinct also
+    *     collapses the doubled emission of new-new pairs, which the join
+    *     produces in both directions, and any duplicate index rows);
+    *  3. `ch`: the exact hot correction — candidate endpoints joined to
+    *     hot postings, countDistinct over shingles common to both sides.
+    * Jaccard = (cg + ch) / (na + nb − cg − ch) from the `sizes` frame —
+    * exact for every emitted pair. */
+  def newPairs(batchSh: DataFrame, mergedIndex: DataFrame, sizes: DataFrame,
+               maxDf: Long = DefaultMaxDf): DataFrame = {
+    // self-probe fast path: probing the index with ITSELF (the batch-replay
+    // form). batchSh is distinct per doc by contract (shingleRows), so the
+    // posting fetch is an identity semi-join (skipped), df is a plain
+    // count, and — every pair being new-new — the `<` join emits each
+    // (pair, shingle) exactly once, so the per-pair count needs no
+    // distinct. The general path keeps =!= + countDistinct, which also
+    // absorbs duplicate index rows from redelivered deltas.
+    val selfProbe = mergedIndex eq batchSh
+    val touched =
+      if (selfProbe) batchSh
+      else mergedIndex
+        .join(batchSh.select(col("sh")), Seq("sh"), "left_semi")
+        .localCheckpoint(true) // read by the df table and both posting legs
+    val dfAgg =
+      if (selfProbe) count(lit(1)) else countDistinct(col("doc_id"))
+    val dfTab = touched
+      .groupBy(col("sh")).agg(dfAgg.as("__df"))
+      .filter(col("__df") >= 2) // df-1 shingles can't be common to a pair
+      .localCheckpoint(true) // read by the gated and hot key sets
+    val gatedSh = dfTab.filter(col("__df") <= maxDf).select(col("sh"))
+    val gatedProbe = batchSh.join(gatedSh, "sh")
+    val cg = (if (selfProbe)
+      gatedProbe.as("l")
+        .join(gatedProbe.as("r"),
+          col("l.sh") === col("r.sh") && col("l.doc_id") < col("r.doc_id"))
+        .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("__cg"))
+    else
+      gatedProbe.as("l")
+        .join(touched.join(gatedSh, "sh").as("r"),
+          col("l.sh") === col("r.sh") && col("l.doc_id") =!= col("r.doc_id"))
+        .groupBy(least(col("l.doc_id"), col("r.doc_id")).as("doc_a"),
+          greatest(col("l.doc_id"), col("r.doc_id")).as("doc_b"))
+        .agg(countDistinct(col("l.sh")).as("__cg")))
+      .localCheckpoint(true) // referenced by the hot leg AND the final join
+    val hotDocs = touched.join(dfTab.filter(col("__df") > maxDf).select(col("sh")), "sh")
+    val ch = cg.select(col("doc_a"), col("doc_b"))
+      .join(hotDocs.select(col("sh").as("__sa"), col("doc_id").as("doc_a")), "doc_a")
+      .join(hotDocs.select(col("sh").as("__sb"), col("doc_id").as("doc_b")), "doc_b")
+      .filter(col("__sa") === col("__sb"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(countDistinct(col("__sa")).as("__ch"))
+    val jac = col("c").cast("double") / (col("na") + col("nb") - col("c"))
+    cg.join(ch, Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"),
-        Tables.rnd4(col("c").cast("double") / (col("na") + col("nb") - col("c")))
-          .as("jaccard"))
+        (col("__cg") + coalesce(col("__ch"), lit(0L))).as("c"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("__n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("__n").as("nb")), "doc_b")
+      .filter(jac >= Threshold)
+      .select(col("doc_a"), col("doc_b"), Tables.rnd4(jac).as("jaccard"))
   }
 
-  /** Keyed idempotent merges. Identical rows on every delivery ⇒ distinct
-    * collapses them; a struct-min would do equally, the key is that the
-    * merge is insensitive to multiplicity and order. */
+  /** Keyed idempotent merges — applied ON READ over the raw delta union
+    * (and by [[compact]]). Identical rows on every delivery ⇒ the
+    * reduction collapses them; insensitive to multiplicity and order. */
   def mergeIndex(state: DataFrame, batch: DataFrame): DataFrame =
     state.unionByName(batch).distinct()
 
@@ -81,38 +162,65 @@ object NeardupStream {
     state.unionByName(batch)
       .groupBy(col("doc_a"), col("doc_b")).agg(min(col("jaccard")).as("jaccard"))
 
-  /** One idempotent micro-batch apply ([[Decontam.applyBatch]] lifecycle):
-    * merge the index, probe it, merge the pairs, lineage-truncate,
-    * overwrite both state tables. */
-  def applyBatch(spark: SparkSession, batchDocs: DataFrame, targetDir: String): Unit = {
-    val idxDir = s"$targetDir/index"
-    val pairDir = s"$targetDir/pairs"
-    val batchSh = shingleRows(batchDocs).localCheckpoint(true)
-    val mergedIndex =
-      (if (new java.io.File(idxDir).exists())
-        mergeIndex(spark.read.parquet(idxDir), batchSh)
-      else mergeIndex(batchSh.limit(0), batchSh)).localCheckpoint(true)
-    val fresh = newPairs(batchSh, mergedIndex)
-    val mergedPairs =
-      if (new java.io.File(pairDir).exists())
-        mergePairs(spark.read.parquet(pairDir), fresh)
-      else mergePairs(fresh.limit(0), fresh)
-    mergedPairs.localCheckpoint(true).write.mode("overwrite").parquet(pairDir)
-    mergedIndex.write.mode("overwrite").parquet(idxDir)
+  /** The LIVE merged index / sizes / pair tables (distinct- /
+    * keyed-merge-on-read over the append-only deltas). Empty frames before
+    * the first batch. */
+  def indexState(spark: SparkSession, targetDir: String): DataFrame =
+    AppendState.raw(spark, s"$targetDir/index")
+      .map(_.distinct())
+      .getOrElse(spark.range(0).select(col("id").as("doc_id"), lit(0L).as("sh")))
+
+  def sizeState(spark: SparkSession, targetDir: String): DataFrame =
+    AppendState.raw(spark, s"$targetDir/sizes")
+      .map(_.groupBy(col("doc_id")).agg(min(col("__n")).as("__n")))
+      .getOrElse(spark.range(0).select(col("id").as("doc_id"), lit(0L).as("__n")))
+
+  def pairState(spark: SparkSession, targetDir: String): DataFrame =
+    AppendState.raw(spark, s"$targetDir/pairs")
+      .map(p => mergePairs(p.limit(0), p))
+      .getOrElse(spark.range(0).select(col("id").as("doc_a"),
+        col("id").as("doc_b"), lit(0.0).as("jaccard")))
+
+  /** Fold all three states' deltas (run periodically; bounds read
+    * amplification — see [[AppendState.compact]]). */
+  def compact(spark: SparkSession, targetDir: String): Unit = {
+    AppendState.compact(spark, s"$targetDir/index", _.distinct())
+    AppendState.compact(spark, s"$targetDir/sizes",
+      _.groupBy(col("doc_id")).agg(min(col("__n")).as("__n")))
+    AppendState.compact(spark, s"$targetDir/pairs", p => mergePairs(p.limit(0), p))
+  }
+
+  /** One micro-batch apply: append the batch's distinct shingle rows and
+    * per-doc sizes (atomic, replay-skipped), probe the now-merged index,
+    * append the completed pairs. A crash between appends replays cleanly:
+    * earlier appends no-op and the pair recompute is deterministic. */
+  def applyBatch(spark: SparkSession, batchDocs: DataFrame, targetDir: String,
+                 batchId: Long, maxDf: Long = DefaultMaxDf): Unit = {
+    val batchSh = shingleRows(batchDocs).distinct().localCheckpoint(true)
+    AppendState.append(batchSh, s"$targetDir/index", batchId)
+    AppendState.append(sizeRows(batchSh), s"$targetDir/sizes", batchId)
+    // probe the RAW delta union — newPairs is duplicate-tolerant, so the
+    // per-batch path never pays the corpus-wide distinct that indexState
+    // (the reader-facing view) applies
+    val merged = AppendState.raw(spark, s"$targetDir/index")
+      .getOrElse(batchSh.limit(0))
+    val fresh = newPairs(batchSh, merged, sizeState(spark, targetDir), maxDf)
+    AppendState.append(fresh.localCheckpoint(true), s"$targetDir/pairs", batchId)
   }
 
   /** Start the ingest-dedup stream: document source dir → per-batch index
-    * probe → (index, pairs) state under `targetDir`. */
+    * probe → (index, sizes, pairs) append-only state under `targetDir`. */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
-            checkpointDir: String, availableNow: Boolean = true): StreamingQuery = {
+            checkpointDir: String, availableNow: Boolean = true,
+            maxDf: Long = DefaultMaxDf): StreamingQuery = {
     val raw = spark.readStream.schema(CorpusIngest.docsFileSchema).parquet(sourceDir)
     val trigger =
       if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(spark, batch, targetDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(spark, batch, targetDir, batchId, maxDf)
       }
       .start()
   }

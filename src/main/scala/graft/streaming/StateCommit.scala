@@ -31,13 +31,24 @@ private[streaming] object StateCommit {
     else -1L
   }
 
+  /** Directory holding the committed state for `id` — normally the
+    * versioned dir, but a marker written by the pre-versioning layout
+    * (flat `targetDir` + same marker format) names a version dir that was
+    * never created; fall back to the flat dir so an old checkpoint/state
+    * pair restarts instead of crashing (the next applyBatch migrates it
+    * into the versioned layout). */
+  private def committedDir(targetDir: String, id: Long): String = {
+    val versioned = new java.io.File(versionDir(targetDir, id))
+    if (versioned.exists()) versioned.toString else targetDir
+  }
+
   /** The LIVE state table: the marker names the exact versioned directory
     * whose contents include every applied batch — readers never observe a
     * half-written overwrite. */
   def state(spark: SparkSession, targetDir: String): DataFrame = {
     val id = lastApplied(targetDir)
     require(id >= 0, s"StateCommit: no applied state at $targetDir")
-    spark.read.parquet(versionDir(targetDir, id))
+    spark.read.parquet(committedDir(targetDir, id))
   }
 
   /** One guarded apply: skip if `batchId` is already committed, else build
@@ -48,7 +59,7 @@ private[streaming] object StateCommit {
     val last = lastApplied(targetDir)
     if (batchId <= last) return // replayed batch: no-op
     val base =
-      if (last >= 0) Some(spark.read.parquet(versionDir(targetDir, last))) else None
+      if (last >= 0) Some(spark.read.parquet(committedDir(targetDir, last))) else None
     merge(base).localCheckpoint(true)
       .write.mode("overwrite").parquet(versionDir(targetDir, batchId))
     val tmp = new java.io.File(targetDir + ".applied.tmp")

@@ -4,9 +4,10 @@ import org.apache.spark.sql.DataFrame
 
 import graft.operators.NaiveBayes
 
-/** Naive Bayes classifier semantics: the model grid is complete, the
-  * micronat values match the closed-form recomputation, and scoring
-  * separates separable labels. */
+/** Naive Bayes classifier semantics: the model grid is complete (with
+  * per-label priors learned at TRAIN time), the micronat values match the
+  * closed-form recomputation, scoring separates separable labels, needs no
+  * labels on the scored frame, and gives empty docs the prior argmax. */
 class NaiveBayesSpec extends SparkSpec {
   import spark.implicits._
 
@@ -16,35 +17,56 @@ class NaiveBayesSpec extends SparkSpec {
   private val d = docs(
     (1, "a", "x x y"), (2, "a", "x y"), (3, "b", "z z"))
 
-  /** The operator's smoothing formula recomputed independently. */
+  /** The operator's smoothing formula recomputed independently (×1e6, the
+    * repo-wide lnMicro unit). */
   private def micro(c: Long, cl: Long, v: Long): Long =
-    math.round(math.log((c + 0.5) / (cl + 0.5 * v)) * 10000)
+    math.round(math.log((c + 0.5) / (cl + 0.5 * v)) * 1e6)
 
-  test("train emits the COMPLETE label x vocab grid with closed-form micronats") {
+  test("train emits the COMPLETE label x vocab grid with closed-form micronats and train-time priors") {
     val m = NaiveBayes.train(d, "text", "lang")
-      .as[(String, String, Long, Long)].collect()
-      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
     assert(m.keySet === Set("a", "b").flatMap(l => Set("x", "y", "z").map(l -> _)))
-    // label a: x=3, y=2, cl=5; label b: z=2, cl=2; V=3
-    assert(m(("a", "x")) === ((3L, micro(3, 5, 3))))
-    assert(m(("a", "z")) === ((0L, micro(0, 5, 3)))) // zero count still present
-    assert(m(("b", "z")) === ((2L, micro(2, 2, 3))))
+    // label a: x=3, y=2, cl=5, 2 of 3 docs; label b: z=2, cl=2, 1 of 3; V=3
+    val priorA = math.round(math.log(2.0 / 3.0) * 1e6)
+    val priorB = math.round(math.log(1.0 / 3.0) * 1e6)
+    assert(m(("a", "x")) === ((3L, micro(3, 5, 3), priorA)))
+    assert(m(("a", "z")) === ((0L, micro(0, 5, 3), priorA))) // zero count still present
+    assert(m(("b", "z")) === ((2L, micro(2, 2, 3), priorB)))
   }
 
-  test("score classifies separable labels correctly and flags accuracy") {
+  test("scoreAudit classifies separable labels correctly and flags accuracy") {
     val model = NaiveBayes.train(d, "text", "lang")
-    val r = NaiveBayes.score(d, "text", "lang", "doc_id", model)
+    val r = NaiveBayes.scoreAudit(d, "text", "lang", "doc_id", model)
       .select("doc_id", "label", "pred_label", "correct")
       .as[(Long, String, String, Boolean)].collect().toSet
     assert(r === Set((1L, "a", "a", true), (2L, "a", "a", true), (3L, "b", "b", true)))
   }
 
-  test("score_micro equals prior + sum(tf * logprob_micro) recomputed by hand") {
+  test("score_micro equals TRAIN prior + sum(tf * logprob_micro) recomputed by hand") {
     val model = NaiveBayes.train(d, "text", "lang")
-    val got = NaiveBayes.score(d, "text", "lang", "doc_id", model)
+    val got = NaiveBayes.score(d, "text", "doc_id", model)
       .select("doc_id", "score_micro").as[(Long, Long)].collect().toMap
-    val priorA = math.round(math.log(2.0 / 3.0) * 10000)
+    val priorA = math.round(math.log(2.0 / 3.0) * 1e6)
     val expected1 = priorA + 2 * micro(3, 5, 3) + 1 * micro(2, 5, 3)
     assert(got(1L) === expected1)
+  }
+
+  test("priors come from the training corpus, not the scored frame; empty docs get the prior argmax") {
+    val model = NaiveBayes.train(d, "text", "lang")
+    // the scored frame is UNLABELED and has a different label mix than the
+    // training corpus — and contains an empty and a whitespace-only doc
+    val unlabeled = Seq(
+      (10L, "z z z"), (11L, ""), (12L, "   ")
+    ).toDF("doc_id", "text")
+    val got = NaiveBayes.score(unlabeled, "text", "doc_id", model)
+      .select("doc_id", "pred_label", "score_micro")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.length === 3) // one row per input doc, empties included
+    assert(got(0)._2 === "b")
+    // zero-evidence prediction: label a has the larger train-time prior
+    val priorA = math.round(math.log(2.0 / 3.0) * 1e6)
+    assert(got(1) === ((11L, "a", priorA)))
+    assert(got(2) === ((12L, "a", priorA)))
   }
 }

@@ -359,7 +359,7 @@ class StreamingSpec extends SparkSpec {
     deliver("w2", wave2)
     CorpusIngest.start(spark, src.toString, tgt, ckp).awaitTermination()
 
-    val got = spark.read.parquet(tgt)
+    val got = CorpusIngest.state(spark, tgt)
       .select("doc_id", "lang", "quality").as[(Long, String, Double)]
       .collect().sortBy(_._1)
     // batch answer over the union of everything delivered once
@@ -375,7 +375,7 @@ class StreamingSpec extends SparkSpec {
 
     // replay with no new data: state unchanged (idempotence)
     CorpusIngest.start(spark, src.toString, tgt, ckp).awaitTermination()
-    val again = spark.read.parquet(tgt)
+    val again = CorpusIngest.state(spark, tgt)
       .select("doc_id", "lang", "quality").as[(Long, String, Double)]
       .collect().sortBy(_._1)
     assert(again === got)
@@ -466,7 +466,7 @@ class StreamingSpec extends SparkSpec {
     deliver("w2", wave2)
     Decontam.start(spark, src.toString, evalDocs, tgt, ckp).awaitTermination()
 
-    val got = spark.read.parquet(tgt)
+    val got = Decontam.state(spark, tgt)
       .select("doc_id", "source", "n_shared", "clean")
       .as[(Long, String, Long, Boolean)].collect().sortBy(_._1)
 
@@ -483,7 +483,7 @@ class StreamingSpec extends SparkSpec {
 
     // replay with no new data: verdict table unchanged (idempotence)
     Decontam.start(spark, src.toString, evalDocs, tgt, ckp).awaitTermination()
-    val again = spark.read.parquet(tgt)
+    val again = Decontam.state(spark, tgt)
       .select("doc_id", "source", "n_shared", "clean")
       .as[(Long, String, Long, Boolean)].collect().sortBy(_._1)
     assert(again === got)
@@ -512,13 +512,14 @@ class StreamingSpec extends SparkSpec {
     // wave 1: doc a alone — no pairs can exist yet
     deliver("w1", Seq((1L, a)))
     NeardupStream.start(spark, src.toString, tgt, ckp).awaitTermination()
-    assert(spark.read.parquet(s"$tgt/pairs").count() === 0L)
+    assert(NeardupStream.pairState(spark, tgt).count() === 0L)
 
     // wave 2: near-dup b arrives (+ unrelated c, + a redelivered) —
     // the cross-batch pair (1, 2) must complete now
     deliver("w2", Seq((1L, a), (2L, b), (3L, c)))
     NeardupStream.start(spark, src.toString, tgt, ckp).awaitTermination()
-    val got = spark.read.parquet(s"$tgt/pairs")
+    val got = NeardupStream.pairState(spark, tgt)
+      .select("doc_a", "doc_b", "jaccard")
       .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
     val all = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
     val expect = graft.operators.Dedup
@@ -530,11 +531,12 @@ class StreamingSpec extends SparkSpec {
 
     // replay with no new data: state unchanged (idempotence)
     NeardupStream.start(spark, src.toString, tgt, ckp).awaitTermination()
-    val again = spark.read.parquet(s"$tgt/pairs")
+    val again = NeardupStream.pairState(spark, tgt)
+      .select("doc_a", "doc_b", "jaccard")
       .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
     assert(again === got)
     // the index holds each doc's distinct shingles exactly once
-    val idxCounts = spark.read.parquet(s"$tgt/index")
+    val idxCounts = NeardupStream.indexState(spark, tgt)
       .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
     assert(idxCounts === Map(1L -> 6L, 2L -> 6L, 3L -> 6L))
   }

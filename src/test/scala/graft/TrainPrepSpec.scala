@@ -46,8 +46,9 @@ class TrainPrepSpec extends SparkSpec {
       .as[(Long, Long, Long, Boolean)].collect()
       .map(x => x._1 -> x).toMap
     TrainPrep.unpersistAll()
-    // closed form: V=2; tgt: q=5,z=1,T=6; raw: q=6,z=6,T=12
-    def micro(c: Long, t: Long) = math.round(math.log((c + 0.5) / (t + 0.5 * 2)) * 10000)
+    // closed form: V=2; tgt: q=5,z=1,T=6; raw: q=6,z=6,T=12 (×1e6 — the
+    // repo-wide lnMicro unit)
+    def micro(c: Long, t: Long) = math.round(math.log((c + 0.5) / (t + 0.5 * 2)) * 1e6)
     val dq = micro(5, 6) - micro(6, 12)
     val dz = micro(1, 6) - micro(6, 12)
     assert(r(1L) === ((1L, 3L, 3 * dq, 3 * dq > 0)))

@@ -1,0 +1,145 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** State-layout lifecycle pins for the two micro-batch commit disciplines:
+  * [[AppendState]] (append-only deltas for monotone union state) and
+  * [[StateCommit]] (versioned flips for additive state) — torn writes,
+  * replays, compaction, and legacy-layout migration. Lives in the
+  * streaming package to exercise the private[streaming] helpers directly;
+  * the end-to-end stream paths are in StreamingSpec. */
+class StateLayoutSpec extends SparkSpec {
+
+  private def tmp(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  import spark.implicits._
+
+  test("AppendState: per-batch deltas are O(batch), torn tmp dirs recover, replays skip") {
+    val dir = tmp("as").resolve("state").toString
+    assert(AppendState.raw(spark, dir).isEmpty)
+
+    AppendState.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, 0L)
+    // the delta dir holds ONLY this batch's rows — the O(batch) write claim
+    assert(spark.read.parquet(s"$dir/delta=0").count() === 2L)
+
+    // torn write: a crash left a partial tmp dir for batch 1 — the replay
+    // must clear it, publish atomically, and readers never see the orphan
+    val torn = new java.io.File(dir, ".tmp-1")
+    torn.mkdirs()
+    Files.writeString(new java.io.File(torn, "part-garbage.parquet").toPath, "not parquet")
+    AppendState.append(Seq((3L, "c")).toDF("k", "v"), dir, 1L)
+    assert(!torn.exists())
+    assert(AppendState.raw(spark, dir).get.count() === 3L)
+
+    // replayed batch id: no-op even with different rows (the guard)
+    AppendState.append(Seq((99L, "x")).toDF("k", "v"), dir, 1L)
+    assert(AppendState.raw(spark, dir).get.as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // out-of-band apply (negative id): appended under the next free id,
+    // duplicates collapse through the caller's merge-on-read
+    AppendState.append(Seq((3L, "c"), (4L, "d")).toDF("k", "v"), dir, -1L)
+    assert(AppendState.deltaIds(dir) === Seq(0L, 1L, 2L))
+    assert(AppendState.raw(spark, dir).get.distinct().count() === 4L)
+  }
+
+  test("AppendState: compaction folds deltas into a base without changing state; later appends stack on top") {
+    val dir = tmp("asc").resolve("state").toString
+    AppendState.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, 0L)
+    AppendState.append(Seq((2L, "b"), (3L, "c")).toDF("k", "v"), dir, 1L)
+    val before = AppendState.raw(spark, dir).get.distinct()
+      .as[(Long, String)].collect().toSet
+
+    AppendState.compact(spark, dir, _.distinct())
+    assert(AppendState.baseId(dir) === 1L)
+    assert(AppendState.deltaIds(dir).isEmpty)
+    assert(AppendState.raw(spark, dir).get.as[(Long, String)].collect().toSet === before)
+
+    // a replay of a folded batch is refused by the base marker
+    AppendState.append(Seq((99L, "x")).toDF("k", "v"), dir, 1L)
+    assert(AppendState.raw(spark, dir).get.count() === 3L)
+
+    // new deltas stack on the base; a second compaction folds them in
+    AppendState.append(Seq((4L, "d")).toDF("k", "v"), dir, 2L)
+    assert(AppendState.raw(spark, dir).get.count() === 4L)
+    AppendState.compact(spark, dir, _.distinct())
+    assert(AppendState.baseId(dir) === 2L)
+    assert(AppendState.raw(spark, dir).get.as[(Long, String)].collect().toSet
+      === before + ((4L, "d")))
+  }
+
+  test("NeardupStream: stop-shingle cap bounds the probe; verification stays exact") {
+    // "z z z" appears in 5 docs (df 5 > maxDf 3) — boilerplate. A/B also
+    // share rare shingles; C/D/E pairs share ONLY the hot shingle.
+    val docs = Seq(
+      (1L, "a b c d z z z"), (2L, "a b c d z z z"), // exact dups, rare+hot shingles
+      (3L, "z z z z"), (4L, "z z z z z"),           // only distinct shingle is hot
+      (5L, "y z z z z")
+    ).toDF("doc_id", "text")
+
+    def run(maxDf: Long): Set[(Long, Long, Double)] = {
+      val dir = tmp(s"ndcap$maxDf").resolve("state").toString
+      NeardupStream.applyBatch(spark, docs, dir, batchId = 0L, maxDf = maxDf)
+      NeardupStream.pairState(spark, dir).as[(Long, Long, Double)].collect().toSet
+    }
+
+    // uncapped: matches the batch exact-Jaccard join bit for bit
+    val batch = graft.operators.Dedup
+      .ngramJaccard(docs, "text", "doc_id", n = 3, threshold = NeardupStream.Threshold)
+      .as[(Long, Long, Double)].collect().toSet
+    graft.operators.Dedup.unpersistAll()
+    val uncapped = run(NeardupStream.DefaultMaxDf)
+    assert(uncapped === batch)
+    assert(uncapped.map(p => (p._1, p._2))
+      .contains((3L, 4L))) // the hot-only pair IS real — found when uncapped
+
+    // capped: pairs with >=1 rare common shingle survive with EXACT jaccard
+    // (the hot shingle still counts in the intersection at verify time);
+    // hot-only pairs are the documented boilerplate-blindness
+    val capped = run(3L)
+    assert(capped === Set((1L, 2L, 1.0)))
+  }
+
+  test("NeardupStream.newPairs: duplicate index rows (redelivery) change nothing") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g x"), (3L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val once = NeardupStream.shingleRows(docs).localCheckpoint(true)
+    val sizes = NeardupStream.sizeRows(once)
+    def run(index: org.apache.spark.sql.DataFrame) =
+      NeardupStream.newPairs(once, index, sizes)
+        .as[(Long, Long, Double)].collect().toSet
+    val single = run(once)
+    val doubled = run(once.unionByName(once)) // every posting delivered twice
+    assert(single === doubled)
+    assert(single.map(p => (p._1, p._2)) === Set((1L, 2L)))
+  }
+
+  test("StateCommit: a legacy flat-layout state dir restarts and migrates into the versioned layout") {
+    val dir = tmp("scleg").resolve("state").toString
+    // the pre-versioning layout: state in the flat dir, marker alongside
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "n").write.parquet(dir)
+    Files.writeString(new java.io.File(dir + ".applied").toPath, "3")
+
+    assert(StateCommit.lastApplied(dir) === 3L)
+    assert(StateCommit.state(spark, dir).as[(Long, Long)].collect().toSet
+      === Set((1L, 10L), (2L, 20L)))
+
+    // the next batch merges FROM the legacy dir and commits versioned
+    StateCommit.applyBatch(spark, dir, 5L) { base =>
+      base.get.unionByName(Seq((3L, 30L)).toDF("k", "n"))
+    }
+    assert(StateCommit.lastApplied(dir) === 5L)
+    assert(new java.io.File(dir + ".v5").exists())
+    assert(StateCommit.state(spark, dir).as[(Long, Long)].collect().toSet
+      === Set((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+}
