@@ -666,10 +666,21 @@ object Knn {
     * verified pair sets short-circuit to the single-task union-find). */
   def semanticDedup(corpus: DataFrame, idCol: String, embCol: String,
                     threshold: Double, nCells: Int, iters: Int,
-                    sampleN: Int = 0): DataFrame = {
-    val cs = ivfCentroids(corpus, idCol, embCol, nCells, iters, sampleN)
-    val assigned = corpus.select(col(idCol), col(embCol),
-      rowNearestCell(col(embCol), cs).as("cell"))
+                    sampleN: Int = 0): DataFrame =
+    semanticDedupIn(corpus, idCol, embCol, threshold,
+      rowNearestCell(col(embCol),
+        ivfCentroids(corpus, idCol, embCol, nCells, iters, sampleN)))
+
+  /** [[semanticDedup]] with an INJECTED cell assignment expression — the
+    * grouping machinery (within-cell threshold pairs → connected
+    * components → min-id representative) separated from the learned
+    * quantizer. With a relational assignment (e.g. `pmod(id, k)`) the
+    * whole pipeline is oracle-expressible (recursive-CTE components in
+    * SQL), which is how `ext_sim_semdedup_cells` hash-gates everything
+    * but the k-means itself. */
+  def semanticDedupIn(corpus: DataFrame, idCol: String, embCol: String,
+                      threshold: Double, cellExpr: Column): DataFrame = {
+    val assigned = corpus.select(col(idCol), col(embCol), cellExpr.as("cell"))
     val a = assigned.select(col("cell"), col(idCol).as("id_a"),
       col(embCol).as("__ea"), VectorFns.norm(col(embCol)).as("__na"))
     val b = assigned.select(col("cell").as("__cell_b"), col(idCol).as("id_b"),

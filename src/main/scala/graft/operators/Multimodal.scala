@@ -179,6 +179,39 @@ object Multimodal {
   final case class VideoMeta(docId: Long, nBytes: Long, timescale: Long,
                              duration: Long, durationMs: Long)
 
+  /** ISO-BMFF primitives shared by [[mp4Decode]] and [[mp4Tracks]]: 32/64
+    * big-endian reads and the size+fourcc box-stream iterator (64-bit
+    * largesize, size-0 to-end boxes, malformed-size stop). */
+  private def mp4U32(payload: Array[Byte])(o: Int): Long =
+    ((payload(o) & 0xFFL) << 24) | ((payload(o + 1) & 0xFFL) << 16) |
+      ((payload(o + 2) & 0xFFL) << 8) | (payload(o + 3) & 0xFFL)
+
+  private def mp4U64(payload: Array[Byte])(o: Int): Long =
+    (mp4U32(payload)(o) << 32) | mp4U32(payload)(o + 4)
+
+  private def mp4Fourcc(payload: Array[Byte])(o: Int): String =
+    new String(payload, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Walk the box stream in [from, until): yields (type, payloadStart,
+    * payloadEnd). */
+  private def mp4Boxes(payload: Array[Byte])(from: Int, until: Int): Iterator[(String, Int, Int)] =
+    new Iterator[(String, Int, Int)] {
+      private var o = from
+      def hasNext: Boolean = o + 8 <= until
+      def next(): (String, Int, Int) = {
+        val sz = mp4U32(payload)(o)
+        val (start, end) =
+          if (sz == 1 && o + 16 <= until) (o + 16, o + mp4U64(payload)(o + 8))
+          else if (sz == 0) (o + 8, until.toLong)
+          else (o + 8, o + sz)
+        val t = mp4Fourcc(payload)(o)
+        val e = math.min(end, until.toLong).toInt
+        val cur = o
+        o = if (e > cur) e else until // malformed size: stop
+        (t, start, math.max(e, start))
+      }
+    }
+
   /** MP4 `moov/mvhd` metadata — pure box-structure walking (size+fourcc
     * headers, 64-bit largesize, version-0/1 mvhd layouts), no codec. The
     * container's movie header carries the presentation clock: timescale +
@@ -186,30 +219,10 @@ object Multimodal {
     * ever decodes a frame. Returns None for anything that isn't an
     * `ftyp`-led box stream with a parseable `moov/mvhd`. */
   def mp4Decode(docId: Long, payload: Array[Byte]): Option[VideoMeta] = {
-    def u32(o: Int): Long =
-      ((payload(o) & 0xFFL) << 24) | ((payload(o + 1) & 0xFFL) << 16) |
-        ((payload(o + 2) & 0xFFL) << 8) | (payload(o + 3) & 0xFFL)
-    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
-    def fourcc(o: Int): String =
-      new String(payload, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    // walk the box stream in [from, until): yields (type, payloadStart, payloadEnd)
-    def boxes(from: Int, until: Int): Iterator[(String, Int, Int)] =
-      new Iterator[(String, Int, Int)] {
-        private var o = from
-        def hasNext: Boolean = o + 8 <= until
-        def next(): (String, Int, Int) = {
-          val sz = u32(o)
-          val (start, end) =
-            if (sz == 1 && o + 16 <= until) (o + 16, o + u64(o + 8))
-            else if (sz == 0) (o + 8, until.toLong)
-            else (o + 8, o + sz)
-          val t = fourcc(o)
-          val e = math.min(end, until.toLong).toInt
-          val cur = o
-          o = if (e > cur) e else until // malformed size: stop
-          (t, start, math.max(e, start))
-        }
-      }
+    val u32 = mp4U32(payload) _
+    val u64 = mp4U64(payload) _
+    val fourcc = mp4Fourcc(payload) _
+    val boxes = mp4Boxes(payload) _
     try {
       if (payload.length < 16 || fourcc(0) != "ftyp") return None
       for {
@@ -227,6 +240,66 @@ object Multimodal {
       }
       None
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** One MP4 track's header + sample-description metadata: id from `tkhd`,
+    * handler fourcc from `mdia/hdlr` ("vide"/"soun"/…), codec fourcc from
+    * the first `stsd` entry ("avc1"/"hev1"/"mp4a"/…), and the 16.16-fixed
+    * `tkhd` display dimensions (0 for non-visual tracks). */
+  final case class TrackMeta(docId: Long, trackId: Long, handler: String,
+                             codec: String, width: Long, height: Long)
+
+  /** Per-track MP4 metadata — the `moov/trak` walk ([[mp4Decode]]'s movie
+    * header companion): for each `trak`, `tkhd` (version 0/1 layouts —
+    * track id at +12/+20, 16.16 width/height at +76/+88) plus the
+    * `mdia/hdlr` handler type and the first `mdia/minf/stbl/stsd` entry's
+    * format fourcc. Still pure box walking, no codec work — this is what
+    * routing needs (video vs audio vs subtitle track counts, display size,
+    * codec id) before any decoder is chosen. Empty for anything without a
+    * parseable `moov`. */
+  def mp4Tracks(docId: Long, payload: Array[Byte]): Seq[TrackMeta] = {
+    val u32 = mp4U32(payload) _
+    val fourcc = mp4Fourcc(payload) _
+    val boxes = mp4Boxes(payload) _
+    try {
+      if (payload.length < 16 || fourcc(0) != "ftyp") return Nil
+      val out = Seq.newBuilder[TrackMeta]
+      for {
+        (t, s, e) <- boxes(0, payload.length) if t == "moov"
+        (t2, s2, e2) <- boxes(s, e) if t2 == "trak"
+      } {
+        var trackId = -1L
+        var width = 0L
+        var height = 0L
+        var handler = ""
+        var codec = ""
+        for ((t3, s3, e3) <- boxes(s2, e2)) t3 match {
+          case "tkhd" if s3 + 4 <= e3 =>
+            val v = payload(s3) & 0xFF
+            val idOff = if (v == 1) s3 + 20 else s3 + 12
+            val whOff = if (v == 1) s3 + 88 else s3 + 76
+            if (idOff + 4 <= e3) trackId = u32(idOff)
+            if (whOff + 8 <= e3) {
+              width = u32(whOff) >> 16 // 16.16 fixed-point display size
+              height = u32(whOff + 4) >> 16
+            }
+          case "mdia" =>
+            for ((t4, s4, e4) <- boxes(s3, e3)) t4 match {
+              case "hdlr" if s4 + 12 <= e4 =>
+                handler = fourcc(s4 + 4) // version/flags(4) + predefined(4)
+              case "minf" =>
+                for {
+                  (t5, s5, e5) <- boxes(s4, e4) if t5 == "stbl"
+                  (t6, s6, e6) <- boxes(s5, e5) if t6 == "stsd" && s6 + 16 <= e6
+                } codec = fourcc(s6 + 8) // version/flags(4) + entry_count(4)
+              case _ => ()
+            }
+          case _ => ()
+        }
+        if (trackId >= 0) out += TrackMeta(docId, trackId, handler, codec, width, height)
+      }
+      out.result()
+    } catch { case scala.util.control.NonFatal(_) => Nil }
   }
 
   /** Attach an opaque binary `media` column when the frame doesn't already

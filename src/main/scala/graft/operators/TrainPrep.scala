@@ -443,6 +443,34 @@ object TrainPrep {
         col("q_tokens"))
   }
 
+  /** [[tokenQuantilesSketch]] wrapped in its own RELATIONAL rank audit —
+    * the oracle-checkable form of the sketch path. The sketch VALUE is
+    * merge-order-dependent (rows-only by nature), but its CONTRACT is not:
+    * percentile_approx at accuracy A returns a value whose exact rank sits
+    * within n/A of the target rank. This operator recomputes each returned
+    * value's exact rank bracket (count below / count at-or-below, one
+    * stratum-keyed aggregate — no sort) and emits the deterministic fields
+    * only: (stratum, p, n_docs, ok). An oracle asserts `ok = true` over
+    * the same grid, so a degraded sketch hash-mismatches while a healthy
+    * one matches regardless of merge order. Tolerance: n/A rounded up,
+    * floor 1 (the discrete-rank boundary). */
+  def tokenQuantilesSketchChecked(docs: DataFrame, stratumCol: String, textCol: String,
+                                  permille: Seq[Int], accuracy: Int = 10000,
+                                  tokenCount: Column => Column = TextFns.bpeEstimate): DataFrame = {
+    val sk = tokenQuantilesSketch(docs, stratumCol, textCol, permille, accuracy, tokenCount)
+    val toks = docs.select(col(stratumCol).as("stratum"),
+      tokenCount(col(textCol)).as("n_tokens"))
+    val br = toks.join(sk, "stratum")
+      .groupBy(col("stratum"), col("p"), col("q_tokens"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_tokens") < col("q_tokens"), 1L).otherwise(0L)).as("__lo"),
+        sum(when(col("n_tokens") <= col("q_tokens"), 1L).otherwise(0L)).as("__hi"))
+    val target = expr("(p * n_docs + 999) div 1000")
+    val tol = greatest(lit(1L), expr(s"(n_docs + ${accuracy - 1}) div $accuracy"))
+    br.select(col("stratum"), col("p"), col("n_docs"),
+      (target > col("__lo") - tol && target <= col("__hi") + tol).as("ok"))
+  }
+
   /** Token co-occurrence lift over a bounded vocabulary — the PMI-family
     * association signal (which vocab terms travel together across
     * documents): for every pair of top-`vocabK`-df tokens co-occurring in

@@ -1233,6 +1233,18 @@ object ExtQueries {
       sampleN = SemSampleN)
       .orderBy("vec_id")
 
+  /** The SemDeDup GROUPING machinery under an injected relational cell
+    * assignment ([[Knn.semanticDedupIn]] with `pmod(id, 16)`): within-cell
+    * threshold pairs → connected components → min-id representative, all
+    * hash-gated against a recursive-CTE oracle — everything
+    * `ext_sim_semdedup` runs EXCEPT the learned quantizer (which stays
+    * spec-pinned: KnnSpec planted groups). Cells here are id-hash buckets,
+    * not semantic cells — the point is the oracle, not the recall. */
+  private val extSimSemdedupCells: Q = (s, d) =>
+    Knn.semanticDedupIn(embeddings(s, d), "vec_id", "embedding",
+      threshold = SemThreshold, cellExpr = pmod(col("vec_id"), lit(16)))
+      .orderBy("vec_id")
+
   /** Embedding QC: distance-to-assigned-centroid outlier flags (corrupt
     * encoders / junk vectors surface as far-from-every-centroid rows) —
     * sample-trained cells, zero-shuffle assignment, one nCells-row mean
@@ -1725,11 +1737,15 @@ object ExtQueries {
       .orderBy("stratum", "p")
 
   /** Sketch-path variant (map-side-merged percentile_approx, no
-    * per-stratum sort — the 100 TB shape). Rows-only: sketch merge order
-    * follows partial-agg scheduling; TrainPrepSpec pins the rank-tolerance
-    * contract against the exact form. */
+    * per-stratum sort — the 100 TB shape), emitted through its RELATIONAL
+    * rank audit ([[TrainPrep.tokenQuantilesSketchChecked]]): the sketch
+    * value is merge-order-dependent, but its rank-error contract is
+    * deterministic — the engine recomputes each value's exact rank bracket
+    * and emits (stratum, p, n_docs, ok); the oracle asserts the same grid
+    * with ok = true, so a degraded sketch hash-mismatches. TrainPrepSpec
+    * additionally pins values against the exact form. */
   private val extTokenQuantilesFast: Q = (s, d) =>
-    TrainPrep.tokenQuantilesSketch(documents(s, d), "lang", "text",
+    TrainPrep.tokenQuantilesSketchChecked(documents(s, d), "lang", "text",
       permille = Seq(500, 900, 990))
       .orderBy("stratum", "p")
 
@@ -2095,6 +2111,7 @@ object ExtQueries {
     "ext_sim_neardup_lsh" -> extSimNeardupLsh,
     "ext_sim_cluster" -> extSimCluster,
     "ext_sim_semdedup" -> extSimSemdedup,
+    "ext_sim_semdedup_cells" -> extSimSemdedupCells,
     "ext_embed_outliers" -> extEmbedOutliers,
     "ext_sample_stratified" -> extSampleStratified,
     "ext_sample_weighted" -> extSampleWeighted,
@@ -2266,6 +2283,29 @@ object ExtQueries {
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |WHERE ${cosSql("a.emb", "b.emb")} >= 0.3
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** SemDeDup grouping oracle under pmod cells: within-cell cosine pairs,
+    * transitive closure via a recursive CTE (min reachable id = the
+    * representative — [[graft.operators.Dedup.duplicateClusters]]'s
+    * contract), one row per vector. Closure size is Σ component² with
+    * components bounded by cell size — fine at oracle scale. */
+  private val semdedupCellsSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, vec_id % 16 AS cell
+       |           FROM embeddings),
+       |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+       |      FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |      WHERE ${cosSql("a.emb", "b.emb")} >= 0.3),
+       |edges AS (SELECT ida, idb FROM p UNION ALL SELECT idb AS ida, ida AS idb FROM p),
+       |rec AS (
+       |  WITH RECURSIVE reach(src, dst) AS (
+       |    SELECT vec_id, vec_id FROM e
+       |    UNION
+       |    SELECT r.src, ed.idb FROM reach r JOIN edges ed ON r.dst = ed.ida
+       |  ) SELECT src, min(dst) AS rep_id FROM reach GROUP BY 1)
+       |SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell, r.rep_id,
+       |       r.rep_id = c.vec_id AS kept
+       |FROM e c JOIN rec r ON c.vec_id = r.src
+       |ORDER BY 1""".stripMargin
 
   /** Deterministic sampling bucket — oracle twin of
     * [[TrainPrep.sampleBucket]], ONE definition for every oracle that
@@ -3753,6 +3793,17 @@ object ExtQueries {
         |FROM r, (VALUES (500), (900), (990)) pp(p)
         |WHERE rn = (p * n_docs + 999) // 1000
         |ORDER BY stratum, p""".stripMargin,
+
+    // the RANK-AUDIT twin of the sketch path: the engine's ok flag is the
+    // deterministic contract check; the oracle asserts the full grid holds
+    "ext_token_quantiles_fast" ->
+      s"""WITH g AS (SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs
+         |           FROM documents GROUP BY 1)
+         |SELECT stratum, CAST(p AS BIGINT) AS p, n_docs, true AS ok
+         |FROM g, (VALUES (500), (900), (990)) pp(p)
+         |ORDER BY stratum, p""".stripMargin,
+
+    "ext_sim_semdedup_cells" -> semdedupCellsSql,
 
     "ext_multimodal_meta" ->
       """SELECT doc_id,

@@ -392,6 +392,60 @@ class KnnSpec extends SparkSpec {
     assert(Multimodal.mp4Decode(5L, Array.empty[Byte]).isEmpty)
   }
 
+  /** A complete box with payload (size+fourcc header prepended). */
+  private def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+    bb.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+    bb.array()
+  }
+
+  /** version-0 tkhd: id + 16.16 display size at the spec'd offsets. */
+  private def tkhdV0(trackId: Int, width: Int, height: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(84)
+    bb.putInt(0) // version 0 + flags
+    bb.putInt(0).putInt(0) // creation, modification
+    bb.putInt(trackId)
+    bb.position(76) // reserved/duration/layer/volume/matrix
+    bb.putInt(width << 16).putInt(height << 16)
+    bb.array()
+  }
+
+  private def hdlr(handler: String): Array[Byte] =
+    java.nio.ByteBuffer.allocate(12).putInt(0).putInt(0)
+      .put(handler.getBytes("US-ASCII")).array()
+
+  private def stsd(codec: String): Array[Byte] = {
+    val entry = box(codec, new Array[Byte](8)) // sample entry: any payload
+    java.nio.ByteBuffer.allocate(8 + entry.length)
+      .putInt(0).putInt(1).put(entry).array()
+  }
+
+  test("mp4Tracks walks trak/tkhd + hdlr + stsd: ids, handlers, codecs, display size") {
+    val videoTrak = box("trak",
+      box("tkhd", tkhdV0(1, 640, 360)) ++
+        box("mdia", box("hdlr", hdlr("vide")) ++
+          box("minf", box("stbl", box("stsd", stsd("avc1"))))))
+    val audioTrak = box("trak",
+      box("tkhd", tkhdV0(2, 0, 0)) ++
+        box("mdia", box("hdlr", hdlr("soun")) ++
+          box("minf", box("stbl", box("stsd", stsd("mp4a"))))))
+    val ftyp = java.nio.ByteBuffer.allocate(16).putInt(16)
+      .put("ftyp".getBytes("US-ASCII")).put("isom".getBytes("US-ASCII"))
+      .putInt(0).array()
+    val mp4 = ftyp ++ box("moov", videoTrak ++ audioTrak)
+
+    val tracks = Multimodal.mp4Tracks(7L, mp4)
+    assert(tracks.map(t => (t.trackId, t.handler, t.codec, t.width, t.height)) ===
+      Seq((1L, "vide", "avc1", 640L, 360L), (2L, "soun", "mp4a", 0L, 0L)))
+    assert(tracks.forall(_.docId == 7L))
+    // the mvhd-only fixture has no trak; junk bytes parse to nothing
+    assert(Multimodal.mp4Tracks(8L, mp4Bytes(600, 3000)).isEmpty)
+    assert(Multimodal.mp4Tracks(9L, "not a container".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.mp4Tracks(10L, Array.empty[Byte]).isEmpty)
+    // and the movie-header walk still reads the same stream (regression)
+    assert(Multimodal.mp4Decode(11L, mp4Bytes(600, 3000)).isDefined)
+  }
+
   test("decodeMeta decodes a real media column end-to-end (frame brings its own bytes)") {
     val rows = Seq((1L, imageBytes(20, 30, "png")), (2L, "not an image".getBytes("UTF-8")))
     val docs = rows.toDF("doc_id", "media")
