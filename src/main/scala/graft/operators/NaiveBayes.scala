@@ -48,9 +48,13 @@ object NaiveBayes {
       explode(TextFns.tokens(col(textCol))).as("token"))
     val cnt = toks.groupBy(col("label"), col("token")).agg(count(lit(1)).as("c"))
     val cls = cnt.groupBy(col("label")).agg(sum(col("c")).as("__cl"))
-    val voc = toks.select(col("token")).distinct()
-    val v = broadcast(voc.agg(count(lit(1)).as("__v")))
-    val n = broadcast(docs.agg(count(lit(1)).as("__n")))
+    // vocab off the aggregated count frame, not a second corpus explode
+    val voc = cnt.select(col("token")).distinct()
+    // no broadcast hints on the 1-row aggregates: an explicit broadcast of
+    // a shuffle-derived frame forces an eager blocking materialization
+    // (AQE broadcasts 1-row sides on its own)
+    val v = voc.agg(count(lit(1)).as("__v"))
+    val n = docs.agg(count(lit(1)).as("__n"))
     val labels = docs.groupBy(col(classCol).as("label")).agg(count(lit(1)).as("__nc"))
       .crossJoin(n)
       .select(col("label"),
@@ -74,22 +78,31 @@ object NaiveBayes {
     * prior fallback keeps one output row per input doc. */
   def score(docs: DataFrame, textCol: String, idCol: String,
             model: DataFrame): DataFrame = {
+    // labels-bounded; materialized so the prior extraction and its argmax
+    // below don't each re-derive the full model plan (train-then-score
+    // callers typically pass an already-materialized model, but a fused
+    // train+score plan would otherwise recompute the grid three times)
     val pri = model.select(col("label"), col("prior_micro")).distinct()
+      .localCheckpoint(true)
     val tf = docs.select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-    val scores = tf.join(model.select(col("label"), col("token"), col("logprob_micro")), "token")
+    // prior rides the model rows (constant per label: min = the value), so
+    // the model is scanned exactly once and no prior join is needed
+    val scores = tf
+      .join(model.select(col("label"), col("token"),
+        col("logprob_micro"), col("prior_micro")), "token")
       .groupBy(col(idCol), col("label"))
-      .agg(sum(col("tf") * col("logprob_micro")).as("__s"))
-      .join(pri, "label")
-      .select(col(idCol), col("label"),
-        (col("prior_micro") + col("__s")).as("score_micro"))
+      .agg((min(col("prior_micro")) + sum(col("tf") * col("logprob_micro")))
+        .as("score_micro"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("score_micro").desc, col("label"))
     val best = scores.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-    // prior argmax (label-asc tie-break): the zero-evidence prediction —
-    // a 1-row label-bounded frame, broadcast to the empty-doc rows
-    val topPrior = broadcast(pri
+    // prior argmax (label-asc tie-break): the zero-evidence prediction — a
+    // 1-row label-bounded frame (no broadcast hint: an explicit broadcast
+    // of a shuffle-derived frame forces an eager blocking materialization;
+    // AQE broadcasts a 1-row side on its own)
+    val topPrior = pri
       .orderBy(col("prior_micro").desc, col("label")).limit(1)
-      .select(col("label").as("__p_label"), col("prior_micro").as("__p_score")))
+      .select(col("label").as("__p_label"), col("prior_micro").as("__p_score"))
     docs.select(col(idCol))
       .join(best.select(col(idCol), col("label").as("pred_label"), col("score_micro")),
         Seq(idCol), "left")

@@ -359,8 +359,11 @@ object ExtQueries {
     * router. */
   private val extNbScore: Q = (s, d) => {
     val docs = documents(s, d)
+    // train once, materialize, score against the materialized grid — the
+    // deployment shape (a fused plan would recompute the count pass per
+    // model reference)
     NaiveBayes.scoreAudit(docs, "text", "lang", "doc_id",
-      NaiveBayes.train(docs, "text", "lang"))
+      NaiveBayes.train(docs, "text", "lang").localCheckpoint(true))
       .orderBy("doc_id")
   }
 
