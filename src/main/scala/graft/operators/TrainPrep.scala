@@ -277,6 +277,42 @@ object TrainPrep {
       .filter(col("sample_rank") <= k)
   }
 
+  /** T5/UL2-style span-corruption PLAN (Raffel et al. 2020 §3.1.4 shape):
+    * which token spans of each document get masked behind sentinels for a
+    * denoising objective — as a deterministic, replayable plan table, not
+    * materialized corrupted text. Token positions tile into fixed blocks
+    * of `block`; each block contributes ONE span (id = its block index, so
+    * sentinels number left to right) whose length (1..`maxSpan`, capped by
+    * the block's tail) and in-block offset come from integer
+    * multiplicative hashes of (doc, block) — spans are non-overlapping BY
+    * CONSTRUCTION (block-local), every engine computes the identical plan
+    * (pure i64 arithmetic, no RNG state), and corruption density is
+    * ~mean(span)/block. Row-local per doc: one explode over n/block
+    * blocks, zero shuffles at any scale; the trailing sort is
+    * presentation. `span_start` is a 0-based token index. */
+  def spanCorruptionPlan(docs: DataFrame, idCol: String, textCol: String,
+                         block: Int = 8, maxSpan: Int = 3): DataFrame = {
+    require(block > 0 && maxSpan > 0 && maxSpan <= block,
+      s"spanCorruptionPlan: need 0 < maxSpan <= block, got block=$block maxSpan=$maxSpan")
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(TextFns.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), expr(s"(n_tokens - 1) div $block"))).as("sentinel_id"))
+      .withColumn("__blen",
+        least(lit(block.toLong), col("n_tokens") - col("sentinel_id") * block))
+      .withColumn("span_len",
+        least(lit(1L) + (col("doc_id") * 48271L + col("sentinel_id") * 31L + 7L) % maxSpan,
+          col("__blen")))
+      .withColumn("span_start",
+        col("sentinel_id") * block +
+          (col("doc_id") * 2654435761L + col("sentinel_id") * 97L + 13L) %
+            (col("__blen") - col("span_len") + 1))
+      .select(col("doc_id"), col("n_tokens"), col("sentinel_id"),
+        col("span_start"), col("span_len"))
+  }
+
   /** Context-window packing: concatenation order is fixed (by id within a
     * shard), documents fill windows of `budgetTokens` tokens back to back,
     * and each document is labelled with the window its FIRST token lands in

@@ -120,6 +120,23 @@ object ExtQueries {
 
   private val extTextPii: Q = (s, d) => piiScan(documents(s, d)).orderBy("doc_id")
 
+  /** The REDACTION pass itself — [[piiScan]] emits the audit counts; this
+    * emits the rewritten corpus a shard-writer actually ships (each PII
+    * class replaced by its placeholder, counts measured on the ORIGINAL
+    * text). Same fold order as the scan, one row-local pass, zero
+    * shuffles; placeholders can't re-match later patterns (no digits, no
+    * scheme, no @). */
+  private val extPiiRedact: Q = (s, d) => {
+    val counts = Seq(PiiEmail, PiiUrl, PiiIpv4, PiiDigits)
+      .map(p => regexp_count(col("text"), lit(p)).cast("long"))
+    val redacted = Seq(PiiEmail -> "<EMAIL>", PiiUrl -> "<URL>",
+      PiiIpv4 -> "<IP>", PiiDigits -> "<NUM>")
+      .foldLeft(col("text")) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
+    documents(s, d).select(col("doc_id"), redacted.as("text_redacted"),
+      counts.reduce(_ + _).as("n_redactions"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-level top-50 bigrams with term and document frequency — the
     * frequency index contamination checks and LM analyses read. One
     * explode → groupBy(bigram) with map-side partial aggregation, then a
@@ -781,7 +798,7 @@ object ExtQueries {
     * anti-domination rule — no source contributes more than K docs; each
     * kept doc carries its in-source rank. Salted two-phase top-k, so a hot
     * source never funnels through one task. */
-  private val SourceCapK = 15
+  private[queries] val SourceCapK = 15
   private val extSourceCaps: Q = (s, d) =>
     TrainPrep.groupCap(documents(s, d).select(col("doc_id"), col("source")),
       "source", "doc_id", k = SourceCapK)
@@ -1757,6 +1774,13 @@ object ExtQueries {
     * contribution, and the spill-in/spill-out token counts that make
     * windows assemblable without re-deriving straddles. One exchange
     * beyond the pack shuffle. */
+  /** T5-style span-corruption plan ([[TrainPrep.spanCorruptionPlan]]):
+    * deterministic block-local sentinel spans per doc — the denoising-
+    * objective prep emitted as a replayable plan table. */
+  private val extSpanCorruption: Q = (s, d) =>
+    TrainPrep.spanCorruptionPlan(documents(s, d), "doc_id", "text")
+      .orderBy("doc_id", "sentinel_id")
+
   private val extPackManifest: Q = (s, d) =>
     TrainPrep.packManifest(
       TrainPrep.packWindows(documents(s, d), "doc_id", "text",
@@ -2060,6 +2084,8 @@ object ExtQueries {
     "ext_dsir_weights" -> extDsirWeights,
     "ext_phrase_search" -> extPhraseSearch,
     "ext_text_pii" -> extTextPii,
+    "ext_pii_redact" -> extPiiRedact,
+    "ext_span_corruption" -> extSpanCorruption,
     "ext_ngram_counts" -> extNgramCounts,
     "ext_token_count" -> extTokenCount,
     "ext_lang_id" -> extLangId,
@@ -3024,6 +3050,41 @@ object ExtQueries {
          |       CAST(1000000 // n_copies AS BIGINT) AS weight_ppm
          |FROM al JOIN sz ON al.cluster_id = sz.cluster_id
          |ORDER BY doc_id""".stripMargin,
+
+    // the proven redaction chain, surfaced as the rewritten corpus; counts
+    // on the ORIGINAL text, same fold order as the engine
+    "ext_pii_redact" -> {
+      def cnt(p: String) = s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT)"
+      s"""SELECT doc_id,
+         |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |         '$PiiEmail', '<EMAIL>', 'g'),
+         |         '$PiiUrl', '<URL>', 'g'),
+         |         '$PiiIpv4', '<IP>', 'g'),
+         |         '$PiiDigits', '<NUM>', 'g') AS text_redacted,
+         |       ${cnt(PiiEmail)} + ${cnt(PiiUrl)} + ${cnt(PiiIpv4)} +
+         |         ${cnt(PiiDigits)} AS n_redactions
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // pure i64 hash arithmetic on both engines — the plan is the contract
+    "ext_span_corruption" ->
+      s"""WITH t AS (SELECT doc_id,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |b AS (SELECT doc_id, n_tokens,
+         |        unnest(generate_series(0, (n_tokens - 1) // 8)) AS sentinel_id
+         |      FROM t WHERE n_tokens >= 1),
+         |c AS (SELECT doc_id, n_tokens, sentinel_id,
+         |        least(8, n_tokens - sentinel_id * 8) AS blen,
+         |        least(1 + (doc_id * 48271 + sentinel_id * 31 + 7) % 3,
+         |              least(8, n_tokens - sentinel_id * 8)) AS span_len
+         |      FROM b)
+         |SELECT doc_id, n_tokens, CAST(sentinel_id AS BIGINT) AS sentinel_id,
+         |       CAST(sentinel_id * 8 +
+         |            (doc_id * 2654435761 + sentinel_id * 97 + 13) %
+         |              (blen - span_len + 1) AS BIGINT) AS span_start,
+         |       CAST(span_len AS BIGINT) AS span_len
+         |FROM c ORDER BY doc_id, sentinel_id""".stripMargin,
 
     "ext_source_caps" ->
       s"""SELECT doc_id, source, rk FROM (

@@ -138,6 +138,18 @@ object StreamQueries {
     NeardupStream.mergePairs(fresh.limit(0), fresh).orderBy("doc_a", "doc_b")
   }
 
+  /** The incremental per-source cap run in BATCH mode over a DOUBLED
+    * delivery (at-least-once): min-k per source is commutative/associative/
+    * idempotent, so the doubled log collapses through [[graft.streaming
+    * .SourceCapsStream.capK]] to the one-shot batch answer — the oracle IS
+    * ext_source_caps' SQL. Live restart/redelivery in StreamingSpec. */
+  private val streamSourceCaps: Q = (s, d) => {
+    import graft.streaming.SourceCapsStream
+    val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id", "source")
+    val twice = docs.unionByName(docs) // two deliveries
+    SourceCapsStream.capK(twice, ExtQueries.SourceCapK).orderBy("source", "rk")
+  }
+
   /** The incremental funnel run in BATCH mode over a DOUBLED delivery
     * (at-least-once): per-user first-event state is an element-wise min, so
     * the doubled log collapses through the keyed min-merge to the clean
@@ -384,6 +396,7 @@ object StreamQueries {
     "stream_neardup" -> streamNeardup,
     "stream_quality_drift" -> streamQualityDrift,
     "stream_vocab_drift" -> streamVocabDrift,
+    "stream_source_caps" -> streamSourceCaps,
     "stream_ks_drift" -> streamKsDrift)
 
   val oracle: Map[String, String] = Map(
@@ -398,6 +411,10 @@ object StreamQueries {
     // doubled ingest replay collapses to the single-run pair set — the
     // oracle IS the batch exact-Jaccard join's (one definition)
     "stream_neardup" -> ExtQueries.oracle("ext_dedup_ngram"),
+
+    // doubled delivery collapses through the min-k reduction — the oracle
+    // IS the batch RefinedWeb cap's (one definition, twins can't drift)
+    "stream_source_caps" -> ExtQueries.oracle("ext_source_caps"),
 
     "source_changestream" ->
       s"""SELECT event_id, ${fmtTsSql("ts")} AS ts_s, user_id, $OP AS op_type, props

@@ -541,6 +541,53 @@ class StreamingSpec extends SparkSpec {
     assert(idxCounts === Map(1L -> 6L, 2L -> 6L, 3L -> 6L))
   }
 
+  test("streaming source caps: min-k per source converges across restart + redelivery") {
+    import graft.streaming.SourceCapsStream
+    import spark.implicits._
+    val src = tmp("caps-src")
+    val tgt = tmp("caps-tgt").resolve("state").toString
+    val ckp = tmp("caps-ckp").toString
+    val k = 3
+
+    def deliver(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = tmp(s"caps-stage-$name")
+      rows.map { case (id, source) => (id, s"text $id", "en", source, 7L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, src.resolve(s"$name-${f.getName}")))
+    }
+
+    // wave 1: web gets 4 docs (one over the cap already), blog 1
+    val wave1 = Seq((10L, "web"), (20L, "web"), (30L, "web"), (40L, "web"), (15L, "blog"))
+    deliver("w1", wave1)
+    SourceCapsStream.start(spark, src.toString, tgt, ckp, k).awaitTermination()
+    assert(SourceCapsStream.state(spark, tgt, k)
+      .filter($"source" === "web").select("doc_id").as[Long].collect().sorted
+      === Seq(10L, 20L, 30L))
+
+    // wave 2: wave 1 redelivered + a LOWER web id (must displace 30) + new source
+    val wave2 = wave1 ++ Seq((5L, "web"), (77L, "wiki"))
+    deliver("w2", wave2)
+    SourceCapsStream.start(spark, src.toString, tgt, ckp, k).awaitTermination()
+
+    def got() = SourceCapsStream.state(spark, tgt, k)
+      .select("doc_id", "source", "rk").as[(Long, String, Long)]
+      .collect().sortBy(r => (r._2, r._3)).toSeq
+    val all = (wave1 ++ wave2).distinct.toDF("doc_id", "source")
+    val expect = SourceCapsStream.capK(all, k)
+      .select("doc_id", "source", "rk").as[(Long, String, Long)]
+      .collect().sortBy(r => (r._2, r._3)).toSeq
+    assert(got() === expect)
+    assert(got().filter(_._2 == "web").map(_._1) === Seq(5L, 10L, 20L))
+
+    // replay with no new data, then compact: state unchanged
+    SourceCapsStream.start(spark, src.toString, tgt, ckp, k).awaitTermination()
+    assert(got() === expect)
+    SourceCapsStream.compact(spark, tgt, k)
+    assert(got() === expect)
+  }
+
   test("MongoDB connector wiring: option map encodes the reference's watch call") {
     import graft.streaming.MongoSource
     val base = MongoSource.MongoCdc("mongodb://auth-host/", "appdb", "users")

@@ -56,6 +56,30 @@ class TrainPrepSpec extends SparkSpec {
     assert(r(1L)._3 > 0 && r(3L)._3 < 0, "separable docs must separate")
   }
 
+  test("spanCorruptionPlan: block-local spans are in-bounds, non-overlapping, deterministic") {
+    val d = docs(
+      (7L, "en", ("w " * 20).trim),  // 20 tokens -> blocks of 8,8,4
+      (8L, "en", "a"),               // 1 token   -> one length-1 span
+      (9L, "en", ("x " * 8).trim))   // exactly one full block
+    val plan = TrainPrep.spanCorruptionPlan(d, "doc_id", "text")
+      .select("doc_id", "n_tokens", "sentinel_id", "span_start", "span_len")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._3))
+
+    // every span sits inside its own block (non-overlap by construction)
+    plan.foreach { case (_, n, b, start, len) =>
+      assert(len >= 1 && len <= 3)
+      assert(start >= b * 8 && start + len <= math.min((b + 1) * 8, n))
+    }
+    // block structure: ceil(n/8) sentinels, numbered 0..
+    assert(plan.filter(_._1 == 7L).map(_._3).toSeq === Seq(0L, 1L, 2L))
+    assert(plan.filter(_._1 == 8L).map(r => (r._3, r._5)).toSeq === Seq((0L, 1L)))
+    // pure function of (doc, block): a rerun is byte-identical
+    val again = TrainPrep.spanCorruptionPlan(d, "doc_id", "text")
+      .select("doc_id", "n_tokens", "sentinel_id", "span_start", "span_len")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._3))
+    assert(again === plan)
+  }
+
   test("groupCap equals the unsalted per-group top-k, ranks total and contiguous") {
     // uneven groups (sizes 30/7/1) with ids interleaved across salts
     val rows = (0L until 38L).map { i =>
