@@ -84,20 +84,27 @@ object CdcPipeline {
       events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** The LIVE upsert target ([[StateCommit.state]]: the marker names a
+    * complete version — readers never observe a half-written overwrite).
+    * Reads the legacy flat layout transparently. */
+  def state(spark: SparkSession, targetDir: String): DataFrame =
+    StateCommit.state(spark, targetDir)
+
   /** One idempotent micro-batch apply: current target state ⊕ batch →
-    * last-write-wins merge, written back atomically (lineage truncated via
-    * localCheckpoint so the overwrite never reads its own output). In
-    * production this body is a transactional MERGE INTO keyed on `user_id`;
-    * the dedup-then-merge shape (and its idempotence) is identical. */
-  def applyBatch(spark: SparkSession, batch: DataFrame, targetDir: String): Unit = {
+    * last-write-wins merge, committed under [[StateCommit]]'s versioned
+    * atomic publish (a crash mid-write can never tear the only copy; the
+    * replayed-batch merge is a no-op by idempotence, the id guard just
+    * skips its I/O). In production this body is a transactional MERGE INTO
+    * keyed on `user_id`; the dedup-then-merge shape is identical. */
+  def applyBatch(spark: SparkSession, batch: DataFrame, targetDir: String,
+                 batchId: Long = -1L): Unit = {
     val batchState = CdcOps.lastWriteWins(batch, "user_id", "ts", "event_id")
-    val merged =
-      if (new java.io.File(targetDir).exists()) {
-        val base = spark.read.parquet(targetDir)
-        CdcOps.upsertMerge(base, batchState.select(base.columns.toIndexedSeq.map(col): _*), "user_id")
-      } else batchState
-    merged.localCheckpoint(true)
-      .write.mode("overwrite").parquet(targetDir)
+    StateCommit.applyBatch(spark, targetDir, batchId) {
+      case Some(base) =>
+        CdcOps.upsertMerge(base,
+          batchState.select(base.columns.toIndexedSeq.map(col): _*), "user_id")
+      case None => batchState
+    }
   }
 
   /** Watermarked tumbling-window aggregation — the stateful streaming form
@@ -151,8 +158,8 @@ object CdcPipeline {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(spark, batch, targetDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(spark, batch, targetDir, batchId)
       }
       .start()
   }

@@ -116,19 +116,21 @@ object FunnelStream {
           unix_timestamp(col(s"t_${stages.head}"))).as("lag_sec")))
   }
 
-  /** One idempotent micro-batch apply (the [[CdcPipeline.applyBatch]]
-    * lifecycle: fold the batch slice's state into current state,
-    * lineage-truncate, overwrite). */
+  /** The LIVE per-user first-event state (versioned atomic commits). */
+  def state(spark: SparkSession, targetDir: String): DataFrame =
+    StateCommit.state(spark, targetDir)
+
+  /** One idempotent micro-batch apply: fold the batch slice's state into
+    * current state under [[StateCommit]]'s versioned atomic publish
+    * (min-merge is idempotent — the id guard only skips replay I/O). */
   def applyBatch(spark: SparkSession, batch: DataFrame, targetDir: String,
-                 stages: Seq[String] = Stages): Unit = {
+                 stages: Seq[String] = Stages, batchId: Long = -1L): Unit = {
     val slice = userState(batch, stages)
-    val merged =
-      if (new java.io.File(targetDir).exists()) {
-        val base = spark.read.parquet(targetDir)
+    StateCommit.applyBatch(spark, targetDir, batchId) {
+      case Some(base) =>
         mergeStates(base, slice.select(base.columns.toIndexedSeq.map(col): _*))
-      } else mergeStates(slice.limit(0), slice)
-    merged.localCheckpoint(true)
-      .write.mode("overwrite").parquet(targetDir)
+      case None => mergeStates(slice.limit(0), slice)
+    }
   }
 
   /** Start the incremental funnel: events source dir → shared CDC transform
@@ -147,8 +149,8 @@ object FunnelStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(spark, batch, targetDir, stages)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(spark, batch, targetDir, stages, batchId)
       }
       .start()
   }

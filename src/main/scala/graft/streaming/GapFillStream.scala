@@ -64,18 +64,21 @@ object GapFillStream {
       state.select(col("user_id"), col("ts"), col("event_id"), col("v")),
       "user_id", "ts", "v", "event_id")
 
-  /** One idempotent micro-batch apply (the [[Scd2Stream.applyBatch]]
-    * lifecycle: fold the batch slice into current state, lineage-truncate,
-    * overwrite). */
-  def applyBatch(spark: SparkSession, batch: DataFrame, targetDir: String): Unit = {
+  /** The LIVE per-day argmax state (versioned atomic commits). */
+  def state(spark: SparkSession, targetDir: String): DataFrame =
+    StateCommit.state(spark, targetDir)
+
+  /** One idempotent micro-batch apply: fold the batch slice into current
+    * state under [[StateCommit]]'s versioned atomic publish (argmax merge
+    * is idempotent — the id guard only skips replay I/O). */
+  def applyBatch(spark: SparkSession, batch: DataFrame, targetDir: String,
+                 batchId: Long = -1L): Unit = {
     val s = slice(batch)
-    val merged =
-      if (new java.io.File(targetDir).exists()) {
-        val base = spark.read.parquet(targetDir)
+    StateCommit.applyBatch(spark, targetDir, batchId) {
+      case Some(base) =>
         mergeFacts(base, s.select(base.columns.toIndexedSeq.map(col): _*))
-      } else mergeFacts(s.limit(0), s)
-    merged.localCheckpoint(true)
-      .write.mode("overwrite").parquet(targetDir)
+      case None => mergeFacts(s.limit(0), s)
+    }
   }
 
   /** Start the incremental gap-fill state build: events source dir →
@@ -92,8 +95,8 @@ object GapFillStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(spark, batch, targetDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(spark, batch, targetDir, batchId)
       }
       .start()
   }

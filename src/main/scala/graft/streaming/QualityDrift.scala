@@ -77,18 +77,27 @@ object QualityDrift {
         col("base_permille").isNull ||
           abs(col("pass_permille") - col("base_permille")) > driftPermille)
 
-  /** One idempotent micro-batch apply (the [[CorpusIngest.applyBatch]]
-    * lifecycle: merge against current verdicts, lineage-truncate,
-    * overwrite). */
-  def applyBatch(spark: SparkSession, verdicts: DataFrame, targetDir: String): Unit = {
-    val merged =
-      if (new java.io.File(targetDir).exists()) {
-        val base = spark.read.parquet(targetDir)
-        mergeVerdicts(base, verdicts.select(base.columns.toIndexedSeq.map(col): _*))
-      } else mergeVerdicts(verdicts.limit(0), verdicts)
-    merged.localCheckpoint(true)
-      .write.mode("overwrite").parquet(targetDir)
-  }
+  /** The LIVE verdict table: keyed merge-on-read over the append-only
+    * deltas ([[AppendState]] — per-batch I/O is O(batch), the corpus-sized
+    * verdict table is never rewritten per micro-batch, and a crash can
+    * never tear the only copy of the state). */
+  def state(spark: SparkSession, targetDir: String): DataFrame =
+    AppendState.raw(spark, targetDir)
+      .map(r => mergeVerdicts(r.limit(0), r))
+      .getOrElse(spark.range(0).select(col("id").as("doc_id"), lit("").as("source"), lit(0L).as("n_tokens"), lit(0L).as("pass")))
+
+  /** Fold the deltas (run periodically to bound read amplification). */
+  def compact(spark: SparkSession, targetDir: String): Unit =
+    AppendState.compact(spark, targetDir, r => mergeVerdicts(r.limit(0), r))
+
+  /** One micro-batch apply: batch-local verdict reduction, then an atomic
+    * append-only delta publish — replayed batches skip by id, out-of-band
+    * replays collapse through the idempotent merge-on-read. */
+  def applyBatch(spark: SparkSession, verdicts: DataFrame, targetDir: String,
+                 batchId: Long = -1L): Unit =
+    AppendState.append(
+      mergeVerdicts(verdicts.limit(0), verdicts).localCheckpoint(true),
+      targetDir, batchId)
 
   /** Start the monitor: document source dir → per-batch verdicts →
     * doc_id-keyed verdict table in `targetDir`. The report is derived
@@ -103,8 +112,8 @@ object QualityDrift {
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(spark, gate(batch), targetDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(spark, gate(batch), targetDir, batchId)
       }
       .start()
   }

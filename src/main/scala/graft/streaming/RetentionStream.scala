@@ -75,18 +75,21 @@ object RetentionStream {
       .orderBy("cohort_week", "week_n")
   }
 
-  /** One idempotent micro-batch apply (the [[CdcPipeline.applyBatch]]
-    * lifecycle; insert-only facts, so the rewrite is a pure union). */
+  /** The LIVE (user, week) fact table (versioned atomic commits). */
+  def state(spark: SparkSession, targetDir: String): DataFrame =
+    StateCommit.state(spark, targetDir)
+
+  /** One idempotent micro-batch apply: fold the batch slice into the fact
+    * table under [[StateCommit]]'s versioned atomic publish (distinct-
+    * union is idempotent — the id guard only skips replay I/O). */
   def applyBatch(spark: SparkSession, batch: DataFrame, targetDir: String,
-                 anchorType: String = "signup"): Unit = {
+                 anchorType: String = "signup", batchId: Long = -1L): Unit = {
     val slice = userWeeks(batch, anchorType)
-    val merged =
-      if (new java.io.File(targetDir).exists()) {
-        val base = spark.read.parquet(targetDir)
+    StateCommit.applyBatch(spark, targetDir, batchId) {
+      case Some(base) =>
         mergeFacts(base, slice.select(base.columns.toIndexedSeq.map(col): _*))
-      } else mergeFacts(slice.limit(0), slice)
-    merged.localCheckpoint(true)
-      .write.mode("overwrite").parquet(targetDir)
+      case None => mergeFacts(slice.limit(0), slice)
+    }
   }
 
   /** Start the incremental retention pipeline: events source dir → shared
@@ -104,8 +107,8 @@ object RetentionStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(spark, batch, targetDir, anchorType)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(spark, batch, targetDir, anchorType, batchId)
       }
       .start()
   }

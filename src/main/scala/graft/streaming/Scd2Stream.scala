@@ -66,18 +66,22 @@ object Scd2Stream {
   def report(state: DataFrame): DataFrame =
     CdcOps.scd2(state, "user_id", "event_type", "ts", "event_id")
 
-  /** One idempotent micro-batch apply (the [[FunnelStream.applyBatch]]
-    * lifecycle: fold the batch slice into current state, lineage-truncate,
-    * overwrite). */
-  def applyBatch(spark: SparkSession, batch: DataFrame, targetDir: String): Unit = {
+  /** The LIVE compacted change-set state (versioned atomic commits). */
+  def state(spark: SparkSession, targetDir: String): DataFrame =
+    StateCommit.state(spark, targetDir)
+
+  /** One idempotent micro-batch apply: fold the batch slice into current
+    * state under [[StateCommit]]'s versioned atomic publish (idempotent
+    * merge — the id guard only skips replay I/O; the publish is what a
+    * crash can no longer tear). */
+  def applyBatch(spark: SparkSession, batch: DataFrame, targetDir: String,
+                 batchId: Long = -1L): Unit = {
     val s = slice(batch)
-    val merged =
-      if (new java.io.File(targetDir).exists()) {
-        val base = spark.read.parquet(targetDir)
+    StateCommit.applyBatch(spark, targetDir, batchId) {
+      case Some(base) =>
         mergeEvents(base, s.select(base.columns.toIndexedSeq.map(col): _*))
-      } else mergeEvents(s.limit(0), s)
-    merged.localCheckpoint(true)
-      .write.mode("overwrite").parquet(targetDir)
+      case None => mergeEvents(s.limit(0), s)
+    }
   }
 
   /** Start the incremental SCD2 build: events source dir → shared CDC
@@ -96,8 +100,8 @@ object Scd2Stream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(spark, batch, targetDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(spark, batch, targetDir, batchId)
       }
       .start()
   }

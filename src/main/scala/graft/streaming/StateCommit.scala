@@ -53,11 +53,16 @@ private[streaming] object StateCommit {
 
   /** One guarded apply: skip if `batchId` is already committed, else build
     * the merged state from the live version (None before the first
-    * commit) and commit it under the protocol above. */
-  def applyBatch(spark: SparkSession, targetDir: String, batchId: Long)
+    * commit) and commit it under the protocol above. A NEGATIVE `batchId`
+    * means "out-of-band apply, no checkpoint identity": the commit gets
+    * the next version id and the replay guard is skipped — valid ONLY for
+    * idempotent merges (the guard is what protects additive ones; the
+    * atomic publish protects both). */
+  def applyBatch(spark: SparkSession, targetDir: String, batchId0: Long)
                 (merge: Option[DataFrame] => DataFrame): Unit = {
     val last = lastApplied(targetDir)
-    if (batchId <= last) return // replayed batch: no-op
+    if (batchId0 >= 0 && batchId0 <= last) return // replayed batch: no-op
+    val batchId = if (batchId0 >= 0) batchId0 else last + 1
     val base =
       if (last >= 0) Some(spark.read.parquet(committedDir(targetDir, last))) else None
     merge(base).localCheckpoint(true)

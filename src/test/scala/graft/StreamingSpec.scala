@@ -54,7 +54,7 @@ class StreamingSpec extends SparkSpec {
 
     val expected = CdcOps.lastWriteWins(
       CdcOps.dropDeletes(Tables.changeLog(spark, sf)), "user_id", "ts", "event_id")
-    val got = spark.read.parquet(tgt)
+    val got = CdcPipeline.state(spark, tgt)
 
     // reconcile: zero differing documents (keys + chosen last event)
     val diff = graft.operators.Reconcile.diffSummary(
@@ -70,7 +70,7 @@ class StreamingSpec extends SparkSpec {
     // restart with no new data: state unchanged (at-least-once idempotence)
     val before = got.orderBy("user_id").collect().toSeq
     CdcPipeline.start(spark, src.toString, tgt, ckp).awaitTermination()
-    val after = spark.read.parquet(tgt).orderBy("user_id").collect().toSeq
+    val after = CdcPipeline.state(spark, tgt).orderBy("user_id").collect().toSeq
     assert(before === after)
   }
 
@@ -249,7 +249,7 @@ class StreamingSpec extends SparkSpec {
       CdcOps.dropDeletes(Tables.changeLog(spark, sf)), "user_id", "ts", "event_id")
     val diff = Reconcile.diffSummary(
       expected.select("user_id", "event_id", "ts", "event_type"),
-      spark.read.parquet(tgt).select("user_id", "event_id", "ts", "event_type"),
+      CdcPipeline.state(spark, tgt).select("user_id", "event_id", "ts", "event_type"),
       "user_id",
       Seq(Reconcile.plain("event_id"), Reconcile.plain("event_type")))
     val (total, differing) = diff.as[(Long, Long)].collect().head
@@ -281,7 +281,7 @@ class StreamingSpec extends SparkSpec {
       CdcPipeline.RestartPolicy(maxRestarts = 5), availableNow = true, sleep = sleep)
     assert(restarts === 1)
     assert(backoffs.toSeq === Seq(60000L)) // the startup tier, not the stream tier
-    assert(spark.read.parquet(tgt).count() > 0) // drained after recovery
+    assert(CdcPipeline.state(spark, tgt).count() > 0) // drained after recovery
 
     // a permanently broken source stops at maxRestarts with the right cadence
     val backoffs2 = scala.collection.mutable.ArrayBuffer[Long]()
@@ -677,7 +677,7 @@ class StreamingSpec extends SparkSpec {
       df.as[(Long, String, Long, Long)].collect().toSeq
     val expected = rows(FunnelStream.report(
       FunnelStream.userState(CdcPipeline.transform(Tables.eventsRaw(spark, sf)))))
-    val got = rows(FunnelStream.report(spark.read.parquet(tgt)))
+    val got = rows(FunnelStream.report(FunnelStream.state(spark, tgt)))
     assert(expected.head._3 > 0) // the fixture has signups — a real funnel
     assert(got === expected)
 
@@ -685,7 +685,7 @@ class StreamingSpec extends SparkSpec {
     // the replay a no-op
     arrive("wave2again", col("ts") >= cut)
     FunnelStream.start(spark, src.toString, tgt, ckp).awaitTermination()
-    assert(rows(FunnelStream.report(spark.read.parquet(tgt))) === expected)
+    assert(rows(FunnelStream.report(FunnelStream.state(spark, tgt))) === expected)
   }
 
   test("incremental SCD2: checkpointed restart + redelivery converge to the batch history") {
@@ -720,13 +720,13 @@ class StreamingSpec extends SparkSpec {
     val expected = rows(Scd2Stream.report(
       Scd2Stream.slice(CdcPipeline.transform(Tables.eventsRaw(spark, sf)))))
     assert(expected.exists(_._2 > 1)) // real multi-version histories
-    assert(rows(Scd2Stream.report(spark.read.parquet(tgt))) === expected)
+    assert(rows(Scd2Stream.report(Scd2Stream.state(spark, tgt))) === expected)
 
     // wave 2 redelivered as fresh files (at-least-once): the event_id-keyed
     // set-union merge makes the replay a no-op
     arrive("wave2again", col("ts") >= cut)
     Scd2Stream.start(spark, src.toString, tgt, ckp).awaitTermination()
-    assert(rows(Scd2Stream.report(spark.read.parquet(tgt))) === expected)
+    assert(rows(Scd2Stream.report(Scd2Stream.state(spark, tgt))) === expected)
   }
 
   test("incremental gap-fill: checkpointed restart + redelivery converge to the batch grid") {
@@ -762,13 +762,13 @@ class StreamingSpec extends SparkSpec {
     val expected = rows(GapFillStream.report(
       GapFillStream.slice(CdcPipeline.transform(Tables.eventsRaw(spark, sf)))))
     assert(expected.exists(!_._4)) // real filled (unobserved) days exist
-    assert(rows(GapFillStream.report(spark.read.parquet(tgt))) === expected)
+    assert(rows(GapFillStream.report(GapFillStream.state(spark, tgt))) === expected)
 
     // wave 2 redelivered as fresh files (at-least-once): the (user, day)
     // argmax merge makes the replay a no-op
     arrive("wave2again", col("ts") >= cut)
     GapFillStream.start(spark, src.toString, tgt, ckp).awaitTermination()
-    assert(rows(GapFillStream.report(spark.read.parquet(tgt))) === expected)
+    assert(rows(GapFillStream.report(GapFillStream.state(spark, tgt))) === expected)
   }
 
   test("incremental retention: checkpointed restart + redelivery converge to the batch report") {
@@ -802,12 +802,12 @@ class StreamingSpec extends SparkSpec {
     val expected = rows(RetentionStream.report(
       RetentionStream.userWeeks(CdcPipeline.transform(Tables.eventsRaw(spark, sf)))))
     assert(expected.exists(_._2 > 0)) // some cohort retains past week 0
-    assert(rows(RetentionStream.report(spark.read.parquet(tgt))) === expected)
+    assert(rows(RetentionStream.report(RetentionStream.state(spark, tgt))) === expected)
 
     // redelivery: distinct-union makes the replay a no-op
     arrive("wave2again", col("ts") >= cut)
     RetentionStream.start(spark, src.toString, tgt, ckp).awaitTermination()
-    assert(rows(RetentionStream.report(spark.read.parquet(tgt))) === expected)
+    assert(rows(RetentionStream.report(RetentionStream.state(spark, tgt))) === expected)
   }
 
   test("incremental heavy hitters: restart + row redelivery + batch replay all converge") {
@@ -1081,7 +1081,7 @@ class StreamingSpec extends SparkSpec {
     val wave1 = Seq(doc(1L, good, "web"), doc(2L, good + " truly", "feed"))
     deliver("w1", wave1)
     QualityDrift.start(spark, src.toString, tgt, ckp).awaitTermination()
-    val report1 = QualityDrift.report(spark.read.parquet(tgt), base,
+    val report1 = QualityDrift.report(QualityDrift.state(spark, tgt), base,
       graft.queries.StreamQueries.DriftPermille)
       .select("source", "n_docs", "pass_permille", "drift")
       .as[(String, Long, Long, Boolean)].collect().sortBy(_._1)
@@ -1092,7 +1092,7 @@ class StreamingSpec extends SparkSpec {
     deliver("w2", wave2)
     QualityDrift.start(spark, src.toString, tgt, ckp).awaitTermination()
 
-    val verdicts = spark.read.parquet(tgt)
+    val verdicts = QualityDrift.state(spark, tgt)
     // verdict table equals the batch gate over everything delivered ONCE —
     // the redelivered wave-1 docs collapsed through the keyed merge
     val all = (wave1 ++ wave2).distinct.toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -1111,7 +1111,7 @@ class StreamingSpec extends SparkSpec {
 
     // replay with no new data: verdict table unchanged (idempotence)
     QualityDrift.start(spark, src.toString, tgt, ckp).awaitTermination()
-    assert(spark.read.parquet(tgt).select("doc_id", "source", "n_tokens", "pass")
+    assert(QualityDrift.state(spark, tgt).select("doc_id", "source", "n_tokens", "pass")
       .as[(Long, String, Long, Long)].collect().sortBy(_._1) ===
       verdicts.select("doc_id", "source", "n_tokens", "pass")
         .as[(Long, String, Long, Long)].collect().sortBy(_._1))
@@ -1153,7 +1153,7 @@ class StreamingSpec extends SparkSpec {
     val wave1 = Seq(doc(1L, english, "web"), doc(2L, "the dog sat on the mat", "feed"))
     deliver("w1", wave1)
     VocabDrift.start(spark, src.toString, tgt, ckp, vocab).awaitTermination()
-    val report1 = VocabDrift.report(spark.read.parquet(tgt), base,
+    val report1 = VocabDrift.report(VocabDrift.state(spark, tgt), base,
       graft.queries.StreamQueries.OovDriftPermille)
       .select("source", "n_docs", "drift")
       .as[(String, Long, Boolean)].collect().sortBy(_._1)
@@ -1163,7 +1163,7 @@ class StreamingSpec extends SparkSpec {
     deliver("w2", wave2)
     VocabDrift.start(spark, src.toString, tgt, ckp, vocab).awaitTermination()
 
-    val verdicts = spark.read.parquet(tgt)
+    val verdicts = VocabDrift.state(spark, tgt)
     // verdict table equals the batch gate over everything delivered ONCE
     val all = (wave1 ++ wave2).distinct.toDF("doc_id", "text", "lang", "source", "n_chars")
     assert(verdicts.select("doc_id", "source", "n_tokens", "n_oov")
@@ -1180,7 +1180,7 @@ class StreamingSpec extends SparkSpec {
 
     // replay with no new data: verdict table unchanged (idempotence)
     VocabDrift.start(spark, src.toString, tgt, ckp, vocab).awaitTermination()
-    assert(spark.read.parquet(tgt).select("doc_id", "source", "n_tokens", "n_oov")
+    assert(VocabDrift.state(spark, tgt).select("doc_id", "source", "n_tokens", "n_oov")
       .as[(Long, String, Long, Long)].collect().sortBy(_._1) ===
       verdicts.select("doc_id", "source", "n_tokens", "n_oov")
         .as[(Long, String, Long, Long)].collect().sortBy(_._1))
