@@ -329,6 +329,118 @@ object Multimodal {
     * shape a video pipeline feeds to per-frame models. Pure column
     * expressions; a real codec replaces the hash with decoded bytes inside
     * the same row shape. */
+  /** 60-bit DIFFERENCE hash (dHash) of an image payload — the perceptual
+    * fingerprint CV pipelines dedup on: decode, area-average down to an
+    * 11×6 grayscale grid, emit one bit per horizontal neighbour pair
+    * (10 × 6 = 60 bits). Robust to re-encoding/resizing (the grid survives
+    * both); a flipped bit per local brightness inversion, so near-identical
+    * images land within a few bits of hamming distance. None for payloads
+    * no ImageIO reader claims. 60 bits (not the classic 64) so the hash —
+    * and the md5 fallback below — always fits a non-negative BIGINT in
+    * every engine. */
+  def dHash60(payload: Array[Byte]): Option[Long] = {
+    if (!looksLikeImage(payload)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val (w, h) = (11, 6)
+      val scaled = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = scaled.createGraphics()
+      g.drawImage(img.getScaledInstance(w, h, java.awt.Image.SCALE_AREA_AVERAGING),
+        0, 0, null)
+      g.dispose()
+      var bits = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w - 1) {
+          bits = (bits << 1) |
+            (if (scaled.getRaster.getSample(x, y, 0) >
+              scaled.getRaster.getSample(x + 1, y, 0)) 1L else 0L)
+          x += 1
+        }
+        y += 1
+      }
+      Some(bits)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic LOCALITY-SENSITIVE 60-bit fallback for non-image
+    * payloads: a simhash over code-point 4-grams of the UTF-8-decoded
+    * payload (decode is lossy for true binary but deterministic) — each
+    * gram's md5-derived 60-bit hash votes ±1 per bit position, the sign
+    * fold is the fingerprint, so near-duplicate payloads land within a few
+    * bits of hamming distance (Charikar 2002), the same property [[dHash60]]
+    * gives images. md5 (not xxhash) and code-point grams (not UTF-16
+    * units) are deliberate: both are computable in SQL with identical
+    * semantics, which is what lets `ext_multimodal_phash` hash-gate end to
+    * end. Payloads under 4 code points fingerprint to 0 (no grams — the
+    * documented degenerate bucket). */
+  def fallbackHash60(payload: Array[Byte]): Long = {
+    val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+    val cps = s.codePoints().toArray
+    val votes = new Array[Int](60)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i + 4 <= cps.length) {
+      val gram = new String(cps, i, 4)
+      val hex = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      var b = 0
+      while (b < 60) { votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1); b += 1 }
+      md.reset()
+      i += 1
+    }
+    var bits = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) bits |= 1L << b; b += 1 }
+    bits
+  }
+
+  /** One 60-bit perceptual/fallback hash per payload — partition-parallel
+    * like [[decodeMeta]] (a heavier codec amortizes setup per partition). */
+  def imageHashes(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    withMediaColumn(docs)
+      .select(col("doc_id"), col("media"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { row =>
+          val p = row.getAs[Array[Byte]](1)
+          (row.getLong(0), dHash60(p).getOrElse(fallbackHash60(p)))
+        }
+      }
+      .toDF("doc_id", "phash")
+  }
+
+  /** Near-duplicate pairs by hamming distance over the 60-bit hashes —
+    * banded LSH exactly like the text tiers: 6 bands of 10 bits; a pair
+    * within `maxHamming` < 6 flipped bits has ≥ 1 untouched band by
+    * pigeonhole, so banding is LOSSLESS here (not probabilistic), and a
+    * band bucket join + one bit_count verify replaces the all-pairs
+    * quadratic. Candidates are Σ bucket² per band — bounded by hash
+    * diversity; identical payloads collide in every band but dedup through
+    * the candidate distinct. */
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 5): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 6,
+      s"phashPairs: banding is lossless only for maxHamming < 6, got $maxHamming")
+    val bands = hashes.select(col("doc_id"), col("phash"),
+      explode(sequence(lit(0), lit(5))).as("band"))
+      .withColumn("__key", expr("(phash >> (band * 10)) & 1023"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.__key") === col("b.__key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.phash").as("__pa"), col("b.phash").as("__pb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(__pa ^ __pb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   def frameSample(docs: DataFrame, stride: Int): DataFrame = {
     val meta = withMediaColumn(docs)
       .withColumn("n_bytes", length(col("media")).cast("long"))

@@ -1945,6 +1945,18 @@ object ExtQueries {
         col("nFrames").cast("long").as("n_frames"))
       .orderBy("doc_id")
 
+  /** Perceptual-hash image dedup over the media column
+    * ([[Multimodal.imageHashes]] → [[Multimodal.phashPairs]]): 60-bit
+    * dHash for real images, md5-derived fallback for opaque bytes (the
+    * fixture path — which is exactly what lets this one hash-gate: both
+    * engines compute the identical fallback), banded-hamming pairs. On the
+    * fixture the surviving pairs are the exact byte-duplicate payloads
+    * (hamming 0); real-image near-dup semantics are pinned in KnnSpec with
+    * generated PNGs. */
+  private val extMultimodalPhash: Q = (s, d) =>
+    Multimodal.phashPairs(Multimodal.imageHashes(documents(s, d))(s))
+      .orderBy("doc_a", "doc_b")
+
   /** Frame sampling over the opaque media column: every 3rd frame index per
     * doc with a deterministic frame hash (stub codec — the row shape is what
     * a per-frame model consumes). */
@@ -2179,6 +2191,7 @@ object ExtQueries {
     "ext_corpus_prep" -> extCorpusPrep,
     "ext_pack_manifest" -> extPackManifest,
     "ext_multimodal_meta" -> extMultimodalMeta,
+    "ext_multimodal_phash" -> extMultimodalPhash,
     "ext_multimodal_frames" -> extMultimodalFrames,
     "ext_multimodal_resize" -> extMultimodalResize,
     "ext_multimodal_features" -> extMultimodalFeatures,
@@ -3868,6 +3881,37 @@ object ExtQueries {
          |ORDER BY stratum, p""".stripMargin,
 
     "ext_sim_semdedup_cells" -> semdedupCellsSql,
+
+    // the simhash fallback replayed exactly: md5-derived 60-bit gram
+    // hashes vote ±1 per bit, sign fold, 6 bands of 10 bits,
+    // bit_count(xor) verify — every step integer, both engines agree bit
+    // for bit (code-point grams on both sides)
+    "ext_multimodal_phash" ->
+      s"""WITH t AS (SELECT doc_id, text FROM documents),
+         |pos AS (SELECT doc_id,
+         |          unnest(generate_series(1, greatest(length(text) - 3, 0))) AS i
+         |        FROM t),
+         |hx AS (SELECT p.doc_id,
+         |         CAST(('0x' || substr(md5(substr(t.text, p.i, 4)), 1, 15)) AS BIGINT) AS h
+         |       FROM pos p JOIN t ON p.doc_id = t.doc_id),
+         |bits AS (SELECT doc_id, b,
+         |           sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |         FROM hx, (SELECT unnest(generate_series(0, 59)) AS b) bb
+         |         GROUP BY 1, 2),
+         |sim AS (SELECT t.doc_id,
+         |          coalesce((SELECT sum(CASE WHEN vote > 0 THEN 1::BIGINT << b
+         |                                    ELSE 0 END)
+         |                    FROM bits WHERE bits.doc_id = t.doc_id), 0) AS ph
+         |        FROM t),
+         |bd AS (SELECT doc_id, ph, unnest(generate_series(0, 5)) AS band FROM sim),
+         |k AS (SELECT doc_id, ph, band, (ph >> (band * 10)) & 1023 AS key FROM bd),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                a.ph AS pa, b.ph AS pb
+         |         FROM k a JOIN k b
+         |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(pa, pb)) <= 5
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "ext_multimodal_meta" ->
       """SELECT doc_id,

@@ -290,6 +290,71 @@ class KnnSpec extends SparkSpec {
     out.toByteArray
   }
 
+  /** A deterministic gradient image with a per-seed brightness ripple —
+    * structured content, so dHash has real signal to fingerprint. */
+  private def gradientImage(w: Int, h: Int, seed: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 255 / w + (if (((x * 7 + y * 13 + seed) % 11) == 0) 40 else 0)) min 255
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no JDK writer for $fmt")
+    out.toByteArray
+  }
+
+  test("dHash60: re-encoded/resized copies land near, different images far; fallback is the simhash") {
+    val a = gradientImage(64, 48, seed = 0, "png")
+    val aBmp = gradientImage(64, 48, seed = 0, "bmp")   // same pixels, other container
+    val aBig = gradientImage(128, 96, seed = 0, "png")  // same content, 2x resolution
+    val other = { // reversed gradient — structurally different content
+      val img = new java.awt.image.BufferedImage(
+        64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) {
+        val v = 255 - x * 255 / 64
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out); out.toByteArray
+    }
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val (ha, hab, habig, hother) =
+      (Multimodal.dHash60(a).get, Multimodal.dHash60(aBmp).get,
+        Multimodal.dHash60(aBig).get, Multimodal.dHash60(other).get)
+    assert(ham(ha, hab) <= 5, s"container re-encode moved the hash: ${ham(ha, hab)}")
+    assert(ham(ha, habig) <= 5, s"2x resize moved the hash: ${ham(ha, habig)}")
+    assert(ham(ha, hother) > 20, s"different content too close: ${ham(ha, hother)}")
+    // non-image payloads: deterministic simhash, near-dup texts land near
+    val t1 = ("the quick brown fox jumps over the lazy dog " * 4).getBytes("UTF-8")
+    val t2 = ("the quick brown fox jumps over the lazy cat " * 4).getBytes("UTF-8")
+    val t3 = ("completely unrelated content about spark plans " * 4).getBytes("UTF-8")
+    assert(Multimodal.dHash60(t1).isEmpty)
+    val (f1, f2, f3) = (Multimodal.fallbackHash60(t1),
+      Multimodal.fallbackHash60(t2), Multimodal.fallbackHash60(t3))
+    assert(f1 === Multimodal.fallbackHash60(t1)) // deterministic
+    assert(ham(f1, f2) < ham(f1, f3), "simhash lost locality")
+    assert(Multimodal.fallbackHash60("abc".getBytes("UTF-8")) === 0L) // < 4 code points
+  }
+
+  test("phashPairs: banded hamming join finds image near-dups and nothing else") {
+    val rows = Seq(
+      1L -> gradientImage(64, 48, 0, "png"),
+      2L -> gradientImage(128, 96, 0, "png"), // near-dup of 1 (resized)
+      3L -> (("shared filler text about the corpus pipeline " * 12) + "tail one")
+        .getBytes("UTF-8"),
+      4L -> (("shared filler text about the corpus pipeline " * 12) + "tail two")
+        .getBytes("UTF-8"))
+    val hashes = Multimodal.imageHashes(
+      rows.toDF("doc_id", "media"))(spark)
+    val pairs = Multimodal.phashPairs(hashes)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "resized image pair missed")
+    assert(pairs.contains((3L, 4L)), "near-dup text payload pair missed")
+    assert(!pairs.exists(p => Set(p._1, p._2) == Set(1L, 3L) || Set(p._1, p._2) == Set(2L, 4L)),
+      "image paired with text payload")
+  }
+
   test("image payloads decode their REAL dimensions via javax.imageio; others fall back to the stub") {
     // real container headers, three formats, deliberately non-square
     assert(Multimodal.decode(1L, imageBytes(7, 5, "png"))
