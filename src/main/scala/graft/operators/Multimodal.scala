@@ -385,9 +385,14 @@ object Multimodal {
     var i = 0
     while (i + 4 <= cps.length) {
       val gram = new String(cps, i, 4)
-      val hex = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .take(8).map(b => f"$b%02x").mkString.take(15)
-      val h = java.lang.Long.parseLong(hex, 16)
+      val dig = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // the top 60 bits of the first 8 digest bytes, big-endian — exactly
+      // the value of the first 15 hex chars of md5's hexdigest (what the
+      // oracle computes in SQL), without materializing the hex string
+      var be = 0L
+      var j = 0
+      while (j < 8) { be = (be << 8) | (dig(j) & 0xffL); j += 1 }
+      val h = be >>> 4
       var b = 0
       while (b < 60) { votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1); b += 1 }
       md.reset()
@@ -400,11 +405,18 @@ object Multimodal {
   }
 
   /** One 60-bit perceptual/fallback hash per payload — partition-parallel
-    * like [[decodeMeta]] (a heavier codec amortizes setup per partition). */
+    * like [[decodeMeta]] (a heavier codec amortizes setup per partition).
+    * Per-row decode cost DOMINATES scan cost here (an md5 per gram / a
+    * full image decode per row), so a scan narrower than the cluster —
+    * one small parquet file reads as ONE task — is rebalanced to full
+    * parallelism first; at scale the scan already carries ≥ that many
+    * partitions and the rebalance is a no-op branch. */
   def imageHashes(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    withMediaColumn(docs)
-      .select(col("doc_id"), col("media"))
+    val src = withMediaColumn(docs).select(col("doc_id"), col("media"))
+    val par = spark.sparkContext.defaultParallelism
+    val balanced = if (src.rdd.getNumPartitions < par) src.repartition(par) else src
+    balanced
       .mapPartitions { rows: Iterator[Row] =>
         rows.map { row =>
           val p = row.getAs[Array[Byte]](1)
@@ -425,20 +437,24 @@ object Multimodal {
   def phashPairs(hashes: DataFrame, maxHamming: Int = 5): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 6,
       s"phashPairs: banding is lossless only for maxHamming < 6, got $maxHamming")
-    val bands = hashes.select(col("doc_id"), col("phash"),
+    // materialize the (tiny: one long per doc) hash frame ONCE — the
+    // band self-join reads it twice, and recomputing means re-decoding
+    // every payload on both sides
+    val h = hashes.localCheckpoint(true)
+    val bands = h.select(col("doc_id"), col("phash"),
       explode(sequence(lit(0), lit(5))).as("band"))
       .withColumn("__key", expr("(phash >> (band * 10)) & 1023"))
-    val cand = bands.as("a")
+    // hamming-filter BEFORE the distinct: the filter keeps only true
+    // near-dups (a sliver of the Σ bucket² candidates), so the pair dedup
+    // runs over survivors, not the full candidate stream
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.__key") === col("b.__key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.phash").as("__pa"), col("b.phash").as("__pb"))
-      .distinct()
-    cand
-      .withColumn("hamming", expr("bit_count(__pa ^ __pb)").cast("long"))
+        expr("bit_count(a.phash ^ b.phash)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   def frameSample(docs: DataFrame, stride: Int): DataFrame = {

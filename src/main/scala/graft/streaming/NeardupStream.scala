@@ -115,37 +115,50 @@ object NeardupStream {
         .localCheckpoint(true) // read by the df table and both posting legs
     val dfAgg =
       if (selfProbe) count(lit(1)) else countDistinct(col("doc_id"))
-    val dfTab = touched
-      .groupBy(col("sh")).agg(dfAgg.as("__df"))
-      .filter(col("__df") >= 2) // df-1 shingles can't be common to a pair
-      .localCheckpoint(true) // read by the gated and hot key sets
-    val gatedSh = dfTab.filter(col("__df") <= maxDf).select(col("sh"))
-    val gatedProbe = batchSh.join(gatedSh, "sh")
-    val cg = (if (selfProbe)
-      gatedProbe.as("l")
-        .join(gatedProbe.as("r"),
-          col("l.sh") === col("r.sh") && col("l.doc_id") < col("r.doc_id"))
-        .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("__cg"))
-    else
-      gatedProbe.as("l")
-        .join(touched.join(gatedSh, "sh").as("r"),
-          col("l.sh") === col("r.sh") && col("l.doc_id") =!= col("r.doc_id"))
-        .groupBy(least(col("l.doc_id"), col("r.doc_id")).as("doc_a"),
-          greatest(col("l.doc_id"), col("r.doc_id")).as("doc_b"))
-        .agg(countDistinct(col("l.sh")).as("__cg")))
-      .localCheckpoint(true) // referenced by the hot leg AND the final join
-    val hotDocs = touched.join(dfTab.filter(col("__df") > maxDf).select(col("sh")), "sh")
-    val ch = cg.select(col("doc_a"), col("doc_b"))
-      .join(hotDocs.select(col("sh").as("__sa"), col("doc_id").as("doc_a")), "doc_a")
-      .join(hotDocs.select(col("sh").as("__sb"), col("doc_id").as("doc_b")), "doc_b")
-      .filter(col("__sa") === col("__sb"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(countDistinct(col("__sa")).as("__ch"))
+    val dfTab0 = touched.groupBy(col("sh")).agg(dfAgg.as("__df"))
+    // hot-shingle existence costs ONE shingle-type-sized aggregate to
+    // decide — and in the common no-boilerplate batch (nothing over the
+    // cap) deciding it lets the df-gating joins, the hot-correction legs,
+    // and two materializations ALL drop out of the DAG: a df-1 shingle
+    // emits no pair from the join anyway, so with no shingle above the
+    // cap the raw probe ⋈ postings join is already exactly the gated one
+    val anyHot = !dfTab0.filter(col("__df") > maxDf).isEmpty
+    def pairCount(l: DataFrame, r: DataFrame): DataFrame =
+      if (selfProbe)
+        l.as("l").join(r.as("r"),
+            col("l.sh") === col("r.sh") && col("l.doc_id") < col("r.doc_id"))
+          .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("__cg"))
+      else
+        l.as("l").join(r.as("r"),
+            col("l.sh") === col("r.sh") && col("l.doc_id") =!= col("r.doc_id"))
+          .groupBy(least(col("l.doc_id"), col("r.doc_id")).as("doc_a"),
+            greatest(col("l.doc_id"), col("r.doc_id")).as("doc_b"))
+          .agg(countDistinct(col("l.sh")).as("__cg"))
     val jac = col("c").cast("double") / (col("na") + col("nb") - col("c"))
-    cg.join(ch, Seq("doc_a", "doc_b"), "left")
-      .select(col("doc_a"), col("doc_b"),
-        (col("__cg") + coalesce(col("__ch"), lit(0L))).as("c"))
+    val counted =
+      if (!anyHot)
+        pairCount(batchSh, touched).select(col("doc_a"), col("doc_b"), col("__cg").as("c"))
+      else {
+        val dfTab = dfTab0
+          .filter(col("__df") >= 2) // df-1 shingles can't be common to a pair
+          .localCheckpoint(true) // read by the gated and hot key sets
+        val gatedSh = dfTab.filter(col("__df") <= maxDf).select(col("sh"))
+        val hotKeys = dfTab.filter(col("__df") > maxDf).select(col("sh"))
+        val cg = pairCount(batchSh.join(gatedSh, "sh"), touched.join(gatedSh, "sh"))
+          .localCheckpoint(true) // hot leg AND final join read it
+        val hotDocs = touched.join(hotKeys, "sh")
+        val ch = cg.select(col("doc_a"), col("doc_b"))
+          .join(hotDocs.select(col("sh").as("__sa"), col("doc_id").as("doc_a")), "doc_a")
+          .join(hotDocs.select(col("sh").as("__sb"), col("doc_id").as("doc_b")), "doc_b")
+          .filter(col("__sa") === col("__sb"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(countDistinct(col("__sa")).as("__ch"))
+        cg.join(ch, Seq("doc_a", "doc_b"), "left")
+          .select(col("doc_a"), col("doc_b"),
+            (col("__cg") + coalesce(col("__ch"), lit(0L))).as("c"))
+      }
+    counted
       .join(sizes.select(col("doc_id").as("doc_a"), col("__n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("__n").as("nb")), "doc_b")
       .filter(jac >= Threshold)
