@@ -120,4 +120,48 @@ object NaiveBayes {
     docs.select(col(idCol), col(classCol).as("label"))
       .join(score(docs, textCol, idCol, model), Seq(idCol))
       .withColumn("correct", col("label") === col("pred_label"))
+
+  /** Label-noise audit (the confident-learning pattern, Northcutt 2021,
+    * reduced to its NB-margin core): docs whose GIVEN label the classifier
+    * confidently rejects — pred ≠ label AND the integer score margin
+    * (best − given-label score, in log-micronats) is at least
+    * `minMarginMicro`. These are the rows a labeling pass mis-tagged
+    * (wrong-language crawl routing, mislabeled quality tiers); a pipeline
+    * quarantines them before the labels train anything downstream.
+    *
+    * Needs EVERY doc's full per-label score row — including labels with no
+    * token evidence and docs with no tokens — so the per-(doc, label) grid
+    * is completed by a labels-bounded cross join (an L× row multiplier,
+    * the same bound scoring itself pays on the token⋈model join) with the
+    * bare prior as the zero-evidence score, exactly [[score]]'s fallback.
+    * All comparisons are on exact integers; ties break label-asc. */
+  def labelNoise(docs: DataFrame, textCol: String, classCol: String, idCol: String,
+                 model: DataFrame, minMarginMicro: Long): DataFrame = {
+    val pri = model.select(col("label"), col("prior_micro")).distinct()
+      .localCheckpoint(true) // labels-bounded; read by the grid build
+    val tf = docs.select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val sc = tf
+      .join(model.select(col("label"), col("token"),
+        col("logprob_micro"), col("prior_micro")), "token")
+      .groupBy(col(idCol), col("label"))
+      .agg((min(col("prior_micro")) + sum(col("tf") * col("logprob_micro")))
+        .as("__sc"))
+    val scored = docs.select(col(idCol), col(classCol).as("__true"))
+      .crossJoin(pri)
+      .join(sc, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("__true"), col("label"),
+        coalesce(col("__sc"), col("prior_micro")).as("score_micro"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score_micro").desc, col("label"))
+    val best = scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col(idCol), col("__true"), col("label").as("pred_label"),
+        col("score_micro").as("__best"))
+    val trueSc = scored.filter(col("label") === col("__true"))
+      .select(col(idCol), col("score_micro").as("__true_sc"))
+    best.join(trueSc, Seq(idCol))
+      .select(col(idCol), col("__true").as("label"), col("pred_label"),
+        (col("__best") - col("__true_sc")).as("margin_micro"))
+      .filter(col("pred_label") =!= col("label") &&
+        col("margin_micro") >= minMarginMicro)
+  }
 }

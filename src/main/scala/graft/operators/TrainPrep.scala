@@ -571,6 +571,64 @@ object TrainPrep {
       .limit(topK)
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the token co-occurrence graph — the unsupervised "what is this corpus
+    * about" signal corpus cards and topic-mix audits report. Nodes are
+    * tokens, an undirected edge joins two distinct tokens co-occurring
+    * within `window` positions, edge weight = corpus-wide co-occurrence
+    * count (edges under `minCount` are noise and dropped — this is also
+    * the scale bound: the edge frame is OBSERVED-pair-sized, a sparse
+    * subset of vocab², never corpus-sized).
+    *
+    * Determinism discipline: ranks are integer MICRO-units end to end —
+    * r₀ = 10⁶, and each of the `iters` damped updates is
+    * r'(i) = 150 000 + (850 000 · Σ_j (r(j)·w(j,i) div W(j))) div 10⁶
+    * (d = 0.85), ALL integer multiply/div/sum, so every engine and every
+    * partitioning produces bit-identical ranks — no float PageRank drift.
+    * Fixed iteration count (not convergence-tested): the artifact is a
+    * reproducible ranking, and 3 damped sweeps over a sparse graph already
+    * orders hubs correctly (the classic TextRank setting).
+    *
+    * Scale shape: edge generation is ROW-LOCAL (a per-doc windowed
+    * self-zip expression — no positional self-join), one shuffle to the
+    * (a, b) count; each iteration is one vocab-keyed join + aggregate over
+    * the CHECKPOINTED adjacency (edge-sized, read iters times — never
+    * recomputed from the corpus). Token order comparisons (least/greatest)
+    * are byte-order on both engines for the ASCII token space. */
+  def textrankKeywords(docs: DataFrame, textCol: String, window: Int,
+                       minCount: Long, iters: Int, topK: Int): DataFrame = {
+    require(window >= 2 && iters >= 1 && topK > 0,
+      s"textrankKeywords: need window ≥ 2, iters ≥ 1, topK > 0, got ($window, $iters, $topK)")
+    val edgesRaw = docs.select(TextFns.tokens(col(textCol)).as("__t"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, ${window - 1}),
+           |  o -> transform(sequence(1, greatest(size(__t) - o, 0)),
+           |    i -> named_struct(
+           |      'a', least(element_at(__t, i), element_at(__t, i + o)),
+           |      'b', greatest(element_at(__t, i), element_at(__t, i + o))))))"""
+          .stripMargin)).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+    val ew = edgesRaw.groupBy(col("a"), col("b")).agg(count(lit(1)).as("wt"))
+      .filter(col("wt") >= minCount)
+    // symmetric adjacency with each source's total incident weight riding
+    // the rows — checkpointed once, read by every iteration
+    val adj = ew.select(col("a").as("src"), col("b").as("dst"), col("wt"))
+      .unionByName(ew.select(col("b").as("src"), col("a").as("dst"), col("wt")))
+    val deg = adj.groupBy(col("src")).agg(sum(col("wt")).as("wtot"))
+    val adjW = adj.join(deg, "src").localCheckpoint(true)
+    var r = adjW.select(col("src").as("token")).distinct()
+      .withColumn("rank_micro", lit(1000000L))
+    (1 to iters).foreach { _ =>
+      r = adjW.join(r, adjW("src") === r("token"))
+        .select(col("dst"), expr("(rank_micro * wt) div wtot").as("__c"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
+        .select(col("dst").as("token"),
+          (lit(150000L) + expr("(850000 * __s) div 1000000")).as("rank_micro"))
+    }
+    r.orderBy(col("rank_micro").desc, col("token")).limit(topK)
+  }
+
   /** Top-k corpus vocabulary with cumulative coverage — the tokenizer-prep
     * profile: for each of the k most frequent whitespace tokens, its corpus
     * term frequency `tf`, document frequency `df`, rank, and the cumulative

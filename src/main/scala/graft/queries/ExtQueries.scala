@@ -384,6 +384,19 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Label-noise audit ([[NaiveBayes.labelNoise]]): docs whose `lang`
+    * label the self-trained NB router confidently rejects (pred ≠ label,
+    * margin ≥ 1 log-nat = 10⁶ micro) — the confident-learning quarantine
+    * pass before labels train anything downstream. */
+  private val NoiseMarginMicro = 1000000L
+  private val extLabelNoise: Q = (s, d) => {
+    val docs = documents(s, d)
+    NaiveBayes.labelNoise(docs, "text", "lang", "doc_id",
+      NaiveBayes.train(docs, "text", "lang").localCheckpoint(true),
+      NoiseMarginMicro)
+      .orderBy("doc_id")
+  }
+
   /** DSIR importance weights ([[TrainPrep.dsirWeights]]): every doc scored
     * by log p_target/p_corpus under smoothed unigram LMs — target slice =
     * the `en` documents. keep = ratio > 0. */
@@ -667,6 +680,23 @@ object ExtQueries {
 
   private val extDedupExact: Q = (s, d) =>
     Dedup.exactGroups(documents(s, d), "text", "doc_id").orderBy("keep_id")
+
+  /** Shared-prefix template groups: documents opening with the same first
+    * 8 tokens — the template/SEO-spam signature full-document hashing
+    * misses (bodies diverge after the boilerplate opener) and shingle
+    * Jaccard only catches pairwise at quadratic candidate cost. One
+    * map-side-combined aggregate keyed on the row-local prefix string;
+    * per group the copy count, how many distinct sources emit it (a
+    * template crossing sources is scraper boilerplate, not an author), and
+    * the min-id representative. */
+  private val extPrefixDup: Q = (s, d) =>
+    documents(s, d)
+      .groupBy(concat_ws(" ", slice(TextFns.tokens(col("text")), 1, 8)).as("prefix"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("keep_id"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("prefix")
 
   private val extDedupNgram: Q = (s, d) =>
     Dedup.ngramJaccard(documents(s, d), "text", "doc_id", n = 3, threshold = 0.5)
@@ -1403,6 +1433,48 @@ object ExtQueries {
       .select(col("doc_id"), col("lang"), col("split_bucket"), col("split"))
       .orderBy("doc_id")
 
+  /** Population Stability Index of the token-count distribution between
+    * the train split and the held-out (test + val) splits — the standard
+    * drift gate a pipeline runs before trusting an eval set (PSI < 0.1
+    * stable, > 0.25 shifted; here reported PER BIN so the offending bin is
+    * named, and in integer MICRO-nats so the total is an exact integer
+    * sum). Same id-hash split contract as `ext_split_assign`; length bins
+    * are fixed-width (10 tokens), so the per-bin frame is domain-bounded.
+    *
+    * Determinism: Laplace-½-smoothed shares — p = (2c+1)/(2N+B) with B =
+    * observed-bin count, so empty bins are defined — and the log-ratio is
+    * [[lnMicro]] of a ratio of EXACT int64 products; the one double
+    * product (p_a − p_b)·lnr rounds to integer micro in a fixed op order,
+    * so both engines emit identical integers (the `window_autocorr`
+    * argument). Corpus work is ONE row-local scan + one bin-keyed
+    * aggregate; everything after is bin-domain-sized. */
+  private val extSplitPsi: Q = (s, d) => {
+    val counts = documents(s, d)
+      .select((TrainPrep.splitBucket(col("doc_id")) >= 150).as("__train"),
+        expr("size(split(text, ' ')) div 10").cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("__train"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("__train"), 0L).otherwise(1L)).as("n_heldout"))
+    // totals ride the bin frame as unpartitioned window sums — the frame
+    // is bin-domain-sized, so the single-partition window is free and the
+    // corpus aggregate is computed exactly once with no materialization
+    val w = Window.partitionBy()
+    val withTot = counts
+      .withColumn("__ta", sum(col("n_train")).over(w))
+      .withColumn("__tb", sum(col("n_heldout")).over(w))
+      .withColumn("__b", count(lit(1)).over(w))
+    val pa = (col("n_train") * 2 + 1).cast("double") /
+      (col("__ta") * 2 + col("__b")).cast("double")
+    val pb = (col("n_heldout") * 2 + 1).cast("double") /
+      (col("__tb") * 2 + col("__b")).cast("double")
+    val lnr = lnMicro(((col("n_train") * 2 + 1) * (col("__tb") * 2 + col("__b"))).cast("double") /
+      ((col("n_heldout") * 2 + 1) * (col("__ta") * 2 + col("__b"))).cast("double"))
+    withTot
+      .select(col("bin"), col("n_train"), col("n_heldout"),
+        round((pa - pb) * lnr.cast("double")).cast("long").as("psi_micro"))
+      .orderBy("bin")
+  }
+
   /** Split-LEAKAGE audit: near-dup pairs whose members land in different
     * train/val/test splits — the eval-integrity check a holdout is worthless
     * without (a test doc with a train-side near-duplicate is as leaked as a
@@ -1742,6 +1814,13 @@ object ExtQueries {
   private val extCooccurrence: Q = (s, d) =>
     TrainPrep.cooccurrenceLift(documents(s, d), "doc_id", "text",
       vocabK = 64, minPairs = 5, topK = 50)
+
+  /** TextRank keywords ([[TrainPrep.textrankKeywords]]): top-20 corpus
+    * keywords by 3 integer-micro damped PageRank sweeps over the window-3
+    * token co-occurrence graph. */
+  private val extTextrank: Q = (s, d) =>
+    TrainPrep.textrankKeywords(documents(s, d), "text",
+      window = 3, minCount = 2, iters = 3, topK = 20)
 
   /** Per-doc out-of-vocabulary profile against the top-20 vocab (see
     * [[TrainPrep.vocabOov]] — the vocab-size/UNK-handling signal). */
@@ -2093,6 +2172,7 @@ object ExtQueries {
     "ext_ppl_filter" -> extPplFilter,
     "ext_nb_train" -> extNbTrain,
     "ext_nb_score" -> extNbScore,
+    "ext_label_noise" -> extLabelNoise,
     "ext_dsir_weights" -> extDsirWeights,
     "ext_phrase_search" -> extPhraseSearch,
     "ext_text_pii" -> extTextPii,
@@ -2106,6 +2186,7 @@ object ExtQueries {
     "ext_fingerprint" -> extFingerprint,
     "ext_corpus_fingerprint" -> extCorpusFingerprint,
     "ext_dedup_exact" -> extDedupExact,
+    "ext_prefix_dup" -> extPrefixDup,
     "ext_dedup_ngram" -> extDedupNgram,
     "ext_dedup_containment" -> extDedupContainment,
     "ext_dedup_fuzzy" -> extDedupFuzzy,
@@ -2158,6 +2239,7 @@ object ExtQueries {
     "ext_sample_weighted" -> extSampleWeighted,
     "ext_sample_bottomk" -> extSampleBottomk,
     "ext_split_assign" -> extSplitAssign,
+    "ext_split_psi" -> extSplitPsi,
     "ext_split_leakage" -> extSplitLeakage,
     "ext_shuffle_shard" -> extShuffleShard,
     "ext_embed_quantize" -> extEmbedQuantize,
@@ -2185,6 +2267,7 @@ object ExtQueries {
     "ext_rank_fusion" -> extRankFusion,
     "ext_vocab_top" -> extVocabTop,
     "ext_cooccurrence" -> extCooccurrence,
+    "ext_textrank" -> extTextrank,
     "ext_vocab_oov" -> extVocabOov,
     "ext_token_quantiles" -> extTokenQuantiles,
     "ext_token_quantiles_fast" -> extTokenQuantilesFast,
@@ -2610,6 +2693,34 @@ object ExtQueries {
          |SELECT label, token, c, logprob_micro, prior_micro FROM nmodel
          |ORDER BY label, token""".stripMargin,
 
+    // the complete (doc × label) score grid: per-label token scores where
+    // evidence exists, the bare prior where none does (empty docs, labels
+    // with no overlap) — mirrors NaiveBayes.labelNoise's coalesce
+    "ext_label_noise" ->
+      s"""WITH $nbModelSqlCte,
+         |ntf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |        FROM ntk GROUP BY 1, 2),
+         |nsc AS (SELECT t.doc_id, m.label,
+         |          CAST(m.prior_micro + sum(t.tf * m.logprob_micro) AS BIGINT)
+         |            AS sc
+         |        FROM ntf t JOIN nmodel m ON t.token = m.token
+         |        GROUP BY 1, 2, m.prior_micro),
+         |npri AS (SELECT DISTINCT label, prior_micro FROM nmodel),
+         |ngrid AS (SELECT d.doc_id, d.lang AS true_label, p.label,
+         |                 coalesce(s.sc, p.prior_micro) AS score
+         |          FROM documents d CROSS JOIN npri p
+         |          LEFT JOIN nsc s ON s.doc_id = d.doc_id AND s.label = p.label),
+         |nrk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                    ORDER BY score DESC, label) AS rn
+         |        FROM ngrid)
+         |SELECT b.doc_id, b.true_label AS label, b.label AS pred_label,
+         |       CAST(b.score - t.score AS BIGINT) AS margin_micro
+         |FROM nrk b JOIN ngrid t
+         |  ON t.doc_id = b.doc_id AND t.label = b.true_label
+         |WHERE b.rn = 1 AND b.label <> b.true_label
+         |  AND b.score - t.score >= $NoiseMarginMicro
+         |ORDER BY b.doc_id""".stripMargin,
+
     // both unigram LMs retrained relationally over the SHARED vocab;
     // micronat rounding on the vocab frame, exact integer doc sums
     "ext_dsir_weights" ->
@@ -2908,6 +3019,13 @@ object ExtQueries {
     "ext_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY sha256(lower(trim(text))) ORDER BY keep_id""".stripMargin,
+
+    "ext_prefix_dup" ->
+      """SELECT array_to_string((string_split(text, ' '))[1:8], ' ') AS prefix,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |       min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 HAVING count(*) >= 2 ORDER BY prefix""".stripMargin,
 
     "ext_dedup_ngram" -> jaccardSql,
     "ext_dedup_minhash" -> jaccardSql,
@@ -3845,6 +3963,57 @@ object ExtQueries {
          |FROM pairs, nd
          |WHERE n_ab >= 5
          |ORDER BY lift DESC, token_a, token_b LIMIT 50""".stripMargin,
+
+    // 3 unrolled damped integer-micro PageRank sweeps over the window-3
+    // co-occurrence graph — every divide is positive-integer //, so the
+    // ranks are bit-identical to TrainPrep.textrankKeywords
+    "ext_textrank" -> {
+      def sweep(prev: String, out: String) =
+        s"""$out AS (SELECT dst AS token,
+           |  CAST(150000 + (850000 * sum((rank_micro * wt) // wtot)) // 1000000
+           |       AS BIGINT) AS rank_micro
+           |  FROM adj JOIN dg USING (src) JOIN $prev r ON r.token = adj.src
+           |  GROUP BY dst)""".stripMargin
+      s"""WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+         |e0 AS (SELECT least(t[i], t[i+1]) AS a, greatest(t[i], t[i+1]) AS b
+         |       FROM tk, unnest(generate_series(1, greatest(len(t) - 1, 0))) g(i)
+         |       UNION ALL
+         |       SELECT least(t[i], t[i+2]), greatest(t[i], t[i+2])
+         |       FROM tk, unnest(generate_series(1, greatest(len(t) - 2, 0))) g(i)),
+         |ew AS (SELECT a, b, CAST(count(*) AS BIGINT) AS wt FROM e0
+         |       WHERE a <> b GROUP BY 1, 2 HAVING count(*) >= 2),
+         |adj AS (SELECT a AS src, b AS dst, wt FROM ew
+         |        UNION ALL SELECT b, a, wt FROM ew),
+         |dg AS (SELECT src, CAST(sum(wt) AS BIGINT) AS wtot FROM adj GROUP BY 1),
+         |r0 AS (SELECT src AS token, CAST(1000000 AS BIGINT) AS rank_micro FROM dg),
+         |${sweep("r0", "r1")},
+         |${sweep("r1", "r2")},
+         |${sweep("r2", "r3")}
+         |SELECT token, rank_micro FROM r3
+         |ORDER BY rank_micro DESC, token LIMIT 20""".stripMargin
+    },
+
+    "ext_split_psi" ->
+      """WITH t AS (SELECT len(string_split(text, ' ')) // 10 AS bin,
+        |                  ((doc_id * 2246822519 + 104729) % 1000 >= 150) AS tr
+        |           FROM documents),
+        |c AS (SELECT bin,
+        |             CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |             CAST(sum(CASE WHEN tr THEN 0 ELSE 1 END) AS BIGINT) AS n_heldout
+        |      FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_train) AS BIGINT) AS ta,
+        |               CAST(sum(n_heldout) AS BIGINT) AS tb,
+        |               CAST(count(*) AS BIGINT) AS b FROM c)
+        |SELECT bin, n_train, n_heldout,
+        |       CAST(round(
+        |         (CAST(n_train * 2 + 1 AS DOUBLE) / CAST(ta * 2 + b AS DOUBLE)
+        |          - CAST(n_heldout * 2 + 1 AS DOUBLE) / CAST(tb * 2 + b AS DOUBLE))
+        |         * CAST(CAST(round(ln(
+        |             CAST((n_train * 2 + 1) * (tb * 2 + b) AS DOUBLE) /
+        |             CAST((n_heldout * 2 + 1) * (ta * 2 + b) AS DOUBLE))
+        |             * 1000000) AS BIGINT) AS DOUBLE)
+        |       ) AS BIGINT) AS psi_micro
+        |FROM c, tot ORDER BY bin""".stripMargin,
 
     "ext_vocab_oov" ->
       s"""WITH $vocabSqlCte,

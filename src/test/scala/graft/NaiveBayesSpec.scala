@@ -69,4 +69,27 @@ class NaiveBayesSpec extends SparkSpec {
     assert(got(1) === ((11L, "a", priorA)))
     assert(got(2) === ((12L, "a", priorA)))
   }
+
+  test("labelNoise flags ONLY the confidently mislabeled doc, with the hand-computed margin") {
+    // doc 4 is labeled b but speaks pure a-language; doc 5 is an empty doc
+    // whose prior-argmax prediction matches its label (never flagged)
+    val t = docs((1, "a", "x x y"), (2, "a", "x y"), (3, "b", "z z"),
+      (4, "b", "x x x y y"), (5, "a", ""))
+    val model = NaiveBayes.train(t, "text", "lang")
+    val flagged = NaiveBayes
+      .labelNoise(t, "text", "lang", "doc_id", model, minMarginMicro = 500000L)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // counts (the empty doc tokenizes to one "" token, which joins the
+    // vocab): label a = {x:3, y:2, "":1} over 6 tokens (docs 1, 2, 5);
+    // label b = {x:3, y:2, z:2} over 7 (docs 3, 4); V = 4; priors 3/5, 2/5
+    val priorA = math.round(math.log(3.0 / 5.0) * 1e6)
+    val priorB = math.round(math.log(2.0 / 5.0) * 1e6)
+    val scoreA = priorA + 3 * micro(3, 6, 4) + 2 * micro(2, 6, 4)
+    val scoreB = priorB + 3 * micro(3, 7, 4) + 2 * micro(2, 7, 4)
+    assert(scoreA > scoreB, "fixture sanity: doc 4 must score a over b")
+    assert(flagged === Seq((4L, "b", "a", scoreA - scoreB)))
+    // raising the bar above the margin empties the audit
+    assert(NaiveBayes.labelNoise(t, "text", "lang", "doc_id", model,
+      minMarginMicro = scoreA - scoreB + 1).count() === 0L)
+  }
 }

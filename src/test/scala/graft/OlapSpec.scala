@@ -170,6 +170,52 @@ class OlapSpec extends SparkSpec {
     }
   }
 
+  test("split PSI replays the smoothed per-bin definition; contributions are non-negative") {
+    val rows = graft.Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // the query's contract recomputed independently: the id-hash split,
+    // width-10 token-count bins, Laplace-1/2-smoothed shares, micro-nat
+    // log-ratio rounded on the bin frame
+    val bins = rows.map { case (id, t) =>
+      ((id * 2246822519L + 104729L) % 1000L >= 150L, t.split(" ", -1).length.toLong / 10L)
+    }
+    val b = bins.map(_._2).distinct.length.toLong
+    val ta = bins.count(_._1).toLong
+    val tb = bins.length - ta
+    val got = q("ext_split_psi").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq === bins.map(_._2).distinct.sorted.toSeq)
+    got.foreach { case (bin, ca, cb, psi) =>
+      assert(ca === bins.count(x => x._2 == bin && x._1).toLong, s"bin $bin train count")
+      assert(cb === bins.count(x => x._2 == bin && !x._1).toLong, s"bin $bin heldout count")
+      val pa = (2 * ca + 1).toDouble / (2 * ta + b)
+      val pb = (2 * cb + 1).toDouble / (2 * tb + b)
+      val lnr = math.round(math.log(
+        ((2 * ca + 1) * (2 * tb + b)).toDouble / ((2 * cb + 1) * (2 * ta + b))) * 1e6)
+      assert(psi === math.round((pa - pb) * lnr), s"bin $bin psi")
+      // (p_a − p_b) and ln(p_a/p_b) always share a sign, so each bin's
+      // PSI contribution is non-negative by construction
+      assert(psi >= 0L, s"bin $bin negative psi")
+    }
+  }
+
+  test("prefix template groups replay the 8-token prefix grouping; singletons never surface") {
+    val rows = graft.Tables.documents(spark, d)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expect = rows
+      .groupBy { case (_, t, _) => t.split(" ", -1).take(8).mkString(" ") }
+      .filter(_._2.length >= 2)
+      .map { case (p, g) =>
+        (p, g.length.toLong, g.map(_._3).distinct.length.toLong, g.map(_._1).min)
+      }.toSet
+    val got = q("ext_prefix_dup").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expect)
+    assert(got.forall(_._2 >= 2))
+  }
+
   test("char entropy replays the sequential Shannon definition (oracle-blind-formula guard)") {
     val docs = graft.Tables.documents(spark, d)
       .select("doc_id", "text").collect()

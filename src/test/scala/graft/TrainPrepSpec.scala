@@ -36,6 +36,36 @@ class TrainPrepSpec extends SparkSpec {
     assert(again === kept)
   }
 
+  test("textrank ranks replay the integer damped PageRank recurrence (sequential definition)") {
+    val texts = Seq("a b c a b", "b c d b c", "x y x y", "a b c d", "c d c d")
+    val frame = docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, "en", t) }: _*)
+    val got = TrainPrep.textrankKeywords(frame, "text",
+      window = 3, minCount = 1, iters = 3, topK = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the recurrence replayed sequentially (oracle-blind-formula guard):
+    // window-3 undirected co-occurrence edges, then
+    // r' = 150000 + 850000 * sum(r(j)*w(j,i) / W(j)) / 1e6, all integer div
+    val pairs = for {
+      t <- texts; toks = t.split(" ", -1)
+      o <- 1 to 2; i <- 0 until toks.length - o
+      if toks(i) != toks(i + o)
+    } yield if (toks(i) <= toks(i + o)) (toks(i), toks(i + o)) else (toks(i + o), toks(i))
+    val ew = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val adj = ew.toSeq.flatMap { case ((a, b), w) => Seq((a, b, w), (b, a, w)) }
+    val wtot = adj.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var r = wtot.keys.map(_ -> 1000000L).toMap
+    (1 to 3).foreach { _ =>
+      r = adj.groupBy(_._2).map { case (dst, es) =>
+        dst -> (150000L + 850000L * es.map { case (src, _, w) =>
+          r(src) * w / wtot(src) }.sum / 1000000L)
+      }
+    }
+    assert(got === r)
+    // hub check: 'c' touches a, b, d across three docs — it must outrank
+    // the isolated x/y pair, whose ranks the damping pins near the floor
+    assert(got("c") > got("x") && got("c") > got("y"))
+  }
+
   test("dsirWeights scores target-looking docs positive, off-target negative") {
     // target slice speaks 'q'; the raw corpus adds 'z'-heavy noise docs
     val d = docs(
