@@ -174,6 +174,58 @@ object Knn {
       .select(col("id_a"), col("id_b"), graft.Tables.rnd4(col("cosine")).as("cosine"))
   }
 
+  /** Greedy k-center coreset (farthest-point traversal, Gonzalez 1985):
+    * pick the min-id vector, then k−1 times the vector FARTHEST (cosine
+    * distance 1 − cos, ties id-asc) from everything already picked — the
+    * classic 2-approximation to the k-center cover, and the diversity-
+    * first selection pass of prototype/eval-set pipelines (a random sample
+    * over-draws dense clusters; farthest-point provably spreads).
+    *
+    * Scale shape: k sequential jobs, each ONE scan of the persisted
+    * (id, emb, norm) frame — per step a row-local least() over the ≤ k
+    * driver-held centers (k·dim floats, the IVF-centroid pattern) and a
+    * TakeOrdered(1) argmax; nothing corpus-sized ever leaves the executors
+    * and total work is k·n dots. Driver round-trips are k single rows.
+    *
+    * Determinism: distances are the [[VectorFns.dot]] fixed-order double
+    * fold over float inputs (the established DuckDB `list_dot_product`
+    * parity), the per-step min over centers is a min over identical
+    * doubles (order-free), and the argmax breaks ties id-asc — so the
+    * traversal, and hence the coreset, is a pure function of the corpus.
+    * The reported distance is engine-rounded ([[graft.Tables.rnd4]])
+    * BEFORE it reaches the driver; the seed's distance-to-empty-set is
+    * NULL. */
+  def coresetKCenter(corpus: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"coresetKCenter: need k >= 1, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).as("vec_id"), col(embCol).as("__e"),
+      VectorFns.norm(col(embCol)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seed = base.orderBy(col("vec_id")).limit(1)
+        .select(col("vec_id"), col("__e")).as[(Long, Array[Float])].collect().head
+      val kEff = math.min(k.toLong, base.count()).toInt // count once, warms the persist
+      // (id, center vector, engine-rounded distance at selection time)
+      var selected = Vector[(Long, Array[Float], Option[Double])]((seed._1, seed._2, None))
+      while (selected.size < kEff) {
+        val dmin = selected.map { case (_, c, _) =>
+          lit(1.0) - VectorFns.dot(col("__e"), lit(c)) /
+            (col("__n") * VectorFns.norm(lit(c)))
+        }.reduce(least(_, _))
+        val next = base.filter(!col("vec_id").isin(selected.map(_._1): _*))
+          .select(col("vec_id"), col("__e"), dmin.as("__d"))
+          .orderBy(col("__d").desc, col("vec_id")).limit(1)
+          .select(col("vec_id"), col("__e"), graft.Tables.rnd4(col("__d")).as("__d"))
+          .as[(Long, Array[Float], Double)].collect().head
+        selected :+= ((next._1, next._2, Some(next._3)))
+      }
+      selected.zipWithIndex
+        .map { case ((id, _, d), i) => (i + 1L, id, d) }
+        .toDF("step", "vec_id", "dist")
+    } finally base.unpersist(false)
+  }
+
   /** IVF (inverted-file) coarse quantizer — the OTHER classic ANN scale
     * path: k-means cells trained with a few Lloyd rounds, queries probe only
     * their `nProbe` nearest cells. The quantizer trains on a SAMPLE (the

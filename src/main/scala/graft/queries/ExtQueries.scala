@@ -1424,6 +1424,14 @@ object ExtQueries {
       .select(col("doc_id"), col("lang"), col("sample_rank"))
       .orderBy("doc_id")
 
+  /** Greedy k-center coreset over the embedding table
+    * ([[Knn.coresetKCenter]]) — the diversity-first selection pass
+    * (farthest-point traversal); 8 centers, cosine distance. */
+  private val CoresetK = 8
+  private val extSampleCoreset: Q = (s, d) =>
+    Knn.coresetKCenter(embeddings(s, d), "vec_id", "embedding", k = CoresetK)
+      .orderBy("step")
+
   /** Deterministic train/val/test holdout: 100‰ test, 50‰ val, rest train —
     * a pure per-row expression over an id hash independent of the sampling
     * hash (see [[TrainPrep.splitAssign]]); zero shuffles, rerun-stable. */
@@ -2238,6 +2246,7 @@ object ExtQueries {
     "ext_sample_stratified" -> extSampleStratified,
     "ext_sample_weighted" -> extSampleWeighted,
     "ext_sample_bottomk" -> extSampleBottomk,
+    "ext_sample_coreset" -> extSampleCoreset,
     "ext_split_assign" -> extSplitAssign,
     "ext_split_psi" -> extSplitPsi,
     "ext_split_leakage" -> extSplitLeakage,
@@ -3476,6 +3485,30 @@ object ExtQueries {
          |           AS BIGINT) AS sample_rank
          |  FROM documents)
          |WHERE sample_rank <= 20 ORDER BY doc_id""".stripMargin,
+
+    // the greedy farthest-point traversal unrolled: sel{s} accumulates the
+    // first s picks; each step's candidate distance is min over the
+    // selected set (order-free over bit-identical doubles — the engine's
+    // fixed-order least() agrees), argmax ties id-asc, rnd4 applied AFTER
+    // the argmax exactly as the engine rounds
+    "ext_sample_coreset" -> {
+      val steps = (2 to CoresetK).map { s =>
+        s"""c$s AS (SELECT CAST($s AS BIGINT) AS step, vec_id, ${rnd4Sql("rawd")} AS dist FROM (
+           |    SELECT x.vec_id, min(1 - ${cosSql("x.v", "se.v")}) AS rawd
+           |    FROM e x CROSS JOIN (SELECT ev.v FROM e ev
+           |                         JOIN sel${s - 1} p ON ev.vec_id = p.vec_id) se
+           |    WHERE x.vec_id NOT IN (SELECT vec_id FROM sel${s - 1})
+           |    GROUP BY x.vec_id)
+           |  ORDER BY rawd DESC, vec_id LIMIT 1),
+           |sel$s AS (SELECT * FROM sel${s - 1} UNION ALL SELECT * FROM c$s)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sel1 AS (SELECT CAST(1 AS BIGINT) AS step, vec_id, CAST(NULL AS DOUBLE) AS dist
+         |         FROM e ORDER BY vec_id LIMIT 1),
+         |$steps
+         |SELECT step, vec_id, dist FROM sel$CoresetK ORDER BY step""".stripMargin
+    },
 
     "ext_split_assign" ->
       s"""SELECT doc_id, lang,

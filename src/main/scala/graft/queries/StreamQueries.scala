@@ -150,6 +150,19 @@ object StreamQueries {
     SourceCapsStream.capK(twice, ExtQueries.SourceCapK).orderBy("source", "rk")
   }
 
+  /** The incremental prefix-template monitor run in BATCH mode over a
+    * DOUBLED delivery (at-least-once): the state is membership rows and
+    * every report aggregate is distinct-/min-based, so the doubled log
+    * collapses to the one-shot batch answer — the oracle IS
+    * ext_prefix_dup's SQL. Live checkpointed restart/redelivery in
+    * StreamingSpec. */
+  private val streamPrefixDup: Q = (s, d) => {
+    import graft.streaming.PrefixDupStream
+    val docs = s.read.parquet(s"$d/documents.parquet")
+    val twice = PrefixDupStream.slice(docs.unionByName(docs))
+    PrefixDupStream.report(twice)
+  }
+
   /** The incremental funnel run in BATCH mode over a DOUBLED delivery
     * (at-least-once): per-user first-event state is an element-wise min, so
     * the doubled log collapses through the keyed min-merge to the clean
@@ -397,6 +410,7 @@ object StreamQueries {
     "stream_quality_drift" -> streamQualityDrift,
     "stream_vocab_drift" -> streamVocabDrift,
     "stream_source_caps" -> streamSourceCaps,
+    "stream_prefix_dup" -> streamPrefixDup,
     "stream_ks_drift" -> streamKsDrift)
 
   val oracle: Map[String, String] = Map(
@@ -415,6 +429,7 @@ object StreamQueries {
     // doubled delivery collapses through the min-k reduction — the oracle
     // IS the batch RefinedWeb cap's (one definition, twins can't drift)
     "stream_source_caps" -> ExtQueries.oracle("ext_source_caps"),
+    "stream_prefix_dup" -> ExtQueries.oracle("ext_prefix_dup"),
 
     "source_changestream" ->
       s"""SELECT event_id, ${fmtTsSql("ts")} AS ts_s, user_id, $OP AS op_type, props

@@ -716,4 +716,41 @@ class KnnSpec extends SparkSpec {
     val expected = pairs.filter { case (a, b) => split(a) != split(b) }
     assert(got.map(r => (r._1, r._2)).toSet === expected, "leak set must be the exact filter")
   }
+
+  test("coresetKCenter walks the hand-traced farthest-point order on a planted geometry") {
+    val v = vecs(
+      0L -> Seq(1f, 0f),      // seed (min id)
+      1L -> Seq(0.99f, 0.1f), // hugs the seed — must be picked LAST
+      2L -> Seq(0f, 1f),      // orthogonal to the seed — farthest, picked 2nd
+      3L -> Seq(0.7f, 0.7f))  // diagonal — picked 3rd
+    val got = Knn.coresetKCenter(v, "vec_id", "embedding", k = 4)
+      .select("step", "vec_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got === Seq((1L, 0L), (2L, 2L), (3L, 3L), (4L, 1L)))
+  }
+
+  test("coresetKCenter replays the sequential greedy definition on a pseudo-random set") {
+    val base = (0 until 30).map(i =>
+      i.toLong -> Seq.tabulate(6)(j => (((i * 31 + j * 17) % 13) - 6).toFloat))
+    val got = Knn.coresetKCenter(vecs(base: _*), "vec_id", "embedding", k = 6)
+      .select("step", "vec_id").as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    // the greedy recurrence replayed sequentially with the same
+    // left-to-right double fold as FloatDot
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    def dist(a: Seq[Float], b: Seq[Float]): Double =
+      1.0 - dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val byId = base.toMap
+    var sel = Vector(base.map(_._1).min)
+    while (sel.size < 6) {
+      val next = base.filterNot(p => sel.contains(p._1))
+        .map { case (id, e) => (id, sel.map(s => dist(e, byId(s))).min) }
+        .maxBy { case (id, d) => (d, -id) } // dist desc, id asc
+        ._1
+      sel :+= next
+    }
+    assert(got.toSeq === sel)
+    // k capped at n: asking for more centers than vectors returns n rows
+    val tiny = vecs(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f))
+    assert(Knn.coresetKCenter(tiny, "vec_id", "embedding", k = 5).count() === 2L)
+  }
 }

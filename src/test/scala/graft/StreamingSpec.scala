@@ -541,6 +541,50 @@ class StreamingSpec extends SparkSpec {
     assert(idxCounts === Map(1L -> 6L, 2L -> 6L, 3L -> 6L))
   }
 
+  test("streaming prefix templates: groups complete across batches and survive redelivery + compaction") {
+    import graft.streaming.PrefixDupStream
+    import spark.implicits._
+    val src = tmp("pfx-src")
+    val tgt = tmp("pfx-tgt").resolve("state").toString
+    val ckp = tmp("pfx-ckp").toString
+
+    // 8-token template opener shared across docs and sources
+    val opener = "the quick brown fox jumps over the lazy"
+    def deliver(name: String, rows: Seq[(Long, String, String)]): Unit = {
+      val staging = tmp(s"pfx-stage-$name")
+      rows.map { case (id, text, source) => (id, text, "en", source, text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, src.resolve(s"$name-${f.getName}")))
+    }
+
+    // wave 1: one templated doc + one unique doc — no group yet
+    deliver("w1", Seq((1L, s"$opener dog body one", "web"),
+      (9L, "completely unrelated text here", "web")))
+    PrefixDupStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    assert(PrefixDupStream.report(PrefixDupStream.state(spark, tgt)).count() === 0L)
+
+    // wave 2: the second and third copies arrive (one from ANOTHER source),
+    // plus doc 1 redelivered — the group must complete, counted once
+    deliver("w2", Seq((1L, s"$opener dog body one", "web"),
+      (2L, s"$opener dog body two", "web"),
+      (3L, s"$opener dog body three", "blog")))
+    PrefixDupStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    def got() = PrefixDupStream.report(PrefixDupStream.state(spark, tgt))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got() === Seq((opener, 3L, 2L, 1L)))
+
+    // replay with no new data, then compact: report unchanged
+    PrefixDupStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    assert(got() === Seq((opener, 3L, 2L, 1L)))
+    PrefixDupStream.compact(spark, tgt)
+    assert(got() === Seq((opener, 3L, 2L, 1L)))
+    // compaction collapsed the redelivered membership rows to one per doc
+    assert(PrefixDupStream.state(spark, tgt)
+      .filter($"prefix" === opener).count() === 3L)
+  }
+
   test("streaming source caps: min-k per source converges across restart + redelivery") {
     import graft.streaming.SourceCapsStream
     import spark.implicits._
