@@ -135,8 +135,43 @@ object NaiveBayes {
     * the same bound scoring itself pays on the token⋈model join) with the
     * bare prior as the zero-evidence score, exactly [[score]]'s fallback.
     * All comparisons are on exact integers; ties break label-asc. */
-  def labelNoise(docs: DataFrame, textCol: String, classCol: String, idCol: String,
-                 model: DataFrame, minMarginMicro: Long): DataFrame = {
+  /** Calibration/reliability table of the router: docs bucketed by the
+    * best-vs-runner-up score margin (the classifier's own confidence
+    * signal, in whole log-nats, capped at `maxBin`), each bucket's doc
+    * count and observed accuracy — the "is high margin actually more
+    * accurate" audit that decides whether a margin threshold is a usable
+    * quality gate. Requires ≥ 2 labels (a runner-up must exist).
+    *
+    * Same completed (doc, label) score grid as [[labelNoise]] (priors as
+    * zero-evidence scores, so empty docs calibrate too); margins are exact
+    * integer differences, bins integer divisions — engine-deterministic;
+    * the one ratio (accuracy) rounds to 4 dp per bin on the bin-bounded
+    * frame. */
+  def calibration(docs: DataFrame, textCol: String, classCol: String, idCol: String,
+                  model: DataFrame, maxBin: Long = 5L): DataFrame = {
+    val scored = scoredGrid(docs, textCol, classCol, idCol, model)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score_micro").desc, col("label"))
+    val ranked = scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 2)
+    val top2 = ranked.groupBy(col(idCol))
+      .agg(min(when(col("__rn") === 1, col("label"))).as("pred_label"),
+        min(when(col("__rn") === 1, col("score_micro"))).as("__best"),
+        min(when(col("__rn") === 2, col("score_micro"))).as("__second"),
+        min(col("__true")).as("__true"))
+    top2
+      .select(least(expr("(__best - __second) div 1000000"), lit(maxBin)).as("margin_bin"),
+        (col("pred_label") === col("__true")).cast("long").as("__ok"))
+      .groupBy(col("margin_bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ok")).as("n_correct"))
+      .select(col("margin_bin"), col("n_docs"), col("n_correct"),
+        graft.Tables.rnd4(col("n_correct").cast("double") / col("n_docs").cast("double"))
+          .as("accuracy"))
+  }
+
+  /** The completed per-(doc, label) score grid shared by [[labelNoise]]
+    * and [[calibration]]: every doc × every model label, token-evidence
+    * score where it exists, the bare prior where none does. */
+  private def scoredGrid(docs: DataFrame, textCol: String, classCol: String,
+                         idCol: String, model: DataFrame): DataFrame = {
     val pri = model.select(col("label"), col("prior_micro")).distinct()
       .localCheckpoint(true) // labels-bounded; read by the grid build
     val tf = docs.select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
@@ -147,19 +182,28 @@ object NaiveBayes {
       .groupBy(col(idCol), col("label"))
       .agg((min(col("prior_micro")) + sum(col("tf") * col("logprob_micro")))
         .as("__sc"))
-    val scored = docs.select(col(idCol), col(classCol).as("__true"))
+    docs.select(col(idCol), col(classCol).as("__true"))
       .crossJoin(pri)
       .join(sc, Seq(idCol, "label"), "left")
       .select(col(idCol), col("__true"), col("label"),
         coalesce(col("__sc"), col("prior_micro")).as("score_micro"))
+  }
+
+  def labelNoise(docs: DataFrame, textCol: String, classCol: String, idCol: String,
+                 model: DataFrame, minMarginMicro: Long): DataFrame = {
+    // the argmax row and the given-label row surface in the SAME window
+    // pass and pivot per doc — a best⋈trueScore self-join would recompute
+    // the whole unmaterialized score grid on each side
+    val scored = scoredGrid(docs, textCol, classCol, idCol, model)
     val w = Window.partitionBy(col(idCol)).orderBy(col("score_micro").desc, col("label"))
-    val best = scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .select(col(idCol), col("__true"), col("label").as("pred_label"),
-        col("score_micro").as("__best"))
-    val trueSc = scored.filter(col("label") === col("__true"))
-      .select(col(idCol), col("score_micro").as("__true_sc"))
-    best.join(trueSc, Seq(idCol))
-      .select(col(idCol), col("__true").as("label"), col("pred_label"),
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 || col("label") === col("__true"))
+      .groupBy(col(idCol))
+      .agg(min(when(col("__rn") === 1, col("label"))).as("pred_label"),
+        min(when(col("__rn") === 1, col("score_micro"))).as("__best"),
+        min(when(col("label") === col("__true"), col("score_micro"))).as("__true_sc"),
+        min(col("__true")).as("label"))
+      .select(col(idCol), col("label"), col("pred_label"),
         (col("__best") - col("__true_sc")).as("margin_micro"))
       .filter(col("pred_label") =!= col("label") &&
         col("margin_micro") >= minMarginMicro)

@@ -397,6 +397,16 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Router calibration table ([[NaiveBayes.calibration]]): accuracy per
+    * whole-log-nat confidence-margin bucket — the audit that decides
+    * whether the NB margin is a usable quality gate. */
+  private val extNbCalibration: Q = (s, d) => {
+    val docs = documents(s, d)
+    NaiveBayes.calibration(docs, "text", "lang", "doc_id",
+      NaiveBayes.train(docs, "text", "lang").localCheckpoint(true))
+      .orderBy("margin_bin")
+  }
+
   /** DSIR importance weights ([[TrainPrep.dsirWeights]]): every doc scored
     * by log p_target/p_corpus under smoothed unigram LMs — target slice =
     * the `en` documents. keep = ratio > 0. */
@@ -2181,6 +2191,7 @@ object ExtQueries {
     "ext_nb_train" -> extNbTrain,
     "ext_nb_score" -> extNbScore,
     "ext_label_noise" -> extLabelNoise,
+    "ext_nb_calibration" -> extNbCalibration,
     "ext_dsir_weights" -> extDsirWeights,
     "ext_phrase_search" -> extPhraseSearch,
     "ext_text_pii" -> extTextPii,
@@ -2339,6 +2350,27 @@ object ExtQueries {
       |           FROM nlab l CROSS JOIN nvoc w
       |           LEFT JOIN ncnt c ON l.lang = c.lang AND w.token = c.token
       |           JOIN ncls s ON l.lang = s.lang, nv)""".stripMargin
+
+  /** Shared oracle CTEs for the completed per-(doc, label) NB score grid
+    * + its per-doc ranking — mirrors [[graft.operators.NaiveBayes]]'s
+    * `scoredGrid`: token-evidence scores where they exist, the bare prior
+    * where none does. Requires [[nbModelSqlCte]] in the same WITH. */
+  private val nbGridSqlCte =
+    """ntf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |        FROM ntk GROUP BY 1, 2),
+      |nsc AS (SELECT t.doc_id, m.label,
+      |          CAST(m.prior_micro + sum(t.tf * m.logprob_micro) AS BIGINT)
+      |            AS sc
+      |        FROM ntf t JOIN nmodel m ON t.token = m.token
+      |        GROUP BY 1, 2, m.prior_micro),
+      |npri AS (SELECT DISTINCT label, prior_micro FROM nmodel),
+      |ngrid AS (SELECT d.doc_id, d.lang AS true_label, p.label,
+      |                 coalesce(s.sc, p.prior_micro) AS score
+      |          FROM documents d CROSS JOIN npri p
+      |          LEFT JOIN nsc s ON s.doc_id = d.doc_id AND s.label = p.label),
+      |nrk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                    ORDER BY score DESC, label) AS rn
+      |        FROM ngrid)""".stripMargin
 
   /** Shared oracle CTE: distinct (doc_id, 3-shingle) pairs. */
   private val shingleSql =
@@ -2704,24 +2736,10 @@ object ExtQueries {
 
     // the complete (doc × label) score grid: per-label token scores where
     // evidence exists, the bare prior where none does (empty docs, labels
-    // with no overlap) — mirrors NaiveBayes.labelNoise's coalesce
+    // with no overlap) — mirrors NaiveBayes.scoredGrid's coalesce
     "ext_label_noise" ->
       s"""WITH $nbModelSqlCte,
-         |ntf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
-         |        FROM ntk GROUP BY 1, 2),
-         |nsc AS (SELECT t.doc_id, m.label,
-         |          CAST(m.prior_micro + sum(t.tf * m.logprob_micro) AS BIGINT)
-         |            AS sc
-         |        FROM ntf t JOIN nmodel m ON t.token = m.token
-         |        GROUP BY 1, 2, m.prior_micro),
-         |npri AS (SELECT DISTINCT label, prior_micro FROM nmodel),
-         |ngrid AS (SELECT d.doc_id, d.lang AS true_label, p.label,
-         |                 coalesce(s.sc, p.prior_micro) AS score
-         |          FROM documents d CROSS JOIN npri p
-         |          LEFT JOIN nsc s ON s.doc_id = d.doc_id AND s.label = p.label),
-         |nrk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-         |                    ORDER BY score DESC, label) AS rn
-         |        FROM ngrid)
+         |$nbGridSqlCte
          |SELECT b.doc_id, b.true_label AS label, b.label AS pred_label,
          |       CAST(b.score - t.score AS BIGINT) AS margin_micro
          |FROM nrk b JOIN ngrid t
@@ -2729,6 +2747,24 @@ object ExtQueries {
          |WHERE b.rn = 1 AND b.label <> b.true_label
          |  AND b.score - t.score >= $NoiseMarginMicro
          |ORDER BY b.doc_id""".stripMargin,
+
+    "ext_nb_calibration" ->
+      s"""WITH $nbModelSqlCte,
+         |$nbGridSqlCte,
+         |ntop2 AS (SELECT doc_id,
+         |            min(CASE WHEN rn = 1 THEN label END) AS pred_label,
+         |            min(CASE WHEN rn = 1 THEN score END) AS best,
+         |            min(CASE WHEN rn = 2 THEN score END) AS second,
+         |            min(true_label) AS true_label
+         |          FROM nrk WHERE rn <= 2 GROUP BY doc_id)
+         |SELECT CAST(least((best - second) // 1000000, 5) AS BIGINT) AS margin_bin,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_correct,
+         |       ${rnd4Sql(
+             "CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS DOUBLE)" +
+               " / CAST(count(*) AS DOUBLE)")} AS accuracy
+         |FROM ntop2 GROUP BY 1 ORDER BY margin_bin""".stripMargin,
 
     // both unigram LMs retrained relationally over the SHARED vocab;
     // micronat rounding on the vocab frame, exact integer doc sums

@@ -121,6 +121,16 @@ private[streaming] object AppendState {
     if (oldBase >= 0) deleteQuietly(baseDir(targetDir, oldBase))
   }
 
+  /** The standard leveled-compaction policy: fold whenever `every`
+    * committed deltas have accumulated past the base (the LSM trigger,
+    * keeping merge-on-read at O(base + every·batch)). Safe to call at any
+    * time — compaction publishes atomically and folded ids replay as
+    * no-ops — so streams run it inline after their per-batch append;
+    * `every` ≤ 0 disables. */
+  def compactIfDue(spark: SparkSession, targetDir: String, every: Int)
+                  (merge: DataFrame => DataFrame): Unit =
+    if (every > 0 && deltaIds(targetDir).size >= every) compact(spark, targetDir, merge)
+
   private def deleteQuietly(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteQuietly))
     f.delete(); ()

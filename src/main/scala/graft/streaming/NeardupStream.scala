@@ -222,10 +222,14 @@ object NeardupStream {
   }
 
   /** Start the ingest-dedup stream: document source dir → per-batch index
-    * probe → (index, sizes, pairs) append-only state under `targetDir`. */
+    * probe → (index, sizes, pairs) append-only state under `targetDir`.
+    * `compactEvery` > 0 runs [[compact]] inline once that many deltas
+    * accumulate on the index ([[AppendState.compactIfDue]] is checked on
+    * the index state, the largest of the three — semantics unchanged,
+    * read amplification bounded). */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
             checkpointDir: String, availableNow: Boolean = true,
-            maxDf: Long = DefaultMaxDf): StreamingQuery = {
+            maxDf: Long = DefaultMaxDf, compactEvery: Int = 0): StreamingQuery = {
     val raw = spark.readStream.schema(CorpusIngest.docsFileSchema).parquet(sourceDir)
     val trigger =
       if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
@@ -234,6 +238,9 @@ object NeardupStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(spark, batch, targetDir, batchId, maxDf)
+        if (compactEvery > 0 &&
+          AppendState.deltaIds(s"$targetDir/index").size >= compactEvery)
+          compact(spark, targetDir)
       }
       .start()
   }

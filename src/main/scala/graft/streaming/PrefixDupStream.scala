@@ -76,9 +76,13 @@ object PrefixDupStream {
     AppendState.compact(spark, targetDir, _.distinct())
 
   /** Start the ingest template monitor: document source dir → per-batch
-    * membership slice → append-only delta state under `targetDir`. */
+    * membership slice → append-only delta state under `targetDir`.
+    * `compactEvery` > 0 runs the leveled fold inline once that many deltas
+    * accumulate ([[AppendState.compactIfDue]] — semantics unchanged, read
+    * amplification bounded). */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
-            checkpointDir: String, availableNow: Boolean = true): StreamingQuery = {
+            checkpointDir: String, availableNow: Boolean = true,
+            compactEvery: Int = 0): StreamingQuery = {
     val raw = spark.readStream.schema(CorpusIngest.docsFileSchema).parquet(sourceDir)
     val trigger =
       if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
@@ -87,6 +91,7 @@ object PrefixDupStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, targetDir, batchId)
+        AppendState.compactIfDue(spark, targetDir, compactEvery)(_.distinct())
       }
       .start()
   }

@@ -70,6 +70,31 @@ class NaiveBayesSpec extends SparkSpec {
     assert(got(2) === ((12L, "a", priorA)))
   }
 
+  test("calibration bins best-vs-runner-up margins in whole nats with per-bin accuracy") {
+    val model = NaiveBayes.train(d, "text", "lang")
+    val got = NaiveBayes.calibration(d, "text", "lang", "doc_id", model)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // margins replayed: two labels, so runner-up = the other label's score
+    val priorA = math.round(math.log(2.0 / 3.0) * 1e6)
+    val priorB = math.round(math.log(1.0 / 3.0) * 1e6)
+    def scoreA(x: Long, y: Long, z: Long) =
+      priorA + x * micro(3, 5, 3) + y * micro(2, 5, 3) + z * micro(0, 5, 3)
+    def scoreB(x: Long, y: Long, z: Long) =
+      priorB + (x + y) * micro(0, 2, 3) + z * micro(2, 2, 3)
+    val margins = Seq( // (margin, correct) — all three docs classify right
+      math.abs(scoreA(2, 1, 0) - scoreB(2, 1, 0)),
+      math.abs(scoreA(1, 1, 0) - scoreB(1, 1, 0)),
+      math.abs(scoreA(0, 0, 2) - scoreB(0, 0, 2)))
+    val expect = margins.groupBy(m => math.min(m / 1000000L, 5L))
+      .map { case (b, ms) => b -> ((ms.size.toLong, ms.size.toLong, 1.0)) }
+    assert(got === expect)
+    // capping pushes everything into one bucket with global accuracy
+    val capped = NaiveBayes.calibration(d, "text", "lang", "doc_id", model, maxBin = 0L)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(capped === Seq((0L, 3L, 3L, 1.0)))
+  }
+
   test("labelNoise flags ONLY the confidently mislabeled doc, with the hand-computed margin") {
     // doc 4 is labeled b but speaks pure a-language; doc 5 is an empty doc
     // whose prior-argmax prediction matches its label (never flagged)

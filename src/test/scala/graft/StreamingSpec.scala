@@ -585,6 +585,35 @@ class StreamingSpec extends SparkSpec {
       .filter($"prefix" === opener).count() === 3L)
   }
 
+  test("inline leveled compaction (compactEvery=1) folds every batch without changing the report") {
+    import graft.streaming.PrefixDupStream
+    import spark.implicits._
+    val src = tmp("pfxc-src")
+    val tgt = tmp("pfxc-tgt").resolve("state").toString
+    val ckp = tmp("pfxc-ckp").toString
+    val opener = "one two three four five six seven eight"
+    def deliver(name: String, rows: Seq[(Long, String, String)]): Unit = {
+      val staging = tmp(s"pfxc-stage-$name")
+      rows.map { case (id, text, source) => (id, text, "en", source, text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, src.resolve(s"$name-${f.getName}")))
+    }
+    deliver("w1", Seq((1L, s"$opener tail a", "web"), (2L, s"$opener tail b", "web")))
+    PrefixDupStream.start(spark, src.toString, tgt, ckp, compactEvery = 1)
+      .awaitTermination()
+    // doc 1 redelivered + a third copy from another source
+    deliver("w2", Seq((1L, s"$opener tail a", "web"), (3L, s"$opener tail c", "blog")))
+    PrefixDupStream.start(spark, src.toString, tgt, ckp, compactEvery = 1)
+      .awaitTermination()
+    val got = PrefixDupStream.report(PrefixDupStream.state(spark, tgt))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((opener, 3L, 2L, 1L)))
+    // every batch folded: the state is the compacted base, one row per doc
+    assert(PrefixDupStream.state(spark, tgt).count() === 3L)
+  }
+
   test("streaming source caps: min-k per source converges across restart + redelivery") {
     import graft.streaming.SourceCapsStream
     import spark.implicits._
