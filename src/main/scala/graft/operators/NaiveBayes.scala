@@ -169,11 +169,17 @@ object NaiveBayes {
 
   /** The completed per-(doc, label) score grid shared by [[labelNoise]]
     * and [[calibration]]: every doc × every model label, token-evidence
-    * score where it exists, the bare prior where none does. */
+    * score where it exists, the bare prior where none does. The complete
+    * model grid means a doc WITH tokens already scores against every
+    * label in the token⋈model join, so completion only has to patch in
+    * the (rare) zero-token docs — an anti-join sliver crossed with the
+    * L-row priors, unioned in, NOT an L×corpus grid re-joined against the
+    * L×corpus score frame. */
   private def scoredGrid(docs: DataFrame, textCol: String, classCol: String,
                          idCol: String, model: DataFrame): DataFrame = {
     val pri = model.select(col("label"), col("prior_micro")).distinct()
-      .localCheckpoint(true) // labels-bounded; read by the grid build
+      .localCheckpoint(true) // labels-bounded; read by the empty-doc patch
+    val lab = docs.select(col(idCol), col(classCol).as("__true"))
     val tf = docs.select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val sc = tf
@@ -181,12 +187,15 @@ object NaiveBayes {
         col("logprob_micro"), col("prior_micro")), "token")
       .groupBy(col(idCol), col("label"))
       .agg((min(col("prior_micro")) + sum(col("tf") * col("logprob_micro")))
-        .as("__sc"))
-    docs.select(col(idCol), col(classCol).as("__true"))
+        .as("score_micro"))
+    val scored = sc.join(lab, Seq(idCol))
+      .select(col(idCol), col("__true"), col("label"), col("score_micro"))
+    val zeroTokenDocs = lab
+      .join(tf.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
       .crossJoin(pri)
-      .join(sc, Seq(idCol, "label"), "left")
       .select(col(idCol), col("__true"), col("label"),
-        coalesce(col("__sc"), col("prior_micro")).as("score_micro"))
+        col("prior_micro").as("score_micro"))
+    scored.unionByName(zeroTokenDocs)
   }
 
   def labelNoise(docs: DataFrame, textCol: String, classCol: String, idCol: String,

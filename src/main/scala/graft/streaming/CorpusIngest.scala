@@ -82,7 +82,7 @@ object CorpusIngest {
     * drains what exists and stops (test/replay mode). */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
             checkpointDir: String, minQuality: Double = 0.3,
-            availableNow: Boolean = true): StreamingQuery = {
+            availableNow: Boolean = true, compactEvery: Int = 0): StreamingQuery = {
     val raw = spark.readStream.schema(docsFileSchema).parquet(sourceDir)
     val trigger =
       if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
@@ -92,6 +92,9 @@ object CorpusIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(spark, batch, targetDir, batchId)
+        if (compactEvery > 0 &&
+          AppendState.deltaIds(targetDir).size >= compactEvery)
+          compact(spark, targetDir)
       }
       .start()
   }

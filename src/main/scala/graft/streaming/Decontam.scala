@@ -89,7 +89,7 @@ object Decontam {
     * stops (test/replay mode). */
   def start(spark: SparkSession, sourceDir: String, evalDocs: DataFrame,
             targetDir: String, checkpointDir: String,
-            availableNow: Boolean = true): StreamingQuery = {
+            availableNow: Boolean = true, compactEvery: Int = 0): StreamingQuery = {
     val index = evalIndex(evalDocs)
     index.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val raw = spark.readStream.schema(CorpusIngest.docsFileSchema).parquet(sourceDir)
@@ -100,6 +100,9 @@ object Decontam {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(spark, gate(batch, index), targetDir, batchId)
+        if (compactEvery > 0 &&
+          AppendState.deltaIds(targetDir).size >= compactEvery)
+          compact(spark, targetDir)
       }
       .start()
   }

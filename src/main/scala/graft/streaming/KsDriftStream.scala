@@ -110,7 +110,8 @@ object KsDriftStream {
     * foreachBatch idempotent merge into `targetDir` ([[report]] over
     * [[histogram]] of [[state]] reads the current KS table any time). */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
-            checkpointDir: String, availableNow: Boolean = true): StreamingQuery = {
+            checkpointDir: String, availableNow: Boolean = true,
+            compactEvery: Int = 0): StreamingQuery = {
     val raw = spark.readStream
       .schema(CorpusIngest.docsFileSchema).parquet(sourceDir)
     val trigger =
@@ -121,6 +122,9 @@ object KsDriftStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(spark, batch, targetDir, batchId)
+        if (compactEvery > 0 &&
+          AppendState.deltaIds(targetDir).size >= compactEvery)
+          compact(spark, targetDir)
       }
       .start()
   }

@@ -105,7 +105,8 @@ object QualityDrift {
     * never disagree. `availableNow = true` drains and stops (test/replay
     * mode). */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
-            checkpointDir: String, availableNow: Boolean = true): StreamingQuery = {
+            checkpointDir: String, availableNow: Boolean = true,
+            compactEvery: Int = 0): StreamingQuery = {
     val raw = spark.readStream.schema(CorpusIngest.docsFileSchema).parquet(sourceDir)
     val trigger =
       if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
@@ -114,6 +115,9 @@ object QualityDrift {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(spark, gate(batch), targetDir, batchId)
+        if (compactEvery > 0 &&
+          AppendState.deltaIds(targetDir).size >= compactEvery)
+          compact(spark, targetDir)
       }
       .start()
   }

@@ -65,7 +65,7 @@ object SourceCapsStream {
     * append-only state under `targetDir`. */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
             checkpointDir: String, k: Int,
-            availableNow: Boolean = true): StreamingQuery = {
+            availableNow: Boolean = true, compactEvery: Int = 0): StreamingQuery = {
     val raw = spark.readStream.schema(CorpusIngest.docsFileSchema).parquet(sourceDir)
     val trigger =
       if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
@@ -75,6 +75,9 @@ object SourceCapsStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(spark, batch, targetDir, k, batchId)
+        if (compactEvery > 0 &&
+          AppendState.deltaIds(targetDir).size >= compactEvery)
+          compact(spark, targetDir, k)
       }
       .start()
   }

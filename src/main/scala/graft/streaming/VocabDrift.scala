@@ -113,7 +113,7 @@ object VocabDrift {
     * true` drains and stops (test/replay mode). */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
             checkpointDir: String, vocab: Seq[String],
-            availableNow: Boolean = true): StreamingQuery = {
+            availableNow: Boolean = true, compactEvery: Int = 0): StreamingQuery = {
     val raw = spark.readStream.schema(CorpusIngest.docsFileSchema).parquet(sourceDir)
     val trigger =
       if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
@@ -122,6 +122,9 @@ object VocabDrift {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(spark, gate(batch, vocab), targetDir, batchId)
+        if (compactEvery > 0 &&
+          AppendState.deltaIds(targetDir).size >= compactEvery)
+          compact(spark, targetDir)
       }
       .start()
   }
