@@ -124,6 +124,55 @@ object CdcOps {
   def exactSum(c: Column): Column =
     round(sum(c.cast("decimal(18,2)")).cast("double"), 4)
 
+  /** Holt double-exponential smoothing (level + TREND) of a per-key daily
+    * series — what the EWMA trend line can't give an ops dashboard: a
+    * one-step forecast that tracks drift direction. α = β = ½:
+    * s_t = ½·y_t + ½·(s_{t−1} + b_{t−1}); b_t = ½·(s_t − s_{t−1}) + ½·b_{t−1};
+    * init s₁ = y₁, b₁ = y₂ − y₁ (0 for a single-day key); forecast = s + b.
+    *
+    * Determinism: the float form is NOT engine-safe (denominators grow as
+    * 4ᵗ and overflow the mantissa within weeks, after which accumulation
+    * order matters), so the recurrence runs in integer MICRO-units with an
+    * explicit floor-halve at each step: fd2(x) = (x − pmod(x, 2)) div 2 —
+    * the subtraction makes the dividend EVEN, so truncating and flooring
+    * division agree and the oracle's `//` matches exactly for negative
+    * trends too. Bit-identical on every engine by construction.
+    *
+    * Shape: input is the (key, day, n) daily aggregate (map-side
+    * combined); the sequential fold runs per key via `flatMapGroups` —
+    * the one honest imperative recurrence (documented, like the greedy
+    * packer): per-group rows are CALENDAR-bounded at any corpus scale, so
+    * group memory is days-sized, and keys distribute across executors. */
+  def holt(daily: DataFrame, keyCol: String, dayCol: String, nCol: String): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily
+      .select(col(keyCol).cast("string"), col(dayCol).cast("string").as("__day"),
+        col(nCol).cast("long"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k: String, it: Iterator[(String, String, Long)]) =>
+        val rows = it.toArray.sortBy(_._2) // ISO dates sort chronologically
+        def fd2(x: Long): Long = (x - java.lang.Math.floorMod(x, 2L)) / 2
+        val y = rows.map(_._3 * 1000000L)
+        val out = Array.ofDim[(String, String, Long, Long, Long)](rows.length)
+        var s = y(0)
+        var b = if (rows.length >= 2) y(1) - y(0) else 0L
+        out(0) = (k, rows(0)._2, rows(0)._3, s, b)
+        var t = 1
+        while (t < rows.length) {
+          val s2 = fd2(y(t) + s + b)
+          b = fd2(s2 - s + b)
+          s = s2
+          out(t) = (k, rows(t)._2, rows(t)._3, s, b)
+          t += 1
+        }
+        out.iterator
+      }
+      .toDF(keyCol, dayCol, nCol, "level_micro", "trend_micro")
+      .withColumn("forecast_micro", col("level_micro") + col("trend_micro"))
+  }
+
   /** Replication-lag health check (js:541–600): lag = `now` − max event time,
     * healthy iff under `thresholdSec` (reference: 300 s, js:557). `now` is a
     * parameter, never wall clock — determinism for the oracle. */

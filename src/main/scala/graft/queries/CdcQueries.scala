@@ -671,6 +671,93 @@ object CdcQueries {
       .orderBy("day")
   }
 
+  /** Holt level + trend smoothing of per-type daily volume (§2.5) —
+    * [[graft.operators.CdcOps.holt]]: the forecast line the flat EWMA
+    * can't draw. Integer-micro recurrence with explicit floor-halves ⇒
+    * engine-exact; per-key fold over calendar-bounded day frames. */
+  private val windowHolt: Q = (s, d) =>
+    graft.operators.CdcOps.holt(
+      events(s, d).groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")),
+      "event_type", "day", "n")
+      .orderBy("event_type", "day")
+
+  /** Theil–Sen robust trend (§2.5): per event type the MEDIAN of all
+    * pairwise day-slopes of the daily-volume series — the outlier-immune
+    * answer to "is this stream growing" (one anomalous day corrupts a
+    * least-squares slope; the pairwise median shrugs it off, 29.3%
+    * breakdown point).
+    *
+    * Determinism: each slope is ONE IEEE division of two small integers
+    * (identical bits on any engine); the median is a row_number pick under
+    * the total order (slope, Δn, Δday) — rows tying on ALL THREE carry the
+    * same slope, so the selected VALUE is deterministic even where the
+    * winning row is not. Lower median at even counts ((m+1) div 2).
+    *
+    * Scale shape: the pair frame is per-type D²/2 with D CALENDAR-bounded
+    * (the domain-histogram discipline — day-pair rows, never event rows),
+    * so the per-type ranking window is bounded at any corpus size. */
+  private val windowTheilsen: Q = (s, d) => {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val pairs = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        (col("b.n") - col("a.n")).cast("double").as("__dy"),
+        datediff(col("b.day"), col("a.day")).cast("double").as("__dx"))
+      .select(col("event_type"), (col("__dy") / col("__dx")).as("__slope"),
+        col("__dy"), col("__dx"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("__slope"), col("__dy"), col("__dx"))
+    pairs
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("__rn") === expr("(__m + 1) div 2"))
+      .select(col("event_type"), col("__m").as("n_pairs"),
+        graft.Tables.rnd4(col("__slope")).as("slope_per_day"))
+      .orderBy("event_type")
+  }
+
+  /** Mann–Kendall trend TEST (§2.4) — the significance companion to the
+    * `window_theilsen` estimator (the standard monitoring pairing: Sen's
+    * slope says how fast, Mann–Kendall says whether it's real): per event
+    * type S = Σ_{i<j} sign(n_j − n_i) over the daily-volume series, the
+    * tie-corrected variance numerator 18·Var(S) = D(D−1)(2D+5) −
+    * Σ_g t_g(t_g−1)(2t_g+5), and the continuity-corrected
+    * z = (S − sign(S)) / √(var18/18).
+    *
+    * S and var18 are EXACT integers (sign sums and tie-group cubics over
+    * calendar-bounded frames); z is one fixed IEEE op sequence on them
+    * (divide, sqrt, divide) — deterministic cross-engine. Pair frame
+    * per-type D²/2, D calendar-bounded; tie groups from one (type, n)
+    * aggregate. */
+  private val aggMannKendall: Q = (s, d) => {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val sStat = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(signum(col("b.n") - col("a.n")).cast("long")).as("s_stat"))
+    val ties = daily.groupBy(col("event_type"), col("n"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("__groups"), // unused; keeps agg non-empty shape clear
+        sum(col("__t") * (col("__t") - 1) * (col("__t") * 2 + 5)).as("__tie_sum"),
+        sum(col("__t")).as("n_days"))
+    val z = (col("s_stat") - signum(col("s_stat")).cast("long")).cast("double") /
+      sqrt(col("var18").cast("double") / 18.0)
+    sStat.join(ties, "event_type")
+      .withColumn("var18",
+        col("n_days") * (col("n_days") - 1) * (col("n_days") * 2 + 5) - col("__tie_sum"))
+      .select(col("event_type"), col("n_days"), col("s_stat"), col("var18"),
+        graft.Tables.rnd4(when(col("var18") === 0, lit(0.0)).otherwise(z)).as("z"))
+      .orderBy("event_type")
+  }
+
   /** Daily-volume anomaly flags (§2.4) — the ingest-QC alarm over the
     * event log: days whose count deviates more than 2σ from the mean.
     * The textbook form compares against float mean/stddev — sum-of-squares
@@ -1148,9 +1235,12 @@ object CdcQueries {
     "window_interpolate" -> windowInterpolate,
     "window_sliding_distinct" -> windowSlidingDistinct,
     "window_ewma" -> windowEwma,
+    "window_holt" -> windowHolt,
+    "window_theilsen" -> windowTheilsen,
     "window_cumulative_distinct" -> windowCumulativeDistinct,
     "agg_daily_bars" -> aggDailyBars,
     "agg_anomaly_days" -> aggAnomalyDays,
+    "agg_mann_kendall" -> aggMannKendall,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "sort_topk" -> sortTopk,
     "sort_topk_group" -> sortTopkGroup,
@@ -1711,6 +1801,86 @@ object CdcQueries {
                    "sum(CAST(bn AS DOUBLE) / (1 << j)) / sum(1.0 / (1 << j))")} AS ewma_7d
          |FROM c JOIN daily d ON c.day = d.day
          |GROUP BY c.day, d.n ORDER BY day""".stripMargin,
+
+    // the Holt recurrence unrolled as a per-key recursive CTE; fd2 makes
+    // the dividend even before dividing, so `//` here and `div` in the
+    // engine agree on negative trends (see CdcOps.holt)
+    "window_holt" -> {
+      def fd2(e: String) = s"(($e) - ((($e) % 2) + 2) % 2) // 2"
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |i AS (SELECT event_type, day, n,
+         |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+         |             AS BIGINT) AS t
+         |      FROM daily),
+         |h AS (
+         |  SELECT a.event_type, a.t, a.day, a.n,
+         |         a.n * 1000000 AS s,
+         |         CAST(coalesce(b.n - a.n, 0) * 1000000 AS BIGINT) AS b
+         |  FROM i a LEFT JOIN i b ON b.event_type = a.event_type AND b.t = 2
+         |  WHERE a.t = 1
+         |  UNION ALL
+         |  SELECT nx.event_type, nx.t, nx.day, nx.n, x.s2,
+         |         CAST(${fd2("x.s2 - h.s + h.b")} AS BIGINT)
+         |  FROM h
+         |  JOIN i nx ON nx.event_type = h.event_type AND nx.t = h.t + 1,
+         |  LATERAL (SELECT CAST(${fd2("nx.n * 1000000 + h.s + h.b")} AS BIGINT)
+         |           AS s2) x)
+         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+         |       s AS level_micro, b AS trend_micro,
+         |       CAST(s + b AS BIGINT) AS forecast_micro
+         |FROM h ORDER BY event_type, day""".stripMargin
+    },
+
+    // S and the tie-corrected variance numerator are exact integers; z is
+    // one fixed IEEE op sequence on them (continuity-corrected)
+    "agg_mann_kendall" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |s AS (SELECT a.event_type,
+         |        CAST(sum(CASE WHEN b.n > a.n THEN 1
+         |                      WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+         |      FROM daily a JOIN daily b
+         |        ON a.event_type = b.event_type AND a.day < b.day
+         |      GROUP BY 1),
+         |g AS (SELECT event_type, n, CAST(count(*) AS BIGINT) AS t
+         |      FROM daily GROUP BY 1, 2),
+         |v AS (SELECT event_type,
+         |        CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum,
+         |        CAST(sum(t) AS BIGINT) AS n_days
+         |      FROM g GROUP BY 1)
+         |SELECT s.event_type, v.n_days, s.s_stat,
+         |       CAST(v.n_days * (v.n_days - 1) * (2 * v.n_days + 5) - v.tie_sum
+         |            AS BIGINT) AS var18,
+         |       ${graft.Tables.rnd4Sql(
+             "CASE WHEN v.n_days * (v.n_days - 1) * (2 * v.n_days + 5) - v.tie_sum = 0" +
+               " THEN 0.0 ELSE CAST(s.s_stat - CASE WHEN s.s_stat > 0 THEN 1" +
+               " WHEN s.s_stat < 0 THEN -1 ELSE 0 END AS DOUBLE)" +
+               " / sqrt(CAST(v.n_days * (v.n_days - 1) * (2 * v.n_days + 5) - v.tie_sum" +
+               " AS DOUBLE) / 18.0) END")} AS z
+         |FROM s JOIN v ON s.event_type = v.event_type
+         |ORDER BY s.event_type""".stripMargin,
+
+    // median-of-slopes under the (slope, dy, dx) total order — full-tie
+    // rows share the slope value, so the picked VALUE is deterministic
+    "window_theilsen" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |p AS (SELECT a.event_type,
+         |        CAST(b.n - a.n AS DOUBLE) AS dy,
+         |        CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS dx
+         |      FROM daily a JOIN daily b
+         |        ON a.event_type = b.event_type AND a.day < b.day),
+         |r AS (SELECT event_type, dy / dx AS slope,
+         |        CAST(row_number() OVER (PARTITION BY event_type
+         |          ORDER BY dy / dx, dy, dx) AS BIGINT) AS rn,
+         |        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+         |      FROM p)
+         |SELECT event_type, m AS n_pairs, ${graft.Tables.rnd4Sql("slope")} AS slope_per_day
+         |FROM r WHERE rn = (m + 1) // 2 ORDER BY event_type""".stripMargin,
 
     // k=256 > distinct users ⇒ the sketch never evicts ⇒ exact counts; the
     // oracle is therefore the plain frequency top-k

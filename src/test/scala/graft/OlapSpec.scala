@@ -170,6 +170,56 @@ class OlapSpec extends SparkSpec {
     }
   }
 
+  test("theil-sen slope replays the median-of-pairwise-slopes definition") {
+    import spark.implicits._
+    val daily = graft.Tables.events(spark, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("day").cast("string"), col("n"))
+      .as[(String, String, Long)].collect()
+    val expect = daily.groupBy(_._1).map { case (et, rows) =>
+      val byDay = rows.sortBy(_._2)
+      val slopes = for {
+        i <- byDay.indices; j <- (i + 1) until byDay.length
+        dy = (byDay(j)._3 - byDay(i)._3).toDouble
+        dx = (java.time.LocalDate.parse(byDay(j)._2).toEpochDay -
+          java.time.LocalDate.parse(byDay(i)._2).toEpochDay).toDouble
+      } yield (dy / dx, dy, dx)
+      val sorted = slopes.sortBy(identity)
+      val m = sorted.length
+      et -> ((m.toLong, math.floor(sorted((m + 1) / 2 - 1)._1 * 10000 + 0.5) / 10000))
+    }
+    val got = q("window_theilsen").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === expect)
+  }
+
+  test("mann-kendall S, tie variance, and z replay the pairwise definition") {
+    import spark.implicits._
+    val daily = graft.Tables.events(spark, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("day").cast("string"), col("n"))
+      .as[(String, String, Long)].collect()
+    val got = q("agg_mann_kendall").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    daily.groupBy(_._1).foreach { case (et, rows) =>
+      val ns = rows.sortBy(_._2).map(_._3)
+      val s = (for { i <- ns.indices; j <- (i + 1) until ns.length }
+        yield java.lang.Long.signum(ns(j) - ns(i)).toLong).sum
+      val dDays = ns.length.toLong
+      val tie = ns.groupBy(identity).values.map(_.length.toLong)
+        .map(t => t * (t - 1) * (2 * t + 5)).sum
+      val var18 = dDays * (dDays - 1) * (2 * dDays + 5) - tie
+      val z = if (var18 == 0) 0.0
+        else (s - java.lang.Long.signum(s)) / math.sqrt(var18 / 18.0)
+      val (gd, gs, gv, gz) = got(et)
+      assert((gd, gs, gv) === ((dDays, s, var18)), s"$et integers")
+      assert(math.abs(gz - z) <= 1e-4, s"$et z")
+    }
+  }
+
   test("split PSI replays the smoothed per-bin definition; contributions are non-negative") {
     val rows = graft.Tables.documents(spark, d)
       .select("doc_id", "text").collect()

@@ -57,4 +57,42 @@ class TimeSeriesSpec extends SparkSpec {
       (1L, "2024-01-03", 3.0, true),
       (2L, "2024-01-10", 10.0, true)))
   }
+
+  test("holt replays the textbook alpha=beta=1/2 recurrence within micro rounding") {
+    val daily = Seq(
+      ("a", "2024-01-01", 10L), ("a", "2024-01-02", 14L), ("a", "2024-01-03", 19L),
+      ("a", "2024-01-04", 22L), ("a", "2024-01-05", 30L),
+      ("b", "2024-01-01", 5L), // single-day key: level = y, trend = 0
+      ("c", "2024-01-02", 9L), ("c", "2024-01-01", 20L) // falling (negative trend)
+    ).toDF("event_type", "day", "n")
+    val got = graft.operators.CdcOps.holt(daily, "event_type", "day", "n")
+      .select("event_type", "day", "n", "level_micro", "trend_micro", "forecast_micro")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // float reference: s = y/2 + (s'+b')/2; b = (s-s')/2 + b'/2; each
+    // floor-halve in micro moves a value by < 1, so after 5 steps the
+    // integer series sits within a few micro of the float one
+    def ref(ys: Seq[Long]): Seq[(Double, Double)] = {
+      var s = ys.head.toDouble
+      var b = if (ys.length >= 2) (ys(1) - ys.head).toDouble else 0.0
+      (s, b) +: ys.drop(1).map { y =>
+        val s2 = y / 2.0 + (s + b) / 2.0
+        b = (s2 - s) / 2.0 + b / 2.0
+        s = s2
+        (s, b)
+      }
+    }
+    val ra = ref(Seq(10L, 14L, 19L, 22L, 30L))
+    Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04", "2024-01-05")
+      .zip(ra).foreach { case (day, (es, eb)) =>
+        val (_, s, b, f) = got(("a", day))
+        assert(math.abs(s - es * 1e6) <= 8, s"a $day level")
+        assert(math.abs(b - eb * 1e6) <= 8, s"a $day trend")
+        assert(f === s + b, s"a $day forecast")
+      }
+    assert(got(("b", "2024-01-01")) === ((5L, 5000000L, 0L, 5000000L)))
+    // falling series: trend must be negative and the forecast below level
+    val (_, _, bc, fc) = got(("c", "2024-01-02"))
+    assert(bc < 0L && fc < got(("c", "2024-01-02"))._2)
+  }
 }
