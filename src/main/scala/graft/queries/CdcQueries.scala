@@ -720,6 +720,44 @@ object CdcQueries {
       .orderBy("event_type")
   }
 
+  /** Benford first-digit audit (§2.4) — the classic value-authenticity /
+    * data-quality check: the distribution of the first significant digit
+    * of `value` against Benford's law, with the per-digit χ² contribution
+    * (fabricated or unit-mangled values light up specific digits; the
+    * audit names them instead of one opaque statistic).
+    *
+    * Determinism: the digit comes from the CENTS integer's leading
+    * character (string head — identical on both engines, no float log);
+    * the nine Benford probabilities are shared 15-digit DECIMAL LITERALS
+    * (log10(1+1/d) precomputed — embedding the same literal on both sides
+    * beats calling each engine's libm log10); each row's expected count
+    * and χ² term are one fixed IEEE op sequence. The digit domain is a
+    * literal 1..9 frame, so zero-count digits still audit. */
+  private val BenfordP: Seq[(Int, String)] = Seq(
+    1 -> "0.301029995663981", 2 -> "0.176091259055681", 3 -> "0.124938736608300",
+    4 -> "0.096910013008056", 5 -> "0.079181246047625", 6 -> "0.066946789630613",
+    7 -> "0.057991946977687", 8 -> "0.051152522447381", 9 -> "0.045757490560675")
+  private val aggBenford: Q = (s, d) => {
+    val counts = events(s, d)
+      .select(substring(round(col("value") * 100).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val domain = s.range(1, 10).select(col("id").as("digit"))
+    val p = BenfordP.foldLeft(lit(0.0)) { case (acc, (dg, ps)) =>
+      when(col("digit") === dg, lit(ps.toDouble)).otherwise(acc)
+    }
+    val w = Window.partitionBy()
+    domain.join(counts, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("__N", sum(col("n_obs")).over(w))
+      .withColumn("__exp", col("__N").cast("double") * p)
+      .select(col("digit"), col("n_obs"),
+        graft.Tables.rnd4(col("__exp")).as("expected_n"),
+        graft.Tables.rnd4((col("n_obs").cast("double") - col("__exp")) *
+          (col("n_obs").cast("double") - col("__exp")) / col("__exp")).as("chi2_term"))
+      .orderBy("digit")
+  }
+
   /** Mann–Kendall trend TEST (§2.4) — the significance companion to the
     * `window_theilsen` estimator (the standard monitoring pairing: Sen's
     * slope says how fast, Mann–Kendall says whether it's real): per event
@@ -1241,6 +1279,7 @@ object CdcQueries {
     "agg_daily_bars" -> aggDailyBars,
     "agg_anomaly_days" -> aggAnomalyDays,
     "agg_mann_kendall" -> aggMannKendall,
+    "agg_benford" -> aggBenford,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "sort_topk" -> sortTopk,
     "sort_topk_group" -> sortTopkGroup,
@@ -1831,6 +1870,28 @@ object CdcQueries {
          |       s AS level_micro, b AS trend_micro,
          |       CAST(s + b AS BIGINT) AS forecast_micro
          |FROM h ORDER BY event_type, day""".stripMargin
+    },
+
+    // digit from the cents string head; probabilities are the SAME
+    // 15-digit literals the engine embeds (no libm log10 on either side)
+    "agg_benford" -> {
+      val caseP = BenfordP.map { case (dg, ps) => s"WHEN $dg THEN $ps" }.mkString(" ")
+      s"""WITH c AS (SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT)
+         |                   AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |           FROM events),
+         |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM c GROUP BY 1),
+         |dom AS (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT) AS digit),
+         |f AS (SELECT dom.digit, coalesce(o.n_obs, 0) AS n_obs,
+         |             (SELECT CAST(sum(n_obs) AS BIGINT) FROM o) AS N,
+         |             CASE dom.digit $caseP END AS p
+         |      FROM dom LEFT JOIN o ON dom.digit = o.digit)
+         |SELECT digit, n_obs,
+         |       ${graft.Tables.rnd4Sql("CAST(N AS DOUBLE) * p")} AS expected_n,
+         |       ${graft.Tables.rnd4Sql(
+             "(CAST(n_obs AS DOUBLE) - CAST(N AS DOUBLE) * p)" +
+               " * (CAST(n_obs AS DOUBLE) - CAST(N AS DOUBLE) * p)" +
+               " / (CAST(N AS DOUBLE) * p)")} AS chi2_term
+         |FROM f ORDER BY digit""".stripMargin
     },
 
     // S and the tie-corrected variance numerator are exact integers; z is

@@ -232,6 +232,18 @@ object StreamQueries {
         CdcPipeline.dedupEvents(CdcPipeline.transform(raw))))
   }
 
+  /** Holt forecast run in BATCH mode over the same (day, type) count
+    * state `stream_topk` maintains — the third report off ONE fact table
+    * (leaderboard, CUSUM, forecast). Deletes dropped by the shared
+    * transform, so the oracle adds the 'error' filter to window_holt's
+    * SQL — string-derived from it so the twins cannot drift. */
+  private val streamHolt: Q = (s, d) => {
+    val raw = Tables.eventsRaw(s, d)
+    graft.streaming.TopkStream.holtReport(
+      graft.streaming.TopkStream.dailyTypeCounts(
+        CdcPipeline.dedupEvents(CdcPipeline.transform(raw))))
+  }
+
   /** The continuously-maintained per-type value quantiles run in BATCH
     * mode — the same [[graft.streaming.QuantilesStream.histogram]] +
     * `report` the streaming query maintains as (type, cents) count state
@@ -399,6 +411,7 @@ object StreamQueries {
     "stream_daily_bars" -> streamDailyBars,
     "stream_topk" -> streamTopk,
     "stream_cusum" -> streamCusum,
+    "stream_holt" -> streamHolt,
     "stream_value_quantiles" -> streamValueQuantiles,
     "stream_heavy_hitters" -> streamHeavyHitters,
     "stream_retention" -> streamRetention,
@@ -486,6 +499,12 @@ object StreamQueries {
         |      FROM daily)
         |SELECT strftime(day, '%Y-%m-%d') AS day, rnk, event_type, n
         |FROM r WHERE rnk <= 3 ORDER BY 1, 2""".stripMargin,
+
+    // window_holt's SQL, string-derived, with the transform's delete
+    // filter spliced into the daily CTE — one recurrence definition
+    "stream_holt" -> CdcQueries.oracle("window_holt").replace(
+      "FROM events GROUP BY 1, 2",
+      "FROM events WHERE event_type IS DISTINCT FROM 'error' GROUP BY 1, 2"),
 
     // the closed-form CUSUM over daily totals of the deduped, delete-
     // filtered stream — window_cusum's SQL with the transform's filter

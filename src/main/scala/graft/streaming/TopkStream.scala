@@ -85,6 +85,16 @@ object TopkStream {
       .orderBy("day")
   }
 
+  /** Holt level + trend forecast over the SAME (day, type) count state the
+    * leaderboard maintains — the THIRD report off one continuously-
+    * maintained fact table (with [[report]] and [[cusumReport]]): counts
+    * are the reusable fact; level/trend/forecast are derived views.
+    * Delegates to [[graft.operators.CdcOps.holt]] (integer-micro,
+    * engine-exact); day frames calendar-bounded per type. */
+  def holtReport(state: DataFrame): DataFrame =
+    graft.operators.CdcOps.holt(state, "event_type", "day", "n")
+      .orderBy("event_type", "day")
+
   /** The LIVE state table ([[StateCommit.state]]): readers resolve through
     * the marker, never observing a half-written version. */
   def state(spark: SparkSession, targetDir: String): DataFrame =

@@ -194,6 +194,24 @@ class OlapSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("benford audit replays digit counts and chi-square terms; mass and domain conserved") {
+    import spark.implicits._
+    val cents = graft.Tables.events(spark, d)
+      .select(round(col("value") * 100).cast("long").as("c"))
+      .as[Long].collect()
+    val got = q("agg_benford").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq === (1L to 9L)) // full domain, ordered
+    assert(got.map(_._2).sum === cents.length.toLong) // every event lands in a digit
+    val n = cents.length.toDouble
+    got.foreach { case (dg, obs, exp, chi) =>
+      assert(obs === cents.count(_.toString.head.asDigit.toLong == dg).toLong, s"digit $dg count")
+      val p = math.log10(1.0 + 1.0 / dg)
+      assert(math.abs(exp - n * p) <= 1e-3, s"digit $dg expected")
+      assert(math.abs(chi - (obs - n * p) * (obs - n * p) / (n * p)) <= 1e-2, s"digit $dg chi2")
+    }
+  }
+
   test("mann-kendall S, tie variance, and z replay the pairwise definition") {
     import spark.implicits._
     val daily = graft.Tables.events(spark, d)

@@ -461,4 +461,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"leg alignment must be the (doc_id, pos) equi-join:\n${p.take(2000)}")
   }
+
+  test("prefix templates aggregate a row-local key: no joins, scan pruned to 3 columns") {
+    val p = plan("ext_prefix_dup")
+    assert(!p.contains("Join"), s"one linear group-by, no pair frame:\n${p.take(1500)}")
+    assert(p.contains("ReadSchema") &&
+      p.contains("struct<doc_id:bigint,text:string,source:string>"),
+      s"scan must read exactly (doc_id, text, source):\n${p.take(1500)}")
+  }
+
+  test("split PSI touches the corpus once: one scan, totals ride the bin frame's window") {
+    val p = plan("ext_split_psi")
+    assert(p.split("Scan parquet").length - 1 == 1,
+      s"exactly ONE corpus scan (window totals, no crossJoin re-read):\n${p.take(1500)}")
+    assert(p.contains("ReadSchema") && p.contains("struct<doc_id:bigint,text:string>"),
+      s"scan must prune to (doc_id, text):\n${p.take(1500)}")
+  }
+
+  test("textrank iterations reuse the checkpointed adjacency, never re-deriving the corpus") {
+    val p = plan("ext_textrank")
+    // 3 sweeps over an ExistingRDD (the localCheckpoint) — the corpus scan
+    // happened once at checkpoint time and is absent from the final plan
+    assert(!p.contains("Scan parquet"),
+      s"iterations must read the checkpointed edges, not the corpus:\n${p.take(1500)}")
+  }
 }
