@@ -124,6 +124,42 @@ object CdcOps {
   def exactSum(c: Column): Column =
     round(sum(c.cast("decimal(18,2)")).cast("double"), 4)
 
+  /** Benford first-digit expectations as shared 15-digit DECIMAL LITERALS
+    * (log10(1+1/d) precomputed) — embedding the same literal in engine and
+    * oracle beats calling each engine's libm log10. */
+  val BenfordP: Seq[(Int, String)] = Seq(
+    1 -> "0.301029995663981", 2 -> "0.176091259055681", 3 -> "0.124938736608300",
+    4 -> "0.096910013008056", 5 -> "0.079181246047625", 6 -> "0.066946789630613",
+    7 -> "0.057991946977687", 8 -> "0.051152522447381", 9 -> "0.045757490560675")
+
+  /** First significant digit of the cents integer — string head, no float
+    * log; value must be positive 2-decimal. */
+  def benfordDigit(value: Column): Column =
+    substring(round(value * 100).cast("long").cast("string"), 1, 1).cast("long")
+
+  /** The Benford audit report over a (digit, n_obs) count frame: full 1–9
+    * domain (zero-count digits still audit), expected counts and per-digit
+    * χ² contributions — one fixed IEEE op sequence per row over the 9-row
+    * frame, totals riding it as an unpartitioned window sum. Shared by the
+    * batch `agg_benford` and the ingest-time stream form. */
+  def benfordReport(digitCounts: DataFrame): DataFrame = {
+    val spark = digitCounts.sparkSession
+    val domain = spark.range(1, 10).select(col("id").as("digit"))
+    val p = BenfordP.foldLeft(lit(0.0)) { case (acc, (dg, ps)) =>
+      when(col("digit") === dg, lit(ps.toDouble)).otherwise(acc)
+    }
+    val w = Window.partitionBy()
+    domain.join(digitCounts, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("__N", sum(col("n_obs")).over(w))
+      .withColumn("__exp", col("__N").cast("double") * p)
+      .select(col("digit"), col("n_obs"),
+        graft.Tables.rnd4(col("__exp")).as("expected_n"),
+        graft.Tables.rnd4((col("n_obs").cast("double") - col("__exp")) *
+          (col("n_obs").cast("double") - col("__exp")) / col("__exp")).as("chi2_term"))
+      .orderBy("digit")
+  }
+
   /** Holt double-exponential smoothing (level + TREND) of a per-key daily
     * series — what the EWMA trend line can't give an ops dashboard: a
     * one-step forecast that tracks drift direction. α = β = ½:

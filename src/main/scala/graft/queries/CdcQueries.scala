@@ -733,30 +733,11 @@ object CdcQueries {
     * beats calling each engine's libm log10); each row's expected count
     * and χ² term are one fixed IEEE op sequence. The digit domain is a
     * literal 1..9 frame, so zero-count digits still audit. */
-  private val BenfordP: Seq[(Int, String)] = Seq(
-    1 -> "0.301029995663981", 2 -> "0.176091259055681", 3 -> "0.124938736608300",
-    4 -> "0.096910013008056", 5 -> "0.079181246047625", 6 -> "0.066946789630613",
-    7 -> "0.057991946977687", 8 -> "0.051152522447381", 9 -> "0.045757490560675")
-  private val aggBenford: Q = (s, d) => {
-    val counts = events(s, d)
-      .select(substring(round(col("value") * 100).cast("long").cast("string"), 1, 1)
-        .cast("long").as("digit"))
-      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
-    val domain = s.range(1, 10).select(col("id").as("digit"))
-    val p = BenfordP.foldLeft(lit(0.0)) { case (acc, (dg, ps)) =>
-      when(col("digit") === dg, lit(ps.toDouble)).otherwise(acc)
-    }
-    val w = Window.partitionBy()
-    domain.join(counts, Seq("digit"), "left")
-      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
-      .withColumn("__N", sum(col("n_obs")).over(w))
-      .withColumn("__exp", col("__N").cast("double") * p)
-      .select(col("digit"), col("n_obs"),
-        graft.Tables.rnd4(col("__exp")).as("expected_n"),
-        graft.Tables.rnd4((col("n_obs").cast("double") - col("__exp")) *
-          (col("n_obs").cast("double") - col("__exp")) / col("__exp")).as("chi2_term"))
-      .orderBy("digit")
-  }
+  private val aggBenford: Q = (s, d) =>
+    graft.operators.CdcOps.benfordReport(
+      events(s, d)
+        .select(graft.operators.CdcOps.benfordDigit(col("value")).as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs")))
 
   /** Mann–Kendall trend TEST (§2.4) — the significance companion to the
     * `window_theilsen` estimator (the standard monitoring pairing: Sen's
@@ -1875,7 +1856,8 @@ object CdcQueries {
     // digit from the cents string head; probabilities are the SAME
     // 15-digit literals the engine embeds (no libm log10 on either side)
     "agg_benford" -> {
-      val caseP = BenfordP.map { case (dg, ps) => s"WHEN $dg THEN $ps" }.mkString(" ")
+      val caseP = graft.operators.CdcOps.BenfordP
+        .map { case (dg, ps) => s"WHEN $dg THEN $ps" }.mkString(" ")
       s"""WITH c AS (SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT)
          |                   AS VARCHAR), 1, 1) AS BIGINT) AS digit
          |           FROM events),

@@ -407,6 +407,39 @@ object ExtQueries {
       .orderBy("margin_bin")
   }
 
+  /** Inter-router agreement (Cohen's κ): the NB classifier's predictions
+    * vs the stopword lang-id heuristic — the "do my two independent
+    * routers agree beyond chance" audit that decides whether either can
+    * check the other. κ = (N·agree − Σ_c m1_c·m2_c)/(N² − Σ_c m1_c·m2_c)
+    * — EXACT integers up to ONE trailing division (the multiplied-out
+    * form; float po/pe would order-depend). Everything after the two
+    * scoring passes reads a classes²-bounded confusion matrix. */
+  private val extRouterKappa: Q = (s, d) => {
+    val docs = documents(s, d)
+    val nb = NaiveBayes.score(docs, "text", "doc_id",
+      NaiveBayes.train(docs, "text", "lang").localCheckpoint(true))
+      .select(col("doc_id"), col("pred_label").as("nb_label"))
+    val lid = langGuessed(docs).select(col("doc_id"), col("lang_guess").as("lid_label"))
+    val conf = nb.join(lid, "doc_id")
+      .groupBy(col("nb_label"), col("lid_label")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // classes²-bounded; read by 3 aggregates
+    val tot = conf.agg(sum(col("n")).as("n_docs"),
+      sum(when(col("nb_label") === col("lid_label"), col("n")).otherwise(0L))
+        .as("n_agree"))
+    val m1 = conf.groupBy(col("nb_label").as("label")).agg(sum(col("n")).as("__m1"))
+    val m2 = conf.groupBy(col("lid_label").as("label")).agg(sum(col("n")).as("__m2"))
+    val chance = m1.join(m2, Seq("label"), "full")
+      .agg(sum(coalesce(col("__m1"), lit(0L)) * coalesce(col("__m2"), lit(0L)))
+        .as("__pe_num"))
+    tot.crossJoin(chance)
+      .select(col("n_docs"), col("n_agree"),
+        rnd4(col("n_agree").cast("double") / col("n_docs").cast("double")).as("po"),
+        rnd4(col("__pe_num").cast("double") /
+          (col("n_docs") * col("n_docs")).cast("double")).as("pe"),
+        rnd4((col("n_docs") * col("n_agree") - col("__pe_num")).cast("double") /
+          (col("n_docs") * col("n_docs") - col("__pe_num")).cast("double")).as("kappa"))
+  }
+
   /** DSIR importance weights ([[TrainPrep.dsirWeights]]): every doc scored
     * by log p_target/p_corpus under smoothed unigram LMs — target slice =
     * the `en` documents. keep = ratio > 0. */
@@ -2192,6 +2225,7 @@ object ExtQueries {
     "ext_nb_score" -> extNbScore,
     "ext_label_noise" -> extLabelNoise,
     "ext_nb_calibration" -> extNbCalibration,
+    "ext_router_kappa" -> extRouterKappa,
     "ext_dsir_weights" -> extDsirWeights,
     "ext_phrase_search" -> extPhraseSearch,
     "ext_text_pii" -> extTextPii,
@@ -2765,6 +2799,35 @@ object ExtQueries {
              "CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS DOUBLE)" +
                " / CAST(count(*) AS DOUBLE)")} AS accuracy
          |FROM ntop2 GROUP BY 1 ORDER BY margin_bin""".stripMargin,
+
+    // NB predictions off the completed score grid (rn = 1 — the grid's
+    // prior rows ARE score()'s empty-doc fallback), lang-id off the shared
+    // lid CTEs; kappa in the multiplied-out integer form
+    "ext_router_kappa" ->
+      s"""WITH $nbModelSqlCte,
+         |$nbGridSqlCte,
+         |$langIdSqlCtes,
+         |nbp AS (SELECT doc_id, label AS nb_label FROM nrk WHERE rn = 1),
+         |cf AS (SELECT nb_label, lang_guess AS lid_label,
+         |              CAST(count(*) AS BIGINT) AS n
+         |       FROM nbp JOIN lid USING (doc_id) GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         |             CAST(sum(CASE WHEN nb_label = lid_label THEN n ELSE 0 END)
+         |                  AS BIGINT) AS n_agree
+         |      FROM cf),
+         |m1 AS (SELECT nb_label AS label, CAST(sum(n) AS BIGINT) AS c1
+         |       FROM cf GROUP BY 1),
+         |m2 AS (SELECT lid_label AS label, CAST(sum(n) AS BIGINT) AS c2
+         |       FROM cf GROUP BY 1),
+         |ch AS (SELECT CAST(sum(coalesce(c1, 0) * coalesce(c2, 0)) AS BIGINT)
+         |              AS pe_num
+         |       FROM m1 FULL JOIN m2 USING (label))
+         |SELECT n_docs, n_agree,
+         |       ${rnd4Sql("CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE)")} AS po,
+         |       ${rnd4Sql("CAST(pe_num AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE)")} AS pe,
+         |       ${rnd4Sql("CAST(n_docs * n_agree - pe_num AS DOUBLE)" +
+             " / CAST(n_docs * n_docs - pe_num AS DOUBLE)")} AS kappa
+         |FROM t, ch""".stripMargin,
 
     // both unigram LMs retrained relationally over the SHARED vocab;
     // micronat rounding on the vocab frame, exact integer doc sums

@@ -134,7 +134,10 @@ object StreamQueries {
     // StateLayoutSpec (doubled index ≡ single) and exercised live in
     // StreamingSpec — the benched form measures the clean-probe cost.
     val once = NeardupStream.shingleRows(docs).localCheckpoint(true)
-    val fresh = NeardupStream.newPairs(once, once, NeardupStream.sizeRows(once))
+    // parquet metadata makes the doc count ~free; df ≤ #docs, so the
+    // no-hot-shingle decision costs zero jobs here
+    val fresh = NeardupStream.newPairs(once, once, NeardupStream.sizeRows(once),
+      totalDocs = Some(docs.count()))
     NeardupStream.mergePairs(fresh.limit(0), fresh).orderBy("doc_a", "doc_b")
   }
 
@@ -229,6 +232,19 @@ object StreamQueries {
     val raw = Tables.eventsRaw(s, d)
     graft.streaming.TopkStream.cusumReport(
       graft.streaming.TopkStream.dailyTypeCounts(
+        CdcPipeline.dedupEvents(CdcPipeline.transform(raw))))
+  }
+
+  /** The ingest Benford monitor run in BATCH mode: the shared transform's
+    * slice counts through the shared report — the additive 9-row state's
+    * replay protection (watermarked row dedup + transactional batch-id
+    * guard) is [[graft.streaming.BenfordStream]]'s doc; the oracle is
+    * string-derived from agg_benford's SQL with the transform's delete
+    * filter spliced in. */
+  private val streamBenford: Q = (s, d) => {
+    val raw = Tables.eventsRaw(s, d)
+    graft.streaming.BenfordStream.report(
+      graft.streaming.BenfordStream.digitCounts(
         CdcPipeline.dedupEvents(CdcPipeline.transform(raw))))
   }
 
@@ -412,6 +428,7 @@ object StreamQueries {
     "stream_topk" -> streamTopk,
     "stream_cusum" -> streamCusum,
     "stream_holt" -> streamHolt,
+    "stream_benford" -> streamBenford,
     "stream_value_quantiles" -> streamValueQuantiles,
     "stream_heavy_hitters" -> streamHeavyHitters,
     "stream_retention" -> streamRetention,
@@ -505,6 +522,12 @@ object StreamQueries {
     "stream_holt" -> CdcQueries.oracle("window_holt").replace(
       "FROM events GROUP BY 1, 2",
       "FROM events WHERE event_type IS DISTINCT FROM 'error' GROUP BY 1, 2"),
+
+    // agg_benford's SQL with the transform's delete filter spliced into
+    // the digit CTE — one audit definition
+    "stream_benford" -> CdcQueries.oracle("agg_benford").replace(
+      "FROM events)",
+      "FROM events WHERE event_type IS DISTINCT FROM 'error')"),
 
     // the closed-form CUSUM over daily totals of the deduped, delete-
     // filtered stream — window_cusum's SQL with the transform's filter

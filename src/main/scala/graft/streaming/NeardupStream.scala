@@ -99,7 +99,7 @@ object NeardupStream {
     * Jaccard = (cg + ch) / (na + nb − cg − ch) from the `sizes` frame —
     * exact for every emitted pair. */
   def newPairs(batchSh: DataFrame, mergedIndex: DataFrame, sizes: DataFrame,
-               maxDf: Long = DefaultMaxDf): DataFrame = {
+               maxDf: Long = DefaultMaxDf, totalDocs: Option[Long] = None): DataFrame = {
     // self-probe fast path: probing the index with ITSELF (the batch-replay
     // form). batchSh is distinct per doc by contract (shingleRows), so the
     // posting fetch is an identity semi-join (skipped), df is a plain
@@ -121,8 +121,13 @@ object NeardupStream {
     // cap) deciding it lets the df-gating joins, the hot-correction legs,
     // and two materializations ALL drop out of the DAG: a df-1 shingle
     // emits no pair from the join anyway, so with no shingle above the
-    // cap the raw probe ⋈ postings join is already exactly the gated one
-    val anyHot = !dfTab0.filter(col("__df") > maxDf).isEmpty
+    // cap the raw probe ⋈ postings join is already exactly the gated one.
+    // A caller-known doc-count bound decides for FREE: df ≤ #docs, so
+    // totalDocs ≤ maxDf proves no shingle can be hot without any job
+    // (parquet metadata makes the count ~free on the batch-replay form).
+    val anyHot =
+      if (totalDocs.exists(_ <= maxDf)) false
+      else !dfTab0.filter(col("__df") > maxDf).isEmpty
     def pairCount(l: DataFrame, r: DataFrame): DataFrame =
       if (selfProbe)
         l.as("l").join(r.as("r"),

@@ -194,6 +194,28 @@ class OlapSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("router kappa replays Cohen's formula from the two routers' own outputs") {
+    val nb = q("ext_nb_score").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap // doc -> pred_label
+    val lid = q("ext_lang_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap // doc -> lang_guess
+    assert(nb.keySet === lid.keySet)
+    val pairs = nb.keys.toSeq.map(id => (nb(id), lid(id)))
+    val n = pairs.length.toLong
+    val agree = pairs.count { case (a, b) => a == b }.toLong
+    val m1 = pairs.groupBy(_._1).view.mapValues(_.length.toLong)
+    val m2 = pairs.groupBy(_._2).view.mapValues(_.length.toLong)
+    val peNum = (m1.keySet ++ m2.keySet).toSeq
+      .map(l => m1.getOrElse(l, 0L) * m2.getOrElse(l, 0L)).sum
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val row = q("ext_router_kappa").collect().head
+    assert(row.getLong(0) === n && row.getLong(1) === agree)
+    assert(row.getDouble(2) === r4(agree.toDouble / n))
+    assert(row.getDouble(3) === r4(peNum.toDouble / (n * n)))
+    assert(row.getDouble(4) === r4((n * agree - peNum).toDouble / (n * n - peNum)))
+    assert(row.getDouble(4) > -1.0 && row.getDouble(4) < 1.0)
+  }
+
   test("benford audit replays digit counts and chi-square terms; mass and domain conserved") {
     import spark.implicits._
     val cents = graft.Tables.events(spark, d)

@@ -982,6 +982,46 @@ class StreamingSpec extends SparkSpec {
       === expected)
   }
 
+  test("ingest benford monitor: digit counts accumulate across restart; replays can't double") {
+    import graft.streaming.BenfordStream
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val src = tmp("bf-src")
+    val tgt = tmp("bf-tgt").resolve("digits").toString
+    val ckp = tmp("bf-ckp").toString
+    val cut = Tables.tsLit("2024-01-15 00:00:00")
+    def arrive(wave: String, pred: org.apache.spark.sql.Column): Unit = {
+      val staging = tmp(s"bf-stage-$wave")
+      Tables.events(spark, sf).filter(pred)
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.move(f.toPath, src.resolve(s"$wave-$i.parquet"))
+        }
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Double)] =
+      df.as[(Long, Long, Double, Double)].collect().toSeq
+
+    arrive("w1", col("ts") < cut)
+    BenfordStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    arrive("w2", col("ts") >= cut)
+    BenfordStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    val expected = rows(BenfordStream.report(BenfordStream.digitCounts(
+      CdcPipeline.transform(Tables.eventsRaw(spark, sf)))))
+    assert(expected.map(_._2).sum > 0)
+    assert(rows(BenfordStream.report(BenfordStream.state(spark, tgt))) === expected)
+
+    // redelivered rows die in the watermarked id dedup
+    arrive("w2again", col("ts") >= cut)
+    BenfordStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    assert(rows(BenfordStream.report(BenfordStream.state(spark, tgt))) === expected)
+
+    // replayed batch dies on the marker guard
+    BenfordStream.applyBatch(spark,
+      CdcPipeline.transform(Tables.eventsRaw(spark, sf)), tgt, batchId = 0L)
+    assert(rows(BenfordStream.report(BenfordStream.state(spark, tgt))) === expected)
+  }
+
   test("incremental top-k leaderboard: restart + row redelivery + batch replay all converge") {
     import graft.streaming.TopkStream
     val sf = "/root/testdata/sf0.001"
@@ -1034,6 +1074,13 @@ class StreamingSpec extends SparkSpec {
     val expectedCusum = cusumRows(TopkStream.cusumReport(TopkStream.dailyTypeCounts(
       CdcPipeline.transform(Tables.eventsRaw(spark, sf)))))
     assert(cusumRows(TopkStream.cusumReport(TopkStream.state(spark, tgt))) === expectedCusum)
+
+    // ... and the Holt forecast — the THIRD report off the same state
+    def holtRows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    val expectedHolt = holtRows(TopkStream.holtReport(TopkStream.dailyTypeCounts(
+      CdcPipeline.transform(Tables.eventsRaw(spark, sf)))))
+    assert(holtRows(TopkStream.holtReport(TopkStream.state(spark, tgt))) === expectedHolt)
 
     // crash BETWEEN version write and marker flip: reconstruct that exact
     // disk state (new version fully written, marker still naming the old
