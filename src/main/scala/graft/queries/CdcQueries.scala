@@ -697,10 +697,15 @@ object CdcQueries {
     * Scale shape: the pair frame is per-type D²/2 with D CALENDAR-bounded
     * (the domain-histogram discipline — day-pair rows, never event rows),
     * so the per-type ranking window is bounded at any corpus size. */
-  private val windowTheilsen: Q = (s, d) => {
-    val daily = events(s, d)
+  private val windowTheilsen: Q = (s, d) =>
+    theilsenReport(events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The Theil–Sen report over any (event_type, day, n) daily frame —
+    * shared by the batch query and the maintained-count-state stream
+    * form. */
+  private[queries] def theilsenReport(daily: DataFrame): DataFrame = {
     val pairs = daily.as("a")
       .join(daily.as("b"),
         col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
@@ -752,10 +757,15 @@ object CdcQueries {
     * (divide, sqrt, divide) — deterministic cross-engine. Pair frame
     * per-type D²/2, D calendar-bounded; tie groups from one (type, n)
     * aggregate. */
-  private val aggMannKendall: Q = (s, d) => {
-    val daily = events(s, d)
+  private val aggMannKendall: Q = (s, d) =>
+    mannKendallReport(events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The Mann–Kendall report over any (event_type, day, n) daily frame —
+    * shared by the batch query and the maintained-count-state stream
+    * form. */
+  private[queries] def mannKendallReport(daily: DataFrame): DataFrame = {
     val sStat = daily.as("a")
       .join(daily.as("b"),
         col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))

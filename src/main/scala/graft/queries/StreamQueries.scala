@@ -260,6 +260,26 @@ object StreamQueries {
         CdcPipeline.dedupEvents(CdcPipeline.transform(raw))))
   }
 
+  /** The robust-trend pair (Sen's slope estimator + Mann–Kendall test)
+    * over the SAME maintained (day, type) count state — the full
+    * monitoring suite (who leads / has the level shifted / where is it
+    * heading / is the trend real / how fast) from ONE fact table. Both
+    * oracles string-derived from their batch twins with the transform's
+    * delete filter spliced in. */
+  private val streamTheilsen: Q = (s, d) => {
+    val raw = Tables.eventsRaw(s, d)
+    CdcQueries.theilsenReport(
+      graft.streaming.TopkStream.dailyTypeCounts(
+        CdcPipeline.dedupEvents(CdcPipeline.transform(raw))))
+  }
+
+  private val streamMannKendall: Q = (s, d) => {
+    val raw = Tables.eventsRaw(s, d)
+    CdcQueries.mannKendallReport(
+      graft.streaming.TopkStream.dailyTypeCounts(
+        CdcPipeline.dedupEvents(CdcPipeline.transform(raw))))
+  }
+
   /** The continuously-maintained per-type value quantiles run in BATCH
     * mode — the same [[graft.streaming.QuantilesStream.histogram]] +
     * `report` the streaming query maintains as (type, cents) count state
@@ -428,6 +448,8 @@ object StreamQueries {
     "stream_topk" -> streamTopk,
     "stream_cusum" -> streamCusum,
     "stream_holt" -> streamHolt,
+    "stream_theilsen" -> streamTheilsen,
+    "stream_mann_kendall" -> streamMannKendall,
     "stream_benford" -> streamBenford,
     "stream_value_quantiles" -> streamValueQuantiles,
     "stream_heavy_hitters" -> streamHeavyHitters,
@@ -528,6 +550,15 @@ object StreamQueries {
     "stream_benford" -> CdcQueries.oracle("agg_benford").replace(
       "FROM events)",
       "FROM events WHERE event_type IS DISTINCT FROM 'error')"),
+
+    // the batch twins' SQL with the transform's delete filter spliced
+    // into the daily CTE — one definition per statistic
+    "stream_theilsen" -> CdcQueries.oracle("window_theilsen").replace(
+      "FROM events GROUP BY 1, 2",
+      "FROM events WHERE event_type IS DISTINCT FROM 'error' GROUP BY 1, 2"),
+    "stream_mann_kendall" -> CdcQueries.oracle("agg_mann_kendall").replace(
+      "FROM events GROUP BY 1, 2",
+      "FROM events WHERE event_type IS DISTINCT FROM 'error' GROUP BY 1, 2"),
 
     // the closed-form CUSUM over daily totals of the deduped, delete-
     // filtered stream — window_cusum's SQL with the transform's filter
