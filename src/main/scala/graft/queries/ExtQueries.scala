@@ -1484,6 +1484,44 @@ object ExtQueries {
       .select(col("doc_id"), col("lang"), col("split_bucket"), col("split"))
       .orderBy("doc_id")
 
+  /** Per-source robust document-length outliers — the ADAPTIVE form of
+    * Gopher's hard length bounds: per source the median and MAD of the
+    * token-count distribution and how many docs sit beyond 3·MAD (a feed
+    * whose outlier share jumps changed its scraper, whatever its normal
+    * length profile is — a global bound can't see that). Same all-integer
+    * cents-histogram discipline as `agg_robust_outliers`: token counts ARE
+    * small integers, so median and MAD both come off ONE per-(source,
+    * n_tokens) histogram re-grouped by |n − med| — corpus touched once,
+    * every later frame histogram-sized; no float quantiles anywhere. */
+  private val extLengthOutliers: Q = (s, d) => {
+    val hist = TrainPrep.registered(
+      documents(s, d)
+        .groupBy(col("source"), size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+        .agg(count(lit(1)).as("hn")))
+    val tot = hist.groupBy("source").agg(sum(col("hn")).as("__n"))
+    def lowerMedian(h: DataFrame, valueCol: String, outCol: String): DataFrame = {
+      val cum = Window.partitionBy(col("source")).orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("cum", sum(col("hn")).over(cum))
+        .join(tot, "source")
+        .groupBy("source")
+        .agg(min(when(col("cum") >= expr("(__n + 1) div 2"), col(valueCol))).as(outCol))
+    }
+    val med = lowerMedian(hist, "n_tok", "med")
+    val dev = hist.join(med, "source")
+      .groupBy(col("source"), abs(col("n_tok") - col("med")).as("dev"))
+      .agg(sum(col("hn")).as("hn"))
+    val mad = lowerMedian(dev, "dev", "mad")
+    dev.join(mad, "source").join(med, "source").join(tot, "source")
+      .groupBy(col("source"), col("__n"), col("med"), col("mad"))
+      .agg(coalesce(sum(when(col("dev") > lit(3) * col("mad"), col("hn"))), lit(0L))
+        .as("n_outliers"))
+      .select(col("source"), col("__n").as("n_docs"),
+        col("med").as("median_tokens"), col("mad").as("mad_tokens"),
+        col("n_outliers"), expr("n_outliers * 1000 div __n").as("outlier_permille"))
+      .orderBy("source")
+  }
+
   /** Population Stability Index of the token-count distribution between
     * the train split and the held-out (test + val) splits — the standard
     * drift gate a pipeline runs before trusting an eval set (PSI < 0.1
@@ -2294,6 +2332,7 @@ object ExtQueries {
     "ext_sample_coreset" -> extSampleCoreset,
     "ext_split_assign" -> extSplitAssign,
     "ext_split_psi" -> extSplitPsi,
+    "ext_length_outliers" -> extLengthOutliers,
     "ext_split_leakage" -> extSplitLeakage,
     "ext_shuffle_shard" -> extShuffleShard,
     "ext_embed_quantize" -> extEmbedQuantize,
@@ -4124,6 +4163,34 @@ object ExtQueries {
          |SELECT token, rank_micro FROM r3
          |ORDER BY rank_micro DESC, token LIMIT 20""".stripMargin
     },
+
+    // median/MAD off ONE (source, n_tokens) histogram — column names avoid
+    // the case-insensitive N/n binder collision
+    "ext_length_outliers" ->
+      """WITH h AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |                  CAST(count(*) AS BIGINT) AS hn
+        |           FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(hn) AS BIGINT) AS cnt FROM h GROUP BY 1),
+        |med AS (SELECT source, min(CASE WHEN cum >= (cnt + 1) // 2 THEN n_tok END) AS med
+        |        FROM (SELECT h.*, tot.cnt,
+        |                     sum(hn) OVER (PARTITION BY h.source ORDER BY n_tok) AS cum
+        |              FROM h JOIN tot USING (source)) GROUP BY source),
+        |dev AS (SELECT h.source, abs(n_tok - med) AS dv, CAST(sum(hn) AS BIGINT) AS hn
+        |        FROM h JOIN med USING (source) GROUP BY 1, 2),
+        |mad AS (SELECT source, min(CASE WHEN cum >= (cnt + 1) // 2 THEN dv END) AS mad
+        |        FROM (SELECT dev.*, tot.cnt,
+        |                     sum(hn) OVER (PARTITION BY dev.source ORDER BY dv) AS cum
+        |              FROM dev JOIN tot USING (source)) GROUP BY source)
+        |SELECT d.source, CAST(any_value(cnt) AS BIGINT) AS n_docs,
+        |       CAST(any_value(med) AS BIGINT) AS median_tokens,
+        |       CAST(any_value(mad) AS BIGINT) AS mad_tokens,
+        |       CAST(sum(CASE WHEN dv > 3 * mad THEN hn ELSE 0 END) AS BIGINT)
+        |         AS n_outliers,
+        |       CAST(sum(CASE WHEN dv > 3 * mad THEN hn ELSE 0 END) * 1000
+        |            // any_value(cnt) AS BIGINT) AS outlier_permille
+        |FROM dev d JOIN mad USING (source) JOIN med USING (source)
+        |JOIN tot USING (source)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "ext_split_psi" ->
       """WITH t AS (SELECT len(string_split(text, ' ')) // 10 AS bin,
