@@ -1040,7 +1040,8 @@ object CdcQueries {
     * median-absolute-deviation rule that survives the very outliers a
     * mean/σ z-score is dragged by): per event_type the exact lower median
     * of value, the MAD, and how many events sit beyond 3·MAD. Both
-    * medians ride the [[aggValueQuantiles]] domain-histogram discipline —
+    * medians ride the [[aggValueQuantiles]] domain-histogram discipline
+    * via the shared [[graft.operators.Robust.madOutliers]] machinery —
     * the corpus collapses ONCE to a (type, cents, n) histogram (map-side
     * combined, PRICE-domain-bounded); the deviation pass re-groups that
     * HISTOGRAM (never the corpus) around the per-type median, and every
@@ -1052,24 +1053,7 @@ object CdcQueries {
       events(s, d)
         .groupBy(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
         .agg(count(lit(1)).as("hn")))
-    val tot = hist.groupBy("event_type").agg(sum(col("hn")).as("__n"))
-    def lowerMedian(h: DataFrame, valueCol: String, outCol: String): DataFrame = {
-      val cum = Window.partitionBy(col("event_type")).orderBy(col(valueCol))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      h.withColumn("cum", sum(col("hn")).over(cum))
-        .join(tot, "event_type")
-        .groupBy("event_type")
-        .agg(min(when(col("cum") >= expr("(__n + 1) div 2"), col(valueCol))).as(outCol))
-    }
-    val med = lowerMedian(hist, "cents", "med")
-    val dev = hist.join(med, "event_type")
-      .groupBy(col("event_type"), abs(col("cents") - col("med")).as("dev"))
-      .agg(sum(col("hn")).as("hn"))
-    val mad = lowerMedian(dev, "dev", "mad")
-    dev.join(mad, "event_type").join(med, "event_type").join(tot, "event_type")
-      .groupBy(col("event_type"), col("__n"), col("med"), col("mad"))
-      .agg(coalesce(sum(when(col("dev") > lit(3) * col("mad"), col("hn"))), lit(0L))
-        .as("n_outliers"))
+    graft.operators.Robust.madOutliers(hist, "event_type", "cents")
       .select(col("event_type"), col("__n").as("n_events"),
         (col("med") / 100.0).as("median"), (col("mad") / 100.0).as("mad"),
         col("n_outliers"),
