@@ -70,6 +70,43 @@ object Knn {
         graft.Tables.rnd4(col("cosine")).as("cosine") +: scopeCols.map(col): _*)
   }
 
+  /** Relational RECALL AUDIT of an ANN result against the exact top-k —
+    * the `ext_token_quantiles_fast` graduation pattern for approximate
+    * operators: the ANN neighbor lists themselves are candidate-machinery-
+    * dependent (hash planes / learned quantizers, not SQL-expressible),
+    * but their recall CONTRACT is a deterministic pure function of the
+    * corpus — both the ANN result and the exact top-k are engine-
+    * deterministic (decimal sums, id tie-breaks), so per query the hit
+    * count |ann ∩ exact| is reproducible and `ok = hits ≥ floor` can be
+    * hash-gated by an oracle that asserts the same grid with ok = true. A
+    * recall regression (degraded banding, broken quantizer, lost probe)
+    * flips an ok to false and hash-mismatches. Emits one row per query
+    * (query_id, k, min_hits, ok) plus a TOTAL row (query_id = −1) whose
+    * floor gates aggregate recall — per-query floors catch a query
+    * getting lost, the total floor catches broad degradation. Queries
+    * with NO ann rows (empty buckets) audit as hits = 0, never drop. */
+  def recallAudit(queries: DataFrame, idCol: String, ann: DataFrame, exact: DataFrame,
+                  k: Int, minHitsPerQuery: Int, minHitsTotal: Int): DataFrame = {
+    val hits = ann.select(col("query_id"), col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__h"))
+    val perQ = queries.select(col(idCol).cast("long").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), lit(k.toLong).as("k"),
+        lit(minHitsPerQuery.toLong).as("min_hits"),
+        coalesce(col("__h"), lit(0L)).as("__h"))
+      .localCheckpoint(true) // query-count-bounded; read by per-row and total
+    val total = perQ.agg(sum(col("__h")).as("__t"), count(lit(1)).as("__nq"))
+      .select(lit(-1L).as("query_id"), (col("__nq") * k).as("k"),
+        lit(minHitsTotal.toLong).as("min_hits"),
+        (col("__t") >= minHitsTotal).as("ok"))
+    perQ.select(col("query_id"), col("k"), col("min_hits"),
+        (col("__h") >= minHitsPerQuery).as("ok"))
+      .unionByName(total)
+      .orderBy("query_id")
+  }
+
   /** Deterministic pseudo-random hyperplanes: weight(plane, dim) derived
     * from xxhash64 — reproducible across runs with zero data movement, and
     * defined for EVERY (plane, dim) pair, so the embedding dimension is

@@ -1281,19 +1281,37 @@ object ExtQueries {
     * (the WEAK-similarity regime), where sign-LSH must spend many short
     * bands for recall and pruning fades — on such corpora the IVF path
     * (0.96 recall probing 3/8 of cells) is the better scale answer, and
-    * the engine ships both. */
+    * the engine ships both. Emitted through its relational RECALL AUDIT
+    * ([[Knn.recallAudit]] — the `ext_token_quantiles_fast` graduation):
+    * the oracle hash-gates per-query and total hit floors against exact
+    * top-k; the neighbor lists themselves stay KnnSpec-pinned. */
+  /** Per-query recall floors for the four ANN audit grids
+    * ([[Knn.recallAudit]]): measured per-query minima on the fixtures are
+    * (lsh 1, ivf 2, pq 1, ivfpq 1) of k = 5 and totals-of-50 (lsh 21/30,
+    * ivf 40/48, pq 32/31, ivfpq 34/26) at sf0.01/sf0.1 — floors sit below
+    * both with margin. The weak-similarity regime (top cosine ≈ 0.4 over
+    * a ~0 bulk) is why absolute recalls are modest; KnnSpec pins the
+    * aggregate floors on the raw neighbor lists. */
+  private val LshFloorQ = 1; private val LshFloorT = 16
+  private val IvfFloorQ = 2; private val IvfFloorT = 32
+  private val PqFloorQ = 1; private val PqFloorT = 24
+  private val IvfPqFloorQ = 1; private val IvfPqFloorT = 20
+
   private val extSimKnnLsh: Q = (s, d) => {
     val emb = embeddings(s, d)
-    Knn.lshKnn(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-      k = 5, bands = 16, bitsPerBand = 6)
-      .orderBy("query_id", "rank")
+    val qs = emb.filter(col("vec_id") < 10)
+    Knn.recallAudit(qs, "vec_id",
+      Knn.lshKnn(emb, qs, "vec_id", "embedding", k = 5, bands = 16, bitsPerBand = 6),
+      Knn.bruteForce(emb, qs, "vec_id", "embedding", k = 5),
+      k = 5, minHitsPerQuery = LshFloorQ, minHitsTotal = LshFloorT)
   }
 
   /** IVF-probed approximate top-k — the second classic ANN scale path
     * (k-means cells, query probes its 6 of 16 cells → ~3/8 of the corpus
-    * scored per query). Deterministic (decimal centroid sums, id tie-breaks)
-    * but approximate: fixture recall ≈ 0.9 vs exact (KnnSpec pins ≥ 0.8),
-    * so rows-only — no oracle entry. */
+    * scored per query). Deterministic (decimal centroid sums, id
+    * tie-breaks) but approximate: fixture recall ≈ 0.9 vs exact (KnnSpec
+    * pins ≥ 0.8). Emitted through its relational recall audit
+    * ([[Knn.recallAudit]]) — oracle-gated hit floors vs exact top-k. */
   /** The IVF entry's index/probe contract, shared with KnnSpec's recall
     * pin: the spec asserts THIS parameterization (not some easier one)
     * holds a recall floor against exact knn on the fixture. `sampleN` is
@@ -1307,10 +1325,13 @@ object ExtQueries {
 
   private val extSimKnnIvf: Q = (s, d) => {
     val emb = embeddings(s, d)
-    Knn.ivfKnn(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-      k = IvfK, nCells = IvfCells, iters = IvfIters, nProbe = IvfProbe,
-      sampleN = IvfSampleN)
-      .orderBy("query_id", "rank")
+    val qs = emb.filter(col("vec_id") < 10)
+    Knn.recallAudit(qs, "vec_id",
+      Knn.ivfKnn(emb, qs, "vec_id", "embedding",
+        k = IvfK, nCells = IvfCells, iters = IvfIters, nProbe = IvfProbe,
+        sampleN = IvfSampleN),
+      Knn.bruteForce(emb, qs, "vec_id", "embedding", k = IvfK),
+      k = IvfK, minHitsPerQuery = IvfFloorQ, minHitsTotal = IvfFloorT)
   }
 
   /** The SemDeDup entry's contract, shared with KnnSpec's planted-duplicate
@@ -1740,23 +1761,32 @@ object ExtQueries {
 
   /** ADC top-k through the PQ codes (codes-only scoring: m table lookups
     * per pair instead of a 64-dim dot), exact re-rank of the pruned
-    * candidate set. Rows-only; KnnSpec pins recall vs exact L2 under the
-    * same (PqM, PqK, PqRerank) contract. */
+    * candidate set. Emitted through its relational recall audit
+    * ([[Knn.recallAudit]] — oracle-gated hit floors); KnnSpec pins recall
+    * vs exact L2 under the same (PqM, PqK, PqRerank) contract. */
   private val extSimKnnPq: Q = (s, d) => {
     val emb = embeddings(s, d)
-    Knn.pqKnnWith(pqBooks(s, d), emb, emb.filter(col("vec_id") < 10),
-      "vec_id", "embedding", k = IvfK, rerank = PqRerank)
-      .orderBy("query_id", "rank")
+    val qs = emb.filter(col("vec_id") < 10)
+    Knn.recallAudit(qs, "vec_id",
+      Knn.pqKnnWith(pqBooks(s, d), emb, qs,
+        "vec_id", "embedding", k = IvfK, rerank = PqRerank),
+      Knn.bruteForce(emb, qs, "vec_id", "embedding", k = IvfK),
+      k = IvfK, minHitsPerQuery = PqFloorQ, minHitsTotal = PqFloorT)
   }
 
   /** The composed IVF-PQ index (coarse cells route, residual PQ codes
     * score, exact re-rank): the IVF and PQ contracts above glued into the
-    * billion-vector layout. Rows-only; KnnSpec pins recall vs exact L2. */
+    * billion-vector layout. Emitted through its relational recall audit
+    * ([[Knn.recallAudit]] — oracle-gated hit floors); KnnSpec pins recall
+    * vs exact L2. */
   private val extSimKnnIvfPq: Q = (s, d) => {
     val emb = embeddings(s, d)
-    Knn.ivfPqKnnWith(ivfPqIdx(s, d), emb, emb.filter(col("vec_id") < 10),
-      "vec_id", "embedding", k = IvfK, nProbe = IvfProbe, rerank = PqRerank)
-      .orderBy("query_id", "rank")
+    val qs = emb.filter(col("vec_id") < 10)
+    Knn.recallAudit(qs, "vec_id",
+      Knn.ivfPqKnnWith(ivfPqIdx(s, d), emb, qs,
+        "vec_id", "embedding", k = IvfK, nProbe = IvfProbe, rerank = PqRerank),
+      Knn.bruteForce(emb, qs, "vec_id", "embedding", k = IvfK),
+      k = IvfK, minHitsPerQuery = IvfPqFloorQ, minHitsTotal = IvfPqFloorT)
   }
 
   /** Concat-and-chunk context-window packing plan (2048-token windows, 8
@@ -2500,6 +2530,19 @@ object ExtQueries {
        |JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** ANN recall-audit oracle ([[Knn.recallAudit]]'s twin): the grid's
+    * determinable columns (query set, k, floors) straight from the data,
+    * ok asserted true for every per-query row and the query_id = −1 total
+    * row — the `ext_token_quantiles_fast` contract-gating shape. */
+  private def annAuditSql(k: Int, floorQ: Int, floorT: Int) =
+    s"""SELECT CAST(vec_id AS BIGINT) AS query_id, CAST($k AS BIGINT) AS k,
+       |       CAST($floorQ AS BIGINT) AS min_hits, true AS ok
+       |FROM embeddings WHERE vec_id < 10
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(${10 * k} AS BIGINT),
+       |       CAST($floorT AS BIGINT), true
+       |ORDER BY 1""".stripMargin
 
   /** Oracle-side cosine between DOUBLE[] casts (same sequential fold). */
   private def cosSql(a: String, b: String) =
@@ -3497,6 +3540,16 @@ object ExtQueries {
          |  FROM scored)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, ${rnd4Sql("cos")} AS cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // ANN recall-audit twins (the rank-audit graduation): the audit grid's
+    // determinable columns are SQL-derivable and the oracle asserts every
+    // ok = true — a recall regression in the engine flips one and
+    // hash-mismatches; the hit counts themselves are candidate-machinery-
+    // dependent (xxhash64 planes / learned quantizers) and stay engine-side
+    "ext_sim_knn_lsh" -> annAuditSql(5, LshFloorQ, LshFloorT),
+    "ext_sim_knn_ivf" -> annAuditSql(IvfK, IvfFloorQ, IvfFloorT),
+    "ext_sim_knn_pq" -> annAuditSql(IvfK, PqFloorQ, PqFloorT),
+    "ext_sim_knn_ivfpq" -> annAuditSql(IvfK, IvfPqFloorQ, IvfPqFloorT),
 
     // the scope predicate joins INTO the scoring join (c.label = q.label)
     // — same cosine fold, label-sliced candidate set

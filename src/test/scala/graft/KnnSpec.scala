@@ -537,17 +537,32 @@ class KnnSpec extends SparkSpec {
 
   test("ANN recall holds at bench scale (sf0.1), not just the small fixture") {
     // the agg_approx_distinct lesson: a contract checked only at sf0.001
-    // can silently fail at 10x the cardinality — pin the recall there too
+    // can silently fail at 10x the cardinality — pin the recall there too.
+    // The registered entries now emit Knn.recallAudit grids, so the grid's
+    // own ok flags ARE the per-entry recall gate (total floors 16/32/24/20
+    // of 50); the raw-list pins below re-derive the lists via the public
+    // operators at the entries' exact parameterization.
     val dir = "/root/testdata/sf0.1"
     val emb = Tables.embeddings(spark, dir)
+    for (q <- Seq("ext_sim_knn_lsh", "ext_sim_knn_ivf",
+        "ext_sim_knn_pq", "ext_sim_knn_ivfpq")) {
+      val grid = SparkEntry.queries(q)(spark, dir).collect()
+      assert(grid.length === 11, s"$q audit grid shape") // 10 queries + total
+      val bad = grid.filter(r => !r.getBoolean(r.fieldIndex("ok")))
+      assert(bad.isEmpty, s"$q audit rows below floor at sf0.1: " +
+        bad.map(_.getLong(0)).mkString(","))
+    }
     val brute = Knn.bruteForce(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val ivf = SparkEntry.queries("ext_sim_knn_ivf")(spark, dir)
+    val ivf = Knn.ivfKnn(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding",
+      k = ExtQueries.IvfK, nCells = ExtQueries.IvfCells, iters = ExtQueries.IvfIters,
+      nProbe = ExtQueries.IvfProbe, sampleN = ExtQueries.IvfSampleN)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val ivfRecall = (ivf & brute).size.toDouble / brute.size
     info(s"sf0.1 ivf recall = $ivfRecall")
     assert(ivfRecall >= 0.8, s"sf0.1 ivf recall $ivfRecall below floor (0.96 when pinned)")
-    val lsh = SparkEntry.queries("ext_sim_knn_lsh")(spark, dir)
+    val lsh = Knn.lshKnn(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding",
+      k = 5, bands = 16, bitsPerBand = 6)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val lshRecall = (lsh & brute).size.toDouble / brute.size
     info(s"sf0.1 lsh recall = $lshRecall")
@@ -556,18 +571,6 @@ class KnnSpec extends SparkSpec {
     // 0.06. IVF is the stronger path on such corpora; this floor guards
     // the banded form against regressing back to bucket-starved recall.
     assert(lshRecall >= 0.5, s"sf0.1 lsh recall $lshRecall below floor (0.60 when pinned)")
-    // pq / ivfpq — quantized scoring drops recall on weak-similarity
-    // corpora; the floors pin the re-ranked paths at bench scale too
-    val pq = SparkEntry.queries("ext_sim_knn_pq")(spark, dir)
-      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val pqRecall = (pq & brute).size.toDouble / brute.size
-    info(s"sf0.1 pq recall = $pqRecall")
-    assert(pqRecall >= 0.5, s"sf0.1 pq recall $pqRecall below floor")
-    val ivfpq = SparkEntry.queries("ext_sim_knn_ivfpq")(spark, dir)
-      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val ivfpqRecall = (ivfpq & brute).size.toDouble / brute.size
-    info(s"sf0.1 ivfpq recall = $ivfpqRecall")
-    assert(ivfpqRecall >= 0.4, s"sf0.1 ivfpq recall $ivfpqRecall below floor")
   }
 
   test("semanticDedup groups a PLANTED duplicate set at bench scale (sf0.1)") {
@@ -594,19 +597,25 @@ class KnnSpec extends SparkSpec {
   }
 
   test("the registered ext_sim_knn_ivf entry holds the recall floor vs exact knn") {
-    // the rows-only oracle entry, at ITS exact parameterization (IvfK/Cells/
-    // Iters/Probe/SampleN) — byte-stability alone says nothing about quality,
-    // so the contract is an explicit recall floor on the fixture
+    // the ivf path at the ENTRY's exact parameterization (IvfK/Cells/
+    // Iters/Probe/SampleN) — byte-stability alone says nothing about
+    // quality, so the contract is an explicit recall floor on the fixture;
+    // the registered entry's audit grid must agree (all ok) there too
     val dir = "/root/testdata/sf0.001"
-    val got = SparkEntry.queries("ext_sim_knn_ivf")(spark, dir)
-      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val emb = Tables.embeddings(spark, dir)
+    val got = Knn.ivfKnn(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding",
+      k = ExtQueries.IvfK, nCells = ExtQueries.IvfCells, iters = ExtQueries.IvfIters,
+      nProbe = ExtQueries.IvfProbe, sampleN = ExtQueries.IvfSampleN)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val brute = Knn.bruteForce(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding",
       k = graft.queries.ExtQueries.IvfK)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(got.size === brute.size) // k rows per query either way
     val recall = (got & brute).size.toDouble / brute.size
     assert(recall >= 0.8, s"entry recall $recall below floor")
+    val grid = SparkEntry.queries("ext_sim_knn_ivf")(spark, dir).collect()
+    assert(grid.forall(r => r.getBoolean(r.fieldIndex("ok"))),
+      "ivf audit grid below floor at sf0.001")
   }
 
   test("semanticDedup groups planted colinear duplicates and keeps min-id reps") {

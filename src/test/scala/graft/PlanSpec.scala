@@ -129,7 +129,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("lshKnn attaches band keys inline — the corpus is never shuffled before scoring") {
-    val p = plan("ext_sim_knn_lsh")
+    // the registered entry now wraps lshKnn in its recall audit (whose
+    // localCheckpoint truncates the visible plan), so the pin reads the
+    // raw operator at the entry's exact parameterization
+    val emb = graft.Tables.embeddings(spark, d)
+    val p = graft.operators.Knn.lshKnn(emb,
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, bands = 16, bitsPerBand = 6)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
     // band keys are a per-row expression (no aggregation + join-back to
     // assign); the only shuffles are candidate-pair dedupe and the ranking
