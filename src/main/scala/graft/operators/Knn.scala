@@ -365,6 +365,73 @@ object Knn {
         graft.Tables.rnd4(col("cosine")).as("cosine"))
   }
 
+  /** Positive offset for floor division in [[ivfCellsInt]]: numerators
+    * shift positive before the integer division so Spark's truncating
+    * `div` and SQL floor division agree (coordinates would need |x| >
+    * ~2000 to break the bound — embeddings are unit-scale). */
+  private val IntMeanOff = 2147483648L // 2^31
+
+  /** Integer-EXACT k-means cell table — the oracle-expressible twin of
+    * [[ivfCentroids]] + assignment, gating the quantizer machinery itself
+    * (the `ext_sim_knn_ivf_cells` entry; the grouping side is already
+    * gated by `ext_sim_semdedup_cells`). Same algorithm — lowest-id
+    * sample, lowest-id seeds, Lloyd mean updates, nearest-cell argmin
+    * with cell-id tie-breaks — under the repo's cross-engine integer
+    * discipline instead of float arithmetic:
+    *  - coordinates snap ONCE to the exact 1e-4 grid (floor(x·10⁴+0.5),
+    *    the `rnd4`/dim-stats form) and live as ×100 integers (1e-6 units);
+    *  - the centroid update is the exact FLOOR-mean
+    *    ⌊Σv/n⌋ = (Σv + OFF·n) div n − OFF (positive-offset division:
+    *    truncation ≡ floor on every engine);
+    *  - distances are exact integer Σ(v−c)² (≤ dim·(2·10⁶)² ≪ 2⁶³), ties
+    *    break by cell id — so every iteration, and therefore the final
+    *    corpus assignment, is a bit-reproducible pure function of the
+    *    corpus that an unrolled SQL replay reproduces row for row.
+    * Scale shape unchanged from the float path: training touches only the
+    * driver-manageable sample; the corpus-wide assignment is a zero-
+    * shuffle argmin against LITERAL centroids ([[rowNearestCell]]'s
+    * pattern) — one scan, no exchange. Empty cells drop out of the
+    * centroid list exactly as in [[lloyd]]. */
+  def ivfCellsInt(corpus: DataFrame, idCol: String, embCol: String,
+                  nCells: Int, iters: Int, sampleN: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def snap100(c: Column): Column =
+      transform(c, x => (floor(x.cast("double") * 1e4 + 0.5).cast("long") * 100L))
+    val snapped = corpus.select(col(idCol).as("vec_id"), snap100(col(embCol)).as("__v"))
+    val sample = snapped.orderBy(col("vec_id")).limit(sampleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cs: Seq[(Int, Array[Long])] = sample.orderBy(col("vec_id")).limit(nCells)
+        .select(col("__v")).as[Array[Long]].collect().toSeq.zipWithIndex.map(_.swap)
+      for (_ <- 0 until iters) {
+        val assign = sample.select(col("vec_id"), intNearestCell(col("__v"), cs).as("cell"))
+        cs = sample.join(assign, "vec_id")
+          .select(col("cell"), posexplode(col("__v")).as(Seq("pos", "v")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+          .select(col("cell"), col("pos"),
+            expr(s"(s + ${IntMeanOff}L * n) div n - ${IntMeanOff}L").as("c"))
+          .groupBy(col("cell"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("cv"))
+          .select(col("cell"), col("cv.c").as("cvec"))
+          .as[(Int, Array[Long])].collect().toSeq.sortBy(_._1)
+      }
+      snapped.select(col("vec_id"), intNearestCell(col("__v"), cs).cast("long").as("cell"))
+    } finally sample.unpersist(false)
+  }
+
+  /** Integer argmin against literal centroids: exact Σ(v−c)² per cell,
+    * least-struct fold with cell-id tie-break — [[rowNearestCell]]'s
+    * zero-shuffle shape in exact integers. */
+  private def intNearestCell(v: Column, cs: Seq[(Int, Array[Long])]): Column = {
+    val cands = cs.map { case (cell, cv) =>
+      struct(aggregate(zip_with(v, typedLit(cv.toSeq), (x, c) => (x - c) * (x - c)),
+        lit(0L), _ + _).as("d"), lit(cell).as("cell"))
+    }
+    (if (cands.length == 1) cands.head else least(cands: _*)).getField("cell")
+  }
+
   /** LSH-bucketed embedding near-dup — the 100 TB scale path. Candidates
     * come from a (band, key) equi-join over [[lshBandKeys]] (a pair is a
     * candidate iff it collides in ≥ 1 of the `bands` hash tables); the exact

@@ -1367,6 +1367,19 @@ object ExtQueries {
       threshold = SemThreshold, cellExpr = pmod(col("vec_id"), lit(16)))
       .orderBy("vec_id")
 
+  /** The IVF QUANTIZER itself under the oracle ([[Knn.ivfCellsInt]]):
+    * the k-means cell table — lowest-id sample, lowest-id seeds, Lloyd
+    * floor-mean updates, argmin assignment of the FULL corpus — in the
+    * repo's exact-integer discipline, hash-gated against an unrolled SQL
+    * replay of the identical recurrence. With this, `ext_sim_semdedup_cells`
+    * (grouping) and the recall audits, the spec-only ANN surface shrinks
+    * to PQ codebooks / PCA / unigram-EM. Mirrors `ext_sim_knn_ivf`'s
+    * (nCells, iters, sampleN) contract. */
+  private val extSimKnnIvfCells: Q = (s, d) =>
+    Knn.ivfCellsInt(embeddings(s, d), "vec_id", "embedding",
+      nCells = IvfCells, iters = IvfIters, sampleN = IvfSampleN)
+      .orderBy("vec_id")
+
   /** Embedding QC: distance-to-assigned-centroid outlier flags (corrupt
     * encoders / junk vectors surface as far-from-every-centroid rows) —
     * sample-trained cells, zero-shuffle assignment, one nCells-row mean
@@ -2347,6 +2360,7 @@ object ExtQueries {
     "ext_sim_cluster" -> extSimCluster,
     "ext_sim_semdedup" -> extSimSemdedup,
     "ext_sim_semdedup_cells" -> extSimSemdedupCells,
+    "ext_sim_knn_ivf_cells" -> extSimKnnIvfCells,
     "ext_embed_outliers" -> extEmbedOutliers,
     "ext_sample_stratified" -> extSampleStratified,
     "ext_sample_weighted" -> extSampleWeighted,
@@ -2530,6 +2544,44 @@ object ExtQueries {
        |JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Oracle replay of [[Knn.ivfCellsInt]] — the integer-exact Lloyd
+    * recurrence unrolled for IvfIters = 2: snap to the 1e-6 grid, sample =
+    * 128 lowest ids, seeds = 16 lowest, two (assign, floor-mean) rounds,
+    * final full-corpus assignment. `//` is floor division; the engine's
+    * `div` truncates — the +2³¹·n offset makes every numerator positive so
+    * both agree (the fd2 discipline). Ties break (distance, cell). */
+  private val ivfCellsSql = {
+    def assignSql(src: String, cents: String) =
+      s"""SELECT vec_id, cell FROM (
+         |  SELECT p.vec_id, c.cell,
+         |         row_number() OVER (PARTITION BY p.vec_id
+         |           ORDER BY sum((p.v - c.c)*(p.v - c.c)), c.cell) AS rn
+         |  FROM $src p JOIN $cents c ON p.pos = c.pos
+         |  GROUP BY p.vec_id, c.cell)
+         |WHERE rn = 1""".stripMargin
+    def centSql(asg: String) =
+      s"""SELECT a.cell, p.pos,
+         |       (sum(p.v) + 2147483648 * count(*)) // count(*) - 2147483648 AS c
+         |FROM $asg a JOIN samp p USING (vec_id)
+         |GROUP BY a.cell, p.pos""".stripMargin
+    s"""WITH x AS (
+       |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
+       |              AS BIGINT) * 100 AS v
+       |  FROM embeddings),
+       |sids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $IvfSampleN),
+       |samp AS (SELECT x.* FROM x JOIN sids USING (vec_id)),
+       |seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+       |          FROM (SELECT vec_id FROM sids ORDER BY vec_id LIMIT $IvfCells)),
+       |c0 AS (SELECT s.cell, p.pos, p.v AS c FROM seeds s JOIN samp p USING (vec_id)),
+       |a1 AS (${assignSql("samp", "c0")}),
+       |c1 AS (${centSql("a1")}),
+       |a2 AS (${assignSql("samp", "c1")}),
+       |c2 AS (${centSql("a2")}),
+       |fin AS (${assignSql("x", "c2")})
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM fin ORDER BY vec_id""".stripMargin
+  }
 
   /** ANN recall-audit oracle ([[Knn.recallAudit]]'s twin): the grid's
     * determinable columns (query set, k, floors) straight from the data,
@@ -4294,6 +4346,7 @@ object ExtQueries {
          |ORDER BY stratum, p""".stripMargin,
 
     "ext_sim_semdedup_cells" -> semdedupCellsSql,
+    "ext_sim_knn_ivf_cells" -> ivfCellsSql,
 
     // the simhash fallback replayed exactly: md5-derived 60-bit gram
     // hashes vote ±1 per bit, sign fold, 6 bands of 10 bits,

@@ -618,6 +618,27 @@ class KnnSpec extends SparkSpec {
       "ivf audit grid below floor at sf0.001")
   }
 
+  test("ivfCellsInt is partitioning-invariant and groups identical vectors") {
+    // the oracle-gated integer Lloyd twin: bit-reproducible on ANY
+    // partitioning (exact integer sums + floor-mean + id tie-breaks), and
+    // a planted byte-identical copy must land in its original's cell
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.lit
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val planted = emb.filter($"vec_id" === 0L)
+      .select(lit(1000001L).as("vec_id"), $"embedding")
+    val base = emb.unionByName(planted)
+    val a = Knn.ivfCellsInt(base, "vec_id", "embedding",
+      nCells = 16, iters = 2, sampleN = 128)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Knn.ivfCellsInt(base.repartition(7), "vec_id", "embedding",
+      nCells = 16, iters = 2, sampleN = 128)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b, "cell table depends on partitioning")
+    assert(a(1000001L) === a(0L), "identical vector split from its twin's cell")
+    assert(a.values.toSet.size > 1, "Lloyd collapsed to a single cell")
+  }
+
   test("semanticDedup groups planted colinear duplicates and keeps min-id reps") {
     // two orthogonal duplicate groups + a singleton (cross-group cosine 0);
     // the two lowest ids seed the two cells, one per group — ids chosen so
