@@ -132,6 +132,29 @@ object Dedup {
     verifyJaccard(prefixCandidates(shingled(arrs, cache), threshold, cache), arrs, threshold)
   }
 
+  /** [[ngramJaccard]]'s prefix-filtered similarity join over a
+    * PRE-SHINGLED distinct (doc_id, sh) frame — the entry the streaming
+    * near-dup replay uses for its self-probe fast path
+    * ([[graft.streaming.NeardupStream.newPairs]]): when ONE batch carries
+    * the whole corpus, probe universe = batch, and the prefix rule's
+    * lossless argument (both pair members inside the frame, a shared
+    * global rarity order) holds exactly as in the batch tier — the
+    * arrival-instability reason the live stream avoids prefixes is gone.
+    * One doc-keyed aggregate rebuilds the verification arrays from the
+    * rows; everything else is the AllPairs/PPJoin stack above (a
+    * rows-side verification was measured SLOWER — the pair-bounded
+    * candidate side does not reliably broadcast, and the exploded frame
+    * then re-exchanges twice). */
+  def jaccardPairsFromShingles(shRows: DataFrame, threshold: Double,
+                               cache: CacheHandle = tracked()): DataFrame = {
+    val sh = cache.register(shRows.select(col("doc_id"), col("sh").as("shingle")))
+    val arrs = cache.register(
+      sh.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("shingle"))).as("__arr"))
+        .withColumn("__n_sh", size(col("__arr"))))
+    verifyJaccard(prefixCandidates(sh, threshold, cache), arrs, threshold)
+  }
+
   /** Prefix-filtered candidate pairs (see [[ngramJaccard]]). Three sound
     * pruning rules compose (the AllPairs/PPJoin stack):
     *  - PREFIX rule: join only each doc's rarest |X| − ⌈t·|X|⌉ + 1 shingles.

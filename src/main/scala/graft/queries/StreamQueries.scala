@@ -133,7 +133,11 @@ object StreamQueries {
     // pairs (self-probe). Redelivery/duplicate-row tolerance is pinned in
     // StateLayoutSpec (doubled index ≡ single) and exercised live in
     // StreamingSpec — the benched form measures the clean-probe cost.
-    val once = NeardupStream.shingleRows(docs).localCheckpoint(true)
+    // no eager checkpoint: the self-probe fast path hands the rows to the
+    // PPJoin machinery, whose cache handle persists them lazily — an
+    // eager localCheckpoint here materializes the exploded frame one
+    // extra time before any reuse exists
+    val once = NeardupStream.shingleRows(docs)
     // parquet metadata makes the doc count ~free; df ≤ #docs, so the
     // no-hot-shingle decision costs zero jobs here
     val fresh = NeardupStream.newPairs(once, once, NeardupStream.sizeRows(once),

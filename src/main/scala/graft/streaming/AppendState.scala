@@ -73,27 +73,44 @@ private[streaming] object AppendState {
     * `batchId` means "out-of-band apply, no checkpoint identity": the
     * delta gets the next free id and the replay guard is skipped —
     * correctness then rests on the merge-on-read being idempotent, which
-    * is the union-state contract. */
-  def append(delta: DataFrame, targetDir: String, batchId0: Long): Unit = {
+    * is the union-state contract.
+    *
+    * `partitionCols` buckets the delta's files by the named columns
+    * (Hive-style subdirs inside the delta) so KEYED readers prune delta
+    * files instead of scanning the full state — a state dir must use the
+    * same partitioning for every append and its compactions (the layout
+    * is part of the state contract; state dirs predating a layout change
+    * are rebuilt by replay, as with any checkpoint change). */
+  def append(delta: DataFrame, targetDir: String, batchId0: Long,
+             partitionCols: Seq[String] = Nil): Unit = {
     val batchId =
       if (batchId0 >= 0) batchId0
       else (deltaIds(targetDir) :+ baseId(targetDir)).max + 1
     if (batchId <= baseId(targetDir) || deltaDir(targetDir, batchId).exists()) return
     val tmp = tmpDir(targetDir, batchId)
     if (tmp.exists()) deleteQuietly(tmp) // torn write from a previous crash
-    delta.write.mode("overwrite").parquet(tmp.toString)
+    val w = delta.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
     java.nio.file.Files.move(tmp.toPath, deltaDir(targetDir, batchId).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** The raw union of base + committed deltas. Rows may repeat across
     * deltas (redelivery in later batches) — callers apply their
-    * idempotent merge on top. None before the first append. */
+    * idempotent merge on top. None before the first append. Each dir is
+    * read as its OWN partition-discovery root (basePath = the dir), so a
+    * bucketed layout's `bucket=K` subdirs surface as a partition column
+    * without the `delta=`/`base=` level confusing discovery — and a
+    * filter on that column pushes into every union branch's scan as a
+    * PartitionFilter (file-level pruning per delta). */
   def raw(spark: SparkSession, targetDir: String): Option[DataFrame] = {
     val base = baseId(targetDir)
     val dirs = (if (base >= 0) Seq(baseDir(targetDir, base).toString) else Nil) ++
       deltaIds(targetDir).map(id => deltaDir(targetDir, id).toString)
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+    if (dirs.isEmpty) None
+    else Some(dirs.map(d => spark.read.option("basePath", d).parquet(d))
+      .reduce(_.unionByName(_)))
   }
 
   /** Fold base + all current deltas into a fresh compacted base via
@@ -103,7 +120,8 @@ private[streaming] object AppendState {
     * folded deltas and old base are deleted best-effort (leftovers are
     * garbage, never state — readers filter on the marker). */
   def compact(spark: SparkSession, targetDir: String,
-              merge: DataFrame => DataFrame): Unit = {
+              merge: DataFrame => DataFrame,
+              partitionCols: Seq[String] = Nil): Unit = {
     val oldBase = baseId(targetDir)
     val folded = deltaIds(targetDir)
     if (folded.isEmpty) return
@@ -111,7 +129,9 @@ private[streaming] object AppendState {
     val all = raw(spark, targetDir).get
     val target = baseDir(targetDir, upTo)
     if (target.exists()) deleteQuietly(target) // orphan from a previous crash
-    merge(all).localCheckpoint(true).write.parquet(target.toString)
+    val w = merge(all).localCheckpoint(true).write
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(target.toString)
     val tmp = new java.io.File(targetDir, ".base.tmp")
     java.nio.file.Files.writeString(tmp.toPath, upTo.toString)
     java.nio.file.Files.move(tmp.toPath, baseMarker(targetDir).toPath,

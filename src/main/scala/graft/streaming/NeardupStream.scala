@@ -59,8 +59,11 @@ import graft.functions.TextFns
   *
   * 100 TB shape, per batch: df and postings are computed over the index
   * SEMI-JOINED to the batch's shingles (posting-list fetch, not a corpus
-  * aggregate — with the index partitioned by shingle this is a pruned,
-  * co-located read); the only writes are the three O(batch) deltas.
+  * aggregate) — and the index LAYOUT backs that claim: deltas and bases
+  * are partitionBy'd on `pmod(sh, IndexBuckets)`, so the fetch first
+  * prunes to the batch's buckets via PartitionFilters (whole state files
+  * skip) before the semi-join runs. The only writes are the three
+  * O(batch) deltas.
   * Batch-replay form oracle-gated as `stream_neardup` against the
   * exact-Jaccard SQL; live restart / redelivery / torn-write paths in
   * StreamingSpec. */
@@ -74,6 +77,22 @@ object NeardupStream {
     * correction). Generous by default — at fixture scale nothing reaches
     * it; the mechanism is pinned in StateLayoutSpec with a small cap. */
   val DefaultMaxDf = 10000L
+
+  /** Shingle-hash bucket count for the index state's file layout: every
+    * index delta (and compacted base) is partitionBy'd on
+    * `bucket = pmod(sh, IndexBuckets)`, so the probe's posting fetch
+    * filters to the BATCH's buckets and the scan prunes whole delta files
+    * (PartitionFilters — pinned in StateLayoutSpec) instead of reading
+    * the full accumulated index. This is what makes the scaladoc's
+    * "partitioned by shingle, pruned co-located read" claim true in the
+    * LAYOUT, not just the prose: at 100 TB the index is the corpus-sized
+    * state, and a small micro-batch touches a bounded subset of buckets.
+    * The bucket column is derived (pmod of sh), lives only in the state
+    * layout, and is dropped from every reader-facing frame. */
+  val IndexBuckets = 16
+
+  private def bucketed(sh: DataFrame): DataFrame =
+    sh.withColumn("bucket", pmod(col("sh"), lit(IndexBuckets.toLong)).cast("int"))
 
   /** Distinct (doc_id, sh) shingle rows of a document frame — the unit of
     * both the probe side and the index state. Deterministic per doc. */
@@ -128,6 +147,15 @@ object NeardupStream {
     val anyHot =
       if (totalDocs.exists(_ <= maxDf)) false
       else !dfTab0.filter(col("__df") > maxDf).isEmpty
+    // self-probe with no hot shingle = the whole corpus arriving as ONE
+    // batch with nothing capped — exactly the batch tier's problem, where
+    // the PPJoin prefix filter IS lossless (both pair members are in the
+    // frame and share its global rarity order; the live multi-batch path
+    // below never uses prefixes because arrival-time df keeps shifting).
+    // The naive sh-keyed self-join pays Σ df² candidate rows over ALL
+    // shingles; the prefix join touches only each doc's rarest few.
+    if (selfProbe && !anyHot)
+      return graft.operators.Dedup.jaccardPairsFromShingles(batchSh, Threshold)
     def pairCount(l: DataFrame, r: DataFrame): DataFrame =
       if (selfProbe)
         l.as("l").join(r.as("r"),
@@ -185,8 +213,18 @@ object NeardupStream {
     * the first batch. */
   def indexState(spark: SparkSession, targetDir: String): DataFrame =
     AppendState.raw(spark, s"$targetDir/index")
-      .map(_.distinct())
+      .map(_.select(col("doc_id"), col("sh")).distinct())
       .getOrElse(spark.range(0).select(col("id").as("doc_id"), lit(0L).as("sh")))
+
+  /** The probe-facing index view: the raw delta union PRUNED to the given
+    * buckets via the partition column (whole delta files skip), then
+    * narrowed to the reader schema. Duplicate rows stay — [[newPairs]] is
+    * duplicate-tolerant, so the probe never pays a corpus-wide distinct. */
+  private def indexForBuckets(spark: SparkSession, targetDir: String,
+                              buckets: Seq[Int]): Option[DataFrame] =
+    AppendState.raw(spark, s"$targetDir/index")
+      .map(_.filter(col("bucket").isin(buckets: _*))
+        .select(col("doc_id"), col("sh")))
 
   def sizeState(spark: SparkSession, targetDir: String): DataFrame =
     AppendState.raw(spark, s"$targetDir/sizes")
@@ -202,7 +240,8 @@ object NeardupStream {
   /** Fold all three states' deltas (run periodically; bounds read
     * amplification — see [[AppendState.compact]]). */
   def compact(spark: SparkSession, targetDir: String): Unit = {
-    AppendState.compact(spark, s"$targetDir/index", _.distinct())
+    AppendState.compact(spark, s"$targetDir/index", _.distinct(),
+      partitionCols = Seq("bucket"))
     AppendState.compact(spark, s"$targetDir/sizes",
       _.groupBy(col("doc_id")).agg(min(col("__n")).as("__n")))
     AppendState.compact(spark, s"$targetDir/pairs", p => mergePairs(p.limit(0), p))
@@ -215,12 +254,17 @@ object NeardupStream {
   def applyBatch(spark: SparkSession, batchDocs: DataFrame, targetDir: String,
                  batchId: Long, maxDf: Long = DefaultMaxDf): Unit = {
     val batchSh = shingleRows(batchDocs).distinct().localCheckpoint(true)
-    AppendState.append(batchSh, s"$targetDir/index", batchId)
+    AppendState.append(bucketed(batchSh), s"$targetDir/index", batchId,
+      partitionCols = Seq("bucket"))
     AppendState.append(sizeRows(batchSh), s"$targetDir/sizes", batchId)
-    // probe the RAW delta union — newPairs is duplicate-tolerant, so the
-    // per-batch path never pays the corpus-wide distinct that indexState
-    // (the reader-facing view) applies
-    val merged = AppendState.raw(spark, s"$targetDir/index")
+    // probe the raw delta union PRUNED to the batch's buckets (an
+    // IndexBuckets-bounded collect decides the partition filter; lossless:
+    // a posting for a batch shingle is by construction in a batch bucket)
+    // — newPairs is duplicate-tolerant, so the per-batch path never pays
+    // the corpus-wide distinct that indexState (the reader view) applies
+    val batchBuckets = bucketed(batchSh.select(col("sh")).distinct())
+      .select(col("bucket")).distinct().collect().map(_.getInt(0)).toSeq
+    val merged = indexForBuckets(spark, targetDir, batchBuckets)
       .getOrElse(batchSh.limit(0))
     val fresh = newPairs(batchSh, merged, sizeState(spark, targetDir), maxDf)
     AppendState.append(fresh.localCheckpoint(true), s"$targetDir/pairs", batchId)

@@ -488,12 +488,16 @@ class TrainPrepSpec extends SparkSpec {
   }
 
   test("topTerms' persisted tf drains through unpersistAll (caller-owned lifecycle)") {
+    // delta-based: other components may hold deliberate session-scoped
+    // localCheckpoints (e.g. the shared NB model); the pin is that THIS
+    // operator's persists all drain through unpersistAll.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val d = docs((1L, "en", "a b c a"), (2L, "en", "b c d"))
     TrainPrep.topTerms(d, "doc_id", "text", k = 2).collect()
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty) // tf was persisted
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty) // tf was persisted
     TrainPrep.unpersistAll()
     spark.catalog.clearCache()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
 
   test("BpeMergeCount runs the real greedy rank-priority merge loop") {

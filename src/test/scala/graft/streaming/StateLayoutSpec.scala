@@ -108,6 +108,49 @@ class StateLayoutSpec extends SparkSpec {
     assert(capped === Set((1L, 2L, 1.0)))
   }
 
+  test("NeardupStream: index deltas are bucketed by pmod(sh, B) and the probe read prunes partitions") {
+    val dir = tmp("ndbkt").resolve("state").toString
+    val b0 = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g x")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "p q r s t u v w")).toDF("doc_id", "text")
+    NeardupStream.applyBatch(spark, b0, dir, batchId = 0L)
+    NeardupStream.applyBatch(spark, b1, dir, batchId = 1L)
+
+    // layout: every index delta holds Hive-style bucket=K subdirs
+    for (id <- Seq(0L, 1L)) {
+      val sub = new java.io.File(s"$dir/index/delta=$id").listFiles()
+        .filter(_.isDirectory).map(_.getName)
+      assert(sub.nonEmpty && sub.forall(_.startsWith("bucket=")),
+        s"delta=$id not bucketed: ${sub.mkString(",")}")
+    }
+
+    // the probe-shaped read (bucket filter then projection) prunes files:
+    // PartitionFilters must carry the bucket predicate
+    val probe = AppendState.raw(spark, s"$dir/index").get
+      .filter(col("bucket").isin(0, 1)).select(col("doc_id"), col("sh"))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      """PartitionFilters: \[[^\]]*bucket""".r.findFirstIn(plan).isDefined,
+      s"bucket predicate not a partition filter:\n${plan.take(1500)}")
+
+    // semantics unchanged: pair table matches the batch exact-Jaccard join
+    val expect = graft.operators.Dedup.ngramJaccard(
+      b0.unionByName(b1), "text", "doc_id", n = 3,
+      threshold = NeardupStream.Threshold)
+      .as[(Long, Long, Double)].collect().toSet
+    graft.operators.Dedup.unpersistAll()
+    assert(NeardupStream.pairState(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet === expect)
+
+    // compaction preserves the bucketed layout in the base
+    NeardupStream.compact(spark, dir)
+    val baseSub = new java.io.File(s"$dir/index/base=1").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(baseSub.nonEmpty && baseSub.forall(_.startsWith("bucket=")),
+      s"compacted base not bucketed: ${baseSub.mkString(",")}")
+    assert(NeardupStream.pairState(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet === expect)
+  }
+
   test("NeardupStream.newPairs: duplicate index rows (redelivery) change nothing") {
     val docs = Seq(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g x"), (3L, "p q r s t u v w")
