@@ -846,6 +846,49 @@ object Dedup {
       .agg(vote(xxhash64(col("t"))).as("simhash"))
   }
 
+  /** SEPARATION AUDIT of the SimHash fingerprint — the recallAudit
+    * graduation pattern for hash-dependent operators: the fingerprints
+    * themselves depend on xxhash64 (not SQL-expressible), but their
+    * separation CONTRACT — near-duplicate documents land close in Hamming
+    * space, unrelated documents land far — is a deterministic pure
+    * function of the corpus. Two populations, both with oracle-exact
+    * denominators: exact 3-gram-Jaccard ≥ `jThresh` pairs (the near-dup
+    * ground truth the relational tier computes), and consecutive-id pairs
+    * (the unbiased background sample — no hashing in its definition).
+    * Per population one row (population, n_pairs, bound_milli, ok) where
+    * ok compares the MEAN Hamming distance against the bound in exact
+    * integer arithmetic (Σh·1000 vs bound·n — no floating point to drift
+    * cross-engine). A broken hash, vote, or band pipeline collapses the
+    * separation and flips an ok. Bounds sit ~60% from the measured means
+    * (near ≈ 5.4–5.7 bits vs ceiling 9; background ≈ 14.2–14.3 bits vs
+    * floor 11). Empty populations audit vacuously true (0 ≤ 0). */
+  def simhashSeparation(docs: DataFrame, textCol: String, idCol: String,
+                        jThresh: Double = 0.9,
+                        nearCeilMilli: Long = 9000L, bgFloorMilli: Long = 11000L,
+                        cache: CacheHandle = tracked()): DataFrame = {
+    val fp = cache.register(simhash(docs, textCol, idCol))
+    def stats(pairs: DataFrame, pop: String, boundMilli: Long, isCeil: Boolean) = {
+      val h = pairs
+        .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("__ha")), "doc_a")
+        .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("__hb")), "doc_b")
+        .select(bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long").as("__h"))
+        .agg(count(lit(1)).as("n_pairs"), coalesce(sum(col("__h")), lit(0L)).as("__s"))
+      val cmp =
+        if (isCeil) col("__s") * 1000L <= lit(boundMilli) * col("n_pairs")
+        else col("__s") * 1000L >= lit(boundMilli) * col("n_pairs")
+      h.select(lit(pop).as("population"), col("n_pairs"),
+        lit(boundMilli).as("bound_milli"), cmp.as("ok"))
+    }
+    val near = ngramJaccard(docs, textCol, idCol, n = 3, threshold = 0.5, cache)
+      .filter(col("jaccard") >= jThresh).select(col("doc_a"), col("doc_b"))
+    val ids = fp.select(col("doc_id"))
+    val bg = ids.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+      .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+    stats(bg, "background", bgFloorMilli, isCeil = false)
+      .unionByName(stats(near, "neardup", nearCeilMilli, isCeil = true))
+      .orderBy("population")
+  }
+
   /** SimHash near-dup pairs: collide on one of four 16-bit bands, then
     * verify Hamming distance ≤ maxHamming via bit_count(xor). */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxHamming: Int,

@@ -394,42 +394,108 @@ object Knn {
     * centroid list exactly as in [[lloyd]]. */
   def ivfCellsInt(corpus: DataFrame, idCol: String, embCol: String,
                   nCells: Int, iters: Int, sampleN: Int): DataFrame = {
+    val (snapped, cs) = intCentroids(corpus, idCol, embCol, nCells, iters, sampleN)
+    snapped.select(col("vec_id"), intNearestCell(col("__v"), cs).cast("long").as("cell"))
+  }
+
+  /** The snap + train phase of [[ivfCellsInt]]: the 1e-6-unit snapped
+    * corpus frame and the trained k-integer-Lloyd centroids (driver-held,
+    * k·dim longs). Shared by the cell table, the outlier QC twin and the
+    * PQ coder so "the quantizer" is ONE definition.
+    *
+    * Training runs ON THE DRIVER over the collected sample — the sample is
+    * contract-bounded (sampleN rows · dim longs), so the whole Lloyd loop
+    * is ONE cluster job (the ordered sample fetch) instead of
+    * iters × (assign-join + update-aggregate + collect) rounds of
+    * tiny-frame shuffles, which dominated the wall clock at any scale
+    * (the work is latency, not data). Exact-integer arithmetic keeps the
+    * local loop bit-identical to the distributed form it replaced AND to
+    * the unrolled SQL replay: `Math.floorDiv` IS the replay's
+    * positive-offset `div` (both are floor division). */
+  private[graft] def intCentroidsLocal(sampleRows: Array[Array[Long]],
+                                       nCells: Int, iters: Int): Seq[(Int, Array[Long])] = {
+    var cs: Seq[(Int, Array[Long])] =
+      sampleRows.take(nCells).zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    for (_ <- 0 until iters) {
+      val byCell = sampleRows.groupBy(v => intNearestLocal(v, cs)._2)
+      cs = byCell.toSeq.sortBy(_._1).map { case (cell, members) =>
+        val dim = members.head.length
+        val mean = Array.tabulate(dim) { p =>
+          Math.floorDiv(members.map(_(p)).sum, members.length.toLong)
+        }
+        (cell, mean)
+      }
+    }
+    cs
+  }
+
+  /** Local exact-integer argmin: (d², cell) with the cell-id tie-break —
+    * the driver-side twin of [[intNearestCellStruct]]. */
+  private def intNearestLocal(v: Array[Long], cs: Seq[(Int, Array[Long])]): (Long, Int) =
+    cs.map { case (cell, c) =>
+      var d = 0L; var i = 0
+      while (i < v.length) { val t = v(i) - c(i); d += t * t; i += 1 }
+      (d, cell)
+    }.min
+
+  private def intCentroids(corpus: DataFrame, idCol: String, embCol: String,
+                           nCells: Int, iters: Int, sampleN: Int)
+      : (DataFrame, Seq[(Int, Array[Long])]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     def snap100(c: Column): Column =
       transform(c, x => (floor(x.cast("double") * 1e4 + 0.5).cast("long") * 100L))
     val snapped = corpus.select(col(idCol).as("vec_id"), snap100(col(embCol)).as("__v"))
-    val sample = snapped.orderBy(col("vec_id")).limit(sampleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var cs: Seq[(Int, Array[Long])] = sample.orderBy(col("vec_id")).limit(nCells)
-        .select(col("__v")).as[Array[Long]].collect().toSeq.zipWithIndex.map(_.swap)
-      for (_ <- 0 until iters) {
-        val assign = sample.select(col("vec_id"), intNearestCell(col("__v"), cs).as("cell"))
-        cs = sample.join(assign, "vec_id")
-          .select(col("cell"), posexplode(col("__v")).as(Seq("pos", "v")))
-          .groupBy(col("cell"), col("pos"))
-          .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
-          .select(col("cell"), col("pos"),
-            expr(s"(s + ${IntMeanOff}L * n) div n - ${IntMeanOff}L").as("c"))
-          .groupBy(col("cell"))
-          .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("cv"))
-          .select(col("cell"), col("cv.c").as("cvec"))
-          .as[(Int, Array[Long])].collect().toSeq.sortBy(_._1)
-      }
-      snapped.select(col("vec_id"), intNearestCell(col("__v"), cs).cast("long").as("cell"))
-    } finally sample.unpersist(false)
+    val sampleRows = snapped.orderBy(col("vec_id")).limit(sampleN)
+      .select(col("__v")).as[Array[Long]].collect()
+    (snapped, intCentroidsLocal(sampleRows, nCells, iters))
+  }
+
+  /** Integer-EXACT twin of [[centroidOutliers]] — the same QC semantics
+    * (per vector: assigned cell, distance², cell mean, factor-×-mean
+    * outlier flag) as a bit-reproducible pure function of the corpus, so
+    * the WHOLE output hash-gates against an unrolled SQL replay instead of
+    * a rows-only check:
+    *  - quantizer = [[intCentroids]] (the `ext_sim_knn_ivf_cells` Lloyd);
+    *  - d² = exact integer Σ(v−c)² in 1e-6 units (≤ dim·(2·10⁶)² ≪ 2⁶³);
+    *  - cell mean = ⌊Σd²/n⌋ (non-negative, so truncating and flooring
+    *    engines agree with no offset);
+    *  - flag = d²·n·100 > factorPct·Σd² — the mean comparison cross-
+    *    multiplied into exact DECIMAL(38) arithmetic (d²·n can pass 2⁶³ on
+    *    big cells; decimal keeps it exact on both engines).
+    * Scale shape unchanged: sample-bound training, zero-shuffle literal-
+    * centroid argmin, one nCells-row aggregate broadcast back. */
+  def centroidOutliersInt(corpus: DataFrame, idCol: String, embCol: String,
+                          nCells: Int, iters: Int, factorPct: Int,
+                          sampleN: Int): DataFrame = {
+    val (snapped, cs) = intCentroids(corpus, idCol, embCol, nCells, iters, sampleN)
+    val assigned = snapped
+      .withColumn("__nc", intNearestCellStruct(col("__v"), cs))
+      .select(col("vec_id"), col("__nc.cell").cast("long").as("cell"),
+        col("__nc.d").as("d2"))
+    val cellStats = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("__n"), sum(col("d2")).as("__s"))
+    assigned.join(broadcast(cellStats), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("d2"),
+        expr("__s div __n").as("cell_mean_d2"),
+        (col("d2").cast("decimal(38,0)") * col("__n") * 100L >
+          col("__s").cast("decimal(38,0)") * factorPct).as("outlier"))
   }
 
   /** Integer argmin against literal centroids: exact Σ(v−c)² per cell,
     * least-struct fold with cell-id tie-break — [[rowNearestCell]]'s
     * zero-shuffle shape in exact integers. */
-  private def intNearestCell(v: Column, cs: Seq[(Int, Array[Long])]): Column = {
+  private def intNearestCell(v: Column, cs: Seq[(Int, Array[Long])]): Column =
+    intNearestCellStruct(v, cs).getField("cell")
+
+  /** The full (d, cell) argmin struct — one evaluation serves callers that
+    * need the distance along with the assignment. */
+  private def intNearestCellStruct(v: Column, cs: Seq[(Int, Array[Long])]): Column = {
     val cands = cs.map { case (cell, cv) =>
       struct(aggregate(zip_with(v, typedLit(cv.toSeq), (x, c) => (x - c) * (x - c)),
         lit(0L), _ + _).as("d"), lit(cell).as("cell"))
     }
-    (if (cands.length == 1) cands.head else least(cands: _*)).getField("cell")
+    if (cands.length == 1) cands.head else least(cands: _*)
   }
 
   /** LSH-bucketed embedding near-dup — the 100 TB scale path. Candidates
@@ -521,6 +587,53 @@ object Knn {
       }
       books
     } finally sample.unpersist(false)
+  }
+
+  /** Integer-EXACT PQ coding — [[pqCodes]]' storage-layout twin under the
+    * [[ivfCellsInt]] discipline, so the code table hash-gates against an
+    * unrolled SQL replay: coordinates snap once to the 1e-6 grid, each
+    * subspace's codebook Lloyd-trains on the shared lowest-id sample with
+    * floor-mean updates (all m subspaces FUSED per round — one assignment
+    * job + one update collect keyed by (subspace, cell), the [[pqCodebooks]]
+    * shape), and the corpus codes in ONE zero-shuffle projection against
+    * the literal books (argmin per subspace, ties to the lower cell id).
+    * Emits (vec_id, codes_packed, recon_d2): codes packed base-k with
+    * subspace 0 most significant (the byte layout a PQ store persists),
+    * recon_d2 = exact integer Σ‖v_s − c_s‖² over subspaces. Surviving
+    * Lloyd cells keep their ORIGINAL ids (no re-densify) so the replay's
+    * ids match without an extra ranking step. The float path stays the
+    * ANN-search codebook ([[pqKnn]]); this is the compression entry. */
+  def pqCodesInt(corpus: DataFrame, idCol: String, embCol: String,
+                 m: Int, k: Int, iters: Int, sampleN: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def snap100(c: Column): Column =
+      transform(c, x => (floor(x.cast("double") * 1e4 + 0.5).cast("long") * 100L))
+    val snapped = corpus.select(col(idCol).as("vec_id"), snap100(col(embCol)).as("__v"))
+    // one cluster job: the ordered sample; per-subspace Lloyd runs on the
+    // driver (intCentroidsLocal — the sample is contract-bounded)
+    val sampleRows = snapped.orderBy(col("vec_id")).limit(sampleN)
+      .select(col("__v")).as[Array[Long]].collect()
+    val dim = sampleRows.headOption.map(_.length)
+      .getOrElse(throw new IllegalArgumentException("pqCodesInt: empty corpus"))
+    require(dim % m == 0, s"pqCodesInt: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    def sliceS(v: Column, s: Int): Column = slice(v, s * sub + 1, sub)
+    val books: Seq[Seq[(Int, Array[Long])]] = (0 until m).map { s =>
+      intCentroidsLocal(
+        sampleRows.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub)),
+        nCells = k, iters = iters)
+    }
+    val mults = (0 until m).map(s => math.pow(k, m - 1 - s).toLong)
+    // struct columns in their own projection; the final select reads two
+    // fields off each single evaluation (the centroidOutliersInt pattern)
+    val staged = snapped.select(col("vec_id") +:
+      (0 until m).map(s =>
+        intNearestCellStruct(sliceS(col("__v"), s), books(s)).as(s"__c$s")): _*)
+    staged.select(col("vec_id"),
+      (0 until m).map(s => col(s"__c$s.cell").cast("long") * mults(s))
+        .reduce(_ + _).as("codes_packed"),
+      (0 until m).map(s => col(s"__c$s.d")).reduce(_ + _).as("recon_d2"))
   }
 
   /** PQ code assignment + reconstruction error — the compression step an

@@ -22,8 +22,14 @@ import graft.operators.{Dedup, Knn, Multimodal, NaiveBayes, Pca, TrainPrep}
   *    p≈1e-3), so its verified-candidate output equals the exact-Jaccard
   *    result and shares its oracle; hashes are deterministic (xxhash64), so
   *    this equality is a fixed fact of the fixture, not a coin flip.
-  *  - `ext_dedup_simhash` / `ext_sim_knn_lsh` depend on xxhash64, which the
-  *    oracle engine lacks → no oracle entry (driver records rows-only).
+  *  - operators whose OUTPUT depends on xxhash64 (which the oracle engine
+  *    lacks) are gated through deterministic contract audits instead:
+  *    `ext_dedup_simhash` emits the Hamming-separation grid
+  *    ([[graft.operators.Dedup.simhashSeparation]]) and the approximate-knn
+  *    entries emit recall grids ([[graft.operators.Knn.recallAudit]]) —
+  *    the oracle recomputes every determinable column (populations, pair
+  *    counts, floors) and asserts ok = true; the raw hash-dependent
+  *    outputs stay pinned in DedupSpec/KnnSpec.
   */
 object ExtQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -828,9 +834,15 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** SimHash separation audit ([[Dedup.simhashSeparation]] — the
+    * recall-audit graduation shape): near-dup pairs (exact 3-gram Jaccard
+    * ≥ 0.9, the oracle-computable ground truth) must average ≤ 9.0 Hamming
+    * bits apart, consecutive-id background pairs ≥ 11.0 — exact-integer
+    * mean comparisons, so a broken hash/vote/band pipeline flips an ok and
+    * hash-mismatches. The raw banded pair output (maxHamming = 3) stays
+    * pinned in DedupSpec. */
   private val extDedupSimhash: Q = (s, d) =>
-    Dedup.simhashPairs(documents(s, d), "text", "doc_id", maxHamming = 3)
-      .orderBy("doc_a", "doc_b")
+    Dedup.simhashSeparation(documents(s, d), "text", "doc_id")
 
   /** Near-dup pairs → connected components: each clustered doc labelled with
     * its cluster's canonical (min) id — the keep/drop decision of a dedup
@@ -1383,12 +1395,15 @@ object ExtQueries {
   /** Embedding QC: distance-to-assigned-centroid outlier flags (corrupt
     * encoders / junk vectors surface as far-from-every-centroid rows) —
     * sample-trained cells, zero-shuffle assignment, one nCells-row mean
-    * aggregate broadcast back; rows-only (the quantizer is not
-    * oracle-expressible), planted-outlier pin in KnnSpec. Shares the
-    * SemDeDup index contract constants. */
+    * aggregate broadcast back. Rides the integer-exact quantizer
+    * ([[Knn.centroidOutliersInt]] over the `ext_sim_knn_ivf_cells` Lloyd),
+    * so the WHOLE output — cells, exact d², floor-means, flags — is
+    * hash-gated against the unrolled SQL replay; planted-outlier semantics
+    * stay pinned in KnnSpec. Shares the IVF index contract constants;
+    * factor 1.2 ≡ 120 pct in the cross-multiplied exact form. */
   private val extEmbedOutliers: Q = (s, d) =>
-    Knn.centroidOutliers(embeddings(s, d), "vec_id", "embedding",
-      nCells = SemCells, iters = SemIters, factor = 1.2, sampleN = SemSampleN)
+    Knn.centroidOutliersInt(embeddings(s, d), "vec_id", "embedding",
+      nCells = IvfCells, iters = IvfIters, factorPct = 120, sampleN = IvfSampleN)
       .orderBy("vec_id")
 
   /** Per-dimension embedding QC — mean / population variance / zero share
@@ -1752,19 +1767,19 @@ object ExtQueries {
 
   /** PQ codes + reconstruction error over the embedding column — the
     * deep-compression tier of the ANN storage story (int8 → PQ → IVF).
-    * Rows-only: k-means isn't oracle-expressible; KnnSpec pins assignment
-    * correctness on planted clusters and the fixture's error-vs-codebook
-    * monotonicity. Assignment is a pure per-row projection against
-    * driver-trained literal codebooks (see [[Knn.pqCodes]]). The m=8
-    * 4-bit codes ride as ONE base-16-packed BIGINT (`codes_packed`):
-    * scalar columns keep the dump sortable by any engine (an array column
-    * faulted the driver's rows-only compare in round 8), and the packed
-    * form is the byte layout a PQ store would persist anyway. */
+    * Rides the integer-exact subspace Lloyd ([[Knn.pqCodesInt]] — the
+    * `ext_sim_knn_ivf_cells` discipline per subspace), so the WHOLE code
+    * table — packed codes AND exact integer reconstruction error —
+    * hash-gates against an unrolled SQL replay instead of a rows-only
+    * check. The m=8 4-bit codes ride as ONE base-16-packed BIGINT
+    * (`codes_packed`, subspace 0 most significant): scalar columns keep
+    * the dump sortable by any engine, and the packed form is the byte
+    * layout a PQ store would persist anyway. The float codebooks stay the
+    * ANN-search path (`ext_sim_knn_pq`'s recall audit); KnnSpec pins
+    * planted-cluster assignment on both. */
   private val extEmbedPq: Q = (s, d) =>
-    Knn.pqCodesWith(pqBooks(s, d), embeddings(s, d), "vec_id", "embedding")
-      .select(col("vec_id"),
-        aggregate(col("codes"), lit(0L), (acc, c) => acc * PqK + c).as("codes_packed"),
-        col("recon_err"))
+    Knn.pqCodesInt(embeddings(s, d), "vec_id", "embedding",
+      m = PqM, k = PqK, iters = PqIters, sampleN = PqSampleN)
       .orderBy("vec_id")
 
   /** ADC search contract: top `PqRerank` candidates by codes-only distance,
@@ -2545,27 +2560,55 @@ object ExtQueries {
        |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** SimHash separation-audit oracle ([[Dedup.simhashSeparation]]'s twin):
+    * both population denominators are hash-free and recomputed exactly —
+    * near-dup pairs from the shared shingle CTE at rnd4(jaccard) ≥ 0.9,
+    * background pairs by consecutive doc_id existence — with the Hamming
+    * bounds as literals and ok asserted true (the annAuditSql shape). */
+  private val simhashAuditSql =
+    s"""WITH $shingleSql,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       |near AS (SELECT doc_a FROM common
+       |         JOIN sizes sa ON doc_a = sa.doc_id
+       |         JOIN sizes sb ON doc_b = sb.doc_id
+       |         WHERE ${rnd4Sql("c * 1.0 / (sa.n + sb.n - c)")} >= 0.9)
+       |SELECT 'background' AS population,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM documents a
+       |        JOIN documents b ON b.doc_id = a.doc_id + 1) AS n_pairs,
+       |       CAST(11000 AS BIGINT) AS bound_milli, true AS ok
+       |UNION ALL
+       |SELECT 'neardup', (SELECT CAST(count(*) AS BIGINT) FROM near),
+       |       CAST(9000 AS BIGINT), true
+       |ORDER BY population""".stripMargin
+
   /** Oracle replay of [[Knn.ivfCellsInt]] — the integer-exact Lloyd
     * recurrence unrolled for IvfIters = 2: snap to the 1e-6 grid, sample =
     * 128 lowest ids, seeds = 16 lowest, two (assign, floor-mean) rounds,
     * final full-corpus assignment. `//` is floor division; the engine's
     * `div` truncates — the +2³¹·n offset makes every numerator positive so
     * both agree (the fd2 discipline). Ties break (distance, cell). */
-  private val ivfCellsSql = {
-    def assignSql(src: String, cents: String) =
-      s"""SELECT vec_id, cell FROM (
-         |  SELECT p.vec_id, c.cell,
-         |         row_number() OVER (PARTITION BY p.vec_id
-         |           ORDER BY sum((p.v - c.c)*(p.v - c.c)), c.cell) AS rn
-         |  FROM $src p JOIN $cents c ON p.pos = c.pos
-         |  GROUP BY p.vec_id, c.cell)
-         |WHERE rn = 1""".stripMargin
+  /** The CTE chain of the Lloyd replay up to the trained `c2` centroids —
+    * shared by the cell-table oracle and the outlier-QC oracle so the
+    * quantizer replay is ONE definition. `finSelect` closes over it. */
+  private def lloydAssignSql(src: String, cents: String, withDist: Boolean = false) =
+    s"""SELECT vec_id, cell${if (withDist) ", d2" else ""} FROM (
+       |  SELECT p.vec_id, c.cell,
+       |         sum((p.v - c.c)*(p.v - c.c)) AS d2,
+       |         row_number() OVER (PARTITION BY p.vec_id
+       |           ORDER BY sum((p.v - c.c)*(p.v - c.c)), c.cell) AS rn
+       |  FROM $src p JOIN $cents c ON p.pos = c.pos
+       |  GROUP BY p.vec_id, c.cell)
+       |WHERE rn = 1""".stripMargin
+  private val lloydCteSql = {
     def centSql(asg: String) =
       s"""SELECT a.cell, p.pos,
          |       (sum(p.v) + 2147483648 * count(*)) // count(*) - 2147483648 AS c
          |FROM $asg a JOIN samp p USING (vec_id)
          |GROUP BY a.cell, p.pos""".stripMargin
-    s"""WITH x AS (
+    s"""x AS (
        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
        |              AS BIGINT) * 100 AS v
@@ -2575,13 +2618,74 @@ object ExtQueries {
        |seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
        |          FROM (SELECT vec_id FROM sids ORDER BY vec_id LIMIT $IvfCells)),
        |c0 AS (SELECT s.cell, p.pos, p.v AS c FROM seeds s JOIN samp p USING (vec_id)),
-       |a1 AS (${assignSql("samp", "c0")}),
+       |a1 AS (${lloydAssignSql("samp", "c0")}),
        |c1 AS (${centSql("a1")}),
-       |a2 AS (${assignSql("samp", "c1")}),
-       |c2 AS (${centSql("a2")}),
-       |fin AS (${assignSql("x", "c2")})
-       |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM fin ORDER BY vec_id""".stripMargin
+       |a2 AS (${lloydAssignSql("samp", "c1")}),
+       |c2 AS (${centSql("a2")})""".stripMargin
   }
+
+  private val ivfCellsSql =
+    s"""WITH $lloydCteSql,
+       |fin AS (${lloydAssignSql("x", "c2")})
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM fin ORDER BY vec_id""".stripMargin
+
+  /** Oracle replay of [[Knn.pqCodesInt]] — the subspace-fused Lloyd: the
+    * same snapped grid as [[lloydCteSql]], positions split into
+    * (subspace s, in-subspace p), seeds = the $PqK lowest-id sample
+    * vectors sliced per subspace, two floor-mean rounds keyed by
+    * (s, cell, p), then the full corpus coded per (vec_id, s) and packed
+    * base-$PqK with subspace 0 most significant; recon_d2 = Σ d². */
+  private val embedPqSql = {
+    def pqAssignSql(src: String, cents: String) =
+      s"""SELECT vec_id, s, cell, d2 FROM (
+         |  SELECT p.vec_id, p.s, c.cell,
+         |         sum((p.v - c.c)*(p.v - c.c)) AS d2,
+         |         row_number() OVER (PARTITION BY p.vec_id, p.s
+         |           ORDER BY sum((p.v - c.c)*(p.v - c.c)), c.cell) AS rn
+         |  FROM $src p JOIN $cents c ON p.s = c.s AND p.p = c.p
+         |  GROUP BY p.vec_id, p.s, c.cell)
+         |WHERE rn = 1""".stripMargin
+    def pqCentSql(asg: String) =
+      s"""SELECT a.s, a.cell, p.p,
+         |       (sum(p.v) + 2147483648 * count(*)) // count(*) - 2147483648 AS c
+         |FROM $asg a JOIN samp p ON a.vec_id = p.vec_id AND a.s = p.s
+         |GROUP BY a.s, a.cell, p.p""".stripMargin
+    s"""WITH x0 AS (
+       |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
+       |              AS BIGINT) * 100 AS v
+       |  FROM embeddings),
+       |dims AS (SELECT len(embedding) // $PqM AS sub FROM embeddings LIMIT 1),
+       |x AS (SELECT vec_id, pos // sub AS s, pos % sub AS p, v FROM x0, dims),
+       |sids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqSampleN),
+       |samp AS (SELECT x.* FROM x JOIN sids USING (vec_id)),
+       |seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+       |          FROM (SELECT vec_id FROM sids ORDER BY vec_id LIMIT $PqK)),
+       |c0 AS (SELECT p.s, sd.cell, p.p, p.v AS c FROM seeds sd JOIN samp p USING (vec_id)),
+       |a1 AS (${pqAssignSql("samp", "c0")}),
+       |c1 AS (${pqCentSql("a1")}),
+       |a2 AS (${pqAssignSql("samp", "c1")}),
+       |c2 AS (${pqCentSql("a2")}),
+       |fin AS (${pqAssignSql("x", "c2")})
+       |SELECT vec_id,
+       |       CAST(sum(cell * CAST(pow($PqK, ${PqM - 1} - s) AS BIGINT)) AS BIGINT)
+       |         AS codes_packed,
+       |       CAST(sum(d2) AS BIGINT) AS recon_d2
+       |FROM fin GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
+  /** Oracle replay of [[Knn.centroidOutliersInt]]: the shared Lloyd CTEs,
+    * then per vector the exact integer d² to its assigned centroid, the
+    * cell's floor-mean, and the cross-multiplied factor flag in HUGEINT
+    * (d²·n·100 can pass 2⁶³; Spark's side uses DECIMAL(38) — both exact). */
+  private val embedOutliersSql =
+    s"""WITH $lloydCteSql,
+       |fin AS (${lloydAssignSql("x", "c2", withDist = true)}),
+       |stats AS (SELECT cell, count(*) AS n, sum(d2) AS s FROM fin GROUP BY cell)
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(d2 AS BIGINT) AS d2,
+       |       CAST(s // n AS BIGINT) AS cell_mean_d2,
+       |       (CAST(d2 AS HUGEINT) * n * 100 > CAST(s AS HUGEINT) * 120) AS outlier
+       |FROM fin JOIN stats USING (cell) ORDER BY vec_id""".stripMargin
 
   /** ANN recall-audit oracle ([[Knn.recallAudit]]'s twin): the grid's
     * determinable columns (query set, k, floors) straight from the data,
@@ -3262,6 +3366,7 @@ object ExtQueries {
         |FROM documents GROUP BY 1 HAVING count(*) >= 2 ORDER BY prefix""".stripMargin,
 
     "ext_dedup_ngram" -> jaccardSql,
+    "ext_dedup_simhash" -> simhashAuditSql,
     "ext_dedup_minhash" -> jaccardSql,
 
     // directional: divide the common count by |A| only, keep both
@@ -4347,6 +4452,8 @@ object ExtQueries {
 
     "ext_sim_semdedup_cells" -> semdedupCellsSql,
     "ext_sim_knn_ivf_cells" -> ivfCellsSql,
+    "ext_embed_outliers" -> embedOutliersSql,
+    "ext_embed_pq" -> embedPqSql,
 
     // the simhash fallback replayed exactly: md5-derived 60-bit gram
     // hashes vote ±1 per bit, sign fold, 6 bands of 10 bits,

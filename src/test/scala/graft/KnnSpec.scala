@@ -159,6 +159,23 @@ class KnnSpec extends SparkSpec {
     assert(r.values.forall(_._3 < 0.02), s"recon err too high: $r")
   }
 
+  test("pqCodesInt assigns planted subspace clusters and packs codes base-k") {
+    // same planted layout as the float pin: dim 4, m=2, k=2 — codes pack
+    // base-2 with subspace 0 most significant, recon in exact 1e-12 units
+    val v = vecs(
+      0L -> Seq(0f, 0f, 10f, 10f),
+      1L -> Seq(10f, 10f, 0f, 0f),
+      2L -> Seq(0.1f, 0f, 10.1f, 10f),
+      3L -> Seq(9.9f, 10f, 0.1f, 0f))
+    val r = Knn.pqCodesInt(v, "vec_id", "embedding", m = 2, k = 2, iters = 2, sampleN = 4)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(r(0L)._2 === 0L && r(2L)._2 === 0L)   // codes (0,0) → 0·2+0
+    assert(r(1L)._2 === 3L && r(3L)._2 === 3L)   // codes (1,1) → 1·2+1
+    // centroids are exact floor-means of the ±0.05-jittered clusters, so
+    // recon d² ≤ 2·(0.05·10⁶)² = 5e9 per subspace in 1e-12 units
+    assert(r.values.forall(_._3 <= 2L * 5000000000L), s"recon too high: $r")
+  }
+
   test("pq reconstruction error shrinks as the codebook grows (fixture)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     def avgErr(k: Int): Double =
@@ -683,6 +700,25 @@ class KnnSpec extends SparkSpec {
       .select("vec_id", "outlier").as[(Long, Boolean)].collect().toMap
     assert(r(9L), "planted junk vector not flagged")
     assert(r.filter(_._2).keySet === Set(9L), s"extra outliers: $r")
+  }
+
+  test("centroidOutliersInt flags the same planted junk with exact integer margins") {
+    // same planted layout as the float pin; 120 pct of the y-cell's mean
+    // d² sits well under the junk vector's d² in 1e-6-unit integers
+    val v = vecs(
+      1L -> Seq(10f, 0f), 3L -> Seq(10f, 0f), 4L -> Seq(10f, 0f),
+      2L -> Seq(0f, 10f), 7L -> Seq(0f, 10f), 8L -> Seq(0f, 10f),
+      9L -> Seq(0f, 60f))
+    val r = Knn.centroidOutliersInt(v, "vec_id", "embedding",
+      nCells = 2, iters = 2, factorPct = 200, sampleN = 7)
+      .select("vec_id", "outlier").as[(Long, Boolean)].collect().toMap
+    assert(r(9L), "planted junk vector not flagged")
+    assert(r.filter(_._2).keySet === Set(9L), s"extra outliers: $r")
+    // exact invariants: d² of every exact-duplicate x-cluster member is 0
+    val d2 = Knn.centroidOutliersInt(v, "vec_id", "embedding",
+      nCells = 2, iters = 2, factorPct = 200, sampleN = 7)
+      .select("vec_id", "d2").as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 3L, 4L).forall(d2(_) === 0L))
   }
 
   test("the registered ext_sim_semdedup entry holds its structural contract") {
