@@ -438,13 +438,16 @@ object Knn {
       (d, cell)
     }.min
 
+  /** One snap to the exact 1e-4 grid, held as ×100 integers (1e-6 units) —
+    * the shared coordinate discipline of every integer-exact quantizer. */
+  private def snap100(c: Column): Column =
+    transform(c, x => (floor(x.cast("double") * 1e4 + 0.5).cast("long") * 100L))
+
   private def intCentroids(corpus: DataFrame, idCol: String, embCol: String,
                            nCells: Int, iters: Int, sampleN: Int)
       : (DataFrame, Seq[(Int, Array[Long])]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    def snap100(c: Column): Column =
-      transform(c, x => (floor(x.cast("double") * 1e4 + 0.5).cast("long") * 100L))
     val snapped = corpus.select(col(idCol).as("vec_id"), snap100(col(embCol)).as("__v"))
     val sampleRows = snapped.orderBy(col("vec_id")).limit(sampleN)
       .select(col("__v")).as[Array[Long]].collect()
@@ -607,8 +610,6 @@ object Knn {
                  m: Int, k: Int, iters: Int, sampleN: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    def snap100(c: Column): Column =
-      transform(c, x => (floor(x.cast("double") * 1e4 + 0.5).cast("long") * 100L))
     val snapped = corpus.select(col(idCol).as("vec_id"), snap100(col(embCol)).as("__v"))
     // one cluster job: the ordered sample; per-subspace Lloyd runs on the
     // driver (intCentroidsLocal — the sample is contract-bounded)
@@ -939,6 +940,18 @@ object Knn {
     semanticDedupIn(corpus, idCol, embCol, threshold,
       rowNearestCell(col(embCol),
         ivfCentroids(corpus, idCol, embCol, nCells, iters, sampleN)))
+
+  /** The integer-exact quantizer's assignment as a zero-shuffle COLUMN —
+    * trains [[intCentroids]] on the corpus (one sample job, driver Lloyd)
+    * and returns the literal-centroid argmin over the snapped embedding,
+    * so callers can inject the oracle-replayable cell function wherever a
+    * cell expression is expected ([[semanticDedupIn]]). Bit-identical to
+    * [[ivfCellsInt]]'s `cell` column by construction. */
+  def intCellExpr(corpus: DataFrame, idCol: String, embCol: String,
+                  nCells: Int, iters: Int, sampleN: Int): Column = {
+    val (_, cs) = intCentroids(corpus, idCol, embCol, nCells, iters, sampleN)
+    intNearestCellStruct(snap100(col(embCol)), cs).getField("cell")
+  }
 
   /** [[semanticDedup]] with an INJECTED cell assignment expression — the
     * grouping machinery (within-cell threshold pairs → connected

@@ -1359,13 +1359,21 @@ object ExtQueries {
   /** SemDeDup (Abbas et al. 2023): embedding-space semantic dedup — k-means
     * cells bound candidates, within-cell cosine ≥ t pairs close into groups,
     * min-id representative kept. One row per vector (id, cell, rep_id,
-    * kept); rows-only (the quantizer is not oracle-expressible) — grouping
-    * semantics pinned by KnnSpec's planted-duplicate properties. */
-  private val extSimSemdedup: Q = (s, d) =>
-    Knn.semanticDedup(embeddings(s, d), "vec_id", "embedding",
-      threshold = SemThreshold, nCells = SemCells, iters = SemIters,
-      sampleN = SemSampleN)
+    * kept). The cells come from the integer-exact quantizer
+    * ([[Knn.intCellExpr]] — the `ext_sim_knn_ivf_cells` Lloyd), so the
+    * ENTIRE pipeline — quantizer, within-cell cosine pairs, transitive
+    * closure, representatives — hash-gates against one oracle (Lloyd
+    * replay + recursive CTE); grouping semantics stay pinned by KnnSpec's
+    * planted-duplicate properties, and `ext_sim_semdedup_cells` keeps
+    * gating the grouping under hash cells independently of training. */
+  private val extSimSemdedup: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    Knn.semanticDedupIn(emb, "vec_id", "embedding",
+      threshold = SemThreshold,
+      cellExpr = Knn.intCellExpr(emb, "vec_id", "embedding",
+        nCells = SemCells, iters = SemIters, sampleN = SemSampleN))
       .orderBy("vec_id")
+  }
 
   /** The SemDeDup GROUPING machinery under an injected relational cell
     * assignment ([[Knn.semanticDedupIn]] with `pmod(id, 16)`): within-cell
@@ -1717,38 +1725,91 @@ object ExtQueries {
     pcaModelByDir.computeIfAbsent(d, _ =>
       Pca.fit(embeddings(s, d), "vec_id", "embedding", k = PcaK, sampleN = PcaSampleN))
 
-  /** Top-4 principal-component projections + off-subspace residual per
-    * embedding ([[graft.operators.Pca]]) — the linear-structure QC tier
-    * (what direction is the corpus' variance in; which vectors the
-    * dominant subspace fails to explain). Rows-only: the Jacobi eigensolve
-    * isn't oracle-expressible; PcaSpec pins orthonormality, descending
-    * eigenvalues, projection-variance ≈ eigenvalue, resid ≥ 0, and
-    * model determinism. Projection is a per-row codegen'd kernel against
-    * literal components — zero shuffles at any corpus size. */
-  private val extEmbedPca: Q = (s, d) =>
-    Pca.project(pcaModel(s, d), embeddings(s, d), "vec_id", "embedding")
-      .select(col("vec_id") +:
-        ((1 to PcaK).map(i => rnd4(col(s"pc$i")).as(s"pc$i")) :+
-          rnd4(col("resid")).as("resid")): _*)
-      .orderBy("vec_id")
+  /** PCA CONTRACT AUDIT ([[graft.operators.Pca]]) — the recall-audit
+    * graduation shape for the one ANN core a SQL engine genuinely cannot
+    * replay (the Jacobi eigensolve): every determinable grid column is
+    * oracle-recomputed and `ok` asserts the eigensolve's deterministic
+    * contract from REAL engine output —
+    *  - `descending_eigs`: λ₁ ≥ … ≥ λ₄ ≥ 0 off the trained model;
+    *  - `orthonormal`: max |⟨cᵢ,cⱼ⟩ − δᵢⱼ| ≤ 10⁻³ over the k(k+1)/2 Gram
+    *    entries (measured ~10⁻¹⁴ — a broken rotation or lost
+    *    normalization flips this by orders of magnitude);
+    *  - `explained_variance`: the top-4 subspace must carry ≥ 4.0% of the
+    *    FULL corpus' centered mass, Σ‖proj‖²·1000 ≥ 40·Σ(‖proj‖²+resid)
+    *    (measured 10.7% at sf0.01, 7.3% at sf0.1) — one corpus scan
+    *    through the same literal-component projection kernel.
+    * The per-vector projections stay PcaSpec-pinned (orthonormality,
+    * λ-variance, resid ≥ 0, determinism); the audit moves the contract
+    * into the driver's hash gate. */
+  private val extEmbedPca: Q = (s, d) => {
+    val m = pcaModel(s, d)
+    val eigOk = (0 until PcaK - 1).forall(i => m.eigenvalues(i) >= m.eigenvalues(i + 1)) &&
+      m.eigenvalues(PcaK - 1) >= 0.0
+    val gramMax = (for (i <- 0 until PcaK; j <- i until PcaK) yield {
+      val dot = m.components(i).zip(m.components(j)).map { case (a, b) => a * b }.sum
+      math.abs(dot - (if (i == j) 1.0 else 0.0))
+    }).max
+    val proj = Pca.project(m, embeddings(s, d), "vec_id", "embedding")
+    val pm = (1 to PcaK).map(i => col(s"pc$i") * col(s"pc$i")).reduce(_ + _)
+    val ev = proj.agg(count(lit(1)).as("n"), sum(pm).as("__pm"),
+        sum(pm + col("resid")).as("__tot"))
+      .select(lit("explained_variance").as("metric"), col("n"),
+        lit(40L).as("bound_milli"),
+        (col("__pm") * 1000.0 >= col("__tot") * 40.0).as("ok"))
+    val spark = s
+    import spark.implicits._
+    Seq(("descending_eigs", PcaK.toLong, 0L, eigOk),
+        ("orthonormal", (PcaK * (PcaK + 1) / 2).toLong, 1L, gramMax * 1000.0 <= 1.0))
+      .toDF("metric", "n", "bound_milli", "ok")
+      .unionByName(ev)
+      .orderBy("metric")
+  }
 
-  /** Whitened projections — [[extEmbedPca]]'s normalized form: wᵢ = pcᵢ/√λᵢ
-    * gives each retained axis unit variance (over the training sample),
-    * the pre-rotation SemDeDup-style pipelines cluster in so no single
-    * dominant direction owns the metric. Same per-row literal-component
-    * kernel plus k scalar divides; PcaSpec pins Var(wᵢ) = 1. Degenerate
-    * axes (λ ≈ 0) yield nulls rather than exploding. */
+  /** Whitening CONTRACT AUDIT — [[extEmbedPca]]'s normalized form
+    * (wᵢ = pcᵢ/√λᵢ gives each retained axis unit variance over the
+    * training sample, the pre-rotation SemDeDup-style pipelines cluster
+    * in). Per component two claims off REAL whitened output, both through
+    * the same literal-component projection kernel:
+    *  - `sample_unit_var_pcᵢ`: population Var(wᵢ) over the training sample
+    *    = 1 within 10⁻³ (whitening's defining identity; measured 10⁻⁸);
+    *  - `corpus_var_floor/ceil_pcᵢ`: the FULL corpus' whitened variance
+    *    stays in [0.4, 1.6] — a collapsed or exploding axis (encoder
+    *    drift the sample missed) leaves the band.
+    * PcaSpec keeps pinning the per-vector values; the oracle recomputes
+    * the grid (counts, bounds) and asserts every ok. */
   private val extEmbedWhiten: Q = (s, d) => {
     val m = pcaModel(s, d)
-    Pca.project(m, embeddings(s, d), "vec_id", "embedding")
-      .select(col("vec_id") +:
-        (1 to PcaK).map { i =>
-          val lam = m.eigenvalues(i - 1)
-          val w = if (lam > 1e-12) rnd4(col(s"pc$i") / math.sqrt(lam))
-                  else lit(null).cast("double")
-          w.as(s"w$i")
-        }: _*)
-      .orderBy("vec_id")
+    val spark = s
+    import spark.implicits._
+    val proj = Pca.project(m, embeddings(s, d), "vec_id", "embedding")
+    def wCol(i: Int) = col(s"pc$i") / math.sqrt(m.eigenvalues(i - 1))
+    // training-sample rows: whitening is DEFINED to unit-normalize the
+    // sample, so its population variance must be 1 to within float fold
+    // error (measured |v−1| ≈ 10⁻⁸ vs the 10⁻³ bound)
+    val sample = proj.orderBy(col("vec_id")).limit(PcaSampleN)
+    val sCols = count(lit(1)).as("n") +:
+      (1 to PcaK).flatMap(i => Seq(
+        (sum(wCol(i) * wCol(i)) / count(lit(1))).as(s"__e2_$i"),
+        (sum(wCol(i)) / count(lit(1))).as(s"__e_$i")))
+    val sAgg = sample.agg(sCols.head, sCols.tail: _*)
+      .localCheckpoint(true) // 1 row; read by k metric rows
+    val sRows = (1 to PcaK).map(i =>
+      sAgg.select(lit(s"sample_unit_var_pc$i").as("metric"), col("n"),
+        lit(1L).as("bound_milli"),
+        (abs(col(s"__e2_$i") - col(s"__e_$i") * col(s"__e_$i") - 1.0) * 1000.0 <= 1.0)
+          .as("ok")))
+    // full-corpus rows: whitened axes must stay O(1) variance corpus-wide
+    // (a collapsed or exploding axis breaks the [0.4, 1.6] band; measured
+    // 1.00 at sf0.01, 0.68–0.73 at sf0.1)
+    val cAgg = proj.agg(sCols.head, sCols.tail: _*)
+      .localCheckpoint(true) // 1 row; read by 2k metric rows
+    def cVar(i: Int) = col(s"__e2_$i") - col(s"__e_$i") * col(s"__e_$i")
+    val cRows = (1 to PcaK).flatMap(i => Seq(
+      cAgg.select(lit(s"corpus_var_ceil_pc$i").as("metric"), col("n"),
+        lit(1600L).as("bound_milli"), (cVar(i) * 1000.0 <= 1600.0).as("ok")),
+      cAgg.select(lit(s"corpus_var_floor_pc$i").as("metric"), col("n"),
+        lit(400L).as("bound_milli"), (cVar(i) * 1000.0 >= 400.0).as("ok"))))
+    (sRows ++ cRows).reduce(_.unionByName(_)).orderBy("metric")
   }
 
   private val pqBooksByDir =
@@ -2736,6 +2797,60 @@ object ExtQueries {
        |       r.rep_id = c.vec_id AS kept
        |FROM e c JOIN rec r ON c.vec_id = r.src
        |ORDER BY 1""".stripMargin
+
+  /** FULL SemDeDup oracle — [[semdedupCellsSql]]'s closure over the REAL
+    * quantizer: cells from the shared Lloyd replay (Sem* constants equal
+    * the Ivf* ones, so [[lloydCteSql]] is the same training), then the
+    * identical within-cell cosine pairs → recursive-CTE components →
+    * min-id representative. With this, `ext_sim_semdedup` is gated
+    * end-to-end: quantizer AND grouping in one hash. */
+  private val semdedupFullSql =
+    s"""WITH $lloydCteSql,
+       |fin AS (${lloydAssignSql("x", "c2")}),
+       |e AS (SELECT em.vec_id, em.embedding::DOUBLE[] AS emb, f.cell
+       |      FROM embeddings em JOIN fin f USING (vec_id)),
+       |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+       |      FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |      WHERE ${cosSql("a.emb", "b.emb")} >= 0.3),
+       |edges AS (SELECT ida, idb FROM p UNION ALL SELECT idb AS ida, ida AS idb FROM p),
+       |rec AS (
+       |  WITH RECURSIVE reach(src, dst) AS (
+       |    SELECT vec_id, vec_id FROM e
+       |    UNION
+       |    SELECT r.src, ed.idb FROM reach r JOIN edges ed ON r.dst = ed.ida
+       |  ) SELECT src, min(dst) AS rep_id FROM reach GROUP BY 1)
+       |SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell, r.rep_id,
+       |       r.rep_id = c.vec_id AS kept
+       |FROM e c JOIN rec r ON c.vec_id = r.src
+       |ORDER BY 1""".stripMargin
+
+  /** PCA / whitening contract-audit oracles — the annAuditSql shape: the
+    * grid's determinable columns (metric names, counts, bounds) straight
+    * from the data, ok asserted true on every row. */
+  private val embedPcaSql =
+    s"""SELECT 'descending_eigs' AS metric, CAST($PcaK AS BIGINT) AS n,
+       |       CAST(0 AS BIGINT) AS bound_milli, true AS ok
+       |UNION ALL
+       |SELECT 'explained_variance', (SELECT CAST(count(*) AS BIGINT) FROM embeddings),
+       |       40, true
+       |UNION ALL
+       |SELECT 'orthonormal', ${PcaK * (PcaK + 1) / 2}, 1, true
+       |ORDER BY metric""".stripMargin
+
+  private val embedWhitenSql = {
+    val rows =
+      (1 to PcaK).flatMap(i => Seq(
+        s"""SELECT 'corpus_var_ceil_pc$i' AS metric,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n,
+           |       CAST(1600 AS BIGINT) AS bound_milli, true AS ok""".stripMargin,
+        s"""SELECT 'corpus_var_floor_pc$i',
+           |       (SELECT CAST(count(*) AS BIGINT) FROM embeddings), 400, true""".stripMargin)) ++
+      (1 to PcaK).map(i =>
+        s"""SELECT 'sample_unit_var_pc$i',
+           |       (SELECT CAST(least(count(*), $PcaSampleN) AS BIGINT) FROM embeddings),
+           |       1, true""".stripMargin)
+    rows.mkString("", "\nUNION ALL\n", "\nORDER BY metric")
+  }
 
   /** Deterministic sampling bucket — oracle twin of
     * [[TrainPrep.sampleBucket]], ONE definition for every oracle that
@@ -4450,10 +4565,13 @@ object ExtQueries {
          |FROM g, (VALUES (500), (900), (990)) pp(p)
          |ORDER BY stratum, p""".stripMargin,
 
+    "ext_sim_semdedup" -> semdedupFullSql,
     "ext_sim_semdedup_cells" -> semdedupCellsSql,
     "ext_sim_knn_ivf_cells" -> ivfCellsSql,
     "ext_embed_outliers" -> embedOutliersSql,
     "ext_embed_pq" -> embedPqSql,
+    "ext_embed_pca" -> embedPcaSql,
+    "ext_embed_whiten" -> embedWhitenSql,
 
     // the simhash fallback replayed exactly: md5-derived 60-bit gram
     // hashes vote ±1 per bit, sign fold, 6 bands of 10 bits,

@@ -45,9 +45,14 @@ class PcaSpec extends SparkSpec {
   }
 
   test("residual is non-negative and vanishes as k reaches the full dimension") {
-    val q = SparkEntry.queries("ext_embed_pca")(spark, d).collect()
+    val q = Pca.project(model, graft.Tables.embeddings(spark, d), "vec_id", "embedding")
+      .collect()
     assert(q.length === 500)
     q.foreach(r => assert(r.getDouble(r.length - 1) >= 0.0, r.toString))
+    // and the registered entry's contract grid is all-ok (the oracle's claim)
+    val grid = SparkEntry.queries("ext_embed_pca")(spark, d)
+      .select("metric", "ok").as[(String, Boolean)].collect().toMap
+    assert(grid.size === 3 && grid.values.forall(identity), grid.toString)
     // full-rank model explains everything: residual ≈ 0 for every vector
     val full = Pca.fit(graft.Tables.embeddings(spark, d), "vec_id", "embedding",
       k = 64, sampleN = 512)
@@ -71,14 +76,19 @@ class PcaSpec extends SparkSpec {
   }
 
   test("whitened axes carry unit variance over the training sample") {
-    val w = SparkEntry.queries("ext_embed_whiten")(spark, d)
-    val n = w.count().toDouble
+    val proj = Pca.project(model, graft.Tables.embeddings(spark, d), "vec_id", "embedding")
+    val n = proj.count().toDouble
     (1 to graft.queries.ExtQueries.PcaK).foreach { i =>
-      val Array(s1, s2) = w.agg(sum(col(s"w$i")), sum(col(s"w$i") * col(s"w$i")))
+      val w = col(s"pc$i") / math.sqrt(model.eigenvalues(i - 1))
+      val Array(s1, s2) = proj.agg(sum(w), sum(w * w))
         .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
       val v = s2 / n - (s1 / n) * (s1 / n)
-      assert(math.abs(v - 1.0) < 1e-2, s"Var(w$i)=$v") // 4-dp output rounding
+      assert(math.abs(v - 1.0) < 1e-2, s"Var(w$i)=$v")
     }
+    // and the registered entry's contract grid is all-ok (the oracle's claim)
+    val grid = SparkEntry.queries("ext_embed_whiten")(spark, d)
+      .select("metric", "ok").as[(String, Boolean)].collect().toMap
+    assert(grid.size === 12 && grid.values.forall(identity), grid.toString)
   }
 
   test("bench scale (sf0.1): the sample-trained model keeps its contracts on the 4x corpus") {
