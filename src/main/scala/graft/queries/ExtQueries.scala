@@ -1688,29 +1688,91 @@ object ExtQueries {
       graft.operators.Unigram.train(documents(s, d), vocabSize = UniVocab,
         seedSize = UniSeed, iters = UniIters))
 
-  /** The trained unigram piece table (id, piece, integer log-micronat) —
-    * the model artifact a SentencePiece deployment ships. Rows-only
-    * (iterative float EM is not oracle-expressible); UnigramSpec pins the
-    * EM contract: monotone log-likelihood, normalized probabilities,
-    * single-char coverage, frequent-word pieces, refit determinism. */
+  /** Unigram-LM TRAINING contract audit (the recall-audit graduation shape
+    * for the iterative float EM a SQL engine cannot replay): one row per
+    * DISTINCT CORPUS CHARACTER — the oracle recomputes that set exactly —
+    * with ok = "the trained vocab contains it as a piece" (SentencePiece's
+    * coverage invariant: lose a char and encoding breaks), plus summary
+    * rows off the real trained model: vocab size = the contract constant,
+    * piece probabilities normalized (|Σp − 1| ≤ 10⁻⁶), EM log-likelihood
+    * monotone across the $UniIters iterations. A broken seed pass, prune
+    * or E-step flips a row. The piece table itself stays UnigramSpec-pinned
+    * (frequent-word pieces, refit determinism, local ≡ distributed). */
   private val extUnigramTrain: Q = (s, d) => {
-    import s.implicits._
-    uniModel(s, d).pieces.zipWithIndex
-      .map { case ((p, mi), i) => (i.toLong, p, mi) }
-      .toDF("piece_id", "piece", "logprob_micro")
-      .orderBy("piece_id")
+    val m = uniModel(s, d)
+    val spark = s
+    import spark.implicits._
+    val pieceSet = m.pieces.map(_._1).toSet
+    val chars = documents(s, d)
+      .select(explode(split(regexp_replace(col("text"), " ", ""), "")).as("item"))
+      .filter(col("item") =!= "").distinct()
+      .withColumn("ok", col("item").isInCollection(pieceSet))
+    val probSum = m.probs.sum
+    val ll = m.llHistory.take(UniIters)
+    // prune keeps every single char and tops up to AT MOST vocabSize multi
+    // pieces (fewer when the seed pool is smaller — fitCore's take())
+    val nSingle = pieceSet.count(_.length == 1)
+    val summary = Seq(
+      (s"__vocab_bounded_$UniVocab",
+        m.pieces.size <= UniVocab && m.pieces.size >= nSingle),
+      ("__probs_normalized", math.abs(probSum - 1.0) <= 1e-6),
+      ("__ll_monotone", ll.zip(ll.tail).forall { case (a, b) => b >= a - math.abs(a) * 1e-12 }))
+      .toDF("item", "ok")
+    chars.unionByName(summary).orderBy("item")
   }
 
-  /** Viterbi encoding of every document under the trained model: piece
-    * count, exact integer total score, unknown-char count — one codegen'd
-    * per-row pass against the literal piece table, zero shuffles at any
-    * scale ([[graft.functions.UnigramEncode]]). UnigramSpec pins lossless
-    * round-trip and score/sum agreement. */
+  /** Viterbi ENCODING fidelity audit, one row per document — the encode
+    * path's contract as a pure function the oracle can frame: n_chars
+    * (space-stripped length, oracle-recomputed) and ok asserting, off the
+    * REAL encode output ([[graft.functions.UnigramEncode]], one codegen'd
+    * per-row pass against the literal piece table, zero shuffles):
+    *  - lossless round-trip: the ids' pieces concatenate back to the
+    *    space-stripped text (decode is a transform over the literal piece
+    *    array — engine-side, no driver loop);
+    *  - zero unknown chars (coverage — the training audit's other half);
+    *  - score is the exact sum of the ids' integer micros;
+    *  - Viterbi optimality floor: total score ≥ the single-char
+    *    segmentation's score (Viterbi maximizes; the char split is always
+    *    available, so a broken DP that undershoots it flips ok);
+    *  - 1 ≤ n_pieces ≤ n_chars (empty docs: n_pieces = 0).
+    * UnigramSpec keeps pinning raw ids/scores; the audit moves the encode
+    * contract into the driver's hash gate. */
   private val extUnigramEncode: Q = (s, d) => {
-    val enc = graft.operators.Unigram.encode(uniModel(s, d), col("text"))
-    documents(s, d).select(col("doc_id"), enc.as("e"))
-      .select(col("doc_id"), size(col("e.ids")).cast("long").as("n_pieces"),
-        col("e.score_micro"), col("e.n_unk"))
+    val m = uniModel(s, d)
+    val pieceStr = typedlit(m.pieces.map(_._1))
+    val pieceMicro = typedlit(m.pieces.map(_._2))
+    // a zero-probability piece carries micro = round(log 0) = Long.MinValue;
+    // summing two such chars overflows, so the BASELINE clamps at −10¹²
+    // (553-char docs stay ≪ 2⁶³; the optimality floor only loosens for
+    // chars Viterbi would never pick alone anyway)
+    val charMicro = typedlit(m.pieces.filter(_._1.length == 1)
+      .map { case (p, mi) => (p, math.max(mi, -1000000000000L)) }.toMap)
+    val enc = graft.operators.Unigram.encode(m, col("text"))
+    val stripped = regexp_replace(col("text"), " ", "")
+    // id −1 = unknown (never on the self-trained fixture, but element_at's
+    // 1-based indexing would throw on 0 — map unks to sentinels instead;
+    // the n_unk = 0 conjunct already fails such a row)
+    val decoded = array_join(
+      transform(col("e.ids"), id => when(id < 0L, lit(" "))
+        .otherwise(element_at(pieceStr, id.cast("int") + 1))), "")
+    val scoreSum = aggregate(
+      transform(col("e.ids"), id => when(id < 0L, lit(1L))
+        .otherwise(element_at(pieceMicro, id.cast("int") + 1))),
+      lit(0L), _ + _)
+    val charScore = aggregate(
+      transform(split(col("__stripped"), ""), c => element_at(charMicro, c)),
+      lit(0L), _ + _)
+    val nChars = length(col("__stripped"))
+    val nPieces = size(col("e.ids"))
+    documents(s, d)
+      .select(col("doc_id"), col("text"), enc.as("e"), stripped.as("__stripped"))
+      .select(col("doc_id"), nChars.cast("long").as("n_chars"),
+        (col("e.n_unk") === 0L &&
+          decoded === col("__stripped") &&
+          col("e.score_micro") === scoreSum &&
+          col("e.score_micro") >= charScore &&
+          (when(nChars === 0, nPieces === 0)
+            .otherwise(nPieces >= 1 && nPieces <= nChars))).as("ok"))
       .orderBy("doc_id")
   }
 
@@ -2823,6 +2885,24 @@ object ExtQueries {
        |       r.rep_id = c.vec_id AS kept
        |FROM e c JOIN rec r ON c.vec_id = r.src
        |ORDER BY 1""".stripMargin
+
+  /** Unigram contract-audit oracles: the training grid's char rows are
+    * RECOMPUTED (distinct space-stripped corpus characters — the coverage
+    * invariant's exact domain), the summaries and the per-doc encode frame
+    * (doc_id, space-stripped length) likewise, ok asserted true. */
+  private val unigramTrainSql =
+    s"""SELECT DISTINCT unnest(string_split(replace(text, ' ', ''), '')) AS item,
+       |       true AS ok
+       |FROM documents WHERE length(replace(text, ' ', '')) > 0
+       |UNION ALL SELECT '__ll_monotone', true
+       |UNION ALL SELECT '__probs_normalized', true
+       |UNION ALL SELECT '__vocab_bounded_$UniVocab', true
+       |ORDER BY item""".stripMargin
+
+  private val unigramEncodeSql =
+    """SELECT doc_id, CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+      |       true AS ok
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** PCA / whitening contract-audit oracles — the annAuditSql shape: the
     * grid's determinable columns (metric names, counts, bounds) straight
@@ -4572,6 +4652,8 @@ object ExtQueries {
     "ext_embed_pq" -> embedPqSql,
     "ext_embed_pca" -> embedPcaSql,
     "ext_embed_whiten" -> embedWhitenSql,
+    "ext_unigram_train" -> unigramTrainSql,
+    "ext_unigram_encode" -> unigramEncodeSql,
 
     // the simhash fallback replayed exactly: md5-derived 60-bit gram
     // hashes vote ±1 per bit, sign fold, 6 bands of 10 bits,
