@@ -19,6 +19,49 @@ import org.apache.spark.sql.functions._
   * at any scale. */
 object Robust {
 
+  /** Per-group Spearman rank correlation in exact integer micro-units —
+    * the "does metric A rank like metric B" QC tie (length-vs-quality bias,
+    * score-vs-score agreement) without Pearson's outlier fragility.
+    *
+    * Determinism discipline: ranks are DOUBLED average ranks off each
+    * value's histogram — d2r(v) = 2·(#strictly smaller) + tf(v) + 1, an
+    * integer even under ties — and ρ is the classic 1 − 6Σd²/(n(n²−1))
+    * evaluated on them: ρ_micro = 10⁶ − (3·Σ(d2rx−d2ry)²·10⁶) div
+    * (2·n·(n²−1)), every step an exact non-negative-numerator floor
+    * division both engines share. (With ties this is the standard
+    * no-tie-correction Spearman — a defined statistic, bit-identical
+    * cross-engine, which is what an oracle-gated monitor needs.)
+    * Σd² rides DECIMAL(38): it reaches 4n³, past 2⁶³ near a billion rows
+    * per group. Groups of one row emit ρ = null (undefined).
+    *
+    * Shape: per metric ONE domain-histogram aggregate (map-side combined,
+    * value-domain-sized) + a cumulative window over that tiny frame — the
+    * [[madOutliers]] discipline — then two histogram-sized joins back onto
+    * the rows and one per-group aggregate. No data-sized sort anywhere. */
+  def spearmanMicro(rows: DataFrame, groupCol: String,
+                    xCol: String, yCol: String): DataFrame = {
+    def d2ranks(c: String, v: String, r: String): DataFrame = {
+      val h = rows.groupBy(col(groupCol), col(c).as(v)).agg(count(lit(1)).as("tf"))
+      val cum = Window.partitionBy(col(groupCol)).orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("__cum", sum(col("tf")).over(cum))
+        .select(col(groupCol), col(v),
+          (lit(2L) * (col("__cum") - col("tf")) + col("tf") + 1L).as(r))
+    }
+    rows.select(col(groupCol), col(xCol).as("__x"), col(yCol).as("__y"))
+      .join(d2ranks(xCol, "__x", "__rx"), Seq(groupCol, "__x"))
+      .join(d2ranks(yCol, "__y", "__ry"), Seq(groupCol, "__y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(((col("__rx") - col("__ry")) * (col("__rx") - col("__ry")))
+          .cast("decimal(38,0)")).as("__d2"))
+      .select(col(groupCol), col("n"),
+        when(col("n") > 1L,
+          lit(1000000L) - expr("CAST((__d2 * 3000000) div " +
+            "(2 * CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1)) AS BIGINT)"))
+          .as("rho_micro"))
+  }
+
   /** Per-group (group, __n, med, mad, n_outliers) where n_outliers counts
     * histogram mass beyond `madFactor`·MAD from the median. Callers rename
     * and scale for their output contract. */

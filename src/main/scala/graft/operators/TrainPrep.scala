@@ -993,6 +993,38 @@ object TrainPrep {
           .as("repeat_millis"))
   }
 
+  /** Data-constrained EPOCH ALLOCATION over a mixture plan (the planning
+    * op of Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models": repeating data holds value for ~4 epochs, so a budget is
+    * filled per source up to an epoch cap and the unfillable remainder is
+    * surfaced instead of silently over-repeated). Input is a
+    * [[temperatureMix]]-shaped frame (stratum, n_tokens, target_mmille);
+    * per stratum:
+    *  - desired = target share of the budget (budget = `budgetPct`% of the
+    *    corpus' total tokens — >100 means a multi-epoch run);
+    *  - epochs_milli = min(cap, desired/available) in millis;
+    *  - alloc = min(desired, cap × available); shortfall = desired − alloc
+    *    (what must come from NEW data, the paper's headline quantity).
+    * Every step is a floor division of non-negative integers — truncating
+    * and flooring engines agree, so the whole plan is oracle-exact. Shape:
+    * a stratum-count-sized frame crossed with a broadcast 1-row total. */
+  def epochAllocation(mix: DataFrame, budgetPct: Int = 200,
+                      capMilli: Long = 4000L): DataFrame = {
+    val tot = broadcast(mix.agg(sum(col("n_tokens")).as("__tot")))
+    mix.crossJoin(tot)
+      .select(col("stratum"), col("n_tokens"), col("target_mmille"),
+        expr(s"(target_mmille * ((__tot * ${budgetPct}L) div 100L)) div 1000000L")
+          .as("desired_tokens"))
+      .select(col("stratum"), col("n_tokens"), col("target_mmille"),
+        col("desired_tokens"),
+        least(lit(capMilli),
+          expr("(desired_tokens * 1000L) div greatest(n_tokens, 1L)"))
+          .as("epochs_milli"),
+        least(col("desired_tokens"), expr(s"(n_tokens * ${capMilli}L) div 1000L"))
+          .as("alloc_tokens"))
+      .withColumn("shortfall_tokens", col("desired_tokens") - col("alloc_tokens"))
+  }
+
   /** Curriculum-stage assignment (the curriculum-learning data ordering of
     * Bengio et al. 2009, as a pipeline op): rank every doc by a difficulty/
     * quality score and split the ranking into `k` stages — stage 0 trains

@@ -2216,6 +2216,31 @@ object ExtQueries {
     TrainPrep.temperatureMix(documents(s, d), "source", "text")
       .orderBy("stratum")
 
+  /** Per-source Spearman rank correlation between document LENGTH and the
+    * composite QUALITY score ([[graft.operators.Robust.spearmanMicro]]) —
+    * the "is my quality score just a length proxy" audit run before a
+    * score gates anything (a source whose ρ ≈ 1 is length-biased; the
+    * fixture's composite saturates length at 100 tokens, so real sources
+    * land mid-range). Ranks off value histograms (doubled average ranks —
+    * integer under ties), ρ in exact integer micro-units — oracle-exact. */
+  private val extQualityLengthCorr: Q = (s, d) =>
+    graft.operators.Robust.spearmanMicro(
+      documents(s, d).select(col("source"), col("n_chars"),
+        floor(TextFns.qualityScore(col("text")) * 10000.0 + 0.5).cast("long").as("__q")),
+      "source", "n_chars", "__q")
+      .orderBy("source")
+
+  /** Data-constrained epoch allocation over the temperature mix
+    * ([[TrainPrep.epochAllocation]] — Muennighoff et al. 2023): a 2×-corpus
+    * token budget split by the α = ½ target shares, each source repeated
+    * at most 4 epochs, the unfillable remainder surfaced as
+    * shortfall_tokens (what must come from NEW data). All-integer floor
+    * divisions — oracle-exact. */
+  private val extMixEpochs: Q = (s, d) =>
+    TrainPrep.epochAllocation(
+      TrainPrep.temperatureMix(documents(s, d), "source", "text"))
+      .orderBy("stratum")
+
   /** Length-bucketed batching plan (see [[TrainPrep.lengthBuckets]]):
     * power-of-two token buckets 32..2048, 16-doc batches, and the padding
     * fraction each bucket pays — one scan, bucket-count-sized output. */
@@ -2526,6 +2551,8 @@ object ExtQueries {
     "ext_mix_plan" -> extMixPlan,
     "ext_mix_apply" -> extMixApply,
     "ext_mix_temperature" -> extMixTemperature,
+    "ext_mix_epochs" -> extMixEpochs,
+    "ext_quality_length_corr" -> extQualityLengthCorr,
     "ext_batch_buckets" -> extBatchBuckets,
     "ext_curriculum" -> extCurriculum,
     "ext_curriculum_plan" -> extCurriculumPlan,
@@ -4414,6 +4441,60 @@ object ExtQueries {
          |       ((weight * 1000000) // tw) * 1000
          |         // greatest((n_tokens * 1000000) // tt, 1) AS repeat_millis
          |FROM w, tot ORDER BY stratum""".stripMargin,
+
+    // doubled-average-rank Spearman off value histograms; Σd² in HUGEINT
+    // (Spark side rides DECIMAL(38)) — every division a non-negative-
+    // numerator floor, so // ≡ div
+    "ext_quality_length_corr" ->
+      s"""WITH ${qualitySqlCte("documents", "source, n_chars,")},
+         |r AS (SELECT source, n_chars AS x,
+         |             CAST(floor((stop_ratio * 0.4 + ttr * 0.3 + len_sat * 0.3)
+         |                        * 10000 + 0.5) AS BIGINT) AS y
+         |      FROM q),
+         |hx AS (SELECT source, x, CAST(count(*) AS BIGINT) AS tf FROM r GROUP BY 1, 2),
+         |rx AS (SELECT source, x,
+         |              2 * (sum(tf) OVER (PARTITION BY source ORDER BY x) - tf)
+         |                + tf + 1 AS rxv
+         |       FROM hx),
+         |hy AS (SELECT source, y, CAST(count(*) AS BIGINT) AS tf FROM r GROUP BY 1, 2),
+         |ry AS (SELECT source, y,
+         |              2 * (sum(tf) OVER (PARTITION BY source ORDER BY y) - tf)
+         |                + tf + 1 AS ryv
+         |       FROM hy),
+         |j AS (SELECT r.source, rxv, ryv
+         |      FROM r JOIN rx USING (source, x) JOIN ry USING (source, y)),
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(CAST((rxv - ryv) * (rxv - ryv) AS HUGEINT)) AS HUGEINT) AS d2
+         |      FROM j GROUP BY 1)
+         |SELECT source, n,
+         |       CASE WHEN n > 1 THEN CAST(1000000 - (d2 * 3000000)
+         |              // (2 * CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1))
+         |            AS BIGINT) END AS rho_micro
+         |FROM a ORDER BY source""".stripMargin,
+
+    // the temperature CTE extended with the budget/cap floor divisions —
+    // all non-negative integers, so // ≡ div
+    "ext_mix_epochs" ->
+      s"""WITH per AS (
+         |  SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(${TextFns.bpeEstimateSql("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |w AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 10000) AS BIGINT)
+         |               AS weight FROM per),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+         |               CAST(sum(weight) AS BIGINT) AS tw FROM w),
+         |plan AS (SELECT stratum, n_tokens,
+         |                (weight * 1000000) // tw AS target_mmille,
+         |                (((weight * 1000000) // tw) * ((tt * 200) // 100))
+         |                  // 1000000 AS desired_tokens
+         |         FROM w, tot)
+         |SELECT stratum, n_tokens, target_mmille, desired_tokens,
+         |       least(4000, (desired_tokens * 1000) // greatest(n_tokens, 1))
+         |         AS epochs_milli,
+         |       least(desired_tokens, (n_tokens * 4000) // 1000) AS alloc_tokens,
+         |       desired_tokens - least(desired_tokens, (n_tokens * 4000) // 1000)
+         |         AS shortfall_tokens
+         |FROM plan ORDER BY stratum""".stripMargin,
 
     // power-of-two length buckets: CASE chain mirrors the Scala fold; all
     // counts integer, the one double division has identical operands

@@ -440,6 +440,22 @@ object StreamQueries {
       .orderBy("source")
   }
 
+  /** Batch-replay form of the per-source length-profile monitor
+    * ([[graft.streaming.LengthProfileStream]]): the corpus delivered TWICE
+    * (at-least-once), collapsed through the idempotent doc-keyed
+    * membership merge, then the shared Robust median/MAD report — which is
+    * exactly `ext_length_outliers`, so the oracle is shared verbatim. The
+    * live path (file stream, checkpointed restart, redelivery,
+    * compaction) is exercised in StreamingSpec. */
+  private val streamLengthOutliers: Q = (s, d) => {
+    import graft.streaming.LengthProfileStream
+    val docs = s.read.parquet(s"$d/documents.parquet")
+    val once = LengthProfileStream.transform(docs)
+    val twice = once.unionByName(once) // two deliveries
+    LengthProfileStream.report(
+      LengthProfileStream.mergeMembers(twice.limit(0), twice))
+  }
+
   val queries: Map[String, Q] = Map(
     "source_changestream" -> sourceChangestream,
     "sink_checkpoint" -> sinkCheckpointReplay,
@@ -467,6 +483,7 @@ object StreamQueries {
     "stream_vocab_drift" -> streamVocabDrift,
     "stream_source_caps" -> streamSourceCaps,
     "stream_prefix_dup" -> streamPrefixDup,
+    "stream_length_outliers" -> streamLengthOutliers,
     "stream_ks_drift" -> streamKsDrift)
 
   val oracle: Map[String, String] = Map(
@@ -486,6 +503,10 @@ object StreamQueries {
     // IS the batch RefinedWeb cap's (one definition, twins can't drift)
     "stream_source_caps" -> ExtQueries.oracle("ext_source_caps"),
     "stream_prefix_dup" -> ExtQueries.oracle("ext_prefix_dup"),
+    // doubled delivery collapses through the doc-keyed membership merge
+    // BEFORE any histogramming — the oracle IS the batch length-outlier
+    // gate's (one Robust definition, twins can't drift)
+    "stream_length_outliers" -> ExtQueries.oracle("ext_length_outliers"),
 
     "source_changestream" ->
       s"""SELECT event_id, ${fmtTsSql("ts")} AS ts_s, user_id, $OP AS op_type, props

@@ -428,6 +428,54 @@ class StreamingSpec extends SparkSpec {
       === expected)
   }
 
+  test("length-profile monitor: restart + redelivery + replay converge to the batch outlier gate") {
+    import graft.streaming.LengthProfileStream
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val src = tmp("lp-src")
+    val tgt = tmp("lp-tgt").resolve("state").toString
+    val ckp = tmp("lp-ckp").toString
+
+    def arrive(wave: String, pred: org.apache.spark.sql.Column): Unit = {
+      val staging = tmp(s"lp-stage-$wave")
+      Tables.documents(spark, sf).filter(pred)
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, src.resolve(s"$wave-${f.getName}")))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long, Long, Long, Long)] =
+      df.orderBy("source").as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+
+    // state accumulates across the checkpointed restart
+    arrive("wave1", col("doc_id") < 200)
+    LengthProfileStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    arrive("wave2", col("doc_id") >= 200)
+    LengthProfileStream.start(spark, src.toString, tgt, ckp, compactEvery = 2)
+      .awaitTermination()
+
+    val expected = rows(SparkEntry.queries("ext_length_outliers")(spark, sf))
+    assert(expected.nonEmpty && expected.forall(r => r._3 > 0))
+    assert(rows(LengthProfileStream.report(
+      LengthProfileStream.state(spark, tgt))) === expected)
+
+    // redelivered rows (fresh file names, same docs): the idempotent
+    // doc-keyed membership merge absorbs them — counts must NOT double
+    arrive("wave2again", col("doc_id") >= 200)
+    LengthProfileStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    assert(rows(LengthProfileStream.report(
+      LengthProfileStream.state(spark, tgt))) === expected)
+
+    // whole corpus re-applied out of band: still a no-op
+    LengthProfileStream.applyBatch(spark,
+      LengthProfileStream.transform(Tables.documents(spark, sf)), tgt)
+    assert(rows(LengthProfileStream.report(
+      LengthProfileStream.state(spark, tgt))) === expected)
+
+    // and the batch-replay query form shares the definition (twins can't drift)
+    assert(rows(graft.queries.StreamQueries.queries("stream_length_outliers")(spark, sf))
+      === expected)
+  }
+
   test("streaming decontamination: verdicts match the batch gate; redelivery and replay are no-ops") {
     import graft.streaming.Decontam
     import spark.implicits._

@@ -744,6 +744,26 @@ class TrainPrepSpec extends SparkSpec {
     assert(got.map(_._5).sum <= 1000000L && got.map(_._5).sum >= 1000000L - 2)
   }
 
+  test("epochAllocation caps repeats at 4 epochs and surfaces the shortfall") {
+    // masses 1600 vs 100; α=½ targets 800‰ vs 200‰ of a 2×-corpus budget
+    // (3400 tokens): big wants 2720 (1.7 epochs — under cap, no shortfall),
+    // small wants 680 = 6.8 epochs — capped at 4 → alloc 400, shortfall 280
+    def t(n: Long) = Seq.fill(n.toInt)("abcd").mkString(" ")
+    val d = Seq((0L, "big", t(1600)), (1L, "small", t(100)))
+      .toDF("doc_id", "src", "text")
+    val got = TrainPrep.epochAllocation(TrainPrep.temperatureMix(d, "src", "text"))
+      .select("stratum", "n_tokens", "desired_tokens", "epochs_milli",
+        "alloc_tokens", "shortfall_tokens")
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val Array(big, small) = got
+    assert(big._3 === 800000L * 3400L / 1000000L)   // 2720
+    assert(big._4 === 2720L * 1000L / 1600L && big._4 === 1700L)
+    assert(big._5 === 2720L && big._6 === 0L)
+    assert(small._3 === 200000L * 3400L / 1000000L) // 680
+    assert(small._4 === 4000L)                      // capped (6.8 → 4.0 epochs)
+    assert(small._5 === 400L && small._6 === 280L)  // 4 epochs of 100; rest is new-data debt
+  }
+
   test("curriculumStages splits a distinct-score ranking into equal stages") {
     val d = (0L until 12L).map(i => (i, "en", s"t$i", i.toDouble)).toSeq
       .toDF("doc_id", "lang", "text", "difficulty")
