@@ -394,8 +394,10 @@ object Knn {
     * centroid list exactly as in [[lloyd]]. */
   def ivfCellsInt(corpus: DataFrame, idCol: String, embCol: String,
                   nCells: Int, iters: Int, sampleN: Int): DataFrame = {
-    val (snapped, cs) = intCentroids(corpus, idCol, embCol, nCells, iters, sampleN)
-    snapped.select(col("vec_id"), intNearestCell(col("__v"), cs).cast("long").as("cell"))
+    val (_, cs) = intCentroids(corpus, idCol, embCol, nCells, iters, sampleN)
+    corpus.select(col(idCol).as("vec_id"),
+      element_at(intAssign(col(embCol), Seq(cs)).getField("cells"), 1)
+        .cast("long").as("cell"))
   }
 
   /** The snap + train phase of [[ivfCellsInt]]: the 1e-6-unit snapped
@@ -471,11 +473,12 @@ object Knn {
   def centroidOutliersInt(corpus: DataFrame, idCol: String, embCol: String,
                           nCells: Int, iters: Int, factorPct: Int,
                           sampleN: Int): DataFrame = {
-    val (snapped, cs) = intCentroids(corpus, idCol, embCol, nCells, iters, sampleN)
-    val assigned = snapped
-      .withColumn("__nc", intNearestCellStruct(col("__v"), cs))
-      .select(col("vec_id"), col("__nc.cell").cast("long").as("cell"),
-        col("__nc.d").as("d2"))
+    val (_, cs) = intCentroids(corpus, idCol, embCol, nCells, iters, sampleN)
+    val assigned = corpus
+      .withColumn("__nc", intAssign(col(embCol), Seq(cs)))
+      .select(col(idCol).as("vec_id"),
+        element_at(col("__nc.cells"), 1).cast("long").as("cell"),
+        element_at(col("__nc.d2s"), 1).as("d2"))
     val cellStats = assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("__n"), sum(col("d2")).as("__s"))
     assigned.join(broadcast(cellStats), Seq("cell"))
@@ -485,21 +488,16 @@ object Knn {
           col("__s").cast("decimal(38,0)") * factorPct).as("outlier"))
   }
 
-  /** Integer argmin against literal centroids: exact Σ(v−c)² per cell,
-    * least-struct fold with cell-id tie-break — [[rowNearestCell]]'s
-    * zero-shuffle shape in exact integers. */
-  private def intNearestCell(v: Column, cs: Seq[(Int, Array[Long])]): Column =
-    intNearestCellStruct(v, cs).getField("cell")
-
-  /** The full (d, cell) argmin struct — one evaluation serves callers that
-    * need the distance along with the assignment. */
-  private def intNearestCellStruct(v: Column, cs: Seq[(Int, Array[Long])]): Column = {
-    val cands = cs.map { case (cell, cv) =>
-      struct(aggregate(zip_with(v, typedLit(cv.toSeq), (x, c) => (x - c) * (x - c)),
-        lit(0L), _ + _).as("d"), lit(cell).as("cell"))
-    }
-    if (cands.length == 1) cands.head else least(cands: _*)
-  }
+  /** Fused per-row integer assignment against literal books — the
+    * codegen'd [[graft.functions.IntCellAssign]] kernel (the PqAssign
+    * pattern): snap + every candidate's exact Σ(v−c)² + strict-< argmin in
+    * ONE pass, no per-candidate array allocation, no re-evaluated snap
+    * under projection collapse. struct(cells: array<int>, d2s: array<long>),
+    * one entry per book. */
+  private def intAssign(emb: Column, books: Seq[Seq[(Int, Array[Long])]]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.IntCellAssign(
+        org.apache.spark.sql.GraftColumnBridge.expression(emb), books))
 
   /** LSH-bucketed embedding near-dup — the 100 TB scale path. Candidates
     * come from a (band, key) equi-join over [[lshBandKeys]] (a pair is a
@@ -610,31 +608,30 @@ object Knn {
                  m: Int, k: Int, iters: Int, sampleN: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val snapped = corpus.select(col(idCol).as("vec_id"), snap100(col(embCol)).as("__v"))
     // one cluster job: the ordered sample; per-subspace Lloyd runs on the
     // driver (intCentroidsLocal — the sample is contract-bounded)
-    val sampleRows = snapped.orderBy(col("vec_id")).limit(sampleN)
+    val sampleRows = corpus
+      .select(col(idCol).as("vec_id"), snap100(col(embCol)).as("__v"))
+      .orderBy(col("vec_id")).limit(sampleN)
       .select(col("__v")).as[Array[Long]].collect()
     val dim = sampleRows.headOption.map(_.length)
       .getOrElse(throw new IllegalArgumentException("pqCodesInt: empty corpus"))
     require(dim % m == 0, s"pqCodesInt: dim $dim not divisible by m=$m")
     val sub = dim / m
-    def sliceS(v: Column, s: Int): Column = slice(v, s * sub + 1, sub)
     val books: Seq[Seq[(Int, Array[Long])]] = (0 until m).map { s =>
       intCentroidsLocal(
         sampleRows.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub)),
         nCells = k, iters = iters)
     }
-    val mults = (0 until m).map(s => math.pow(k, m - 1 - s).toLong)
-    // struct columns in their own projection; the final select reads two
-    // fields off each single evaluation (the centroidOutliersInt pattern)
-    val staged = snapped.select(col("vec_id") +:
-      (0 until m).map(s =>
-        intNearestCellStruct(sliceS(col("__v"), s), books(s)).as(s"__c$s")): _*)
-    staged.select(col("vec_id"),
-      (0 until m).map(s => col(s"__c$s.cell").cast("long") * mults(s))
-        .reduce(_ + _).as("codes_packed"),
-      (0 until m).map(s => col(s"__c$s.d")).reduce(_ + _).as("recon_d2"))
+    val mults = typedLit((0 until m).map(s => math.pow(k, m - 1 - s).toLong))
+    // ONE fused kernel evaluation per row (all m subspaces), then two
+    // m-element folds over its arrays — no per-candidate allocation
+    corpus
+      .select(col(idCol).as("vec_id"), intAssign(col(embCol), books).as("__pq"))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("__pq.cells"), mults, (c, mu) => c.cast("long") * mu),
+          lit(0L), _ + _).as("codes_packed"),
+        aggregate(col("__pq.d2s"), lit(0L), _ + _).as("recon_d2"))
   }
 
   /** PQ code assignment + reconstruction error — the compression step an
@@ -950,7 +947,7 @@ object Knn {
   def intCellExpr(corpus: DataFrame, idCol: String, embCol: String,
                   nCells: Int, iters: Int, sampleN: Int): Column = {
     val (_, cs) = intCentroids(corpus, idCol, embCol, nCells, iters, sampleN)
-    intNearestCellStruct(snap100(col(embCol)), cs).getField("cell")
+    element_at(intAssign(col(embCol), Seq(cs)).getField("cells"), 1)
   }
 
   /** [[semanticDedup]] with an INJECTED cell assignment expression — the
