@@ -26,6 +26,27 @@ class RobustSpec extends SparkSpec {
     assert(got("down") === (4L, Some(-800000L)))
   }
 
+  test("madOutliers matches a brute-force expansion on random histograms") {
+    // the two-pointer MAD merge vs the definition: expand each histogram
+    // to raw values, lower-median by rank ⌈n/2⌉, same over |v − med|,
+    // count beyond 3·MAD
+    val rnd = new scala.util.Random(20260815)
+    for (trial <- 1 to 25) {
+      val hist = (0 until (1 + rnd.nextInt(12))).map { _ =>
+        (s"g", rnd.nextInt(40).toLong - 10L, 1L + rnd.nextInt(5).toLong)
+      }.groupBy(_._2).map { case (v, rows) => ("g", v, rows.map(_._3).sum) }.toSeq
+      val got = Robust.madOutliers(hist.toDF("g", "v", "hn"), "g", "v")
+        .as[(String, Long, Long, Long, Long)].collect().head
+      val raw = hist.flatMap { case (_, v, hn) => Seq.fill(hn.toInt)(v) }.sorted
+      def lowerMed(xs: Seq[Long]): Long = xs((xs.size + 1) / 2 - 1)
+      val med = lowerMed(raw)
+      val mad = lowerMed(raw.map(v => math.abs(v - med)).sorted)
+      val out = raw.count(v => math.abs(v - med) > 3 * mad)
+      assert(got === (("g", raw.size.toLong, med, mad, out.toLong)),
+        s"trial $trial: hist=$hist raw=$raw")
+    }
+  }
+
   test("spearmanMicro: a single-row group has no defined rank correlation") {
     val got = corr(Seq(("solo", 7L, 3L)))
     assert(got("solo") === (1L, None))
