@@ -958,6 +958,42 @@ object ExtQueries {
     * docs have rows) → broadcast to the slim (doc_id, n_tokens) projection,
     * so the corpus side never shuffles; the rollup is one exchange keyed by
     * cluster_id. All-integer aggregates — engine-exact. */
+  /** Dedup THRESHOLD SWEEP — the dial-picking report an engineer runs
+    * before committing a near-dup threshold: one exact-Jaccard pair
+    * computation at the loosest setting (0.5), then per candidate
+    * threshold the pair count, duplicated-doc count, cluster count, and
+    * the doc/token mass a min-id-survivor drop would remove. Pairs
+    * materialize ONCE (localCheckpoint — pair-count-sized); each
+    * threshold's clustering runs over its tiny filtered pair set (the CC
+    * single-task fast path) and its stats are 1-row aggregates crossed
+    * together. Threshold tests re-snap the rnd4 jaccard to integer
+    * ten-thousandths (⌊j·10⁴ + 0.5⌋ ≥ 10·t‰) so both engines compare
+    * exact integers, never a re-rounded double. */
+  private val SweepThresholds = Seq(500, 600, 700, 800, 900)
+  private val extDedupSweep: Q = (s, d) => {
+    val pairs = Dedup.ngramJaccard(documents(s, d), "text", "doc_id", n = 3,
+      threshold = 0.5).localCheckpoint(true)
+    val ntok = documents(s, d).select(col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+    val rows = SweepThresholds.map { t =>
+      val pt = pairs.filter(
+        floor(col("jaccard") * 10000.0 + 0.5).cast("long") >= t * 10L)
+      val pAgg = pt.agg(count(lit(1)).as("n_pairs"))
+      val lAgg = Dedup.duplicateClusters(pt.select(col("doc_a"), col("doc_b")))
+        .join(ntok, "doc_id")
+        .agg(count(lit(1)).as("n_dup_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          coalesce(sum(when(col("doc_id") =!= col("cluster_id"), col("n_tokens"))),
+            lit(0L)).as("drop_tokens"))
+      pAgg.crossJoin(lAgg)
+        .select(lit(t.toLong).as("threshold_permille"), col("n_pairs"),
+          col("n_dup_docs"), col("n_clusters"),
+          (col("n_dup_docs") - col("n_clusters")).as("drop_docs"),
+          col("drop_tokens"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("threshold_permille")
+  }
+
   private val extDedupSavings: Q = (s, d) => {
     val labels = Dedup.duplicateClusters(
       Dedup.ngramJaccard(documents(s, d), "text", "doc_id", n = 3, threshold = 0.5))
@@ -2499,6 +2535,7 @@ object ExtQueries {
     "ext_dedup_keep" -> extDedupKeep,
     "ext_dedup_keep_best" -> extDedupKeepBest,
     "ext_dedup_savings" -> extDedupSavings,
+    "ext_dedup_sweep" -> extDedupSweep,
     "ext_corpus_report" -> extCorpusReport,
     "ext_contamination" -> extContamination,
     "ext_contamination_ngram" -> extContaminationNgram,
@@ -3869,6 +3906,43 @@ object ExtQueries {
          |            AS BIGINT) AS saved_tokens
          |FROM lab JOIN nt USING (doc_id)
          |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    // one pair CTE, one recursive closure per threshold (the RECURSIVE
+    // keyword covers the whole WITH list); thresholds compare re-snapped
+    // integer ten-thousandths, as the engine side does
+    "ext_dedup_sweep" -> {
+      val perT = SweepThresholds.map { t =>
+        s"""p$t AS (SELECT doc_a, doc_b FROM pairs
+           |        WHERE CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) >= ${t * 10}),
+           |e$t AS (SELECT doc_a AS u, doc_b AS v FROM p$t
+           |        UNION SELECT doc_b, doc_a FROM p$t),
+           |n$t AS (SELECT DISTINCT u AS id FROM e$t),
+           |reach$t(id, label) AS (
+           |  SELECT id, id FROM n$t
+           |  UNION
+           |  SELECT e.u, r.label FROM e$t e JOIN reach$t r ON e.v = r.id),
+           |lab$t AS (SELECT id AS doc_id, min(label) AS cluster_id
+           |          FROM reach$t GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      val rowT = SweepThresholds.map { t =>
+        s"""SELECT CAST($t AS BIGINT) AS threshold_permille,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM p$t) AS n_pairs,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM lab$t) AS n_dup_docs,
+           |  (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) FROM lab$t) AS n_clusters,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM lab$t)
+           |    - (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) FROM lab$t)
+           |    AS drop_docs,
+           |  (SELECT CAST(coalesce(sum(CASE WHEN doc_id <> cluster_id
+           |                                 THEN n_tokens END), 0) AS BIGINT)
+           |   FROM lab$t JOIN nt USING (doc_id)) AS drop_tokens""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE pairs AS ($jaccardSql),
+         |nt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |       FROM documents),
+         |$perT
+         |$rowT
+         |ORDER BY threshold_permille""".stripMargin
+    },
 
     "ext_dedup_keep" ->
       s"""WITH RECURSIVE pairs AS ($jaccardSql),
