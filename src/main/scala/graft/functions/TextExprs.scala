@@ -320,7 +320,10 @@ case class MultiTokenSetCount(child: Expression, sets: Seq[Seq[String]])
       count(input.asInstanceOf[UTF8String].toString))
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val mapRef = ctx.addReferenceObj("masks", masks, "java.util.HashMap<String, java.lang.Long>")
+    // Janino compiles generics as raw types: a HashMap<String, Long>.get
+    // returns Object there, so the reference must be declared raw and the
+    // result cast explicitly or codegen silently falls back to interpreted.
+    val mapRef = ctx.addReferenceObj("masks", masks, "java.util.HashMap")
     nullSafeCodeGen(ctx, ev, c => {
       val s = ctx.freshName("s")
       val cnts = ctx.freshName("cnts")
@@ -336,7 +339,7 @@ case class MultiTokenSetCount(child: Expression, sets: Seq[Seq[String]])
          |int $i = 0;
          |while ($i <= $s.length()) {
          |  if ($i == $s.length() || $s.charAt($i) == ' ') {
-         |    final java.lang.Long $m = $mapRef.get($s.substring($start, $i));
+         |    final java.lang.Long $m = (java.lang.Long) $mapRef.get($s.substring($start, $i));
          |    if ($m != null) {
          |      long $rest = $m.longValue();
          |      while ($rest != 0L) {
@@ -405,12 +408,12 @@ case class TokenSqFreqSum(child: Expression) extends UnaryExpression {
       val cnt = ctx.freshName("cnt")
       s"""
          |final String $s = $c.toString();
-         |final java.util.HashMap<String, Long> $counts = new java.util.HashMap<String, Long>();
+         |final java.util.HashMap $counts = new java.util.HashMap();
          |int $start = 0;
          |int $i = 0;
          |while ($i <= $s.length()) {
          |  if ($i == $s.length() || $s.charAt($i) == ' ') {
-         |    final java.lang.Long $prev = $counts.get($s.substring($start, $i));
+         |    final java.lang.Long $prev = (java.lang.Long) $counts.get($s.substring($start, $i));
          |    $counts.put($s.substring($start, $i),
          |      java.lang.Long.valueOf($prev == null ? 1L : $prev.longValue() + 1L));
          |    $start = $i + 1;
@@ -418,7 +421,7 @@ case class TokenSqFreqSum(child: Expression) extends UnaryExpression {
          |  $i++;
          |}
          |long $sum = 0L;
-         |final java.util.Iterator<Long> $it = $counts.values().iterator();
+         |final java.util.Iterator $it = $counts.values().iterator();
          |while ($it.hasNext()) {
          |  final long $cnt = ((java.lang.Long) $it.next()).longValue();
          |  $sum += $cnt * $cnt;

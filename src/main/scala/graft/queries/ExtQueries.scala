@@ -1806,7 +1806,11 @@ object ExtQueries {
         (col("e.n_unk") === 0L &&
           decoded === col("__stripped") &&
           col("e.score_micro") === scoreSum &&
-          col("e.score_micro") >= charScore &&
+          // an empty/whitespace-only doc has no chars: element_at over the
+          // empty split nulls charScore out, and a null conjunct would make
+          // ok NULL where the oracle asserts true — the floor is vacuous
+          when(nChars === 0, lit(true))
+            .otherwise(col("e.score_micro") >= charScore) &&
           (when(nChars === 0, nPieces === 0)
             .otherwise(nPieces >= 1 && nPieces <= nChars))).as("ok"))
       .orderBy("doc_id")
@@ -1880,7 +1884,15 @@ object ExtQueries {
     val spark = s
     import spark.implicits._
     val proj = Pca.project(m, embeddings(s, d), "vec_id", "embedding")
-    def wCol(i: Int) = col(s"pc$i") / math.sqrt(m.eigenvalues(i - 1))
+    // a zero/near-zero eigenvalue can't be whitened (1/√λ → ∞): emit that
+    // axis' metric rows as an explicit ok=false instead of letting the
+    // division produce NaN variances and a confusing null/hash mismatch
+    def degenerate(i: Int) = m.eigenvalues(i - 1) <= 1e-12
+    def wCol(i: Int) =
+      if (degenerate(i)) lit(0.0)
+      else col(s"pc$i") / math.sqrt(m.eigenvalues(i - 1))
+    def okOr(i: Int, okExpr: org.apache.spark.sql.Column) =
+      if (degenerate(i)) lit(false) else okExpr
     // training-sample rows: whitening is DEFINED to unit-normalize the
     // sample, so its population variance must be 1 to within float fold
     // error (measured |v−1| ≈ 10⁻⁸ vs the 10⁻³ bound)
@@ -1894,7 +1906,7 @@ object ExtQueries {
     val sRows = (1 to PcaK).map(i =>
       sAgg.select(lit(s"sample_unit_var_pc$i").as("metric"), col("n"),
         lit(1L).as("bound_milli"),
-        (abs(col(s"__e2_$i") - col(s"__e_$i") * col(s"__e_$i") - 1.0) * 1000.0 <= 1.0)
+        okOr(i, abs(col(s"__e2_$i") - col(s"__e_$i") * col(s"__e_$i") - 1.0) * 1000.0 <= 1.0)
           .as("ok")))
     // full-corpus rows: whitened axes must stay O(1) variance corpus-wide
     // (a collapsed or exploding axis breaks the [0.4, 1.6] band; measured
@@ -1904,9 +1916,9 @@ object ExtQueries {
     def cVar(i: Int) = col(s"__e2_$i") - col(s"__e_$i") * col(s"__e_$i")
     val cRows = (1 to PcaK).flatMap(i => Seq(
       cAgg.select(lit(s"corpus_var_ceil_pc$i").as("metric"), col("n"),
-        lit(1600L).as("bound_milli"), (cVar(i) * 1000.0 <= 1600.0).as("ok")),
+        lit(1600L).as("bound_milli"), okOr(i, cVar(i) * 1000.0 <= 1600.0).as("ok")),
       cAgg.select(lit(s"corpus_var_floor_pc$i").as("metric"), col("n"),
-        lit(400L).as("bound_milli"), (cVar(i) * 1000.0 >= 400.0).as("ok"))))
+        lit(400L).as("bound_milli"), okOr(i, cVar(i) * 1000.0 >= 400.0).as("ok"))))
     (sRows ++ cRows).reduce(_.unionByName(_)).orderBy("metric")
   }
 
@@ -2883,7 +2895,8 @@ object ExtQueries {
        |       CAST($floorQ AS BIGINT) AS min_hits, true AS ok
        |FROM embeddings WHERE vec_id < 10
        |UNION ALL
-       |SELECT CAST(-1 AS BIGINT), CAST(${10 * k} AS BIGINT),
+       |SELECT CAST(-1 AS BIGINT),
+       |       (SELECT count(*) FROM embeddings WHERE vec_id < 10) * CAST($k AS BIGINT),
        |       CAST($floorT AS BIGINT), true
        |ORDER BY 1""".stripMargin
 

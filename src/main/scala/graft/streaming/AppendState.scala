@@ -92,9 +92,25 @@ private[streaming] object AppendState {
     val w = delta.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.toString)
+    // A zero-row partitionBy write emits only _SUCCESS — no schema-bearing
+    // part file — and one such dir poisons every later per-dir read with
+    // UNABLE_TO_INFER_SCHEMA. Skip publishing it: union-state merges are
+    // idempotent, so an absent empty delta reads identically to a present
+    // one, and a replay of the batch recomputes empty and skips again.
+    if (partitionCols.nonEmpty && !hasParquetFile(tmp)) {
+      deleteQuietly(tmp)
+      return
+    }
     java.nio.file.Files.move(tmp.toPath, deltaDir(targetDir, batchId).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
+
+  /** Any schema-bearing parquet part file anywhere under `dir`? */
+  private def hasParquetFile(dir: java.io.File): Boolean =
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File]).exists { f =>
+      (f.isFile && f.getName.endsWith(".parquet")) ||
+        (f.isDirectory && hasParquetFile(f))
+    }
 
   /** The raw union of base + committed deltas. Rows may repeat across
     * deltas (redelivery in later batches) — callers apply their
@@ -129,9 +145,19 @@ private[streaming] object AppendState {
     val all = raw(spark, targetDir).get
     val target = baseDir(targetDir, upTo)
     if (target.exists()) deleteQuietly(target) // orphan from a previous crash
-    val w = merge(all).localCheckpoint(true).write
+    val merged = merge(all).localCheckpoint(true)
+    val w = merged.write
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(target.toString)
+    // Unlike an empty delta (skippable), an empty base MUST exist — the
+    // marker flip below is what retires the folded deltas — so republish a
+    // zero-row partitioned base unpartitioned: the schema-only part file
+    // keeps the per-dir read well-formed, and unionByName absorbs the
+    // column-order difference vs partition-discovered deltas.
+    if (partitionCols.nonEmpty && !hasParquetFile(target)) {
+      deleteQuietly(target)
+      merged.write.parquet(target.toString)
+    }
     val tmp = new java.io.File(targetDir, ".base.tmp")
     java.nio.file.Files.writeString(tmp.toPath, upTo.toString)
     java.nio.file.Files.move(tmp.toPath, baseMarker(targetDir).toPath,

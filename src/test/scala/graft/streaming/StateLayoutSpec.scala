@@ -151,6 +151,41 @@ class StateLayoutSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet === expect)
   }
 
+  test("AppendState: a zero-row partitioned delta never poisons the state dir") {
+    val dir = tmp("asempty").resolve("state").toString
+    val rows = Seq((1L, "a", 0)).toDF("k", "v", "bucket")
+    AppendState.append(rows, dir, 0L, partitionCols = Seq("bucket"))
+    // batch 1 is empty: a zero-row partitionBy write emits only _SUCCESS
+    // (no schema-bearing part file), so the publish must SKIP — a landed
+    // delta=1 dir would fail every later per-dir read with
+    // UNABLE_TO_INFER_SCHEMA
+    AppendState.append(rows.limit(0), dir, 1L, partitionCols = Seq("bucket"))
+    assert(!new java.io.File(dir, "delta=1").exists())
+    assert(AppendState.raw(spark, dir).get.count() === 1L)
+    // later appends continue normally on top of the gap
+    AppendState.append(Seq((2L, "b", 1)).toDF("k", "v", "bucket"), dir, 2L,
+      partitionCols = Seq("bucket"))
+    assert(AppendState.raw(spark, dir).get.count() === 2L)
+    // an empty MERGE result must still publish a readable base (the marker
+    // flip is what retires the folded deltas) — republished schema-only
+    AppendState.compact(spark, dir, _.limit(0), partitionCols = Seq("bucket"))
+    assert(AppendState.baseId(dir) === 2L)
+    assert(AppendState.raw(spark, dir).get.count() === 0L)
+    AppendState.append(Seq((3L, "c", 2)).toDF("k", "v", "bucket"), dir, 3L,
+      partitionCols = Seq("bucket"))
+    assert(AppendState.raw(spark, dir).get.count() === 1L)
+  }
+
+  test("NeardupStream: a zero-shingle micro-batch leaves the state usable") {
+    val dir = tmp("ndz").resolve("state").toString
+    // < 3 tokens → zero shingle rows → all three state appends are empty
+    NeardupStream.applyBatch(spark, Seq((1L, "a b")).toDF("doc_id", "text"), dir, 0L)
+    NeardupStream.applyBatch(spark,
+      Seq((2L, "a b c d e f"), (3L, "a b c d e g")).toDF("doc_id", "text"), dir, 1L)
+    assert(NeardupStream.pairState(spark, dir)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet === Set((2L, 3L)))
+  }
+
   test("NeardupStream.newPairs: duplicate index rows (redelivery) change nothing") {
     val docs = Seq(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g x"), (3L, "p q r s t u v w")
