@@ -906,4 +906,37 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** URL canonicalization — the dedup tier every web-corpus pipeline runs
+    * BEFORE text dedup (C4/RefinedWeb drop by normalized URL first; it's
+    * free compared to any text tier). Pure row-local column expression —
+    * zero shuffles at any corpus size; the groupBy on the canonical key is
+    * the caller's one exchange. Rules (the standard canonical-URL set):
+    *  - fragment dropped (`#…` never reaches the server);
+    *  - scheme dropped (http/https serve the same document in a crawl);
+    *  - host lowercased (DNS is case-insensitive; safe for IDN because
+    *    wire-format hosts are punycode ASCII), leading `www.` and default
+    *    ports `:80`/`:443` stripped — NON-default ports are kept, and path
+    *    case is PRESERVED (paths are case-sensitive);
+    *  - tracking query params dropped (`utm_*`, `gclid`, `fbclid`, `ref`),
+    *    real params kept; separator debris (`?&`, `&&`, trailing `?`/`&`)
+    *    collapsed;
+    *  - trailing path slash dropped (before the query or at the end).
+    * Regex subset chosen to evaluate identically under Java regex (engine)
+    * and RE2 (oracle): no lookaround, no backreferences in patterns. */
+  def urlCanon(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noScheme = regexp_replace(noFrag, "(?i)^https?://", "")
+    val hostPort = regexp_extract(noScheme, "^[^/?]+", 0)
+    val rest = regexp_replace(noScheme, "^[^/?]+", "")
+    val host = regexp_replace(
+      regexp_replace(lower(hostPort), "^www\\.", ""), ":(80|443)$", "")
+    val noTrack = regexp_replace(rest,
+      "(?i)([?&])(utm_[^&=]*|gclid|fbclid|ref)=[^&]*", "$1")
+    val collapsed = regexp_replace(
+      regexp_replace(regexp_replace(noTrack, "\\?&+", "?"), "&&+", "&"),
+      "[?&]+$", "")
+    val noSlash = regexp_replace(collapsed, "/+(\\?|$)", "$1")
+    concat(host, noSlash)
+  }
 }

@@ -1184,6 +1184,52 @@ object CdcQueries {
       .orderBy("from_type", "to_type")
   }
 
+  /** Top-10 length-3 event-type journeys WITHIN sessions — the "what do
+    * user journeys look like" report one window past the sessionization
+    * and transition-matrix code that already exists: trigram paths beat
+    * the Markov matrix at surfacing multi-step flows (view>cart>purchase)
+    * the pairwise counts wash out. Same 30-min gap rule as
+    * `window_session`; a trigram counts only when all three events share
+    * a session (sessions are contiguous runs, so 1st and 3rd sharing a
+    * session id implies the 2nd does too). ONE user-keyed shuffle carries
+    * every window (session numbering AND the two leads share the
+    * partitioning/ordering), then a map-side-combined aggregate onto the
+    * |types|³-bounded path domain — the final top-10 sort runs on that
+    * bounded frame, never on the corpus. Ties break path-ascending, so
+    * the ranking is a pure function of the counts. */
+  /** The corpus-side half of [[aggSessionPaths]]: in-session trigram →
+    * count, the single pass whose plan shape PlanSpec pins (one user-keyed
+    * exchange feeding every window, one path-keyed aggregate exchange). */
+  private[graft] def buildSessionTrigrams(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ep = unix_timestamp(col("ts"))
+    val gap = ep - lag(ep, 1).over(byUser)
+    events(s, d)
+      .withColumn("__new", when(gap.isNull || gap > 1800L, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(run))
+      .withColumn("__t2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("__t3", lead(col("event_type"), 2).over(byUser))
+      .withColumn("__s3", lead(col("__sid"), 2).over(byUser))
+      .filter(col("__s3") === col("__sid")) // null-safe: drops tail rows too
+      .groupBy(concat_ws(">", col("event_type"), col("__t2"), col("__t3")).as("path"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val aggSessionPaths: Q = (s, d) => {
+    val tri = buildSessionTrigrams(s, d)
+      .localCheckpoint(true) // ≤ |types|³ rows; total + top-k read it twice
+    val tot = tri.agg(sum(col("n")).as("__t")) // 1 row; broadcast cross
+    tri.crossJoin(broadcast(tot))
+      .select(col("path"), col("n"), expr("n * 1000 div __t").as("permille"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("path")))) // ≤10 rows: single task
+      .select(col("rank").cast("long").as("rank"), col("path"), col("n"), col("permille"))
+      .orderBy("rank")
+  }
+
   /** Last-touch conversion attribution — the marketing-analytics classic:
     * each purchase is credited to the user's most recent PRIOR
     * non-purchase event (the "touch"), purchases with no prior touch fall
@@ -1211,6 +1257,7 @@ object CdcQueries {
 
   val queries: Map[String, Q] = Map(
     "agg_transition_matrix" -> aggTransitionMatrix,
+    "agg_session_paths" -> aggSessionPaths,
     "agg_burstiness" -> aggBurstiness,
     "agg_audience_overlap" -> aggAudienceOverlap,
     "agg_gini" -> aggGini,
@@ -1283,6 +1330,34 @@ object CdcQueries {
         |       CAST(c.n * 1000 // t.tt AS BIGINT) AS permille
         |FROM c JOIN t ON c.from_type = t.from_type
         |ORDER BY 1, 2""".stripMargin,
+
+    "agg_session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT)
+        |           - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+        |             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM e),
+        |t AS (
+        |  SELECT event_type AS t1, sid,
+        |         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+        |         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3,
+        |         lead(sid, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s3
+        |  FROM s),
+        |c AS (SELECT t1 || '>' || t2 || '>' || t3 AS path, CAST(count(*) AS BIGINT) AS n
+        |      FROM t WHERE s3 = sid GROUP BY 1),
+        |tt AS (SELECT sum(n) AS tot FROM c),
+        |top AS (SELECT path, n, CAST(n * 1000 // tt.tot AS BIGINT) AS permille
+        |        FROM c, tt ORDER BY n DESC, path LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rank,
+        |       path, n, permille
+        |FROM top ORDER BY rank""".stripMargin,
 
     // the three running aggregates layer CTE by CTE (DuckDB forbids nested
     // window calls); all integer cents until the final /100.0

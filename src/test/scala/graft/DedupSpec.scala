@@ -19,6 +19,33 @@ class DedupSpec extends SparkSpec {
     assert(g === Set((1L, 2L), (3L, 1L))) // (keep_id, n_copies)
   }
 
+  test("urlCanon: scheme/www/port/tracking/fragment/trailing-slash edge cases") {
+    val cases = Seq(
+      // everything at once: scheme+www+default port+tracking+fragment+slash
+      ("HTTPS://WWW.EXAMPLE.com:443/a/b/?utm_source=x#frag", "example.com/a/b"),
+      // real param kept, tracking stripped, default http port stripped
+      ("http://example.com:80/a?id=5&utm_medium=y", "example.com/a?id=5"),
+      // tracking params sandwiching a real one — separator debris collapses
+      ("http://example.com/a?utm_a=1&id=5&utm_b=2", "example.com/a?id=5"),
+      // all-tracking query vanishes entirely (with the root slash)
+      ("http://example.com/?gclid=abc&ref=tw", "example.com"),
+      // NON-default port is part of the identity — kept
+      ("https://sub.example.com:8080/x", "sub.example.com:8080/x"),
+      // host lowercases, path case is PRESERVED
+      ("http://EXAMPLE.com/Docs/A", "example.com/Docs/A"),
+      // IDN hosts are punycode ASCII on the wire — lowercase is safe
+      ("http://XN--MNCHEN-3YA.de/Path/", "xn--mnchen-3ya.de/Path"),
+      // `ref` strips only as a whole param name (referrer= is not tracking)
+      ("http://example.com/a?referrer=x", "example.com/a?referrer=x"),
+      // schemeless input passes through the same chain
+      ("example.com/plain", "example.com/plain"),
+      ("http://www.example.com", "example.com"))
+    val got = cases.toDF("raw", "want")
+      .select(col("want"), Dedup.urlCanon(col("raw")).as("got"))
+      .as[(String, String)].collect()
+    got.foreach { case (want, g) => assert(g === want) }
+  }
+
   test("shingles: n-gram count and short-text guard") {
     val d = docs((1, "a b c d"), (2, "a b")) // 4 tokens → two 3-shingles; 2 tokens → none
     val r = d.select(col("doc_id"), size(TextFns.shingles(col("text"), 3)).as("n"))

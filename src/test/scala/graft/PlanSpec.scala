@@ -485,6 +485,27 @@ class PlanSpec extends SparkSpec {
       s"scan must prune to (doc_id, text):\n${p.take(1500)}")
   }
 
+  test("session-path trigrams ride ONE user-keyed exchange; every window is user-partitioned") {
+    val p = graft.queries.CdcQueries.buildSessionTrigrams(spark, d)
+      .queryExecution.executedPlan.toString
+    // exactly two hash exchanges: user_id feeding the window stack, then
+    // the |types|³-bounded path aggregate — nothing corpus-sized past them
+    val keys = """Exchange hashpartitioning\((\w+)""".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(keys.count(_ == "user_id") == 1 && keys.size == 2,
+      s"expected one user_id + one path exchange, got $keys:\n${p.take(2000)}")
+    val specs = "windowspecdefinition\\((\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(specs == Set("user_id"),
+      s"every window must partition by user_id, got $specs")
+  }
+
+  test("session-path top-k never globally sorts — TakeOrdered on the bounded path frame") {
+    val p = plan("agg_session_paths")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n${p.take(1500)}")
+    assert(!p.contains("Scan parquet"),
+      s"final ranking must read the checkpointed path counts, not the corpus:\n${p.take(1500)}")
+  }
+
   test("textrank iterations reuse the checkpointed adjacency, never re-deriving the corpus") {
     val p = plan("ext_textrank")
     // 3 sweeps over an ExistingRDD (the localCheckpoint) — the corpus scan
