@@ -109,3 +109,80 @@ case class IntCellAssign(child: Expression, books: Seq[Seq[(Int, Array[Long])]])
 
   override protected def withNewChildInternal(c: Expression): IntCellAssign = copy(child = c)
 }
+
+/** Top-2 variant of the integer cell assignment — same snap, same exact
+  * Σ(v−c)² candidates, but tracking the best AND second-best distance in
+  * the one pass. The gap between them is the simplified-silhouette signal
+  * (`ext_sim_silhouette`): a = d² to the assigned centroid, b = d² to the
+  * nearest OTHER centroid = the second value in (d², cell) order, ties
+  * included — exactly the `rn = 2` row of the SQL replay's ranked
+  * distances. One book only (the IVF coarse quantizer); requires ≥ 2
+  * cells, candidates scan in ascending cell-id order so the strict-<
+  * argmin tie-breaks toward the lower id like [[IntCellAssign]]. */
+object IntCellTop2 {
+
+  /** Serializable kernel shared by the interpreted and generated paths. */
+  final class Kernel(book: Seq[(Int, Array[Long])]) extends Serializable {
+    require(book.length >= 2, "silhouette needs >= 2 cells")
+    @transient private lazy val sorted = book.sortBy(_._1)
+    @transient private lazy val ids: Array[Int] = sorted.map(_._1).toArray
+    @transient private lazy val cb: Array[Array[Long]] = sorted.map(_._2.clone).toArray
+
+    /** struct(cell: int, d2: long, d2b: long) as an InternalRow. */
+    def assign(emb: ArrayData): InternalRow = {
+      val n = emb.numElements()
+      val v = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        v(i) = Math.floor(emb.getFloat(i).toDouble * 1e4 + 0.5).toLong * 100L
+        i += 1
+      }
+      var best = -1
+      var d1 = Long.MaxValue
+      var d2b = Long.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        val lim = math.min(cent.length, n)
+        var d = 0L
+        var j = 0
+        while (j < lim) {
+          val diff = v(j) - cent(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < d1) { d2b = d1; d1 = d; best = c }
+        else if (d < d2b) { d2b = d }
+        c += 1
+      }
+      InternalRow(ids(best), d1, d2b)
+    }
+  }
+}
+
+case class IntCellTop2(child: Expression, book: Seq[(Int, Array[Long])])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"int_cell_top2 expects array<float>, got $t")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("d2", LongType, nullable = false),
+    StructField("d2b", LongType, nullable = false)))
+
+  @transient private lazy val kernel = new IntCellTop2.Kernel(book)
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.assign(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("intCellTop2Kernel", kernel,
+      classOf[IntCellTop2.Kernel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.assign($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): IntCellTop2 = copy(child = c)
+}

@@ -488,6 +488,42 @@ object Knn {
           col("__s").cast("decimal(38,0)") * factorPct).as("outlier"))
   }
 
+  /** Simplified-silhouette clustering-quality audit over the SAME integer
+    * Lloyd quantizer as [[ivfCellsInt]] — the "did k make sense" report a
+    * pipeline reads before trusting IVF cells / SemDeDup groups. Per
+    * vector: a = exact integer d² to the assigned centroid, b = d² to the
+    * nearest OTHER centroid (= the second value in (d², cell) order, ties
+    * included), sil_milli = (b − a)·1000 div b ∈ [0, 1000] — high means
+    * cleanly inside its cell, near 0 means boundary-straddling (a k too
+    * large, or duplicate-ish centroids). Centroid-based silhouette on
+    * squared distances is the O(n·k) form (the classic pairwise
+    * silhouette is O(n²) — a non-starter at any scale); all arithmetic is
+    * exact integer, so the whole grid hash-gates against the unrolled SQL
+    * replay's rn=1/rn=2 ranked distances. Scale shape: sample-bounded
+    * training, ONE corpus scan through the codegen'd top-2 kernel (zero
+    * shuffles), one nCells-row rollup broadcast back. */
+  def silhouetteInt(corpus: DataFrame, idCol: String, embCol: String,
+                    nCells: Int, iters: Int, sampleN: Int): DataFrame = {
+    val (_, cs) = intCentroids(corpus, idCol, embCol, nCells, iters, sampleN)
+    val top2 = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.IntCellTop2(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(embCol)), cs))
+    val assigned = corpus
+      .withColumn("__t2", top2)
+      .select(col(idCol).as("vec_id"),
+        col("__t2.cell").cast("long").as("cell"),
+        col("__t2.d2").as("d2_own"),
+        col("__t2.d2b").as("d2_next"))
+      .withColumn("sil_milli", when(col("d2_next") === 0L, lit(0L))
+        .otherwise(expr("(d2_next - d2_own) * 1000 div d2_next")))
+    val cellStats = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_cell"),
+        expr("sum(sil_milli) div count(1)").as("cell_mean_sil_milli"))
+    assigned.join(broadcast(cellStats), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("d2_own"), col("d2_next"),
+        col("sil_milli"), col("n_cell"), col("cell_mean_sil_milli"))
+  }
+
   /** Fused per-row integer assignment against literal books — the
     * codegen'd [[graft.functions.IntCellAssign]] kernel (the PqAssign
     * pattern): snap + every candidate's exact Σ(v−c)² + strict-< argmin in

@@ -1484,6 +1484,19 @@ object ExtQueries {
       nCells = IvfCells, iters = IvfIters, sampleN = IvfSampleN)
       .orderBy("vec_id")
 
+  /** Clustering-quality audit of that same quantizer: per-vector
+    * simplified silhouette ([[Knn.silhouetteInt]]) — a = exact d² to the
+    * assigned centroid, b = d² to the nearest other, sil = (b−a)/b in
+    * integer milli — plus the per-cell mean, the "did k make sense"
+    * number read before trusting IVF probes or SemDeDup groups.
+    * Integer-exact end to end on the shared Lloyd, so cells, both
+    * distances, silhouettes, and floor-mean rollups all hash-gate against
+    * the rn=1/rn=2 rows of the replay's ranked-distance table. */
+  private val extSimSilhouette: Q = (s, d) =>
+    Knn.silhouetteInt(embeddings(s, d), "vec_id", "embedding",
+      nCells = IvfCells, iters = IvfIters, sampleN = IvfSampleN)
+      .orderBy("vec_id")
+
   /** Embedding QC: distance-to-assigned-centroid outlier flags (corrupt
     * encoders / junk vectors surface as far-from-every-centroid rows) —
     * sample-trained cells, zero-shuffle assignment, one nCells-row mean
@@ -1837,45 +1850,21 @@ object ExtQueries {
     * contract into the driver's hash gate. */
   private val extUnigramEncode: Q = (s, d) => {
     val m = uniModel(s, d)
-    val pieceStr = typedlit(m.pieces.map(_._1))
-    val pieceMicro = typedlit(m.pieces.map(_._2))
-    // a zero-probability piece carries micro = round(log 0) = Long.MinValue;
-    // summing two such chars overflows, so the BASELINE clamps at −10¹²
-    // (553-char docs stay ≪ 2⁶³; the optimality floor only loosens for
-    // chars Viterbi would never pick alone anyway)
-    val charMicro = typedlit(m.pieces.filter(_._1.length == 1)
-      .map { case (p, mi) => (p, math.max(mi, -1000000000000L)) }.toMap)
-    val stripped = regexp_replace(col("text"), " ", "")
-    // id −1 = unknown (never on the self-trained fixture, but element_at's
-    // 1-based indexing would throw on 0 — map unks to sentinels instead;
-    // the n_unk = 0 conjunct already fails such a row)
-    val decoded = array_join(
-      transform(col("e.ids"), id => when(id < 0L, lit(" "))
-        .otherwise(element_at(pieceStr, id.cast("int") + 1))), "")
-    val scoreSum = aggregate(
-      transform(col("e.ids"), id => when(id < 0L, lit(1L))
-        .otherwise(element_at(pieceMicro, id.cast("int") + 1))),
-      lit(0L), _ + _)
-    val charScore = aggregate(
-      transform(split(col("__stripped"), ""), c => element_at(charMicro, c)),
-      lit(0L), _ + _)
-    val nChars = length(col("__stripped"))
-    val nPieces = size(col("e.ids"))
+    // the whole audit (decode round-trip, score sum, clamped char floor,
+    // piece bounds) is ONE codegen'd pass over the session-shared encoded
+    // frame — graft.functions.UnigramAudit; the prior column form walked
+    // three interpreted higher-order chains per row (HOFs never codegen)
+    val audit = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.UnigramAudit(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("text")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("e")),
+        m.pieces))
     uniEncoded(s, d) // session-shared encode; this entry pays only the audit
-      .select(col("doc_id"), col("e"), stripped.as("__stripped"))
-      .select(col("doc_id"), nChars.cast("long").as("n_chars"),
-        (col("e.n_unk") === 0L &&
-          decoded === col("__stripped") &&
-          col("e.score_micro") === scoreSum &&
-          // an empty/whitespace-only doc has no chars: element_at over the
-          // empty split nulls charScore out, and a null conjunct would make
-          // ok NULL where the oracle asserts true — the floor is vacuous
-          when(nChars === 0, lit(true))
-            .otherwise(col("e.score_micro") >= charScore) &&
-          (when(nChars === 0, nPieces === 0)
-            .otherwise(nPieces >= 1 && nPieces <= nChars))).as("ok"))
+      .withColumn("__a", audit)
+      .select(col("doc_id"), col("__a.n_chars").as("n_chars"), col("__a.ok").as("ok"))
       .orderBy("doc_id")
   }
+
 
   /** PCA contract constants: top-4 components, 512-vector training sample
     * (the full fixture at oracle scale; a bounded subsample at bench+). */
@@ -2635,6 +2624,7 @@ object ExtQueries {
     "ext_sim_semdedup" -> extSimSemdedup,
     "ext_sim_semdedup_cells" -> extSimSemdedupCells,
     "ext_sim_knn_ivf_cells" -> extSimKnnIvfCells,
+    "ext_sim_silhouette" -> extSimSilhouette,
     "ext_embed_outliers" -> extEmbedOutliers,
     "ext_sample_stratified" -> extSampleStratified,
     "ext_sample_weighted" -> extSampleWeighted,
@@ -2884,6 +2874,35 @@ object ExtQueries {
        |a2 AS (${lloydAssignSql("samp", "c1")}),
        |c2 AS (${centSql("a2")})""".stripMargin
   }
+
+  /** Oracle replay of [[Knn.silhouetteInt]]: the shared Lloyd CTEs, then
+    * the FULL ranked (vec, cell) distance table — rn=1 is the assignment
+    * (a), rn=2 the nearest-other distance (b, ties included), silhouette
+    * and per-cell means in the same non-negative integer floor divisions
+    * as the engine. */
+  private val silhouetteSql =
+    s"""WITH $lloydCteSql,
+       |r AS (
+       |  SELECT p.vec_id, c.cell,
+       |         sum((p.v - c.c)*(p.v - c.c)) AS d2,
+       |         row_number() OVER (PARTITION BY p.vec_id
+       |           ORDER BY sum((p.v - c.c)*(p.v - c.c)), c.cell) AS rn
+       |  FROM x p JOIN c2 c ON p.pos = c.pos
+       |  GROUP BY p.vec_id, c.cell),
+       |f AS (
+       |  SELECT a.vec_id, a.cell, a.d2 AS d2_own, b.d2 AS d2_next,
+       |         CASE WHEN b.d2 = 0 THEN 0
+       |              ELSE (b.d2 - a.d2) * 1000 // b.d2 END AS sil_milli
+       |  FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+       |cs AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_cell,
+       |              CAST(sum(sil_milli) // count(*) AS BIGINT) AS cell_mean_sil_milli
+       |       FROM f GROUP BY cell)
+       |SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cell,
+       |       CAST(f.d2_own AS BIGINT) AS d2_own,
+       |       CAST(f.d2_next AS BIGINT) AS d2_next,
+       |       CAST(f.sil_milli AS BIGINT) AS sil_milli,
+       |       cs.n_cell, cs.cell_mean_sil_milli
+       |FROM f JOIN cs USING (cell) ORDER BY f.vec_id""".stripMargin
 
   private val ivfCellsSql =
     s"""WITH $lloydCteSql,
@@ -4912,6 +4931,7 @@ object ExtQueries {
     "ext_sim_semdedup" -> semdedupFullSql,
     "ext_sim_semdedup_cells" -> semdedupCellsSql,
     "ext_sim_knn_ivf_cells" -> ivfCellsSql,
+    "ext_sim_silhouette" -> silhouetteSql,
     "ext_embed_outliers" -> embedOutliersSql,
     "ext_embed_pq" -> embedPqSql,
     "ext_embed_pca" -> embedPcaSql,

@@ -98,6 +98,19 @@ class CodegenGuardSpec extends AnyFunSuite {
       ("t", -3000000L), ("h", -3000000L), ("e", -3000000L), ("f", -3100000L),
       ("o", -2900000L), ("x", -3300000L))),
     strRow("the fox"), Seq(strType))
+  private val encType = StructType(Array(
+    StructField("ids", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("score_micro", LongType, nullable = false),
+    StructField("n_unk", LongType, nullable = false)))
+  check("UnigramAudit",
+    UnigramAudit(BoundReference(0, strType, nullable = true),
+      BoundReference(1, encType, nullable = true),
+      Seq(("the", -1200000L), ("fox", -1500000L),
+        ("t", -3000000L), ("h", -3000000L), ("e", -3000000L), ("f", -3100000L),
+        ("o", -2900000L), ("x", -3300000L))),
+    InternalRow(UTF8String.fromString("the fox"),
+      InternalRow(ArrayData.toArrayData(Array(0L, 1L)), -2700000L, 0L)),
+    Seq(strType, encType))
   check("SrpBandKeys", SrpBandKeys(fvec0, bands = 4, bitsPerBand = 8),
     InternalRow(farr(0.5f, -1.25f, 2.0f, 0.75f, -0.5f, 1.5f, -2.0f, 0.25f)),
     Seq(floatArrType))
@@ -116,6 +129,11 @@ class CodegenGuardSpec extends AnyFunSuite {
       Seq((0, Array(0L, 0L)), (1, Array(1000000L, 1000000L))),
       Seq((0, Array(500000L, 500000L)), (2, Array(-500000L, -500000L))))),
     InternalRow(farr(0.9f, 1.1f, -0.4f, -0.6f)), Seq(floatArrType))
+  check("IntCellTop2",
+    IntCellTop2(fvec0, Seq(
+      (0, Array(0L, 0L)), (1, Array(1000000L, 1000000L)),
+      (3, Array(-500000L, -500000L)))),
+    InternalRow(farr(0.9f, 1.1f)), Seq(floatArrType))
   check("MadStats",
     MadStats(BoundReference(0, histType, nullable = true), factor = 3),
     InternalRow(ArrayData.toArrayData(Array(

@@ -819,4 +819,40 @@ class KnnSpec extends SparkSpec {
     val tiny = vecs(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f))
     assert(Knn.coresetKCenter(tiny, "vec_id", "embedding", k = 5).count() === 2L)
   }
+
+  test("silhouetteInt: tight planted clusters score high, a boundary point scores low") {
+    // seeds are the two lowest ids — planted in DIFFERENT clusters so the
+    // 2-cell Lloyd converges to the planted centers; id 8 sits halfway
+    val v = vecs(
+      0L -> Seq(0f, 0f), 2L -> Seq(0.1f, 0f), 3L -> Seq(0f, 0.1f), 4L -> Seq(0.1f, 0.1f),
+      1L -> Seq(10f, 10f), 5L -> Seq(10.1f, 10f), 6L -> Seq(10f, 10.1f), 7L -> Seq(9.9f, 10f),
+      8L -> Seq(5f, 5.2f))
+    val r = Knn.silhouetteInt(v, "vec_id", "embedding",
+      nCells = 2, iters = 2, sampleN = 9)
+      .select("vec_id", "cell", "d2_own", "d2_next", "sil_milli", "n_cell", "cell_mean_sil_milli")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    // the two planted clusters land in different cells
+    val cellA = r(0L)._2
+    val cellB = r(1L)._2
+    assert(cellA != cellB)
+    for (id <- Seq(2L, 3L, 4L)) assert(r(id)._2 === cellA)
+    for (id <- Seq(5L, 6L, 7L)) assert(r(id)._2 === cellB)
+    r.values.foreach { case (id, _, a, b, sil, _, _) =>
+      assert(a <= b, s"own must be the min for $id")
+      assert(sil === (if (b == 0) 0L else (b - a) * 1000L / b), s"sil recurrence for $id")
+    }
+    // tight members sit cleanly inside their cell; the straddler does not
+    for (id <- Seq(0L, 1L, 2L, 5L)) assert(r(id)._5 > 900L, s"tight member $id")
+    // the 5-member cell's centroid absorbs the straddler, so its own-cell
+    // distance stays large relative to the gap — well under the tight 900s
+    assert(r(8L)._5 < 500L, s"boundary point should straddle: ${r(8L)}")
+    // per-cell rollup is the floor mean over that cell's members
+    val byCell = r.values.groupBy(_._2)
+    byCell.foreach { case (cell, ms) =>
+      assert(ms.head._6 === ms.size.toLong)
+      assert(ms.head._7 === ms.map(_._5).sum / ms.size)
+      assert(ms.map(_._6).toSet.size === 1 && ms.map(_._7).toSet.size === 1)
+    }
+  }
 }

@@ -64,6 +64,42 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("fused encode audit: true on real encodes (incl. empty docs), flips on tampering") {
+    import spark.implicits._
+    def audit(text: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.UnigramAudit(
+          org.apache.spark.sql.GraftColumnBridge.expression(text),
+          org.apache.spark.sql.GraftColumnBridge.expression(e),
+          model.pieces))
+    val base = graft.Tables.documents(spark, d).limit(20)
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((9001L, ""), (9002L, "   ")).toDF("doc_id", "text"))
+      .select(col("doc_id"), col("text"), Unigram.encode(model, col("text")).as("e"))
+    val ok = base.select(col("doc_id"), audit(col("text"), col("e")).as("a"))
+      .select(col("doc_id"), col("a.n_chars"), col("a.ok"))
+      .as[(Long, Long, Boolean)].collect()
+    assert(ok.forall(_._3), s"real encodes must audit true: ${ok.filterNot(_._3).mkString(",")}")
+    assert(ok.filter(r => r._1 >= 9001L).forall(_._2 === 0L), "empty docs have 0 chars")
+    // tampered score: +1 micronat breaks the exact-sum conjunct
+    val badScore = base.withColumn("e", expr(
+      "named_struct('ids', e.ids, 'score_micro', e.score_micro + 1L, 'n_unk', e.n_unk)"))
+      .select(audit(col("text"), col("e")).getField("ok")).as[Boolean].collect()
+    assert(badScore.forall(!_), "tampered score must fail")
+    // tampered ids: dropping the first piece breaks the round-trip
+    // (whitespace-only docs excluded: slicing their empty ids is a no-op)
+    val badIds = base.withColumn("e", expr(
+      "named_struct('ids', slice(e.ids, 2, size(e.ids)), 'score_micro', e.score_micro, 'n_unk', e.n_unk)"))
+      .filter(length(regexp_replace(col("text"), " ", "")) > 0)
+      .select(audit(col("text"), col("e")).getField("ok")).as[Boolean].collect()
+    assert(badIds.forall(!_), "tampered ids must fail")
+    // claimed unks fail even when everything else lines up
+    val badUnk = base.withColumn("e", expr(
+      "named_struct('ids', e.ids, 'score_micro', e.score_micro, 'n_unk', 1L)"))
+      .select(audit(col("text"), col("e")).getField("ok")).as[Boolean].collect()
+    assert(badUnk.forall(!_), "claimed unks must fail")
+  }
+
   test("unknown characters encode as id -1 with the fixed penalty, counted per occurrence") {
     val m = Unigram.fitLocal(Array(("ab", 5L), ("ba", 3L)), vocabSize = 10,
       seedSize = 20, iters = 2)
