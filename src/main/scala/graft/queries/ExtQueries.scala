@@ -767,10 +767,14 @@ object ExtQueries {
     * shuffles), the groupBy ships only (canon_url, raw_url, doc_id) — at
     * 100 TB you shuffle short keys, never documents — and the host rollup
     * is a window over the already-grouped |distinct canon| frame. */
-  private val extDedupUrl: Q = (s, d) => {
+  /** The synthetic crawl URL both engines derive per document (the fixture
+    * carries provenance, not URLs): deterministic case/scheme/www/port/
+    * tracking/fragment noise keyed off doc_id residues, 4 docs per path.
+    * Shared by [[extDedupUrl]] and the streaming twin. */
+  private[graft] def syntheticUrl: Column = {
     val did = col("doc_id")
     val g = expr("doc_id div 4").cast("string")
-    val raw = concat(
+    concat(
       when(did % 2 === 0, lit("https://")).otherwise(lit("HTTP://")),
       when(did % 3 === 0, lit("WWW.")).otherwise(lit("")),
       when(did % 5 === 0, upper(col("source"))).otherwise(col("source")),
@@ -783,21 +787,14 @@ object ExtQueries {
         .when(did % 4 === 3, concat(lit("?id="), g, lit("&utm_medium=y")))
         .otherwise(lit("")),
       when(did % 5 === 1, lit("#section-2")).otherwise(lit("")))
-    val grouped = documents(s, d)
-      .select(did.as("doc_id"), raw.as("raw_url"))
-      .withColumn("canon_url", Dedup.urlCanon(col("raw_url")))
-      .groupBy("canon_url")
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("raw_url")).as("n_raw"),
-        min(col("doc_id")).as("keep_id"))
-      .withColumn("host", regexp_extract(col("canon_url"), "^[^/?]+", 0))
-    grouped
-      .withColumn("host_docs",
-        sum(col("n_docs")).over(Window.partitionBy(col("host"))))
-      .select(col("canon_url"), col("host"), col("n_docs"), col("n_raw"),
-        col("keep_id"), col("host_docs"))
-      .orderBy("canon_url")
   }
+
+  private val extDedupUrl: Q = (s, d) =>
+    graft.streaming.UrlDedupStream.report(
+      graft.streaming.UrlDedupStream.slice(
+        documents(s, d).select(col("doc_id"), syntheticUrl.as("raw_url"))))
+      .orderBy("canon_url")
+
 
   private val extDedupNgram: Q = (s, d) =>
     Dedup.ngramJaccard(documents(s, d), "text", "doc_id", n = 3, threshold = 0.5)

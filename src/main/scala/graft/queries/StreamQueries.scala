@@ -163,6 +163,20 @@ object StreamQueries {
     * collapses to the one-shot batch answer — the oracle IS
     * ext_prefix_dup's SQL. Live checkpointed restart/redelivery in
     * StreamingSpec. */
+  /** The incremental URL-canonicalization dedup run in BATCH mode over a
+    * DOUBLED delivery (at-least-once): the state is membership rows and
+    * every report column is distinct-/min-/grouped-sum-based, so the
+    * doubled log collapses to the one-shot batch answer — the oracle IS
+    * ext_dedup_url's SQL. Live checkpointed restart/redelivery in
+    * StreamingSpec. */
+  private val streamUrlDedup: Q = (s, d) => {
+    import graft.streaming.UrlDedupStream
+    val urls = s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), ExtQueries.syntheticUrl.as("raw_url"))
+    val twice = UrlDedupStream.slice(urls.unionByName(urls))
+    UrlDedupStream.report(twice).orderBy("canon_url")
+  }
+
   private val streamPrefixDup: Q = (s, d) => {
     import graft.streaming.PrefixDupStream
     val docs = s.read.parquet(s"$d/documents.parquet")
@@ -483,6 +497,7 @@ object StreamQueries {
     "stream_vocab_drift" -> streamVocabDrift,
     "stream_source_caps" -> streamSourceCaps,
     "stream_prefix_dup" -> streamPrefixDup,
+    "stream_url_dedup" -> streamUrlDedup,
     "stream_length_outliers" -> streamLengthOutliers,
     "stream_ks_drift" -> streamKsDrift)
 
@@ -503,6 +518,7 @@ object StreamQueries {
     // IS the batch RefinedWeb cap's (one definition, twins can't drift)
     "stream_source_caps" -> ExtQueries.oracle("ext_source_caps"),
     "stream_prefix_dup" -> ExtQueries.oracle("ext_prefix_dup"),
+    "stream_url_dedup" -> ExtQueries.oracle("ext_dedup_url"),
     // doubled delivery collapses through the doc-keyed membership merge
     // BEFORE any histogramming — the oracle IS the batch length-outlier
     // gate's (one Robust definition, twins can't drift)

@@ -633,6 +633,55 @@ class StreamingSpec extends SparkSpec {
       .filter($"prefix" === opener).count() === 3L)
   }
 
+  test("streaming URL dedup: variants collapse across batches and survive redelivery + compaction") {
+    import graft.streaming.UrlDedupStream
+    import spark.implicits._
+    val src = tmp("url-src")
+    val tgt = tmp("url-tgt").resolve("state").toString
+    val ckp = tmp("url-ckp").toString
+
+    def deliver(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = tmp(s"url-stage-$name")
+      rows.toDF("doc_id", "raw_url")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, src.resolve(s"$name-${f.getName}")))
+    }
+
+    // wave 1: one variant of the page + an unrelated page
+    deliver("w1", Seq(
+      (1L, "https://www.Example.com/a/?utm_source=feed"),
+      (9L, "https://other.org/x")))
+    UrlDedupStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    def got() = UrlDedupStream.report(UrlDedupStream.state(spark, tgt))
+      .as[(String, String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got() === Seq(
+      ("example.com/a", "example.com", 1L, 1L, 1L, 1L),
+      ("other.org/x", "other.org", 1L, 1L, 9L, 1L)))
+
+    // wave 2: two MORE variants of the same canonical page (scheme/port/
+    // tracking noise) from new crawls, doc 1 redelivered — the group must
+    // read 3 docs over 3 raw variants, survivor still doc 1
+    deliver("w2", Seq(
+      (1L, "https://www.Example.com/a/?utm_source=feed"),
+      (2L, "HTTP://EXAMPLE.com:80/a"),
+      (3L, "https://example.com:443/a?gclid=zz")))
+    UrlDedupStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    val want = Seq(
+      ("example.com/a", "example.com", 3L, 3L, 1L, 3L),
+      ("other.org/x", "other.org", 1L, 1L, 9L, 1L))
+    assert(got() === want)
+
+    // replay with no new data, then compact: report unchanged, and the
+    // redelivered membership rows collapse to one per (canon, raw, doc)
+    UrlDedupStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    assert(got() === want)
+    UrlDedupStream.compact(spark, tgt)
+    assert(got() === want)
+    assert(UrlDedupStream.state(spark, tgt)
+      .filter($"canon_url" === "example.com/a").count() === 3L)
+  }
+
   test("inline leveled compaction (compactEvery=1) folds every batch without changing the report") {
     import graft.streaming.PrefixDupStream
     import spark.implicits._
