@@ -479,6 +479,10 @@ object Knn {
       .select(col(idCol).as("vec_id"),
         element_at(col("__nc.cells"), 1).cast("long").as("cell"),
         element_at(col("__nc.d2s"), 1).as("d2"))
+      // both readers (cell rollup + the join probe) reuse ONE kernel pass:
+      // the checkpointed frame is 3 longs/row — far slimmer than re-reading
+      // the embedding column and re-running the assignment per reader
+      .localCheckpoint(true)
     val cellStats = assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("__n"), sum(col("d2")).as("__s"))
     assigned.join(broadcast(cellStats), Seq("cell"))
@@ -516,6 +520,8 @@ object Knn {
         col("__t2.d2b").as("d2_next"))
       .withColumn("sil_milli", when(col("d2_next") === 0L, lit(0L))
         .otherwise(expr("(d2_next - d2_own) * 1000 div d2_next")))
+      // one top-2 kernel pass feeds both the rollup and the join probe
+      .localCheckpoint(true)
     val cellStats = assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_cell"),
         expr("sum(sil_milli) div count(1)").as("cell_mean_sil_milli"))

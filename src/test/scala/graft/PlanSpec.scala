@@ -506,6 +506,30 @@ class PlanSpec extends SparkSpec {
       s"final ranking must read the checkpointed path counts, not the corpus:\n${p.take(1500)}")
   }
 
+  test("url dedup: canonicalization is row-local; the scan prunes to (doc_id, source)") {
+    val p = plan("ext_dedup_url")
+    assert(p.contains("struct<doc_id:bigint,source:string>"),
+      s"scan must prune to (doc_id, source):\n${p.take(1500)}")
+    // shuffles carry only short keys: canon_url aggregate (+ its distinct
+    // expand) and the host-window rollup — nothing corpus-sized or text-
+    // bearing; no join of the corpus back to anything
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"grouping must not join the corpus:\n${p.take(1500)}")
+  }
+
+  test("silhouette and outlier QC run their assignment kernel ONCE (checkpointed slim frame)") {
+    for (q <- Seq("ext_sim_silhouette", "ext_embed_outliers")) {
+      val p = plan(q)
+      // the corpus scan + kernel happened once at checkpoint time; both
+      // readers (rollup + join probe) see only the slim ExistingRDD
+      assert(!p.contains("Scan parquet"),
+        s"$q must reuse the checkpointed assignment:\n${p.take(1500)}")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q cell rollup must broadcast back:\n${p.take(1500)}")
+      assert(!p.contains("SortMergeJoin"))
+    }
+  }
+
   test("textrank iterations reuse the checkpointed adjacency, never re-deriving the corpus") {
     val p = plan("ext_textrank")
     // 3 sweeps over an ExistingRDD (the localCheckpoint) — the corpus scan
