@@ -335,4 +335,47 @@ class PropertySpec extends SparkSpec {
       assert(a === b, "suffix replay changed the final state")
     }
   }
+
+  test("urlCanon is idempotent and case/scheme/tracking-invariant on random URLs") {
+    // random URLs assembled from the parts the canonicalizer handles:
+    // canon(canon(u)) == canon(u) (a canonical form is a fixed point), and
+    // every noise variant of the same logical page lands on one canon
+    val genUrl: Gen[(String, String)] = for {
+      scheme <- Gen.oneOf("http://", "HTTPS://", "https://", "")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("example.com", "Sub.Example.COM", "xn--mnchen-3ya.de")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/a", "/A/b", "/a/b/")
+      track <- Gen.oneOf("", "?utm_source=x", "?utm_a=1&utm_b=2", "?gclid=g")
+      real <- Gen.oneOf("", "&id=5", "&q=Term")
+      frag <- Gen.oneOf("", "#top")
+    } yield {
+      val query =
+        if (track.isEmpty && real.nonEmpty) "?" + real.drop(1)
+        else track + real
+      (scheme + www + host + port + path + query + frag,
+        host.toLowerCase + (if (port == ":8080") port else ""))
+    }
+    val seed0 = rng.Seed(7L)
+    val urls = (0 until 200).scanLeft(
+      (genUrl.pureApply(Gen.Parameters.default, seed0), seed0)) { case ((_, sd), _) =>
+        val s2 = sd.next
+        (genUrl.pureApply(Gen.Parameters.default, s2), s2)
+      }.map(_._1)
+    val dd = urls.toDF("raw", "want_host")
+      .select(col("raw"), col("want_host"),
+        graft.operators.Dedup.urlCanon(col("raw")).as("c1"))
+      .select(col("raw"), col("want_host"), col("c1"),
+        graft.operators.Dedup.urlCanon(col("c1")).as("c2"))
+      .collect()
+    dd.foreach { r =>
+      val (raw, wantHost, c1, c2) =
+        (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+      assert(c1 === c2, s"not idempotent: $raw -> $c1 -> $c2")
+      val host = c1.takeWhile(ch => ch != '/' && ch != '?')
+      assert(host === wantHost, s"host of $raw: got $host want $wantHost")
+      assert(!c1.contains("#") && !c1.toLowerCase.contains("utm_")
+        && !c1.toLowerCase.contains("gclid"), s"noise survived: $raw -> $c1")
+    }
+  }
 }
