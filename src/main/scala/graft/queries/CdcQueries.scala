@@ -1184,6 +1184,36 @@ object CdcQueries {
       .orderBy("from_type", "to_type")
   }
 
+  /** JSON payload schema profile — the CDC "did a producer change the
+    * document shape" monitor (the reference replicates schemaless
+    * documents; downstream warehouses break on silent shape drift): per
+    * (event_type, payload key) its presence count and rate, distinct-value
+    * spread, and first/last day seen — a key appearing with a late
+    * first-seen day IS the drift signal. The payload parses ONCE per row
+    * into a string map (`from_json` map<string,string> — schemaless by
+    * construction, no DDL to drift from); the explode fans out per KEY
+    * (payload width, not corpus size), then one map-side-combined
+    * aggregate onto the |types|×|keys|-bounded grid. The per-type totals
+    * are a second slim scan (two columns) broadcast back — a keyless
+    * payload still counts in its type's denominator. */
+  private val aggSchemaProfile: Q = (s, d) => {
+    val ev = events(s, d)
+    val kv = ev.select(col("event_type"),
+      date_format(col("ts"), "yyyy-MM-dd").as("__day"),
+      explode(from_json(col("props"), "map<string,string>", Map.empty[String, String]))
+        .as(Seq("key", "val")))
+    val perKey = kv.groupBy(col("event_type"), col("key"))
+      .agg(count(lit(1)).as("n_present"),
+        countDistinct(col("val")).as("n_distinct_vals"),
+        min(col("__day")).as("seen_from"), max(col("__day")).as("seen_to"))
+    val tot = ev.groupBy(col("event_type")).agg(count(lit(1)).as("__t"))
+    perKey.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("key"), col("n_present"),
+        col("n_distinct_vals"), col("seen_from"), col("seen_to"),
+        expr("n_present * 1000 div __t").as("permille"))
+      .orderBy("event_type", "key")
+  }
+
   /** Top-10 length-3 event-type journeys WITHIN sessions — the "what do
     * user journeys look like" report one window past the sessionization
     * and transition-matrix code that already exists: trigram paths beat
@@ -1258,6 +1288,7 @@ object CdcQueries {
   val queries: Map[String, Q] = Map(
     "agg_transition_matrix" -> aggTransitionMatrix,
     "agg_session_paths" -> aggSessionPaths,
+    "agg_schema_profile" -> aggSchemaProfile,
     "agg_burstiness" -> aggBurstiness,
     "agg_audience_overlap" -> aggAudienceOverlap,
     "agg_gini" -> aggGini,
@@ -1330,6 +1361,21 @@ object CdcQueries {
         |       CAST(c.n * 1000 // t.tt AS BIGINT) AS permille
         |FROM c JOIN t ON c.from_type = t.from_type
         |ORDER BY 1, 2""".stripMargin,
+
+    "agg_schema_profile" ->
+      """WITH kv AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |                   unnest(json_keys(props)) AS key, props
+        |            FROM events),
+        |pk AS (SELECT event_type, key, CAST(count(*) AS BIGINT) AS n_present,
+        |              CAST(count(DISTINCT json_extract_string(props, '$."' || key || '"'))
+        |                AS BIGINT) AS n_distinct_vals,
+        |              min(day) AS seen_from, max(day) AS seen_to
+        |       FROM kv GROUP BY 1, 2),
+        |t AS (SELECT event_type, count(*) AS tt FROM events GROUP BY 1)
+        |SELECT pk.event_type, pk.key, pk.n_present, pk.n_distinct_vals,
+        |       pk.seen_from, pk.seen_to,
+        |       CAST(pk.n_present * 1000 // t.tt AS BIGINT) AS permille
+        |FROM pk JOIN t USING (event_type) ORDER BY 1, 2""".stripMargin,
 
     "agg_session_paths" ->
       """WITH e AS (
