@@ -1012,28 +1012,72 @@ object ExtQueries {
     * exact integers, never a re-rounded double. */
   private val SweepThresholds = Seq(500, 600, 700, 800, 900)
   private val extDedupSweep: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
     val pairs = Dedup.ngramJaccard(documents(s, d), "text", "doc_id", n = 3,
       threshold = 0.5).localCheckpoint(true)
     val ntok = documents(s, d).select(col("doc_id"),
       size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
-    val rows = SweepThresholds.map { t =>
-      val pt = pairs.filter(
-        floor(col("jaccard") * 10000.0 + 0.5).cast("long") >= t * 10L)
-      val pAgg = pt.agg(count(lit(1)).as("n_pairs"))
-      val lAgg = Dedup.duplicateClusters(pt.select(col("doc_a"), col("doc_b")))
-        .join(ntok, "doc_id")
-        .agg(count(lit(1)).as("n_dup_docs"),
-          countDistinct(col("cluster_id")).as("n_clusters"),
-          coalesce(sum(when(col("doc_id") =!= col("cluster_id"), col("n_tokens"))),
-            lit(0L)).as("drop_tokens"))
-      pAgg.crossJoin(lAgg)
-        .select(lit(t.toLong).as("threshold_permille"), col("n_pairs"),
-          col("n_dup_docs"), col("n_clusters"),
-          (col("n_dup_docs") - col("n_clusters")).as("drop_docs"),
-          col("drop_tokens"))
-    }
-    rows.reduce(_.unionByName(_)).orderBy("threshold_permille")
+    // thresholds are NESTED (a pair at 0.9 is a pair at 0.5), so the five
+    // clusterings collapse into ONE incremental union-find over the pairs
+    // sorted by snapped jaccard descending: walking the thresholds high →
+    // low only ever ADDS edges. The pair set is the post-LSH candidate
+    // slice (the duplicateClusters ≤1M single-task fast-path bound), so the
+    // whole sweep is one task over edge rows that already carry both
+    // endpoints' token counts — replacing 5 × (clustering + join + two
+    // aggregates) with a single pass. Min-id roots reproduce
+    // duplicateClusters' canonical cluster_id, so every metric is
+    // bit-identical to the per-threshold relational form the oracle replays.
+    val edges = pairs
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("jaccard") * 10000.0 + 0.5).cast("long").as("snap"))
+      .join(ntok.select(col("doc_id").as("doc_a"), col("n_tokens").as("tok_a")), "doc_a")
+      .join(ntok.select(col("doc_id").as("doc_b"), col("n_tokens").as("tok_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("snap"), col("tok_a"), col("tok_b"))
+    val thresholds = SweepThresholds.sorted.reverse
+    edges.as[(Long, Long, Long, Long, Long)].coalesce(1)
+      .mapPartitions { it =>
+        val es = it.toArray.sortBy(e => -e._3) // jaccard desc
+        val parent = new java.util.HashMap[Long, Long]()
+        val tokens = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        def add(x: Long, tok: Long): Unit =
+          if (!parent.containsKey(x)) { parent.put(x, x); tokens.put(x, tok) }
+        var i = 0
+        thresholds.iterator.map { t =>
+          while (i < es.length && es(i)._3 >= t * 10L) {
+            val (a, b, _, ta, tb) = es(i)
+            add(a, ta); add(b, tb)
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+            i += 1
+          }
+          var nDup = 0L
+          var drops = 0L
+          var dropTok = 0L
+          val roots = new java.util.HashSet[Long]()
+          val docs = parent.keySet().iterator()
+          while (docs.hasNext) {
+            val doc = docs.next()
+            val r = find(doc)
+            nDup += 1
+            roots.add(r)
+            if (r != doc) { drops += 1; dropTok += tokens.get(doc) }
+          }
+          (t.toLong, i.toLong, nDup, roots.size.toLong, drops, dropTok)
+        }
+      }
+      .toDF("threshold_permille", "n_pairs", "n_dup_docs", "n_clusters",
+        "drop_docs", "drop_tokens")
+      .orderBy("threshold_permille")
   }
+
 
   private val extDedupSavings: Q = (s, d) => {
     val labels = Dedup.duplicateClusters(

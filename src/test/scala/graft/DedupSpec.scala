@@ -387,4 +387,35 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.clusterPurity(d, "text", "doc_id", n = 3, threshold = 0.5, maxMembers = 1))
   }
+
+  test("dedup sweep: the one-pass union-find equals the per-threshold clustering form") {
+    import org.apache.spark.sql.functions.{floor => ffloor}
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ext_dedup_sweep")(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    Dedup.unpersistAll()
+    // reference: the replaced form — filter the pair table per threshold,
+    // run the relational clustering, aggregate
+    val docs = graft.Tables.documents(spark, d)
+    val pairs = Dedup.ngramJaccard(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .localCheckpoint(true)
+    Dedup.unpersistAll()
+    val ntok = docs.select(col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+    val want = Seq(500L, 600L, 700L, 800L, 900L).map { t =>
+      val pt = pairs.filter(
+        ffloor(col("jaccard") * 10000.0 + 0.5).cast("long") >= t * 10L)
+      val nPairs = pt.count()
+      val cl = Dedup.duplicateClusters(pt.select(col("doc_a"), col("doc_b")))
+        .join(ntok, "doc_id")
+        .select(col("doc_id"), col("cluster_id"), col("n_tokens"))
+        .as[(Long, Long, Long)].collect()
+      Dedup.unpersistAll()
+      val nDup = cl.length.toLong
+      val nCl = cl.map(_._2).distinct.length.toLong
+      val dropTok = cl.filter(r => r._1 != r._2).map(_._3).sum
+      (t, nPairs, nDup, nCl, nDup - nCl, dropTok)
+    }
+    assert(got === want)
+  }
 }
