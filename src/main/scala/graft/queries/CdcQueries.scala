@@ -1196,23 +1196,11 @@ object CdcQueries {
     * aggregate onto the |types|×|keys|-bounded grid. The per-type totals
     * are a second slim scan (two columns) broadcast back — a keyless
     * payload still counts in its type's denominator. */
-  private val aggSchemaProfile: Q = (s, d) => {
-    val ev = events(s, d)
-    val kv = ev.select(col("event_type"),
-      date_format(col("ts"), "yyyy-MM-dd").as("__day"),
-      explode(from_json(col("props"), "map<string,string>", Map.empty[String, String]))
-        .as(Seq("key", "val")))
-    val perKey = kv.groupBy(col("event_type"), col("key"))
-      .agg(count(lit(1)).as("n_present"),
-        countDistinct(col("val")).as("n_distinct_vals"),
-        min(col("__day")).as("seen_from"), max(col("__day")).as("seen_to"))
-    val tot = ev.groupBy(col("event_type")).agg(count(lit(1)).as("__t"))
-    perKey.join(broadcast(tot), "event_type")
-      .select(col("event_type"), col("key"), col("n_present"),
-        col("n_distinct_vals"), col("seen_from"), col("seen_to"),
-        expr("n_present * 1000 div __t").as("permille"))
+  private val aggSchemaProfile: Q = (s, d) =>
+    graft.streaming.SchemaProfileStream.report(
+      graft.streaming.SchemaProfileStream.slice(events(s, d)))
       .orderBy("event_type", "key")
-  }
+
 
   /** Top-10 length-3 event-type journeys WITHIN sessions — the "what do
     * user journeys look like" report one window past the sessionization

@@ -163,6 +163,19 @@ object StreamQueries {
     * collapses to the one-shot batch answer — the oracle IS
     * ext_prefix_dup's SQL. Live checkpointed restart/redelivery in
     * StreamingSpec. */
+  /** The incremental payload-shape monitor run in BATCH mode over a
+    * DOUBLED delivery (at-least-once): the state is membership rows and
+    * every report column is distinct-/min-/max-based, so the doubled log
+    * collapses to the one-shot batch answer — the oracle IS
+    * agg_schema_profile's SQL. Live checkpointed restart/redelivery (a NEW
+    * key arriving mid-stream) in StreamingSpec. */
+  private val streamSchemaProfile: Q = (s, d) => {
+    import graft.streaming.SchemaProfileStream
+    val ev = Tables.events(s, d)
+    val twice = SchemaProfileStream.slice(ev.unionByName(ev))
+    SchemaProfileStream.report(twice).orderBy("event_type", "key")
+  }
+
   /** The incremental URL-canonicalization dedup run in BATCH mode over a
     * DOUBLED delivery (at-least-once): the state is membership rows and
     * every report column is distinct-/min-/grouped-sum-based, so the
@@ -498,6 +511,7 @@ object StreamQueries {
     "stream_source_caps" -> streamSourceCaps,
     "stream_prefix_dup" -> streamPrefixDup,
     "stream_url_dedup" -> streamUrlDedup,
+    "stream_schema_profile" -> streamSchemaProfile,
     "stream_length_outliers" -> streamLengthOutliers,
     "stream_ks_drift" -> streamKsDrift)
 
@@ -519,6 +533,7 @@ object StreamQueries {
     "stream_source_caps" -> ExtQueries.oracle("ext_source_caps"),
     "stream_prefix_dup" -> ExtQueries.oracle("ext_prefix_dup"),
     "stream_url_dedup" -> ExtQueries.oracle("ext_dedup_url"),
+    "stream_schema_profile" -> CdcQueries.oracle("agg_schema_profile"),
     // doubled delivery collapses through the doc-keyed membership merge
     // BEFORE any histogramming — the oracle IS the batch length-outlier
     // gate's (one Robust definition, twins can't drift)

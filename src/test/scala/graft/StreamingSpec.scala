@@ -633,6 +633,53 @@ class StreamingSpec extends SparkSpec {
       .filter($"prefix" === opener).count() === 3L)
   }
 
+  test("streaming schema profile: a new payload key surfaces with its arrival day; redelivery counts once") {
+    import graft.streaming.SchemaProfileStream
+    import spark.implicits._
+    val src = tmp("shp-src")
+    val tgt = tmp("shp-tgt").resolve("state").toString
+    val ckp = tmp("shp-ckp").toString
+
+    def deliver(name: String, rows: Seq[(Long, String, String, String)]): Unit = {
+      val staging = tmp(s"shp-stage-$name")
+      rows.map { case (id, day, tpe, props) =>
+        (id, java.sql.Timestamp.valueOf(s"$day 10:00:00"), id % 5, tpe, 1.0, props)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, src.resolve(s"$name-${f.getName}")))
+    }
+
+    // wave 1: the steady shape — every click carries only {"k": …}
+    deliver("w1", Seq(
+      (1L, "2024-01-01", "click", """{"k": 7}"""),
+      (2L, "2024-01-01", "click", """{"k": 9}""")))
+    SchemaProfileStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    def got() = SchemaProfileStream.report(SchemaProfileStream.state(spark, tgt))
+      .as[(String, String, Long, Long, String, String, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got() === Seq(("click", "k", 2L, 2L, "2024-01-01", "2024-01-01", 1000L)))
+
+    // wave 2: the producer ships a NEW field on day 3 (+ event 1
+    // redelivered, + a keyless payload that must still count in the
+    // denominator) — the drift signal is the late seen_from
+    deliver("w2", Seq(
+      (1L, "2024-01-01", "click", """{"k": 7}"""),
+      (3L, "2024-01-03", "click", """{"k": 7, "exp": "a"}"""),
+      (4L, "2024-01-03", "click", """{}""")))
+    SchemaProfileStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    val want = Seq(
+      ("click", "exp", 1L, 1L, "2024-01-03", "2024-01-03", 250L),
+      ("click", "k", 3L, 2L, "2024-01-01", "2024-01-03", 750L))
+    assert(got() === want)
+
+    // replay + compaction: report unchanged
+    SchemaProfileStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    assert(got() === want)
+    SchemaProfileStream.compact(spark, tgt)
+    assert(got() === want)
+  }
+
   test("streaming URL dedup: variants collapse across batches and survive redelivery + compaction") {
     import graft.streaming.UrlDedupStream
     import spark.implicits._
