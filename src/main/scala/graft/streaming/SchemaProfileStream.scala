@@ -46,13 +46,22 @@ object SchemaProfileStream {
     * event_ids over ALL state rows (null-key rows included), so keyless
     * payloads still weigh the rates. */
   def report(state: DataFrame): DataFrame = {
-    val grid = state.filter(col("key").isNotNull)
-      .groupBy(col("event_type"), col("key"))
+    // ONE pass over the membership: the rollup's (event_type) grouping set
+    // IS the per-type denominator (it sees the null-key rows the grid
+    // filters out), so the parse/scan never runs once per reader; the
+    // rolled frame is |types|×|keys|-bounded, checkpointed for its two
+    // tiny readers
+    val rolled = state
+      .rollup(col("event_type"), col("key"))
       .agg(countDistinct(col("event_id")).as("n_present"),
         countDistinct(col("val")).as("n_distinct_vals"),
-        min(col("day")).as("seen_from"), max(col("day")).as("seen_to"))
-    val tot = state.groupBy(col("event_type"))
-      .agg(countDistinct(col("event_id")).as("__t"))
+        min(col("day")).as("seen_from"), max(col("day")).as("seen_to"),
+        grouping(col("event_type")).as("__gt"), grouping(col("key")).as("__gk"))
+      .filter(col("__gt") === 0)
+      .localCheckpoint(true)
+    val grid = rolled.filter(col("__gk") === 0 && col("key").isNotNull)
+    val tot = rolled.filter(col("__gk") === 1)
+      .select(col("event_type"), col("n_present").as("__t"))
     grid.join(broadcast(tot), "event_type")
       .select(col("event_type"), col("key"), col("n_present"),
         col("n_distinct_vals"), col("seen_from"), col("seen_to"),
