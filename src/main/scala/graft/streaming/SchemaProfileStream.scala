@@ -58,11 +58,13 @@ object SchemaProfileStream {
         min(col("day")).as("seen_from"), max(col("day")).as("seen_to"),
         grouping(col("event_type")).as("__gt"), grouping(col("key")).as("__gk"))
       .filter(col("__gt") === 0)
-      .localCheckpoint(true)
-    val grid = rolled.filter(col("__gk") === 0 && col("key").isNotNull)
-    val tot = rolled.filter(col("__gk") === 1)
-      .select(col("event_type"), col("n_present").as("__t"))
-    grid.join(broadcast(tot), "event_type")
+    // the (event_type) set's row carries the denominator to its grid rows
+    // via one window over the bounded rolled frame — no join, no second
+    // reference, no per-call materialization
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    rolled
+      .withColumn("__t", max(when(col("__gk") === 1, col("n_present"))).over(w))
+      .filter(col("__gk") === 0 && col("key").isNotNull)
       .select(col("event_type"), col("key"), col("n_present"),
         col("n_distinct_vals"), col("seen_from"), col("seen_to"),
         expr("n_present * 1000 div __t").as("permille"))
