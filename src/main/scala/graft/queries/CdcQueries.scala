@@ -1196,10 +1196,25 @@ object CdcQueries {
     * aggregate onto the |types|×|keys|-bounded grid. The per-type totals
     * are a second slim scan (two columns) broadcast back — a keyless
     * payload still counts in its type's denominator. */
-  private val aggSchemaProfile: Q = (s, d) =>
-    graft.streaming.SchemaProfileStream.report(
-      graft.streaming.SchemaProfileStream.slice(events(s, d)))
+  private val aggSchemaProfile: Q = (s, d) => {
+    val ev = events(s, d)
+    // same membership slice as the streaming monitor; the exactly-once
+    // batch input lets the aggregates stay count(*) (one row per
+    // (event, key) by construction) and the denominator a slim
+    // two-column scan with no JSON parse
+    val grid = graft.streaming.SchemaProfileStream.slice(ev)
+      .filter(col("key").isNotNull)
+      .groupBy(col("event_type"), col("key"))
+      .agg(count(lit(1)).as("n_present"),
+        countDistinct(col("val")).as("n_distinct_vals"),
+        min(col("day")).as("seen_from"), max(col("day")).as("seen_to"))
+    val tot = ev.groupBy(col("event_type")).agg(count(lit(1)).as("__t"))
+    grid.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("key"), col("n_present"),
+        col("n_distinct_vals"), col("seen_from"), col("seen_to"),
+        expr("n_present * 1000 div __t").as("permille"))
       .orderBy("event_type", "key")
+  }
 
 
   /** Top-10 length-3 event-type journeys WITHIN sessions — the "what do

@@ -25,10 +25,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * report aggregates base + deltas onto the |types|×|keys|-bounded grid;
   * [[compact]] folds deltas by `distinct`.
   *
-  * Batch/stream unification: the batch `agg_schema_profile` routes through
-  * this same slice/report pair, and the batch-replay form is oracle-gated
-  * as `stream_schema_profile` against the identical SQL over a DOUBLED
-  * delivery; live restart/redelivery in StreamingSpec. */
+  * Batch/stream unification: the batch `agg_schema_profile` shares this
+  * [[slice]] and the two forms share ONE oracle SQL verbatim (the
+  * LengthProfileStream discipline — the gate, not the code path, is what
+  * cannot drift; the batch query keeps count(*) aggregates its
+  * exactly-once input allows, where the stream must pay distinct counts).
+  * The batch-replay form is oracle-gated as `stream_schema_profile` over
+  * a DOUBLED delivery; live restart/redelivery in StreamingSpec. */
 object SchemaProfileStream {
 
   /** One batch's membership slice off a ts-normalized events frame. */
@@ -46,29 +49,21 @@ object SchemaProfileStream {
     * event_ids over ALL state rows (null-key rows included), so keyless
     * payloads still weigh the rates. */
   def report(state: DataFrame): DataFrame = {
-    // ONE pass over the membership: the rollup's (event_type) grouping set
-    // IS the per-type denominator (it sees the null-key rows the grid
-    // filters out), so the parse/scan never runs once per reader; the
-    // rolled frame is |types|×|keys|-bounded, checkpointed for its two
-    // tiny readers
-    val rolled = state
-      .rollup(col("event_type"), col("key"))
+    val grid = state.filter(col("key").isNotNull)
+      .groupBy(col("event_type"), col("key"))
       .agg(countDistinct(col("event_id")).as("n_present"),
         countDistinct(col("val")).as("n_distinct_vals"),
-        min(col("day")).as("seen_from"), max(col("day")).as("seen_to"),
-        grouping(col("event_type")).as("__gt"), grouping(col("key")).as("__gk"))
-      .filter(col("__gt") === 0)
-    // the (event_type) set's row carries the denominator to its grid rows
-    // via one window over the bounded rolled frame — no join, no second
-    // reference, no per-call materialization
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
-    rolled
-      .withColumn("__t", max(when(col("__gk") === 1, col("n_present"))).over(w))
-      .filter(col("__gk") === 0 && col("key").isNotNull)
+        min(col("day")).as("seen_from"), max(col("day")).as("seen_to"))
+    // the denominator never needs the key fan-out: distinct (type, event)
+    // off the slim two-column projection, one tiny exchange
+    val tot = state.select(col("event_type"), col("event_id")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("__t"))
+    grid.join(broadcast(tot), "event_type")
       .select(col("event_type"), col("key"), col("n_present"),
         col("n_distinct_vals"), col("seen_from"), col("seen_to"),
         expr("n_present * 1000 div __t").as("permille"))
   }
+
 
   /** Raw delta union (duplicates possible — report absorbs them), empty
     * before the first batch. */
