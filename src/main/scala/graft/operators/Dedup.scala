@@ -506,6 +506,45 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** Per-doc winnowing fingerprint frame — (doc_id, fps array<bigint>) via
+    * the codegen'd [[graft.functions.WinnowFingerprints]] kernel (Schleimer
+    * 2003). Row-local, zero shuffles: the per-doc array carries only the
+    * ~2/(w+1) selected gram hashes downstream. */
+  def winnowCol(text: Column, k: Int, w: Int, modulus: Long): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.WinnowFingerprints(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), k, w, modulus))
+
+  def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
+                         k: Int, w: Int, modulus: Long): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      winnowCol(col(textCol), k, w, modulus).as("fps"))
+
+  /** MOSS-style shared-fingerprint pair report over the winnowed sets:
+    * docs sharing ≥ minShared selected fingerprints, with the shared
+    * count. Fingerprint identity is a SET per doc (duplicate values at
+    * different positions collapse); ubiquitous fingerprints (boilerplate
+    * — document frequency > maxDf) are dropped BEFORE the self-join, so
+    * the candidate fan-out is df-capped exactly like the shingle tiers:
+    * the join scales as colliding pairs over rare fingerprints, never n².
+    * At 100 TB the winnowed index is w+1 times smaller than the full
+    * shingle index at the same k — the reason MOSS scales. */
+  def winnowPairs(docs: DataFrame, textCol: String, idCol: String,
+                  k: Int, w: Int, modulus: Long,
+                  maxDf: Long, minShared: Long): DataFrame = {
+    val fps = winnowFingerprints(docs, textCol, idCol, k, w, modulus)
+      .select(col("doc_id"), explode(col("fps")).as("h")).distinct()
+    val rare = fps.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df").between(2L, maxDf)).select(col("h"))
+    val capped = fps.join(rare, Seq("h"), "left_semi")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Duplicate clustering: connected components over a near-dup pair list —
     * each doc labelled with the min doc_id reachable through pairs (the
     * cluster's canonical survivor). */

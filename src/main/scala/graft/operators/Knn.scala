@@ -1017,4 +1017,92 @@ object Knn {
         coalesce(col("rep_id"), col(idCol)).as("rep_id"))
       .withColumn("kept", col("rep_id") === col(idCol))
   }
+
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    * 1998) under the integer-exact inner-product discipline — the rerank
+    * every retrieval/selection pipeline runs between ANN recall and the
+    * consumer (dedup-aware RAG context packing, diverse few-shot pools):
+    * greedily pick k of the top-m candidates maximizing
+    * λ·sim(q,c) − (1−λ)·max_{s∈picked} sim(c,s), λ = lamTenths/10.
+    *
+    * Similarity is the exact integer inner product of 1e-6-grid snapped
+    * vectors (MIPS — the retrieval mode of dot-trained embedding models;
+    * products ≤ dim·(2·10⁶)² ≪ 2⁶³), scores are 10×-scaled longs
+    * (lamTenths·rel − (10−lamTenths)·maxPairDot), ties break id-ascending
+    * — so the full selection is a bit-reproducible pure function of the
+    * corpus that an unrolled k-step SQL replay reproduces row for row.
+    *
+    * Scale shape: candidate generation is the heavy half and stays fully
+    * distributed — ONE corpus scan scores every row against the
+    * LITERAL query matrix in one codegen'd pass ([[graft.functions.LongDots]];
+    * zero shuffles, zero per-query re-reads), then the per-query top-m is
+    * the salted two-phase ranking (`sort_topk_group`'s hierarchical
+    * discipline — no query's candidates ever funnel through one task).
+    * The greedy rerank is O(queries·k·m) on frames bounded by the
+    * Q·m·dim CONTRACT (collected like the Lloyd sample; the rerank is
+    * serving-layer-sized at any corpus scale). */
+  def mmrInt(corpus: DataFrame, idCol: String, embCol: String,
+             nQueries: Int, m: Int, k: Int, lamTenths: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val snapped = corpus.select(col(idCol).cast("long").as("vec_id"),
+      snap100(col(embCol)).as("__v"))
+    val qRows: Array[(Long, Array[Long])] = snapped
+      .filter(col("vec_id") < nQueries)
+      .orderBy("vec_id").as[(Long, Array[Long])].collect() // ≤ nQueries·dim longs
+    val qIds = qRows.map(_._1)
+    val dots = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.LongDots(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("__v")),
+        qRows.map(_._2).toSeq))
+    // fan out only (qid, cid, rel) — vectors rejoin AFTER the top-m cut,
+    // so the ranking shuffle never carries embeddings
+    val scored = snapped
+      .select(col("vec_id").as("cid"), posexplode(dots).as(Seq("qi", "rel")))
+      .select(element_at(typedLit(qIds), col("qi") + 1).as("qid"),
+        col("cid"), col("rel"))
+      .filter(col("cid") =!= col("qid"))
+    val w1 = Window.partitionBy(col("qid"), pmod(col("cid"), lit(8)))
+      .orderBy(col("rel").desc, col("cid"))
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("cid"))
+    val cand = scored
+      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= m)
+      .withColumn("__r2", row_number().over(w2)).filter(col("__r2") <= m)
+      .select("qid", "cid", "rel")
+    // Q·m candidate rows + their vectors — the contract-bounded collect
+    val rows: Array[(Long, Long, Long, Array[Long])] = cand
+      .join(snapped.withColumnRenamed("vec_id", "cid"), "cid")
+      .select(col("qid"), col("cid"), col("rel"), col("__v"))
+      .as[(Long, Long, Long, Array[Long])].collect()
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val out = rows.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+      val ordered = cs.sortBy(c => (-c._3, c._2)) // rel desc, cid asc
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+      while (picked.length < math.min(k, ordered.length)) {
+        val best = ordered.iterator
+          .filter(c => !picked.exists(_._1 == c._2))
+          .map { c =>
+            val pen = if (pickedVecs.isEmpty) 0L
+                      else pickedVecs.map(pv => dot(pv, c._4)).max
+            (c._2, c._3, lamTenths * c._3 - (10 - lamTenths) * pen, c._4)
+          }
+          .reduceLeft { (a, b) =>
+            if (b._3 > a._3 || (b._3 == a._3 && b._1 < a._1)) b else a
+          }
+        picked += ((best._1, best._2, best._3))
+        pickedVecs += best._4
+      }
+      picked.zipWithIndex.map { case ((cid, rel, score), i) =>
+        (qid, (i + 1).toLong, cid, rel, score)
+      }
+    }
+    spark.createDataFrame(out.sortBy(r => (r._1, r._2)))
+      .toDF("query_id", "rank", "vec_id", "rel", "score")
+  }
 }

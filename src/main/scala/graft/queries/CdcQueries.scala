@@ -814,6 +814,71 @@ object CdcQueries {
       .orderBy("day")
   }
 
+  /** Offline changepoint detection (§2.4 trend family) — binary
+    * segmentation's first-level scan over the daily event-volume series:
+    * for every candidate split t the SSE reduction
+    * gain(t) = S_t²/t + (S−S_t)²/(D−t) − S²/D, top-3 candidates ranked by
+    * gain — the "WHEN exactly did the level shift" answer that
+    * `window_cusum` (sequential alarm) and `agg_mann_kendall` (is there a
+    * trend at all) don't give. First-level binary segmentation is the
+    * standard offline scan (Scott & Knott 1974 lineage); deeper recursion
+    * is the same pass re-run per reported segment.
+    *
+    * Exactness: gain is a RATIONAL — gnum(t)/gden(t) with
+    * gnum = S_t²(D−t)D + (S−S_t)²tD − S²t(D−t) and gden = t(D−t)D — and
+    * two candidates compare by cross-multiplication in decimal(38,0)
+    * (HUGEINT on the oracle side; a float gain rank-flips on last-ulp
+    * ties). Exact while S²·D³ < 10³⁸ — beyond any real daily-count
+    * series. Ties break day-ascending, so the top-3 is a pure function
+    * of the counts.
+    *
+    * Shape: one map-side-combined day aggregate; prefix sums over the
+    * CALENDAR-BOUNDED day domain (the domain-histogram discipline — one
+    * row per day at any corpus size); the exact rank is a ≤D² pair
+    * comparison on that same bounded frame (the Mann–Kendall pair
+    * discipline). Nothing here is ever corpus-sized. */
+  private val aggChangepoint: Q = (s, d) =>
+    changepointReport(events(s, d)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n")))
+
+  /** The changepoint report over any (day, n) daily frame — shared by the
+    * batch query and the maintained-count-state stream form (the
+    * mannKendallReport pairing). */
+  private[queries] def changepointReport(daily: DataFrame): DataFrame = {
+    val stats = broadcast(daily.agg(
+      count(lit(1)).as("__D"), sum(col("n")).as("__S")))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val cum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cand = daily
+      .withColumn("s_t", sum(col("n")).over(cum))
+      .withColumn("t", row_number().over(Window.orderBy(col("day"))).cast("long"))
+      .crossJoin(stats)
+      .filter(col("t") < col("__D"))
+      .withColumn("s_r", col("__S") - col("s_t"))
+      .withColumn("gnum",
+        dec(col("s_t")) * dec(col("s_t")) * dec((col("__D") - col("t")) * col("__D"))
+          + dec(col("s_r")) * dec(col("s_r")) * dec(col("t") * col("__D"))
+          - dec(col("__S")) * dec(col("__S")) * dec(col("t") * (col("__D") - col("t"))))
+      .withColumn("gden", dec(col("t") * (col("__D") - col("t")) * col("__D")))
+    val better = col("b.gnum") * col("a.gden") > col("a.gnum") * col("b.gden") ||
+      (col("b.gnum") * col("a.gden") === col("a.gnum") * col("b.gden") &&
+        col("b.day") < col("a.day"))
+    cand.as("a").join(cand.as("b"), better, "left")
+      .groupBy(col("a.day").as("day"), col("a.t").as("t"), col("a.__D").as("__D"),
+        col("a.s_t").as("s_t"), col("a.s_r").as("s_r"),
+        col("a.gnum").as("gnum"), col("a.gden").as("gden"))
+      .agg(count(col("b.day")).as("__better"))
+      .filter(col("__better") < 3)
+      .select((col("__better") + 1).cast("long").as("rank"),
+        date_format(col("day"), "yyyy-MM-dd").as("split_day"),
+        col("t").as("left_days"), (col("__D") - col("t")).as("right_days"),
+        expr("s_t * 1000 div t").as("left_mean_milli"),
+        expr("s_r * 1000 div (__D - t)").as("right_mean_milli"),
+        expr("(1000 * gnum) div gden").cast("long").as("gain_milli"))
+      .orderBy("rank")
+  }
+
   /** Heavy hitters via a Misra–Gries sketch ([[graft.functions.MisraGries]],
     * §2.4 sketch family): top-20 most frequent user_ids from a k=256-counter
     * mergeable summary — ONE constant-size partial per partition merged up
@@ -1207,7 +1272,8 @@ object CdcQueries {
       .groupBy(col("event_type"), col("key"))
       .agg(count(lit(1)).as("n_present"),
         countDistinct(col("val")).as("n_distinct_vals"),
-        min(col("day")).as("seen_from"), max(col("day")).as("seen_to"))
+        date_format(min(col("day")), "yyyy-MM-dd").as("seen_from"),
+        date_format(max(col("day")), "yyyy-MM-dd").as("seen_to"))
     val tot = ev.groupBy(col("event_type")).agg(count(lit(1)).as("__t"))
     grid.join(broadcast(tot), "event_type")
       .select(col("event_type"), col("key"), col("n_present"),
@@ -1335,6 +1401,7 @@ object CdcQueries {
     "agg_daily_bars" -> aggDailyBars,
     "agg_anomaly_days" -> aggAnomalyDays,
     "agg_mann_kendall" -> aggMannKendall,
+    "agg_changepoint" -> aggChangepoint,
     "agg_benford" -> aggBenford,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "sort_topk" -> sortTopk,
@@ -2023,6 +2090,36 @@ object CdcQueries {
                " AS DOUBLE) / 18.0) END")} AS z
          |FROM s JOIN v ON s.event_type = v.event_type
          |ORDER BY s.event_type""".stripMargin,
+
+    // the gain rational compares by cross-multiplication in HUGEINT —
+    // exactly the engine's decimal(38,0) arithmetic
+    "agg_changepoint" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |                      CAST(count(*) AS BIGINT) AS n
+        |               FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS d_days,
+        |               CAST(sum(n) AS BIGINT) AS s_all FROM daily),
+        |pre AS (SELECT day,
+        |               CAST(sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_t,
+        |               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        |        FROM daily),
+        |cand AS (SELECT day, t, d_days, s_t, s_all - s_t AS s_r,
+        |                CAST(s_t AS HUGEINT) * s_t * (d_days - t) * d_days
+        |                  + CAST(s_all - s_t AS HUGEINT) * (s_all - s_t) * t * d_days
+        |                  - CAST(s_all AS HUGEINT) * s_all * t * (d_days - t) AS gnum,
+        |                CAST(t AS HUGEINT) * (d_days - t) * d_days AS gden
+        |         FROM pre, tot WHERE t < d_days),
+        |r AS (SELECT a.*,
+        |        1 + (SELECT count(*) FROM cand b
+        |             WHERE b.gnum * a.gden > a.gnum * b.gden
+        |                OR (b.gnum * a.gden = a.gnum * b.gden AND b.day < a.day)) AS rank
+        |      FROM cand a)
+        |SELECT CAST(rank AS BIGINT) AS rank, strftime(day, '%Y-%m-%d') AS split_day,
+        |       t AS left_days, d_days - t AS right_days,
+        |       CAST(s_t * 1000 // t AS BIGINT) AS left_mean_milli,
+        |       CAST(s_r * 1000 // (d_days - t) AS BIGINT) AS right_mean_milli,
+        |       CAST(1000 * gnum // gden AS BIGINT) AS gain_milli
+        |FROM r WHERE rank <= 3 ORDER BY rank""".stripMargin,
 
     // median-of-slopes under the (slope, dy, dx) total order — full-tie
     // rows share the slope value, so the picked VALUE is deterministic

@@ -796,6 +796,40 @@ object ExtQueries {
       .orderBy("canon_url")
 
 
+  /** Winnowing fingerprint summary ([[graft.functions.WinnowFingerprints]],
+    * Schleimer 2003): per doc, its gram count, how many fingerprints the
+    * w=4 window kept of the k=8 char grams, and min/max/mod-P-sum of the
+    * kept set — the per-doc side of the MOSS index, all row-local off ONE
+    * codegen'd scan (the kernel itself is the cost; everything after is
+    * array arithmetic on the ~2/(w+1)-sized selection). Integer mod-P
+    * hashes end to end, so the whole grid hash-gates against the SQL
+    * twin's naive w-blowup window replay. */
+  private val extDedupWinnow: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"),
+        greatest(length(col("text")) - 7, lit(0)).cast("long").as("n_grams"),
+        Dedup.winnowCol(col("text"), 8, 4, P).as("__fp"))
+      .select(col("doc_id"), col("n_grams"),
+        size(col("__fp")).cast("long").as("n_selected"),
+        array_min(col("__fp")).as("fp_min"),
+        array_max(col("__fp")).as("fp_max"),
+        when(size(col("__fp")) === 0, lit(null).cast("long"))
+          .otherwise(aggregate(col("__fp"), lit(0L), (a, x) => a + x) % P)
+          .as("fp_sum"))
+      .orderBy("doc_id")
+
+  /** MOSS-style shared-fingerprint pairs ([[Dedup.winnowPairs]]): docs
+    * sharing ≥ 3 winnowed fingerprints after the df-cap (df ≤ 16 — the
+    * boilerplate guard every inverted-index tier here applies). The
+    * substring-match detector with a GUARANTEE (any shared run ≥
+    * k+w−1 = 11 chars lands a shared fingerprint) at ~1/(w+1) of full
+    * shingling's index size — what plagiarism-style contamination scans
+    * run at corpus scale. */
+  private val extDedupWinnowPairs: Q = (s, d) =>
+    Dedup.winnowPairs(documents(s, d), "text", "doc_id", k = 8, w = 4,
+      modulus = P, maxDf = 16L, minShared = 3L)
+      .orderBy("doc_a", "doc_b")
+
   private val extDedupNgram: Q = (s, d) =>
     Dedup.ngramJaccard(documents(s, d), "text", "doc_id", n = 3, threshold = 0.5)
       .orderBy("doc_a", "doc_b")
@@ -1377,6 +1411,18 @@ object ExtQueries {
       .withColumn("label", col("label").cast("long"))
       .orderBy("query_id", "rank")
   }
+
+  /** MMR diversified top-k ([[Knn.mmrInt]]) — the greedy
+    * relevance-vs-redundancy rerank (λ = 0.7, top-25 candidate pool,
+    * 8 picks per query) between ANN recall and the consumer. Fully
+    * oracle-gated: integer inner products on the 1e-6 snap grid and
+    * 10×-scaled integer scores make every greedy step exact, and the SQL
+    * twin unrolls the same 8 picks as chained CTEs (the unrolled-Lloyd
+    * replay discipline). */
+  private val extSimMmr: Q = (s, d) =>
+    Knn.mmrInt(embeddings(s, d), "vec_id", "embedding",
+      nQueries = 10, m = 25, k = 8, lamTenths = 7)
+      .orderBy("query_id", "rank")
 
   /** Class-balance audit + reweighting plan over the labeled embedding set
     * (training prep): per label, count, corpus share, and the
@@ -2640,6 +2686,8 @@ object ExtQueries {
     "ext_dedup_savings" -> extDedupSavings,
     "ext_dedup_sweep" -> extDedupSweep,
     "ext_dedup_url" -> extDedupUrl,
+    "ext_dedup_winnow" -> extDedupWinnow,
+    "ext_dedup_winnow_pairs" -> extDedupWinnowPairs,
     "ext_corpus_report" -> extCorpusReport,
     "ext_contamination" -> extContamination,
     "ext_contamination_ngram" -> extContaminationNgram,
@@ -2652,6 +2700,7 @@ object ExtQueries {
     "ext_pack_windows_bpe" -> extPackWindowsBpe,
     "ext_pack_windows_unigram" -> extPackWindowsUnigram,
     "ext_sim_knn" -> extSimKnn,
+    "ext_sim_mmr" -> extSimMmr,
     "ext_sim_knn_filtered" -> extSimKnnFiltered,
     "ext_sample_hardneg" -> extSampleHardneg,
     "ext_class_balance" -> extClassBalance,
@@ -3021,6 +3070,85 @@ object ExtQueries {
        |       (SELECT count(*) FROM embeddings WHERE vec_id < 10) * CAST($k AS BIGINT),
        |       CAST($floorT AS BIGINT), true
        |ORDER BY 1""".stripMargin
+
+  /** Oracle replay of [[Knn.mmrInt]] — integer inner products on the
+    * shared 1e-6 snap grid (the lloydCteSql coordinate discipline), the
+    * top-m candidate cut, then the k greedy picks UNROLLED as chained
+    * CTEs (the unrolled-Lloyd shape): step t scores every unpicked
+    * candidate as lam·rel − (10−lam)·max(pair dot to the picked set) and
+    * takes the (score DESC, cid ASC) head. Every value is an exact
+    * BIGINT, so the whole selection hash-gates. */
+  private def mmrSql(nQ: Int, m: Int, k: Int, lam: Int): String = {
+    val steps = (2 to k).map { t =>
+      s"""s$t AS MATERIALIZED (SELECT qid, cid, rel, score FROM (
+         |  SELECT qid, cid, rel, score,
+         |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+         |  FROM (SELECT c.qid, c.cid, c.rel,
+         |               $lam * c.rel - ${10 - lam} * max(p.pdot) AS score
+         |        FROM cand c
+         |        JOIN sel${t - 1} s ON s.qid = c.qid
+         |        JOIN pd p ON p.qid = c.qid AND p.ca = c.cid AND p.cb = s.cid
+         |        WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} z
+         |                          WHERE z.qid = c.qid AND z.cid = c.cid)
+         |        GROUP BY 1, 2, 3) g) r WHERE rn = 1),
+         |sel$t AS MATERIALIZED (SELECT qid, cid FROM sel${t - 1}
+         |          UNION ALL SELECT qid, cid FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to k)
+      .map(t => s"SELECT qid, CAST($t AS BIGINT) AS rank, cid, rel, score FROM s$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH x AS MATERIALIZED (SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
+       |                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
+       |                       AS BIGINT) * 100 AS v
+       |           FROM embeddings),
+       |qd AS MATERIALIZED (SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |              CAST(sum(q.v * c.v) AS BIGINT) AS rel
+       |       FROM x q JOIN x c ON q.pos = c.pos AND c.vec_id <> q.vec_id
+       |       WHERE q.vec_id < $nQ GROUP BY 1, 2),
+       |cand AS MATERIALIZED (SELECT qid, cid, rel FROM (
+       |          SELECT qid, cid, rel,
+       |                 row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+       |          FROM qd) t WHERE rn <= $m),
+       |pd AS MATERIALIZED (SELECT a.qid, a.cid AS ca, b.cid AS cb,
+       |              CAST(sum(xa.v * xb.v) AS BIGINT) AS pdot
+       |       FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+       |       JOIN x xa ON xa.vec_id = a.cid
+       |       JOIN x xb ON xb.vec_id = b.cid AND xb.pos = xa.pos
+       |       GROUP BY 1, 2, 3),
+       |s1 AS MATERIALIZED (SELECT qid, cid, rel, CAST($lam AS BIGINT) * rel AS score FROM (
+       |        SELECT qid, cid, rel,
+       |               row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+       |        FROM cand) t WHERE rn = 1),
+       |sel1 AS MATERIALIZED (SELECT qid, cid FROM s1),
+       |$steps
+       |SELECT qid AS query_id, rank, cid AS vec_id, rel, score
+       |FROM ($finals) u
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Shared winnow CTE prefix (k=8, w=4): gram hashes `g`, per-doc gram
+    * count `ng`, and the selected set `sel` — distinct rightmost-min
+    * (h ASC, pos DESC ranking) over every w-window, windows truncating at
+    * the doc edge and degenerating to one window when grams < w, exactly
+    * the kernel's contract. */
+  private def winnowCteSql: String =
+    s"""g AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos,
+       |         list_reduce(list_transform(generate_series(i, i + 7),
+       |                                    j -> CAST(ascii(text[j:j]) AS BIGINT)),
+       |                     (acc, c) -> (acc * 31 + c) % $P) AS h
+       |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i
+       |        FROM documents WHERE length(text) >= 8) src),
+       |ng AS (SELECT doc_id, CAST(max(pos) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+       |sel AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, pos, h FROM (
+       |    SELECT b.doc_id, b.pos, b.h,
+       |           row_number() OVER (PARTITION BY a.doc_id, a.pos
+       |                              ORDER BY b.h, b.pos DESC) AS rn
+       |    FROM g a
+       |    JOIN ng n ON n.doc_id = a.doc_id AND a.pos <= greatest(n.n_grams - 3, 1)
+       |    JOIN g b ON b.doc_id = a.doc_id AND b.pos BETWEEN a.pos AND a.pos + 3
+       |  ) z WHERE rn = 1),""".stripMargin
 
   /** Oracle-side cosine between DOUBLE[] casts (same sequential fold). */
   private def cosSql(a: String, b: String) =
@@ -3732,6 +3860,35 @@ object ExtQueries {
          |                   (acc, c) -> (acc * 31 + c) % $P) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the naive replay of the winnow: every k-gram hashed by the same
+    // rolling fold, every window materialized w-wide, rightmost-min by
+    // (h ASC, pos DESC) ranking — the engine's O(n·w) kernel in O(n·w)
+    // ROWS, affordable at oracle scale only
+    "ext_dedup_winnow" ->
+      s"""WITH $winnowCteSql
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_selected,
+         |               min(h) AS fp_min, max(h) AS fp_max,
+         |               CAST(sum(h) % $P AS BIGINT) AS fp_sum
+         |        FROM sel GROUP BY 1)
+         |SELECT d.doc_id,
+         |       CAST(greatest(length(d.text) - 7, 0) AS BIGINT) AS n_grams,
+         |       coalesce(a.n_selected, CAST(0 AS BIGINT)) AS n_selected,
+         |       a.fp_min, a.fp_max, a.fp_sum
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "ext_dedup_winnow_pairs" ->
+      s"""WITH $winnowCteSql
+         |ds AS (SELECT DISTINCT doc_id, h FROM sel),
+         |rare AS (SELECT h FROM (SELECT h, count(*) AS df FROM ds GROUP BY 1) z
+         |         WHERE df BETWEEN 2 AND 16),
+         |c AS (SELECT ds.doc_id, ds.h FROM ds JOIN rare USING (h))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(count(*) AS BIGINT) AS n_shared
+         |FROM c a JOIN c b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     // order-free per-shard digest: sum of per-doc fingerprints mod P —
     // DuckDB's sum(BIGINT) is HUGEINT, matching Spark's decimal accumulator
     "ext_corpus_fingerprint" ->
@@ -4162,6 +4319,8 @@ object ExtQueries {
          |  FROM scored)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, ${rnd4Sql("cos")} AS cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ext_sim_mmr" -> mmrSql(10, 25, 8, 7),
 
     // ANN recall-audit twins (the rank-audit graduation): the audit grid's
     // determinable columns are SQL-derivable and the oracle asserts every

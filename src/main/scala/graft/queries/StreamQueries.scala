@@ -172,8 +172,13 @@ object StreamQueries {
   private val streamSchemaProfile: Q = (s, d) => {
     import graft.streaming.SchemaProfileStream
     val ev = Tables.events(s, d)
-    val twice = SchemaProfileStream.slice(ev.unionByName(ev))
-    SchemaProfileStream.report(twice).orderBy("event_type", "key")
+    // slice is row-local, so slice(ev ∪ ev) ≡ slice(ev) ∪ slice(ev):
+    // materialize the parse + explode ONCE and self-union the membership
+    // rows — the un-checkpointed doubled form re-scanned the parquet and
+    // re-ran from_json four times (both report branches × both union legs)
+    val once = SchemaProfileStream.slice(ev).localCheckpoint()
+    SchemaProfileStream.report(once.unionByName(once))
+      .orderBy("event_type", "key")
   }
 
   /** The incremental URL-canonicalization dedup run in BATCH mode over a
@@ -309,6 +314,21 @@ object StreamQueries {
     CdcQueries.mannKendallReport(
       graft.streaming.TopkStream.dailyTypeCounts(
         CdcPipeline.dedupEvents(CdcPipeline.transform(raw))))
+  }
+
+  /** Changepoint detection over the SAME maintained (day, type) count
+    * state as topk/cusum/theilsen/mann_kendall — "WHEN did the level
+    * shift" answered live off the one fact table the suite already
+    * maintains (the per-day totals collapse the |types| dimension at
+    * report time; state stays per-type so every sibling report shares
+    * it). Oracle = the batch twin's SQL with the transform's delete
+    * filter spliced in — one definition per statistic. */
+  private val streamChangepoint: Q = (s, d) => {
+    val raw = Tables.eventsRaw(s, d)
+    CdcQueries.changepointReport(
+      graft.streaming.TopkStream.dailyTypeCounts(
+        CdcPipeline.dedupEvents(CdcPipeline.transform(raw)))
+        .groupBy(col("day")).agg(sum(col("n")).as("n")))
   }
 
   /** The continuously-maintained per-type value quantiles run in BATCH
@@ -497,6 +517,7 @@ object StreamQueries {
     "stream_holt" -> streamHolt,
     "stream_theilsen" -> streamTheilsen,
     "stream_mann_kendall" -> streamMannKendall,
+    "stream_changepoint" -> streamChangepoint,
     "stream_benford" -> streamBenford,
     "stream_value_quantiles" -> streamValueQuantiles,
     "stream_heavy_hitters" -> streamHeavyHitters,
@@ -615,6 +636,9 @@ object StreamQueries {
     "stream_mann_kendall" -> CdcQueries.oracle("agg_mann_kendall").replace(
       "FROM events GROUP BY 1, 2",
       "FROM events WHERE event_type IS DISTINCT FROM 'error' GROUP BY 1, 2"),
+    "stream_changepoint" -> CdcQueries.oracle("agg_changepoint").replace(
+      "FROM events GROUP BY 1",
+      "FROM events WHERE event_type IS DISTINCT FROM 'error' GROUP BY 1"),
 
     // the closed-form CUSUM over daily totals of the deduped, delete-
     // filtered stream — window_cusum's SQL with the transform's filter

@@ -37,7 +37,11 @@ object SchemaProfileStream {
   /** One batch's membership slice off a ts-normalized events frame. */
   def slice(events: DataFrame): DataFrame =
     events.select(col("event_type"),
-      date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_id"),
+      // DATE, not a formatted string: min/max over a 4-byte date keeps the
+      // report's grid aggregate in HashAggregate (a string buffer would
+      // force the whole chain into sort-based aggregation); the report
+      // formats at output
+      to_date(col("ts")).as("day"), col("event_id"),
       explode_outer(
         from_json(col("props"), "map<string,string>", Map.empty[String, String]))
         .as(Seq("key", "val")))
@@ -47,17 +51,26 @@ object SchemaProfileStream {
     * presence count and permille rate, distinct-value spread, and
     * first/last day seen. The per-type denominator counts distinct
     * event_ids over ALL state rows (null-key rows included), so keyless
-    * payloads still weigh the rates. */
+    * payloads still weigh the rates.
+    *
+    * One membership collapse up front: redelivered rows are exact
+    * duplicates (an event re-carries the identical payload and ts — the
+    * state-design premise), so a single `distinct` restores the
+    * exactly-once frame with ONE row per (event, key). Every aggregate
+    * after it is then the cheap form: `count(*)` for presence instead of
+    * a second countDistinct (two distinct aggregates in one groupBy plan
+    * as an Expand ×3 over the key fan-out), and the denominator's
+    * distinct-event count needs no pre-distinct pass of its own. */
   def report(state: DataFrame): DataFrame = {
-    val grid = state.filter(col("key").isNotNull)
+    val mem = state.distinct()
+    val grid = mem.filter(col("key").isNotNull)
       .groupBy(col("event_type"), col("key"))
-      .agg(countDistinct(col("event_id")).as("n_present"),
+      .agg(count(lit(1)).as("n_present"),
         countDistinct(col("val")).as("n_distinct_vals"),
-        min(col("day")).as("seen_from"), max(col("day")).as("seen_to"))
-    // the denominator never needs the key fan-out: distinct (type, event)
-    // off the slim two-column projection, one tiny exchange
-    val tot = state.select(col("event_type"), col("event_id")).distinct()
-      .groupBy(col("event_type")).agg(count(lit(1)).as("__t"))
+        date_format(min(col("day")), "yyyy-MM-dd").as("seen_from"),
+        date_format(max(col("day")), "yyyy-MM-dd").as("seen_to"))
+    val tot = mem.groupBy(col("event_type"))
+      .agg(countDistinct(col("event_id")).as("__t"))
     grid.join(broadcast(tot), "event_type")
       .select(col("event_type"), col("key"), col("n_present"),
         col("n_distinct_vals"), col("seen_from"), col("seen_to"),
@@ -69,7 +82,8 @@ object SchemaProfileStream {
     * before the first batch. */
   def state(spark: SparkSession, targetDir: String): DataFrame =
     AppendState.raw(spark, targetDir).getOrElse(
-      spark.range(0).select(lit("").as("event_type"), lit("").as("day"),
+      spark.range(0).select(lit("").as("event_type"),
+        lit(null).cast("date").as("day"),
         col("id").as("event_id"), lit("").as("key"), lit("").as("val")))
 
   /** One micro-batch apply: slice the batch's membership rows, append as

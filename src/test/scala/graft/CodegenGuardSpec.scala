@@ -134,6 +134,15 @@ class CodegenGuardSpec extends AnyFunSuite {
       (0, Array(0L, 0L)), (1, Array(1000000L, 1000000L)),
       (3, Array(-500000L, -500000L)))),
     InternalRow(farr(0.9f, 1.1f)), Seq(floatArrType))
+  private val longArrType = ArrayType(LongType, containsNull = false)
+  check("LongDots",
+    LongDots(BoundReference(0, longArrType, nullable = true),
+      Seq(Array(1000000L, -2000000L, 3000000L), Array(500000L, 500000L, -500000L))),
+    InternalRow(ArrayData.toArrayData(Array(2000000L, 1000000L, -1000000L))),
+    Seq(longArrType))
+  check("WinnowFingerprints",
+    WinnowFingerprints(str0, k = 8, w = 4, modulus = 1000000007L),
+    strRow(text), Seq(strType))
   check("MadStats",
     MadStats(BoundReference(0, histType, nullable = true), factor = 3),
     InternalRow(ArrayData.toArrayData(Array(

@@ -418,4 +418,47 @@ class DedupSpec extends SparkSpec {
     }
     assert(got === want)
   }
+
+  test("winnowing: the k+w-1 guarantee, short-doc edges, and selection density") {
+    val P = 1000000007L
+    val shared = "zqxjvwpyr kbdf" // 14 chars ≥ k+w−1 = 11 → must share a fingerprint
+    val frame = docs(
+      (1L, s"aaa bbb ccc $shared ddd eee"),
+      (2L, s"fff ggg $shared hhh iii jjj"))
+    val fps = Dedup.winnowFingerprints(frame, "text", "doc_id", 8, 4, P)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty,
+      "a shared ≥(k+w−1)-char run must land a shared fingerprint")
+    // short-doc edges: <k chars → no grams; k ≤ len with grams < w → the
+    // single truncated window still selects exactly one fingerprint
+    val sf = Dedup.winnowFingerprints(
+        docs((1L, "abcdefg"), (2L, "abcdefgh"), (3L, "abcdefghij")),
+        "text", "doc_id", 8, 4, P)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sf(1L).isEmpty)
+    assert(sf(2L).length === 1)
+    assert(sf(3L).length === 1)
+    // density: on long text the winnow keeps a strict sample of the grams
+    // (~2/(w+1)) — never more than one per window start
+    val long = docs((9L, ("the quick brown fox jumps over the lazy dog " * 8).trim))
+    val sel = Dedup.winnowFingerprints(long, "text", "doc_id", 8, 4, P)
+      .as[(Long, Seq[Long])].collect().head._2
+    val nGrams = long.first().getString(1).length - 7
+    assert(sel.length < nGrams / 2, s"${sel.length} of $nGrams grams kept")
+  }
+
+  test("winnowPairs: verbatim copies pair up; boilerplate past the df-cap cannot") {
+    val P = 1000000007L
+    val boiler = "standard header used by every page of this mirror site"
+    val copy = "an entirely distinctive passage that appears verbatim in two docs only"
+    val rows =
+      (1L to 20L).map(i => (i, s"$boiler unique tail marker $i")) ++
+        Seq((21L, s"$copy opening words"), (22L, s"$copy closing words"))
+    val pairs = Dedup.winnowPairs(rows.toDF("doc_id", "text"), "text", "doc_id",
+        k = 8, w = 4, modulus = P, maxDf = 16L, minShared = 3L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((21L, 22L)),
+      s"only the verbatim copy pair may survive the df-cap: $pairs")
+    assert(pairs.head._3 >= 3L)
+  }
 }

@@ -855,4 +855,28 @@ class KnnSpec extends SparkSpec {
       assert(ms.map(_._6).toSet.size === 1 && ms.map(_._7).toSet.size === 1)
     }
   }
+
+  test("MMR: rank-1 is the MIPS argmax; the diversity penalty defers the duplicate") {
+    // query 0 along e1. 10 and 11 are exact duplicates with a LARGE norm
+    // (high mutual dot), 12 is slightly less relevant but near-orthogonal
+    // to them: λ=0.7 MMR must pick 10 (argmax rel, id tie-break), then 12
+    // (the duplicate's 3·selfdot penalty sinks it), then 11 — where pure
+    // relevance ranking would return 10, 11, 12.
+    val v = vecs(
+      0L -> Seq(1f, 0f),
+      10L -> Seq(0.9f, 1.2f),
+      11L -> Seq(0.9f, 1.2f),
+      12L -> Seq(0.85f, -0.2f))
+    val got = graft.operators.Knn.mmrInt(v, "vec_id", "embedding",
+        nQueries = 1, m = 3, k = 3, lamTenths = 7)
+      .orderBy("rank")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._3) === Seq(10L, 12L, 11L))
+    assert(got.map(_._2) === Seq(1L, 2L, 3L))
+    // rel of the duplicate pair is identical; scores are exact integers in
+    // 10×(1e-12) units: rank-1 score = 7·rel with an empty picked set
+    assert(got.head._5 === 7L * got.head._4)
+    // every later score carries a strictly positive redundancy penalty here
+    got.tail.foreach(r => assert(r._5 < 7L * r._4))
+  }
 }

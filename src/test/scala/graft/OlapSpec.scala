@@ -397,4 +397,30 @@ class OlapSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(got === Map(1L -> "none", 3L -> "view", 4L -> "view"))
   }
+
+  test("changepoint: top-3 splits replay the exact rational gain ranking") {
+    val daily = graft.Tables.events(spark, d)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    val dd = daily.length
+    val s = daily.map(_._2).sum
+    val pre = daily.map(_._2).scanLeft(0L)(_ + _).tail
+    val cands = (1 until dd).map { t =>
+      val st = pre(t - 1); val sr = s - st
+      val gnum = BigInt(st) * st * (dd - t) * dd +
+        BigInt(sr) * sr * t * dd - BigInt(s) * s * t * (dd - t)
+      val gden = BigInt(t) * (dd - t) * dd
+      (daily(t - 1)._1, t.toLong, gnum, gden)
+    }
+    val want = cands.sortWith { (a, b) =>
+      val c = (a._3 * b._4).compare(b._3 * a._4)
+      if (c != 0) c > 0 else a._1 < b._1
+    }.take(3).map(c => (c._1, c._2, (BigInt(1000) * c._3 / c._4).toLong))
+    val got = q("agg_changepoint").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(6))).toSeq
+    assert(got === want)
+    // split gains are SSE reductions — nonnegative by convexity
+    got.foreach { case (_, _, gainMilli) => assert(gainMilli >= 0L) }
+  }
 }
