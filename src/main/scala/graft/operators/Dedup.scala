@@ -531,12 +531,24 @@ object Dedup {
     * shingle index at the same k — the reason MOSS scales. */
   def winnowPairs(docs: DataFrame, textCol: String, idCol: String,
                   k: Int, w: Int, modulus: Long,
-                  maxDf: Long, minShared: Long): DataFrame = {
+                  maxDf: Long, minShared: Long,
+                  cache: CacheHandle = tracked()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // set semantics ROW-LOCALLY: a doc's duplicate fingerprint VALUES (same
+    // gram text at different positions) collapse in array_distinct before
+    // the explode, so no corpus-wide distinct exchange ever runs; persist
+    // the exploded set so the winnow kernel scan (the expensive half) runs
+    // ONCE even though the frame feeds both sides of the self-join; the
+    // df-cap is a window count on the h partitioning the join needs anyway
+    // — one exchange, not a groupBy + semi-join pair
     val fps = winnowFingerprints(docs, textCol, idCol, k, w, modulus)
-      .select(col("doc_id"), explode(col("fps")).as("h")).distinct()
-    val rare = fps.groupBy(col("h")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df").between(2L, maxDf)).select(col("h"))
-    val capped = fps.join(rare, Seq("h"), "left_semi")
+      .select(col("doc_id"), explode(array_distinct(col("fps"))).as("h"))
+    // the PERSIST point is the capped frame: kernel scan AND df-window run
+    // once, and the self-join's two branches read only the small surviving
+    // slice
+    val capped = cache.register(fps
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("__df").between(2L, maxDf)).drop("__df"))
     capped.as("a")
       .join(capped.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))

@@ -1105,4 +1105,70 @@ object Knn {
     spark.createDataFrame(out.sortBy(r => (r._1, r._2)))
       .toDF("query_id", "rank", "vec_id", "rel", "score")
   }
+
+  /** Matryoshka-style prefix-dimension recall audit (Kusupati et al. 2022:
+    * MRL-trained embeddings keep most of their ranking power in a prefix
+    * of the dimensions): for each prefix length L, the exact top-k by
+    * integer inner product over the FIRST L coordinates, scored as overlap
+    * with the full-dimension top-k — the table read before truncating
+    * stored vectors for a cheaper first-stage scan (a 64→8 truncation is
+    * an 8× scan-bandwidth cut; this audit says what recall it costs on
+    * THIS corpus).
+    *
+    * One corpus scan computes all |dims|·|queries| truncated dots in one
+    * codegen'd pass ([[graft.functions.LongDots]] — the truncated LITERAL
+    * query rows bound each fold, so prefix scoring reads only the prefix),
+    * per-(query, L) top-k via the salted two-phase ranking, overlap by
+    * left join against the full-dim slice of the same ranking. Integer
+    * MIPS on the 1e-6 snap grid with id tie-breaks end to end — the whole
+    * grid hash-gates. Totals row (query_id = −1) per L; denominators
+    * derive from the ACTUAL query count, never a hardcoded 10. */
+  def matryoshkaAudit(corpus: DataFrame, idCol: String, embCol: String,
+                      nQueries: Int, k: Int, dims: Seq[Int]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val snapped = corpus.select(col(idCol).cast("long").as("vec_id"),
+      snap100(col(embCol)).as("__v"))
+    val qRows: Array[(Long, Array[Long])] = snapped
+      .filter(col("vec_id") < nQueries)
+      .orderBy("vec_id").as[(Long, Array[Long])].collect() // ≤ nQueries·dim longs
+    val combos: Seq[(Int, Long)] =
+      for { l <- dims; (qid, _) <- qRows.toSeq } yield (l, qid)
+    val matrix: Seq[Array[Long]] =
+      for { l <- dims; (_, v) <- qRows.toSeq } yield v.take(math.min(l, v.length))
+    val dots = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.LongDots(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("__v")), matrix))
+    val comboDim = combos.map(_._1.toLong).toArray
+    val comboQid = combos.map(_._2).toArray
+    val scored = snapped
+      .select(col("vec_id").as("cid"), posexplode(dots).as(Seq("ci", "rel")))
+      .select(element_at(typedLit(comboDim), col("ci") + 1).as("dim"),
+        element_at(typedLit(comboQid), col("ci") + 1).as("qid"),
+        col("cid"), col("rel"))
+      .filter(col("cid") =!= col("qid"))
+    val w1 = Window.partitionBy(col("qid"), col("dim"), pmod(col("cid"), lit(8)))
+      .orderBy(col("rel").desc, col("cid"))
+    val w2 = Window.partitionBy(col("qid"), col("dim"))
+      .orderBy(col("rel").desc, col("cid"))
+    val top = scored
+      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= k)
+      .withColumn("__r2", row_number().over(w2)).filter(col("__r2") <= k)
+      .select(col("qid"), col("dim"), col("cid"))
+    val fullDim = dims.max.toLong
+    val full = top.filter(col("dim") === fullDim)
+      .select(col("qid").as("__fq"), col("cid").as("__fc"))
+    val hits = top.join(full,
+        col("qid") === col("__fq") && col("cid") === col("__fc"), "left")
+      .groupBy(col("qid"), col("dim"))
+      .agg(sum(when(col("__fc").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+    val tot = hits.groupBy(col("dim"))
+      .agg(sum(col("n_hits")).as("n_hits"))
+      .select(lit(-1L).as("qid"), col("dim"), col("n_hits"))
+    val nQ = qRows.length.toLong
+    hits.unionByName(tot)
+      .select(col("qid").as("query_id"), col("dim"), col("n_hits"),
+        expr(s"n_hits * 1000 div (CASE WHEN qid = -1 THEN ${k * nQ} ELSE $k END)")
+          .as("recall_permille"))
+  }
 }

@@ -1424,6 +1424,16 @@ object ExtQueries {
       nQueries = 10, m = 25, k = 8, lamTenths = 7)
       .orderBy("query_id", "rank")
 
+  /** Prefix-dimension (Matryoshka) recall audit ([[Knn.matryoshkaAudit]]):
+    * top-10 overlap of the L ∈ {8,16,32,64}-prefix integer-MIPS ranking
+    * with the full-dimension one — what truncating stored vectors for a
+    * cheaper first-stage scan costs on THIS corpus. Hash-gated end to end
+    * on the snap grid. */
+  private val extEmbedMatryoshka: Q = (s, d) =>
+    Knn.matryoshkaAudit(embeddings(s, d), "vec_id", "embedding",
+      nQueries = 10, k = 10, dims = Seq(8, 16, 32, 64))
+      .orderBy("dim", "query_id")
+
   /** Class-balance audit + reweighting plan over the labeled embedding set
     * (training prep): per label, count, corpus share, and the
     * inverse-frequency weight N/(k·nᵢ) a "balanced" sampler multiplies
@@ -2701,6 +2711,7 @@ object ExtQueries {
     "ext_pack_windows_unigram" -> extPackWindowsUnigram,
     "ext_sim_knn" -> extSimKnn,
     "ext_sim_mmr" -> extSimMmr,
+    "ext_embed_matryoshka" -> extEmbedMatryoshka,
     "ext_sim_knn_filtered" -> extSimKnnFiltered,
     "ext_sample_hardneg" -> extSampleHardneg,
     "ext_class_balance" -> extClassBalance,
@@ -4321,6 +4332,46 @@ object ExtQueries {
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "ext_sim_mmr" -> mmrSql(10, 25, 8, 7),
+
+    // prefix-dim recall audit: the same snap-grid integer dots restricted
+    // to pos < L per dims row; denominators derive from the actual query
+    // count
+    "ext_embed_matryoshka" ->
+      s"""WITH x AS MATERIALIZED (
+         |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
+         |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
+         |              AS BIGINT) * 100 AS v
+         |  FROM embeddings),
+         |dims(dim) AS (VALUES (8), (16), (32), (64)),
+         |qd AS MATERIALIZED (
+         |  SELECT d.dim, q.vec_id AS qid, c.vec_id AS cid,
+         |         CAST(sum(q.v * c.v) AS BIGINT) AS rel
+         |  FROM x q JOIN x c ON q.pos = c.pos AND c.vec_id <> q.vec_id
+         |  JOIN dims d ON q.pos < d.dim
+         |  WHERE q.vec_id < 10 GROUP BY 1, 2, 3),
+         |top AS MATERIALIZED (SELECT dim, qid, cid FROM (
+         |        SELECT dim, qid, cid,
+         |               row_number() OVER (PARTITION BY dim, qid
+         |                                  ORDER BY rel DESC, cid) AS rn
+         |        FROM qd) t WHERE rn <= 10),
+         |f AS (SELECT qid, cid FROM top WHERE dim = 64),
+         |hits AS (SELECT t.qid, t.dim,
+         |                CAST(sum(CASE WHEN f.cid IS NOT NULL THEN 1 ELSE 0 END)
+         |                     AS BIGINT) AS n_hits
+         |         FROM top t LEFT JOIN f ON f.qid = t.qid AND f.cid = t.cid
+         |         GROUP BY 1, 2),
+         |tot AS (SELECT CAST(-1 AS BIGINT) AS qid, dim,
+         |               CAST(sum(n_hits) AS BIGINT) AS n_hits
+         |        FROM hits GROUP BY 2),
+         |nq AS (SELECT count(*) AS n FROM embeddings WHERE vec_id < 10),
+         |u AS (SELECT qid, dim, n_hits FROM hits
+         |      UNION ALL SELECT qid, dim, n_hits FROM tot)
+         |SELECT u.qid AS query_id, CAST(u.dim AS BIGINT) AS dim, u.n_hits,
+         |       CAST(u.n_hits * 1000 //
+         |            (CASE WHEN u.qid = -1 THEN 10 * nq.n ELSE 10 END) AS BIGINT)
+         |         AS recall_permille
+         |FROM u, nq
+         |ORDER BY dim, query_id""".stripMargin,
 
     // ANN recall-audit twins (the rank-audit graduation): the audit grid's
     // determinable columns are SQL-derivable and the oracle asserts every

@@ -879,4 +879,22 @@ class KnnSpec extends SparkSpec {
     // every later score carries a strictly positive redundancy penalty here
     got.tail.foreach(r => assert(r._5 < 7L * r._4))
   }
+
+  test("matryoshka audit: full-dim recall is perfect; totals fold the per-query rows") {
+    val got = SparkEntry.queries("ext_embed_matryoshka")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val dims = got.map(_._2).distinct.sorted
+    assert(dims === Seq(8L, 16L, 32L, 64L))
+    // the full-dim prefix IS the reference ranking — recall 1000 by
+    // construction, per query and in the totals row
+    val full = got.filter(_._2 == 64L)
+    assert(full.nonEmpty && full.forall(_._4 === 1000L))
+    // totals row (query_id = −1) per dim folds the per-query hit counts
+    dims.foreach { dim =>
+      val rows = got.filter(_._2 == dim)
+      val tot = rows.find(_._1 == -1L).get
+      assert(tot._3 === rows.filter(_._1 >= 0L).map(_._3).sum)
+      assert(rows.count(_._1 >= 0L) === 10)
+    }
+  }
 }

@@ -537,4 +537,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Scan parquet"),
       s"iterations must read the checkpointed edges, not the corpus:\n${p.take(1500)}")
   }
+
+  test("winnow summary is one codegen'd scan — zero hash exchanges, no UDF") {
+    val p = plan("ext_dedup_winnow")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the per-doc summary must be row-local:\n${p.take(1500)}")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"winnow must be an Expression, not a UDF:\n${p.take(1500)}")
+    assert(p.split("Scan parquet").length - 1 == 1)
+  }
+
+  test("winnow pairs self-join reads the persisted capped index on both sides") {
+    val p = plan("ext_dedup_winnow_pairs")
+    graft.operators.Dedup.unpersistAll()
+    // the winnow kernel scan and the df-window fold into the persisted
+    // frame — both join branches are InMemoryTableScans (the embedded
+    // InMemoryRelation dump still prints the cached plan's parquet scan,
+    // so the pin counts cache reads, not scan absence)
+    assert(p.split("InMemoryTableScan").length - 1 >= 2,
+      s"both join branches must read the persisted capped set:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("matryoshka candidate scoring runs the codegen'd literal-matrix kernel") {
+    // (ext_sim_mmr shares the kernel but its final frame is the
+    // driver-side greedy rerank's LocalTableScan — the scoring plan is
+    // consumed inside the bounded collect, so only the fully-declarative
+    // matryoshka audit can pin it)
+    val p = plan("ext_embed_matryoshka")
+    assert(p.toLowerCase.contains("longdots"),
+      s"prefix scoring must go through the LongDots kernel:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"the audit must never expand all pairs:\n${p.take(2000)}")
+  }
 }
