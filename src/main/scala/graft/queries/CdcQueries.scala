@@ -879,6 +879,43 @@ object CdcQueries {
       .orderBy("rank")
   }
 
+  /** k-anonymity audit (§2.4 privacy family) — the re-identification-risk
+    * grid a pipeline owner reads before RELEASING event data: rows sharing
+    * the same quasi-identifier combination (event_type, day, coarse value
+    * bucket) form an equivalence class; a class of size 1 is a uniquely
+    * re-identifiable record (Sweeney 2002's k-anonymity: a release is
+    * k-anonymous iff every class has ≥ k records). Report: per class-size
+    * band (1 / 2–4 / 5–9 / 10+), how many classes and rows land there and
+    * the row share in permille — plus the dataset's k (the min class
+    * size) on every row, the single number the release gate checks.
+    *
+    * Shape: ONE map-side-combined aggregate onto the quasi-identifier
+    * grid (types × days × buckets — DOMAIN-bounded, never corpus-sized),
+    * then band/total rollups on that bounded frame with the 1-row stats
+    * frame broadcast back. All integers. */
+  private val aggKAnonymity: Q = (s, d) => {
+    val classes = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+        // width-10 buckets via double floor(value/10): one IEEE divide +
+        // floor, identical in both engines (an integer `div` would
+        // truncate, not floor, on hypothetical negative values)
+        floor(col("value") / 10.0).cast("long").as("vbucket"))
+      .agg(count(lit(1)).as("n"))
+    val banded = classes.select(
+      when(col("n") === 1, "1").when(col("n") <= 4, "2-4")
+        .when(col("n") <= 9, "5-9").otherwise("10+").as("band"),
+      col("n"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("n")).as("n_rows"))
+    val tot = broadcast(classes.agg(
+      sum(col("n")).as("__rows"), min(col("n")).as("__k")))
+    banded.crossJoin(tot)
+      .select(col("band"), col("n_classes"), col("n_rows"),
+        expr("n_rows * 1000 div __rows").as("rows_permille"),
+        col("__k").as("k_anonymity"))
+      .orderBy("band")
+  }
+
   /** Heavy hitters via a Misra–Gries sketch ([[graft.functions.MisraGries]],
     * §2.4 sketch family): top-20 most frequent user_ids from a k=256-counter
     * mergeable summary — ONE constant-size partial per partition merged up
@@ -1402,6 +1439,7 @@ object CdcQueries {
     "agg_anomaly_days" -> aggAnomalyDays,
     "agg_mann_kendall" -> aggMannKendall,
     "agg_changepoint" -> aggChangepoint,
+    "agg_k_anonymity" -> aggKAnonymity,
     "agg_benford" -> aggBenford,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "sort_topk" -> sortTopk,
@@ -2120,6 +2158,24 @@ object CdcQueries {
         |       CAST(s_r * 1000 // (d_days - t) AS BIGINT) AS right_mean_milli,
         |       CAST(1000 * gnum // gden AS BIGINT) AS gain_milli
         |FROM r WHERE rank <= 3 ORDER BY rank""".stripMargin,
+
+    "agg_k_anonymity" ->
+      """WITH cl AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                   CAST(floor(value / 10) AS BIGINT) AS vbucket,
+        |                   CAST(count(*) AS BIGINT) AS n
+        |            FROM events GROUP BY 1, 2, 3),
+        |b AS (SELECT CASE WHEN n = 1 THEN '1' WHEN n <= 4 THEN '2-4'
+        |                  WHEN n <= 9 THEN '5-9' ELSE '10+' END AS band, n
+        |      FROM cl),
+        |g AS (SELECT band, CAST(count(*) AS BIGINT) AS n_classes,
+        |             CAST(sum(n) AS BIGINT) AS n_rows
+        |      FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS rows_all,
+        |             CAST(min(n) AS BIGINT) AS k_anon FROM cl)
+        |SELECT band, n_classes, n_rows,
+        |       CAST(n_rows * 1000 // rows_all AS BIGINT) AS rows_permille,
+        |       k_anon AS k_anonymity
+        |FROM g, t ORDER BY band""".stripMargin,
 
     // median-of-slopes under the (slope, dy, dx) total order — full-tie
     // rows share the slope value, so the picked VALUE is deterministic

@@ -423,4 +423,25 @@ class OlapSpec extends SparkSpec {
     // split gains are SSE reductions — nonnegative by convexity
     got.foreach { case (_, _, gainMilli) => assert(gainMilli >= 0L) }
   }
+
+  test("k-anonymity: bands partition the class grid; k is the global min class size") {
+    val classes = graft.Tables.events(spark, d)
+      .groupBy(col("event_type"), to_date(col("ts")),
+        floor(col("value") / 10.0).cast("long"))
+      .count().collect().map(_.getLong(3))
+    val got = q("agg_k_anonymity").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // every class and row is banded exactly once
+    assert(got.map(_._2).sum === classes.length.toLong)
+    assert(got.map(_._3).sum === classes.sum)
+    // the k column is constant and equals the min class size
+    assert(got.map(_._5).distinct.toSeq === Seq(classes.min))
+    // band membership replays the case rule
+    val wantBands = classes.groupBy(n =>
+      if (n == 1) "1" else if (n <= 4) "2-4" else if (n <= 9) "5-9" else "10+")
+    got.foreach { case (band, nc, nr, _, _) =>
+      assert(nc === wantBands(band).length.toLong, s"band $band classes")
+      assert(nr === wantBands(band).sum, s"band $band rows")
+    }
+  }
 }

@@ -378,4 +378,43 @@ class PropertySpec extends SparkSpec {
         && !c1.toLowerCase.contains("gclid"), s"noise survived: $raw -> $c1")
     }
   }
+
+  test("winnowing: the k+w-1 guarantee and the density bound hold on random text pairs") {
+    // random lowercase docs with a random ≥(k+w−1)-char run planted in
+    // both — Schleimer's theorem says the winnowed sets must intersect;
+    // and no doc may keep more fingerprints than it has window starts
+    val K = 8; val W = 4; val P = 1000000007L
+    val genChar = Gen.choose('a', 'z')
+    def genStr(lo: Int, hi: Int): Gen[String] = for {
+      n <- Gen.choose(lo, hi)
+      cs <- Gen.listOfN(n, genChar)
+    } yield cs.mkString
+    val genCase = for {
+      shared <- genStr(K + W - 1, 40)
+      pre1 <- genStr(0, 30); suf1 <- genStr(0, 30)
+      pre2 <- genStr(0, 30); suf2 <- genStr(0, 30)
+    } yield (pre1 + shared + suf1, pre2 + shared + suf2)
+    val seed0 = rng.Seed(11L)
+    val cases = (0 until 40).scanLeft(
+      (genCase.pureApply(Gen.Parameters.default, seed0), seed0)) { case ((_, sd), _) =>
+        val s2 = sd.next
+        (genCase.pureApply(Gen.Parameters.default, s2), s2)
+      }.map(_._1)
+    val rows = cases.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((2L * i, a), (2L * i + 1, b))
+    }
+    val fps = graft.operators.Dedup.winnowFingerprints(
+        rows.toDF("doc_id", "text"), "text", "doc_id", K, W, P)
+      .as[(Long, Seq[Long])].collect().toMap
+    cases.zipWithIndex.foreach { case ((a, b), i) =>
+      val (fa, fb) = (fps(2L * i), fps(2L * i + 1))
+      assert(fa.toSet.intersect(fb.toSet).nonEmpty,
+        s"case $i: shared run left no shared fingerprint ($a | $b)")
+      for ((t, f) <- Seq((a, fa), (b, fb))) {
+        val ng = t.length - K + 1
+        assert(f.length <= math.max(ng - W + 1, 1), s"case $i: density bound")
+        assert(f.nonEmpty)
+      }
+    }
+  }
 }
