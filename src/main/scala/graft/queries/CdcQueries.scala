@@ -799,9 +799,13 @@ object CdcQueries {
     *
     * Shape: one map-side-combined day aggregate; the (D, S, SS) stats ride
     * a broadcast 1-row cross join; the flag is row-local. */
-  private val aggAnomalyDays: Q = (s, d) => {
-    val daily = events(s, d)
-      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+  private val aggAnomalyDays: Q = (s, d) =>
+    anomalyDaysReport(events(s, d)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n")))
+
+  /** The 2σ daily-anomaly report over any (day, n) frame — shared by the
+    * batch query and the maintained-count-state stream form. */
+  private[queries] def anomalyDaysReport(daily: DataFrame): DataFrame = {
     val stats = broadcast(daily.agg(
       count(lit(1)).as("__D"), sum(col("n")).as("__S"),
       sum(col("n") * col("n")).as("__SS")))
@@ -809,6 +813,34 @@ object CdcQueries {
     val dev = dec(col("n") * col("__D") - col("__S"))
     daily.crossJoin(stats)
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+        (dev * dev > lit(4) * (dec(col("__D")) * dec(col("__SS"))
+          - dec(col("__S")) * dec(col("__S")))).as("is_outlier"))
+      .orderBy("day")
+  }
+
+  /** Weekday-adjusted daily-anomaly flags (§2.4) — the seasonality-aware
+    * variant of [[aggAnomalyDays]]: the same multiplied-out integer 2σ
+    * rule, but each day compares against ITS OWN day-of-week group's
+    * (D, S, SS) — weekly rhythm is the #1 false-positive source in
+    * volume alarms (every Saturday "anomalous" against a Mon–Fri mean,
+    * real Tuesday incidents masked by the weekend spread). The weekday
+    * index is epoch-day arithmetic ((days-since-1970 + 3) mod 7, 0 = Mon)
+    * — no locale-dependent day names, identical in any engine. Shape:
+    * one day aggregate, 7-row broadcast stats, row-local flags. */
+  private val aggAnomalyDow: Q = (s, d) => {
+    val daily = events(s, d)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("1970-01-01").cast("date")) + 3, lit(7))
+          .cast("long"))
+    val stats = broadcast(daily.groupBy(col("dow")).agg(
+      count(lit(1)).as("__D"), sum(col("n")).as("__S"),
+      sum(col("n") * col("n")).as("__SS")))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val dev = dec(col("n") * col("__D") - col("__S"))
+    daily.join(stats, "dow")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("dow"),
+        col("n"),
         (dev * dev > lit(4) * (dec(col("__D")) * dec(col("__SS"))
           - dec(col("__S")) * dec(col("__S")))).as("is_outlier"))
       .orderBy("day")
@@ -1437,6 +1469,7 @@ object CdcQueries {
     "window_cumulative_distinct" -> windowCumulativeDistinct,
     "agg_daily_bars" -> aggDailyBars,
     "agg_anomaly_days" -> aggAnomalyDays,
+    "agg_anomaly_dow" -> aggAnomalyDow,
     "agg_mann_kendall" -> aggMannKendall,
     "agg_changepoint" -> aggChangepoint,
     "agg_k_anonymity" -> aggKAnonymity,
@@ -1985,6 +2018,24 @@ object CdcQueries {
         |       (CAST(n AS HUGEINT) * D - S) * (CAST(n AS HUGEINT) * D - S)
         |         > 4 * (D * SS - S * S) AS is_outlier
         |FROM dcount, st ORDER BY day""".stripMargin,
+
+    // the same multiplied-out 2σ rule per weekday group; the weekday index
+    // is epoch-day arithmetic, never a locale day name
+    "agg_anomaly_dow" ->
+      """WITH dcount AS (SELECT CAST(ts AS DATE) AS day,
+        |                       CAST(count(*) AS BIGINT) AS n
+        |                FROM events GROUP BY 1),
+        |dw AS (SELECT day, n,
+        |              CAST((day - DATE '1970-01-01' + 3) % 7 AS BIGINT) AS dow
+        |       FROM dcount),
+        |st AS (SELECT dow, CAST(count(*) AS HUGEINT) AS D,
+        |              CAST(sum(n) AS HUGEINT) AS S,
+        |              CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS SS
+        |       FROM dw GROUP BY 1)
+        |SELECT strftime(dw.day, '%Y-%m-%d') AS day, dw.dow, dw.n,
+        |       (CAST(n AS HUGEINT) * D - S) * (CAST(n AS HUGEINT) * D - S)
+        |         > 4 * (D * SS - S * S) AS is_outlier
+        |FROM dw JOIN st USING (dow) ORDER BY day""".stripMargin,
 
     // cumulative distinct = first-seen counting; the oracle states it as a
     // correlated count-distinct-≤-day, the engine as min(day) + running sum

@@ -830,6 +830,44 @@ object ExtQueries {
       modulus = P, maxDf = 16L, minShared = 3L)
       .orderBy("doc_a", "doc_b")
 
+  /** Dedup × quality interaction audit — the report that justifies (or
+    * vetoes) aggressive dedup: per NEAR-DUP cluster-size band (unique /
+    * 2–4 / 5+), how many clusters and docs land there and their mean
+    * quality and length. Web-corpus duplicates skew toward boilerplate
+    * (the C4/RefinedWeb observation); if the 5+ band's mean quality
+    * matches the unique band's, blind dropping is destroying signal.
+    * Rides the SAME n-gram-Jaccard pairs + connected-components labels
+    * as `ext_dedup_cluster`/`ext_dedup_soft` (one clustering definition),
+    * then a cluster-keyed map-side-combined aggregate and a band rollup
+    * on the GROUP frame. Quality rides the integer ten-thousandths snap
+    * both engines compute bit-identically. */
+  private val extDedupQuality: Q = (s, d) => {
+    val docs = documents(s, d)
+    val pairs = Dedup.ngramJaccard(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = Dedup.duplicateClusters(pairs)
+    val groups = docs
+      .select(col("doc_id"),
+        floor(TextFns.qualityScore(col("text")) * 10000.0 + 0.5)
+          .cast("long").as("__q"),
+        length(col("text")).cast("long").as("__len"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"), sum(col("__q")).as("qs"),
+        sum(col("__len")).as("ls"))
+    groups
+      .select(when(col("n") === 1, "unique").when(col("n") <= 4, "2-4")
+        .otherwise("5+").as("band"), col("n"), col("qs"), col("ls"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_docs"),
+        sum(col("qs")).as("__qs"), sum(col("ls")).as("__ls"))
+      .select(col("band"), col("n_groups"), col("n_docs"),
+        expr("__qs div n_docs").as("mean_quality_e4"),
+        expr("__ls div n_docs").as("mean_chars"))
+      .orderBy("band")
+  }
+
   private val extDedupNgram: Q = (s, d) =>
     Dedup.ngramJaccard(documents(s, d), "text", "doc_id", n = 3, threshold = 0.5)
       .orderBy("doc_a", "doc_b")
@@ -2697,6 +2735,7 @@ object ExtQueries {
     "ext_dedup_sweep" -> extDedupSweep,
     "ext_dedup_url" -> extDedupUrl,
     "ext_dedup_winnow" -> extDedupWinnow,
+    "ext_dedup_quality" -> extDedupQuality,
     "ext_dedup_winnow_pairs" -> extDedupWinnowPairs,
     "ext_corpus_report" -> extCorpusReport,
     "ext_contamination" -> extContamination,
@@ -3887,6 +3926,35 @@ object ExtQueries {
          |       a.fp_min, a.fp_max, a.fp_sum
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    "ext_dedup_quality" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardSql),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM e),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.u, r.label FROM e JOIN reach r ON e.v = r.id),
+         |lab AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+         |${qualitySqlCte("documents", "text,")},
+         |b AS (SELECT q.doc_id,
+         |             coalesce(l.cluster_id, q.doc_id) AS cluster_id,
+         |             CAST(floor((stop_ratio * 0.4 + ttr * 0.3 + len_sat * 0.3)
+         |                        * 10000 + 0.5) AS BIGINT) AS qe4,
+         |             CAST(length(text) AS BIGINT) AS len
+         |      FROM q LEFT JOIN lab l ON q.doc_id = l.doc_id),
+         |g AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(qe4) AS BIGINT) AS qs, CAST(sum(len) AS BIGINT) AS ls
+         |      FROM b GROUP BY 1),
+         |bd AS (SELECT CASE WHEN n = 1 THEN 'unique' WHEN n <= 4 THEN '2-4'
+         |                   ELSE '5+' END AS band, n, qs, ls
+         |       FROM g)
+         |SELECT band, CAST(count(*) AS BIGINT) AS n_groups,
+         |       CAST(sum(n) AS BIGINT) AS n_docs,
+         |       CAST(sum(qs) // sum(n) AS BIGINT) AS mean_quality_e4,
+         |       CAST(sum(ls) // sum(n) AS BIGINT) AS mean_chars
+         |FROM bd GROUP BY 1 ORDER BY band""".stripMargin,
 
     "ext_dedup_winnow_pairs" ->
       s"""WITH $winnowCteSql

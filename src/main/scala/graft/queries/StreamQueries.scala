@@ -331,6 +331,17 @@ object StreamQueries {
         .groupBy(col("day")).agg(sum(col("n")).as("n")))
   }
 
+  /** The 2σ daily-anomaly alarm over the SAME maintained (day, type)
+    * count state — the seventh report off the one fact table. Oracle =
+    * the batch twin's SQL with the transform's delete filter spliced. */
+  private val streamAnomalyDays: Q = (s, d) => {
+    val raw = Tables.eventsRaw(s, d)
+    CdcQueries.anomalyDaysReport(
+      graft.streaming.TopkStream.dailyTypeCounts(
+        CdcPipeline.dedupEvents(CdcPipeline.transform(raw)))
+        .groupBy(col("day")).agg(sum(col("n")).as("n")))
+  }
+
   /** The continuously-maintained per-type value quantiles run in BATCH
     * mode — the same [[graft.streaming.QuantilesStream.histogram]] +
     * `report` the streaming query maintains as (type, cents) count state
@@ -518,6 +529,7 @@ object StreamQueries {
     "stream_theilsen" -> streamTheilsen,
     "stream_mann_kendall" -> streamMannKendall,
     "stream_changepoint" -> streamChangepoint,
+    "stream_anomaly_days" -> streamAnomalyDays,
     "stream_benford" -> streamBenford,
     "stream_value_quantiles" -> streamValueQuantiles,
     "stream_heavy_hitters" -> streamHeavyHitters,
@@ -637,6 +649,9 @@ object StreamQueries {
       "FROM events GROUP BY 1, 2",
       "FROM events WHERE event_type IS DISTINCT FROM 'error' GROUP BY 1, 2"),
     "stream_changepoint" -> CdcQueries.oracle("agg_changepoint").replace(
+      "FROM events GROUP BY 1",
+      "FROM events WHERE event_type IS DISTINCT FROM 'error' GROUP BY 1"),
+    "stream_anomaly_days" -> CdcQueries.oracle("agg_anomaly_days").replace(
       "FROM events GROUP BY 1",
       "FROM events WHERE event_type IS DISTINCT FROM 'error' GROUP BY 1"),
 

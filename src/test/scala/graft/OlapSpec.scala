@@ -424,6 +424,29 @@ class OlapSpec extends SparkSpec {
     got.foreach { case (_, _, gainMilli) => assert(gainMilli >= 0L) }
   }
 
+  test("weekday-adjusted anomaly flags replay the per-DOW 2σ rule") {
+    val daily = graft.Tables.events(spark, d)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0), r.getLong(1)))
+    val byDow = daily.groupBy { case (day, _) =>
+      ((day.toLocalDate.toEpochDay % 7) + 3 + 7) % 7
+    }
+    val want = daily.map { case (day, n) =>
+      val dow = ((day.toLocalDate.toEpochDay % 7) + 3 + 7) % 7
+      val g = byDow(dow).map(_._2)
+      val (dd, s, ss) = (BigInt(g.length), BigInt(g.sum), g.map(x => BigInt(x) * x).sum)
+      val dev = BigInt(n) * dd - s
+      (day.toString, dow, n, dev * dev > 4 * (dd * ss - s * s))
+    }.toSeq
+    val got = q("agg_anomaly_dow").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got === want)
+    // single-member DOW groups can never flag (zero variance, zero dev)
+    want.filter { case (_, dow, _, _) => byDow(dow).length == 1 }
+      .foreach { case (_, _, _, flag) => assert(!flag) }
+  }
+
   test("k-anonymity: bands partition the class grid; k is the global min class size") {
     val classes = graft.Tables.events(spark, d)
       .groupBy(col("event_type"), to_date(col("ts")),
