@@ -94,4 +94,76 @@ object TimeSeries {
       .select(col(key), col("day"), graft.Tables.rnd4(col("value")).as("value"),
         col("__v").isNotNull.as("observed"))
   }
+
+  /** Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) — the
+    * chart-serving decimation every time-series store ships: reduce each
+    * key's daily series to `buckets`+2 points while preserving its visual
+    * shape (the selected point per bucket maximizes the triangle area
+    * against the previously kept point and the NEXT bucket's centroid, so
+    * spikes and elbows survive where naive every-Nth sampling erases
+    * them). First and last points always kept; a series already at or
+    * under the budget passes through whole.
+    *
+    * Integer-exact: x is the chronological index (even spacing — date
+    * gaps must not skew bucket widths), doubled areas are integer cross
+    * products |(x_p−c_x)(y−y_p) − (x_p−x)(c_y−y_p)|, bucket centroids are
+    * integer floor-means, ties break earliest-index — the selection is a
+    * pure function of the series that an unrolled per-bucket SQL replay
+    * reproduces row for row.
+    *
+    * Scale shape: the greedy is sequential per key by definition, so it
+    * runs as one `flatMapGroups` pass over each key's CALENDAR-bounded
+    * daily frame (the [[graft.operators.CdcOps.holt]] recurrence
+    * discipline) — keys parallelize, no key's frame ever exceeds its
+    * day span, and nothing is driver-side. */
+  def lttb(daily: DataFrame, keyCol: String, dayCol: String, nCol: String,
+           buckets: Int): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily
+      .select(col(keyCol).cast("string"), col(dayCol).cast("string").as("__day"),
+        col(nCol).cast("long"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k: String, it: Iterator[(String, String, Long)]) =>
+        val rows = it.toArray.sortBy(_._2) // ISO dates sort chronologically
+        val n = rows.length
+        if (n <= buckets + 2) {
+          rows.zipWithIndex.map { case ((_, d, y), i) => (k, i.toLong, d, y) }.iterator
+        } else {
+          val y = rows.map(_._3)
+          // interior index i ∈ [1, n−2] lands in bucket (i−1)·B div (n−2)
+          def b0(i: Int): Int = (((i - 1).toLong * buckets) / (n - 2)).toInt
+          val members = Array.fill(buckets)(List.newBuilder[Int])
+          var i = 1
+          while (i <= n - 2) { members(b0(i)) += i; i += 1 }
+          val cents: Array[(Long, Long)] = members.map { mb =>
+            val m = mb.result()
+            (m.map(_.toLong).sum / m.length, m.map(y(_)).sum / m.length)
+          }
+          val sel = new Array[Int](buckets + 2)
+          sel(0) = 0
+          var b = 0
+          while (b < buckets) {
+            val (cx, cy) =
+              if (b == buckets - 1) ((n - 1).toLong, y(n - 1)) else cents(b + 1)
+            val xp = sel(b).toLong
+            val yp = y(sel(b))
+            var best = -1
+            var bestA = -1L
+            members(b).result().foreach { c =>
+              val a = math.abs((xp - cx) * (y(c) - yp) - (xp - c) * (cy - yp))
+              if (a > bestA) { bestA = a; best = c } // first max wins: earliest index
+            }
+            sel(b + 1) = best
+            b += 1
+          }
+          sel(buckets + 1) = n - 1
+          sel.zipWithIndex.map { case (idx, r) =>
+            (k, r.toLong, rows(idx)._2, y(idx))
+          }.iterator
+        }
+      }
+      .toDF(keyCol, "rank", dayCol, nCol)
+  }
 }

@@ -682,6 +682,18 @@ object CdcQueries {
       "event_type", "day", "n")
       .orderBy("event_type", "day")
 
+  /** LTTB chart downsampling ([[graft.operators.TimeSeries.lttb]], §2.5):
+    * each type's daily series reduced to 12 shape-preserving points —
+    * what a dashboard fetches instead of the full span. Integer-exact
+    * greedy, so the whole selection hash-gates against the unrolled
+    * per-bucket SQL replay. */
+  private val windowLttb: Q = (s, d) =>
+    graft.operators.TimeSeries.lttb(
+      events(s, d).groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")),
+      "event_type", "day", "n", buckets = 10)
+      .orderBy("event_type", "rank")
+
   /** Theil–Sen robust trend (§2.5): per event type the MEDIAN of all
     * pairwise day-slopes of the daily-volume series — the outlier-immune
     * answer to "is this stream growing" (one anomalous day corrupts a
@@ -1483,11 +1495,76 @@ object CdcQueries {
     "agg_seasonality" -> aggSeasonality,
     "agg_value_quantiles" -> aggValueQuantiles,
     "window_cusum" -> windowCusum,
+    "window_lttb" -> windowLttb,
     "window_streak" -> windowStreak,
     "window_rolling_median" -> windowRollingMedian,
     "scalar_datetime" -> scalarDatetime,
     "scalar_string" -> scalarString,
     "scalar_json" -> scalarJson)
+
+  /** Oracle replay of [[graft.operators.TimeSeries.lttb]]: the per-type
+    * indexed series, interior bucket labels and floor-mean centroids, then
+    * the B greedy picks UNROLLED as chained CTEs (pick b joins pick b−1
+    * and bucket b+1's anchor); types at/under the budget pass through
+    * whole. Every quantity is an exact BIGINT, so the selection
+    * hash-gates. */
+  private def lttbSql(buckets: Int): String = {
+    val steps = (0 until buckets).map { b =>
+      val anchor =
+        if (b == buckets - 1) "SELECT etype, idx AS cx, y AS cy FROM lastp"
+        else s"SELECT etype, cx, cy FROM cent WHERE b0 = ${b + 1}"
+      s"""a$b AS ($anchor),
+         |s${b + 1} AS (
+         |  SELECT etype, idx, y FROM (
+         |    SELECT c.etype, c.idx, c.y,
+         |           row_number() OVER (PARTITION BY c.etype ORDER BY
+         |             abs((p.idx - a.cx) * (c.y - p.y)
+         |                 - (p.idx - c.idx) * (a.cy - p.y)) DESC,
+         |             c.idx) AS rn
+         |    FROM big c
+         |    JOIN s$b p ON p.etype = c.etype
+         |    JOIN a$b a ON a.etype = c.etype
+         |    WHERE c.b0 = $b
+         |  ) z WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to buckets)
+      .map(b => s"UNION ALL SELECT etype, CAST($b AS BIGINT), idx, y FROM s$b")
+      .mkString("\n")
+    s"""WITH daily AS (SELECT event_type AS etype, CAST(ts AS DATE) AS day,
+       |                      CAST(count(*) AS BIGINT) AS y
+       |               FROM events GROUP BY 1, 2),
+       |ix AS (SELECT etype, day, y,
+       |              CAST(row_number() OVER (PARTITION BY etype ORDER BY day) - 1
+       |                   AS BIGINT) AS idx
+       |       FROM daily),
+       |meta AS (SELECT etype, CAST(count(*) AS BIGINT) AS cnt FROM ix GROUP BY 1),
+       |big AS (SELECT ix.etype, ix.idx, ix.y,
+       |               CAST((ix.idx - 1) * $buckets // (m.cnt - 2) AS BIGINT) AS b0
+       |        FROM ix JOIN meta m USING (etype)
+       |        WHERE m.cnt > ${buckets + 2} AND ix.idx BETWEEN 1 AND m.cnt - 2),
+       |small AS (SELECT ix.etype, ix.idx AS rank, ix.day, ix.y
+       |          FROM ix JOIN meta m USING (etype) WHERE m.cnt <= ${buckets + 2}),
+       |cent AS (SELECT etype, b0, CAST(sum(idx) // count(*) AS BIGINT) AS cx,
+       |                CAST(sum(y) // count(*) AS BIGINT) AS cy
+       |         FROM big GROUP BY 1, 2),
+       |lastp AS (SELECT ix.etype, ix.idx, ix.y
+       |          FROM ix JOIN meta m USING (etype)
+       |          WHERE ix.idx = m.cnt - 1 AND m.cnt > ${buckets + 2}),
+       |s0 AS (SELECT ix.etype, ix.idx, ix.y
+       |       FROM ix JOIN meta m USING (etype)
+       |       WHERE ix.idx = 0 AND m.cnt > ${buckets + 2}),
+       |$steps,
+       |sel AS (
+       |  SELECT etype, CAST(0 AS BIGINT) AS rank, idx, y FROM s0
+       |  $unions
+       |  UNION ALL SELECT etype, CAST(${buckets + 1} AS BIGINT), idx, y FROM lastp)
+       |SELECT u.etype AS event_type, u.rank,
+       |       strftime(u.day, '%Y-%m-%d') AS day, u.y AS n
+       |FROM (SELECT sel.etype, sel.rank, ix.day, sel.y
+       |      FROM sel JOIN ix ON ix.etype = sel.etype AND ix.idx = sel.idx
+       |      UNION ALL SELECT etype, rank, day, y FROM small) u
+       |ORDER BY event_type, rank""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "agg_transition_matrix" ->
@@ -2018,6 +2095,11 @@ object CdcQueries {
         |       (CAST(n AS HUGEINT) * D - S) * (CAST(n AS HUGEINT) * D - S)
         |         > 4 * (D * SS - S * S) AS is_outlier
         |FROM dcount, st ORDER BY day""".stripMargin,
+
+    // the LTTB greedy unrolled per bucket (the unrolled-Lloyd discipline):
+    // each step's pick is an exact-integer doubled-triangle-area argmax
+    // against the previous pick and the next bucket's floor-mean centroid
+    "window_lttb" -> lttbSql(10),
 
     // the same multiplied-out 2σ rule per weekday group; the weekday index
     // is epoch-day arithmetic, never a locale day name

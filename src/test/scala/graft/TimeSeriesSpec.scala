@@ -95,4 +95,26 @@ class TimeSeriesSpec extends SparkSpec {
     val (_, _, bc, fc) = got(("c", "2024-01-02"))
     assert(bc < 0L && fc < got(("c", "2024-01-02"))._2)
   }
+
+  test("lttb keeps endpoints and the spike; short series pass through whole") {
+    def day(i: Int) = f"2024-01-${i + 1}%02d"
+    // 20 flat days with one spike at day 8 (index 7): the downsample must
+    // keep both endpoints and the spike, in chronological rank order
+    val flat = (0 until 20).map(i => ("a", day(i), if (i == 7) 500L else 10L))
+    val short = (0 until 5).map(i => ("b", day(i), i * 2L))
+    val daily = (flat ++ short).toDF("k", "day", "n")
+    val got = TimeSeries.lttb(daily, "k", "day", "n", buckets = 3)
+      .as[(String, Long, String, Long)].collect().toSeq.sorted
+    val a = got.filter(_._1 == "a")
+    assert(a.length === 5) // first + 3 buckets + last
+    assert(a.head._3 === day(0) && a.last._3 === day(19))
+    assert(a.exists(_._4 === 500L), s"spike lost: $a")
+    // ranks are dense and days strictly increase with rank
+    assert(a.map(_._2) === (0L until 5L))
+    assert(a.map(_._3) === a.map(_._3).sorted)
+    // the short series passes through at its own indices
+    val b = got.filter(_._1 == "b")
+    assert(b.map(r => (r._2, r._3, r._4)) ===
+      (0 until 5).map(i => (i.toLong, day(i), i * 2L)))
+  }
 }
