@@ -923,6 +923,66 @@ object CdcQueries {
       .orderBy("rank")
   }
 
+  /** Depth-2 binary-segmentation tree (§2.4) — [[aggChangepoint]]'s
+    * recursion made explicit: the root split, then the best sub-split
+    * INSIDE each side (the classic binseg tree a capacity planner reads
+    * as "the regime changed here, and within the new regime, here").
+    * Same exact-rational gain arithmetic (BigInt cross-multiplication ≡
+    * the oracle's HUGEINT), same day-ascending tie rule; a side too short
+    * to split (< 2 days) simply emits no row.
+    *
+    * The tree is SEQUENTIAL (children depend on the root pick), so it
+    * runs as one pass over the CALENDAR-bounded daily frame inside a
+    * single flatMapGroups task (the Holt/LTTB recurrence discipline) —
+    * never corpus-sized, never driver-side. */
+  private val aggChangepointTree: Q = (s, d) => {
+    import s.implicits._
+    val daily = events(s, d)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      .select(col("day").cast("string"), col("n")).as[(String, Long)]
+    daily.groupByKey(_ => 0).flatMapGroups { (_, it) =>
+      val rows = it.toArray.sortBy(_._1)
+      val y = rows.map(_._2)
+      val pre = y.scanLeft(0L)(_ + _)
+      def bestSplit(lo: Int, hi: Int): Option[(Int, BigInt, BigInt)] = {
+        val dSeg = hi - lo
+        if (dSeg < 2) None
+        else {
+          val sSeg = pre(hi) - pre(lo)
+          var best: Option[(Int, BigInt, BigInt)] = None
+          var t = lo + 1
+          while (t < hi) {
+            val lt = t - lo; val rt = hi - t
+            val sl = pre(t) - pre(lo); val sr = sSeg - sl
+            val gnum = BigInt(sl) * sl * rt * dSeg + BigInt(sr) * sr * lt * dSeg -
+              BigInt(sSeg) * sSeg * lt * rt
+            val gden = BigInt(lt) * rt * dSeg
+            val better = best.forall { case (_, bn, bd) => gnum * bd > bn * gden }
+            if (better) best = Some((t, gnum, gden)) // strict > keeps the earliest day on ties
+            t += 1
+          }
+          best
+        }
+      }
+      def row(seg: String, lo: Int, hi: Int, pick: (Int, BigInt, BigInt)) = {
+        val (t, gnum, gden) = pick
+        val lt = t - lo; val rt = hi - t
+        val sl = pre(t) - pre(lo); val sr = (pre(hi) - pre(lo)) - sl
+        (seg, rows(t - 1)._1, lt.toLong, rt.toLong,
+          sl * 1000L / lt, sr * 1000L / rt, (BigInt(1000) * gnum / gden).toLong)
+      }
+      val n = rows.length
+      bestSplit(0, n).toSeq.flatMap { root =>
+        val t = root._1
+        Seq(row("root", 0, n, root)) ++
+          bestSplit(0, t).map(p => row("left", 0, t, p)) ++
+          bestSplit(t, n).map(p => row("right", t, n, p))
+      }.iterator
+    }.toDF("segment", "split_day", "left_days", "right_days",
+      "left_mean_milli", "right_mean_milli", "gain_milli")
+      .orderBy("segment")
+  }
+
   /** k-anonymity audit (§2.4 privacy family) — the re-identification-risk
     * grid a pipeline owner reads before RELEASING event data: rows sharing
     * the same quasi-identifier combination (event_type, day, coarse value
@@ -1484,6 +1544,7 @@ object CdcQueries {
     "agg_anomaly_dow" -> aggAnomalyDow,
     "agg_mann_kendall" -> aggMannKendall,
     "agg_changepoint" -> aggChangepoint,
+    "agg_changepoint_tree" -> aggChangepointTree,
     "agg_k_anonymity" -> aggKAnonymity,
     "agg_benford" -> aggBenford,
     "agg_heavy_hitters" -> aggHeavyHitters,
@@ -2261,6 +2322,62 @@ object CdcQueries {
                " AS DOUBLE) / 18.0) END")} AS z
          |FROM s JOIN v ON s.event_type = v.event_type
          |ORDER BY s.event_type""".stripMargin,
+
+    // the depth-2 binseg tree: root argmax via the NOT EXISTS pair
+    // compare, each side's argmax over segment-local sums off the same
+    // prefix CTE — all HUGEINT cross-multiplication, floor-milli output
+    "agg_changepoint_tree" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |                      CAST(count(*) AS BIGINT) AS n
+        |               FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS d_days,
+        |               CAST(sum(n) AS BIGINT) AS s_all FROM daily),
+        |pre AS (SELECT day,
+        |               CAST(sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_t,
+        |               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        |        FROM daily),
+        |rc AS (SELECT day, t, t AS lt, d_days - t AS rt, s_t AS sl, s_all - s_t AS sr,
+        |              CAST(s_t AS HUGEINT) * s_t * (d_days - t) * d_days
+        |                + CAST(s_all - s_t AS HUGEINT) * (s_all - s_t) * t * d_days
+        |                - CAST(s_all AS HUGEINT) * s_all * t * (d_days - t) AS gnum,
+        |              CAST(t AS HUGEINT) * (d_days - t) * d_days AS gden
+        |       FROM pre, tot WHERE t < d_days),
+        |root AS (SELECT * FROM rc a WHERE NOT EXISTS (
+        |           SELECT 1 FROM rc b WHERE b.gnum * a.gden > a.gnum * b.gden
+        |              OR (b.gnum * a.gden = a.gnum * b.gden AND b.day < a.day))),
+        |lc AS (SELECT p.day, p.t - 0 AS lt, r.t - p.t AS rt,
+        |              p.s_t AS sl, r.sl - p.s_t AS sr
+        |       FROM pre p, root r WHERE p.t < r.t),
+        |lg AS (SELECT day, lt, rt, sl, sr,
+        |              CAST(sl AS HUGEINT) * sl * rt * (lt + rt)
+        |                + CAST(sr AS HUGEINT) * sr * lt * (lt + rt)
+        |                - CAST(sl + sr AS HUGEINT) * (sl + sr) * lt * rt AS gnum,
+        |              CAST(lt AS HUGEINT) * rt * (lt + rt) AS gden
+        |       FROM lc),
+        |lbest AS (SELECT * FROM lg a WHERE NOT EXISTS (
+        |            SELECT 1 FROM lg b WHERE b.gnum * a.gden > a.gnum * b.gden
+        |               OR (b.gnum * a.gden = a.gnum * b.gden AND b.day < a.day))),
+        |rcnd AS (SELECT p.day, p.t - r.t AS lt, d_days - p.t AS rt,
+        |                p.s_t - r.sl AS sl, (s_all - r.sl) - (p.s_t - r.sl) AS sr
+        |         FROM pre p, root r, tot WHERE p.t > r.t AND p.t < d_days),
+        |rg AS (SELECT day, lt, rt, sl, sr,
+        |              CAST(sl AS HUGEINT) * sl * rt * (lt + rt)
+        |                + CAST(sr AS HUGEINT) * sr * lt * (lt + rt)
+        |                - CAST(sl + sr AS HUGEINT) * (sl + sr) * lt * rt AS gnum,
+        |              CAST(lt AS HUGEINT) * rt * (lt + rt) AS gden
+        |       FROM rcnd),
+        |rbest AS (SELECT * FROM rg a WHERE NOT EXISTS (
+        |            SELECT 1 FROM rg b WHERE b.gnum * a.gden > a.gnum * b.gden
+        |               OR (b.gnum * a.gden = a.gnum * b.gden AND b.day < a.day)))
+        |SELECT segment, strftime(day, '%Y-%m-%d') AS split_day,
+        |       lt AS left_days, rt AS right_days,
+        |       CAST(sl * 1000 // lt AS BIGINT) AS left_mean_milli,
+        |       CAST(sr * 1000 // rt AS BIGINT) AS right_mean_milli,
+        |       CAST(1000 * gnum // gden AS BIGINT) AS gain_milli
+        |FROM (SELECT 'root' AS segment, day, lt, rt, sl, sr, gnum, gden FROM root
+        |      UNION ALL SELECT 'left', day, lt, rt, sl, sr, gnum, gden FROM lbest
+        |      UNION ALL SELECT 'right', day, lt, rt, sl, sr, gnum, gden FROM rbest) u
+        |ORDER BY segment""".stripMargin,
 
     // the gain rational compares by cross-multiplication in HUGEINT —
     // exactly the engine's decimal(38,0) arithmetic

@@ -331,6 +331,20 @@ object StreamQueries {
         .groupBy(col("day")).agg(sum(col("n")).as("n")))
   }
 
+  /** LTTB chart downsampling over the SAME maintained (day, type) count
+    * state — the dashboard-serving decimation as the eighth report off
+    * the one fact table (a live chart fetches 12 points per type, not
+    * the span). Oracle = the batch twin's unrolled SQL with the
+    * transform's delete filter spliced. */
+  private val streamLttb: Q = (s, d) => {
+    val raw = Tables.eventsRaw(s, d)
+    graft.operators.TimeSeries.lttb(
+      graft.streaming.TopkStream.dailyTypeCounts(
+        CdcPipeline.dedupEvents(CdcPipeline.transform(raw))),
+      "event_type", "day", "n", buckets = 10)
+      .orderBy("event_type", "rank")
+  }
+
   /** The 2σ daily-anomaly alarm over the SAME maintained (day, type)
     * count state — the seventh report off the one fact table. Oracle =
     * the batch twin's SQL with the transform's delete filter spliced. */
@@ -530,6 +544,7 @@ object StreamQueries {
     "stream_mann_kendall" -> streamMannKendall,
     "stream_changepoint" -> streamChangepoint,
     "stream_anomaly_days" -> streamAnomalyDays,
+    "stream_lttb" -> streamLttb,
     "stream_benford" -> streamBenford,
     "stream_value_quantiles" -> streamValueQuantiles,
     "stream_heavy_hitters" -> streamHeavyHitters,
@@ -654,6 +669,9 @@ object StreamQueries {
     "stream_anomaly_days" -> CdcQueries.oracle("agg_anomaly_days").replace(
       "FROM events GROUP BY 1",
       "FROM events WHERE event_type IS DISTINCT FROM 'error' GROUP BY 1"),
+    "stream_lttb" -> CdcQueries.oracle("window_lttb").replace(
+      "FROM events GROUP BY 1, 2",
+      "FROM events WHERE event_type IS DISTINCT FROM 'error' GROUP BY 1, 2"),
 
     // the closed-form CUSUM over daily totals of the deduped, delete-
     // filtered stream — window_cusum's SQL with the transform's filter

@@ -447,6 +447,46 @@ class OlapSpec extends SparkSpec {
       .foreach { case (_, _, _, flag) => assert(!flag) }
   }
 
+  test("changepoint tree: root and child picks replay the segment-local argmax") {
+    val daily = graft.Tables.events(spark, d)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    val pre = daily.map(_._2).scanLeft(0L)(_ + _)
+    def best(lo: Int, hi: Int): Option[(Int, BigInt, BigInt)] = {
+      val dSeg = hi - lo
+      if (dSeg < 2) None
+      else {
+        val sSeg = pre(hi) - pre(lo)
+        var b: Option[(Int, BigInt, BigInt)] = None
+        for (t <- lo + 1 until hi) {
+          val (lt, rt) = (t - lo, hi - t)
+          val sl = pre(t) - pre(lo); val sr = sSeg - sl
+          val gn = BigInt(sl) * sl * rt * dSeg + BigInt(sr) * sr * lt * dSeg -
+            BigInt(sSeg) * sSeg * lt * rt
+          val gd = BigInt(lt) * rt * dSeg
+          if (b.forall { case (_, bn, bd) => gn * bd > bn * gd }) b = Some((t, gn, gd))
+        }
+        b
+      }
+    }
+    val n = daily.length
+    val root = best(0, n).get
+    val want = (Seq("root" -> (0, n, root)) ++
+      best(0, root._1).map(p => "left" -> (0, root._1, p)) ++
+      best(root._1, n).map(p => "right" -> (root._1, n, p)))
+      .map { case (seg, (lo, hi, (t, gn, gd))) =>
+        (seg, daily(t - 1)._1, (t - lo).toLong, (hi - t).toLong,
+          (BigInt(1000) * gn / gd).toLong)
+      }.sortBy(_._1)
+    val got = q("agg_changepoint_tree").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(6))).toSeq
+    assert(got === want)
+    // every reported gain is a genuine SSE reduction
+    got.foreach(r => assert(r._5 >= 0L))
+  }
+
   test("k-anonymity: bands partition the class grid; k is the global min class size") {
     val classes = graft.Tables.events(spark, d)
       .groupBy(col("event_type"), to_date(col("ts")),
