@@ -1074,13 +1074,21 @@ object Knn {
       .join(snapped.withColumnRenamed("vec_id", "cid"), "cid")
       .select(col("qid"), col("cid"), col("rel"), col("__v"))
       .as[(Long, Long, Long, Array[Long])].collect()
+    spark.createDataFrame(mmrGreedy(rows, k, lamTenths))
+      .toDF("query_id", "rank", "vec_id", "rel", "score")
+  }
+
+  /** The shared greedy MMR rerank over collected (qid, cid, rel, vec)
+    * candidate rows — exact integer scores, (score DESC, cid ASC) ties. */
+  private def mmrGreedy(rows: Array[(Long, Long, Long, Array[Long])],
+                        k: Int, lamTenths: Int): Seq[(Long, Long, Long, Long, Long)] = {
     def dot(a: Array[Long], b: Array[Long]): Long = {
       var s = 0L; var i = 0
       val n = math.min(a.length, b.length)
       while (i < n) { s += a(i) * b(i); i += 1 }
       s
     }
-    val out = rows.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+    rows.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
       val ordered = cs.sortBy(c => (-c._3, c._2)) // rel desc, cid asc
       val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
       val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
@@ -1101,8 +1109,70 @@ object Knn {
       picked.zipWithIndex.map { case ((cid, rel, score), i) =>
         (qid, (i + 1).toLong, cid, rel, score)
       }
+    }.sortBy(r => (r._1, r._2))
+  }
+
+  /** The PRODUCTION composition of the ANN and rerank halves: MMR over
+    * IVF-probed candidates — each query scores only its nProbe nearest
+    * cells' members (~nProbe/nCells of the corpus, the whole point of the
+    * index) instead of the exact full-scan pool [[mmrInt]] pays. Rides the
+    * integer-exact quantizer family ([[intCentroids]] — the
+    * `ext_sim_knn_ivf_cells` Lloyd), so UNLIKE typical ANN pipelines the
+    * whole composition is a bit-reproducible pure function of the corpus:
+    * probe cells are the exact-integer (d², cell)-ranked centroids, the
+    * candidate cut and greedy are the [[mmrInt]] arithmetic, and the SQL
+    * twin replays quantizer → probes → candidates → k greedy picks end to
+    * end. ONE corpus scan carries BOTH the literal-centroid cell
+    * assignment and the literal-matrix query dots (zero shuffles before
+    * the bounded top-m ranking). */
+  def mmrIvfInt(corpus: DataFrame, idCol: String, embCol: String,
+                nQueries: Int, m: Int, k: Int, lamTenths: Int,
+                nCells: Int, iters: Int, sampleN: Int, nProbe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (snapped, cs) = intCentroids(corpus, idCol, embCol, nCells, iters, sampleN)
+    val qRows: Array[(Long, Array[Long])] = snapped
+      .filter(col("vec_id") < nQueries)
+      .orderBy("vec_id").as[(Long, Array[Long])].collect() // ≤ nQueries·dim longs
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
     }
-    spark.createDataFrame(out.sortBy(r => (r._1, r._2)))
+    // probe cells per query — exact-integer (d², cell) rank over the
+    // driver-held centroids
+    val probes: Seq[(Long, Long)] = qRows.toSeq.flatMap { case (qid, v) =>
+      cs.map { case (cell, c) => (d2(v, c), cell) }.sorted.take(nProbe)
+        .map(t => (qid, t._2.toLong))
+    }
+    val qIds = qRows.map(_._1)
+    val dots = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.LongDots(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("__v")),
+        qRows.map(_._2).toSeq))
+    val base = corpus.select(col(idCol).cast("long").as("cid"),
+      snap100(col(embCol)).as("__v"),
+      element_at(intAssign(col(embCol), Seq(cs)).getField("cells"), 1)
+        .cast("long").as("cell"))
+    val scored = base
+      .select(col("cid"), col("cell"), posexplode(dots).as(Seq("qi", "rel")))
+      .select(element_at(typedLit(qIds), col("qi") + 1).as("qid"),
+        col("cid"), col("cell"), col("rel"))
+      .filter(col("cid") =!= col("qid"))
+      .join(broadcast(probes.toDF("qid", "cell")), Seq("qid", "cell"), "left_semi")
+    val w1 = Window.partitionBy(col("qid"), pmod(col("cid"), lit(8)))
+      .orderBy(col("rel").desc, col("cid"))
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("cid"))
+    val cand = scored
+      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= m)
+      .withColumn("__r2", row_number().over(w2)).filter(col("__r2") <= m)
+      .select("qid", "cid", "rel")
+    val rows: Array[(Long, Long, Long, Array[Long])] = cand
+      .join(snapped.withColumnRenamed("vec_id", "cid"), "cid")
+      .select(col("qid"), col("cid"), col("rel"), col("__v"))
+      .as[(Long, Long, Long, Array[Long])].collect()
+    spark.createDataFrame(mmrGreedy(rows, k, lamTenths))
       .toDF("query_id", "rank", "vec_id", "rel", "score")
   }
 

@@ -1462,6 +1462,18 @@ object ExtQueries {
       nQueries = 10, m = 25, k = 8, lamTenths = 7)
       .orderBy("query_id", "rank")
 
+  /** The production ANN+rerank composition ([[Knn.mmrIvfInt]]): MMR over
+    * IVF-probed candidates — each query scores only its 6 nearest cells'
+    * members instead of the exact full-scan pool. Oracle-gated END TO
+    * END on the shared integer Lloyd: quantizer, probe ranking,
+    * candidate cut, and all 8 greedy picks replay in SQL. */
+  private val extSimMmrIvf: Q = (s, d) =>
+    Knn.mmrIvfInt(embeddings(s, d), "vec_id", "embedding",
+      nQueries = 10, m = 25, k = 8, lamTenths = 7,
+      nCells = IvfCells, iters = IvfIters, sampleN = IvfSampleN,
+      nProbe = IvfProbe)
+      .orderBy("query_id", "rank")
+
   /** Prefix-dimension (Matryoshka) recall audit ([[Knn.matryoshkaAudit]]):
     * top-10 overlap of the L ∈ {8,16,32,64}-prefix integer-MIPS ranking
     * with the full-dimension one — what truncating stored vectors for a
@@ -2750,6 +2762,7 @@ object ExtQueries {
     "ext_pack_windows_unigram" -> extPackWindowsUnigram,
     "ext_sim_knn" -> extSimKnn,
     "ext_sim_mmr" -> extSimMmr,
+    "ext_sim_mmr_ivf" -> extSimMmrIvf,
     "ext_embed_matryoshka" -> extEmbedMatryoshka,
     "ext_sim_knn_filtered" -> extSimKnnFiltered,
     "ext_sample_hardneg" -> extSampleHardneg,
@@ -3128,7 +3141,11 @@ object ExtQueries {
     * candidate as lam·rel − (10−lam)·max(pair dot to the picked set) and
     * takes the (score DESC, cid ASC) head. Every value is an exact
     * BIGINT, so the whole selection hash-gates. */
-  private def mmrSql(nQ: Int, m: Int, k: Int, lam: Int): String = {
+  /** The candidate-onward half of the MMR replay (cand cut → pair dots →
+    * k unrolled greedy picks → final grid), shared by the exact and
+    * IVF-probed variants — callers prepend CTEs ending in a
+    * `qd(qid, cid, rel)` frame. */
+  private def mmrBodySql(m: Int, k: Int, lam: Int): String = {
     val steps = (2 to k).map { t =>
       s"""s$t AS MATERIALIZED (SELECT qid, cid, rel, score FROM (
          |  SELECT qid, cid, rel, score,
@@ -3147,15 +3164,7 @@ object ExtQueries {
     val finals = (1 to k)
       .map(t => s"SELECT qid, CAST($t AS BIGINT) AS rank, cid, rel, score FROM s$t")
       .mkString("\nUNION ALL ")
-    s"""WITH x AS MATERIALIZED (SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
-       |                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
-       |                       AS BIGINT) * 100 AS v
-       |           FROM embeddings),
-       |qd AS MATERIALIZED (SELECT q.vec_id AS qid, c.vec_id AS cid,
-       |              CAST(sum(q.v * c.v) AS BIGINT) AS rel
-       |       FROM x q JOIN x c ON q.pos = c.pos AND c.vec_id <> q.vec_id
-       |       WHERE q.vec_id < $nQ GROUP BY 1, 2),
-       |cand AS MATERIALIZED (SELECT qid, cid, rel FROM (
+    s"""cand AS MATERIALIZED (SELECT qid, cid, rel FROM (
        |          SELECT qid, cid, rel,
        |                 row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
        |          FROM qd) t WHERE rn <= $m),
@@ -3175,6 +3184,41 @@ object ExtQueries {
        |FROM ($finals) u
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  private def mmrSql(nQ: Int, m: Int, k: Int, lam: Int): String =
+    s"""WITH x AS MATERIALIZED (SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
+       |                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
+       |                       AS BIGINT) * 100 AS v
+       |           FROM embeddings),
+       |qd AS MATERIALIZED (SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |              CAST(sum(q.v * c.v) AS BIGINT) AS rel
+       |       FROM x q JOIN x c ON q.pos = c.pos AND c.vec_id <> q.vec_id
+       |       WHERE q.vec_id < $nQ GROUP BY 1, 2),
+       |${mmrBodySql(m, k, lam)}""".stripMargin
+
+  /** Oracle replay of [[Knn.mmrIvfInt]]: the shared integer-Lloyd CTEs
+    * (quantizer), exact-integer (d², cell)-ranked probe cells per query,
+    * candidates restricted to probed cells' members via the corpus
+    * assignment, then the same unrolled greedy body. */
+  private def mmrIvfSql(nQ: Int, m: Int, k: Int, lam: Int, nProbe: Int): String =
+    s"""WITH $lloydCteSql,
+       |fin AS (${lloydAssignSql("x", "c2")}),
+       |qcd AS (SELECT q.vec_id AS qid, c.cell,
+       |               sum((q.v - c.c) * (q.v - c.c)) AS d2
+       |        FROM x q JOIN c2 c ON c.pos = q.pos
+       |        WHERE q.vec_id < $nQ GROUP BY 1, 2),
+       |qp AS (SELECT qid, cell FROM (
+       |        SELECT qid, cell,
+       |               row_number() OVER (PARTITION BY qid ORDER BY d2, cell) AS rn
+       |        FROM qcd) z WHERE rn <= $nProbe),
+       |qd AS MATERIALIZED (
+       |  SELECT q.vec_id AS qid, cv.vec_id AS cid,
+       |         CAST(sum(q.v * cv.v) AS BIGINT) AS rel
+       |  FROM x q JOIN x cv ON q.pos = cv.pos AND cv.vec_id <> q.vec_id
+       |  JOIN fin f ON f.vec_id = cv.vec_id
+       |  JOIN qp ON qp.qid = q.vec_id AND qp.cell = f.cell
+       |  WHERE q.vec_id < $nQ GROUP BY 1, 2),
+       |${mmrBodySql(m, k, lam)}""".stripMargin
 
   /** Shared winnow CTE prefix (k=8, w=4): gram hashes `g`, per-doc gram
     * count `ng`, and the selected set `sel` — distinct rightmost-min
@@ -4400,6 +4444,7 @@ object ExtQueries {
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "ext_sim_mmr" -> mmrSql(10, 25, 8, 7),
+    "ext_sim_mmr_ivf" -> mmrIvfSql(10, 25, 8, 7, IvfProbe),
 
     // prefix-dim recall audit: the same snap-grid integer dots restricted
     // to pos < L per dims row; denominators derive from the actual query

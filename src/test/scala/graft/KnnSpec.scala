@@ -880,6 +880,25 @@ class KnnSpec extends SparkSpec {
     got.tail.foreach(r => assert(r._5 < 7L * r._4))
   }
 
+  test("IVF-probed MMR: same shape as the exact rerank; probing can only lose relevance") {
+    val d = "/root/testdata/sf0.001"
+    val full = SparkEntry.queries("ext_sim_mmr")(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val ivf = SparkEntry.queries("ext_sim_mmr_ivf")(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(ivf.length === full.length) // 10 queries × 8 picks each
+    // rank-1 is the pool's relevance argmax, and the probed pool is a
+    // subset of the exact one — so IVF's top relevance can never exceed it
+    val exactTop = full.filter(_._2 == 1L).map(r => r._1 -> r._4).toMap
+    ivf.filter(_._2 == 1L).foreach { r =>
+      assert(r._4 <= exactTop(r._1), s"query ${r._1} probed rel above exact")
+    }
+    // picks within a query are distinct
+    ivf.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._3).distinct.length === rs.length)
+    }
+  }
+
   test("matryoshka audit: full-dim recall is perfect; totals fold the per-query rows") {
     val got = SparkEntry.queries("ext_embed_matryoshka")(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Long)].collect().toSeq
