@@ -935,11 +935,17 @@ object CdcQueries {
     * runs as one pass over the CALENDAR-bounded daily frame inside a
     * single flatMapGroups task (the Holt/LTTB recurrence discipline) —
     * never corpus-sized, never driver-side. */
-  private val aggChangepointTree: Q = (s, d) => {
+  private val aggChangepointTree: Q = (s, d) =>
+    changepointTreeReport(events(s, d)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n")))
+
+  /** The depth-2 tree over any (day, n) daily frame — shared by the batch
+    * query and the maintained-count-state stream form. */
+  private[queries] def changepointTreeReport(dailyIn: DataFrame): DataFrame = {
+    val s = dailyIn.sparkSession
     import s.implicits._
-    val daily = events(s, d)
-      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
-      .select(col("day").cast("string"), col("n")).as[(String, Long)]
+    val daily = dailyIn
+      .select(col("day").cast("string"), col("n").cast("long")).as[(String, Long)]
     daily.groupByKey(_ => 0).flatMapGroups { (_, it) =>
       val rows = it.toArray.sortBy(_._1)
       val y = rows.map(_._2)

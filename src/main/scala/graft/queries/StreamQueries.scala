@@ -345,6 +345,17 @@ object StreamQueries {
       .orderBy("event_type", "rank")
   }
 
+  /** The depth-2 binseg tree over the SAME maintained (day, type) count
+    * state — the ninth report off the one fact table. Oracle = the batch
+    * twin's SQL with the transform's delete filter spliced. */
+  private val streamChangepointTree: Q = (s, d) => {
+    val raw = Tables.eventsRaw(s, d)
+    CdcQueries.changepointTreeReport(
+      graft.streaming.TopkStream.dailyTypeCounts(
+        CdcPipeline.dedupEvents(CdcPipeline.transform(raw)))
+        .groupBy(col("day")).agg(sum(col("n")).as("n")))
+  }
+
   /** The 2σ daily-anomaly alarm over the SAME maintained (day, type)
     * count state — the seventh report off the one fact table. Oracle =
     * the batch twin's SQL with the transform's delete filter spliced. */
@@ -543,6 +554,7 @@ object StreamQueries {
     "stream_theilsen" -> streamTheilsen,
     "stream_mann_kendall" -> streamMannKendall,
     "stream_changepoint" -> streamChangepoint,
+    "stream_changepoint_tree" -> streamChangepointTree,
     "stream_anomaly_days" -> streamAnomalyDays,
     "stream_lttb" -> streamLttb,
     "stream_benford" -> streamBenford,
@@ -664,6 +676,9 @@ object StreamQueries {
       "FROM events GROUP BY 1, 2",
       "FROM events WHERE event_type IS DISTINCT FROM 'error' GROUP BY 1, 2"),
     "stream_changepoint" -> CdcQueries.oracle("agg_changepoint").replace(
+      "FROM events GROUP BY 1",
+      "FROM events WHERE event_type IS DISTINCT FROM 'error' GROUP BY 1"),
+    "stream_changepoint_tree" -> CdcQueries.oracle("agg_changepoint_tree").replace(
       "FROM events GROUP BY 1",
       "FROM events WHERE event_type IS DISTINCT FROM 'error' GROUP BY 1"),
     "stream_anomaly_days" -> CdcQueries.oracle("agg_anomaly_days").replace(
