@@ -18,7 +18,10 @@ import org.apache.spark.sql.SparkSession
   * both, so the min tracks the plan's true cost. The 1-minute load average
   * is sampled before the run, after every query, and at the end; the
   * before/max/after bracket in the artifact shows whether the box was
-  * quiet, so a noisy artifact is self-identifying.
+  * quiet, so a noisy artifact is self-identifying. Between queries the
+  * bench additionally COOLS DOWN (untimed, budgeted — see `measure`):
+  * its own sustained bursts otherwise accumulate a loadavg plateau that
+  * inflates later timings and reads as contamination.
   *
   * Output protocol: the big per-query line prints FIRST, and a compact
   * totals line (`"metric":"total"`) prints LAST — tail-truncation of
@@ -102,7 +105,27 @@ object Bench {
     def measure(): Pass = {
       val loadBefore = loadAvg()
       var loadMax = loadBefore
+      // Cooldown: the bench's own back-to-back 32-thread bursts accumulate
+      // a 1-min loadavg plateau (observed 2–10 across rounds) that both
+      // inflates later timings and trips the comparability bar. Rather
+      // than measure through our own wake, PAUSE (untimed — between
+      // queries, never inside one) whenever the running excess over the
+      // pre-run baseline tops 3.0 and let the 1-min average decay
+      // (τ = 60 s ⇒ a few tens of seconds per pause). Budgeted so a
+      // genuinely-busy box can't stall the run: past the budget the bench
+      // measures on regardless and the load bracket says so.
+      var pauseBudget = 900.0
+      def cooldown(): Unit = {
+        var l = loadAvg()
+        while (pauseBudget > 0 && l >= 0 && l - loadBefore > 3.0) {
+          val s = math.min(10.0, pauseBudget)
+          Thread.sleep((s * 1000).toLong)
+          pauseBudget -= s
+          l = loadAvg()
+        }
+      }
       val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        cooldown()
         val cold = runOnce(name, fn)                   // caches empty: fills persists
         val warm = math.min(runOnce(name, fn), runOnce(name, fn))
         dropCaches()

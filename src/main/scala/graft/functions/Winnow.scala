@@ -24,6 +24,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * window; fewer than k characters ⇒ empty array. All arithmetic is
   * exact long mod P — bit-identical in any engine.
   *
+  * Character convention — BMP/ASCII corpora only, the contract shared
+  * with [[RollingHash]]: grams iterate Java UTF-16 code UNITS
+  * (`charAt`/`length`), which equal code points exactly on BMP text.
+  * On astral (non-BMP) characters the code-unit count exceeds the
+  * code-point count, so gram values/positions here would diverge from a
+  * code-point engine (DuckDB's `text[i:j]`) AND from Spark's own
+  * code-point `length()` used for companion n-gram counts — enforce
+  * BMP-clean text upstream (the documents fixture is ASCII) rather than
+  * pay a surrogate-pair decode in this hot codegen'd loop.
+  *
   * O(n·w) with w a small constant; zero shuffles at any corpus size —
   * the per-doc fan-in that makes the downstream pair join |selected|-
   * sized instead of |grams|-sized. */

@@ -1043,13 +1043,33 @@ object Knn {
     * serving-layer-sized at any corpus scale). */
   def mmrInt(corpus: DataFrame, idCol: String, embCol: String,
              nQueries: Int, m: Int, k: Int, lamTenths: Int): DataFrame = {
+    requireLamTenths(lamTenths)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // Q·m candidate rows + their vectors — the contract-bounded collect,
+    // ENFORCED (a mis-sized m or unfiltered query set throws, not OOMs)
+    val rows: Array[(Long, Long, Long, Array[Long])] = collectBounded(
+      mmrCandidates(corpus, idCol, embCol, nQueries, m)
+        .as[(Long, Long, Long, Array[Long])],
+      nQueries.toLong * m, "mmrInt candidates")
+    spark.createDataFrame(mmrGreedy(rows, k, lamTenths))
+      .toDF("query_id", "rank", "vec_id", "rel", "score")
+  }
+
+  /** The fully-distributed candidate half of [[mmrInt]] — (qid, cid, rel,
+    * vec) rows bounded by Q·m. Exposed for plan pinning: ONE LongDots
+    * corpus scan, salted two-phase top-m, vectors rejoin AFTER the cut. */
+  private[graft] def mmrCandidates(corpus: DataFrame, idCol: String,
+                                   embCol: String, nQueries: Int,
+                                   m: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val snapped = corpus.select(col(idCol).cast("long").as("vec_id"),
       snap100(col(embCol)).as("__v"))
-    val qRows: Array[(Long, Array[Long])] = snapped
-      .filter(col("vec_id") < nQueries)
-      .orderBy("vec_id").as[(Long, Array[Long])].collect() // ≤ nQueries·dim longs
+    val qRows: Array[(Long, Array[Long])] = collectBounded(
+      snapped.filter(col("vec_id") < nQueries)
+        .orderBy("vec_id").as[(Long, Array[Long])],
+      nQueries, "mmrInt query rows") // ≤ nQueries·dim longs
     val qIds = qRows.map(_._1)
     val dots = org.apache.spark.sql.GraftColumnBridge.column(
       graft.functions.LongDots(
@@ -1069,13 +1089,29 @@ object Knn {
       .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= m)
       .withColumn("__r2", row_number().over(w2)).filter(col("__r2") <= m)
       .select("qid", "cid", "rel")
-    // Q·m candidate rows + their vectors — the contract-bounded collect
-    val rows: Array[(Long, Long, Long, Array[Long])] = cand
-      .join(snapped.withColumnRenamed("vec_id", "cid"), "cid")
+    cand.join(snapped.withColumnRenamed("vec_id", "cid"), "cid")
       .select(col("qid"), col("cid"), col("rel"), col("__v"))
-      .as[(Long, Long, Long, Array[Long])].collect()
-    spark.createDataFrame(mmrGreedy(rows, k, lamTenths))
-      .toDF("query_id", "rank", "vec_id", "rel", "score")
+  }
+
+  /** λ must keep the first greedy pick's score order equal to plain
+    * relevance order (the SQL twins rank pick 1 by rel DESC): lamTenths=0
+    * zeroes every first-pick score and the tie-break would pick min-cid
+    * while the oracle ranks by relevance — so the λ=0 edge is out of the
+    * public contract. */
+  private def requireLamTenths(lamTenths: Int): Unit =
+    require(lamTenths >= 1 && lamTenths <= 10,
+      s"lamTenths must be in [1, 10], got $lamTenths")
+
+  /** Driver-side collect with an ENFORCED size contract: fetches at most
+    * `bound` + 1 rows (never the unbounded result) and throws if the
+    * contract is violated — the guard between "serving-layer-sized by
+    * construction" and a driver OOM at corpus scale. */
+  private[graft] def collectBounded[T](ds: org.apache.spark.sql.Dataset[T],
+                                       bound: Long, what: String): Array[T] = {
+    val rows = ds.take(math.min(bound, Int.MaxValue - 1L).toInt + 1)
+    require(rows.length <= bound,
+      s"$what: collect exceeded its size contract of $bound rows")
+    rows
   }
 
   /** The shared greedy MMR rerank over collected (qid, cid, rel, vec)
@@ -1128,12 +1164,35 @@ object Knn {
   def mmrIvfInt(corpus: DataFrame, idCol: String, embCol: String,
                 nQueries: Int, m: Int, k: Int, lamTenths: Int,
                 nCells: Int, iters: Int, sampleN: Int, nProbe: Int): DataFrame = {
+    requireLamTenths(lamTenths)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // Q·m candidate rows + their vectors — the contract-bounded collect,
+    // ENFORCED (a mis-sized m or unfiltered query set throws, not OOMs)
+    val rows: Array[(Long, Long, Long, Array[Long])] = collectBounded(
+      mmrIvfCandidates(corpus, idCol, embCol, nQueries, m,
+        nCells, iters, sampleN, nProbe)
+        .as[(Long, Long, Long, Array[Long])],
+      nQueries.toLong * m, "mmrIvfInt candidates")
+    spark.createDataFrame(mmrGreedy(rows, k, lamTenths))
+      .toDF("query_id", "rank", "vec_id", "rel", "score")
+  }
+
+  /** The fully-distributed candidate half of [[mmrIvfInt]] — like
+    * [[mmrCandidates]] but each query scores only its nProbe nearest
+    * cells' members via a BROADCAST probe-list semi-join on the same
+    * single corpus scan. Exposed for plan pinning. */
+  private[graft] def mmrIvfCandidates(corpus: DataFrame, idCol: String,
+                                      embCol: String, nQueries: Int, m: Int,
+                                      nCells: Int, iters: Int, sampleN: Int,
+                                      nProbe: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val (snapped, cs) = intCentroids(corpus, idCol, embCol, nCells, iters, sampleN)
-    val qRows: Array[(Long, Array[Long])] = snapped
-      .filter(col("vec_id") < nQueries)
-      .orderBy("vec_id").as[(Long, Array[Long])].collect() // ≤ nQueries·dim longs
+    val qRows: Array[(Long, Array[Long])] = collectBounded(
+      snapped.filter(col("vec_id") < nQueries)
+        .orderBy("vec_id").as[(Long, Array[Long])],
+      nQueries, "mmrIvfInt query rows") // ≤ nQueries·dim longs
     def d2(a: Array[Long], b: Array[Long]): Long = {
       var s = 0L; var i = 0
       val n = math.min(a.length, b.length)
@@ -1168,12 +1227,8 @@ object Knn {
       .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= m)
       .withColumn("__r2", row_number().over(w2)).filter(col("__r2") <= m)
       .select("qid", "cid", "rel")
-    val rows: Array[(Long, Long, Long, Array[Long])] = cand
-      .join(snapped.withColumnRenamed("vec_id", "cid"), "cid")
+    cand.join(snapped.withColumnRenamed("vec_id", "cid"), "cid")
       .select(col("qid"), col("cid"), col("rel"), col("__v"))
-      .as[(Long, Long, Long, Array[Long])].collect()
-    spark.createDataFrame(mmrGreedy(rows, k, lamTenths))
-      .toDF("query_id", "rank", "vec_id", "rel", "score")
   }
 
   /** Matryoshka-style prefix-dimension recall audit (Kusupati et al. 2022:
@@ -1199,9 +1254,10 @@ object Knn {
     import spark.implicits._
     val snapped = corpus.select(col(idCol).cast("long").as("vec_id"),
       snap100(col(embCol)).as("__v"))
-    val qRows: Array[(Long, Array[Long])] = snapped
-      .filter(col("vec_id") < nQueries)
-      .orderBy("vec_id").as[(Long, Array[Long])].collect() // ≤ nQueries·dim longs
+    val qRows: Array[(Long, Array[Long])] = collectBounded(
+      snapped.filter(col("vec_id") < nQueries)
+        .orderBy("vec_id").as[(Long, Array[Long])],
+      nQueries, "matryoshkaAudit query rows") // ≤ nQueries·dim longs
     val combos: Seq[(Int, Long)] =
       for { l <- dims; (qid, _) <- qRows.toSeq } yield (l, qid)
     val matrix: Seq[Array[Long]] =

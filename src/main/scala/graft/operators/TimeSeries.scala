@@ -139,7 +139,11 @@ object TimeSeries {
           while (i <= n - 2) { members(b0(i)) += i; i += 1 }
           val cents: Array[(Long, Long)] = members.map { mb =>
             val m = mb.result()
-            (m.map(_.toLong).sum / m.length, m.map(y(_)).sum / m.length)
+            // floorDiv, not `/`: the docstring promises FLOOR-means and the
+            // SQL twin divides with `//` — truncation would diverge on
+            // negative y (x sums are indices, always non-negative)
+            (Math.floorDiv(m.map(_.toLong).sum, m.length),
+              Math.floorDiv(m.map(y(_)).sum, m.length))
           }
           val sel = new Array[Int](buckets + 2)
           sel(0) = 0

@@ -872,8 +872,13 @@ object CdcQueries {
     * gnum = S_t²(D−t)D + (S−S_t)²tD − S²t(D−t) and gden = t(D−t)D — and
     * two candidates compare by cross-multiplication in decimal(38,0)
     * (HUGEINT on the oracle side; a float gain rank-flips on last-ulp
-    * ties). Exact while S²·D³ < 10³⁸ — beyond any real daily-count
-    * series. Ties break day-ascending, so the top-3 is a pure function
+    * ties). The cross product gnum·gden reaches ~3·S²·D⁵ (|gnum| ≤
+    * 3·S²·D², gden ≤ D³), so the rank is exact while 3·S²·D⁵ < 10³⁸ —
+    * e.g. three years of days (D ≈ 10³) leaves S < ~10¹⁰ daily-total
+    * headroom. Beyond it the two sides fail DIFFERENTLY: Spark's
+    * non-ANSI decimal multiply nulls (condition silently false,
+    * mis-ranked rows) where DuckDB's HUGEINT raises — stay inside the
+    * bound. Ties break day-ascending, so the top-3 is a pure function
     * of the counts.
     *
     * Shape: one map-side-combined day aggregate; prefix sums over the
@@ -888,7 +893,12 @@ object CdcQueries {
   /** The changepoint report over any (day, n) daily frame — shared by the
     * batch query and the maintained-count-state stream form (the
     * mannKendallReport pairing). */
-  private[queries] def changepointReport(daily: DataFrame): DataFrame = {
+  private[queries] def changepointReport(dailyIn: DataFrame): DataFrame = {
+    // the day frame is CALENDAR-bounded (≤D rows) but derived from a
+    // corpus-sized aggregate — checkpoint it ONCE so the stats leg and the
+    // two sides of the D² rank join all read the tiny frame instead of
+    // re-scanning the corpus (4 parquet scans → 1; PlanSpec pins this)
+    val daily = dailyIn.localCheckpoint(true)
     val stats = broadcast(daily.agg(
       count(lit(1)).as("__D"), sum(col("n")).as("__S")))
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
@@ -1002,28 +1012,13 @@ object CdcQueries {
     * Shape: ONE map-side-combined aggregate onto the quasi-identifier
     * grid (types × days × buckets — DOMAIN-bounded, never corpus-sized),
     * then band/total rollups on that bounded frame with the 1-row stats
-    * frame broadcast back. All integers. */
+    * frame broadcast back. All integers. Class slice and band report are
+    * shared verbatim with the streaming form
+    * ([[graft.streaming.KAnonymityStream]] — exactly-once batch input
+    * makes the one-shot slice the fully-merged grid). */
   private val aggKAnonymity: Q = (s, d) => {
-    val classes = events(s, d)
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"),
-        // width-10 buckets via double floor(value/10): one IEEE divide +
-        // floor, identical in both engines (an integer `div` would
-        // truncate, not floor, on hypothetical negative values)
-        floor(col("value") / 10.0).cast("long").as("vbucket"))
-      .agg(count(lit(1)).as("n"))
-    val banded = classes.select(
-      when(col("n") === 1, "1").when(col("n") <= 4, "2-4")
-        .when(col("n") <= 9, "5-9").otherwise("10+").as("band"),
-      col("n"))
-      .groupBy(col("band"))
-      .agg(count(lit(1)).as("n_classes"), sum(col("n")).as("n_rows"))
-    val tot = broadcast(classes.agg(
-      sum(col("n")).as("__rows"), min(col("n")).as("__k")))
-    banded.crossJoin(tot)
-      .select(col("band"), col("n_classes"), col("n_rows"),
-        expr("n_rows * 1000 div __rows").as("rows_permille"),
-        col("__k").as("k_anonymity"))
-      .orderBy("band")
+    import graft.streaming.KAnonymityStream
+    KAnonymityStream.report(KAnonymityStream.classSlice(events(s, d)))
   }
 
   /** Heavy hitters via a Misra–Gries sketch ([[graft.functions.MisraGries]],
@@ -1414,8 +1409,7 @@ object CdcQueries {
     // batch input lets the aggregates stay count(*) (one row per
     // (event, key) by construction) and the denominator a slim
     // two-column scan with no JSON parse
-    val grid = graft.streaming.SchemaProfileStream.slice(ev)
-      .filter(col("key").isNotNull)
+    val grid = graft.streaming.SchemaProfileStream.kvSlice(ev)
       .groupBy(col("event_type"), col("key"))
       .agg(count(lit(1)).as("n_present"),
         countDistinct(col("val")).as("n_distinct_vals"),

@@ -1150,6 +1150,110 @@ object ExtQueries {
       .orderBy("threshold_permille")
   }
 
+  /** Dedup DECISION BRIEF — the one go/no-go grid a pipeline owner reads
+    * where [[extDedupSweep]] (threshold curve), [[extDedupQuality]] (band
+    * audit) and [[extDedupSavings]] (token ledger) are three separate
+    * reports: per threshold × cluster-size band, the clusters/docs landing
+    * there, the docs and tokens a min-id-survivor drop removes, and the
+    * mean quality of what gets DROPPED vs what gets KEPT — "at 0.7 the 5+
+    * band drops 12% of tokens whose quality matches the survivors'" is the
+    * veto line item.
+    *
+    * Pure composition of the sweep's machinery: the SAME loosest-setting
+    * pair slice, the SAME jaccard-descending incremental union-find in ONE
+    * task (thresholds are nested, so walking high→low only ever adds
+    * edges), with per-doc token counts AND snapped quality riding the edge
+    * rows — zero corpus work beyond the two slim metadata joins. Min-id
+    * roots reproduce duplicateClusters' canonical labels, so every cell is
+    * bit-identical to the per-threshold relational form the oracle
+    * replays; DedupSpec pins that the grid reconciles row-for-row with the
+    * sweep's totals and the quality audit's bands. */
+  private val extDedupPolicy: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val docs = documents(s, d)
+    val pairs = Dedup.ngramJaccard(docs, "text", "doc_id", n = 3,
+      threshold = 0.5).localCheckpoint(true)
+    val meta = docs.select(col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+      floor(TextFns.qualityScore(col("text")) * 10000.0 + 0.5)
+        .cast("long").as("q_e4"))
+    val edges = pairs
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("jaccard") * 10000.0 + 0.5).cast("long").as("snap"))
+      .join(meta.select(col("doc_id").as("doc_a"),
+        col("n_tokens").as("tok_a"), col("q_e4").as("q_a")), "doc_a")
+      .join(meta.select(col("doc_id").as("doc_b"),
+        col("n_tokens").as("tok_b"), col("q_e4").as("q_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("snap"),
+        col("tok_a"), col("tok_b"), col("q_a"), col("q_b"))
+    val thresholds = SweepThresholds.sorted.reverse
+    edges.as[(Long, Long, Long, Long, Long, Long, Long)].coalesce(1)
+      .mapPartitions { it =>
+        val es = it.toArray.sortBy(e => -e._3) // jaccard desc
+        val parent = new java.util.HashMap[Long, Long]()
+        val tokens = new java.util.HashMap[Long, Long]()
+        val qual = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        def add(x: Long, tok: Long, q: Long): Unit =
+          if (!parent.containsKey(x)) {
+            parent.put(x, x); tokens.put(x, tok); qual.put(x, q)
+          }
+        var i = 0
+        thresholds.iterator.flatMap { t =>
+          while (i < es.length && es(i)._3 >= t * 10L) {
+            val (a, b, _, ta, tb, qa, qb) = es(i)
+            add(a, ta, qa); add(b, tb, qb)
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+            i += 1
+          }
+          // cluster sizes at this threshold, then one banded pass over
+          // the member map — bands: 0 = "2-4", 1 = "5+" (every mapped doc
+          // has ≥ 1 edge, so no size-1 cluster exists here)
+          val size = new java.util.HashMap[Long, Long]()
+          var docsIt = parent.keySet().iterator()
+          while (docsIt.hasNext) {
+            val r = find(docsIt.next())
+            size.put(r, (if (size.containsKey(r)) size.get(r) else 0L) + 1L)
+          }
+          def bandOf(n: Long): Int = if (n <= 4L) 0 else 1
+          val nClusters = new Array[Long](2); val nDocs = new Array[Long](2)
+          val dropDocs = new Array[Long](2); val dropTok = new Array[Long](2)
+          val qDrop = new Array[Long](2); val qKeep = new Array[Long](2)
+          val rootsIt = size.entrySet().iterator()
+          while (rootsIt.hasNext) {
+            val e = rootsIt.next(); nClusters(bandOf(e.getValue)) += 1L
+          }
+          docsIt = parent.keySet().iterator()
+          while (docsIt.hasNext) {
+            val doc = docsIt.next()
+            val r = find(doc)
+            val b = bandOf(size.get(r))
+            nDocs(b) += 1L
+            if (doc != r) {
+              dropDocs(b) += 1L; dropTok(b) += tokens.get(doc)
+              qDrop(b) += qual.get(doc)
+            } else qKeep(b) += qual.get(doc)
+          }
+          Seq(0, 1).filter(nClusters(_) > 0L).map { b =>
+            (t.toLong, if (b == 0) "2-4" else "5+", nClusters(b), nDocs(b),
+              dropDocs(b), dropTok(b),
+              Math.floorDiv(qDrop(b), dropDocs(b)),   // ≥1 drop per cluster
+              Math.floorDiv(qKeep(b), nClusters(b)))  // 1 survivor each
+          }
+        }
+      }
+      .toDF("threshold_permille", "band", "n_clusters", "n_docs",
+        "drop_docs", "drop_tokens", "mean_q_dropped_e4", "mean_q_kept_e4")
+      .orderBy("threshold_permille", "band")
+  }
 
   private val extDedupSavings: Q = (s, d) => {
     val labels = Dedup.duplicateClusters(
@@ -2745,6 +2849,7 @@ object ExtQueries {
     "ext_dedup_keep_best" -> extDedupKeepBest,
     "ext_dedup_savings" -> extDedupSavings,
     "ext_dedup_sweep" -> extDedupSweep,
+    "ext_dedup_policy" -> extDedupPolicy,
     "ext_dedup_url" -> extDedupUrl,
     "ext_dedup_winnow" -> extDedupWinnow,
     "ext_dedup_quality" -> extDedupQuality,
@@ -4391,6 +4496,56 @@ object ExtQueries {
          |$perT
          |$rowT
          |ORDER BY threshold_permille""".stripMargin
+    },
+
+    // the sweep's per-threshold closures, banded by cluster size and
+    // joined to the quality/token metadata — means compare as floor
+    // divisions of non-negative integer sums, so the grid is engine-exact
+    "ext_dedup_policy" -> {
+      val perT = SweepThresholds.map { t =>
+        s"""p$t AS (SELECT doc_a, doc_b FROM pairs
+           |        WHERE CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) >= ${t * 10}),
+           |e$t AS (SELECT doc_a AS u, doc_b AS v FROM p$t
+           |        UNION SELECT doc_b, doc_a FROM p$t),
+           |n$t AS (SELECT DISTINCT u AS id FROM e$t),
+           |reach$t(id, label) AS (
+           |  SELECT id, id FROM n$t
+           |  UNION
+           |  SELECT e.u, r.label FROM e$t e JOIN reach$t r ON e.v = r.id),
+           |lab$t AS (SELECT id AS doc_id, min(label) AS cluster_id
+           |          FROM reach$t GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      val rowT = SweepThresholds.map { t =>
+        s"""SELECT CAST($t AS BIGINT) AS threshold_permille, band,
+           |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS drop_docs,
+           |  CAST(sum(CASE WHEN doc_id <> cluster_id THEN n_tokens ELSE 0 END) AS BIGINT)
+           |    AS drop_tokens,
+           |  CAST(sum(CASE WHEN doc_id <> cluster_id THEN qe4 END)
+           |    // sum(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS mean_q_dropped_e4,
+           |  CAST(sum(CASE WHEN doc_id = cluster_id THEN qe4 END)
+           |    // count(DISTINCT cluster_id) AS BIGINT) AS mean_q_kept_e4
+           |FROM (SELECT l.doc_id, l.cluster_id, m.n_tokens, m.qe4,
+           |             CASE WHEN c.n <= 4 THEN '2-4' ELSE '5+' END AS band
+           |      FROM lab$t l
+           |      JOIN (SELECT cluster_id, count(*) AS n FROM lab$t GROUP BY 1) c
+           |        USING (cluster_id)
+           |      JOIN m ON m.doc_id = l.doc_id) z$t
+           |GROUP BY band""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE pairs AS ($jaccardSql),
+         |${qualitySqlCte("documents", "text,")},
+         |m AS (SELECT doc_id,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |        CAST(floor((stop_ratio * 0.4 + ttr * 0.3 + len_sat * 0.3)
+         |                   * 10000 + 0.5) AS BIGINT) AS qe4
+         |      FROM q),
+         |$perT
+         |$rowT
+         |ORDER BY threshold_permille, band""".stripMargin
     },
 
     "ext_dedup_keep" ->

@@ -164,21 +164,34 @@ object StreamQueries {
     * ext_prefix_dup's SQL. Live checkpointed restart/redelivery in
     * StreamingSpec. */
   /** The incremental payload-shape monitor run in BATCH mode over a
-    * DOUBLED delivery (at-least-once): the state is membership rows and
-    * every report column is distinct-/min-/max-based, so the doubled log
-    * collapses to the one-shot batch answer — the oracle IS
-    * agg_schema_profile's SQL. Live checkpointed restart/redelivery (a NEW
-    * key arriving mid-stream) in StreamingSpec. */
+    * DOUBLED delivery (at-least-once): redelivered rows die in the SAME
+    * event-id dedup gate the live stream runs ([[CdcPipeline.dedupEvents]]
+    * — batch form, one hash-aggregate shuffle), then the batch collapses
+    * through the stream's own grid slice + additive merge + report to the
+    * one-shot batch answer — the oracle IS agg_schema_profile's SQL. Live
+    * checkpointed restart/redelivery (a NEW key arriving mid-stream) in
+    * StreamingSpec; grid-bounded state growth pinned in StateLayoutSpec. */
   private val streamSchemaProfile: Q = (s, d) => {
     import graft.streaming.SchemaProfileStream
     val ev = Tables.events(s, d)
-    // slice is row-local, so slice(ev ∪ ev) ≡ slice(ev) ∪ slice(ev):
-    // materialize the parse + explode ONCE and self-union the membership
-    // rows — the un-checkpointed doubled form re-scanned the parquet and
-    // re-ran from_json four times (both report branches × both union legs)
-    val once = SchemaProfileStream.slice(ev).localCheckpoint()
-    SchemaProfileStream.report(once.unionByName(once))
+    val once = CdcPipeline.dedupEvents(ev.unionByName(ev)) // two deliveries
+    val grid = SchemaProfileStream.slice(once)
+    SchemaProfileStream.report(SchemaProfileStream.mergeState(grid.limit(0), grid))
       .orderBy("event_type", "key")
+  }
+
+  /** The incremental k-anonymity release gate run in BATCH mode over a
+    * DOUBLED delivery (at-least-once): redelivered rows die in the SAME
+    * event-id dedup gate the live stream runs, then the batch collapses
+    * through the stream's own class slice + additive merge + band report
+    * to the one-shot batch answer — the oracle IS agg_k_anonymity's SQL.
+    * Live checkpointed restart/redelivery in StreamingSpec. */
+  private val streamKAnonymity: Q = (s, d) => {
+    import graft.streaming.KAnonymityStream
+    val ev = Tables.events(s, d)
+    val once = CdcPipeline.dedupEvents(ev.unionByName(ev)) // two deliveries
+    val grid = KAnonymityStream.classSlice(once)
+    KAnonymityStream.report(KAnonymityStream.mergeCounts(grid.limit(0), grid))
   }
 
   /** The incremental URL-canonicalization dedup run in BATCH mode over a
@@ -409,7 +422,9 @@ object StreamQueries {
   private val streamScd2: Q = (s, d) => {
     import graft.streaming.Scd2Stream
     val raw = Tables.eventsRaw(s, d)
-    val once = Scd2Stream.slice(CdcPipeline.transform(raw))
+    // projection-only legs: mergeEvents' event_id collapse IS the dedup,
+    // so a per-leg dropDuplicates would be a redundant second shuffle
+    val once = Scd2Stream.project(CdcPipeline.transform(raw))
     val twice = once.unionByName(once) // two deliveries
     Scd2Stream.report(Scd2Stream.mergeEvents(twice.limit(0), twice))
       .select(col("user_id"), col("version"), col("event_type"),
@@ -572,6 +587,7 @@ object StreamQueries {
     "stream_prefix_dup" -> streamPrefixDup,
     "stream_url_dedup" -> streamUrlDedup,
     "stream_schema_profile" -> streamSchemaProfile,
+    "stream_k_anonymity" -> streamKAnonymity,
     "stream_length_outliers" -> streamLengthOutliers,
     "stream_ks_drift" -> streamKsDrift)
 
@@ -594,6 +610,7 @@ object StreamQueries {
     "stream_prefix_dup" -> ExtQueries.oracle("ext_prefix_dup"),
     "stream_url_dedup" -> ExtQueries.oracle("ext_dedup_url"),
     "stream_schema_profile" -> CdcQueries.oracle("agg_schema_profile"),
+    "stream_k_anonymity" -> CdcQueries.oracle("agg_k_anonymity"),
     // doubled delivery collapses through the doc-keyed membership merge
     // BEFORE any histogramming — the oracle IS the batch length-outlier
     // gate's (one Robust definition, twins can't drift)

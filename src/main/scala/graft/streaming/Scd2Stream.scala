@@ -37,15 +37,21 @@ object Scd2Stream {
     * (key, tracked attr, event time, tiebreak), fixture-instantiated. */
   val StateCols: Seq[String] = Seq("user_id", "event_type", "ts", "event_id")
 
-  /** One (bounded or micro-batch) slice's state contribution: deletes
-    * dropped (the reference's server-side $match, js:221–223 — re-applied
-    * here so a slice built from a raw frame matches one built from
-    * [[CdcPipeline.transform]], which already drops them), projected to
-    * the change columns, one row per event_id. */
+  /** The row-local half of [[slice]]: deletes dropped (the reference's
+    * server-side $match, js:221–223 — re-applied here so a slice built
+    * from a raw frame matches one built from [[CdcPipeline.transform]],
+    * which already drops them), projected to the change columns. Bounded
+    * replays feed this straight to [[mergeEvents]] — the merge's
+    * event_id collapse makes a per-leg dedup a redundant extra shuffle. */
+  def project(events: DataFrame): DataFrame =
+    CdcOps.dropDeletes(events).select(StateCols.map(col): _*)
+
+  /** One (bounded or micro-batch) slice's state contribution:
+    * [[project]]ed to the change columns, one row per event_id (the
+    * micro-batch path dedups BEFORE the state merge so redelivered rows
+    * within a batch never widen the merge input). */
   def slice(events: DataFrame): DataFrame =
-    CdcOps.dropDeletes(events)
-      .select(StateCols.map(col): _*)
-      .dropDuplicates("event_id")
+    project(events).dropDuplicates("event_id")
 
   /** Keyed set-union merge of two state tables: one row per event_id, all
     * payload columns min-folded (redelivered rows are byte-identical per

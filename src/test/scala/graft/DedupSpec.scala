@@ -419,6 +419,38 @@ class DedupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("dedup policy grid reconciles with the sweep's totals and the quality audit's bands") {
+    val d = "/root/testdata/sf0.001"
+    val policy = SparkEntry.queries("ext_dedup_policy")(spark, d)
+      .as[(Long, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    Dedup.unpersistAll()
+    val sweep = SparkEntry.queries("ext_dedup_sweep")(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    Dedup.unpersistAll()
+    assert(policy.nonEmpty)
+    // per threshold, the banded grid sums back to the sweep's curve row:
+    // same clustering, same survivors, same token ledger
+    policy.groupBy(_._1).foreach { case (t, rows) =>
+      val s = sweep(t)
+      assert(rows.map(_._3).sum === s._4, s"t=$t n_clusters")
+      assert(rows.map(_._4).sum === s._3, s"t=$t n_dup_docs")
+      assert(rows.map(_._5).sum === s._5, s"t=$t drop_docs")
+      assert(rows.map(_._6).sum === s._6, s"t=$t drop_tokens")
+    }
+    // at the loosest threshold the bands ARE the quality audit's clustered
+    // bands (same 0.5 pair slice, same min-id labels, same band edges)
+    val quality = SparkEntry.queries("ext_dedup_quality")(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    Dedup.unpersistAll()
+    policy.filter(_._1 == 500L).foreach { p =>
+      val q = quality(p._2)
+      assert(p._3 === q._2, s"band ${p._2} n_clusters vs quality n_groups")
+      assert(p._4 === q._3, s"band ${p._2} n_docs")
+    }
+  }
+
   test("winnowing: the k+w-1 guarantee, short-doc edges, and selection density") {
     val P = 1000000007L
     val shared = "zqxjvwpyr kbdf" // 14 chars ≥ k+w−1 = 11 → must share a fingerprint

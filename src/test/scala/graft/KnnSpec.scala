@@ -880,6 +880,30 @@ class KnnSpec extends SparkSpec {
     got.tail.foreach(r => assert(r._5 < 7L * r._4))
   }
 
+  test("MMR guards: a violated candidate-size contract throws before collecting; λ=0 is out of contract") {
+    // collectBounded is the enforcement point behind every driver-side
+    // candidate collect: 4 rows against a bound of 3 must THROW — and via
+    // take(bound+1), so the driver never materializes the unbounded result
+    val df = spark.range(4).as[Long]
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Knn.collectBounded(df, 3L, "test collect")
+    }
+    assert(err.getMessage.contains("size contract"))
+    // at or under the bound: all rows come back
+    assert(graft.operators.Knn.collectBounded(df, 4L, "ok").length === 4)
+
+    // lamTenths=0 zeroes every first-pick score (engine would tie-break by
+    // min cid while the SQL twin ranks by relevance) — rejected up front
+    val v = vecs(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f))
+    for (bad <- Seq(0, 11); fn <- Seq(
+      () => graft.operators.Knn.mmrInt(v, "vec_id", "embedding", 1, 2, 2, bad),
+      () => graft.operators.Knn.mmrIvfInt(v, "vec_id", "embedding", 1, 2, 2, bad,
+        nCells = 2, iters = 1, sampleN = 2, nProbe = 1))) {
+      assert(intercept[IllegalArgumentException](fn())
+        .getMessage.contains("lamTenths"))
+    }
+  }
+
   test("IVF-probed MMR: same shape as the exact rerank; probing can only lose relevance") {
     val d = "/root/testdata/sf0.001"
     val full = SparkEntry.queries("ext_sim_mmr")(spark, d)

@@ -559,6 +559,59 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("changepoint rank: the D² pair join runs on the checkpointed day frame — ONE corpus scan") {
+    val p = plan("agg_changepoint")
+    // the calendar-bounded daily frame is checkpointed up front (that one
+    // job holds the only corpus scan); the stats leg and both sides of the
+    // exact-rational rank join read the checkpoint back — the rank plan
+    // itself never touches the parquet
+    assert(p.split("Scan parquet").length - 1 == 0,
+      s"the pair rank must not re-scan the corpus:\n${p.take(2000)}")
+    assert(p.contains("Scan ExistingRDD"),
+      s"rank inputs must be the checkpointed day frame:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("changepoint tree: the sequential binseg runs over the daily aggregate, never raw events") {
+    val p = plan("agg_changepoint_tree")
+    // exactly one grouped recurrence task (flatMapGroups prints as
+    // MapGroups), and the frame feeding it is the map-side-combined day
+    // aggregate — the recurrence input is D rows, not the corpus
+    assert(p.contains("MapGroups"), s"tree must be one recurrence pass:\n${p.take(2000)}")
+    val below = p.substring(p.indexOf("MapGroups"))
+    assert(below.contains("HashAggregate") && below.contains("partial_count"),
+      s"the recurrence must consume the daily aggregate:\n${below.take(1500)}")
+    assert(p.split("Scan parquet").length - 1 == 1)
+  }
+
+  test("MMR candidates: one LongDots-scored corpus pass, vectors rejoin after the cut — no fan-out") {
+    val p = graft.operators.Knn.mmrCandidates(
+      Tables.embeddings(spark, d), "vec_id", "embedding", nQueries = 10, m = 25)
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("longdots"),
+      s"candidate scoring must go through the LongDots kernel:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no all-pairs expansion anywhere:\n${p.take(2000)}")
+    // the scoring pass reads the corpus once; the post-cut vector rejoin
+    // reads it once more — never a per-query re-read
+    assert(p.split("Scan parquet").length - 1 <= 2,
+      s"candidate generation must not re-scan per query:\n${p.take(2000)}")
+  }
+
+  test("IVF-probed MMR candidates: the probe list is a BROADCAST semi-join on the single scored scan") {
+    val p = graft.operators.Knn.mmrIvfCandidates(
+      Tables.embeddings(spark, d), "vec_id", "embedding", nQueries = 10, m = 25,
+      nCells = graft.queries.ExtQueries.IvfCells,
+      iters = graft.queries.ExtQueries.IvfIters,
+      sampleN = graft.queries.ExtQueries.IvfSampleN,
+      nProbe = graft.queries.ExtQueries.IvfProbe)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"probe membership must be a broadcast semi-join:\n${p.take(2000)}")
+    assert(p.toLowerCase.contains("longdots"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("matryoshka candidate scoring runs the codegen'd literal-matrix kernel") {
     // (ext_sim_mmr shares the kernel but its final frame is the
     // driver-side greedy rerank's LocalTableScan — the scoring plan is

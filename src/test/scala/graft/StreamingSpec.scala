@@ -661,8 +661,9 @@ class StreamingSpec extends SparkSpec {
     assert(got() === Seq(("click", "k", 2L, 2L, "2024-01-01", "2024-01-01", 1000L)))
 
     // wave 2: the producer ships a NEW field on day 3 (+ event 1
-    // redelivered, + a keyless payload that must still count in the
-    // denominator) — the drift signal is the late seen_from
+    // redelivered — the watermarked event-id dedup must kill it, + a
+    // keyless payload that must still count in the denominator) — the
+    // drift signal is the late seen_from
     deliver("w2", Seq(
       (1L, "2024-01-01", "click", """{"k": 7}"""),
       (3L, "2024-01-03", "click", """{"k": 7, "exp": "a"}"""),
@@ -673,11 +674,81 @@ class StreamingSpec extends SparkSpec {
       ("click", "k", 3L, 2L, "2024-01-01", "2024-01-03", 750L))
     assert(got() === want)
 
-    // replay + compaction: report unchanged
+    // restart with no new data: no new batch, report unchanged
     SchemaProfileStream.start(spark, src.toString, tgt, ckp).awaitTermination()
     assert(got() === want)
-    SchemaProfileStream.compact(spark, tgt)
+
+    // a replayed batch id is refused by the StateCommit marker even with
+    // different rows — the additive grid cannot double-count
+    val before = got()
+    SchemaProfileStream.applyBatch(spark,
+      Seq((99L, java.sql.Timestamp.valueOf("2024-01-09 10:00:00"), 0L, "click",
+        1.0, """{"k": 1}"""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      tgt, batchId = 0L)
+    assert(got() === before)
+
+    // growth class: the state is the (type, key, val) grid + one total row
+    // per type — 4 events × up to 2 keys landed, but the grid holds only
+    // the 3 distinct (key, val) cells ("k"→7, "k"→9, "exp"→"a") + 1 total
+    assert(SchemaProfileStream.state(spark, tgt).count() === 4L)
+  }
+
+  test("streaming k-anonymity: the risk grid accumulates across batches; redelivery counts once") {
+    import graft.streaming.KAnonymityStream
+    import spark.implicits._
+    val src = tmp("kan-src")
+    val tgt = tmp("kan-tgt").resolve("state").toString
+    val ckp = tmp("kan-ckp").toString
+
+    def deliver(name: String, rows: Seq[(Long, String, String, Double)]): Unit = {
+      val staging = tmp(s"kan-stage-$name")
+      rows.map { case (id, day, tpe, value) =>
+        (id, java.sql.Timestamp.valueOf(s"$day 10:00:00"), id % 5, tpe, value, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, src.resolve(s"$name-${f.getName}")))
+    }
+
+    // wave 1: two clicks share a class (bucket 0); the purchase is a
+    // size-1 class — the dataset is only 1-anonymous from the start
+    deliver("w1", Seq(
+      (1L, "2024-01-01", "click", 5.0),
+      (2L, "2024-01-01", "click", 7.0),
+      (3L, "2024-01-01", "purchase", 15.0)))
+    KAnonymityStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    def got() = KAnonymityStream.report(KAnonymityStream.state(spark, tgt))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got() === Seq(("1", 1L, 1L, 333L, 1L), ("2-4", 1L, 2L, 666L, 1L)))
+
+    // wave 2: event 1 redelivered (the dedup gate must kill it — the
+    // additive class count cannot double) + two more clicks join the
+    // bucket-0 class + a new day-2 class
+    deliver("w2", Seq(
+      (1L, "2024-01-01", "click", 5.0),
+      (4L, "2024-01-01", "click", 3.0),
+      (5L, "2024-01-01", "click", 9.0),
+      (6L, "2024-01-02", "click", 25.0)))
+    KAnonymityStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    val want = Seq(("1", 2L, 2L, 333L, 1L), ("2-4", 1L, 4L, 666L, 1L))
     assert(got() === want)
+
+    // restart with no new data: no new batch, report unchanged
+    KAnonymityStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    assert(got() === want)
+
+    // a replayed batch id is refused by the StateCommit marker
+    KAnonymityStream.applyBatch(spark,
+      Seq((99L, java.sql.Timestamp.valueOf("2024-01-09 10:00:00"), 0L, "click",
+        1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      tgt, batchId = 0L)
+    assert(got() === want)
+
+    // growth class: state is the quasi-identifier grid — 3 classes for 7
+    // delivered events
+    assert(KAnonymityStream.state(spark, tgt).count() === 3L)
   }
 
   test("streaming URL dedup: variants collapse across batches and survive redelivery + compaction") {

@@ -201,6 +201,31 @@ class StateLayoutSpec extends SparkSpec {
     assert(single.map(p => (p._1, p._2)) === Set((1L, 2L)))
   }
 
+  test("SchemaProfileStream: state growth is the (type, key, val) grid + per-type totals — never event-sized") {
+    val dir = tmp("shpgrid").resolve("state").toString
+    def batch(ids: Range) = ids.map { i =>
+      // many events, ONE payload shape: {"k": <i mod 2>} — 2 value cells
+      (i.toLong, java.sql.Timestamp.valueOf(s"2024-01-0${1 + i % 3} 10:00:00"),
+        i.toLong, "click", 1.0, s"""{"k": ${i % 2}}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    SchemaProfileStream.applyBatch(spark, batch(0 until 500), dir, 0L)
+    // 500 events landed; the state is 2 value cells + 1 total row
+    assert(SchemaProfileStream.state(spark, dir).count() === 3L)
+
+    // 500 MORE events of the same shape: counts grow, the grid does not
+    SchemaProfileStream.applyBatch(spark, batch(500 until 1000), dir, 1L)
+    val st = SchemaProfileStream.state(spark, dir)
+    assert(st.count() === 3L)
+    assert(st.filter(col("key").isNull).select("n")
+      .as[Long].collect().toSeq === Seq(1000L))
+
+    // the report off the grid carries exact presence/spread/day bounds
+    assert(SchemaProfileStream.report(st)
+      .as[(String, String, Long, Long, String, String, Long)].collect().toSeq
+      === Seq(("click", "k", 1000L, 2L, "2024-01-01", "2024-01-03", 1000L)))
+  }
+
   test("StateCommit: a legacy flat-layout state dir restarts and migrates into the versioned layout") {
     val dir = tmp("scleg").resolve("state").toString
     // the pre-versioning layout: state in the flat dir, marker alongside
