@@ -2785,6 +2785,49 @@ object ExtQueries {
       graft.streaming.KsDriftStream.histogram(documents(s, d)))
       .orderBy("source")
 
+  /** Embedding-space drift — the VECTOR-modality member of the drift
+    * family (quality/vocab/KS/length/schema monitor the text and payload;
+    * none notices a new encoder version or a domain shift that moves the
+    * embedding distribution itself, which silently invalidates every ANN
+    * index and semdedup threshold downstream): per dimension, the
+    * reference-vs-current mean shift, ranked so "which dimensions moved
+    * most" reads off the top. Slices are the deterministic even/odd
+    * vec_id split — the fixture's stand-in for reference-corpus vs
+    * incoming-shard frames.
+    *
+    * Integer-exact end to end, DIVISION-FREE: values snap to the 1e-4
+    * grid, per-slice sums and counts are integers, and the mean shift
+    * compares as the cross-multiplied numerator
+    * s_cur·n_ref − s_ref·n_cur (the counts are dimension-independent, so
+    * ranking by |delta_num| IS ranking by |Δmean| — no rational compare
+    * needed; magnitude n·|s| ≤ 10⁴·(2·10⁴·n)·n stays in BIGINT through
+    * ~10⁶-vector slices, decimal beyond). drift_rank ties break
+    * pos-ascending.
+    *
+    * Scale shape: ONE corpus scan into a map-side-combined per-dimension
+    * aggregate — the output frame is DIM-bounded (embedding width), so
+    * the ranking window costs nothing at any corpus size. */
+  private val extEmbedDrift: Q = (s, d) => {
+    val x = embeddings(s, d).select(col("vec_id"),
+      posexplode(transform(col("embedding"),
+        v => floor(v.cast("double") * 10000.0 + 0.5).cast("long")))
+        .as(Seq("pos", "v")))
+    val g = x.groupBy(col("pos").cast("long").as("pos"))
+      .agg(
+        sum(when(pmod(col("vec_id"), lit(2)) === 0, col("v"))).as("s_ref"),
+        sum(when(pmod(col("vec_id"), lit(2)) === 0, 1L)).as("n_ref"),
+        sum(when(pmod(col("vec_id"), lit(2)) === 1, col("v"))).as("s_cur"),
+        sum(when(pmod(col("vec_id"), lit(2)) === 1, 1L)).as("n_cur"))
+      .withColumn("delta_num_e4",
+        col("s_cur") * col("n_ref") - col("s_ref") * col("n_cur"))
+    val w = Window.orderBy(abs(col("delta_num_e4")).desc, col("pos"))
+    g.withColumn("drift_rank", row_number().over(w).cast("long"))
+      .select(col("pos"), col("n_ref"), col("n_cur"),
+        col("s_ref").as("s_ref_e4"), col("s_cur").as("s_cur_e4"),
+        col("delta_num_e4"), col("drift_rank"))
+      .orderBy("pos")
+  }
+
   /** Per-label embedding centroid via the typed Aggregator (map-side partial
     * merge), unpivoted to (label, pos, value) rows for the oracle. */
   private val extMultimodalCentroid: Q = (s, d) => {
@@ -2934,6 +2977,7 @@ object ExtQueries {
     "ext_multimodal_centroid" -> extMultimodalCentroid,
     "ext_feature_scale" -> extFeatureScale,
     "ext_ks_drift" -> extKsDrift,
+    "ext_embed_drift" -> extEmbedDrift,
     "ext_text_diversity" -> extTextDiversity)
 
   // -- oracle ----------------------------------------------------------------
@@ -5571,6 +5615,27 @@ object ExtQueries {
          |       ${rnd4Sql("CAST(max(abs(cum_src * n_tot - cum_tot * n_src)) AS DOUBLE) / (n_src * n_tot)")} AS ks_stat
          |FROM grid JOIN ctc USING (n_chars), nt
          |GROUP BY source, n_src, n_tot ORDER BY source""".stripMargin,
+
+    // per-dimension snapped sums/counts and the division-free
+    // cross-multiplied mean shift — all-integer, so the grid hash-gates
+    "ext_embed_drift" ->
+      s"""WITH x AS (
+         |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
+         |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
+         |              AS BIGINT) AS v
+         |  FROM embeddings),
+         |g AS (SELECT CAST(pos AS BIGINT) AS pos,
+         |        CAST(sum(CASE WHEN vec_id % 2 = 0 THEN v END) AS BIGINT) AS s_ref,
+         |        CAST(count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_ref,
+         |        CAST(sum(CASE WHEN vec_id % 2 = 1 THEN v END) AS BIGINT) AS s_cur,
+         |        CAST(count(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_cur
+         |      FROM x GROUP BY pos),
+         |r AS (SELECT *, s_cur * n_ref - s_ref * n_cur AS delta_num_e4 FROM g)
+         |SELECT pos, n_ref, n_cur, s_ref AS s_ref_e4, s_cur AS s_cur_e4,
+         |       CAST(delta_num_e4 AS BIGINT) AS delta_num_e4,
+         |       CAST(row_number() OVER (ORDER BY abs(delta_num_e4) DESC, pos)
+         |            AS BIGINT) AS drift_rank
+         |FROM r ORDER BY pos""".stripMargin,
 
     // Σc² via the relational explode form — integer-exact, so it matches
     // the codegen'd single-pass expression bit for bit

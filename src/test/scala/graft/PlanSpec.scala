@@ -612,6 +612,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("embed drift: one corpus scan into the per-dimension aggregate; the rank window rides the dim frame") {
+    val p = plan("ext_embed_drift")
+    assert(p.split("Scan parquet").length - 1 == 1,
+      s"drift must touch the corpus once:\n${p.take(2000)}")
+    // the only Window is the drift ranking, and it sits ABOVE the
+    // dim-keyed aggregate (plans print parent-first) — it orders a
+    // DIM-bounded frame, never the corpus
+    assert(p.contains("Window"))
+    assert(p.indexOf("Window") < p.indexOf("HashAggregate"),
+      s"rank window must consume the per-dim aggregate:\n${p.take(2000)}")
+  }
+
   test("matryoshka candidate scoring runs the codegen'd literal-matrix kernel") {
     // (ext_sim_mmr shares the kernel but its final frame is the
     // driver-side greedy rerank's LocalTableScan — the scoring plan is
