@@ -109,15 +109,19 @@ object Bench {
       // a 1-min loadavg plateau (observed 2–10 across rounds) that both
       // inflates later timings and trips the comparability bar. Rather
       // than measure through our own wake, PAUSE (untimed — between
-      // queries, never inside one) whenever the running excess over the
-      // pre-run baseline tops 3.0 and let the 1-min average decay
-      // (τ = 60 s ⇒ a few tens of seconds per pause). Budgeted so a
-      // genuinely-busy box can't stall the run: past the budget the bench
-      // measures on regardless and the load bracket says so.
-      var pauseBudget = 900.0
+      // queries, never inside one) with HYSTERESIS: once the running
+      // excess over the pre-run baseline tops 2.5, sleep until it decays
+      // under 1.2 (τ = 60 s ⇒ ~45 s per pause). The deep release is what
+      // spreads the idle time across the whole run — a shallow release
+      // (first cut: trigger 3.0, release 3.0, 900 s budget) drained the
+      // budget in the first half and let the tail plateau climb to
+      // excess ~7. Budgeted so a genuinely-busy box can't stall the run:
+      // past the budget the bench measures on and the bracket says so.
+      var pauseBudget = 1800.0
       def cooldown(): Unit = {
         var l = loadAvg()
-        while (pauseBudget > 0 && l >= 0 && l - loadBefore > 3.0) {
+        if (l < 0 || l - loadBefore <= 2.5) return
+        while (pauseBudget > 0 && l >= 0 && l - loadBefore > 1.2) {
           val s = math.min(10.0, pauseBudget)
           Thread.sleep((s * 1000).toLong)
           pauseBudget -= s

@@ -2806,26 +2806,13 @@ object ExtQueries {
     *
     * Scale shape: ONE corpus scan into a map-side-combined per-dimension
     * aggregate — the output frame is DIM-bounded (embedding width), so
-    * the ranking window costs nothing at any corpus size. */
+    * the ranking window costs nothing at any corpus size. Grid slice and
+    * report are shared verbatim with the streaming form
+    * ([[graft.streaming.EmbedDriftStream]] — exactly-once batch input
+    * makes the one-shot slice the fully-merged grid). */
   private val extEmbedDrift: Q = (s, d) => {
-    val x = embeddings(s, d).select(col("vec_id"),
-      posexplode(transform(col("embedding"),
-        v => floor(v.cast("double") * 10000.0 + 0.5).cast("long")))
-        .as(Seq("pos", "v")))
-    val g = x.groupBy(col("pos").cast("long").as("pos"))
-      .agg(
-        sum(when(pmod(col("vec_id"), lit(2)) === 0, col("v"))).as("s_ref"),
-        sum(when(pmod(col("vec_id"), lit(2)) === 0, 1L)).as("n_ref"),
-        sum(when(pmod(col("vec_id"), lit(2)) === 1, col("v"))).as("s_cur"),
-        sum(when(pmod(col("vec_id"), lit(2)) === 1, 1L)).as("n_cur"))
-      .withColumn("delta_num_e4",
-        col("s_cur") * col("n_ref") - col("s_ref") * col("n_cur"))
-    val w = Window.orderBy(abs(col("delta_num_e4")).desc, col("pos"))
-    g.withColumn("drift_rank", row_number().over(w).cast("long"))
-      .select(col("pos"), col("n_ref"), col("n_cur"),
-        col("s_ref").as("s_ref_e4"), col("s_cur").as("s_cur_e4"),
-        col("delta_num_e4"), col("drift_rank"))
-      .orderBy("pos")
+    import graft.streaming.EmbedDriftStream
+    EmbedDriftStream.report(EmbedDriftStream.gridSlice(embeddings(s, d)))
   }
 
   /** Per-label embedding centroid via the typed Aggregator (map-side partial

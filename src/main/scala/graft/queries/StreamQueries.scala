@@ -180,6 +180,22 @@ object StreamQueries {
       .orderBy("event_type", "key")
   }
 
+  /** The incremental embedding-drift monitor run in BATCH mode over a
+    * DOUBLED delivery (at-least-once): redelivered vectors die in the
+    * SAME vec_id collapse the live stream's ledger anti-join applies
+    * (on a bounded frame, one dedup shuffle), then the batch collapses
+    * through the stream's own grid slice + additive merge + rank report
+    * to the one-shot batch answer — the oracle IS ext_embed_drift's SQL.
+    * Live restart/redelivery/replay in StreamingSpec. */
+  private val streamEmbedDrift: Q = (s, d) => {
+    import graft.streaming.EmbedDriftStream
+    val e = s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val once = e.unionByName(e).dropDuplicates("vec_id") // two deliveries
+    val grid = EmbedDriftStream.gridSlice(once)
+    EmbedDriftStream.report(EmbedDriftStream.mergeGrid(grid.limit(0), grid))
+  }
+
   /** The incremental k-anonymity release gate run in BATCH mode over a
     * DOUBLED delivery (at-least-once): redelivered rows die in the SAME
     * event-id dedup gate the live stream runs, then the batch collapses
@@ -588,6 +604,7 @@ object StreamQueries {
     "stream_url_dedup" -> streamUrlDedup,
     "stream_schema_profile" -> streamSchemaProfile,
     "stream_k_anonymity" -> streamKAnonymity,
+    "stream_embed_drift" -> streamEmbedDrift,
     "stream_length_outliers" -> streamLengthOutliers,
     "stream_ks_drift" -> streamKsDrift)
 
@@ -611,6 +628,7 @@ object StreamQueries {
     "stream_url_dedup" -> ExtQueries.oracle("ext_dedup_url"),
     "stream_schema_profile" -> CdcQueries.oracle("agg_schema_profile"),
     "stream_k_anonymity" -> CdcQueries.oracle("agg_k_anonymity"),
+    "stream_embed_drift" -> ExtQueries.oracle("ext_embed_drift"),
     // doubled delivery collapses through the doc-keyed membership merge
     // BEFORE any histogramming — the oracle IS the batch length-outlier
     // gate's (one Robust definition, twins can't drift)

@@ -262,6 +262,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("embed-drift ledger-guarded grid fold converges under any batch split and redelivery") {
+    import graft.streaming.EmbedDriftStream
+    // random vectors; the property under test is the exactly-once algebra:
+    // vec_id dedup → ledger anti-join → additive grid fold must equal the
+    // one-shot grid over the distinct set, for ANY batching/redelivery
+    val rnd0 = new scala.util.Random(11)
+    val vecs = (0L until 24L).map(i =>
+      (i, Seq.fill(4)(rnd0.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    def rows(df: DataFrame) = EmbedDriftStream.report(df)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val oneShot = rows(EmbedDriftStream.gridSlice(vecs))
+    def run(batches: Seq[DataFrame]): Seq[(Long, Long, Long, Long, Long, Long, Long)] = {
+      val empty = EmbedDriftStream.gridSlice(vecs.limit(0))
+      val (_, grid) = batches.foldLeft(
+        (vecs.select(col("vec_id")).limit(0), empty)) { case ((seen, g), b) =>
+        val fresh = b.dropDuplicates("vec_id")
+        val nw = fresh.join(seen, Seq("vec_id"), "left_anti").localCheckpoint(true)
+        (seen.unionByName(nw.select(col("vec_id"))).distinct(),
+          EmbedDriftStream.mergeGrid(g, EmbedDriftStream.gridSlice(nw)))
+      }
+      rows(grid)
+    }
+    val rnd = new scala.util.Random(13)
+    (0 until 3).foreach { _ =>
+      val cut1 = rnd.nextInt(25)
+      val cut2 = cut1 + rnd.nextInt(25 - cut1)
+      val parts = Seq(
+        vecs.filter(col("vec_id") < cut1),
+        vecs.filter(col("vec_id") >= cut1 && col("vec_id") < cut2),
+        vecs.filter(col("vec_id") >= cut2))
+      val delivered = rnd.shuffle(parts.flatMap(p => Seq.fill(1 + rnd.nextInt(2))(p)))
+      assert(run(delivered) === oneShot,
+        "split/redelivery diverged from the one-shot grid")
+    }
+  }
+
   test("greedy lowest-rank BPE merging equals sequential rank-order replay") {
     // the equivalence the ext_bpe_* oracles REST ON: applying merges one
     // rank at a time with leftmost-first non-overlapping replacement (the

@@ -694,6 +694,60 @@ class StreamingSpec extends SparkSpec {
     assert(SchemaProfileStream.state(spark, tgt).count() === 4L)
   }
 
+  test("streaming embed drift: the dim grid accumulates across batches; the id ledger kills redelivery") {
+    import graft.streaming.EmbedDriftStream
+    import spark.implicits._
+    val src = tmp("edr-src")
+    val tgt = tmp("edr-tgt").resolve("state").toString
+    val ckp = tmp("edr-ckp").toString
+
+    def deliver(name: String, rows: Seq[(Long, Seq[Float])]): Unit = {
+      val staging = tmp(s"edr-stage-$name")
+      rows.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, src.resolve(s"$name-${f.getName}")))
+    }
+
+    // wave 1: even ids = reference slice, odd = current; dim 1 drifts
+    deliver("w1", Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 1f)), (2L, Seq(0f, 1f)), (3L, Seq(0f, -1f))))
+    EmbedDriftStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    def got() = EmbedDriftStream.report(EmbedDriftStream.state(spark, tgt))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got() === Seq(
+      (0L, 2L, 2L, 10000L, 10000L, 0L, 2L),
+      (1L, 2L, 2L, 10000L, 0L, -20000L, 1L)))
+
+    // wave 2: vec 1 redelivered (the ledger anti-join must kill it — the
+    // additive grid cannot double-count) + one new vector per slice; the
+    // drift flips to dimension 0
+    deliver("w2", Seq(
+      (1L, Seq(1f, 1f)), (4L, Seq(2f, 0f)), (5L, Seq(0f, 2f))))
+    EmbedDriftStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    val want = Seq(
+      (0L, 3L, 3L, 30000L, 10000L, -60000L, 1L),
+      (1L, 3L, 3L, 10000L, 20000L, 30000L, 2L))
+    assert(got() === want)
+
+    // restart with no new data: no new batch, report unchanged
+    EmbedDriftStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    assert(got() === want)
+
+    // a replayed batch id is refused by the grid marker AND the ledger
+    // delta guard, even with different rows
+    EmbedDriftStream.applyBatch(spark,
+      Seq((99L, Seq(9f, 9f))).toDF("vec_id", "embedding"), tgt, batchId = 0L)
+    assert(got() === want)
+
+    // ledger compaction changes nothing; growth class: the grid is the
+    // dim frame (2 rows), the ledger is one id per delivered vector (6)
+    EmbedDriftStream.compact(spark, tgt)
+    assert(got() === want)
+    assert(EmbedDriftStream.state(spark, tgt).count() === 2L)
+    assert(EmbedDriftStream.seenIds(spark, tgt).count() === 6L)
+  }
+
   test("streaming k-anonymity: the risk grid accumulates across batches; redelivery counts once") {
     import graft.streaming.KAnonymityStream
     import spark.implicits._
