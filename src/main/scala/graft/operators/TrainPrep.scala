@@ -136,23 +136,25 @@ object TrainPrep {
         explode(TextFns.tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("__tgt"), col("token"))
       .agg(count(lit(1)).as("tf")))
-    val voc = tf.select(col("token")).distinct()
-    val v = broadcast(voc.agg(count(lit(1)).as("__v")))
-    // BOTH LMs in one pass over the shared vocab (two left joins, one
-    // projection) — a vocab-sized frame either way, but one fewer vocab
-    // join and one fewer crossJoin pair than building each LM separately.
-    // Log-probs in integer log-micronats (×1e6, the repo-wide lnMicro
-    // unit), rounded on this vocab-bounded frame only.
-    val rawC = tf.groupBy(col("token")).agg(sum(col("tf")).as("__rc"))
-    val tgtC = tf.filter(col("__tgt")).groupBy(col("token")).agg(sum(col("tf")).as("__tc"))
-    val rawT = broadcast(rawC.agg(coalesce(sum(col("__rc")), lit(0L)).as("__rt")))
-    val tgtT = broadcast(tgtC.agg(coalesce(sum(col("__tc")), lit(0L)).as("__tt")))
+    // BOTH LMs' counts in ONE token-keyed pass (sum + conditional sum —
+    // `otherwise(0)` reproduces the left-join-null + coalesce semantics
+    // of building the target LM separately), checkpointed at vocab size
+    // so the stats row and the model projection don't re-aggregate;
+    // earlier form paid 4 exchanges (raw counts, target counts, vocab
+    // distinct, and their joins) for the same frame. Log-probs in integer
+    // log-micronats (×1e6, the repo-wide lnMicro unit), rounded on this
+    // vocab-bounded frame only.
+    val counts = tf.groupBy(col("token"))
+      .agg(sum(col("tf")).as("__rc"),
+        sum(when(col("__tgt"), col("tf")).otherwise(0L)).as("__tc"))
+      .localCheckpoint(true)
+    val stats = broadcast(counts.agg(count(lit(1)).as("__v"),
+      coalesce(sum(col("__rc")), lit(0L)).as("__rt"),
+      coalesce(sum(col("__tc")), lit(0L)).as("__tt")))
     def micro(c: Column, t: Column) =
       round(log((coalesce(c, lit(0L)) + lit(0.5)) / (t + lit(0.5) * col("__v"))) * 1e6)
         .cast("long")
-    val model = voc
-      .join(tgtC, Seq("token"), "left").join(rawC, Seq("token"), "left")
-      .crossJoin(tgtT).crossJoin(rawT).crossJoin(v)
+    val model = counts.crossJoin(stats)
       .select(col("token"),
         micro(col("__tc"), col("__tt")).as("tgt_micro"),
         micro(col("__rc"), col("__rt")).as("raw_micro"))
