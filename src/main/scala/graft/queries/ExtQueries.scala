@@ -5614,8 +5614,8 @@ object ExtQueries {
          |g AS (SELECT CAST(pos AS BIGINT) AS pos,
          |        CAST(sum(CASE WHEN vec_id % 2 = 0 THEN v END) AS BIGINT) AS s_ref,
          |        CAST(count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_ref,
-         |        CAST(sum(CASE WHEN vec_id % 2 = 1 THEN v END) AS BIGINT) AS s_cur,
-         |        CAST(count(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_cur
+         |        CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN v END) AS BIGINT) AS s_cur,
+         |        CAST(count(CASE WHEN vec_id % 2 <> 0 THEN 1 END) AS BIGINT) AS n_cur
          |      FROM x GROUP BY pos),
          |r AS (SELECT *, s_cur * n_ref - s_ref * n_cur AS delta_num_e4 FROM g)
          |SELECT pos, n_ref, n_cur, s_ref AS s_ref_e4, s_cur AS s_cur_e4,

@@ -62,11 +62,15 @@ object EmbedDriftStream {
         v => floor(v.cast("double") * 10000.0 + 0.5).cast("long")))
         .as(Seq("pos", "v")))
       .groupBy(col("pos").cast("long").as("pos"))
+      // slice predicates are =0 / ≠0 (not =1): Spark's pmod is always
+      // non-negative but SQL `%` keeps the sign, so `pmod(id,2)===1` and
+      // `id % 2 = 1` would disagree on a hypothetical negative id while
+      // the =0/≠0 pair agrees for ALL ids
       .agg(
         sum(when(pmod(col("vec_id"), lit(2)) === 0, col("v"))).as("s_ref"),
         sum(when(pmod(col("vec_id"), lit(2)) === 0, 1L)).as("n_ref"),
-        sum(when(pmod(col("vec_id"), lit(2)) === 1, col("v"))).as("s_cur"),
-        sum(when(pmod(col("vec_id"), lit(2)) === 1, 1L)).as("n_cur"))
+        sum(when(pmod(col("vec_id"), lit(2)) =!= 0, col("v"))).as("s_cur"),
+        sum(when(pmod(col("vec_id"), lit(2)) =!= 0, 1L)).as("n_cur"))
 
   /** Additive merge of a grid delta into the grid state (sum ignores
     * nulls, so a slice whose batch had only one parity merges cleanly). */

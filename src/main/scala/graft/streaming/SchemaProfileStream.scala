@@ -103,7 +103,11 @@ object SchemaProfileStream {
     val grid = state.filter(col("key").isNotNull)
       .groupBy(col("event_type"), col("key"))
       .agg(sum(col("n")).as("n_present"),
-        count(lit(1)).as("n_distinct_vals"),
+        // count(col), not count(*): a key carried with a JSON null value
+        // is one grid cell but NOT a distinct value — the batch twin's
+        // countDistinct(val) and the oracle's count(DISTINCT …) both
+        // ignore nulls, and this must agree with them
+        count(col("val")).as("n_distinct_vals"),
         date_format(min(col("day_min")), "yyyy-MM-dd").as("seen_from"),
         date_format(max(col("day_max")), "yyyy-MM-dd").as("seen_to"))
     val tot = state.filter(col("key").isNull)

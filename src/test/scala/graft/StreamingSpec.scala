@@ -662,16 +662,18 @@ class StreamingSpec extends SparkSpec {
 
     // wave 2: the producer ships a NEW field on day 3 (+ event 1
     // redelivered — the watermarked event-id dedup must kill it, + a
-    // keyless payload that must still count in the denominator) — the
-    // drift signal is the late seen_from
+    // keyless payload that must still count in the denominator, + a JSON
+    // null value that counts as PRESENCE but not as a distinct value) —
+    // the drift signal is the late seen_from
     deliver("w2", Seq(
       (1L, "2024-01-01", "click", """{"k": 7}"""),
       (3L, "2024-01-03", "click", """{"k": 7, "exp": "a"}"""),
-      (4L, "2024-01-03", "click", """{}""")))
+      (4L, "2024-01-03", "click", """{}"""),
+      (5L, "2024-01-03", "click", """{"exp": null}""")))
     SchemaProfileStream.start(spark, src.toString, tgt, ckp).awaitTermination()
     val want = Seq(
-      ("click", "exp", 1L, 1L, "2024-01-03", "2024-01-03", 250L),
-      ("click", "k", 3L, 2L, "2024-01-01", "2024-01-03", 750L))
+      ("click", "exp", 2L, 1L, "2024-01-03", "2024-01-03", 400L),
+      ("click", "k", 3L, 2L, "2024-01-01", "2024-01-03", 600L))
     assert(got() === want)
 
     // restart with no new data: no new batch, report unchanged
@@ -689,9 +691,9 @@ class StreamingSpec extends SparkSpec {
     assert(got() === before)
 
     // growth class: the state is the (type, key, val) grid + one total row
-    // per type — 4 events × up to 2 keys landed, but the grid holds only
-    // the 3 distinct (key, val) cells ("k"→7, "k"→9, "exp"→"a") + 1 total
-    assert(SchemaProfileStream.state(spark, tgt).count() === 4L)
+    // per type — 5 events landed, but the grid holds only the 4 distinct
+    // (key, val) cells ("k"→7, "k"→9, "exp"→"a", "exp"→null) + 1 total
+    assert(SchemaProfileStream.state(spark, tgt).count() === 5L)
   }
 
   test("streaming embed drift: the dim grid accumulates across batches; the id ledger kills redelivery") {
