@@ -174,8 +174,13 @@ object StreamQueries {
   private val streamSchemaProfile: Q = (s, d) => {
     import graft.streaming.SchemaProfileStream
     val ev = Tables.events(s, d)
+    // checkpoint the deduped frame (slice reads it twice: parse leg +
+    // slim total leg) and the domain-bounded grid (report reads it
+    // twice: key cells + per-type totals) — without them the union +
+    // dedup shuffle and the from_json parse re-run once per leg
     val once = CdcPipeline.dedupEvents(ev.unionByName(ev)) // two deliveries
-    val grid = SchemaProfileStream.slice(once)
+      .localCheckpoint(true)
+    val grid = SchemaProfileStream.slice(once).localCheckpoint(true)
     SchemaProfileStream.report(SchemaProfileStream.mergeState(grid.limit(0), grid))
       .orderBy("event_type", "key")
   }
@@ -189,8 +194,7 @@ object StreamQueries {
     * Live restart/redelivery/replay in StreamingSpec. */
   private val streamEmbedDrift: Q = (s, d) => {
     import graft.streaming.EmbedDriftStream
-    val e = s.read.parquet(s"$d/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val once = e.unionByName(e).dropDuplicates("vec_id") // two deliveries
     val grid = EmbedDriftStream.gridSlice(once)
     EmbedDriftStream.report(EmbedDriftStream.mergeGrid(grid.limit(0), grid))
@@ -206,7 +210,10 @@ object StreamQueries {
     import graft.streaming.KAnonymityStream
     val ev = Tables.events(s, d)
     val once = CdcPipeline.dedupEvents(ev.unionByName(ev)) // two deliveries
-    val grid = KAnonymityStream.classSlice(once)
+    // the report reads the grid twice (band rollup + stats row):
+    // checkpoint the domain-bounded frame so the union + dedup + class
+    // aggregate run once, not per leg
+    val grid = KAnonymityStream.classSlice(once).localCheckpoint(true)
     KAnonymityStream.report(KAnonymityStream.mergeCounts(grid.limit(0), grid))
   }
 

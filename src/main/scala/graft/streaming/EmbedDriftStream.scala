@@ -65,12 +65,14 @@ object EmbedDriftStream {
       // slice predicates are =0 / ≠0 (not =1): Spark's pmod is always
       // non-negative but SQL `%` keeps the sign, so `pmod(id,2)===1` and
       // `id % 2 = 1` would disagree on a hypothetical negative id while
-      // the =0/≠0 pair agrees for ALL ids
+      // the =0/≠0 pair agrees for ALL ids. Counts via count(when(…)) —
+      // count of an all-null column is 0 where sum is NULL, and the
+      // oracle's count(CASE …) is 0 on an empty parity slice
       .agg(
         sum(when(pmod(col("vec_id"), lit(2)) === 0, col("v"))).as("s_ref"),
-        sum(when(pmod(col("vec_id"), lit(2)) === 0, 1L)).as("n_ref"),
+        count(when(pmod(col("vec_id"), lit(2)) === 0, lit(1))).as("n_ref"),
         sum(when(pmod(col("vec_id"), lit(2)) =!= 0, col("v"))).as("s_cur"),
-        sum(when(pmod(col("vec_id"), lit(2)) =!= 0, 1L)).as("n_cur"))
+        count(when(pmod(col("vec_id"), lit(2)) =!= 0, lit(1))).as("n_cur"))
 
   /** Additive merge of a grid delta into the grid state (sum ignores
     * nulls, so a slice whose batch had only one parity merges cleanly). */
@@ -136,11 +138,29 @@ object EmbedDriftStream {
     AppendState.raw(spark, seenDir(targetDir)).map(_.distinct())
       .getOrElse(spark.range(0).select(col("id").as("vec_id")))
 
+  /** The vector-file schema the monitor needs; the observed source schema
+    * is preferred when files already exist (it may carry extra columns —
+    * parquet prunes), but an EMPTY source dir must not crash a monitor
+    * deployed before the first file lands (the CdcPipeline
+    * observedEventsSchema discipline). */
+  private def observedSchema(spark: SparkSession,
+                             sourceDir: String): org.apache.spark.sql.types.StructType =
+    try spark.read.parquet(sourceDir).schema
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType))))
+    }
+
   /** Start the drift monitor over an embeddings parquet stream. */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
             checkpointDir: String, availableNow: Boolean = true): StreamingQuery = {
     val raw = spark.readStream
-      .schema(spark.read.parquet(sourceDir).schema).parquet(sourceDir)
+      .schema(observedSchema(spark, sourceDir)).parquet(sourceDir)
     val trigger =
       if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
     raw.writeStream
