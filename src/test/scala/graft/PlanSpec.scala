@@ -612,6 +612,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("dsir weights: one persisted tf frame feeds scoring; the LM model is checkpointed, never re-aggregated") {
+    val p = plan("ext_dsir_weights")
+    graft.operators.TrainPrep.unpersistAll()
+    // the (doc, token) tf frame is session-persisted and the vocab-sized
+    // model rides a checkpoint — scoring must read those, not re-run the
+    // explode or rebuild per-LM counts (the pre-round-15 shape paid 4
+    // exchanges for the same vocab frame)
+    assert(p.contains("InMemoryTableScan"),
+      s"scoring must read the persisted tf frame:\n${p.take(2000)}")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the model must be the checkpointed counts frame:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("embed drift: one corpus scan into the per-dimension aggregate; the rank window rides the dim frame") {
     val p = plan("ext_embed_drift")
     assert(p.split("Scan parquet").length - 1 == 1,
