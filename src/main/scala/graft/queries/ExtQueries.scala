@@ -1638,7 +1638,12 @@ object ExtQueries {
     * ivf 40/48, pq 32/31, ivfpq 34/26) at sf0.01/sf0.1 — floors sit below
     * both with margin. The weak-similarity regime (top cosine ≈ 0.4 over
     * a ~0 bulk) is why absolute recalls are modest; KnnSpec pins the
-    * aggregate floors on the raw neighbor lists. */
+    * aggregate floors on the raw neighbor lists. Calibration domain:
+    * sf ≥ 0.01 (the driver's gate scales) — on a ≤100-vector corpus
+    * (sf0.001) LSH bucketing over so few points is draw luck and a
+    * per-query floor can miss (observed once at sf0.001, row green at
+    * both gate scales); the audits are production contracts, not
+    * toy-scale ones. */
   private val LshFloorQ = 1; private val LshFloorT = 16
   private val IvfFloorQ = 2; private val IvfFloorT = 32
   private val PqFloorQ = 1; private val PqFloorT = 24
