@@ -1021,6 +1021,27 @@ object CdcQueries {
     KAnonymityStream.report(KAnonymityStream.classSlice(events(s, d)))
   }
 
+  /** l-diversity release audit (Machanavajjhala et al. 2007) — the
+    * companion gate to [[aggKAnonymity]] on the SAME quasi-identifier
+    * grid: k-anonymity counts how small a class gets, l-diversity counts
+    * how UNIFORM the sensitive attribute (user_id) is inside it — a class
+    * of 50 rows that all belong to one user re-identifies that user as
+    * surely as a class of 1. Per distinct-user band (1 / 2–4 / 5–9 / 10+)
+    * the class count and share, plus the dataset's l (min distinct users
+    * over classes) on every row.
+    *
+    * Shape: one distinct projection + one map-side-combined distinct
+    * aggregate onto the DOMAIN-bounded quasi grid, then band/total
+    * rollups on that grid with the 1-row stats frame broadcast back.
+    * Slice and report are shared verbatim with the streaming form
+    * ([[graft.streaming.LDiversityStream]] — membership set union is
+    * homomorphic under slicing, so one-shot batch input IS the
+    * fully-merged state). */
+  private val aggLDiversity: Q = (s, d) => {
+    import graft.streaming.LDiversityStream
+    LDiversityStream.report(LDiversityStream.memberSlice(events(s, d)))
+  }
+
   /** Heavy hitters via a Misra–Gries sketch ([[graft.functions.MisraGries]],
     * §2.4 sketch family): top-20 most frequent user_ids from a k=256-counter
     * mergeable summary — ONE constant-size partial per partition merged up
@@ -1546,6 +1567,7 @@ object CdcQueries {
     "agg_changepoint" -> aggChangepoint,
     "agg_changepoint_tree" -> aggChangepointTree,
     "agg_k_anonymity" -> aggKAnonymity,
+    "agg_l_diversity" -> aggLDiversity,
     "agg_benford" -> aggBenford,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "sort_topk" -> sortTopk,
@@ -2425,6 +2447,30 @@ object CdcQueries {
         |SELECT band, n_classes, n_rows,
         |       CAST(n_rows * 1000 // rows_all AS BIGINT) AS rows_permille,
         |       k_anon AS k_anonymity
+        |FROM g, t ORDER BY band""".stripMargin,
+
+    // the same quasi grid as agg_k_anonymity; per-class DISTINCT-user
+    // counts, banded — the membership projection collapses duplicates
+    // exactly like the engine's distinct slice
+    "agg_l_diversity" ->
+      """WITH mem AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+        |                    CAST(floor(value / 10) AS BIGINT) AS vbucket,
+        |                    user_id
+        |             FROM events),
+        |cl AS (SELECT event_type, day, vbucket,
+        |              CAST(count(*) AS BIGINT) AS l
+        |       FROM mem GROUP BY 1, 2, 3),
+        |b AS (SELECT CASE WHEN l = 1 THEN '1' WHEN l <= 4 THEN '2-4'
+        |                  WHEN l <= 9 THEN '5-9' ELSE '10+' END AS band, l
+        |      FROM cl),
+        |g AS (SELECT band, CAST(count(*) AS BIGINT) AS n_classes,
+        |             CAST(sum(l) AS BIGINT) AS n_class_users
+        |      FROM b GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS classes_all,
+        |             CAST(min(l) AS BIGINT) AS l_div FROM cl)
+        |SELECT band, n_classes, n_class_users,
+        |       CAST(n_classes * 1000 // classes_all AS BIGINT) AS classes_permille,
+        |       l_div AS l_diversity
         |FROM g, t ORDER BY band""".stripMargin,
 
     // median-of-slopes under the (slope, dy, dx) total order — full-tie

@@ -457,11 +457,23 @@ object ExtQueries {
   /** DSIR importance weights ([[TrainPrep.dsirWeights]]): every doc scored
     * by log p_target/p_corpus under smoothed unigram LMs — target slice =
     * the `en` documents. keep = ratio > 0. */
-  private val DsirTargetLang = "en"
+  private val DsirTargetLang = graft.streaming.DsirModelStream.TargetLang
   private val extDsirWeights: Q = (s, d) =>
     TrainPrep.dsirWeights(documents(s, d), "text", "doc_id",
       col("lang") === DsirTargetLang)
       .orderBy("doc_id")
+
+  /** The exportable DSIR importance MODEL — the vocab-bounded token-level
+    * log p_target/p_corpus table `ext_dsir_weights` derives internally,
+    * surfaced as its own artifact: a pipeline ships THIS table and scores
+    * any new shard with one tokens⋈model join, no corpus pass. Shared
+    * verbatim with the streaming maintainer
+    * ([[graft.streaming.DsirModelStream]] — exactly-once batch input
+    * makes the one-shot grid slice the fully-merged count grid). */
+  private val extDsirModel: Q = (s, d) => {
+    import graft.streaming.DsirModelStream
+    DsirModelStream.report(DsirModelStream.gridSlice(documents(s, d)))
+  }
 
   /** Positional-index phrase search — the retrieval primitive BM25's
     * bag-of-words scoring cannot express: exact N-term phrase occurrence
@@ -2847,6 +2859,7 @@ object ExtQueries {
     "ext_nb_calibration" -> extNbCalibration,
     "ext_router_kappa" -> extRouterKappa,
     "ext_dsir_weights" -> extDsirWeights,
+    "ext_dsir_model" -> extDsirModel,
     "ext_phrase_search" -> extPhraseSearch,
     "ext_text_pii" -> extTextPii,
     "ext_pii_redact" -> extPiiRedact,
@@ -3843,6 +3856,31 @@ object ExtQueries {
          |       sum(f.tf * (m.tgt_micro - m.raw_micro)) > 0 AS keep
          |FROM dtf f JOIN m ON f.token = m.token
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the model half of ext_dsir_weights surfaced as its own table: both
+    // token counts in one vocab-keyed pass, Laplace-½ log-probs in
+    // integer micronats — identical rounding expression, shared verbatim
+    // with the streaming maintainer's report
+    "ext_dsir_model" ->
+      s"""WITH dtk AS (SELECT doc_id, lang,
+         |                    unnest(string_split(text, ' ')) AS token
+         |             FROM documents),
+         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS rc,
+         |             CAST(count(CASE WHEN lang = '$DsirTargetLang' THEN 1
+         |                        END) AS BIGINT) AS tc
+         |      FROM dtk GROUP BY 1),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS v,
+         |             CAST(coalesce(sum(rc), 0) AS BIGINT) AS rt,
+         |             CAST(coalesce(sum(tc), 0) AS BIGINT) AS tt FROM c)
+         |SELECT token, rc AS raw_tf, tc AS tgt_tf,
+         |       CAST(round(ln((tc + 0.5) / (tt + 0.5 * v)) * 1000000)
+         |            AS BIGINT) AS tgt_micro,
+         |       CAST(round(ln((rc + 0.5) / (rt + 0.5 * v)) * 1000000)
+         |            AS BIGINT) AS raw_micro,
+         |       CAST(round(ln((tc + 0.5) / (tt + 0.5 * v)) * 1000000)
+         |          - round(ln((rc + 0.5) / (rt + 0.5 * v)) * 1000000)
+         |            AS BIGINT) AS logratio_micro
+         |FROM c, s ORDER BY token""".stripMargin,
 
     // priors live in the trained model (nlab); an empty/whitespace doc has
     // no ntf row, so the LEFT join falls back to the prior argmax — the

@@ -192,6 +192,22 @@ object StreamQueries {
     * through the stream's own grid slice + additive merge + rank report
     * to the one-shot batch answer — the oracle IS ext_embed_drift's SQL.
     * Live restart/redelivery/replay in StreamingSpec. */
+  /** The continuously-maintained DSIR importance model run in BATCH mode
+    * over a DOUBLED delivery (at-least-once): redelivered documents die
+    * in the SAME doc_id dedup the live ledger anti-join applies, then the
+    * batch collapses through the stream's own grid slice + additive merge
+    * + model report to the one-shot batch answer — the oracle IS
+    * ext_dsir_model's SQL. Live checkpointed restart/redelivery/replay in
+    * StreamingSpec. */
+  private val streamDsirModel: Q = (s, d) => {
+    import graft.streaming.DsirModelStream
+    val docs = s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val once = docs.unionByName(docs).dropDuplicates("doc_id") // two deliveries
+    val grid = DsirModelStream.gridSlice(once)
+    DsirModelStream.report(DsirModelStream.mergeGrid(grid.limit(0), grid))
+  }
+
   private val streamEmbedDrift: Q = (s, d) => {
     import graft.streaming.EmbedDriftStream
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -215,6 +231,25 @@ object StreamQueries {
     // aggregate run once, not per leg
     val grid = KAnonymityStream.classSlice(once).localCheckpoint(true)
     KAnonymityStream.report(KAnonymityStream.mergeCounts(grid.limit(0), grid))
+  }
+
+  /** The incremental l-diversity homogeneity gate run in BATCH mode over
+    * a DOUBLED delivery (at-least-once): the state is (class, user)
+    * MEMBERSHIP rows and the report's per-class counts are DISTINCT-user
+    * counts, so the doubled log is absorbed algebraically — no
+    * watermark/StateCommit gate needed (contrast stream_k_anonymity's
+    * additive counts) — and collapses to the one-shot batch answer: the
+    * oracle IS agg_l_diversity's SQL. Live checkpointed
+    * restart/redelivery/compaction in StreamingSpec. */
+  private val streamLDiversity: Q = (s, d) => {
+    import graft.streaming.LDiversityStream
+    val ev = Tables.events(s, d)
+    val once = ev.unionByName(ev) // two deliveries, NO dedup gate
+    // the report checkpoints the per-class grid internally; the slice
+    // feeds it once, so no extra checkpoint here
+    LDiversityStream.report(LDiversityStream.mergeMembers(
+      LDiversityStream.memberSlice(once).limit(0),
+      LDiversityStream.memberSlice(once)))
   }
 
   /** The incremental URL-canonicalization dedup run in BATCH mode over a
@@ -611,7 +646,9 @@ object StreamQueries {
     "stream_url_dedup" -> streamUrlDedup,
     "stream_schema_profile" -> streamSchemaProfile,
     "stream_k_anonymity" -> streamKAnonymity,
+    "stream_l_diversity" -> streamLDiversity,
     "stream_embed_drift" -> streamEmbedDrift,
+    "stream_dsir_model" -> streamDsirModel,
     "stream_length_outliers" -> streamLengthOutliers,
     "stream_ks_drift" -> streamKsDrift)
 
@@ -635,7 +672,9 @@ object StreamQueries {
     "stream_url_dedup" -> ExtQueries.oracle("ext_dedup_url"),
     "stream_schema_profile" -> CdcQueries.oracle("agg_schema_profile"),
     "stream_k_anonymity" -> CdcQueries.oracle("agg_k_anonymity"),
+    "stream_l_diversity" -> CdcQueries.oracle("agg_l_diversity"),
     "stream_embed_drift" -> ExtQueries.oracle("ext_embed_drift"),
+    "stream_dsir_model" -> ExtQueries.oracle("ext_dsir_model"),
     // doubled delivery collapses through the doc-keyed membership merge
     // BEFORE any histogramming — the oracle IS the batch length-outlier
     // gate's (one Robust definition, twins can't drift)

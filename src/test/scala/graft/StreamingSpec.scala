@@ -856,6 +856,110 @@ class StreamingSpec extends SparkSpec {
       .filter($"canon_url" === "example.com/a").count() === 3L)
   }
 
+  test("streaming l-diversity: distinct-user classes accumulate; membership absorbs redelivery") {
+    import graft.streaming.LDiversityStream
+    import spark.implicits._
+    val src = tmp("ldv-src")
+    val tgt = tmp("ldv-tgt").resolve("state").toString
+    val ckp = tmp("ldv-ckp").toString
+
+    def deliver(name: String, rows: Seq[(Long, String, Long, String, Double)]): Unit = {
+      val staging = tmp(s"ldv-stage-$name")
+      rows.map { case (id, day, user, tpe, value) =>
+        (id, java.sql.Timestamp.valueOf(s"$day 10:00:00"), user, tpe, value, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, src.resolve(s"$name-${f.getName}")))
+    }
+
+    // wave 1: both clicks in the bucket-0 class belong to ONE user — the
+    // class is size-2 but 1-diverse (the case k-anonymity cannot see)
+    deliver("w1", Seq(
+      (1L, "2024-01-01", 1L, "click", 5.0),
+      (2L, "2024-01-01", 1L, "click", 7.0),
+      (3L, "2024-01-01", 2L, "purchase", 15.0)))
+    LDiversityStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    def got() = LDiversityStream.report(LDiversityStream.state(spark, tgt))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got() === Seq(("1", 2L, 2L, 1000L, 1L)))
+
+    // wave 2: event 1 redelivered (the membership union must absorb it)
+    // + two NEW users join the bucket-0 click class (now 3-diverse) + a
+    // day-2 class from the already-seen user 1
+    deliver("w2", Seq(
+      (1L, "2024-01-01", 1L, "click", 5.0),
+      (4L, "2024-01-01", 3L, "click", 9.0),
+      (5L, "2024-01-01", 4L, "click", 3.0),
+      (6L, "2024-01-02", 1L, "click", 25.0)))
+    LDiversityStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    val want = Seq(("1", 2L, 2L, 666L, 1L), ("2-4", 1L, 3L, 333L, 1L))
+    assert(got() === want)
+
+    // restart with no new data, then compact: report unchanged, and the
+    // state folds to one row per DISTINCT (class, user) — 5 rows for 7
+    // delivered events (the domain-product growth class)
+    LDiversityStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    assert(got() === want)
+    LDiversityStream.compact(spark, tgt)
+    assert(got() === want)
+    assert(LDiversityStream.state(spark, tgt).count() === 5L)
+  }
+
+  test("streaming DSIR model: token grid accumulates; the doc ledger kills redelivery; stream ≡ one-shot batch") {
+    import graft.streaming.DsirModelStream
+    import spark.implicits._
+    val src = tmp("dsm-src")
+    val tgt = tmp("dsm-tgt").resolve("state").toString
+    val ckp = tmp("dsm-ckp").toString
+
+    def deliver(name: String, rows: Seq[(Long, String, String)]): Unit = {
+      val staging = tmp(s"dsm-stage-$name")
+      rows.toDF("doc_id", "lang", "text")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, src.resolve(s"$name-${f.getName}")))
+    }
+    // the unification property: the maintained model must equal the clean
+    // one-shot batch computation over the documents delivered so far
+    def oneShot(rows: Seq[(Long, String, String)]) =
+      DsirModelStream.report(DsirModelStream.gridSlice(
+        rows.toDF("doc_id", "lang", "text")))
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    def got() = DsirModelStream.report(DsirModelStream.state(spark, tgt))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+
+    val w1 = Seq((0L, "en", "a b"), (1L, "fr", "a c"))
+    deliver("w1", w1)
+    DsirModelStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    assert(got() === oneShot(w1))
+
+    // wave 2: doc 1 redelivered (the ledger anti-join must kill it — the
+    // additive token counts cannot double) + one new target doc growing
+    // the vocab
+    deliver("w2", Seq((1L, "fr", "a c"), (2L, "en", "c c d")))
+    DsirModelStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    val want = oneShot(w1 :+ (2L, "en", "c c d"))
+    assert(got() === want)
+
+    // restart with no new data: no new batch, model unchanged
+    DsirModelStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    assert(got() === want)
+
+    // a replayed batch id is refused by the grid marker AND the ledger
+    // delta guard, even with different rows
+    DsirModelStream.applyBatch(spark,
+      Seq((99L, "en", "zz zz")).toDF("doc_id", "lang", "text"), tgt, batchId = 0L)
+    assert(got() === want)
+
+    // ledger compaction changes nothing; growth class: the grid is the
+    // vocab frame (4 tokens), the ledger one id per delivered doc (3)
+    DsirModelStream.compact(spark, tgt)
+    assert(got() === want)
+    assert(DsirModelStream.state(spark, tgt).count() === 4L)
+    assert(DsirModelStream.seenIds(spark, tgt).count() === 3L)
+  }
+
   test("inline leveled compaction (compactEvery=1) folds every batch without changing the report") {
     import graft.streaming.PrefixDupStream
     import spark.implicits._
