@@ -337,9 +337,15 @@ object Knn {
     * Per query the scan covers ~nProbe/nCells of the corpus instead of all
     * of it; recall is governed by (nCells, nProbe). */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
-             k: Int, nCells: Int, iters: Int, nProbe: Int, sampleN: Int = 0): DataFrame = {
+             k: Int, nCells: Int, iters: Int, nProbe: Int, sampleN: Int = 0,
+             trainedCells: Option[Seq[(Int, Array[Float])]] = None): DataFrame = {
     val spark = corpus.sparkSession
-    val cells = ivfCentroids(corpus, idCol, embCol, nCells, iters, sampleN)
+    // trainedCells short-circuits the Lloyd — callers that already hold
+    // the production codebook (a deterministic pure function of the
+    // corpus + params) skip the sample/assign round-trips; the result is
+    // byte-identical to training inline
+    val cells = trainedCells.getOrElse(
+      ivfCentroids(corpus, idCol, embCol, nCells, iters, sampleN))
     val cents = centroidFrame(spark, cells)
     // zero-shuffle literal assignment (rowNearestCell ≡ nearestCell by the
     // shared tie rule): the corpus neither fans out ×nCells nor re-joins
@@ -444,6 +450,21 @@ object Knn {
     * the shared coordinate discipline of every integer-exact quantizer. */
   private def snap100(c: Column): Column =
     transform(c, x => (floor(x.cast("double") * 1e4 + 0.5).cast("long") * 100L))
+
+  /** The trained integer-Lloyd codebook alone (the `ext_sim_knn_ivf_cells`
+    * quantizer) — for callers that FREEZE it: a streaming index monitor
+    * must assign every batch against the SAME codebook or its additive
+    * per-cell state is meaningless. Deterministic pure function of
+    * (corpus, params): the sample is the lowest-`sampleN` ids. */
+  def intIvfCells(corpus: DataFrame, idCol: String, embCol: String,
+                  nCells: Int, iters: Int, sampleN: Int): Seq[(Int, Array[Long])] =
+    intCentroids(corpus, idCol, embCol, nCells, iters, sampleN)._2
+
+  /** Row-local cell assignment against a frozen codebook — the
+    * [[ivfCellsInt]] argmin as a pure column (zero shuffles, codegen'd
+    * [[graft.functions.IntCellAssign]] kernel). */
+  def intCellOf(emb: Column, cells: Seq[(Int, Array[Long])]): Column =
+    element_at(intAssign(emb, Seq(cells)).getField("cells"), 1).cast("long")
 
   private def intCentroids(corpus: DataFrame, idCol: String, embCol: String,
                            nCells: Int, iters: Int, sampleN: Int)

@@ -148,8 +148,15 @@ object NaiveBayes {
     * the one ratio (accuracy) rounds to 4 dp per bin on the bin-bounded
     * frame. */
   def calibration(docs: DataFrame, textCol: String, classCol: String, idCol: String,
-                  model: DataFrame, maxBin: Long = 5L): DataFrame = {
-    val scored = scoredGrid(docs, textCol, classCol, idCol, model)
+                  model: DataFrame, maxBin: Long = 5L): DataFrame =
+    calibrationFromGrid(scoredGrid(docs, textCol, classCol, idCol, model),
+      idCol, maxBin)
+
+  /** [[calibration]] over an already-built (and typically session-shared)
+    * [[scoredGrid]] — four audit surfaces read the same grid; rebuilding
+    * it per query re-runs a byte-identical scoring pass each time. */
+  def calibrationFromGrid(scored: DataFrame, idCol: String,
+                          maxBin: Long = 5L): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("score_micro").desc, col("label"))
     val ranked = scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 2)
     val top2 = ranked.groupBy(col(idCol))
@@ -175,8 +182,8 @@ object NaiveBayes {
     * the (rare) zero-token docs — an anti-join sliver crossed with the
     * L-row priors, unioned in, NOT an L×corpus grid re-joined against the
     * L×corpus score frame. */
-  private def scoredGrid(docs: DataFrame, textCol: String, classCol: String,
-                         idCol: String, model: DataFrame): DataFrame = {
+  private[graft] def scoredGrid(docs: DataFrame, textCol: String, classCol: String,
+                                idCol: String, model: DataFrame): DataFrame = {
     val pri = model.select(col("label"), col("prior_micro")).distinct()
       .localCheckpoint(true) // labels-bounded; read by the empty-doc patch
     val lab = docs.select(col(idCol), col(classCol).as("__true"))
@@ -199,11 +206,28 @@ object NaiveBayes {
   }
 
   def labelNoise(docs: DataFrame, textCol: String, classCol: String, idCol: String,
-                 model: DataFrame, minMarginMicro: Long): DataFrame = {
+                 model: DataFrame, minMarginMicro: Long): DataFrame =
+    labelNoiseFromGrid(scoredGrid(docs, textCol, classCol, idCol, model),
+      idCol, minMarginMicro)
+
+  /** The [[score]] view derived from an already-built [[scoredGrid]]: the
+    * grid patches zero-token docs with the bare priors, so the per-doc
+    * argmax under the same (score desc, label asc) order IS [[score]]'s
+    * output including its zero-evidence prior fallback — one window over
+    * the grid instead of a second corpus scoring pass. */
+  def scoreFromGrid(scored: DataFrame, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score_micro").desc, col("label"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col(idCol), col("label").as("pred_label"), col("score_micro"))
+  }
+
+  /** [[labelNoise]] over an already-built [[scoredGrid]] (see
+    * [[calibrationFromGrid]]). */
+  def labelNoiseFromGrid(scored: DataFrame, idCol: String,
+                         minMarginMicro: Long): DataFrame = {
     // the argmax row and the given-label row surface in the SAME window
     // pass and pivot per doc — a best⋈trueScore self-join would recompute
     // the whole unmaterialized score grid on each side
-    val scored = scoredGrid(docs, textCol, classCol, idCol, model)
     val w = Window.partitionBy(col(idCol)).orderBy(col("score_micro").desc, col("label"))
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 || col("label") === col("__true"))

@@ -1042,6 +1042,20 @@ object CdcQueries {
     LDiversityStream.report(LDiversityStream.memberSlice(events(s, d)))
   }
 
+  /** t-closeness release audit (Li, Li & Venkatasubramanian 2007) — the
+    * third tier of the privacy trio over the SAME quasi grid as
+    * [[aggKAnonymity]]: per (event_type, day) class, the ordered EMD
+    * between the class's value-bucket distribution and the global one,
+    * in exact integer permille, plus the dataset t = max on every row.
+    * Catches the class l-diversity misses: diverse-but-skewed toward a
+    * revealing tail. See [[graft.streaming.KAnonymityStream
+    * .reportTCloseness]] for the division-free cumulative-share
+    * arithmetic and the domain-bounded plan. */
+  private val aggTCloseness: Q = (s, d) => {
+    import graft.streaming.KAnonymityStream
+    KAnonymityStream.reportTCloseness(KAnonymityStream.classSlice(events(s, d)))
+  }
+
   /** Heavy hitters via a Misra–Gries sketch ([[graft.functions.MisraGries]],
     * §2.4 sketch family): top-20 most frequent user_ids from a k=256-counter
     * mergeable summary — ONE constant-size partial per partition merged up
@@ -1568,6 +1582,7 @@ object CdcQueries {
     "agg_changepoint_tree" -> aggChangepointTree,
     "agg_k_anonymity" -> aggKAnonymity,
     "agg_l_diversity" -> aggLDiversity,
+    "agg_t_closeness" -> aggTCloseness,
     "agg_benford" -> aggBenford,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "sort_topk" -> sortTopk,
@@ -2472,6 +2487,42 @@ object CdcQueries {
         |       CAST(n_classes * 1000 // classes_all AS BIGINT) AS classes_permille,
         |       l_div AS l_diversity
         |FROM g, t ORDER BY band""".stripMargin,
+
+    // the ordered-EMD cumulative-share comparison is division-free
+    // integers (|cn·N_g − cg·N_c| per lattice cell) with ONE trailing
+    // permille division; the C×B lattice comes from the same cross join
+    "agg_t_closeness" ->
+      """WITH cl AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                   CAST(floor(value / 10) AS BIGINT) AS vbucket,
+        |                   CAST(count(*) AS BIGINT) AS n
+        |            FROM events GROUP BY 1, 2, 3),
+        |cls AS (SELECT event_type, day, CAST(sum(n) AS BIGINT) AS n_c
+        |        FROM cl GROUP BY 1, 2),
+        |bk AS (SELECT vbucket, CAST(sum(n) AS BIGINT) AS g_b FROM cl GROUP BY 1),
+        |bkc AS (SELECT vbucket,
+        |               CAST(sum(g_b) OVER (ORDER BY vbucket) AS BIGINT) AS cg
+        |        FROM bk),
+        |st AS (SELECT CAST(sum(g_b) AS BIGINT) AS ng,
+        |              CAST(count(*) AS BIGINT) AS nb FROM bk),
+        |lat AS (SELECT c.event_type, c.day, c.n_c, b.vbucket, b.cg,
+        |               coalesce(g.n, 0) AS n0
+        |        FROM cls c CROSS JOIN bkc b
+        |        LEFT JOIN cl g ON g.event_type = c.event_type
+        |                      AND g.day = c.day AND g.vbucket = b.vbucket),
+        |cum AS (SELECT event_type, day, n_c, cg,
+        |          CAST(sum(n0) OVER (PARTITION BY event_type, day
+        |                             ORDER BY vbucket) AS BIGINT) AS cn
+        |        FROM lat),
+        |pc AS (SELECT event_type, day, n_c AS n_rows,
+        |         CASE WHEN st.nb <= 1 THEN 0
+        |              ELSE CAST(sum(abs(cn * st.ng - cg * n_c)) * 1000
+        |                        // ((st.nb - 1) * n_c * st.ng) AS BIGINT)
+        |         END AS t_milli
+        |       FROM cum, st GROUP BY event_type, day, n_c, st.nb, st.ng),
+        |mx AS (SELECT CAST(max(t_milli) AS BIGINT) AS t_max FROM pc)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_rows,
+        |       t_milli, t_max AS t_closeness
+        |FROM pc, mx ORDER BY event_type, day""".stripMargin,
 
     // median-of-slopes under the (slope, dy, dx) total order — full-tie
     // rows share the slope value, so the picked VALUE is deterministic

@@ -389,6 +389,19 @@ object ExtQueries {
     nbModelByDir.computeIfAbsent(d, _ =>
       NaiveBayes.train(documents(s, d), "text", "lang").localCheckpoint(true))
 
+  /** The completed per-(doc, label) score grid off the shared trained
+    * model — the SECOND session-shared NB frame: all four audit surfaces
+    * (score / label_noise / calibration / router_kappa) pivot this same
+    * grid, and rebuilding it per query re-runs a byte-identical corpus
+    * scoring pass (token explode + model join) each time. Docs × labels
+    * rows, checkpointed once. */
+  private val nbGridByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def nbScoredGrid(s: SparkSession, d: String): DataFrame =
+    nbGridByDir.computeIfAbsent(d, _ =>
+      NaiveBayes.scoredGrid(documents(s, d), "text", "lang", "doc_id",
+        trainedNbModel(s, d)).localCheckpoint(true))
+
   /** Self-scoring pass of the NB classifier ([[NaiveBayes.scoreAudit]]):
     * per doc the argmax label (priors from the TRAINED model, empty docs
     * falling back to the prior argmax), its integer score, and the
@@ -396,7 +409,11 @@ object ExtQueries {
     * router. */
   private val extNbScore: Q = (s, d) => {
     val docs = documents(s, d)
-    NaiveBayes.scoreAudit(docs, "text", "lang", "doc_id", trainedNbModel(s, d))
+    // scoreAudit's exact composition, with the scoring pass replaced by
+    // the shared grid's argmax view (identical incl. the prior fallback)
+    docs.select(col("doc_id"), col("lang").as("label"))
+      .join(NaiveBayes.scoreFromGrid(nbScoredGrid(s, d), "doc_id"), Seq("doc_id"))
+      .withColumn("correct", col("label") === col("pred_label"))
       .orderBy("doc_id")
   }
 
@@ -405,22 +422,16 @@ object ExtQueries {
     * margin ≥ 1 log-nat = 10⁶ micro) — the confident-learning quarantine
     * pass before labels train anything downstream. */
   private val NoiseMarginMicro = 1000000L
-  private val extLabelNoise: Q = (s, d) => {
-    val docs = documents(s, d)
-    NaiveBayes.labelNoise(docs, "text", "lang", "doc_id",
-      trainedNbModel(s, d), NoiseMarginMicro)
+  private val extLabelNoise: Q = (s, d) =>
+    NaiveBayes.labelNoiseFromGrid(nbScoredGrid(s, d), "doc_id", NoiseMarginMicro)
       .orderBy("doc_id")
-  }
 
   /** Router calibration table ([[NaiveBayes.calibration]]): accuracy per
     * whole-log-nat confidence-margin bucket — the audit that decides
     * whether the NB margin is a usable quality gate. */
-  private val extNbCalibration: Q = (s, d) => {
-    val docs = documents(s, d)
-    NaiveBayes.calibration(docs, "text", "lang", "doc_id",
-      trainedNbModel(s, d))
+  private val extNbCalibration: Q = (s, d) =>
+    NaiveBayes.calibrationFromGrid(nbScoredGrid(s, d), "doc_id")
       .orderBy("margin_bin")
-  }
 
   /** Inter-router agreement (Cohen's κ): the NB classifier's predictions
     * vs the stopword lang-id heuristic — the "do my two independent
@@ -431,7 +442,7 @@ object ExtQueries {
     * scoring passes reads a classes²-bounded confusion matrix. */
   private val extRouterKappa: Q = (s, d) => {
     val docs = documents(s, d)
-    val nb = NaiveBayes.score(docs, "text", "doc_id", trainedNbModel(s, d))
+    val nb = NaiveBayes.scoreFromGrid(nbScoredGrid(s, d), "doc_id")
       .select(col("doc_id"), col("pred_label").as("nb_label"))
     val lid = langGuessed(docs).select(col("doc_id"), col("lang_guess").as("lid_label"))
     val conf = nb.join(lid, "doc_id")
@@ -1545,12 +1556,38 @@ object ExtQueries {
 
   // -- similarity search -----------------------------------------------------
 
-  /** Exact top-5 cosine neighbours for the first 10 vectors. */
-  private val extSimKnn: Q = (s, d) => {
-    val emb = embeddings(s, d)
-    Knn.bruteForce(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
-      .orderBy("query_id", "rank")
-  }
+  /** Shared ANN calibration frames (the [[trainedNbModel]] discipline):
+    * the exact top-[[ExactKMax]] ground truth over the probe queries and
+    * the production IVF codebook are deterministic pure functions of the
+    * corpus, and FOUR surfaces score against them (ext_sim_knn, the
+    * lsh/ivf recall audits, ext_sim_recall_curve) — recomputing per query
+    * re-runs a byte-identical brute scan up to four times. The cached
+    * frame is the Q·kMax checkpointed result (80 rows), the codebook
+    * O(cells·dim) driver-side — bounded artifacts, never corpus data.
+    * rank ≤ 5 of the k = 8 frame IS the k = 5 result (same window, same
+    * tie order), so the single-k surfaces slice it instead of rescanning. */
+  private val ExactKMax = 8
+  private val exactTopByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def exactTop(s: SparkSession, d: String): DataFrame =
+    exactTopByDir.computeIfAbsent(d, _ => {
+      val emb = embeddings(s, d)
+      Knn.bruteForce(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = ExactKMax)
+        .localCheckpoint(true)
+    })
+  private val ivfCellsByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Array[Float])]]()
+  private def ivfCellsShared(s: SparkSession, d: String): Seq[(Int, Array[Float])] =
+    ivfCellsByDir.computeIfAbsent(d, _ =>
+      Knn.ivfCentroids(embeddings(s, d), "vec_id", "embedding",
+        IvfCells, IvfIters, IvfSampleN))
+
+  /** Exact top-5 cosine neighbours for the first 10 vectors — the rank ≤ 5
+    * slice of the shared calibration frame (one brute scan per session,
+    * PlanSpec pins the raw operator's codegen'd dot). */
+  private val extSimKnn: Q = (s, d) =>
+    exactTop(s, d).filter(col("rank") <= 5).orderBy("query_id", "rank")
 
   /** FILTERED exact top-k — metadata-scoped vector search (the
     * tenant-/label-constrained query every production vector store
@@ -1666,7 +1703,7 @@ object ExtQueries {
     val qs = emb.filter(col("vec_id") < 10)
     Knn.recallAudit(qs, "vec_id",
       Knn.lshKnn(emb, qs, "vec_id", "embedding", k = 5, bands = 16, bitsPerBand = 6),
-      Knn.bruteForce(emb, qs, "vec_id", "embedding", k = 5),
+      exactTop(s, d).filter(col("rank") <= 5),
       k = 5, minHitsPerQuery = LshFloorQ, minHitsTotal = LshFloorT)
   }
 
@@ -1694,8 +1731,68 @@ object ExtQueries {
       Knn.ivfKnn(emb, qs, "vec_id", "embedding",
         k = IvfK, nCells = IvfCells, iters = IvfIters, nProbe = IvfProbe,
         sampleN = IvfSampleN),
-      Knn.bruteForce(emb, qs, "vec_id", "embedding", k = IvfK),
+      exactTop(s, d).filter(col("rank") <= IvfK),
       k = IvfK, minHitsPerQuery = IvfFloorQ, minHitsTotal = IvfFloorT)
+  }
+
+  /** Recall@k CURVE across the ANN tiers — the calibration table a user
+    * reads to pick k (and tier) before trusting approximate search: for
+    * k ∈ {1,2,4,8}, the aggregate |ann top-k ∩ exact top-k| over the
+    * probe queries for BOTH the LSH and IVF indexes at their production
+    * parameterizations, gated per (tier, k) by measured floors. The
+    * single-k audits catch a tier breaking; the curve says WHERE on the
+    * k axis each tier stops being trustworthy.
+    *
+    * Shape: exact top-kMax is the session-shared calibration checkpoint
+    * ([[exactTop]] — ONE brute scan serves four surfaces) read by both
+    * tier joins; the IVF tier probes against the shared production
+    * codebook ([[ivfCellsShared]] — byte-identical to inline training);
+    * each tier's ANN list is its production single-scan plan; everything
+    * after the scans is Q·kMax-bounded
+    * (the hit join, the ×|ks| explode, the floor join). Floors
+    * ([[RecallCurveFloors]]) are measured minima across the sf0.001 /
+    * sf0.01 / sf0.1 fixtures minus margin (lsh h8 36–48 → floor 30; ivf
+    * h8 64–75 → floor 55), so the audit is fixture-stable; the oracle
+    * asserts the same grid with ok = true (the [[Knn.recallAudit]]
+    * graduation discipline — the neighbor lists are hash-machinery-
+    * dependent, their recall CONTRACT is deterministic). */
+  private val RecallCurveKs = Seq(1L, 2L, 4L, 8L)
+  private[graft] val RecallCurveFloors: Map[(String, Long), Long] = Map(
+    ("lsh", 1L) -> 4L, ("lsh", 2L) -> 7L, ("lsh", 4L) -> 16L, ("lsh", 8L) -> 30L,
+    ("ivf", 1L) -> 8L, ("ivf", 2L) -> 15L, ("ivf", 4L) -> 28L, ("ivf", 8L) -> 55L)
+  private val extSimRecallCurve: Q = (s, d) => {
+    import s.implicits._
+    val emb = embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 10)
+    val kMax = RecallCurveKs.max.toInt
+    require(kMax <= ExactKMax, "curve ks must fit the shared exact frame")
+    val exact = exactTop(s, d) // the shared Q·kMax calibration checkpoint
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("__er"))
+    val nq = broadcast(qs.agg(count(lit(1)).as("__nq")))
+    val tiers = Seq(
+      "lsh" -> Knn.lshKnn(emb, qs, "vec_id", "embedding", k = kMax,
+        bands = 16, bitsPerBand = 6),
+      "ivf" -> Knn.ivfKnn(emb, qs, "vec_id", "embedding", k = kMax,
+        nCells = IvfCells, iters = IvfIters, nProbe = IvfProbe,
+        sampleN = IvfSampleN, trainedCells = Some(ivfCellsShared(s, d))))
+    tiers.map { case (tier, ann) =>
+      val hits = ann
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("__ar"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .select(explode(typedLit(RecallCurveKs)).as("k"), col("__ar"), col("__er"))
+        .groupBy(col("k"))
+        .agg(sum(when(col("__ar") <= col("k") && col("__er") <= col("k"), 1L)
+          .otherwise(0L)).as("__h"))
+      // LEFT join from the literal k grid: a tier with zero intersecting
+      // pairs still audits every k (as hits = 0), never drops rows
+      val grid = RecallCurveKs
+        .map(k => (tier, k, RecallCurveFloors((tier, k))))
+        .toDF("tier", "k", "min_hits")
+      grid.join(hits, Seq("k"), "left").crossJoin(nq)
+        .select(col("tier"), col("k"), (col("__nq") * col("k")).as("max_hits"),
+          col("min_hits"),
+          (coalesce(col("__h"), lit(0L)) >= col("min_hits")).as("ok"))
+    }.reduce(_ unionByName _).orderBy("tier", "k")
   }
 
   /** The SemDeDup entry's contract, shared with KnnSpec's planted-duplicate
@@ -1751,6 +1848,32 @@ object ExtQueries {
     Knn.ivfCellsInt(embeddings(s, d), "vec_id", "embedding",
       nCells = IvfCells, iters = IvfIters, sampleN = IvfSampleN)
       .orderBy("vec_id")
+
+  /** The frozen integer-Lloyd codebook per fixture dir (the
+    * [[ivfCellsShared]] discipline for the INT quantizer): the occupancy
+    * audit and its streaming maintainer must assign against the SAME
+    * centroids; a deterministic pure function of (corpus, params). */
+  private val intIvfCellsByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Array[Long])]]()
+  private[graft] def intIvfCellsShared(s: SparkSession, d: String): Seq[(Int, Array[Long])] =
+    intIvfCellsByDir.computeIfAbsent(d, _ =>
+      Knn.intIvfCells(embeddings(s, d), "vec_id", "embedding",
+        IvfCells, IvfIters, IvfSampleN))
+
+  /** IVF index-HEALTH audit: per-cell occupancy and the balance numbers
+    * (share permille, max/min cell, max-over-mean imbalance permille)
+    * under the production integer quantizer — the report that decides
+    * whether nProbe keeps its recall and whether a hot cell is turning
+    * probes into scans. ONE zero-shuffle assignment scan against the
+    * frozen literal codebook → map-side-combined nCells-bounded grid →
+    * broadcast stats row; shared verbatim with the streaming maintainer
+    * ([[graft.streaming.IvfOccupancyStream]]). Hash-gates end to end
+    * against the shared Lloyd replay + occupancy rollup. */
+  private val extSimIvfOccupancy: Q = (s, d) => {
+    import graft.streaming.IvfOccupancyStream
+    IvfOccupancyStream.report(IvfOccupancyStream.gridSlice(
+      embeddings(s, d), intIvfCellsShared(s, d)))
+  }
 
   /** Clustering-quality audit of that same quantizer: per-vector
     * simplified silhouette ([[Knn.silhouetteInt]]) — a = exact d² to the
@@ -2689,6 +2812,30 @@ object ExtQueries {
     Multimodal.phashPairs(Multimodal.imageHashes(documents(s, d))(s))
       .orderBy("doc_a", "doc_b")
 
+  /** Image near-dup DECISION tier — the text family's cluster/keep/soft
+    * machinery applied to the pHash pair graph: banded Hamming pairs
+    * ([[Multimodal.phashPairs]], lossless for ≤ 5 flipped bits) close
+    * into connected components ([[Dedup.duplicateClusters]] — the SAME
+    * alternating-halving label propagation as the text tiers), then every
+    * doc gets its cluster, copy count, SoftDeDup ppm weight and the
+    * min-id `keep` verdict. The drop/reweight list a multimodal pipeline
+    * actually consumes, vs the pair report's raw edges.
+    *
+    * Shape: pairs are Σ bucket² per band (bounded by hash diversity); CC
+    * runs on the pair slice only; the weight/keep join-back is the
+    * doc-keyed [[Dedup.softWeights]] composition — media payloads are
+    * decoded ONCE (hash frame checkpointed inside phashPairs) and never
+    * move again. */
+  private val extMultimodalDedup: Q = (s, d) => {
+    val docs = documents(s, d)
+    val pairs = Multimodal.phashPairs(Multimodal.imageHashes(docs)(s))
+      .select(col("doc_a"), col("doc_b"))
+    val labels = Dedup.duplicateClusters(pairs)
+    Dedup.softWeights(docs, "doc_id", labels)
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling over the opaque media column: every 3rd frame index per
     * doc with a deterministic frame hash (stub codec — the row shape is what
     * a per-frame model consumes). */
@@ -2922,6 +3069,7 @@ object ExtQueries {
     "ext_class_balance" -> extClassBalance,
     "ext_sim_knn_lsh" -> extSimKnnLsh,
     "ext_sim_knn_ivf" -> extSimKnnIvf,
+    "ext_sim_recall_curve" -> extSimRecallCurve,
     "ext_embed_dim_stats" -> extEmbedDimStats,
     "ext_split_leakage_embed" -> extSplitLeakageEmbed,
     "ext_sim_neardup" -> extSimNeardup,
@@ -2930,6 +3078,7 @@ object ExtQueries {
     "ext_sim_semdedup" -> extSimSemdedup,
     "ext_sim_semdedup_cells" -> extSimSemdedupCells,
     "ext_sim_knn_ivf_cells" -> extSimKnnIvfCells,
+    "ext_sim_ivf_occupancy" -> extSimIvfOccupancy,
     "ext_sim_silhouette" -> extSimSilhouette,
     "ext_embed_outliers" -> extEmbedOutliers,
     "ext_sample_stratified" -> extSampleStratified,
@@ -2976,6 +3125,7 @@ object ExtQueries {
     "ext_pack_manifest" -> extPackManifest,
     "ext_multimodal_meta" -> extMultimodalMeta,
     "ext_multimodal_phash" -> extMultimodalPhash,
+    "ext_multimodal_dedup" -> extMultimodalDedup,
     "ext_multimodal_frames" -> extMultimodalFrames,
     "ext_multimodal_resize" -> extMultimodalResize,
     "ext_multimodal_features" -> extMultimodalFeatures,
@@ -2986,6 +3136,35 @@ object ExtQueries {
     "ext_text_diversity" -> extTextDiversity)
 
   // -- oracle ----------------------------------------------------------------
+
+  /** Shared oracle CTE: the 60-bit media pHash banded candidate frame
+    * `cand` (doc_a, doc_b, pa, pb) — one definition for the
+    * ext_multimodal_phash pair report and the ext_multimodal_dedup
+    * cluster/keep tier (full replay of the stub dHash + 6×10-bit
+    * banding). */
+  private val phashCandSqlCte =
+    """t AS (SELECT doc_id, text FROM documents),
+      |pos AS (SELECT doc_id,
+      |          unnest(generate_series(1, greatest(length(text) - 3, 0))) AS i
+      |        FROM t),
+      |hx AS (SELECT p.doc_id,
+      |         CAST(('0x' || substr(md5(substr(t.text, p.i, 4)), 1, 15)) AS BIGINT) AS h
+      |       FROM pos p JOIN t ON p.doc_id = t.doc_id),
+      |bits AS (SELECT doc_id, b,
+      |           sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |         FROM hx, (SELECT unnest(generate_series(0, 59)) AS b) bb
+      |         GROUP BY 1, 2),
+      |sim AS (SELECT t.doc_id,
+      |          coalesce((SELECT sum(CASE WHEN vote > 0 THEN 1::BIGINT << b
+      |                                    ELSE 0 END)
+      |                    FROM bits WHERE bits.doc_id = t.doc_id), 0) AS ph
+      |        FROM t),
+      |bd AS (SELECT doc_id, ph, unnest(generate_series(0, 5)) AS band FROM sim),
+      |k AS (SELECT doc_id, ph, band, (ph >> (band * 10)) & 1023 AS key FROM bd),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |                a.ph AS pa, b.ph AS pb
+      |         FROM k a JOIN k b
+      |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
 
   /** Shared oracle CTE: the add-½ bigram-LM cross-entropy frame `x`
     * (doc_id, n_bigrams, xent_nats) — one definition for the
@@ -4721,6 +4900,21 @@ object ExtQueries {
     // hash-mismatches; the hit counts themselves are candidate-machinery-
     // dependent (xxhash64 planes / learned quantizers) and stay engine-side
     "ext_sim_knn_lsh" -> annAuditSql(5, LshFloorQ, LshFloorT),
+
+    // the recall-curve grid with every ok asserted true — floors are the
+    // SAME RecallCurveFloors map the engine gates on (one definition)
+    "ext_sim_recall_curve" -> {
+      val values = RecallCurveFloors.toSeq
+        .map { case ((tier, k), f) => s"('$tier', $k, $f)" }
+        .sorted.mkString(", ")
+      s"""WITH q AS (SELECT CAST(count(*) AS BIGINT) AS nq
+         |           FROM embeddings WHERE vec_id < 10),
+         |grid(tier, k, min_hits) AS (VALUES $values)
+         |SELECT tier, CAST(k AS BIGINT) AS k,
+         |       CAST(nq * k AS BIGINT) AS max_hits,
+         |       CAST(min_hits AS BIGINT) AS min_hits, true AS ok
+         |FROM grid, q ORDER BY tier, k""".stripMargin
+    },
     "ext_sim_knn_ivf" -> annAuditSql(IvfK, IvfFloorQ, IvfFloorT),
     "ext_sim_knn_pq" -> annAuditSql(IvfK, PqFloorQ, PqFloorT),
     "ext_sim_knn_ivfpq" -> annAuditSql(IvfK, IvfPqFloorQ, IvfPqFloorT),
@@ -5524,6 +5718,23 @@ object ExtQueries {
     "ext_sim_semdedup" -> semdedupFullSql,
     "ext_sim_semdedup_cells" -> semdedupCellsSql,
     "ext_sim_knn_ivf_cells" -> ivfCellsSql,
+
+    // the same Lloyd replay, rolled up to the occupancy grid — one
+    // definition for the batch audit and the streaming maintainer
+    "ext_sim_ivf_occupancy" ->
+      s"""WITH $lloydCteSql,
+         |fin AS (${lloydAssignSql("x", "c2")}),
+         |occ AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+         |        FROM fin GROUP BY 1),
+         |st AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+         |              CAST(count(*) AS BIGINT) AS nc,
+         |              CAST(max(n) AS BIGINT) AS mx,
+         |              CAST(min(n) AS BIGINT) AS mn FROM occ)
+         |SELECT CAST(cell AS BIGINT) AS cell, n,
+         |       CAST(n * 1000 // nt AS BIGINT) AS share_permille,
+         |       mx AS max_cell, mn AS min_cell,
+         |       CAST(mx * nc * 1000 // nt AS BIGINT) AS imbalance_permille
+         |FROM occ, st ORDER BY cell""".stripMargin,
     "ext_sim_silhouette" -> silhouetteSql,
     "ext_embed_outliers" -> embedOutliersSql,
     "ext_embed_pq" -> embedPqSql,
@@ -5537,31 +5748,35 @@ object ExtQueries {
     // bit_count(xor) verify — every step integer, both engines agree bit
     // for bit (code-point grams on both sides)
     "ext_multimodal_phash" ->
-      s"""WITH t AS (SELECT doc_id, text FROM documents),
-         |pos AS (SELECT doc_id,
-         |          unnest(generate_series(1, greatest(length(text) - 3, 0))) AS i
-         |        FROM t),
-         |hx AS (SELECT p.doc_id,
-         |         CAST(('0x' || substr(md5(substr(t.text, p.i, 4)), 1, 15)) AS BIGINT) AS h
-         |       FROM pos p JOIN t ON p.doc_id = t.doc_id),
-         |bits AS (SELECT doc_id, b,
-         |           sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-         |         FROM hx, (SELECT unnest(generate_series(0, 59)) AS b) bb
-         |         GROUP BY 1, 2),
-         |sim AS (SELECT t.doc_id,
-         |          coalesce((SELECT sum(CASE WHEN vote > 0 THEN 1::BIGINT << b
-         |                                    ELSE 0 END)
-         |                    FROM bits WHERE bits.doc_id = t.doc_id), 0) AS ph
-         |        FROM t),
-         |bd AS (SELECT doc_id, ph, unnest(generate_series(0, 5)) AS band FROM sim),
-         |k AS (SELECT doc_id, ph, band, (ph >> (band * 10)) & 1023 AS key FROM bd),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |                a.ph AS pa, b.ph AS pb
-         |         FROM k a JOIN k b
-         |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+      s"""WITH $phashCandSqlCte
          |SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(pa, pb)) <= 5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the phash pair CTE closed into clusters (the ext_dedup_cluster
+    // recursive reach), then the SoftDeDup weight/keep shape over ALL docs
+    "ext_multimodal_dedup" ->
+      s"""WITH RECURSIVE $phashCandSqlCte,
+         |pairs AS (SELECT doc_a, doc_b FROM cand
+         |          WHERE bit_count(xor(pa, pb)) <= 5),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM e),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.u, r.label FROM e JOIN reach r ON e.v = r.id),
+         |lab AS (SELECT id AS doc_id, min(label) AS cluster_id
+         |        FROM reach GROUP BY id),
+         |al AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |       FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_copies
+         |       FROM al GROUP BY 1)
+         |SELECT al.doc_id, al.cluster_id, n_copies,
+         |       CAST(1000000 // n_copies AS BIGINT) AS weight_ppm,
+         |       al.doc_id = al.cluster_id AS keep
+         |FROM al JOIN sz ON al.cluster_id = sz.cluster_id
+         |ORDER BY al.doc_id""".stripMargin,
 
     "ext_multimodal_meta" ->
       """SELECT doc_id,

@@ -208,6 +208,22 @@ object StreamQueries {
     DsirModelStream.report(DsirModelStream.mergeGrid(grid.limit(0), grid))
   }
 
+  /** The IVF index-health monitor run in BATCH mode over a DOUBLED
+    * delivery (at-least-once): redelivered vectors die in the SAME vec_id
+    * dedup the live ledger anti-join applies, assignments run against the
+    * SAME frozen codebook, and the batch collapses through the stream's
+    * own slice + additive merge + balance report to the one-shot answer —
+    * the oracle IS ext_sim_ivf_occupancy's SQL (Lloyd replay + rollup).
+    * Live checkpointed restart/redelivery/replay in StreamingSpec. */
+  private val streamIvfOccupancy: Q = (s, d) => {
+    import graft.streaming.IvfOccupancyStream
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val once = e.unionByName(e).dropDuplicates("vec_id") // two deliveries
+    val cells = ExtQueries.intIvfCellsShared(s, d)
+    val grid = IvfOccupancyStream.gridSlice(once, cells)
+    IvfOccupancyStream.report(IvfOccupancyStream.mergeGrid(grid.limit(0), grid))
+  }
+
   private val streamEmbedDrift: Q = (s, d) => {
     import graft.streaming.EmbedDriftStream
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -231,6 +247,22 @@ object StreamQueries {
     // aggregate run once, not per leg
     val grid = KAnonymityStream.classSlice(once).localCheckpoint(true)
     KAnonymityStream.report(KAnonymityStream.mergeCounts(grid.limit(0), grid))
+  }
+
+  /** The t-closeness report read off the k-anonymity stream's maintained
+    * class grid, run in BATCH mode over a DOUBLED delivery — the
+    * one-state-many-reports discipline (the (day, type) count state
+    * serving nine trend reports): the SAME grid KAnonymityStream
+    * maintains serves the third privacy tier with zero extra state.
+    * Redelivered rows die in the same event-id dedup gate; the oracle IS
+    * agg_t_closeness's SQL. */
+  private val streamTCloseness: Q = (s, d) => {
+    import graft.streaming.KAnonymityStream
+    val ev = Tables.events(s, d)
+    val once = CdcPipeline.dedupEvents(ev.unionByName(ev)) // two deliveries
+    val grid = KAnonymityStream.classSlice(once)
+    KAnonymityStream.reportTCloseness(
+      KAnonymityStream.mergeCounts(grid.limit(0), grid))
   }
 
   /** The incremental l-diversity homogeneity gate run in BATCH mode over
@@ -647,7 +679,9 @@ object StreamQueries {
     "stream_schema_profile" -> streamSchemaProfile,
     "stream_k_anonymity" -> streamKAnonymity,
     "stream_l_diversity" -> streamLDiversity,
+    "stream_t_closeness" -> streamTCloseness,
     "stream_embed_drift" -> streamEmbedDrift,
+    "stream_ivf_occupancy" -> streamIvfOccupancy,
     "stream_dsir_model" -> streamDsirModel,
     "stream_length_outliers" -> streamLengthOutliers,
     "stream_ks_drift" -> streamKsDrift)
@@ -673,8 +707,10 @@ object StreamQueries {
     "stream_schema_profile" -> CdcQueries.oracle("agg_schema_profile"),
     "stream_k_anonymity" -> CdcQueries.oracle("agg_k_anonymity"),
     "stream_l_diversity" -> CdcQueries.oracle("agg_l_diversity"),
+    "stream_t_closeness" -> CdcQueries.oracle("agg_t_closeness"),
     "stream_embed_drift" -> ExtQueries.oracle("ext_embed_drift"),
     "stream_dsir_model" -> ExtQueries.oracle("ext_dsir_model"),
+    "stream_ivf_occupancy" -> ExtQueries.oracle("ext_sim_ivf_occupancy"),
     // doubled delivery collapses through the doc-keyed membership merge
     // BEFORE any histogramming — the oracle IS the batch length-outlier
     // gate's (one Robust definition, twins can't drift)

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -71,6 +72,61 @@ object KAnonymityStream {
         expr("n_rows * 1000 div __rows").as("rows_permille"),
         col("__k").as("k_anonymity"))
       .orderBy("band")
+  }
+
+  /** t-closeness report off the SAME class grid (Li, Li & Venkatasubramanian
+    * 2007 — the third tier of the privacy trio): per quasi class
+    * (event_type, day), how far the class's sensitive-value (vbucket)
+    * distribution sits from the GLOBAL one — k-anonymity misses the
+    * single-user class, l-diversity misses the class whose values are
+    * diverse-but-skewed toward a revealing tail; t-closeness bounds the
+    * attribute-disclosure gain itself. Distance is the ordered EMD over
+    * the numeric buckets (the paper's metric for ordered attributes):
+    * EMD = Σ_b |CP_c(b) − CP_g(b)| / (B−1) over cumulative shares.
+    *
+    * Determinism: the cumulative-share comparison is DIVISION-FREE until
+    * the last step — |cn_c·N_g − cg·N_c| is an exact integer per lattice
+    * cell, summed per class, with ONE trailing integer division to
+    * permille (exact while B·N_c·N_g·1000 < 2⁶³ — at fixture scale ≪;
+    * widen the sum to decimal(38,0) beyond ~10⁵ buckets × 10⁸ rows).
+    *
+    * Shape: every frame after the grid is DOMAIN-bounded — class totals
+    * (C rows), bucket totals + ONE global cumsum window on the B-row
+    * frame (single-task by construction, B-bounded), the C×B lattice via
+    * a broadcast cross join so absent (class, bucket) cells exist with
+    * n = 0 (cumulative shares need the full bucket axis), the per-class
+    * cumsum window partitioned by class, and two broadcast stats rows.
+    * The grid itself is checkpointed (it feeds classes, buckets, and the
+    * lattice join). */
+  def reportTCloseness(state: DataFrame): DataFrame = {
+    val grid = state.localCheckpoint(true)
+    val classes = grid.groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n")).as("n_c"))
+    val buckets = grid.groupBy(col("vbucket")).agg(sum(col("n")).as("g_b"))
+    val bktCum = buckets
+      .withColumn("cg", sum(col("g_b")).over(Window.orderBy(col("vbucket"))))
+    val stats = broadcast(buckets.agg(
+      sum(col("g_b")).as("__ng"), count(lit(1)).as("__nb")))
+    val lattice = classes.crossJoin(broadcast(bktCum))
+      .join(grid, Seq("event_type", "day", "vbucket"), "left")
+      .withColumn("__n0", coalesce(col("n"), lit(0L)))
+    val wC = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("vbucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perClass = lattice.withColumn("__cn", sum(col("__n0")).over(wC))
+      .crossJoin(stats)
+      .groupBy(col("event_type"), col("day"), col("n_c"), col("__ng"), col("__nb"))
+      .agg(sum(abs(col("__cn") * col("__ng") - col("cg") * col("n_c"))).as("__num"))
+      .select(col("event_type"), col("day"), col("n_c").as("n_rows"),
+        when(col("__nb") <= 1, lit(0L)).otherwise(
+          expr("__num * 1000 div ((__nb - 1) * n_c * __ng)")).as("t_milli"))
+      .localCheckpoint(true) // C rows; read by the projection and the max
+    val mx = broadcast(perClass.agg(max(col("t_milli")).as("__t_max")))
+    perClass.crossJoin(mx)
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_rows"), col("t_milli"), col("__t_max").as("t_closeness"))
+      .orderBy("event_type", "day")
   }
 
   /** The LIVE class grid ([[StateCommit.state]]): readers resolve through

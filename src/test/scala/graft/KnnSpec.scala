@@ -372,6 +372,35 @@ class KnnSpec extends SparkSpec {
       "image paired with text payload")
   }
 
+  test("multimodal dedup tier: phash pairs close into clusters; keep/weight verdicts reconcile") {
+    import spark.implicits._
+    val rows = Seq(
+      1L -> gradientImage(64, 48, 0, "png"),
+      2L -> gradientImage(128, 96, 0, "png"), // near-dup of 1 (resized)
+      3L -> (("shared filler text about the corpus pipeline " * 12) + "tail one")
+        .getBytes("UTF-8"),
+      4L -> (("shared filler text about the corpus pipeline " * 12) + "tail two")
+        .getBytes("UTF-8"),
+      5L -> ("completely unrelated content about spark plans " * 12)
+        .getBytes("UTF-8")) // singleton
+    val pairs = Multimodal.phashPairs(
+      Multimodal.imageHashes(rows.toDF("doc_id", "media"))(spark))
+      .select("doc_a", "doc_b")
+    val labels = graft.operators.Dedup.duplicateClusters(pairs)
+    val got = graft.operators.Dedup.softWeights(
+      rows.map(_._1).toDF("doc_id"), "doc_id", labels)
+      .withColumn("keep", $"doc_id" === $"cluster_id")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 2L, 500000L, true), (2L, 1L, 2L, 500000L, false),
+      (3L, 3L, 2L, 500000L, true), (4L, 3L, 2L, 500000L, false),
+      (5L, 5L, 1L, 1000000L, true)))
+    // the dropped mass reconciles with the pair graph: one non-survivor
+    // per extra copy in each cluster
+    assert(got.count(!_._5) === 2)
+  }
+
   test("image payloads decode their REAL dimensions via javax.imageio; others fall back to the stub") {
     // real container headers, three formats, deliberately non-square
     assert(Multimodal.decode(1L, imageBytes(7, 5, "png"))

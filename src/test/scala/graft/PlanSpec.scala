@@ -119,7 +119,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("knn scoring runs the codegen'd dot product, not an interpreted fold") {
-    val p = plan("ext_sim_knn")
+    // the registered entry now slices the session-shared exact-top-k
+    // calibration checkpoint (the lshKnn-pin precedent), so the pin reads
+    // the raw operator at the entry's exact parameterization
+    val emb = graft.Tables.embeddings(spark, d)
+    val p = graft.operators.Knn.bruteForce(emb,
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+      .queryExecution.executedPlan.toString
     assert(p.contains("floatdot"))
     assert(!p.contains("aggregate(zip_with"))
   }
@@ -582,6 +589,34 @@ class PlanSpec extends SparkSpec {
     assert(below.contains("HashAggregate") && below.contains("partial_count"),
       s"the recurrence must consume the daily aggregate:\n${below.take(1500)}")
     assert(p.split("Scan parquet").length - 1 == 1)
+  }
+
+  test("t-closeness: every rollup reads the checkpointed class grid; the lattice is a broadcast cross — no corpus rescan") {
+    val p = plan("agg_t_closeness")
+    // classSlice's one corpus scan happens at the grid checkpoint; the
+    // class/bucket/lattice/stats legs all read it back (C×B lattice via
+    // BroadcastNestedLoopJoin over the B-row cumsum frame is the intended
+    // cross — never a CartesianProduct over data-sized frames)
+    assert(p.split("Scan parquet").length - 1 == 0,
+      s"the report must not re-scan events:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"the lattice cross must broadcast:\n${p.take(2000)}")
+  }
+
+  test("multimodal dedup: pair candidates ride the (band, key) equi-join; no cartesian anywhere") {
+    val p = plan("ext_multimodal_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"phash pairs must bucket-join, not cross:\n${p.take(2000)}")
+  }
+
+  test("recall curve: both tier audits read the ONE checkpointed exact frame; floor grid joins stay local") {
+    val p = plan("ext_sim_recall_curve")
+    // the exact top-k is checkpointed once (Scan ExistingRDD) and joined
+    // by both tiers; the only parquet scans are the two ANN tiers' corpus
+    // passes + their broadcast query sides
+    assert(p.contains("Scan ExistingRDD"),
+      s"exact frame must be the checkpoint:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("MMR candidates: one LongDots-scored corpus pass, vectors rejoin after the cut — no fan-out") {

@@ -750,6 +750,57 @@ class StreamingSpec extends SparkSpec {
     assert(EmbedDriftStream.seenIds(spark, tgt).count() === 6L)
   }
 
+  test("streaming IVF occupancy: cell counts accumulate under the frozen codebook; the ledger kills redelivery") {
+    import graft.streaming.IvfOccupancyStream
+    import spark.implicits._
+    val src = tmp("ivo-src")
+    val tgt = tmp("ivo-tgt").resolve("state").toString
+    val ckp = tmp("ivo-ckp").toString
+    // frozen 2-cell codebook on the snapped 1e-6 grid: cell 0 = x-axis,
+    // cell 1 = y-axis — the monitor's contract is assignment against
+    // THESE centroids, not retraining
+    val cells = Seq(0 -> Array(1000000L, 0L), 1 -> Array(0L, 1000000L))
+
+    def deliver(name: String, rows: Seq[(Long, Seq[Float])]): Unit = {
+      val staging = tmp(s"ivo-stage-$name")
+      rows.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, src.resolve(s"$name-${f.getName}")))
+    }
+
+    deliver("w1", Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f))))
+    IvfOccupancyStream.start(spark, src.toString, cells, tgt, ckp).awaitTermination()
+    def got() = IvfOccupancyStream.report(IvfOccupancyStream.state(spark, tgt))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got() === Seq(
+      (0L, 2L, 666L, 2L, 1L, 1333L),
+      (1L, 1L, 333L, 2L, 1L, 1333L)))
+
+    // wave 2: vec 1 redelivered (ledger anti-join) + one new vector per
+    // cell — the balance tightens
+    deliver("w2", Seq(
+      (1L, Seq(0.9f, 0.1f)), (3L, Seq(0.1f, 1.2f)), (4L, Seq(1f, 0.2f))))
+    IvfOccupancyStream.start(spark, src.toString, cells, tgt, ckp).awaitTermination()
+    val want = Seq(
+      (0L, 3L, 600L, 3L, 2L, 1200L),
+      (1L, 2L, 400L, 3L, 2L, 1200L))
+    assert(got() === want)
+
+    // restart with no new data, replayed batch id, compaction: unchanged
+    IvfOccupancyStream.start(spark, src.toString, cells, tgt, ckp).awaitTermination()
+    assert(got() === want)
+    IvfOccupancyStream.applyBatch(spark,
+      Seq((99L, Seq(9f, 9f))).toDF("vec_id", "embedding"), cells, tgt, batchId = 0L)
+    assert(got() === want)
+    IvfOccupancyStream.compact(spark, tgt)
+    assert(got() === want)
+    // growth class: grid = cells (2 rows), ledger = one id per vector (5)
+    assert(IvfOccupancyStream.state(spark, tgt).count() === 2L)
+    assert(IvfOccupancyStream.seenIds(spark, tgt).count() === 5L)
+  }
+
   test("streaming k-anonymity: the risk grid accumulates across batches; redelivery counts once") {
     import graft.streaming.KAnonymityStream
     import spark.implicits._
@@ -805,6 +856,17 @@ class StreamingSpec extends SparkSpec {
     // growth class: state is the quasi-identifier grid — 3 classes for 7
     // delivered events
     assert(KAnonymityStream.state(spark, tgt).count() === 3L)
+
+    // one-state-many-reports: the t-closeness report off the SAME live
+    // grid equals the clean one-shot batch computation over the delivered
+    // events (exactly-once state ≡ batch slice)
+    val liveT = KAnonymityStream.reportTCloseness(
+      KAnonymityStream.state(spark, tgt)).collect().toSeq
+    val batchT = KAnonymityStream.reportTCloseness(
+      KAnonymityStream.classSlice(spark.read.parquet(src.toString)
+        .transform(graft.Tables.normalizeTs)
+        .dropDuplicates("event_id"))).collect().toSeq // redelivered wave collapses
+    assert(liveT === batchT && liveT.nonEmpty)
   }
 
   test("streaming URL dedup: variants collapse across batches and survive redelivery + compaction") {
