@@ -573,6 +573,38 @@ object Dedup {
     * anywhere). Shape: the label join is doc-keyed, the size rollup and
     * join-back are cluster-keyed over the tiny near-dup slice — three
     * keyed exchanges on slim id frames; document text never moves. */
+  /** Cross-SOURCE duplication matrix over a near-dup pair frame — per
+    * unordered source pair: the pair count, distinct victim docs (each
+    * pair's `doc_b`, the higher id — the family's min-id keep rule's
+    * loser) and their char mass. The wholesale-drop decision table (see
+    * the `ext_dedup_cross_source` entry doc); shared verbatim between the
+    * batch form and the streaming pair-state report so the twins cannot
+    * drift. `meta` = (doc_id, source, n_chars). A doc can be a victim in
+    * several cells — each cell reports ITS OWN droppable mass.
+    *
+    * Shape: two slim id-keyed joins label the (tiny, post-verification)
+    * pair slice; the labeled frame is checkpointed because the pair
+    * rollup and the distinct-victim rollup both read it; outputs are
+    * sources²-bounded. */
+  def crossSourceMatrix(pairs: DataFrame, meta: DataFrame): DataFrame = {
+    val lab = pairs.select(col("doc_a"), col("doc_b"))
+      .join(meta.select(col("doc_id").as("doc_a"), col("source").as("__sa")),
+        Seq("doc_a"))
+      .join(meta.select(col("doc_id").as("doc_b"), col("source").as("__sb"),
+        col("n_chars").as("__cb")), Seq("doc_b"))
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"),
+        col("doc_b"), col("__cb"))
+      .localCheckpoint(true)
+    val nPairs = lab.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val victims = lab.distinct()
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_victims"), sum(col("__cb")).as("victim_chars"))
+    nPairs.join(victims, Seq("source_a", "source_b"))
+      .orderBy("source_a", "source_b")
+  }
+
   def softWeights(docs: DataFrame, idCol: String, labels: DataFrame): DataFrame = {
     val lab = docs.select(col(idCol))
       .join(labels.withColumnRenamed(labels.columns.head, idCol), Seq(idCol), "left")

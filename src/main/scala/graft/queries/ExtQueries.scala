@@ -895,6 +895,30 @@ object ExtQueries {
     Dedup.ngramJaccard(documents(s, d), "text", "doc_id", n = 3, threshold = 0.5)
       .orderBy("doc_a", "doc_b")
 
+  /** Cross-SOURCE duplication matrix — where the near-dup mass sits
+    * BETWEEN crawls: per unordered source pair, the pair count, the
+    * distinct victim docs (each pair's higher id — the loser under the
+    * family's min-id keep rule) and their char mass. The table a
+    * pipeline owner reads to decide which snapshot to drop WHOLESALE
+    * (intra-source cells = re-crawl churn; a heavy off-diagonal cell =
+    * one source is a mirror of another), vs the doc-level tiers'
+    * row-by-row verdicts.
+    *
+    * Shape: rides the SAME shared shingle/pair machinery as the cluster
+    * tiers (the pair frame is the tiny post-LSH-verification slice); two
+    * slim id-keyed metadata joins label it; the labeled frame is
+    * checkpointed (pair-sized) because the pair rollup and the
+    * distinct-victim rollup both read it; rollups are sources²-bounded.
+    * A doc can be a victim in several cells — each cell reports ITS OWN
+    * droppable mass (the per-cell decision number), documented here and
+    * in the oracle. */
+  private val extDedupCrossSource: Q = (s, d) => {
+    val docs = documents(s, d)
+    Dedup.crossSourceMatrix(
+      Dedup.ngramJaccard(docs, "text", "doc_id", n = 3, threshold = 0.5),
+      docs.select(col("doc_id"), col("source"), col("n_chars")))
+  }
+
   private val extDedupMinhash: Q = (s, d) =>
     Dedup.minhashLsh(documents(s, d), "text", "doc_id", n = 3,
       bands = 12, rowsPerBand = 4, threshold = 0.5)
@@ -2808,8 +2832,18 @@ object ExtQueries {
     * fixture the surviving pairs are the exact byte-duplicate payloads
     * (hamming 0); real-image near-dup semantics are pinned in KnnSpec with
     * generated PNGs. */
+  /** The decoded 60-bit pHash frame per fixture dir (one long per doc,
+    * checkpointed): the pair report and the dedup tier both consume it,
+    * and the decode pass (md5 per payload 4-gram) is the expensive half
+    * of both — the [[trainedNbModel]] session-share discipline. */
+  private val phashByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def imageHashesShared(s: SparkSession, d: String): DataFrame =
+    phashByDir.computeIfAbsent(d, _ =>
+      Multimodal.imageHashes(documents(s, d))(s).localCheckpoint(true))
+
   private val extMultimodalPhash: Q = (s, d) =>
-    Multimodal.phashPairs(Multimodal.imageHashes(documents(s, d))(s))
+    Multimodal.phashPairs(imageHashesShared(s, d))
       .orderBy("doc_a", "doc_b")
 
   /** Image near-dup DECISION tier — the text family's cluster/keep/soft
@@ -2828,7 +2862,7 @@ object ExtQueries {
     * move again. */
   private val extMultimodalDedup: Q = (s, d) => {
     val docs = documents(s, d)
-    val pairs = Multimodal.phashPairs(Multimodal.imageHashes(docs)(s))
+    val pairs = Multimodal.phashPairs(imageHashesShared(s, d))
       .select(col("doc_a"), col("doc_b"))
     val labels = Dedup.duplicateClusters(pairs)
     Dedup.softWeights(docs, "doc_id", labels)
@@ -3045,6 +3079,7 @@ object ExtQueries {
     "ext_dedup_savings" -> extDedupSavings,
     "ext_dedup_sweep" -> extDedupSweep,
     "ext_dedup_policy" -> extDedupPolicy,
+    "ext_dedup_cross_source" -> extDedupCrossSource,
     "ext_dedup_url" -> extDedupUrl,
     "ext_dedup_winnow" -> extDedupWinnow,
     "ext_dedup_quality" -> extDedupQuality,
@@ -4434,6 +4469,27 @@ object ExtQueries {
     "ext_dedup_ngram" -> jaccardSql,
     "ext_dedup_simhash" -> simhashAuditSql,
     "ext_dedup_minhash" -> jaccardSql,
+
+    // the shared pair CTE labeled by source (victim = doc_b, the pair's
+    // higher id — the min-id keep rule's loser); victim mass is PER CELL
+    // (a doc dropping in two cells reports in both — each cell's own
+    // decision number), matching the engine's distinct-per-cell rollup
+    "ext_dedup_cross_source" ->
+      s"""WITH pr AS ($jaccardSql),
+         |lab AS (SELECT least(da.source, db.source) AS source_a,
+         |               greatest(da.source, db.source) AS source_b,
+         |               p.doc_b, db.n_chars AS cb
+         |        FROM pr p JOIN documents da ON p.doc_a = da.doc_id
+         |                  JOIN documents db ON p.doc_b = db.doc_id),
+         |np AS (SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |       FROM lab GROUP BY 1, 2),
+         |vc AS (SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_victims,
+         |              CAST(sum(cb) AS BIGINT) AS victim_chars
+         |       FROM (SELECT DISTINCT source_a, source_b, doc_b, cb FROM lab)
+         |       GROUP BY 1, 2)
+         |SELECT np.source_a, np.source_b, n_pairs, n_victims, victim_chars
+         |FROM np JOIN vc ON np.source_a = vc.source_a AND np.source_b = vc.source_b
+         |ORDER BY np.source_a, np.source_b""".stripMargin,
 
     // directional: divide the common count by |A| only, keep both
     // directions; 5-gram shingles (see the query doc), hence the local CTE

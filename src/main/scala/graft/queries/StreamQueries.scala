@@ -249,6 +249,28 @@ object StreamQueries {
     KAnonymityStream.report(KAnonymityStream.mergeCounts(grid.limit(0), grid))
   }
 
+  /** The cross-source duplication matrix read off the near-dup stream's
+    * maintained pair + metadata states, run in BATCH mode: the
+    * one-state-many-reports discipline again — the SAME pair state
+    * `stream_neardup` maintains serves the wholesale-drop grid with only
+    * the slim per-doc metadata ledger added. The self-probe completes
+    * all pairs in one batch; the doubled metadata delivery collapses by
+    * distinct; the report definition is [[graft.operators.Dedup
+    * .crossSourceMatrix]] shared verbatim with the batch form, so the
+    * oracle IS ext_dedup_cross_source's SQL. Live path (pair completion
+    * across batches + the meta ledger) in StreamingSpec. */
+  private val streamCrossSource: Q = (s, d) => {
+    import graft.streaming.NeardupStream
+    val docs = s.read.parquet(s"$d/documents.parquet")
+    val once = NeardupStream.shingleRows(docs)
+    val fresh = NeardupStream.newPairs(once, once, NeardupStream.sizeRows(once),
+      totalDocs = Some(docs.count()))
+    val meta = docs.select(col("doc_id"), col("source"), col("n_chars"))
+    graft.operators.Dedup.crossSourceMatrix(
+      NeardupStream.mergePairs(fresh.limit(0), fresh),
+      meta.unionByName(meta).distinct()) // two deliveries collapse
+  }
+
   /** The t-closeness report read off the k-anonymity stream's maintained
     * class grid, run in BATCH mode over a DOUBLED delivery — the
     * one-state-many-reports discipline (the (day, type) count state
@@ -680,6 +702,7 @@ object StreamQueries {
     "stream_k_anonymity" -> streamKAnonymity,
     "stream_l_diversity" -> streamLDiversity,
     "stream_t_closeness" -> streamTCloseness,
+    "stream_cross_source" -> streamCrossSource,
     "stream_embed_drift" -> streamEmbedDrift,
     "stream_ivf_occupancy" -> streamIvfOccupancy,
     "stream_dsir_model" -> streamDsirModel,
@@ -708,6 +731,7 @@ object StreamQueries {
     "stream_k_anonymity" -> CdcQueries.oracle("agg_k_anonymity"),
     "stream_l_diversity" -> CdcQueries.oracle("agg_l_diversity"),
     "stream_t_closeness" -> CdcQueries.oracle("agg_t_closeness"),
+    "stream_cross_source" -> ExtQueries.oracle("ext_dedup_cross_source"),
     "stream_embed_drift" -> ExtQueries.oracle("ext_embed_drift"),
     "stream_dsir_model" -> ExtQueries.oracle("ext_dsir_model"),
     "stream_ivf_occupancy" -> ExtQueries.oracle("ext_sim_ivf_occupancy"),

@@ -237,7 +237,29 @@ object NeardupStream {
       .getOrElse(spark.range(0).select(col("id").as("doc_a"),
         col("id").as("doc_b"), lit(0.0).as("jaccard")))
 
-  /** Fold all three states' deltas (run periodically; bounds read
+  /** The per-doc metadata ledger (doc_id, source, n_chars) — membership
+    * rows, distinct-on-read: pair-state reports must label BOTH ends of a
+    * pair even when one end arrived months before the other, so the slim
+    * metadata rides its own append-only ledger (the EmbedDriftStream
+    * ledger growth class — ~16 bytes + the source string per doc, never
+    * the text). Empty before the first batch. */
+  def metaState(spark: SparkSession, targetDir: String): DataFrame =
+    AppendState.raw(spark, s"$targetDir/meta")
+      .map(_.distinct())
+      .getOrElse(spark.range(0).select(col("id").as("doc_id"),
+        lit("").as("source"), col("id").as("n_chars")))
+
+  /** Cross-source duplication matrix off the LIVE pair + metadata states
+    * ([[graft.operators.Dedup.crossSourceMatrix]] — the report definition
+    * is shared verbatim with the batch `ext_dedup_cross_source`, so the
+    * continuous wholesale-drop grid and the batch audit cannot drift).
+    * Readable at any moment; a crawl snapshot that mirrors another shows
+    * up as its off-diagonal cell grows, batch by batch. */
+  def crossSource(spark: SparkSession, targetDir: String): DataFrame =
+    graft.operators.Dedup.crossSourceMatrix(
+      pairState(spark, targetDir), metaState(spark, targetDir))
+
+  /** Fold all four states' deltas (run periodically; bounds read
     * amplification — see [[AppendState.compact]]). */
   def compact(spark: SparkSession, targetDir: String): Unit = {
     AppendState.compact(spark, s"$targetDir/index", _.distinct(),
@@ -245,15 +267,26 @@ object NeardupStream {
     AppendState.compact(spark, s"$targetDir/sizes",
       _.groupBy(col("doc_id")).agg(min(col("__n")).as("__n")))
     AppendState.compact(spark, s"$targetDir/pairs", p => mergePairs(p.limit(0), p))
+    AppendState.compact(spark, s"$targetDir/meta", _.distinct())
   }
 
-  /** One micro-batch apply: append the batch's distinct shingle rows and
-    * per-doc sizes (atomic, replay-skipped), probe the now-merged index,
-    * append the completed pairs. A crash between appends replays cleanly:
-    * earlier appends no-op and the pair recompute is deterministic. */
+  /** One micro-batch apply: append the batch's metadata ledger rows,
+    * distinct shingle rows and per-doc sizes (atomic, replay-skipped),
+    * probe the now-merged index, append the completed pairs. A crash
+    * between appends replays cleanly: earlier appends no-op and the pair
+    * recompute is deterministic. `batchDocs` must carry the docs-file
+    * schema ([[CorpusIngest.docsFileSchema]] — doc_id, text, lang,
+    * source, n_chars): the ledger needs source/n_chars. */
   def applyBatch(spark: SparkSession, batchDocs: DataFrame, targetDir: String,
                  batchId: Long, maxDf: Long = DefaultMaxDf): Unit = {
     val batchSh = shingleRows(batchDocs).distinct().localCheckpoint(true)
+    // metadata FIRST: the cross-source report inner-joins pairs to meta,
+    // so a crash window must only ever leave meta-without-pairs (harmless)
+    // — never a pair whose member has no metadata row yet (silent drop
+    // until the replay lands)
+    AppendState.append(
+      batchDocs.select(col("doc_id"), col("source"), col("n_chars")).distinct(),
+      s"$targetDir/meta", batchId)
     AppendState.append(bucketed(batchSh), s"$targetDir/index", batchId,
       partitionCols = Seq("bucket"))
     AppendState.append(sizeRows(batchSh), s"$targetDir/sizes", batchId)

@@ -451,6 +451,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cross-source matrix reconciles with the pair tier: cells sum to the pair count") {
+    val d = "/root/testdata/sf0.001"
+    val matrix = SparkEntry.queries("ext_dedup_cross_source")(spark, d)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    Dedup.unpersistAll()
+    val pairs = SparkEntry.queries("ext_dedup_ngram")(spark, d).collect()
+    Dedup.unpersistAll()
+    assert(matrix.nonEmpty)
+    // every near-dup pair lands in exactly one unordered source cell
+    assert(matrix.map(_._3).sum === pairs.length.toLong)
+    // victims are distinct per cell, so a cell's victim count never
+    // exceeds its pair count, and the matrix is upper-triangular by name
+    matrix.foreach { m =>
+      assert(m._4 <= m._3, s"cell ${m._1}/${m._2}")
+      assert(m._1 <= m._2)
+    }
+  }
+
   test("winnowing: the k+w-1 guarantee, short-doc edges, and selection density") {
     val P = 1000000007L
     val shared = "zqxjvwpyr kbdf" // 14 chars ≥ k+w−1 = 11 → must share a fingerprint

@@ -298,6 +298,85 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("privacy trio reports agree on the quasi grid and respect their bounds") {
+    import graft.streaming.{KAnonymityStream, LDiversityStream}
+    val rnd = new scala.util.Random(17)
+    val ev = (1L to 300L).map { i =>
+      (i, java.sql.Timestamp.valueOf(f"2024-01-${1 + rnd.nextInt(5)}%02d 10:00:00"),
+        1L + rnd.nextInt(6), Seq("click", "view", "purchase")(rnd.nextInt(3)),
+        rnd.nextDouble() * 50.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val k = KAnonymityStream.report(KAnonymityStream.classSlice(ev))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val l = LDiversityStream.report(LDiversityStream.memberSlice(ev))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val t = KAnonymityStream.reportTCloseness(KAnonymityStream.classSlice(ev))
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // k bands account for every event; k and l read the SAME
+    // (type, day, vbucket) grid so their class totals agree
+    assert(k.map(_._3).sum === 300L)
+    assert(k.map(_._2).sum === l.map(_._2).sum)
+    // distinct users per class can't exceed rows per class, so l ≤ k's
+    // implied sizes pointwise is not checkable from bands — but the
+    // dataset-level numbers respect their definitions
+    assert(k.forall(_._5 >= 1L) && l.forall(_._5 >= 1L))
+    // t-closeness rows account for every event; the ordered EMD is a
+    // normalized distance: 0 ≤ t_milli ≤ 1000, and the dataset t is the max
+    assert(t.map(_._3).sum === 300L)
+    assert(t.forall(r => r._4 >= 0L && r._4 <= 1000L))
+    assert(t.forall(_._5 === t.map(_._4).max))
+  }
+
+  test("t-closeness is exactly zero when one class IS the global distribution") {
+    import graft.streaming.KAnonymityStream
+    // every event in ONE (type, day) class, values spread over buckets:
+    // the class distribution equals the global one ⇒ ordered EMD = 0
+    val ev = (1L to 60L).map { i =>
+      (i, java.sql.Timestamp.valueOf("2024-02-01 09:00:00"), i % 7,
+        "click", (i % 5) * 10.0 + 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val t = KAnonymityStream.reportTCloseness(KAnonymityStream.classSlice(ev))
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(t === Seq(("click", "2024-02-01", 60L, 0L, 0L)))
+  }
+
+  test("DSIR model ledger-guarded grid fold converges under any batch split and redelivery") {
+    import graft.streaming.DsirModelStream
+    val rnd0 = new scala.util.Random(19)
+    val langs = Seq("en", "fr", "de")
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val docs = (0L until 30L).map { i =>
+      (i, langs(rnd0.nextInt(3)),
+        Seq.fill(1 + rnd0.nextInt(6))(words(rnd0.nextInt(5))).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    def rows(grid: DataFrame) = DsirModelStream.report(grid)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val oneShot = rows(DsirModelStream.gridSlice(docs))
+    def run(batches: Seq[DataFrame]) = {
+      val (_, grid) = batches.foldLeft(
+        (docs.select(col("doc_id")).limit(0),
+          DsirModelStream.gridSlice(docs.limit(0)))) { case ((seen, g), b) =>
+        val fresh = b.dropDuplicates("doc_id")
+        val nw = fresh.join(seen, Seq("doc_id"), "left_anti").localCheckpoint(true)
+        (seen.unionByName(nw.select(col("doc_id"))).distinct(),
+          DsirModelStream.mergeGrid(g, DsirModelStream.gridSlice(nw)))
+      }
+      rows(grid)
+    }
+    val rnd = new scala.util.Random(23)
+    (0 until 3).foreach { _ =>
+      val cut1 = rnd.nextInt(31)
+      val cut2 = cut1 + rnd.nextInt(31 - cut1)
+      val parts = Seq(
+        docs.filter(col("doc_id") < cut1),
+        docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2),
+        docs.filter(col("doc_id") >= cut2))
+      val delivered = rnd.shuffle(parts.flatMap(p => Seq.fill(1 + rnd.nextInt(2))(p)))
+      assert(run(delivered) === oneShot,
+        "split/redelivery diverged from the one-shot model")
+    }
+  }
+
   test("greedy lowest-rank BPE merging equals sequential rank-order replay") {
     // the equivalence the ext_bpe_* oracles REST ON: applying merges one
     // rank at a time with leftmost-first non-overlapping replacement (the

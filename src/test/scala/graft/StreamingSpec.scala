@@ -587,6 +587,16 @@ class StreamingSpec extends SparkSpec {
     val idxCounts = NeardupStream.indexState(spark, tgt)
       .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
     assert(idxCounts === Map(1L -> 6L, 2L -> 6L, 3L -> 6L))
+
+    // one-state-many-reports: the cross-source matrix off the SAME live
+    // pair state + the metadata ledger — all docs are source "web", so
+    // the one (1, 2) pair lands in the one diagonal cell with doc 2 (the
+    // min-id rule's loser) as its victim
+    val xsrc = NeardupStream.crossSource(spark, tgt)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(xsrc === Seq(("web", "web", 1L, 1L, b.length.toLong)))
+    // ledger growth class: one metadata row per doc ever delivered
+    assert(NeardupStream.metaState(spark, tgt).count() === 3L)
   }
 
   test("streaming prefix templates: groups complete across batches and survive redelivery + compaction") {

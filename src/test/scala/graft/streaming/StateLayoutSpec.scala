@@ -22,6 +22,13 @@ class StateLayoutSpec extends SparkSpec {
 
   import spark.implicits._
 
+  /** A (doc_id, text) fixture widened to the docs-file schema
+    * [[graft.streaming.CorpusIngest.docsFileSchema]] applyBatch consumes
+    * (the metadata ledger needs source/n_chars). */
+  private def docsDF(rows: Seq[(Long, String)]) =
+    rows.map { case (id, text) => (id, text, "en", "web", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
   test("AppendState: per-batch deltas are O(batch), torn tmp dirs recover, replays skip") {
     val dir = tmp("as").resolve("state").toString
     assert(AppendState.raw(spark, dir).isEmpty)
@@ -79,11 +86,10 @@ class StateLayoutSpec extends SparkSpec {
   test("NeardupStream: stop-shingle cap bounds the probe; verification stays exact") {
     // "z z z" appears in 5 docs (df 5 > maxDf 3) — boilerplate. A/B also
     // share rare shingles; C/D/E pairs share ONLY the hot shingle.
-    val docs = Seq(
+    val docs = docsDF(Seq(
       (1L, "a b c d z z z"), (2L, "a b c d z z z"), // exact dups, rare+hot shingles
       (3L, "z z z z"), (4L, "z z z z z"),           // only distinct shingle is hot
-      (5L, "y z z z z")
-    ).toDF("doc_id", "text")
+      (5L, "y z z z z")))
 
     def run(maxDf: Long): Set[(Long, Long, Double)] = {
       val dir = tmp(s"ndcap$maxDf").resolve("state").toString
@@ -110,8 +116,8 @@ class StateLayoutSpec extends SparkSpec {
 
   test("NeardupStream: index deltas are bucketed by pmod(sh, B) and the probe read prunes partitions") {
     val dir = tmp("ndbkt").resolve("state").toString
-    val b0 = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g x")).toDF("doc_id", "text")
-    val b1 = Seq((3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val b0 = docsDF(Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g x")))
+    val b1 = docsDF(Seq((3L, "p q r s t u v w")))
     NeardupStream.applyBatch(spark, b0, dir, batchId = 0L)
     NeardupStream.applyBatch(spark, b1, dir, batchId = 1L)
 
@@ -179,9 +185,9 @@ class StateLayoutSpec extends SparkSpec {
   test("NeardupStream: a zero-shingle micro-batch leaves the state usable") {
     val dir = tmp("ndz").resolve("state").toString
     // < 3 tokens → zero shingle rows → all three state appends are empty
-    NeardupStream.applyBatch(spark, Seq((1L, "a b")).toDF("doc_id", "text"), dir, 0L)
+    NeardupStream.applyBatch(spark, docsDF(Seq((1L, "a b"))), dir, 0L)
     NeardupStream.applyBatch(spark,
-      Seq((2L, "a b c d e f"), (3L, "a b c d e g")).toDF("doc_id", "text"), dir, 1L)
+      docsDF(Seq((2L, "a b c d e f"), (3L, "a b c d e g"))), dir, 1L)
     assert(NeardupStream.pairState(spark, dir)
       .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet === Set((2L, 3L)))
   }
