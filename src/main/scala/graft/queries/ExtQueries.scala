@@ -2461,6 +2461,38 @@ object ExtQueries {
       budgetTokens = 2048L, nShards = 8)
       .orderBy("doc_id")
 
+  /** Context-window domain-DIVERSITY audit over the concat-and-chunk pack
+    * plan: per (shard, window), the contributing docs, distinct sources
+    * and the source-share Shannon entropy — a low-entropy window is a
+    * single-domain slab (one crawl's boilerplate filling a whole context)
+    * and a training run full of them sees far less domain mixing per step
+    * than the corpus mix suggests. The QC pass a loader runs on the pack
+    * plan before committing shards.
+    *
+    * Shape: `source` rides the pack's ONE shard exchange as a carry
+    * column (no join-back); the span explode fans each doc to the windows
+    * it crosses (Σ n_windows ≈ corpus tokens / budget — the plan's own
+    * output size); both rollups are map-side-combined onto the
+    * (shards × windows × sources) grid. Entropy in the
+    * [[extTextEntropy]] integer-micronat moment discipline — exact
+    * n·L(n) − Σ c·L(c) with one trailing division. */
+  private val extPackDiversity: Q = (s, d) => {
+    val packed = TrainPrep.packWindows(documents(s, d), "doc_id", "text",
+      budgetTokens = 2048L, nShards = 8, carry = Seq("source"))
+    val spans = packed.select(col("shard"), col("source"),
+      explode(sequence(col("window_id"),
+        col("window_id") + col("n_windows") - 1)).as("window_id"))
+    spans.groupBy(col("shard"), col("window_id"), col("source"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("shard"), col("window_id"))
+      .agg(sum(col("__c")).as("n_docs"), count(lit(1)).as("n_sources"),
+        sum(col("__c") * lnMicro(col("__c"))).as("__s"))
+      .select(col("shard"), col("window_id"), col("n_docs"), col("n_sources"),
+        rnd4((col("n_docs") * lnMicro(col("n_docs")) - col("__s")).cast("double") /
+          (col("n_docs") * lit(1000000L)).cast("double")).as("entropy_nats"))
+      .orderBy("shard", "window_id")
+  }
+
   /** Document-PRESERVING greedy packing (docs never split; oversize docs
     * flagged) — the loader's other packing mode, next to the
     * concat-and-chunk plan above. Per-shard sequential fill via the repo's
@@ -3134,6 +3166,7 @@ object ExtQueries {
     "ext_sim_knn_pq" -> extSimKnnPq,
     "ext_sim_knn_ivfpq" -> extSimKnnIvfPq,
     "ext_pack_windows" -> extPackWindows,
+    "ext_pack_diversity" -> extPackDiversity,
     "ext_pack_greedy" -> extPackGreedy,
     "ext_pack_greedy_manifest" -> extPackGreedyManifest,
     "ext_pack_stats" -> extPackStats,
@@ -5172,6 +5205,27 @@ object ExtQueries {
         |SELECT doc_id, shard, n_tokens,
         |       $packColsSql
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the pack CTE with source carried through; each doc fans to the
+    // windows it spans, then the ext_text_entropy micronat-moment rollup
+    "ext_pack_diversity" ->
+      s"""WITH ${packSqlCte("documents", "source,")},
+         |w AS (SELECT shard, source,
+         |             unnest(generate_series(tok_before // 2048,
+         |               tok_before // 2048 +
+         |               ((tok_before % 2048 + greatest(n_tokens, 1) - 1) // 2048)))
+         |               AS window_id
+         |      FROM c),
+         |pc AS (SELECT shard, window_id, source, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM w GROUP BY 1, 2, 3),
+         |ag AS (SELECT shard, window_id, CAST(sum(cnt) AS BIGINT) AS n_docs,
+         |              CAST(count(*) AS BIGINT) AS n_sources,
+         |              CAST(sum(cnt * ${lnMicroSql("cnt")}) AS BIGINT) AS s
+         |       FROM pc GROUP BY 1, 2)
+         |SELECT shard, window_id, n_docs, n_sources,
+         |       ${rnd4Sql(s"CAST(n_docs * ${lnMicroSql("n_docs")} - s AS DOUBLE) / " +
+             "CAST(n_docs * 1000000 AS DOUBLE)")} AS entropy_nats
+         |FROM ag ORDER BY shard, window_id""".stripMargin,
 
     // the pack CTE re-run over REAL per-doc BPE counts (train+apply replay
     // feeding the same running sum) — window math identical to

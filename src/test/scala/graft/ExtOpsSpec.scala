@@ -411,6 +411,20 @@ class ExtOpsSpec extends SparkSpec {
     graft.operators.TrainPrep.unpersistAll()
   }
 
+  test("pack diversity: entropy is zero exactly on single-source windows, positive otherwise") {
+    val rows = SparkEntry.queries("ext_pack_diversity")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (shard, win, nDocs, nSources, h) =>
+      assert(nSources >= 1L && nSources <= nDocs, s"($shard,$win) source bound")
+      assert(h >= 0.0, s"($shard,$win) negative entropy")
+      if (nSources == 1L) assert(h === 0.0, s"($shard,$win) single-source must be 0")
+      else assert(h > 0.0, s"($shard,$win) mixed window must be positive")
+    }
+    // the fixture mixes sources, so at least one window must be mixed
+    assert(rows.exists(_._4 > 1L))
+  }
+
   test("filter pipeline flags equal the standalone stage audits, kept = conjunction") {
     val d = "/root/testdata/sf0.001"
     def m(name: String, flag: String) = SparkEntry.queries(name)(spark, d)
