@@ -619,6 +619,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("pack diversity: every rollup rides the pack's ONE shard exchange — shard ⊆ every aggregate key") {
+    val p = plan("ext_pack_diversity")
+    // one corpus scan, one hash exchange (the pack shuffle); the window,
+    // the span explode and BOTH rollups keep shard in their keys so the
+    // existing hashpartitioning(shard) satisfies them with no re-shuffle
+    // (the final range exchange is the orderBy's, not a data shuffle)
+    assert(p.split("Scan parquet").length - 1 == 1,
+      s"one documents scan expected:\n${p.take(2000)}")
+    assert(p.split("hashpartitioning").length - 1 == 1,
+      s"rollups must reuse the shard partitioning:\n${p.take(2000)}")
+  }
+
   test("MMR candidates: one LongDots-scored corpus pass, vectors rejoin after the cut — no fan-out") {
     val p = graft.operators.Knn.mmrCandidates(
       Tables.embeddings(spark, d), "vec_id", "embedding", nQueries = 10, m = 25)
