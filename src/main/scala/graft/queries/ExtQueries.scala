@@ -1752,9 +1752,14 @@ object ExtQueries {
     val emb = embeddings(s, d)
     val qs = emb.filter(col("vec_id") < 10)
     Knn.recallAudit(qs, "vec_id",
+      // the serving audit probes the session-trained codebook (the
+      // ivfPqIdx/pqBooks discipline — identical centroids to inline
+      // training, byte-for-byte; index built once, served many times is
+      // the production shape, and the float-Lloyd train otherwise re-runs
+      // its sample/assign round-trips inside every audit)
       Knn.ivfKnn(emb, qs, "vec_id", "embedding",
         k = IvfK, nCells = IvfCells, iters = IvfIters, nProbe = IvfProbe,
-        sampleN = IvfSampleN),
+        sampleN = IvfSampleN, trainedCells = Some(ivfCellsShared(s, d))),
       exactTop(s, d).filter(col("rank") <= IvfK),
       k = IvfK, minHitsPerQuery = IvfFloorQ, minHitsTotal = IvfFloorT)
   }
@@ -2434,7 +2439,7 @@ object ExtQueries {
     Knn.recallAudit(qs, "vec_id",
       Knn.pqKnnWith(pqBooks(s, d), emb, qs,
         "vec_id", "embedding", k = IvfK, rerank = PqRerank),
-      Knn.bruteForce(emb, qs, "vec_id", "embedding", k = IvfK),
+      exactTop(s, d).filter(col("rank") <= IvfK),
       k = IvfK, minHitsPerQuery = PqFloorQ, minHitsTotal = PqFloorT)
   }
 
@@ -2449,7 +2454,7 @@ object ExtQueries {
     Knn.recallAudit(qs, "vec_id",
       Knn.ivfPqKnnWith(ivfPqIdx(s, d), emb, qs,
         "vec_id", "embedding", k = IvfK, nProbe = IvfProbe, rerank = PqRerank),
-      Knn.bruteForce(emb, qs, "vec_id", "embedding", k = IvfK),
+      exactTop(s, d).filter(col("rank") <= IvfK),
       k = IvfK, minHitsPerQuery = IvfPqFloorQ, minHitsTotal = IvfPqFloorT)
   }
 
