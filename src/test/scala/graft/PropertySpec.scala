@@ -377,6 +377,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("IVF occupancy ledger-guarded grid fold converges under any batch split and redelivery") {
+    import graft.streaming.IvfOccupancyStream
+    val rnd0 = new scala.util.Random(29)
+    val cells = Seq(0 -> Array(1000000L, 0L), 1 -> Array(0L, 1000000L),
+      2 -> Array(-1000000L, -1000000L))
+    val vecs = (0L until 24L).map(i =>
+      (i, Seq.fill(2)(rnd0.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    def rows(grid: DataFrame) = IvfOccupancyStream.report(grid)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val oneShot = rows(IvfOccupancyStream.gridSlice(vecs, cells))
+    def run(batches: Seq[DataFrame]) = {
+      val (_, grid) = batches.foldLeft(
+        (vecs.select(col("vec_id")).limit(0),
+          IvfOccupancyStream.gridSlice(vecs.limit(0), cells))) { case ((seen, g), b) =>
+        val fresh = b.dropDuplicates("vec_id")
+        val nw = fresh.join(seen, Seq("vec_id"), "left_anti").localCheckpoint(true)
+        (seen.unionByName(nw.select(col("vec_id"))).distinct(),
+          IvfOccupancyStream.mergeGrid(g, IvfOccupancyStream.gridSlice(nw, cells)))
+      }
+      rows(grid)
+    }
+    val rnd = new scala.util.Random(31)
+    (0 until 3).foreach { _ =>
+      val cut1 = rnd.nextInt(25)
+      val cut2 = cut1 + rnd.nextInt(25 - cut1)
+      val parts = Seq(
+        vecs.filter(col("vec_id") < cut1),
+        vecs.filter(col("vec_id") >= cut1 && col("vec_id") < cut2),
+        vecs.filter(col("vec_id") >= cut2))
+      val delivered = rnd.shuffle(parts.flatMap(p => Seq.fill(1 + rnd.nextInt(2))(p)))
+      assert(run(delivered) === oneShot,
+        "split/redelivery diverged from the one-shot occupancy grid")
+    }
+  }
+
   test("greedy lowest-rank BPE merging equals sequential rank-order replay") {
     // the equivalence the ext_bpe_* oracles REST ON: applying merges one
     // rank at a time with leftmost-first non-overlapping replacement (the
