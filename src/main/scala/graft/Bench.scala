@@ -21,7 +21,11 @@ import org.apache.spark.sql.SparkSession
   * quiet, so a noisy artifact is self-identifying. Between queries the
   * bench additionally COOLS DOWN (untimed, budgeted — see `measure`):
   * its own sustained bursts otherwise accumulate a loadavg plateau that
-  * inflates later timings and reads as contamination.
+  * inflates later timings and reads as contamination. The same discipline
+  * applies at the RUN START: a measurement pass refuses to begin (budgeted
+  * wait, see `measure`) while the box still carries load above the
+  * cooldown's release threshold — a dirty `load_before` baseline poisons
+  * every later comparison even when the run itself is clean.
   *
   * Output protocol: the big per-query line prints FIRST, and a compact
   * totals line (`"metric":"total"`) prints LAST — tail-truncation of
@@ -103,6 +107,27 @@ object Bench {
     final case class Pass(results: Seq[(String, Double, Double)],
                           loadBefore: Double, loadMax: Double, loadAfter: Double)
     def measure(): Pass = {
+      // START GATE: don't begin a measurement pass on a box still draining
+      // earlier load (e.g. a test suite that finished seconds ago).
+      // loadBefore anchors BOTH the mid-run hysteresis cooldown and the
+      // comparability bar, so a dirty start poisons the whole pass even
+      // when the run itself is clean — the r14/r15 driver artifacts both
+      // started at load ~3.7–6 and certified over the gate while from-idle
+      // runs of the same code sat well under it. Wait (budgeted) for the
+      // 1-min loadavg to decay below the cooldown's release threshold
+      // before sampling the baseline; τ = 60 s ⇒ ~1–2 min from a typical
+      // post-suite plateau. Past the budget the run proceeds and the
+      // comparability bar / INVALID_LOAD path judges it as before — a
+      // genuinely-busy co-tenant box can't stall the bench forever.
+      var gateBudget = 900.0
+      var l0 = loadAvg()
+      while (gateBudget > 0 && l0 >= 0 && l0 > 1.5) {
+        System.err.println(f"[bench] start gate: load $l0%.2f > 1.5 — waiting for idle box")
+        val s = math.min(15.0, gateBudget)
+        Thread.sleep((s * 1000).toLong)
+        gateBudget -= s
+        l0 = loadAvg()
+      }
       val loadBefore = loadAvg()
       var loadMax = loadBefore
       // Cooldown: the bench's own back-to-back 32-thread bursts accumulate
