@@ -24,15 +24,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * window; fewer than k characters ⇒ empty array. All arithmetic is
   * exact long mod P — bit-identical in any engine.
   *
-  * Character convention — BMP/ASCII corpora only, the contract shared
-  * with [[RollingHash]]: grams iterate Java UTF-16 code UNITS
-  * (`charAt`/`length`), which equal code points exactly on BMP text.
-  * On astral (non-BMP) characters the code-unit count exceeds the
-  * code-point count, so gram values/positions here would diverge from a
-  * code-point engine (DuckDB's `text[i:j]`) AND from Spark's own
-  * code-point `length()` used for companion n-gram counts — enforce
-  * BMP-clean text upstream (the documents fixture is ASCII) rather than
-  * pay a surrogate-pair decode in this hot codegen'd loop.
+  * Character convention — CODE POINTS, the contract shared with
+  * [[RollingHash]]: the kernel decodes the string to its code-point
+  * sequence once (one `codePointAt` walk, surrogate pairs collapse to
+  * one gram character) and grams index THAT sequence, so gram values and
+  * positions agree with a code-point engine (DuckDB's `text[i:j]`) and
+  * with Spark's own code-point `length()` on ANY text, astral included —
+  * not just BMP. On ASCII/BMP input the decoded array equals the char
+  * sequence, so hashes are unchanged from the earlier code-unit kernel;
+  * the decode adds one int array per row (gram-hash arrays of the same
+  * length already dominate the allocation).
   *
   * O(n·w) with w a small constant; zero shuffles at any corpus size —
   * the per-doc fan-in that makes the downstream pair join |selected|-
@@ -49,14 +50,15 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int, modulus: Long)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    val ng = s.length - k + 1
+    val cps = WinnowFingerprints.codePoints(s)
+    val ng = cps.length - k + 1
     if (ng <= 0) return new GenericArrayData(Array.emptyLongArray)
     val h = new Array[Long](ng)
     var i = 0
     while (i < ng) {
       var acc = 0L
       var j = 0
-      while (j < k) { acc = (acc * 31L + s.charAt(i + j)) % modulus; j += 1 }
+      while (j < k) { acc = (acc * 31L + cps(i + j)) % modulus; j += 1 }
       h(i) = acc
       i += 1
     }
@@ -91,9 +93,11 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int, modulus: Long)
       val st = ctx.freshName("st")
       val end = ctx.freshName("end")
       val best = ctx.freshName("best")
+      val cps = ctx.freshName("cps")
       s"""
          |final String $s = $c.toString();
-         |final int $ng = $s.length() - $k + 1;
+         |final int[] $cps = graft.functions.WinnowFingerprints.codePoints($s);
+         |final int $ng = $cps.length - $k + 1;
          |if ($ng <= 0) {
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[0]);
          |} else {
@@ -101,7 +105,7 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int, modulus: Long)
          |  for (int $i = 0; $i < $ng; $i++) {
          |    long $acc = 0L;
          |    for (int $j = 0; $j < $k; $j++) {
-         |      $acc = ($acc * 31L + $s.charAt($i + $j)) % ${modulus}L;
+         |      $acc = ($acc * 31L + $cps[$i + $j]) % ${modulus}L;
          |    }
          |    $h[$i] = $acc;
          |  }
@@ -125,4 +129,23 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int, modulus: Long)
 
   override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
     copy(child = c)
+}
+
+object WinnowFingerprints {
+  /** The string's code-point sequence as a flat int array — the gram
+    * alphabet shared with [[RollingHash]]'s fold. Called from the
+    * generated code via the companion's static forwarder; one
+    * `codePointAt` walk, no per-character boxing. */
+  def codePoints(s: String): Array[Int] = {
+    val out = new Array[Int](s.codePointCount(0, s.length))
+    var i = 0
+    var n = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out(n) = cp
+      n += 1
+      i += Character.charCount(cp)
+    }
+    out
+  }
 }

@@ -875,11 +875,12 @@ object CdcQueries {
     * ties). The cross product gnum·gden reaches ~3·S²·D⁵ (|gnum| ≤
     * 3·S²·D², gden ≤ D³), so the rank is exact while 3·S²·D⁵ < 10³⁸ —
     * e.g. three years of days (D ≈ 10³) leaves S < ~10¹⁰ daily-total
-    * headroom. Beyond it the two sides fail DIFFERENTLY: Spark's
+    * headroom. Beyond it the two sides would fail DIFFERENTLY: Spark's
     * non-ANSI decimal multiply nulls (condition silently false,
-    * mis-ranked rows) where DuckDB's HUGEINT raises — stay inside the
-    * bound. Ties break day-ascending, so the top-3 is a pure function
-    * of the counts.
+    * mis-ranked rows) where DuckDB's HUGEINT raises — so the report
+    * ENFORCES the bound at runtime from the (D, S) stats row and raises
+    * on violation instead of mis-ranking silently. Ties break
+    * day-ascending, so the top-3 is a pure function of the counts.
     *
     * Shape: one map-side-combined day aggregate; prefix sums over the
     * CALENDAR-BOUNDED day domain (the domain-histogram discipline — one
@@ -893,12 +894,26 @@ object CdcQueries {
   /** The changepoint report over any (day, n) daily frame — shared by the
     * batch query and the maintained-count-state stream form (the
     * mannKendallReport pairing). */
-  private[queries] def changepointReport(dailyIn: DataFrame): DataFrame = {
+  private[graft] def changepointReport(dailyIn: DataFrame): DataFrame = {
     // the day frame is CALENDAR-bounded (≤D rows) but derived from a
     // corpus-sized aggregate — checkpoint it ONCE so the stats leg and the
     // two sides of the D² rank join all read the tiny frame instead of
     // re-scanning the corpus (4 parquet scans → 1; PlanSpec pins this)
     val daily = dailyIn.localCheckpoint(true)
+    // EXACTNESS GUARD (the docstring bound, enforced): the rank's
+    // cross-multiplication gnum·gden reaches ~3·S²·D⁵; past decimal(38,0)
+    // Spark's non-ANSI multiply NULLs out — the comparison turns silently
+    // false and mis-ranks — where DuckDB's HUGEINT raises. The (D, S)
+    // stats row costs one 1-row aggregate over the already-checkpointed
+    // calendar-bounded frame, so check it here and fail LOUD instead.
+    val g = daily.agg(count(lit(1)).as("__d"),
+      coalesce(sum(col("n")), lit(0L)).as("__s")).head()
+    val (gD, gS) = (BigInt(g.getLong(0)), BigInt(g.getLong(1)).abs)
+    require(3 * gS * gS * gD.pow(5) < BigInt(10).pow(38),
+      s"changepoint rank: 3·S²·D⁵ = ${3 * gS * gS * gD.pow(5)} exceeds the " +
+        s"decimal(38,0) exactness bound 1e38 (D=$gD days, S=$gS total) — the " +
+        "cross-multiplied gain compare would overflow to null and mis-rank " +
+        "silently; pre-aggregate to a coarser grain or rescale the counts")
     val stats = broadcast(daily.agg(
       count(lit(1)).as("__D"), sum(col("n")).as("__S")))
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")

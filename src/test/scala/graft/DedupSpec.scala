@@ -497,6 +497,34 @@ class DedupSpec extends SparkSpec {
     assert(sel.length < nGrams / 2, s"${sel.length} of $nGrams grams kept")
   }
 
+  test("winnowing: astral (non-BMP) text hashes by CODE POINTS — the RollingHash/oracle contract") {
+    val P = 1000000007L
+    // 12 astral code points = 24 UTF-16 code units. A code-unit kernel
+    // would see 17 grams built from surrogate halves; the code-point
+    // contract (shared with RollingHash and the DuckDB twin's text[i:j])
+    // sees 12 characters → 5 grams.
+    val text = (0 until 12).map(i => new String(Character.toChars(0x1F600 + i))).mkString
+    assert(text.length === 24 && text.codePointCount(0, text.length) === 12)
+    val got = Dedup.winnowFingerprints(docs((1L, text)), "text", "doc_id", 8, 4, P)
+      .as[(Long, Seq[Long])].collect().head._2
+    // independent reference over the CODE-POINT sequence: rolling gram
+    // hashes, then rightmost-min per w-window with argmin-dedup
+    val cps = text.codePoints().toArray
+    val grams = (0 to cps.length - 8).map(i =>
+      (i until i + 8).foldLeft(0L)((a, j) => (a * 31L + cps(j)) % P))
+    assert(grams.length === 5)
+    val exp = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var last = -1
+    for (st <- 0 until math.max(grams.length - 3, 1)) {
+      val end = math.min(st + 3, grams.length - 1)
+      var best = st
+      for (j <- st to end) if (grams(j) <= grams(best)) best = j
+      if (best != last) { exp += grams(best); last = best }
+    }
+    assert(got === exp.toSeq,
+      "astral text must winnow over code points, not UTF-16 code units")
+  }
+
   test("winnowPairs: verbatim copies pair up; boilerplate past the df-cap cannot") {
     val P = 1000000007L
     val boiler = "standard header used by every page of this mirror site"

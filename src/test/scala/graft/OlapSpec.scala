@@ -424,6 +424,25 @@ class OlapSpec extends SparkSpec {
     got.foreach { case (_, _, gainMilli) => assert(gainMilli >= 0L) }
   }
 
+  test("changepoint: the decimal(38,0) exactness bound fails LOUD in the overflow regime") {
+    import spark.implicits._
+    // D = 3 days of 10¹⁸ events: 3·S²·D⁵ = 3·(3e18)²·3⁵ ≈ 6.6e39 ≥ 1e38 —
+    // the cross-multiplied compare would null out under Spark's non-ANSI
+    // decimal multiply and mis-rank silently; the runtime guard must raise
+    val daily = Seq(("2024-01-01", 1000000000000000000L),
+        ("2024-01-02", 1000000000000000000L), ("2024-01-03", 1000000000000000000L))
+      .toDF("day", "n").select(to_date(col("day")).as("day"), col("n"))
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.CdcQueries.changepointReport(daily).collect()
+    }
+    assert(e.getMessage.contains("exactness bound"),
+      s"must name the bound, got: ${e.getMessage}")
+    // and just inside the bound the report still runs (same D, tiny S)
+    val ok = Seq(("2024-01-01", 5L), ("2024-01-02", 50L), ("2024-01-03", 7L))
+      .toDF("day", "n").select(to_date(col("day")).as("day"), col("n"))
+    assert(graft.queries.CdcQueries.changepointReport(ok).collect().nonEmpty)
+  }
+
   test("weekday-adjusted anomaly flags replay the per-DOW 2σ rule") {
     val daily = graft.Tables.events(spark, d)
       .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
