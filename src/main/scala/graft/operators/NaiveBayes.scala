@@ -177,11 +177,16 @@ object NaiveBayes {
   /** The completed per-(doc, label) score grid shared by [[labelNoise]]
     * and [[calibration]]: every doc × every model label, token-evidence
     * score where it exists, the bare prior where none does. The complete
-    * model grid means a doc WITH tokens already scores against every
-    * label in the token⋈model join, so completion only has to patch in
-    * the (rare) zero-token docs — an anti-join sliver crossed with the
-    * L-row priors, unioned in, NOT an L×corpus grid re-joined against the
-    * L×corpus score frame. */
+    * model grid means a doc with ≥ 1 IN-VOCAB token already scores
+    * against every label in the token⋈model join, so completion only has
+    * to patch in the (rare) zero-EVIDENCE docs — zero tokens at all, or
+    * every token outside the model vocabulary (possible only when scoring
+    * a corpus the model wasn't trained on) — an anti-join sliver crossed
+    * with the L-row priors, unioned in, NOT an L×corpus grid re-joined
+    * against the L×corpus score frame. The evidence test is a broadcast
+    * vocab semi-join on the tf frame (the vocab is model-sized), so both
+    * fallback classes land the same prior rows [[score]]'s left join
+    * gives them. */
   private[graft] def scoredGrid(docs: DataFrame, textCol: String, classCol: String,
                                 idCol: String, model: DataFrame): DataFrame = {
     val pri = model.select(col("label"), col("prior_micro")).distinct()
@@ -197,12 +202,18 @@ object NaiveBayes {
         .as("score_micro"))
     val scored = sc.join(lab, Seq(idCol))
       .select(col(idCol), col("__true"), col("label"), col("score_micro"))
-    val zeroTokenDocs = lab
-      .join(tf.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+    // zero-EVIDENCE patch: docs with no score rows at all — no tokens, or
+    // all tokens out-of-vocab. Deciding membership via a broadcast vocab
+    // semi-join on tf (not an anti-join against sc) keeps the patch a
+    // cheap second tf pass instead of re-evaluating the score subtree.
+    val vocab = model.select(col("token")).distinct()
+    val zeroEvidenceDocs = lab
+      .join(tf.join(broadcast(vocab), Seq("token"), "left_semi")
+        .select(col(idCol)).distinct(), Seq(idCol), "left_anti")
       .crossJoin(pri)
       .select(col(idCol), col("__true"), col("label"),
         col("prior_micro").as("score_micro"))
-    scored.unionByName(zeroTokenDocs)
+    scored.unionByName(zeroEvidenceDocs)
   }
 
   def labelNoise(docs: DataFrame, textCol: String, classCol: String, idCol: String,
@@ -211,7 +222,7 @@ object NaiveBayes {
       idCol, minMarginMicro)
 
   /** The [[score]] view derived from an already-built [[scoredGrid]]: the
-    * grid patches zero-token docs with the bare priors, so the per-doc
+    * grid patches zero-evidence docs with the bare priors, so the per-doc
     * argmax under the same (score desc, label asc) order IS [[score]]'s
     * output including its zero-evidence prior fallback — one window over
     * the grid instead of a second corpus scoring pass. */

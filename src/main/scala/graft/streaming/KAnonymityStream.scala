@@ -148,17 +148,30 @@ object KAnonymityStream {
         mergeCounts(slice.limit(0), slice)
     }
 
+  /** Row-level exactly-once horizon for the additive grid: the event-id
+    * dedup state expires `dedupDelay` behind the event-time watermark, so
+    * an event REDELIVERED LATER than that permanently double-counts its
+    * class cell. For most monitors that's benign jitter; for a privacy
+    * release gate the over-count direction matters — a double-counted
+    * class OVERSTATES its size, so k reads too high and size-1 classes
+    * can be under-reported (the report errs toward "safe"). Size the
+    * delay to the source's redelivery horizon, not to state comfort. */
+  val DefaultDedupDelay = "1 hour"
+
   /** Start the continuous release-risk monitor over an events parquet
     * stream: watermarked event-id dedup → foreachBatch additive grid apply
-    * into `targetDir` ([[report]] reads it any time). */
+    * into `targetDir` ([[report]] reads it any time). `dedupDelay` is the
+    * redelivery horizon of the row-level gate — see [[DefaultDedupDelay]]
+    * for the over-count direction when it's undersized. */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
-            checkpointDir: String, availableNow: Boolean = true): StreamingQuery = {
+            checkpointDir: String, availableNow: Boolean = true,
+            dedupDelay: String = DefaultDedupDelay): StreamingQuery = {
     val raw = spark.readStream
       .schema(CdcPipeline.observedEventsSchema(spark, sourceDir))
       .parquet(sourceDir)
     val trigger =
       if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
-    CdcPipeline.dedupEvents(graft.Tables.normalizeTs(raw))
+    CdcPipeline.dedupEvents(graft.Tables.normalizeTs(raw), dedupDelay)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -70,6 +70,25 @@ class NaiveBayesSpec extends SparkSpec {
     assert(got(2) === ((12L, "a", priorA)))
   }
 
+  test("scoreFromGrid matches score() on all-out-of-vocab docs (the zero-EVIDENCE prior fallback)") {
+    val model = NaiveBayes.train(d, "text", "lang")
+    // doc 20 has tokens, none in the model vocabulary {x, y, z}; doc 21 is
+    // empty. Both are zero-evidence: the grid must carry their prior rows
+    // so the grid-derived argmax equals score()'s left-join fallback.
+    val external = docs((20L, "a", "qq ww ee"), (21L, "a", ""), (22L, "a", "z"))
+    val viaGrid = NaiveBayes.scoreFromGrid(
+        NaiveBayes.scoredGrid(external, "text", "lang", "doc_id", model), "doc_id")
+      .select("doc_id", "pred_label", "score_micro")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val viaScore = NaiveBayes.score(external, "text", "doc_id", model)
+      .select("doc_id", "pred_label", "score_micro")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(viaGrid === viaScore)
+    assert(viaGrid.map(_._1) === Seq(20L, 21L, 22L)) // no doc dropped
+    val priorA = math.round(math.log(2.0 / 3.0) * 1e6)
+    assert(viaGrid(0) === ((20L, "a", priorA))) // OOV doc: bare prior argmax
+  }
+
   test("calibration bins best-vs-runner-up margins in whole nats with per-bin accuracy") {
     val model = NaiveBayes.train(d, "text", "lang")
     val got = NaiveBayes.calibration(d, "text", "lang", "doc_id", model)
