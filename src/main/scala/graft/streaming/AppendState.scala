@@ -39,6 +39,45 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * merge an LSM tree uses. */
 private[streaming] object AppendState {
 
+  /** Layout-version stamp written into every state dir (`.layout`). A
+    * state directory is only meaningful to the code generation that wrote
+    * it — a layout refactor (new schema, new commit protocol, a different
+    * state class entirely) must fail LOUD on restart, not silently read
+    * an empty/garbage state and quietly reset a monitor (the
+    * SchemaProfileStream round-15 rewrite hazard). Readers and writers
+    * refuse a dir whose stamp mismatches, and refuse a NON-EMPTY dir with
+    * no stamp at all (pre-versioning, or written by [[StateCommit]] /
+    * something else). Bump the version on any layout-breaking change. */
+  private[streaming] val LayoutId = "graft-append-state v1"
+  private def layoutMarker(targetDir: String) = new java.io.File(targetDir, ".layout")
+
+  /** Enforce the layout stamp; on a fresh/absent dir with `forWrite`,
+    * create the dir and stamp it. */
+  private def checkLayout(targetDir: String, forWrite: Boolean = false): Unit = {
+    val dir = new java.io.File(targetDir)
+    val m = layoutMarker(targetDir)
+    if (m.exists()) {
+      val got = java.nio.file.Files.readString(m.toPath).trim
+      require(got == LayoutId,
+        s"AppendState: state dir $targetDir has layout '$got' but this build " +
+          s"reads '$LayoutId' — incompatible state layout; rebuild the state " +
+          "from a replay (state dir and checkpoint dir live and die as a unit)")
+    } else if (Option(dir.listFiles()).exists(_.nonEmpty)) {
+      throw new IllegalArgumentException(
+        s"AppendState: state dir $targetDir is non-empty but carries no " +
+          s"'.layout' stamp — it predates layout versioning or was written " +
+          s"by a different state class; refusing to read it as '$LayoutId'. " +
+          "Rebuild the state from a replay on a fresh target dir")
+    } else if (forWrite) {
+      dir.mkdirs()
+      val tmp = new java.io.File(targetDir, ".layout.tmp")
+      java.nio.file.Files.writeString(tmp.toPath, LayoutId)
+      java.nio.file.Files.move(tmp.toPath, m.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
   private def deltaDir(targetDir: String, batchId: Long) =
     new java.io.File(targetDir, s"delta=$batchId")
   private def tmpDir(targetDir: String, batchId: Long) =
@@ -50,6 +89,7 @@ private[streaming] object AppendState {
   /** Highest batch id folded into the compacted base, or −1 if never
     * compacted. */
   def baseId(targetDir: String): Long = {
+    checkLayout(targetDir)
     val m = baseMarker(targetDir)
     if (m.exists()) java.nio.file.Files.readString(m.toPath).trim.toLong else -1L
   }
@@ -83,6 +123,7 @@ private[streaming] object AppendState {
     * are rebuilt by replay, as with any checkpoint change). */
   def append(delta: DataFrame, targetDir: String, batchId0: Long,
              partitionCols: Seq[String] = Nil): Unit = {
+    checkLayout(targetDir, forWrite = true)
     val batchId =
       if (batchId0 >= 0) batchId0
       else (deltaIds(targetDir) :+ baseId(targetDir)).max + 1
@@ -166,6 +207,16 @@ private[streaming] object AppendState {
     folded.foreach(id => deleteQuietly(deltaDir(targetDir, id)))
     if (oldBase >= 0) deleteQuietly(baseDir(targetDir, oldBase))
   }
+
+  /** Default [[compactIfDue]] trigger, and the default every stream's
+    * applyBatch now applies: a long-lived stream otherwise accumulates one
+    * delta dir per micro-batch and read amplification grows UNBOUNDED
+    * until someone remembers the manual compact call (the round-15 gap).
+    * 8 keeps merge-on-read at O(base + 8·batch) while amortizing each
+    * O(state) fold over 8 O(batch) appends; pass ≤ 0 to a stream's
+    * `compactEvery` to opt back out (e.g. when an external compactor owns
+    * the fold schedule). */
+  val DefaultCompactEvery = 8
 
   /** The standard leveled-compaction policy: fold whenever `every`
     * committed deltas have accumulated past the base (the LSM trigger,

@@ -72,17 +72,22 @@ object CorpusIngest {
     * append-only delta publish — replayed batches skip by id, out-of-band
     * replays collapse through the idempotent merge-on-read. */
   def applyBatch(spark: SparkSession, batch: DataFrame, targetDir: String,
-                 batchId: Long = -1L): Unit =
+                 batchId: Long = -1L,
+                 compactEvery: Int = AppendState.DefaultCompactEvery): Unit = {
     AppendState.append(
       mergeSurvivors(batch.limit(0), batch).localCheckpoint(true),
       targetDir, batchId)
+    if (compactEvery > 0 && AppendState.deltaIds(targetDir).size >= compactEvery)
+      compact(spark, targetDir)
+  }
 
   /** Start the ingest: document source dir → gate/project → foreachBatch
     * digest-keyed survivor merge into `targetDir`. `availableNow = true`
     * drains what exists and stops (test/replay mode). */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
             checkpointDir: String, minQuality: Double = 0.3,
-            availableNow: Boolean = true, compactEvery: Int = 0): StreamingQuery = {
+            availableNow: Boolean = true,
+            compactEvery: Int = AppendState.DefaultCompactEvery): StreamingQuery = {
     val raw = spark.readStream.schema(docsFileSchema).parquet(sourceDir)
     val trigger =
       if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
@@ -91,10 +96,7 @@ object CorpusIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(spark, batch, targetDir, batchId)
-        if (compactEvery > 0 &&
-          AppendState.deltaIds(targetDir).size >= compactEvery)
-          compact(spark, targetDir)
+        applyBatch(spark, batch, targetDir, batchId, compactEvery)
       }
       .start()
   }

@@ -78,10 +78,14 @@ object Decontam {
     * append-only delta publish — replayed batches skip by id, out-of-band
     * replays collapse through the idempotent merge-on-read. */
   def applyBatch(spark: SparkSession, verdicts: DataFrame, targetDir: String,
-                 batchId: Long = -1L): Unit =
+                 batchId: Long = -1L,
+                 compactEvery: Int = AppendState.DefaultCompactEvery): Unit = {
     AppendState.append(
       mergeVerdicts(verdicts.limit(0), verdicts).localCheckpoint(true),
       targetDir, batchId)
+    if (compactEvery > 0 && AppendState.deltaIds(targetDir).size >= compactEvery)
+      compact(spark, targetDir)
+  }
 
   /** Start the gate: document source dir → per-batch verdicts against the
     * (statically computed, then reused) eval index → doc_id-keyed verdict
@@ -89,7 +93,8 @@ object Decontam {
     * stops (test/replay mode). */
   def start(spark: SparkSession, sourceDir: String, evalDocs: DataFrame,
             targetDir: String, checkpointDir: String,
-            availableNow: Boolean = true, compactEvery: Int = 0): StreamingQuery = {
+            availableNow: Boolean = true,
+            compactEvery: Int = AppendState.DefaultCompactEvery): StreamingQuery = {
     val index = evalIndex(evalDocs)
     index.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val raw = spark.readStream.schema(CorpusIngest.docsFileSchema).parquet(sourceDir)
@@ -99,10 +104,7 @@ object Decontam {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(spark, gate(batch, index), targetDir, batchId)
-        if (compactEvery > 0 &&
-          AppendState.deltaIds(targetDir).size >= compactEvery)
-          compact(spark, targetDir)
+        applyBatch(spark, gate(batch, index), targetDir, batchId, compactEvery)
       }
       .start()
   }

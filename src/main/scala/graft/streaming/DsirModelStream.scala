@@ -105,7 +105,8 @@ object DsirModelStream {
     * batch-local doc_id dedup → ledger anti-join → grid fold under the
     * batch-id guard → ledger append under the same id. */
   def applyBatch(spark: SparkSession, batch: DataFrame, targetDir: String,
-                 batchId: Long): Unit = {
+                 batchId: Long,
+                 compactEvery: Int = AppendState.DefaultCompactEvery): Unit = {
     val fresh = batch.select(col("doc_id"), col("lang"), col("text"))
       .dropDuplicates("doc_id")
     val newRows = (AppendState.raw(spark, seenDir(targetDir)) match {
@@ -122,6 +123,9 @@ object DsirModelStream {
         mergeGrid(s.limit(0), s)
     }
     AppendState.append(newRows.select(col("doc_id")), seenDir(targetDir), batchId)
+    if (compactEvery > 0 &&
+      AppendState.deltaIds(seenDir(targetDir)).size >= compactEvery)
+      compact(spark, targetDir)
   }
 
   /** Fold ledger deltas into a fresh compacted base (`distinct`). */

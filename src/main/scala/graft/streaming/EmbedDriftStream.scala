@@ -108,7 +108,8 @@ object EmbedDriftStream {
     * batch-local vec_id dedup → ledger anti-join → grid fold under the
     * batch-id guard → ledger append under the same id. */
   def applyBatch(spark: SparkSession, batch: DataFrame, targetDir: String,
-                 batchId: Long): Unit = {
+                 batchId: Long,
+                 compactEvery: Int = AppendState.DefaultCompactEvery): Unit = {
     val fresh = batch.select(col("vec_id"), col("embedding"))
       .dropDuplicates("vec_id")
     val newRows = (AppendState.raw(spark, seenDir(targetDir)) match {
@@ -125,6 +126,9 @@ object EmbedDriftStream {
         mergeGrid(s.limit(0), s)
     }
     AppendState.append(newRows.select(col("vec_id")), seenDir(targetDir), batchId)
+    if (compactEvery > 0 &&
+      AppendState.deltaIds(seenDir(targetDir)).size >= compactEvery)
+      compact(spark, targetDir)
   }
 
   /** Fold ledger deltas into a fresh compacted base (`distinct`). */

@@ -100,10 +100,13 @@ object KsDriftStream {
     * and even an out-of-band replay (fresh id, same docs) collapses
     * through the idempotent merge-on-read. */
   def applyBatch(spark: SparkSession, batch: DataFrame, targetDir: String,
-                 batchId: Long = -1L): Unit = {
+                 batchId: Long = -1L,
+                 compactEvery: Int = AppendState.DefaultCompactEvery): Unit = {
     val b = batch.select(col("doc_id"), col("source"), col("n_chars"))
     AppendState.append(mergeDocs(b.limit(0), b).localCheckpoint(true),
       targetDir, batchId)
+    if (compactEvery > 0 && AppendState.deltaIds(targetDir).size >= compactEvery)
+      compact(spark, targetDir)
   }
 
   /** Start the drift monitor: document source dir → projection →
@@ -111,7 +114,7 @@ object KsDriftStream {
     * [[histogram]] of [[state]] reads the current KS table any time). */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
             checkpointDir: String, availableNow: Boolean = true,
-            compactEvery: Int = 0): StreamingQuery = {
+            compactEvery: Int = AppendState.DefaultCompactEvery): StreamingQuery = {
     val raw = spark.readStream
       .schema(CorpusIngest.docsFileSchema).parquet(sourceDir)
     val trigger =
@@ -121,10 +124,7 @@ object KsDriftStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(spark, batch, targetDir, batchId)
-        if (compactEvery > 0 &&
-          AppendState.deltaIds(targetDir).size >= compactEvery)
-          compact(spark, targetDir)
+        applyBatch(spark, batch, targetDir, batchId, compactEvery)
       }
       .start()
   }

@@ -96,9 +96,13 @@ object LDiversityStream {
   /** One micro-batch apply: slice the batch's membership rows, append as
     * an immutable delta (atomic, replay-skipped by the delta's batch-id
     * name — a replayed batch rewrites the same file). */
-  def applyBatch(batch: DataFrame, targetDir: String, batchId: Long): Unit =
+  def applyBatch(batch: DataFrame, targetDir: String, batchId: Long,
+                 compactEvery: Int = AppendState.DefaultCompactEvery): Unit = {
     AppendState.append(memberSlice(graft.Tables.normalizeTs(batch)),
       targetDir, batchId)
+    if (compactEvery > 0 && AppendState.deltaIds(targetDir).size >= compactEvery)
+      compact(batch.sparkSession, targetDir)
+  }
 
   /** Fold current deltas into a fresh compacted base (`distinct` — the
     * membership union's own idempotent reduction). */
@@ -111,7 +115,7 @@ object LDiversityStream {
     * without changing any answer. */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
             checkpointDir: String, availableNow: Boolean = true,
-            compactEvery: Int = 0): StreamingQuery = {
+            compactEvery: Int = AppendState.DefaultCompactEvery): StreamingQuery = {
     val raw = spark.readStream
       .schema(CdcPipeline.observedEventsSchema(spark, sourceDir))
       .parquet(sourceDir)
@@ -121,8 +125,7 @@ object LDiversityStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, targetDir, batchId)
-        AppendState.compactIfDue(spark, targetDir, compactEvery)(_.distinct())
+        applyBatch(batch, targetDir, batchId, compactEvery)
       }
       .start()
   }

@@ -56,10 +56,14 @@ object LengthProfileStream {
     * publish — replays skip by id, out-of-band duplicates collapse
     * through the merge-on-read. */
   def applyBatch(spark: SparkSession, batch: DataFrame, targetDir: String,
-                 batchId: Long = -1L): Unit =
+                 batchId: Long = -1L,
+                 compactEvery: Int = AppendState.DefaultCompactEvery): Unit = {
     AppendState.append(
       mergeMembers(batch.limit(0), batch).localCheckpoint(true),
       targetDir, batchId)
+    if (compactEvery > 0 && AppendState.deltaIds(targetDir).size >= compactEvery)
+      compact(spark, targetDir)
+  }
 
   /** The outlier report off a membership frame — histogram once, then the
     * shared median/MAD machinery; identical output shape (and oracle) to
@@ -79,7 +83,7 @@ object LengthProfileStream {
     * foreachBatch doc-keyed merge into `targetDir`. */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
             checkpointDir: String, availableNow: Boolean = true,
-            compactEvery: Int = 0): StreamingQuery = {
+            compactEvery: Int = AppendState.DefaultCompactEvery): StreamingQuery = {
     val raw = spark.readStream.schema(CorpusIngest.docsFileSchema).parquet(sourceDir)
     val trigger =
       if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
@@ -88,9 +92,7 @@ object LengthProfileStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(spark, batch, targetDir, batchId)
-        AppendState.compactIfDue(spark, targetDir, compactEvery)(
-          r => mergeMembers(r.limit(0), r))
+        applyBatch(spark, batch, targetDir, batchId, compactEvery)
       }
       .start()
   }

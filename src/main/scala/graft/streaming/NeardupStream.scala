@@ -278,7 +278,8 @@ object NeardupStream {
     * schema ([[CorpusIngest.docsFileSchema]] — doc_id, text, lang,
     * source, n_chars): the ledger needs source/n_chars. */
   def applyBatch(spark: SparkSession, batchDocs: DataFrame, targetDir: String,
-                 batchId: Long, maxDf: Long = DefaultMaxDf): Unit = {
+                 batchId: Long, maxDf: Long = DefaultMaxDf,
+                 compactEvery: Int = AppendState.DefaultCompactEvery): Unit = {
     val batchSh = shingleRows(batchDocs).distinct().localCheckpoint(true)
     // metadata FIRST: the cross-source report inner-joins pairs to meta,
     // so a crash window must only ever leave meta-without-pairs (harmless)
@@ -301,17 +302,24 @@ object NeardupStream {
       .getOrElse(batchSh.limit(0))
     val fresh = newPairs(batchSh, merged, sizeState(spark, targetDir), maxDf)
     AppendState.append(fresh.localCheckpoint(true), s"$targetDir/pairs", batchId)
+    // auto-fold once compactEvery deltas accumulate on the index (the
+    // largest of the four states) — read amplification stays bounded with
+    // no manual compact call; ≤ 0 opts out
+    if (compactEvery > 0 &&
+      AppendState.deltaIds(s"$targetDir/index").size >= compactEvery)
+      compact(spark, targetDir)
   }
 
   /** Start the ingest-dedup stream: document source dir → per-batch index
     * probe → (index, sizes, pairs) append-only state under `targetDir`.
-    * `compactEvery` > 0 runs [[compact]] inline once that many deltas
-    * accumulate on the index ([[AppendState.compactIfDue]] is checked on
-    * the index state, the largest of the three — semantics unchanged,
-    * read amplification bounded). */
+    * `compactEvery` > 0 (the default) runs [[compact]] inline from
+    * [[applyBatch]] once that many deltas accumulate on the index state,
+    * the largest of the four — semantics unchanged, read amplification
+    * bounded with no manual compact call. */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
             checkpointDir: String, availableNow: Boolean = true,
-            maxDf: Long = DefaultMaxDf, compactEvery: Int = 0): StreamingQuery = {
+            maxDf: Long = DefaultMaxDf,
+            compactEvery: Int = AppendState.DefaultCompactEvery): StreamingQuery = {
     val raw = spark.readStream.schema(CorpusIngest.docsFileSchema).parquet(sourceDir)
     val trigger =
       if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
@@ -319,10 +327,7 @@ object NeardupStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(spark, batch, targetDir, batchId, maxDf)
-        if (compactEvery > 0 &&
-          AppendState.deltaIds(s"$targetDir/index").size >= compactEvery)
-          compact(spark, targetDir)
+        applyBatch(spark, batch, targetDir, batchId, maxDf, compactEvery)
       }
       .start()
   }

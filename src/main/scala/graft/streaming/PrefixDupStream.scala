@@ -67,8 +67,12 @@ object PrefixDupStream {
 
   /** One micro-batch apply: project the batch's membership rows, append
     * them as an immutable delta (atomic, replay-skipped). */
-  def applyBatch(batch: DataFrame, targetDir: String, batchId: Long): Unit =
+  def applyBatch(batch: DataFrame, targetDir: String, batchId: Long,
+                 compactEvery: Int = AppendState.DefaultCompactEvery): Unit = {
     AppendState.append(slice(batch), targetDir, batchId)
+    if (compactEvery > 0 && AppendState.deltaIds(targetDir).size >= compactEvery)
+      compact(batch.sparkSession, targetDir)
+  }
 
   /** Fold current deltas into a fresh compacted base (`distinct` — the
     * union state's own idempotent reduction). */
@@ -82,7 +86,7 @@ object PrefixDupStream {
     * amplification bounded). */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
             checkpointDir: String, availableNow: Boolean = true,
-            compactEvery: Int = 0): StreamingQuery = {
+            compactEvery: Int = AppendState.DefaultCompactEvery): StreamingQuery = {
     val raw = spark.readStream.schema(CorpusIngest.docsFileSchema).parquet(sourceDir)
     val trigger =
       if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
@@ -90,8 +94,7 @@ object PrefixDupStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, targetDir, batchId)
-        AppendState.compactIfDue(spark, targetDir, compactEvery)(_.distinct())
+        applyBatch(batch, targetDir, batchId, compactEvery)
       }
       .start()
   }

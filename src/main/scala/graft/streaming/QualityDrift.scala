@@ -94,10 +94,14 @@ object QualityDrift {
     * append-only delta publish — replayed batches skip by id, out-of-band
     * replays collapse through the idempotent merge-on-read. */
   def applyBatch(spark: SparkSession, verdicts: DataFrame, targetDir: String,
-                 batchId: Long = -1L): Unit =
+                 batchId: Long = -1L,
+                 compactEvery: Int = AppendState.DefaultCompactEvery): Unit = {
     AppendState.append(
       mergeVerdicts(verdicts.limit(0), verdicts).localCheckpoint(true),
       targetDir, batchId)
+    if (compactEvery > 0 && AppendState.deltaIds(targetDir).size >= compactEvery)
+      compact(spark, targetDir)
+  }
 
   /** Start the monitor: document source dir → per-batch verdicts →
     * doc_id-keyed verdict table in `targetDir`. The report is derived
@@ -106,7 +110,7 @@ object QualityDrift {
     * mode). */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
             checkpointDir: String, availableNow: Boolean = true,
-            compactEvery: Int = 0): StreamingQuery = {
+            compactEvery: Int = AppendState.DefaultCompactEvery): StreamingQuery = {
     val raw = spark.readStream.schema(CorpusIngest.docsFileSchema).parquet(sourceDir)
     val trigger =
       if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
@@ -114,10 +118,7 @@ object QualityDrift {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(spark, gate(batch), targetDir, batchId)
-        if (compactEvery > 0 &&
-          AppendState.deltaIds(targetDir).size >= compactEvery)
-          compact(spark, targetDir)
+        applyBatch(spark, gate(batch), targetDir, batchId, compactEvery)
       }
       .start()
   }

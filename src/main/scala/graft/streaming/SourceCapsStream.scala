@@ -54,18 +54,26 @@ object SourceCapsStream {
 
   /** One micro-batch apply: reduce the batch to its own per-source
     * k-smallest, append atomically (replays skip by id; out-of-band
-    * replays collapse through the idempotent min-k merge-on-read). */
+    * replays collapse through the idempotent min-k merge-on-read), then
+    * fold once `compactEvery` deltas accumulate ([[AppendState
+    * .DefaultCompactEvery]] — read amplification stays bounded with no
+    * manual compact call; ≤ 0 opts out). */
   def applyBatch(spark: SparkSession, batch: DataFrame, targetDir: String,
-                 k: Int, batchId: Long = -1L): Unit =
+                 k: Int, batchId: Long = -1L,
+                 compactEvery: Int = AppendState.DefaultCompactEvery): Unit = {
     AppendState.append(
       capK(batch, k).select(col("doc_id"), col("source")).localCheckpoint(true),
       targetDir, batchId)
+    if (compactEvery > 0 && AppendState.deltaIds(targetDir).size >= compactEvery)
+      compact(spark, targetDir, k)
+  }
 
   /** Start the cap stream: document source dir → per-batch bounded delta →
     * append-only state under `targetDir`. */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
             checkpointDir: String, k: Int,
-            availableNow: Boolean = true, compactEvery: Int = 0): StreamingQuery = {
+            availableNow: Boolean = true,
+            compactEvery: Int = AppendState.DefaultCompactEvery): StreamingQuery = {
     val raw = spark.readStream.schema(CorpusIngest.docsFileSchema).parquet(sourceDir)
     val trigger =
       if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
@@ -74,10 +82,7 @@ object SourceCapsStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(spark, batch, targetDir, k, batchId)
-        if (compactEvery > 0 &&
-          AppendState.deltaIds(targetDir).size >= compactEvery)
-          compact(spark, targetDir, k)
+        applyBatch(spark, batch, targetDir, k, batchId, compactEvery)
       }
       .start()
   }

@@ -24,8 +24,44 @@ private[streaming] object StateCommit {
   private def markerFile(targetDir: String) = new java.io.File(targetDir + ".applied")
   private def versionDir(targetDir: String, batchId: Long) = s"$targetDir.v$batchId"
 
+  /** Layout-version stamp (sibling `.layout` file, like the `.applied`
+    * marker). Guards the two silent-restart hazards: (a) a FUTURE layout
+    * refactor — readers refuse a mismatched stamp instead of resolving
+    * garbage; (b) a target dir holding a DIFFERENT state class's layout —
+    * most concretely an [[AppendState]] delta dir from a stream's earlier
+    * design (the SchemaProfileStream round-15 rewrite), where `lastApplied`
+    * would otherwise report −1 and the next applyBatch would quietly
+    * rebuild the grid from one batch, silently zeroing a monitor. An
+    * `.applied` marker with no `.layout` stamp is the documented
+    * pre-versioning StateCommit layout and stays readable (the flat-dir
+    * fallback in [[committedDir]]); the stamp is added at the next commit. */
+  private[streaming] val LayoutId = "graft-state-commit v1"
+  private def layoutFile(targetDir: String) = new java.io.File(targetDir + ".layout")
+
+  private def checkLayout(targetDir: String): Unit = {
+    val lf = layoutFile(targetDir)
+    if (lf.exists()) {
+      val got = java.nio.file.Files.readString(lf.toPath).trim
+      require(got == LayoutId,
+        s"StateCommit: state at $targetDir has layout '$got' but this build " +
+          s"reads '$LayoutId' — incompatible state layout; rebuild the state " +
+          "from a replay (state dir and checkpoint dir live and die as a unit)")
+    }
+    if (!markerFile(targetDir).exists()) {
+      val dir = new java.io.File(targetDir)
+      val entries = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      require(!entries.exists(f => f.getName.startsWith("delta=") ||
+        f.getName.startsWith("base=") || f.getName == ".base" || f.getName == ".layout"),
+        s"StateCommit: $targetDir holds an AppendState-layout state " +
+          "(delta=/base= entries) — a monitor restarted against a state dir " +
+          "written by an earlier layout generation; refusing to silently " +
+          "reset it. Rebuild the state from a replay on a fresh target dir")
+    }
+  }
+
   /** Last committed batch id, or −1 before the first commit. */
   def lastApplied(targetDir: String): Long = {
+    checkLayout(targetDir)
     val marker = markerFile(targetDir)
     if (marker.exists()) java.nio.file.Files.readString(marker.toPath).trim.toLong
     else -1L
@@ -67,6 +103,13 @@ private[streaming] object StateCommit {
       if (last >= 0) Some(spark.read.parquet(committedDir(targetDir, last))) else None
     merge(base).localCheckpoint(true)
       .write.mode("overwrite").parquet(versionDir(targetDir, batchId))
+    if (!layoutFile(targetDir).exists()) {
+      val lt = new java.io.File(targetDir + ".layout.tmp")
+      java.nio.file.Files.writeString(lt.toPath, LayoutId)
+      java.nio.file.Files.move(lt.toPath, layoutFile(targetDir).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     val tmp = new java.io.File(targetDir + ".applied.tmp")
     java.nio.file.Files.writeString(tmp.toPath, batchId.toString)
     java.nio.file.Files.move(tmp.toPath, markerFile(targetDir).toPath,

@@ -58,8 +58,12 @@ object UrlDedupStream {
 
   /** One micro-batch apply: canonicalize the batch, append the membership
     * rows as an immutable delta (atomic, replay-skipped). */
-  def applyBatch(batch: DataFrame, targetDir: String, batchId: Long): Unit =
+  def applyBatch(batch: DataFrame, targetDir: String, batchId: Long,
+                 compactEvery: Int = AppendState.DefaultCompactEvery): Unit = {
     AppendState.append(slice(batch), targetDir, batchId)
+    if (compactEvery > 0 && AppendState.deltaIds(targetDir).size >= compactEvery)
+      compact(batch.sparkSession, targetDir)
+  }
 
   /** Fold current deltas into a fresh compacted base (`distinct` — the
     * union state's own idempotent reduction). */
@@ -72,7 +76,7 @@ object UrlDedupStream {
     * accumulate. */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
             checkpointDir: String, availableNow: Boolean = true,
-            compactEvery: Int = 0): StreamingQuery = {
+            compactEvery: Int = AppendState.DefaultCompactEvery): StreamingQuery = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType, nullable = false),
@@ -85,8 +89,7 @@ object UrlDedupStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, targetDir, batchId)
-        AppendState.compactIfDue(spark, targetDir, compactEvery)(_.distinct())
+        applyBatch(batch, targetDir, batchId, compactEvery)
       }
       .start()
   }

@@ -102,10 +102,14 @@ object VocabDrift {
     * append-only delta publish — replayed batches skip by id, out-of-band
     * replays collapse through the idempotent merge-on-read. */
   def applyBatch(spark: SparkSession, verdicts: DataFrame, targetDir: String,
-                 batchId: Long = -1L): Unit =
+                 batchId: Long = -1L,
+                 compactEvery: Int = AppendState.DefaultCompactEvery): Unit = {
     AppendState.append(
       mergeVerdicts(verdicts.limit(0), verdicts).localCheckpoint(true),
       targetDir, batchId)
+    if (compactEvery > 0 && AppendState.deltaIds(targetDir).size >= compactEvery)
+      compact(spark, targetDir)
+  }
 
   /** Start the monitor: document source dir → per-batch verdicts against
     * the STATIC `vocab` → doc_id-keyed verdict table in `targetDir`; the
@@ -113,7 +117,8 @@ object VocabDrift {
     * true` drains and stops (test/replay mode). */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
             checkpointDir: String, vocab: Seq[String],
-            availableNow: Boolean = true, compactEvery: Int = 0): StreamingQuery = {
+            availableNow: Boolean = true,
+            compactEvery: Int = AppendState.DefaultCompactEvery): StreamingQuery = {
     val raw = spark.readStream.schema(CorpusIngest.docsFileSchema).parquet(sourceDir)
     val trigger =
       if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
@@ -121,10 +126,7 @@ object VocabDrift {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(spark, gate(batch, vocab), targetDir, batchId)
-        if (compactEvery > 0 &&
-          AppendState.deltaIds(targetDir).size >= compactEvery)
-          compact(spark, targetDir)
+        applyBatch(spark, gate(batch, vocab), targetDir, batchId, compactEvery)
       }
       .start()
   }

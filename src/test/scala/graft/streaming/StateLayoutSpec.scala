@@ -232,6 +232,78 @@ class StateLayoutSpec extends SparkSpec {
       === Seq(("click", "k", 1000L, 2L, "2024-01-01", "2024-01-03", 1000L)))
   }
 
+  test("auto-compaction: delta-file count stays bounded across N batches with NO manual compact call") {
+    val dir = tmp("ac").resolve("state").toString
+    // 20 micro-batches through the stream's own applyBatch — the default
+    // compactEvery must keep the live delta count under the trigger and
+    // leave the folded state byte-equivalent to the union
+    (0 until 20).foreach { b =>
+      UrlDedupStream.applyBatch(
+        Seq((b.toLong, s"http://h$b.example.com/p?utm_source=x")).toDF("doc_id", "raw_url"),
+        dir, batchId = b.toLong)
+    }
+    assert(AppendState.deltaIds(dir).size < AppendState.DefaultCompactEvery,
+      s"deltas must stay bounded, got ${AppendState.deltaIds(dir)}")
+    assert(AppendState.baseId(dir) >= 0, "a compacted base must exist")
+    assert(UrlDedupStream.state(spark, dir).select("doc_id").distinct().count() === 20L)
+    // opting out (compactEvery ≤ 0) accumulates one delta per batch
+    val dir2 = tmp("ac2").resolve("state").toString
+    (0 until 10).foreach { b =>
+      UrlDedupStream.applyBatch(
+        Seq((b.toLong, s"http://h$b.example.com/p")).toDF("doc_id", "raw_url"),
+        dir2, batchId = b.toLong, compactEvery = 0)
+    }
+    assert(AppendState.deltaIds(dir2).size === 10)
+  }
+
+  test("layout versioning: mismatched or missing stamps fail LOUD on every state user") {
+    // (a) an AppendState dir stamped by a different layout generation:
+    // readers AND writers refuse with the version message
+    val dir = tmp("lv").resolve("state").toString
+    AppendState.append(Seq((1L, "a")).toDF("k", "v"), dir, 0L)
+    Files.writeString(new java.io.File(dir, ".layout").toPath, "graft-append-state v0")
+    val eA = intercept[IllegalArgumentException] { AppendState.raw(spark, dir) }
+    assert(eA.getMessage.contains("graft-append-state v0"))
+    val eW = intercept[IllegalArgumentException] {
+      AppendState.append(Seq((2L, "b")).toDF("k", "v"), dir, 1L)
+    }
+    assert(eW.getMessage.contains("incompatible state layout"))
+
+    // (b) a pre-versioning AppendState dir (state content, no stamp)
+    val dir2 = tmp("lv2").resolve("state").toString
+    AppendState.append(Seq((1L, "a")).toDF("k", "v"), dir2, 0L)
+    assert(new java.io.File(dir2, ".layout").delete())
+    val eB = intercept[IllegalArgumentException] { AppendState.raw(spark, dir2) }
+    assert(eB.getMessage.contains(".layout"))
+
+    // (c) StateCommit pointed at an AppendState-layout dir — the
+    // SchemaProfileStream round-15 rewrite hazard: must refuse, never
+    // report "no state" and silently rebuild the grid from one batch
+    val dir3 = tmp("lv3").resolve("state").toString
+    AppendState.append(Seq((1L, "a")).toDF("k", "v"), dir3, 0L)
+    val eC = intercept[IllegalArgumentException] { StateCommit.lastApplied(dir3) }
+    assert(eC.getMessage.contains("AppendState-layout"))
+    intercept[IllegalArgumentException] {
+      StateCommit.applyBatch(spark, dir3, 0L)(_ => Seq((1L, 1L)).toDF("k", "n"))
+    }
+
+    // (d) a StateCommit state stamped by a different layout generation
+    val dir4 = tmp("lv4").resolve("state").toString
+    StateCommit.applyBatch(spark, dir4, 0L)(_ => Seq((1L, 1L)).toDF("k", "n"))
+    assert(Files.readString(new java.io.File(dir4 + ".layout").toPath).trim
+      === StateCommit.LayoutId)
+    Files.writeString(new java.io.File(dir4 + ".layout").toPath, "graft-state-commit v0")
+    val eD = intercept[IllegalArgumentException] { StateCommit.state(spark, dir4) }
+    assert(eD.getMessage.contains("graft-state-commit v0"))
+
+    // (e) fresh dirs stamp themselves on first write
+    val dir5 = tmp("lv5").resolve("state").toString
+    AppendState.append(Seq((1L, "a")).toDF("k", "v"), dir5, 0L)
+    assert(Files.readString(new java.io.File(dir5, ".layout").toPath).trim
+      === AppendState.LayoutId)
+    assert(AppendState.raw(spark, dir5).get.count() === 1L)
+  }
+
   test("StateCommit: a legacy flat-layout state dir restarts and migrates into the versioned layout") {
     val dir = tmp("scleg").resolve("state").toString
     // the pre-versioning layout: state in the flat dir, marker alongside
