@@ -1764,31 +1764,38 @@ object ExtQueries {
       k = IvfK, minHitsPerQuery = IvfFloorQ, minHitsTotal = IvfFloorT)
   }
 
-  /** Recall@k CURVE across the ANN tiers — the calibration table a user
-    * reads to pick k (and tier) before trusting approximate search: for
-    * k ∈ {1,2,4,8}, the aggregate |ann top-k ∩ exact top-k| over the
-    * probe queries for BOTH the LSH and IVF indexes at their production
-    * parameterizations, gated per (tier, k) by measured floors. The
+  /** Recall@k CURVE across ALL FOUR ANN tiers — the calibration table a
+    * user reads to pick k (and tier) before trusting approximate search:
+    * for k ∈ {1,2,4,8}, the aggregate |ann top-k ∩ exact top-k| over the
+    * probe queries for the LSH, IVF, PQ and IVF-PQ indexes at their
+    * production parameterizations, gated per (tier, k) by measured
+    * floors — every tier a user can deploy is on the same k axis. The
     * single-k audits catch a tier breaking; the curve says WHERE on the
     * k axis each tier stops being trustworthy.
     *
     * Shape: exact top-kMax is the session-shared calibration checkpoint
-    * ([[exactTop]] — ONE brute scan serves four surfaces) read by both
-    * tier joins; the IVF tier probes against the shared production
-    * codebook ([[ivfCellsShared]] — byte-identical to inline training);
-    * each tier's ANN list is its production single-scan plan; everything
-    * after the scans is Q·kMax-bounded
-    * (the hit join, the ×|ks| explode, the floor join). Floors
-    * ([[RecallCurveFloors]]) are measured minima across the sf0.001 /
-    * sf0.01 / sf0.1 fixtures minus margin (lsh h8 36–48 → floor 30; ivf
-    * h8 64–75 → floor 55), so the audit is fixture-stable; the oracle
+    * ([[exactTop]] — ONE brute scan serves five surfaces) read by every
+    * tier join; the IVF tier probes against the shared production
+    * codebook ([[ivfCellsShared]] — byte-identical to inline training)
+    * and the PQ / IVF-PQ tiers against the session-trained [[pqBooks]] /
+    * [[ivfPqIdx]] (the serve-from-index production shape); each tier's
+    * ANN list is its production single-scan plan — four corpus scans for
+    * four tiers is the honest audit minimum — and everything after the
+    * scans is Q·kMax-bounded (the hit join, the ×|ks| explode, the floor
+    * join). Floors ([[RecallCurveFloors]]) are measured minima across
+    * the sf0.001 / sf0.01 / sf0.1 fixtures minus margin (lsh h8 36–48 →
+    * floor 30; ivf h8 64–75 → floor 55; pq h8 42–51 → floor 32; ivfpq
+    * h8 41–60 → floor 30), so the audit is fixture-stable; the oracle
     * asserts the same grid with ok = true (the [[Knn.recallAudit]]
     * graduation discipline — the neighbor lists are hash-machinery-
     * dependent, their recall CONTRACT is deterministic). */
   private val RecallCurveKs = Seq(1L, 2L, 4L, 8L)
   private[graft] val RecallCurveFloors: Map[(String, Long), Long] = Map(
     ("lsh", 1L) -> 4L, ("lsh", 2L) -> 7L, ("lsh", 4L) -> 16L, ("lsh", 8L) -> 30L,
-    ("ivf", 1L) -> 8L, ("ivf", 2L) -> 15L, ("ivf", 4L) -> 28L, ("ivf", 8L) -> 55L)
+    ("ivf", 1L) -> 8L, ("ivf", 2L) -> 15L, ("ivf", 4L) -> 28L, ("ivf", 8L) -> 55L,
+    ("pq", 1L) -> 6L, ("pq", 2L) -> 10L, ("pq", 4L) -> 18L, ("pq", 8L) -> 32L,
+    ("ivfpq", 1L) -> 3L, ("ivfpq", 2L) -> 8L, ("ivfpq", 4L) -> 15L,
+    ("ivfpq", 8L) -> 30L)
   private val extSimRecallCurve: Q = (s, d) => {
     import s.implicits._
     val emb = embeddings(s, d)
@@ -1803,7 +1810,11 @@ object ExtQueries {
         bands = 16, bitsPerBand = 6),
       "ivf" -> Knn.ivfKnn(emb, qs, "vec_id", "embedding", k = kMax,
         nCells = IvfCells, iters = IvfIters, nProbe = IvfProbe,
-        sampleN = IvfSampleN, trainedCells = Some(ivfCellsShared(s, d))))
+        sampleN = IvfSampleN, trainedCells = Some(ivfCellsShared(s, d))),
+      "pq" -> Knn.pqKnnWith(pqBooks(s, d), emb, qs, "vec_id", "embedding",
+        k = kMax, rerank = PqRerank),
+      "ivfpq" -> Knn.ivfPqKnnWith(ivfPqIdx(s, d), emb, qs, "vec_id", "embedding",
+        k = kMax, nProbe = IvfProbe, rerank = PqRerank))
     tiers.map { case (tier, ann) =>
       val hits = ann
         .select(col("query_id"), col("neighbor_id"), col("rank").as("__ar"))

@@ -609,10 +609,10 @@ class PlanSpec extends SparkSpec {
       s"phash pairs must bucket-join, not cross:\n${p.take(2000)}")
   }
 
-  test("recall curve: both tier audits read the ONE checkpointed exact frame; floor grid joins stay local") {
+  test("recall curve: all four tier audits read the ONE checkpointed exact frame; floor grid joins stay local") {
     val p = plan("ext_sim_recall_curve")
     // the exact top-k is checkpointed once (Scan ExistingRDD) and joined
-    // by both tiers; the only parquet scans are the two ANN tiers' corpus
+    // by all four tiers; the only parquet scans are the ANN tiers' corpus
     // passes + their broadcast query sides
     assert(p.contains("Scan ExistingRDD"),
       s"exact frame must be the checkpoint:\n${p.take(2000)}")
