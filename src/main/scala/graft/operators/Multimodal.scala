@@ -457,6 +457,21 @@ object Multimodal {
       .distinct()
   }
 
+  /** The SoftDeDup DECISION report over a pHash pair graph — shared
+    * VERBATIM by the batch `ext_multimodal_dedup` and the streaming
+    * maintainer ([[graft.streaming.MultimodalDedupStream.report]]), so the
+    * continuous keep/reweight grid and the batch audit cannot drift: pairs
+    * close into connected components ([[Dedup.duplicateClusters]] — the
+    * same alternating-halving label propagation as the text tiers), then
+    * every doc gets its cluster, copy count, SoftDeDup ppm weight and the
+    * min-id `keep` verdict. `docs` only needs a `doc_id` column; CC runs
+    * on the pair slice only, the weight/keep join-back is doc-keyed
+    * ([[Dedup.softWeights]]) — media payloads never move here. */
+  def softDedup(docs: DataFrame, pairs: DataFrame): DataFrame =
+    Dedup.softWeights(docs, "doc_id",
+        Dedup.duplicateClusters(pairs.select(col("doc_a"), col("doc_b"))))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+
   def frameSample(docs: DataFrame, stride: Int): DataFrame = {
     val meta = withMediaColumn(docs)
       .withColumn("n_bytes", length(col("media")).cast("long"))

@@ -2886,7 +2886,7 @@ object ExtQueries {
     * of both — the [[trainedNbModel]] session-share discipline. */
   private val phashByDir =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def imageHashesShared(s: SparkSession, d: String): DataFrame =
+  private[queries] def imageHashesShared(s: SparkSession, d: String): DataFrame =
     phashByDir.computeIfAbsent(d, _ =>
       Multimodal.imageHashes(documents(s, d))(s).localCheckpoint(true))
 
@@ -2896,27 +2896,23 @@ object ExtQueries {
 
   /** Image near-dup DECISION tier — the text family's cluster/keep/soft
     * machinery applied to the pHash pair graph: banded Hamming pairs
-    * ([[Multimodal.phashPairs]], lossless for ≤ 5 flipped bits) close
-    * into connected components ([[Dedup.duplicateClusters]] — the SAME
-    * alternating-halving label propagation as the text tiers), then every
-    * doc gets its cluster, copy count, SoftDeDup ppm weight and the
-    * min-id `keep` verdict. The drop/reweight list a multimodal pipeline
-    * actually consumes, vs the pair report's raw edges.
+    * ([[Multimodal.phashPairs]], lossless for ≤ 5 flipped bits) through
+    * [[Multimodal.softDedup]] (CC → cluster, copy count, SoftDeDup ppm
+    * weight, min-id `keep` — the definition shared VERBATIM with the
+    * streaming maintainer [[graft.streaming.MultimodalDedupStream]], so
+    * the continuous grid and this audit cannot drift). The drop/reweight
+    * list a multimodal pipeline actually consumes, vs the pair report's
+    * raw edges.
     *
     * Shape: pairs are Σ bucket² per band (bounded by hash diversity); CC
     * runs on the pair slice only; the weight/keep join-back is the
     * doc-keyed [[Dedup.softWeights]] composition — media payloads are
     * decoded ONCE (hash frame checkpointed inside phashPairs) and never
     * move again. */
-  private val extMultimodalDedup: Q = (s, d) => {
-    val docs = documents(s, d)
-    val pairs = Multimodal.phashPairs(imageHashesShared(s, d))
-      .select(col("doc_a"), col("doc_b"))
-    val labels = Dedup.duplicateClusters(pairs)
-    Dedup.softWeights(docs, "doc_id", labels)
-      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  private val extMultimodalDedup: Q = (s, d) =>
+    Multimodal.softDedup(documents(s, d),
+        Multimodal.phashPairs(imageHashesShared(s, d)))
       .orderBy("doc_id")
-  }
 
   /** Frame sampling over the opaque media column: every 3rd frame index per
     * doc with a deterministic frame hash (stub codec — the row shape is what

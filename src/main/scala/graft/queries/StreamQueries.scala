@@ -271,6 +271,33 @@ object StreamQueries {
       meta.unionByName(meta).distinct()) // two deliveries collapse
   }
 
+  /** The ingest IMAGE near-dup pipeline run in BATCH mode over a DOUBLED
+    * delivery (at-least-once): a payload's 60-bit pHash is a pure
+    * function of its bytes, so the doubled hash membership collapses by
+    * distinct; the band probe ([[graft.streaming.MultimodalDedupStream
+    * .newPairs]] — the stream's own machinery, self-probing the one
+    * batch) emits byte-equal pairs that the distinct merge collapses; and
+    * the decision report is [[graft.operators.Multimodal.softDedup]]
+    * shared verbatim with the batch tier — the oracle IS
+    * ext_multimodal_dedup's SQL. The decode rides the session-shared
+    * hash checkpoint ([[ExtQueries.imageHashesShared]] — the
+    * intIvfCellsShared discipline: decode once, serve three surfaces).
+    * Live path (cross-batch pair completion, redelivery, restart) in
+    * StreamingSpec. */
+  private val streamMultimodalDedup: Q = (s, d) => {
+    import graft.streaming.MultimodalDedupStream
+    val docs = s.read.parquet(s"$d/documents.parquet")
+    val once = ExtQueries.imageHashesShared(s, d)
+    val twice = once.unionByName(once).distinct() // two deliveries collapse
+      .localCheckpoint(true) // probe side AND index side read the bands
+    val bands = MultimodalDedupStream.bandRows(twice)
+    val fresh = MultimodalDedupStream.newPairs(bands, bands)
+    graft.operators.Multimodal.softDedup(
+        docs.select(col("doc_id")),
+        MultimodalDedupStream.mergePairs(fresh.limit(0), fresh))
+      .orderBy("doc_id")
+  }
+
   /** The t-closeness report read off the k-anonymity stream's maintained
     * class grid, run in BATCH mode over a DOUBLED delivery — the
     * one-state-many-reports discipline (the (day, type) count state
@@ -703,6 +730,7 @@ object StreamQueries {
     "stream_l_diversity" -> streamLDiversity,
     "stream_t_closeness" -> streamTCloseness,
     "stream_cross_source" -> streamCrossSource,
+    "stream_multimodal_dedup" -> streamMultimodalDedup,
     "stream_embed_drift" -> streamEmbedDrift,
     "stream_ivf_occupancy" -> streamIvfOccupancy,
     "stream_dsir_model" -> streamDsirModel,
@@ -732,6 +760,9 @@ object StreamQueries {
     "stream_l_diversity" -> CdcQueries.oracle("agg_l_diversity"),
     "stream_t_closeness" -> CdcQueries.oracle("agg_t_closeness"),
     "stream_cross_source" -> ExtQueries.oracle("ext_dedup_cross_source"),
+    // the decision report is Multimodal.softDedup shared verbatim with
+    // the batch tier — one definition, one oracle
+    "stream_multimodal_dedup" -> ExtQueries.oracle("ext_multimodal_dedup"),
     "stream_embed_drift" -> ExtQueries.oracle("ext_embed_drift"),
     "stream_dsir_model" -> ExtQueries.oracle("ext_dsir_model"),
     "stream_ivf_occupancy" -> ExtQueries.oracle("ext_sim_ivf_occupancy"),

@@ -1,0 +1,188 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Multimodal
+
+/** Incremental IMAGE near-duplicate detection at ingest (SURVEY §2.7 ×
+  * §2.8) — the streaming twin of `ext_multimodal_dedup`, and the pHash
+  * analogue of [[NeardupStream]]: images arrive on the same at-least-once
+  * ingest as text, each new payload is decoded to its 60-bit perceptual
+  * hash ONCE ([[Multimodal.imageHashes]] — the expensive half), the
+  * hash's 6 LSH bands probe the accumulated band index, Hamming-verified
+  * pairs land in a pair table, and the index absorbs the batch — so a
+  * duplicate image is known the moment the second copy arrives. Banding
+  * is LOSSLESS here (≤ [[MaxHamming]] < 6 flipped bits leaves ≥ 1
+  * untouched 10-bit band by pigeonhole — [[Multimodal.phashPairs]]'s
+  * argument), so the stream converges to exactly the batch tier's pairs.
+  *
+  * State rides [[AppendState]] (append-only deltas, atomic publish,
+  * merge-on-read), per-batch I/O O(batch):
+  *  - `docs`: (doc_id) membership ledger — the report must weight EVERY
+  *    doc ever delivered (singletons keep weight 1), appended FIRST so a
+  *    crash window can only leave a doc-without-pairs (a singleton until
+  *    the replay lands), never a pair member with no doc row (silent
+  *    under-count) — the [[NeardupStream]] meta-first discipline.
+  *  - `index`: (doc_id, band, __key, phash) — 6 band rows per doc,
+  *    partitionBy'd on `bucket = pmod(__key, IndexBuckets)` so a batch's
+  *    posting fetch prunes whole delta files (PartitionFilters), the
+  *    [[NeardupStream.IndexBuckets]] layout discipline. Distinct-on-read.
+  *  - `pairs`: (doc_a < doc_b, hamming). A pair is a PURE function of the
+  *    two payloads' hashes, so redelivery/splits recompute byte-equal
+  *    rows and the distinct merge-on-read collapses them.
+  * Convergence: pair (a, b) is emitted by the batch that completes it —
+  * the probe side carries the new doc's bands, the index side the older
+  * doc's, and both rows carry the FULL hash, so the Hamming verify is
+  * exact regardless of how arrivals were split across batches.
+  *
+  * 100 TB shape, per batch: decode is one mapPartitions pass over the
+  * batch's payloads; the probe joins the batch's ≤ 6·|batch| band rows
+  * against the bucket-pruned posting slice; candidates are Σ bucket² per
+  * band (bounded by hash diversity, the batch tier's argument); the only
+  * writes are the three O(batch) deltas, auto-folded by
+  * [[AppendState.DefaultCompactEvery]].
+  *
+  * Batch/stream unification: the decision report is
+  * [[Multimodal.softDedup]] shared VERBATIM with `ext_multimodal_dedup`,
+  * so the two forms share ONE oracle SQL. The batch-replay form is
+  * oracle-gated as `stream_multimodal_dedup` over a DOUBLED delivery
+  * (hash rows are pure per doc — the distinct membership collapses it);
+  * live restart / cross-batch completion / redelivery in StreamingSpec. */
+object MultimodalDedupStream {
+
+  /** Pairs at Hamming ≤ 5 are near-dups — [[Multimodal.phashPairs]]'s
+    * lossless-banding bound (6 bands × 10 bits). */
+  val MaxHamming = 5
+
+  /** Band-key bucket count for the index state's file layout (the
+    * [[NeardupStream.IndexBuckets]] discipline): deltas and bases are
+    * partitionBy'd on `pmod(__key, IndexBuckets)` so the probe prunes to
+    * the batch's buckets before the posting join runs. */
+  val IndexBuckets = 16
+
+  /** One decoded 60-bit hash per payload — [[Multimodal.imageHashes]]
+    * over the batch (partition-parallel decode; the expensive half). */
+  def hashRows(batchDocs: DataFrame): DataFrame =
+    Multimodal.imageHashes(batchDocs)(batchDocs.sparkSession)
+
+  /** A hash frame fanned out to its 6 LSH band rows — the probe unit and
+    * the index-state row shape (each row carries the full hash for the
+    * exact Hamming verify at probe time). */
+  def bandRows(hashes: DataFrame): DataFrame =
+    hashes.select(col("doc_id"), col("phash"),
+      explode(sequence(lit(0), lit(5))).as("band"))
+      .withColumn("__key", expr("(phash >> (band * 10)) & 1023"))
+
+  private def bucketed(bands: DataFrame): DataFrame =
+    bands.withColumn("bucket",
+      pmod(col("__key"), lit(IndexBuckets.toLong)).cast("int"))
+
+  /** Pairs completed by this batch: probe bands ⋈ merged-index bands on
+    * (band, key), exact `bit_count(xor)` verify, min/max-normalized and
+    * distinct'd (the `=!=` join emits new-new pairs in both directions;
+    * redelivered duplicate index rows collapse here too). Output schema
+    * is [[Multimodal.phashPairs]]'s — (doc_a, doc_b, hamming). */
+  def newPairs(batchBands: DataFrame, mergedBands: DataFrame,
+               maxHamming: Int = MaxHamming): DataFrame =
+    batchBands.as("a").join(mergedBands.as("b"),
+        col("a.band") === col("b.band") && col("a.__key") === col("b.__key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        expr("bit_count(a.phash ^ b.phash)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+
+  /** Idempotent pair merge — rows are byte-equal on every delivery (the
+    * hash is a pure function of the payload), so distinct collapses any
+    * multiplicity and order. */
+  def mergePairs(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(batch).distinct()
+
+  /** The delivered-doc membership ledger, distinct (one 8-byte row per
+    * doc ever delivered; empty before the first batch). */
+  def docState(spark: SparkSession, targetDir: String): DataFrame =
+    AppendState.raw(spark, s"$targetDir/docs")
+      .map(_.distinct())
+      .getOrElse(spark.range(0).select(col("id").as("doc_id")))
+
+  /** The LIVE pair table (distinct-merge-on-read over the deltas). */
+  def pairState(spark: SparkSession, targetDir: String): DataFrame =
+    AppendState.raw(spark, s"$targetDir/pairs")
+      .map(_.distinct())
+      .getOrElse(spark.range(0).select(col("id").as("doc_a"),
+        col("id").as("doc_b"), lit(0L).as("hamming")))
+
+  /** The probe-facing index view, PRUNED to the given buckets via the
+    * partition column (whole delta files skip) — duplicate rows stay;
+    * [[newPairs]]'s distinct absorbs them. */
+  private def indexForBuckets(spark: SparkSession, targetDir: String,
+                              buckets: Seq[Int]): Option[DataFrame] =
+    AppendState.raw(spark, s"$targetDir/index")
+      .map(_.filter(col("bucket").isin(buckets: _*))
+        .select(col("doc_id"), col("phash"), col("band"), col("__key")))
+
+  /** The live keep/reweight decision grid — [[Multimodal.softDedup]]
+    * (shared verbatim with the batch `ext_multimodal_dedup`) over the
+    * maintained doc ledger + pair state. Readable at any moment. */
+  def report(spark: SparkSession, targetDir: String): DataFrame =
+    Multimodal.softDedup(docState(spark, targetDir), pairState(spark, targetDir))
+
+  /** Fold all three states' deltas ([[AppendState.compact]] — run from
+    * [[applyBatch]] once `compactEvery` deltas accumulate on the index). */
+  def compact(spark: SparkSession, targetDir: String): Unit = {
+    AppendState.compact(spark, s"$targetDir/index", _.distinct(),
+      partitionCols = Seq("bucket"))
+    AppendState.compact(spark, s"$targetDir/docs", _.distinct())
+    AppendState.compact(spark, s"$targetDir/pairs", _.distinct())
+  }
+
+  /** One micro-batch apply: decode the batch's hashes ONCE, append the
+    * doc ledger first (crash-window ordering), then the batch's band rows,
+    * probe the now-merged bucket-pruned index, append the completed pairs.
+    * A crash between appends replays cleanly: earlier appends no-op and
+    * the pair recompute is deterministic. */
+  def applyBatch(spark: SparkSession, batchDocs: DataFrame, targetDir: String,
+                 batchId: Long, maxHamming: Int = MaxHamming,
+                 compactEvery: Int = AppendState.DefaultCompactEvery): Unit = {
+    val hashes = hashRows(batchDocs).dropDuplicates("doc_id").localCheckpoint(true)
+    AppendState.append(hashes.select(col("doc_id")), s"$targetDir/docs", batchId)
+    val batchBands = bucketed(bandRows(hashes)).localCheckpoint(true)
+    AppendState.append(batchBands, s"$targetDir/index", batchId,
+      partitionCols = Seq("bucket"))
+    // the partition filter is decided by an IndexBuckets-bounded collect;
+    // lossless: a posting matching a batch band key is in a batch bucket
+    val batchBuckets =
+      batchBands.select(col("bucket")).distinct().collect().map(_.getInt(0)).toSeq
+    val merged = indexForBuckets(spark, targetDir, batchBuckets)
+      .getOrElse(batchBands.select(col("doc_id"), col("phash"), col("band"), col("__key")))
+    val fresh = newPairs(batchBands, merged, maxHamming)
+    AppendState.append(fresh.localCheckpoint(true), s"$targetDir/pairs", batchId)
+    if (compactEvery > 0 &&
+      AppendState.deltaIds(s"$targetDir/index").size >= compactEvery)
+      compact(spark, targetDir)
+  }
+
+  /** Start the ingest image-dedup stream: document source dir (the
+    * [[CorpusIngest.docsFileSchema]] ingest — payloads via
+    * [[Multimodal.withMediaColumn]]) → per-batch decode + band probe →
+    * (docs, index, pairs) append-only state under `targetDir`
+    * ([[report]] reads it any time). */
+  def start(spark: SparkSession, sourceDir: String, targetDir: String,
+            checkpointDir: String, availableNow: Boolean = true,
+            maxHamming: Int = MaxHamming,
+            compactEvery: Int = AppendState.DefaultCompactEvery): StreamingQuery = {
+    val raw = spark.readStream.schema(CorpusIngest.docsFileSchema).parquet(sourceDir)
+    val trigger =
+      if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(spark, batch, targetDir, batchId, maxHamming, compactEvery)
+      }
+      .start()
+  }
+}

@@ -599,6 +599,67 @@ class StreamingSpec extends SparkSpec {
     assert(NeardupStream.metaState(spark, tgt).count() === 3L)
   }
 
+  test("streaming multimodal dedup: image pairs complete across batches; report matches the batch tier") {
+    import graft.streaming.MultimodalDedupStream
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val src = tmp("mmd-src")
+    val tgt = tmp("mmd-tgt").toString
+    val ckp = tmp("mmd-ckp").toString
+
+    // the fixture's stub payload is the text bytes (withMediaColumn), so
+    // identical text = identical payload = hamming-0 image pair; the
+    // others are unrelated payloads
+    val dup = "the very same promotional banner embedded on two mirror pages"
+    val other = "an entirely different photograph with its own caption text"
+    def deliver(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = tmp(s"mmd-stage-$name")
+      rows.map { case (id, text) => (id, text, "en", "web", text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, src.resolve(s"$name-${f.getName}")))
+    }
+
+    // wave 1: the first copy alone — no pairs can exist yet, but the doc
+    // ledger already weights it as a singleton
+    deliver("w1", Seq((1L, dup)))
+    MultimodalDedupStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    assert(MultimodalDedupStream.pairState(spark, tgt).count() === 0L)
+    assert(MultimodalDedupStream.report(spark, tgt)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+      === Seq((1L, 1L, 1L, 1000000L, true)))
+
+    // wave 2: the second copy arrives (+ an unrelated image, + the first
+    // copy REDELIVERED) — the cross-batch pair (1, 2) must complete now
+    deliver("w2", Seq((1L, dup), (2L, dup), (3L, other)))
+    MultimodalDedupStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    val pairs = MultimodalDedupStream.pairState(spark, tgt)
+      .as[(Long, Long, Long)].collect().sortBy(p => (p._1, p._2)).toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    assert(pairs.head._3 === 0L) // identical payloads: hamming 0
+
+    // the live report equals the batch tier over the union of deliveries
+    // (Multimodal.softDedup shared verbatim — one definition)
+    val allDocs = Seq((1L, dup), (2L, dup), (3L, other)).toDF("doc_id", "text")
+    val expect = Multimodal.softDedup(allDocs,
+        Multimodal.phashPairs(Multimodal.imageHashes(allDocs)(spark)))
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val got = MultimodalDedupStream.report(spark, tgt)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    graft.operators.Dedup.unpersistAll()
+    assert(got === expect)
+    assert(got.map(r => (r._1, r._5)) === Seq((1L, true), (2L, false), (3L, true)))
+
+    // replay with no new data: state unchanged (idempotence)
+    MultimodalDedupStream.start(spark, src.toString, tgt, ckp).awaitTermination()
+    assert(MultimodalDedupStream.pairState(spark, tgt)
+      .as[(Long, Long, Long)].collect().sortBy(p => (p._1, p._2)).toSeq === pairs)
+    // ledger growth class: one doc row per doc ever delivered, 6 band
+    // rows per doc in the index — never payload-sized state
+    assert(MultimodalDedupStream.docState(spark, tgt).count() === 3L)
+  }
+
   test("streaming prefix templates: groups complete across batches and survive redelivery + compaction") {
     import graft.streaming.PrefixDupStream
     import spark.implicits._
