@@ -777,11 +777,21 @@ object Knn {
     pqKnnWith(pqCodebooks(corpus, idCol, embCol, m, nCodes, iters, sampleN),
       corpus, queries, idCol, embCol, k, rerank)
 
+  /** The ADC-ready coded corpus (neighbor_id, __codes) — a pure function
+    * of (corpus, books), so callers serving several audit surfaces from
+    * one index can checkpoint it ONCE and pass it back through
+    * [[pqKnnWith]]'s `codedCorpus` (the trainedCells/exactTop session-
+    * share discipline: byte-identical to inline coding). */
+  def pqCodedCorpus(books: Codebooks, corpus: DataFrame,
+                    idCol: String, embCol: String): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"),
+      pqAssignExpr(books, col(embCol)).getField("codes").as("__codes"))
+
   /** [[pqKnn]] against pre-trained codebooks (see [[pqCodesWith]]). */
   def pqKnnWith(books: Codebooks, corpus: DataFrame, queries: DataFrame,
-                idCol: String, embCol: String, k: Int, rerank: Int = 0): DataFrame = {
-    val coded = corpus.select(col(idCol).as("neighbor_id"),
-      pqAssignExpr(books, col(embCol)).getField("codes").as("__codes"))
+                idCol: String, embCol: String, k: Int, rerank: Int = 0,
+                codedCorpus: Option[DataFrame] = None): DataFrame = {
+    val coded = codedCorpus.getOrElse(pqCodedCorpus(books, corpus, idCol, embCol))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       pqDistTable(books, col(embCol)).as("__dt")))
     val wAdc = Window.partitionBy(col("query_id")).orderBy(col("__adc"), col("neighbor_id"))
@@ -889,15 +899,22 @@ object Knn {
   /** [[ivfPqKnn]] against a pre-trained [[IvfPqIndex]] — one corpus
     * assignment + coding pass, then probe-and-score (see [[pqCodesWith]]
     * for why the split is output-invariant). */
+  /** The probe-ready coded corpus (neighbor_id, cell, __codes of the
+    * residual) — a pure function of (corpus, index); see
+    * [[pqCodedCorpus]] for the session-share contract. */
+  def ivfPqCodedCorpus(index: IvfPqIndex, corpus: DataFrame,
+                       idCol: String, embCol: String): DataFrame =
+    assignResiduals(index.cells, corpus, idCol, embCol)
+      .select(col(idCol).as("neighbor_id"), col("cell"),
+        pqAssignExpr(index.books, col("__res")).getField("codes").as("__codes"))
+
   def ivfPqKnnWith(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
                    idCol: String, embCol: String, k: Int, nProbe: Int,
-                   rerank: Int = 0): DataFrame = {
+                   rerank: Int = 0, codedCorpus: Option[DataFrame] = None): DataFrame = {
     val spark = corpus.sparkSession
     val cents = centroidFrame(spark, index.cells)
     val books = index.books
-    val assigned = assignResiduals(index.cells, corpus, idCol, embCol)
-    val coded = assigned.select(col(idCol).as("neighbor_id"), col("cell"),
-      pqAssignExpr(books, col("__res")).getField("codes").as("__codes"))
+    val coded = codedCorpus.getOrElse(ivfPqCodedCorpus(index, corpus, idCol, embCol))
     // query side: nProbe nearest cells, one residual distance table each
     val probeW = Window.partitionBy(col(idCol)).orderBy(col("__d"), col("cell"))
     val probes = broadcast(

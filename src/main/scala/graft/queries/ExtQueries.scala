@@ -1812,9 +1812,10 @@ object ExtQueries {
         nCells = IvfCells, iters = IvfIters, nProbe = IvfProbe,
         sampleN = IvfSampleN, trainedCells = Some(ivfCellsShared(s, d))),
       "pq" -> Knn.pqKnnWith(pqBooks(s, d), emb, qs, "vec_id", "embedding",
-        k = kMax, rerank = PqRerank),
+        k = kMax, rerank = PqRerank, codedCorpus = Some(pqCodedShared(s, d))),
       "ivfpq" -> Knn.ivfPqKnnWith(ivfPqIdx(s, d), emb, qs, "vec_id", "embedding",
-        k = kMax, nProbe = IvfProbe, rerank = PqRerank))
+        k = kMax, nProbe = IvfProbe, rerank = PqRerank,
+        codedCorpus = Some(ivfPqCodedShared(s, d))))
     tiers.map { case (tier, ann) =>
       val hits = ann
         .select(col("query_id"), col("neighbor_id"), col("rank").as("__ar"))
@@ -2417,6 +2418,26 @@ object ExtQueries {
         nCells = IvfCells, cellIters = IvfIters, m = PqM, nCodes = PqK,
         pqIters = PqIters, sampleN = PqSampleN))
 
+  /** The ADC-coded corpus frames, checkpointed once per fixture dir (the
+    * [[exactTop]] discipline): coding the corpus — parquet scan + the
+    * codegen'd per-subspace argmin — is the scan-side half of every PQ
+    * query, and TWO surfaces read each frame (the single-k audit and the
+    * recall curve's tier). Pure functions of (corpus, session codebooks),
+    * byte-identical to inline coding ([[Knn.pqCodedCorpus]]). ~m bytes of
+    * codes per vector — the same growth class as the pHash frame. */
+  private val pqCodedByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def pqCodedShared(s: SparkSession, d: String): DataFrame =
+    pqCodedByDir.computeIfAbsent(d, _ =>
+      Knn.pqCodedCorpus(pqBooks(s, d), embeddings(s, d), "vec_id", "embedding")
+        .localCheckpoint(true))
+  private val ivfPqCodedByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def ivfPqCodedShared(s: SparkSession, d: String): DataFrame =
+    ivfPqCodedByDir.computeIfAbsent(d, _ =>
+      Knn.ivfPqCodedCorpus(ivfPqIdx(s, d), embeddings(s, d), "vec_id", "embedding")
+        .localCheckpoint(true))
+
   /** PQ codes + reconstruction error over the embedding column — the
     * deep-compression tier of the ANN storage story (int8 → PQ → IVF).
     * Rides the integer-exact subspace Lloyd ([[Knn.pqCodesInt]] — the
@@ -2449,7 +2470,8 @@ object ExtQueries {
     val qs = emb.filter(col("vec_id") < 10)
     Knn.recallAudit(qs, "vec_id",
       Knn.pqKnnWith(pqBooks(s, d), emb, qs,
-        "vec_id", "embedding", k = IvfK, rerank = PqRerank),
+        "vec_id", "embedding", k = IvfK, rerank = PqRerank,
+        codedCorpus = Some(pqCodedShared(s, d))),
       exactTop(s, d).filter(col("rank") <= IvfK),
       k = IvfK, minHitsPerQuery = PqFloorQ, minHitsTotal = PqFloorT)
   }
@@ -2464,7 +2486,8 @@ object ExtQueries {
     val qs = emb.filter(col("vec_id") < 10)
     Knn.recallAudit(qs, "vec_id",
       Knn.ivfPqKnnWith(ivfPqIdx(s, d), emb, qs,
-        "vec_id", "embedding", k = IvfK, nProbe = IvfProbe, rerank = PqRerank),
+        "vec_id", "embedding", k = IvfK, nProbe = IvfProbe, rerank = PqRerank,
+        codedCorpus = Some(ivfPqCodedShared(s, d))),
       exactTop(s, d).filter(col("rank") <= IvfK),
       k = IvfK, minHitsPerQuery = IvfPqFloorQ, minHitsTotal = IvfPqFloorT)
   }
