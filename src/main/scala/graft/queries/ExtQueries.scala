@@ -1583,9 +1583,10 @@ object ExtQueries {
   /** Shared ANN calibration frames (the [[trainedNbModel]] discipline):
     * the exact top-[[ExactKMax]] ground truth over the probe queries and
     * the production IVF codebook are deterministic pure functions of the
-    * corpus, and FOUR surfaces score against them (ext_sim_knn, the
-    * lsh/ivf recall audits, ext_sim_recall_curve) — recomputing per query
-    * re-runs a byte-identical brute scan up to four times. The cached
+    * corpus, and FIVE surfaces score against them (ext_sim_knn, the
+    * lsh/ivf single-k recall audits, ext_sim_recall_curve — whose pq and
+    * ivfpq tiers also read it) — recomputing per query re-runs a
+    * byte-identical brute scan up to five times. The cached
     * frame is the Q·kMax checkpointed result (80 rows), the codebook
     * O(cells·dim) driver-side — bounded artifacts, never corpus data.
     * rank ≤ 5 of the k = 8 frame IS the k = 5 result (same window, same
