@@ -412,6 +412,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("multimodal dedup stream converges to the batch tier under any batch split, redelivery and compaction") {
+    import graft.streaming.MultimodalDedupStream
+    import graft.operators.Multimodal
+    // 16 docs over 5 payloads — repeated payloads form hamming-0 clusters,
+    // singles stay keep-weight-1; the stub media column is the text bytes
+    val payloads = Vector(
+      "shared banner image payload used across mirror pages",
+      "a second duplicated asset with different byte content",
+      "unique photograph number three with its own caption",
+      "a fourth distinct diagram with labeled axes and legend",
+      "the fifth image is an unrelated screenshot of a terminal")
+    val rnd = new scala.util.Random(41)
+    val all = (0L until 16L).map(i => (i, payloads(rnd.nextInt(payloads.length))))
+      .toDF("doc_id", "text").localCheckpoint(true)
+    def rows(df: DataFrame) =
+      df.as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val oneShot = rows(Multimodal.softDedup(all,
+      Multimodal.phashPairs(Multimodal.imageHashes(all)(spark))))
+    (0 until 2).foreach { trial =>
+      val dir = java.nio.file.Files.createTempDirectory(s"mmdp$trial")
+        .resolve("state").toString
+      val cut1 = rnd.nextInt(17)
+      val cut2 = cut1 + rnd.nextInt(17 - cut1)
+      val parts = Seq(
+        all.filter(col("doc_id") < cut1),
+        all.filter(col("doc_id") >= cut1 && col("doc_id") < cut2),
+        all.filter(col("doc_id") >= cut2))
+      // at-least-once: each part delivered 1–2 times, in shuffled order;
+      // compactEvery = 2 forces mid-stream folds so the probe also reads
+      // compacted bases, not just raw deltas
+      val delivered = rnd.shuffle(parts.flatMap(p => Seq.fill(1 + rnd.nextInt(2))(p)))
+      delivered.zipWithIndex.foreach { case (b, i) =>
+        MultimodalDedupStream.applyBatch(spark, b, dir, i.toLong, compactEvery = 2)
+      }
+      val got = rows(MultimodalDedupStream.report(spark, dir))
+      graft.operators.Dedup.unpersistAll()
+      assert(got === oneShot, s"trial $trial diverged from the one-shot batch tier")
+    }
+  }
+
   test("greedy lowest-rank BPE merging equals sequential rank-order replay") {
     // the equivalence the ext_bpe_* oracles REST ON: applying merges one
     // rank at a time with leftmost-first non-overlapping replacement (the
