@@ -59,6 +59,13 @@ final class LagMonitor(thresholdMs: Long = LagMonitor.DefaultThresholdMs)
     import scala.jdk.CollectionConverters._
     latest.values.asScala.filter(_.stalled).toSeq
   }
+
+  /** Stalled queries keyed by query id — the form an alert sweep needs so
+    * each query pages on its own per-rule cooldown ([[AlertSink.sweep]]). */
+  def stalledById: Map[UUID, LagMonitor.Health] = {
+    import scala.jdk.CollectionConverters._
+    latest.asScala.filter(_._2.stalled).toMap
+  }
 }
 
 object LagMonitor {
