@@ -2938,6 +2938,23 @@ object ExtQueries {
         Multimodal.phashPairs(imageHashesShared(s, d)))
       .orderBy("doc_id")
 
+  /** Cross-SOURCE image-duplication matrix — `ext_dedup_cross_source`'s
+    * wholesale-drop grid over the pHash pair graph: per unordered source
+    * pair, the image pair count, the distinct victim docs (each pair's
+    * higher id — the min-id keep rule's loser) and their char mass. The
+    * table that catches a crawl mirroring another's image ASSETS even
+    * when the surrounding text differs (the text matrix can't see it).
+    * Definition is [[Dedup.crossSourceMatrix]] shared verbatim with the
+    * text matrix AND the streaming maintainer
+    * ([[graft.streaming.MultimodalDedupStream.crossSource]]); pairs ride
+    * the session-shared decoded-hash checkpoint. */
+  private val extMultimodalCrossSource: Q = (s, d) => {
+    val docs = documents(s, d)
+    Dedup.crossSourceMatrix(
+      Multimodal.phashPairs(imageHashesShared(s, d)),
+      docs.select(col("doc_id"), col("source"), col("n_chars")))
+  }
+
   /** Frame sampling over the opaque media column: every 3rd frame index per
     * doc with a deterministic frame hash (stub codec — the row shape is what
     * a per-frame model consumes). */
@@ -3230,6 +3247,7 @@ object ExtQueries {
     "ext_multimodal_meta" -> extMultimodalMeta,
     "ext_multimodal_phash" -> extMultimodalPhash,
     "ext_multimodal_dedup" -> extMultimodalDedup,
+    "ext_multimodal_cross_source" -> extMultimodalCrossSource,
     "ext_multimodal_frames" -> extMultimodalFrames,
     "ext_multimodal_resize" -> extMultimodalResize,
     "ext_multimodal_features" -> extMultimodalFeatures,
@@ -5923,6 +5941,28 @@ object ExtQueries {
          |       al.doc_id = al.cluster_id AS keep
          |FROM al JOIN sz ON al.cluster_id = sz.cluster_id
          |ORDER BY al.doc_id""".stripMargin,
+
+    // the phash pair slice pushed through the cross-source matrix shape
+    // shared with ext_dedup_cross_source (victim = doc_b, the pair's
+    // higher id; victim mass is PER CELL)
+    "ext_multimodal_cross_source" ->
+      s"""WITH $phashCandSqlCte,
+         |pr AS (SELECT doc_a, doc_b FROM cand
+         |       WHERE bit_count(xor(pa, pb)) <= 5),
+         |lab AS (SELECT least(da.source, db.source) AS source_a,
+         |               greatest(da.source, db.source) AS source_b,
+         |               p.doc_b, db.n_chars AS cb
+         |        FROM pr p JOIN documents da ON p.doc_a = da.doc_id
+         |                  JOIN documents db ON p.doc_b = db.doc_id),
+         |np AS (SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |       FROM lab GROUP BY 1, 2),
+         |vc AS (SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_victims,
+         |              CAST(sum(cb) AS BIGINT) AS victim_chars
+         |       FROM (SELECT DISTINCT source_a, source_b, doc_b, cb FROM lab)
+         |       GROUP BY 1, 2)
+         |SELECT np.source_a, np.source_b, n_pairs, n_victims, victim_chars
+         |FROM np JOIN vc ON np.source_a = vc.source_a AND np.source_b = vc.source_b
+         |ORDER BY np.source_a, np.source_b""".stripMargin,
 
     "ext_multimodal_meta" ->
       """SELECT doc_id,

@@ -298,6 +298,30 @@ object StreamQueries {
       .orderBy("doc_id")
   }
 
+  /** The cross-source IMAGE-duplication matrix read off the multimodal
+    * dedup stream's maintained pair + metadata states, run in BATCH mode —
+    * the one-state-many-reports discipline: the SAME pair state
+    * `stream_multimodal_dedup` maintains serves the wholesale-drop grid
+    * with only the slim (doc_id, source, n_chars) metadata ledger added
+    * (appended FIRST in the apply order). The self-probe completes all
+    * pairs in one batch; the doubled metadata delivery collapses by
+    * distinct; the report definition is [[graft.operators.Dedup
+    * .crossSourceMatrix]] shared verbatim with the batch form, so the
+    * oracle IS ext_multimodal_cross_source's SQL. Live path in
+    * StreamingSpec. */
+  private val streamMultimodalCrossSource: Q = (s, d) => {
+    import graft.streaming.MultimodalDedupStream
+    val docs = s.read.parquet(s"$d/documents.parquet")
+    val once = ExtQueries.imageHashesShared(s, d)
+    val twice = once.unionByName(once).distinct().localCheckpoint(true)
+    val bands = MultimodalDedupStream.bandRows(twice)
+    val fresh = MultimodalDedupStream.newPairs(bands, bands)
+    val meta = docs.select(col("doc_id"), col("source"), col("n_chars"))
+    graft.operators.Dedup.crossSourceMatrix(
+      MultimodalDedupStream.mergePairs(fresh.limit(0), fresh),
+      meta.unionByName(meta).distinct()) // two deliveries collapse
+  }
+
   /** The t-closeness report read off the k-anonymity stream's maintained
     * class grid, run in BATCH mode over a DOUBLED delivery — the
     * one-state-many-reports discipline (the (day, type) count state
@@ -731,6 +755,7 @@ object StreamQueries {
     "stream_t_closeness" -> streamTCloseness,
     "stream_cross_source" -> streamCrossSource,
     "stream_multimodal_dedup" -> streamMultimodalDedup,
+    "stream_multimodal_cross_source" -> streamMultimodalCrossSource,
     "stream_embed_drift" -> streamEmbedDrift,
     "stream_ivf_occupancy" -> streamIvfOccupancy,
     "stream_dsir_model" -> streamDsirModel,
@@ -763,6 +788,7 @@ object StreamQueries {
     // the decision report is Multimodal.softDedup shared verbatim with
     // the batch tier — one definition, one oracle
     "stream_multimodal_dedup" -> ExtQueries.oracle("ext_multimodal_dedup"),
+    "stream_multimodal_cross_source" -> ExtQueries.oracle("ext_multimodal_cross_source"),
     "stream_embed_drift" -> ExtQueries.oracle("ext_embed_drift"),
     "stream_dsir_model" -> ExtQueries.oracle("ext_dsir_model"),
     "stream_ivf_occupancy" -> ExtQueries.oracle("ext_sim_ivf_occupancy"),

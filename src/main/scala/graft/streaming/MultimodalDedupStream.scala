@@ -20,11 +20,13 @@ import graft.operators.Multimodal
   *
   * State rides [[AppendState]] (append-only deltas, atomic publish,
   * merge-on-read), per-batch I/O O(batch):
-  *  - `docs`: (doc_id) membership ledger — the report must weight EVERY
-  *    doc ever delivered (singletons keep weight 1), appended FIRST so a
-  *    crash window can only leave a doc-without-pairs (a singleton until
-  *    the replay lands), never a pair member with no doc row (silent
-  *    under-count) — the [[NeardupStream]] meta-first discipline.
+  *  - `docs`: (doc_id, source, n_chars) metadata ledger — the report must
+  *    weight EVERY doc ever delivered (singletons keep weight 1) and the
+  *    cross-source matrix must label both ends of a pair even when one
+  *    arrived months earlier; appended FIRST so a crash window can only
+  *    leave a doc-without-pairs (a singleton until the replay lands),
+  *    never a pair member with no doc row (silent under-count) — the
+  *    [[NeardupStream]] meta-first discipline.
   *  - `index`: (doc_id, band, __key, phash) — 6 band rows per doc,
   *    partitionBy'd on `bucket = pmod(__key, IndexBuckets)` so a batch's
   *    posting fetch prunes whole delta files (PartitionFilters), the
@@ -101,12 +103,14 @@ object MultimodalDedupStream {
   def mergePairs(state: DataFrame, batch: DataFrame): DataFrame =
     state.unionByName(batch).distinct()
 
-  /** The delivered-doc membership ledger, distinct (one 8-byte row per
-    * doc ever delivered; empty before the first batch). */
+  /** The per-doc metadata ledger (doc_id, source, n_chars), distinct —
+    * ~16 bytes + the source string per doc ever delivered, never the
+    * payload; empty before the first batch. */
   def docState(spark: SparkSession, targetDir: String): DataFrame =
     AppendState.raw(spark, s"$targetDir/docs")
       .map(_.distinct())
-      .getOrElse(spark.range(0).select(col("id").as("doc_id")))
+      .getOrElse(spark.range(0).select(col("id").as("doc_id"),
+        lit("").as("source"), col("id").as("n_chars")))
 
   /** The LIVE pair table (distinct-merge-on-read over the deltas). */
   def pairState(spark: SparkSession, targetDir: String): DataFrame =
@@ -130,6 +134,16 @@ object MultimodalDedupStream {
   def report(spark: SparkSession, targetDir: String): DataFrame =
     Multimodal.softDedup(docState(spark, targetDir), pairState(spark, targetDir))
 
+  /** Cross-source IMAGE-duplication matrix off the SAME live pair +
+    * metadata states ([[graft.operators.Dedup.crossSourceMatrix]] —
+    * shared verbatim with the batch `ext_multimodal_cross_source`, the
+    * one-state-many-reports discipline): a crawl snapshot that mirrors
+    * another's image assets shows up as its off-diagonal cell grows,
+    * batch by batch. */
+  def crossSource(spark: SparkSession, targetDir: String): DataFrame =
+    graft.operators.Dedup.crossSourceMatrix(
+      pairState(spark, targetDir), docState(spark, targetDir))
+
   /** Fold all three states' deltas ([[AppendState.compact]] — run from
     * [[applyBatch]] once `compactEvery` deltas accumulate on the index). */
   def compact(spark: SparkSession, targetDir: String): Unit = {
@@ -140,15 +154,19 @@ object MultimodalDedupStream {
   }
 
   /** One micro-batch apply: decode the batch's hashes ONCE, append the
-    * doc ledger first (crash-window ordering), then the batch's band rows,
-    * probe the now-merged bucket-pruned index, append the completed pairs.
-    * A crash between appends replays cleanly: earlier appends no-op and
-    * the pair recompute is deterministic. */
+    * metadata ledger first (crash-window ordering), then the batch's band
+    * rows, probe the now-merged bucket-pruned index, append the completed
+    * pairs. A crash between appends replays cleanly: earlier appends no-op
+    * and the pair recompute is deterministic. `batchDocs` must carry the
+    * docs-file schema ([[CorpusIngest.docsFileSchema]] — doc_id, text,
+    * lang, source, n_chars): the ledger needs source/n_chars. */
   def applyBatch(spark: SparkSession, batchDocs: DataFrame, targetDir: String,
                  batchId: Long, maxHamming: Int = MaxHamming,
                  compactEvery: Int = AppendState.DefaultCompactEvery): Unit = {
     val hashes = hashRows(batchDocs).dropDuplicates("doc_id").localCheckpoint(true)
-    AppendState.append(hashes.select(col("doc_id")), s"$targetDir/docs", batchId)
+    AppendState.append(
+      batchDocs.select(col("doc_id"), col("source"), col("n_chars")).distinct(),
+      s"$targetDir/docs", batchId)
     val batchBands = bucketed(bandRows(hashes)).localCheckpoint(true)
     AppendState.append(batchBands, s"$targetDir/index", batchId,
       partitionCols = Seq("bucket"))

@@ -424,12 +424,18 @@ class PropertySpec extends SparkSpec {
       "a fourth distinct diagram with labeled axes and legend",
       "the fifth image is an unrelated screenshot of a terminal")
     val rnd = new scala.util.Random(41)
-    val all = (0L until 16L).map(i => (i, payloads(rnd.nextInt(payloads.length))))
-      .toDF("doc_id", "text").localCheckpoint(true)
+    val all = (0L until 16L).map { i =>
+        val t = payloads(rnd.nextInt(payloads.length))
+        (i, t, "en", s"src${i % 3}", t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars").localCheckpoint(true)
     def rows(df: DataFrame) =
       df.as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
-    val oneShot = rows(Multimodal.softDedup(all,
-      Multimodal.phashPairs(Multimodal.imageHashes(all)(spark))))
+    val batchPairs = Multimodal.phashPairs(Multimodal.imageHashes(all)(spark))
+      .localCheckpoint(true)
+    val oneShot = rows(Multimodal.softDedup(all, batchPairs))
+    val oneShotX = graft.operators.Dedup.crossSourceMatrix(batchPairs,
+        all.select(col("doc_id"), col("source"), col("n_chars")))
+      .as[(String, String, Long, Long, Long)].collect().toSeq
     (0 until 2).foreach { trial =>
       val dir = java.nio.file.Files.createTempDirectory(s"mmdp$trial")
         .resolve("state").toString
@@ -447,8 +453,13 @@ class PropertySpec extends SparkSpec {
         MultimodalDedupStream.applyBatch(spark, b, dir, i.toLong, compactEvery = 2)
       }
       val got = rows(MultimodalDedupStream.report(spark, dir))
+      // one-state-many-reports: the cross-source matrix off the SAME
+      // states must equal the batch matrix too
+      val gotX = MultimodalDedupStream.crossSource(spark, dir)
+        .as[(String, String, Long, Long, Long)].collect().toSeq
       graft.operators.Dedup.unpersistAll()
       assert(got === oneShot, s"trial $trial diverged from the one-shot batch tier")
+      assert(gotX === oneShotX, s"trial $trial cross-source matrix diverged")
     }
   }
 

@@ -612,9 +612,9 @@ class StreamingSpec extends SparkSpec {
     // others are unrelated payloads
     val dup = "the very same promotional banner embedded on two mirror pages"
     val other = "an entirely different photograph with its own caption text"
-    def deliver(name: String, rows: Seq[(Long, String)]): Unit = {
+    def deliver(name: String, rows: Seq[(Long, String, String)]): Unit = {
       val staging = tmp(s"mmd-stage-$name")
-      rows.map { case (id, text) => (id, text, "en", "web", text.length.toLong) }
+      rows.map { case (id, text, source) => (id, text, "en", source, text.length.toLong) }
         .toDF("doc_id", "text", "lang", "source", "n_chars")
         .coalesce(1).write.mode("overwrite").parquet(staging.toString)
       staging.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
@@ -623,16 +623,17 @@ class StreamingSpec extends SparkSpec {
 
     // wave 1: the first copy alone — no pairs can exist yet, but the doc
     // ledger already weights it as a singleton
-    deliver("w1", Seq((1L, dup)))
+    deliver("w1", Seq((1L, dup, "web")))
     MultimodalDedupStream.start(spark, src.toString, tgt, ckp).awaitTermination()
     assert(MultimodalDedupStream.pairState(spark, tgt).count() === 0L)
     assert(MultimodalDedupStream.report(spark, tgt)
       .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
       === Seq((1L, 1L, 1L, 1000000L, true)))
 
-    // wave 2: the second copy arrives (+ an unrelated image, + the first
-    // copy REDELIVERED) — the cross-batch pair (1, 2) must complete now
-    deliver("w2", Seq((1L, dup), (2L, dup), (3L, other)))
+    // wave 2: the second copy arrives from a DIFFERENT source (+ an
+    // unrelated image, + the first copy REDELIVERED) — the cross-batch
+    // pair (1, 2) must complete now
+    deliver("w2", Seq((1L, dup, "web"), (2L, dup, "mirror"), (3L, other, "web")))
     MultimodalDedupStream.start(spark, src.toString, tgt, ckp).awaitTermination()
     val pairs = MultimodalDedupStream.pairState(spark, tgt)
       .as[(Long, Long, Long)].collect().sortBy(p => (p._1, p._2)).toSeq
@@ -642,6 +643,12 @@ class StreamingSpec extends SparkSpec {
     // the live report equals the batch tier over the union of deliveries
     // (Multimodal.softDedup shared verbatim — one definition)
     val allDocs = Seq((1L, dup), (2L, dup), (3L, other)).toDF("doc_id", "text")
+    // one-state-many-reports: the cross-source matrix off the SAME pair
+    // state + metadata ledger — the (1, 2) pair crosses web→mirror with
+    // doc 2 (the min-id rule's loser) as its victim
+    val xsrc = graft.streaming.MultimodalDedupStream.crossSource(spark, tgt)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(xsrc === Seq(("mirror", "web", 1L, 1L, dup.length.toLong)))
     val expect = Multimodal.softDedup(allDocs,
         Multimodal.phashPairs(Multimodal.imageHashes(allDocs)(spark)))
       .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
