@@ -157,6 +157,45 @@ class StateLayoutSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet === expect)
   }
 
+  test("MultimodalDedupStream: band-index deltas are bucketed by pmod(key, B) and the probe read prunes partitions") {
+    val dir = tmp("mmbkt").resolve("state").toString
+    val dup = "the very same promotional banner embedded on two mirror pages"
+    MultimodalDedupStream.applyBatch(spark, docsDF(Seq((1L, dup))), dir, batchId = 0L)
+    MultimodalDedupStream.applyBatch(spark,
+      docsDF(Seq((2L, dup), (3L, "a completely unrelated caption"))), dir, batchId = 1L)
+
+    // layout: every index delta holds Hive-style bucket=K subdirs
+    for (id <- Seq(0L, 1L)) {
+      val sub = new java.io.File(s"$dir/index/delta=$id").listFiles()
+        .filter(_.isDirectory).map(_.getName)
+      assert(sub.nonEmpty && sub.forall(_.startsWith("bucket=")),
+        s"delta=$id not bucketed: ${sub.mkString(",")}")
+    }
+
+    // the probe-shaped read (bucket filter then projection) prunes files:
+    // PartitionFilters must carry the bucket predicate — the layout half
+    // of the scaladoc's "posting fetch prunes whole delta files" claim
+    val probe = AppendState.raw(spark, s"$dir/index").get
+      .filter(col("bucket").isin(0, 1))
+      .select(col("doc_id"), col("phash"), col("band"), col("__key"))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      """PartitionFilters: \[[^\]]*bucket""".r.findFirstIn(plan).isDefined,
+      s"bucket predicate not a partition filter:\n${plan.take(1500)}")
+
+    // the cross-batch pair completed and survives compaction
+    val expect = Set((1L, 2L, 0L))
+    assert(MultimodalDedupStream.pairState(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet === expect)
+    MultimodalDedupStream.compact(spark, dir)
+    val baseSub = new java.io.File(s"$dir/index/base=1").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(baseSub.nonEmpty && baseSub.forall(_.startsWith("bucket=")),
+      s"compacted base not bucketed: ${baseSub.mkString(",")}")
+    assert(MultimodalDedupStream.pairState(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet === expect)
+  }
+
   test("AppendState: a zero-row partitioned delta never poisons the state dir") {
     val dir = tmp("asempty").resolve("state").toString
     val rows = Seq((1L, "a", 0)).toDF("k", "v", "bucket")
