@@ -609,6 +609,18 @@ class PlanSpec extends SparkSpec {
       s"phash pairs must bucket-join, not cross:\n${p.take(2000)}")
   }
 
+  test("streaming multimodal dedup replay: pairs ride the (band, key) equi-join off the ONE decoded checkpoint") {
+    val p = plan("stream_multimodal_dedup")
+    // the doubled hash delivery is collapsed on the checkpointed decode
+    // frame (Scan ExistingRDD) — the md5-per-gram decode never re-runs per
+    // probe side — and candidates come from the band-key equi-join, never
+    // a cross product
+    assert(p.contains("Scan ExistingRDD"),
+      s"hash frame must be the session checkpoint:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"band probe must equi-join, not cross:\n${p.take(2000)}")
+  }
+
   test("recall curve: all four tier audits read the ONE checkpointed exact frame; floor grid joins stay local") {
     val p = plan("ext_sim_recall_curve")
     // the exact top-k is checkpointed once (Scan ExistingRDD) and joined
