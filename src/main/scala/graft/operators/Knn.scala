@@ -896,9 +896,6 @@ object Knn {
     IvfPqIndex(cells, pqCodebooks(sampleRes, idCol, "__res", m, nCodes, pqIters, sampleN))
   }
 
-  /** [[ivfPqKnn]] against a pre-trained [[IvfPqIndex]] — one corpus
-    * assignment + coding pass, then probe-and-score (see [[pqCodesWith]]
-    * for why the split is output-invariant). */
   /** The probe-ready coded corpus (neighbor_id, cell, __codes of the
     * residual) — a pure function of (corpus, index); see
     * [[pqCodedCorpus]] for the session-share contract. */
@@ -908,6 +905,10 @@ object Knn {
       .select(col(idCol).as("neighbor_id"), col("cell"),
         pqAssignExpr(index.books, col("__res")).getField("codes").as("__codes"))
 
+  /** [[ivfPqKnn]] against a pre-trained [[IvfPqIndex]] — one corpus
+    * assignment + coding pass (or the caller's shared `codedCorpus`),
+    * then probe-and-score (see [[pqCodesWith]] for why the split is
+    * output-invariant). */
   def ivfPqKnnWith(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
                    idCol: String, embCol: String, k: Int, nProbe: Int,
                    rerank: Int = 0, codedCorpus: Option[DataFrame] = None): DataFrame = {

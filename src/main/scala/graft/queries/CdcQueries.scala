@@ -914,8 +914,12 @@ object CdcQueries {
         s"decimal(38,0) exactness bound 1e38 (D=$gD days, S=$gS total) — the " +
         "cross-multiplied gain compare would overflow to null and mis-rank " +
         "silently; pre-aggregate to a coarser grain or rescale the counts")
-    val stats = broadcast(daily.agg(
-      count(lit(1)).as("__D"), sum(col("n")).as("__S")))
+    // the guard already holds the exact (D, S) row — ride it into the rank
+    // as a literal broadcast frame instead of re-aggregating the same two
+    // values in a second job
+    val s = daily.sparkSession
+    val stats = broadcast(s.range(1)
+      .select(lit(g.getLong(0)).as("__D"), lit(g.getLong(1)).as("__S")))
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val cum = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

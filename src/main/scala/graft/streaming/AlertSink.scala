@@ -58,15 +58,26 @@ final class AlertSink(spark: SparkSession, targetDir: String,
     * (unit-testable without clocks; production passes
     * `System.currentTimeMillis()`). */
   def raise(rule: String, subject: String, message: String, nowMs: Long): Boolean = {
-    val due = Option(lastDelivered.get(rule)).forall(nowMs - _.longValue >= cooldownMs)
-    val row = Row(rule, subject, message, nowMs, due)
-    AppendState.append(
-      spark.createDataFrame(java.util.List.of(row), AlertSink.LogSchema),
-      targetDir, -1L) // out-of-band id: alerts are events, not batch state
-    AppendState.compactIfDue(spark, targetDir, AppendState.DefaultCompactEvery)(
-      df => df) // log rows are unique events — the fold just rewrites them
+    // throttle-check + log append serialize on the sink: raisers are
+    // arbitrary threads (foreachBatch bodies, a sweep timer), and both the
+    // check-then-mark on lastDelivered and the out-of-band delta-id
+    // allocation in AppendState.append are check-then-act — unserialized,
+    // two simultaneous raises could double-page inside one window and
+    // collide on the same delta path (one raise losing its durable row).
+    // Only the transport runs OUTSIDE the lock: a slow SMTP host must not
+    // stall other rules' raises.
+    val due = synchronized {
+      val ok = Option(lastDelivered.get(rule)).forall(nowMs - _.longValue >= cooldownMs)
+      val row = Row(rule, subject, message, nowMs, ok)
+      AppendState.append(
+        spark.createDataFrame(java.util.List.of(row), AlertSink.LogSchema),
+        targetDir, -1L) // out-of-band id: alerts are events, not batch state
+      AppendState.compactIfDue(spark, targetDir, AppendState.DefaultCompactEvery)(
+        df => df) // log rows are unique events — the fold just rewrites them
+      if (ok) lastDelivered.put(rule, nowMs)
+      ok
+    }
     if (due) {
-      lastDelivered.put(rule, nowMs)
       try deliver(AlertSink.Alert(rule, subject, message, nowMs))
       catch {
         case NonFatal(e) =>

@@ -62,7 +62,14 @@ private[streaming] object AppendState {
         s"AppendState: state dir $targetDir has layout '$got' but this build " +
           s"reads '$LayoutId' — incompatible state layout; rebuild the state " +
           "from a replay (state dir and checkpoint dir live and die as a unit)")
-    } else if (Option(dir.listFiles()).exists(_.nonEmpty)) {
+    } else if (Option(dir.listFiles()).exists(_.exists(f =>
+        // crash garbage is not state content: a torn stamp (.layout.tmp),
+        // a torn marker (.base.tmp) or a torn delta (.tmp-<id>) may be the
+        // ONLY leftover of a crash inside the first append's stamp window,
+        // and the module's contract is that replays clear such garbage —
+        // refusing on it would permanently brick a self-healing dir
+        f.getName != ".layout.tmp" && f.getName != ".base.tmp" &&
+          !f.getName.startsWith(".tmp-")))) {
       throw new IllegalArgumentException(
         s"AppendState: state dir $targetDir is non-empty but carries no " +
           s"'.layout' stamp — it predates layout versioning or was written " +
@@ -218,6 +225,15 @@ private[streaming] object AppendState {
     * the fold schedule). */
   val DefaultCompactEvery = 8
 
+  /** The LSM trigger condition, centralized: true when `every` > 0 and at
+    * least that many deltas await folding on `targetDir`. Streams whose
+    * fold spans SEVERAL state dirs (their own `compact`) test this on
+    * their largest dir and run their fold; single-dir states use
+    * [[compactIfDue]] directly. One definition — a future policy change
+    * (e.g. byte-based) edits one place, not every applyBatch. */
+  def compactionDue(targetDir: String, every: Int): Boolean =
+    every > 0 && deltaIds(targetDir).size >= every
+
   /** The standard leveled-compaction policy: fold whenever `every`
     * committed deltas have accumulated past the base (the LSM trigger,
     * keeping merge-on-read at O(base + every·batch)). Safe to call at any
@@ -226,7 +242,7 @@ private[streaming] object AppendState {
     * `every` ≤ 0 disables. */
   def compactIfDue(spark: SparkSession, targetDir: String, every: Int)
                   (merge: DataFrame => DataFrame): Unit =
-    if (every > 0 && deltaIds(targetDir).size >= every) compact(spark, targetDir, merge)
+    if (compactionDue(targetDir, every)) compact(spark, targetDir, merge)
 
   private def deleteQuietly(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteQuietly))

@@ -77,7 +77,7 @@ object CorpusIngest {
     AppendState.append(
       mergeSurvivors(batch.limit(0), batch).localCheckpoint(true),
       targetDir, batchId)
-    if (compactEvery > 0 && AppendState.deltaIds(targetDir).size >= compactEvery)
+    if (AppendState.compactionDue(targetDir, compactEvery))
       compact(spark, targetDir)
   }
 

@@ -83,7 +83,7 @@ object Decontam {
     AppendState.append(
       mergeVerdicts(verdicts.limit(0), verdicts).localCheckpoint(true),
       targetDir, batchId)
-    if (compactEvery > 0 && AppendState.deltaIds(targetDir).size >= compactEvery)
+    if (AppendState.compactionDue(targetDir, compactEvery))
       compact(spark, targetDir)
   }
 

@@ -123,8 +123,7 @@ object DsirModelStream {
         mergeGrid(s.limit(0), s)
     }
     AppendState.append(newRows.select(col("doc_id")), seenDir(targetDir), batchId)
-    if (compactEvery > 0 &&
-      AppendState.deltaIds(seenDir(targetDir)).size >= compactEvery)
+    if (AppendState.compactionDue(seenDir(targetDir), compactEvery))
       compact(spark, targetDir)
   }
 

@@ -102,8 +102,7 @@ object IvfOccupancyStream {
         mergeGrid(s.limit(0), s)
     }
     AppendState.append(newRows.select(col("vec_id")), seenDir(targetDir), batchId)
-    if (compactEvery > 0 &&
-      AppendState.deltaIds(seenDir(targetDir)).size >= compactEvery)
+    if (AppendState.compactionDue(seenDir(targetDir), compactEvery))
       compact(spark, targetDir)
   }
 

@@ -105,7 +105,7 @@ object KsDriftStream {
     val b = batch.select(col("doc_id"), col("source"), col("n_chars"))
     AppendState.append(mergeDocs(b.limit(0), b).localCheckpoint(true),
       targetDir, batchId)
-    if (compactEvery > 0 && AppendState.deltaIds(targetDir).size >= compactEvery)
+    if (AppendState.compactionDue(targetDir, compactEvery))
       compact(spark, targetDir)
   }
 

@@ -100,7 +100,7 @@ object LDiversityStream {
                  compactEvery: Int = AppendState.DefaultCompactEvery): Unit = {
     AppendState.append(memberSlice(graft.Tables.normalizeTs(batch)),
       targetDir, batchId)
-    if (compactEvery > 0 && AppendState.deltaIds(targetDir).size >= compactEvery)
+    if (AppendState.compactionDue(targetDir, compactEvery))
       compact(batch.sparkSession, targetDir)
   }
 

@@ -61,7 +61,7 @@ object LengthProfileStream {
     AppendState.append(
       mergeMembers(batch.limit(0), batch).localCheckpoint(true),
       targetDir, batchId)
-    if (compactEvery > 0 && AppendState.deltaIds(targetDir).size >= compactEvery)
+    if (AppendState.compactionDue(targetDir, compactEvery))
       compact(spark, targetDir)
   }
 

@@ -178,8 +178,7 @@ object MultimodalDedupStream {
       .getOrElse(batchBands.select(col("doc_id"), col("phash"), col("band"), col("__key")))
     val fresh = newPairs(batchBands, merged, maxHamming)
     AppendState.append(fresh.localCheckpoint(true), s"$targetDir/pairs", batchId)
-    if (compactEvery > 0 &&
-      AppendState.deltaIds(s"$targetDir/index").size >= compactEvery)
+    if (AppendState.compactionDue(s"$targetDir/index", compactEvery))
       compact(spark, targetDir)
   }
 

@@ -305,8 +305,7 @@ object NeardupStream {
     // auto-fold once compactEvery deltas accumulate on the index (the
     // largest of the four states) — read amplification stays bounded with
     // no manual compact call; ≤ 0 opts out
-    if (compactEvery > 0 &&
-      AppendState.deltaIds(s"$targetDir/index").size >= compactEvery)
+    if (AppendState.compactionDue(s"$targetDir/index", compactEvery))
       compact(spark, targetDir)
   }
 

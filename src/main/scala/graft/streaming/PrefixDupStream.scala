@@ -70,7 +70,7 @@ object PrefixDupStream {
   def applyBatch(batch: DataFrame, targetDir: String, batchId: Long,
                  compactEvery: Int = AppendState.DefaultCompactEvery): Unit = {
     AppendState.append(slice(batch), targetDir, batchId)
-    if (compactEvery > 0 && AppendState.deltaIds(targetDir).size >= compactEvery)
+    if (AppendState.compactionDue(targetDir, compactEvery))
       compact(batch.sparkSession, targetDir)
   }
 
@@ -82,7 +82,7 @@ object PrefixDupStream {
   /** Start the ingest template monitor: document source dir → per-batch
     * membership slice → append-only delta state under `targetDir`.
     * `compactEvery` > 0 runs the leveled fold inline once that many deltas
-    * accumulate ([[AppendState.compactIfDue]] — semantics unchanged, read
+    * accumulate ([[AppendState.compactionDue]] — semantics unchanged, read
     * amplification bounded). */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
             checkpointDir: String, availableNow: Boolean = true,

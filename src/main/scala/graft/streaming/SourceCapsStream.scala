@@ -64,7 +64,7 @@ object SourceCapsStream {
     AppendState.append(
       capK(batch, k).select(col("doc_id"), col("source")).localCheckpoint(true),
       targetDir, batchId)
-    if (compactEvery > 0 && AppendState.deltaIds(targetDir).size >= compactEvery)
+    if (AppendState.compactionDue(targetDir, compactEvery))
       compact(spark, targetDir, k)
   }
 

@@ -61,7 +61,7 @@ object UrlDedupStream {
   def applyBatch(batch: DataFrame, targetDir: String, batchId: Long,
                  compactEvery: Int = AppendState.DefaultCompactEvery): Unit = {
     AppendState.append(slice(batch), targetDir, batchId)
-    if (compactEvery > 0 && AppendState.deltaIds(targetDir).size >= compactEvery)
+    if (AppendState.compactionDue(targetDir, compactEvery))
       compact(batch.sparkSession, targetDir)
   }
 

@@ -107,7 +107,7 @@ object VocabDrift {
     AppendState.append(
       mergeVerdicts(verdicts.limit(0), verdicts).localCheckpoint(true),
       targetDir, batchId)
-    if (compactEvery > 0 && AppendState.deltaIds(targetDir).size >= compactEvery)
+    if (AppendState.compactionDue(targetDir, compactEvery))
       compact(spark, targetDir)
   }
 
