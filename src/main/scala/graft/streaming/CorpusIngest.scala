@@ -34,6 +34,59 @@ object CorpusIngest {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** [[docsFileSchema]] plus the corrupt-capture column — what the JSONL
+    * reader parses against. The schema is DECLARED, never inferred: at
+    * corpus scale an inference pass is a full extra scan of every file. */
+  private val jsonlSchema: StructType =
+    docsFileSchema.add(StructField("_corrupt", StringType))
+
+  private def jsonlReadOptions = Map(
+    "mode" -> "PERMISSIVE", // corrupt lines become rows, never job failures
+    "columnNameOfCorruptRecord" -> "_corrupt")
+
+  /** Read a JSON-lines corpus dump — the interchange format crawl corpora
+    * actually arrive in — against the declared [[docsFileSchema]].
+    * Returns the RAW parsed frame carrying `_corrupt`; split it with
+    * [[cleanDocs]] (the contract-normalized docs) and [[quarantined]]
+    * (the lines that failed the contract). Dirty lines are a FACT of
+    * crawl data: failing the job on one bad line stalls a 100 TB ingest,
+    * and silently dropping them biases the corpus — quarantine is the
+    * only shape that does neither. */
+  def jsonlDocs(spark: SparkSession, path: String): DataFrame =
+    jsonlReadOptions.foldLeft(spark.read.schema(jsonlSchema)) {
+      case (r, (k, v)) => r.option(k, v)
+    }.json(path)
+
+  /** The contract-clean half of a [[jsonlDocs]] frame, normalized onto
+    * [[docsFileSchema]]: corrupt or text-less lines excluded (they are
+    * QUARANTINED, not lost — [[quarantined]]), a dump without ids gets
+    * deterministic content-addressed ones (xxhash64 of the text, sign-
+    * cleared; byte-identical dupes share an id, which the digest-keyed
+    * survivor merge collapses anyway), n_chars recomputed when absent,
+    * lang/source defaulted. Wrong-TYPE fields (e.g. a string doc_id)
+    * corrupt the whole line under PERMISSIVE parsing and land in
+    * quarantine — only genuinely ABSENT fields are backfilled. */
+  def cleanDocs(raw: DataFrame): DataFrame =
+    raw.filter(col("_corrupt").isNull && col("text").isNotNull)
+      .select(
+        coalesce(col("doc_id"),
+          pmod(xxhash64(col("text")), lit(Long.MaxValue))).as("doc_id"),
+        col("text"),
+        coalesce(col("lang"), lit("und")).as("lang"),
+        coalesce(col("source"), lit("unknown")).as("source"),
+        coalesce(col("n_chars"), length(col("text")).cast("long")).as("n_chars"))
+
+  /** The quarantine half: every line [[cleanDocs]] excluded, as ONE raw
+    * string per line (the unparsed original for corrupt lines; the
+    * re-serialized row for parsed-but-text-less ones) — the frame an
+    * operator inspects and replays after fixing the producer. */
+  def quarantined(raw: DataFrame): DataFrame = {
+    val parsedCols = raw.columns.filter(_ != "_corrupt").map(col).toIndexedSeq
+    raw.filter(col("_corrupt").isNotNull || col("text").isNull)
+      .select(coalesce(col("_corrupt"), to_json(struct(parsedCols: _*)))
+        .as("raw_line"))
+  }
+
   /** Shared batch/stream transform: quality gate (the corpus-prep
     * threshold) + the ingest projection — digest identity and the kept
     * metadata. Gating BEFORE the state merge means junk never shuffles. */
@@ -83,12 +136,26 @@ object CorpusIngest {
 
   /** Start the ingest: document source dir → gate/project → foreachBatch
     * digest-keyed survivor merge into `targetDir`. `availableNow = true`
-    * drains what exists and stops (test/replay mode). */
+    * drains what exists and stops (test/replay mode). `format` picks the
+    * file source: "parquet" (the fixture shape) or "json" (a JSONL crawl
+    * dump — parsed against the declared schema and normalized through
+    * [[cleanDocs]]; corrupt lines are excluded from the survivor state,
+    * never crash the stream, and remain inspectable via [[jsonlDocs]] +
+    * [[quarantined]] over the same dir). */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
             checkpointDir: String, minQuality: Double = 0.3,
             availableNow: Boolean = true,
-            compactEvery: Int = AppendState.DefaultCompactEvery): StreamingQuery = {
-    val raw = spark.readStream.schema(docsFileSchema).parquet(sourceDir)
+            compactEvery: Int = AppendState.DefaultCompactEvery,
+            format: String = "parquet"): StreamingQuery = {
+    val raw = format match {
+      case "parquet" => spark.readStream.schema(docsFileSchema).parquet(sourceDir)
+      case "json" => cleanDocs(
+        jsonlReadOptions.foldLeft(spark.readStream.schema(jsonlSchema)) {
+          case (r, (k, v)) => r.option(k, v)
+        }.json(sourceDir))
+      case other => throw new IllegalArgumentException(
+        s"CorpusIngest.start: unsupported source format '$other' (parquet | json)")
+    }
     val trigger =
       if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
     transform(raw, minQuality)
