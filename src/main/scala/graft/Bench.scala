@@ -53,6 +53,14 @@ import org.apache.spark.sql.SparkSession
   * record.
   */
 object Bench {
+  /** Start-gate idle bar: the measurement pass refuses to sample its
+    * `load_before` baseline until the 1-min loadavg is under this
+    * ABSOLUTE level (budgeted — see the gate loop). Distinct by design
+    * from the mid-run cooldown's release, which is excess OVER that
+    * baseline: before the baseline exists there is nothing to take an
+    * excess against. */
+  val StartGateIdleLoad = 1.5
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -114,15 +122,21 @@ object Bench {
       // when the run itself is clean — the r14/r15 driver artifacts both
       // started at load ~3.7–6 and certified over the gate while from-idle
       // runs of the same code sat well under it. Wait (budgeted) for the
-      // 1-min loadavg to decay below the cooldown's release threshold
-      // before sampling the baseline; τ = 60 s ⇒ ~1–2 min from a typical
-      // post-suite plateau. Past the budget the run proceeds and the
-      // comparability bar / INVALID_LOAD path judges it as before — a
-      // genuinely-busy co-tenant box can't stall the bench forever.
+      // 1-min loadavg to decay under StartGateIdleLoad — an ABSOLUTE idle
+      // bar, deliberately a different quantity from the mid-run cooldown's
+      // release (which is EXCESS over this pass's own baseline): the gate
+      // exists to make loadBefore a true idle baseline, and an excess
+      // measure can't bootstrap itself before that baseline exists. On a
+      // box with legitimate steady background load ≥ the bar the budget
+      // runs out and the pass proceeds; τ = 60 s ⇒ ~1–2 min from a typical
+      // post-suite plateau. Past the budget the comparability bar /
+      // INVALID_LOAD path judges the run as before — a genuinely-busy
+      // co-tenant box can't stall the bench forever.
       var gateBudget = 900.0
       var l0 = loadAvg()
-      while (gateBudget > 0 && l0 >= 0 && l0 > 1.5) {
-        System.err.println(f"[bench] start gate: load $l0%.2f > 1.5 — waiting for idle box")
+      while (gateBudget > 0 && l0 >= 0 && l0 > StartGateIdleLoad) {
+        System.err.println(
+          f"[bench] start gate: load $l0%.2f > $StartGateIdleLoad%.1f — waiting for idle box")
         val s = math.min(15.0, gateBudget)
         Thread.sleep((s * 1000).toLong)
         gateBudget -= s

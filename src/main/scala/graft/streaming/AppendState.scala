@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.util.UUID
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Append-only micro-batch state for MONOTONE UNION state — the companion
@@ -51,8 +53,30 @@ private[streaming] object AppendState {
   private[streaming] val LayoutId = "graft-append-state v1"
   private def layoutMarker(targetDir: String) = new java.io.File(targetDir, ".layout")
 
+  /** Crash garbage is not state content: a torn stamp (.layout.tmp), a
+    * torn marker (.base.tmp) or a torn delta (.tmp-<id>) may be the ONLY
+    * leftover of a crash inside the first append's stamp window, and the
+    * module's contract is that replays clear such garbage. */
+  private def isCrashGarbage(name: String): Boolean =
+    name == ".layout.tmp" || name == ".base.tmp" || name.startsWith(".tmp-")
+
+  /** A directory entry THIS module's pre-versioning releases wrote:
+    * exactly the delta=/base=/.base layout (plus crash garbage). A dir
+    * containing only these is a legacy AppendState dir — readable as-is
+    * and stamped in place at the next write, mirroring [[StateCommit]]'s
+    * legacy path — not an unknown state class to refuse. */
+  private def isLegacyLayoutEntry(f: java.io.File): Boolean =
+    isCrashGarbage(f.getName) ||
+      (f.isDirectory && (f.getName.matches("delta=\\d+") ||
+        f.getName.matches("base=\\d+"))) ||
+      (f.isFile && f.getName == ".base")
+
   /** Enforce the layout stamp; on a fresh/absent dir with `forWrite`,
-    * create the dir and stamp it. */
+    * create the dir and stamp it. An unstamped NON-empty dir whose
+    * entries are all recognizably this module's own layout (a dir written
+    * before layout versioning shipped) migrates in place: readable
+    * immediately, stamped at the next write — the hard failure is
+    * reserved for genuinely unrecognized content. */
   private def checkLayout(targetDir: String, forWrite: Boolean = false): Unit = {
     val dir = new java.io.File(targetDir)
     val m = layoutMarker(targetDir)
@@ -63,17 +87,12 @@ private[streaming] object AppendState {
           s"reads '$LayoutId' — incompatible state layout; rebuild the state " +
           "from a replay (state dir and checkpoint dir live and die as a unit)")
     } else if (Option(dir.listFiles()).exists(_.exists(f =>
-        // crash garbage is not state content: a torn stamp (.layout.tmp),
-        // a torn marker (.base.tmp) or a torn delta (.tmp-<id>) may be the
-        // ONLY leftover of a crash inside the first append's stamp window,
-        // and the module's contract is that replays clear such garbage —
-        // refusing on it would permanently brick a self-healing dir
-        f.getName != ".layout.tmp" && f.getName != ".base.tmp" &&
-          !f.getName.startsWith(".tmp-")))) {
+        !isLegacyLayoutEntry(f)))) {
       throw new IllegalArgumentException(
         s"AppendState: state dir $targetDir is non-empty but carries no " +
-          s"'.layout' stamp — it predates layout versioning or was written " +
-          s"by a different state class; refusing to read it as '$LayoutId'. " +
+          s"'.layout' stamp and its contents are not this module's " +
+          s"delta=/base= layout — it was written by a different state " +
+          s"class; refusing to read it as '$LayoutId'. " +
           "Rebuild the state from a replay on a fresh target dir")
     } else if (forWrite) {
       dir.mkdirs()
@@ -114,13 +133,23 @@ private[streaming] object AppendState {
   def exists(targetDir: String): Boolean =
     baseId(targetDir) >= 0 || deltaIds(targetDir).nonEmpty
 
+  /** The next unclaimed delta id: one past everything committed. */
+  private def nextFreeId(targetDir: String): Long =
+    (deltaIds(targetDir) :+ baseId(targetDir)).max + 1
+
   /** Publish batch `batchId`'s rows as an immutable delta (write to a
     * dot-dir, atomic rename). No-op if the delta already exists or was
     * already compacted into the base (a replayed batch). A NEGATIVE
     * `batchId` means "out-of-band apply, no checkpoint identity": the
     * delta gets the next free id and the replay guard is skipped —
     * correctness then rests on the merge-on-read being idempotent, which
-    * is the union-state contract.
+    * is the union-state contract. Out-of-band id allocation is
+    * check-then-act, so a lost race on the publish rename (another
+    * allocator claimed the id first) retries with a fresh id a bounded
+    * number of times and then fails NAMING the contract: one writer
+    * process per state dir (in-process callers serialize their own
+    * appends — e.g. [[AlertSink]]'s lock); two processes sharing a dir
+    * get this error instead of an opaque ATOMIC_MOVE failure.
     *
     * `partitionCols` buckets the delta's files by the named columns
     * (Hive-style subdirs inside the delta) so KEYED readers prune delta
@@ -131,11 +160,17 @@ private[streaming] object AppendState {
   def append(delta: DataFrame, targetDir: String, batchId0: Long,
              partitionCols: Seq[String] = Nil): Unit = {
     checkLayout(targetDir, forWrite = true)
-    val batchId =
-      if (batchId0 >= 0) batchId0
-      else (deltaIds(targetDir) :+ baseId(targetDir)).max + 1
-    if (batchId <= baseId(targetDir) || deltaDir(targetDir, batchId).exists()) return
-    val tmp = tmpDir(targetDir, batchId)
+    val oob = batchId0 < 0
+    val batchId = if (oob) nextFreeId(targetDir) else batchId0
+    if (!oob &&
+        (batchId <= baseId(targetDir) || deltaDir(targetDir, batchId).exists())) return
+    // out-of-band writes use a UNIQUE tmp dir: two allocators racing on a
+    // deterministic tmp path would interleave their parquet writes and one
+    // could publish the other's rows — a crash mid-write orphans at most
+    // one dot-dir (invisible to readers, bounded by crash count)
+    val tmp =
+      if (oob) new java.io.File(targetDir, s".tmp-oob-${UUID.randomUUID()}")
+      else tmpDir(targetDir, batchId)
     if (tmp.exists()) deleteQuietly(tmp) // torn write from a previous crash
     val w = delta.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
@@ -149,8 +184,28 @@ private[streaming] object AppendState {
       deleteQuietly(tmp)
       return
     }
-    java.nio.file.Files.move(tmp.toPath, deltaDir(targetDir, batchId).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    var id = batchId
+    var attempts = 0
+    var published = false
+    while (!published) {
+      try {
+        java.nio.file.Files.move(tmp.toPath, deltaDir(targetDir, id).toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        published = true
+      } catch {
+        case e: java.nio.file.FileSystemException if oob =>
+          attempts += 1
+          if (attempts > 5) {
+            deleteQuietly(tmp)
+            throw new IllegalStateException(
+              s"AppendState: out-of-band delta id allocation kept colliding " +
+                s"on $targetDir ($attempts attempts) — append-only state " +
+                "dirs require a SINGLE writer process (out-of-band ids are " +
+                "check-then-act); serialize writers or give each its own dir", e)
+          }
+          id = math.max(nextFreeId(targetDir), id + 1)
+      }
+    }
   }
 
   /** Any schema-bearing parquet part file anywhere under `dir`? */
@@ -170,8 +225,19 @@ private[streaming] object AppendState {
     * PartitionFilter (file-level pruning per delta). */
   def raw(spark: SparkSession, targetDir: String): Option[DataFrame] = {
     val base = baseId(targetDir)
+    rawFrom(spark, targetDir, base, deltaIds(targetDir))
+  }
+
+  /** The union of ONE observed (base, deltas) snapshot — [[compact]] folds
+    * exactly the snapshot it decided on, never a re-listed view: a delta
+    * published between the decision and a re-list would otherwise land in
+    * the new base AND survive as a delta above the marker, duplicating its
+    * rows for every reader whose merge is not idempotent (the alert log's
+    * identity fold). */
+  private def rawFrom(spark: SparkSession, targetDir: String, base: Long,
+                      deltas: Seq[Long]): Option[DataFrame] = {
     val dirs = (if (base >= 0) Seq(baseDir(targetDir, base).toString) else Nil) ++
-      deltaIds(targetDir).map(id => deltaDir(targetDir, id).toString)
+      deltas.map(id => deltaDir(targetDir, id).toString)
     if (dirs.isEmpty) None
     else Some(dirs.map(d => spark.read.option("basePath", d).parquet(d))
       .reduce(_.unionByName(_)))
@@ -186,11 +252,10 @@ private[streaming] object AppendState {
   def compact(spark: SparkSession, targetDir: String,
               merge: DataFrame => DataFrame,
               partitionCols: Seq[String] = Nil): Unit = {
-    val oldBase = baseId(targetDir)
     val folded = deltaIds(targetDir)
     if (folded.isEmpty) return
     val upTo = folded.max
-    val all = raw(spark, targetDir).get
+    val all = rawFrom(spark, targetDir, baseId(targetDir), folded).get
     val target = baseDir(targetDir, upTo)
     if (target.exists()) deleteQuietly(target) // orphan from a previous crash
     val merged = merge(all).localCheckpoint(true)
@@ -211,8 +276,20 @@ private[streaming] object AppendState {
     java.nio.file.Files.move(tmp.toPath, baseMarker(targetDir).toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    folded.foreach(id => deleteQuietly(deltaDir(targetDir, id)))
-    if (oldBase >= 0) deleteQuietly(baseDir(targetDir, oldBase))
+    // Retire by LISTING, not by the folded set: a previous compaction that
+    // crashed after its marker flip left folded-but-undeleted delta dirs
+    // (ids ≤ the marker) and a superseded base dir that no later fold
+    // would revisit via `folded`/`oldBase` — readers filter on the marker
+    // so they are invisible, but without this sweep the disk leak is
+    // permanent. Only this module's own numbered entries are touched.
+    Option(new java.io.File(targetDir).listFiles())
+      .getOrElse(Array.empty[java.io.File]).foreach { f =>
+        val n = f.getName
+        if (n.matches("delta=\\d+") && n.stripPrefix("delta=").toLong <= upTo)
+          deleteQuietly(f)
+        else if (n.matches("base=\\d+") && n.stripPrefix("base=").toLong != upTo)
+          deleteQuietly(f)
+      }
   }
 
   /** Default [[compactIfDue]] trigger, and the default every stream's

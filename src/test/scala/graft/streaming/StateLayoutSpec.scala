@@ -308,11 +308,26 @@ class StateLayoutSpec extends SparkSpec {
     }
     assert(eW.getMessage.contains("incompatible state layout"))
 
-    // (b) a pre-versioning AppendState dir (state content, no stamp)
+    // (b) a pre-versioning AppendState dir (recognizably this module's own
+    // delta=/base= layout, no stamp) migrates in place — readable
+    // immediately, stamped at the next write, mirroring StateCommit's
+    // legacy path; bricking every dir the previous release wrote is not a
+    // version guard, it's an upgrade bug
     val dir2 = tmp("lv2").resolve("state").toString
     AppendState.append(Seq((1L, "a")).toDF("k", "v"), dir2, 0L)
     assert(new java.io.File(dir2, ".layout").delete())
-    val eB = intercept[IllegalArgumentException] { AppendState.raw(spark, dir2) }
+    assert(AppendState.raw(spark, dir2).get.count() === 1L) // readable as-is
+    AppendState.append(Seq((2L, "b")).toDF("k", "v"), dir2, 1L)
+    assert(Files.readString(new java.io.File(dir2, ".layout").toPath).trim
+      === AppendState.LayoutId) // re-stamped by the write
+    assert(AppendState.raw(spark, dir2).get.count() === 2L)
+
+    // (b2) an unstamped dir with content this module NEVER writes is a
+    // different state class — the hard refusal is reserved for it
+    val dir2b = tmp("lv2b").resolve("state").toString
+    new java.io.File(dir2b).mkdirs()
+    Files.writeString(new java.io.File(dir2b, "part-0.parquet").toPath, "x")
+    val eB = intercept[IllegalArgumentException] { AppendState.raw(spark, dir2b) }
     assert(eB.getMessage.contains(".layout"))
 
     // (c) StateCommit pointed at an AppendState-layout dir — the
@@ -341,6 +356,62 @@ class StateLayoutSpec extends SparkSpec {
     assert(Files.readString(new java.io.File(dir5, ".layout").toPath).trim
       === AppendState.LayoutId)
     assert(AppendState.raw(spark, dir5).get.count() === 1L)
+  }
+
+  test("AppendState.compact crash matrix: a kill in any of the three windows leaves readers correct and the next cycle converges") {
+    // compact's protocol is write-fresh-base → atomic marker flip → retire
+    // old dirs; auto-compaction runs it constantly in production streams,
+    // so every crash window gets the property pinned, on both layouts.
+    for (partitioned <- Seq(false, true)) {
+      val cols = if (partitioned) Seq("bucket") else Nil
+      def df(rows: (Long, String)*) =
+        rows.map { case (k, v) => (k, v, (k % 2).toInt) }.toDF("k", "v", "bucket")
+      def content(dir: String): Set[(Long, String)] =
+        AppendState.raw(spark, dir).get.select("k", "v").distinct()
+          .as[(Long, String)].collect().toSet
+
+      // -- window A: crashed AFTER the fresh base write, BEFORE the flip —
+      // an orphan base=1 sits next to live deltas and no marker
+      val dA = tmp(s"cwA$partitioned").resolve("state").toString
+      AppendState.append(df(1L -> "a"), dA, 0L, cols)
+      AppendState.append(df(2L -> "b"), dA, 1L, cols)
+      df(1L -> "a", 2L -> "b").write.parquet(s"$dA/base=1") // the torn fold
+      assert(AppendState.baseId(dA) === -1L) // no flip: the orphan is garbage
+      assert(content(dA) === Set(1L -> "a", 2L -> "b")) // readers unaffected
+      AppendState.compact(spark, dA, _.distinct(), cols) // redoes the fold
+      assert(AppendState.baseId(dA) === 1L)
+      assert(AppendState.deltaIds(dA).isEmpty)
+      assert(content(dA) === Set(1L -> "a", 2L -> "b"))
+
+      // -- windows B and C: crashed AFTER the flip, with all (B) or some
+      // (C) folded deltas not yet retired, plus the superseded old base
+      for (keepDeltas <- Seq(Seq(0L, 1L), Seq(0L))) {
+        val d = tmp(s"cw$keepDeltas$partitioned").resolve("state").toString
+        AppendState.append(df(1L -> "a"), d, 0L, cols)
+        AppendState.compact(spark, d, _.distinct(), cols) // old base=0
+        AppendState.append(df(2L -> "b"), d, 1L, cols)
+        // a real fold to base=1 happened and the marker flipped...
+        AppendState.compact(spark, d, _.distinct(), cols)
+        assert(AppendState.baseId(d) === 1L)
+        // ...but the crash left stale dirs behind: resurrect them
+        keepDeltas.foreach(id => df(id + 1L -> (if (id == 0) "a" else "b"))
+          .write.parquet(s"$d/delta=$id"))
+        df(1L -> "a").write.parquet(s"$d/base=0")
+        // readers resolve through the marker: stale dirs are invisible
+        assert(AppendState.deltaIds(d).isEmpty)
+        assert(content(d) === Set(1L -> "a", 2L -> "b"))
+        // the next append+fold cycle retires ALL of them (the listing
+        // sweep — the folded set alone would never revisit ids ≤ marker)
+        AppendState.append(df(3L -> "c"), d, 2L, cols)
+        AppendState.compact(spark, d, _.distinct(), cols)
+        assert(AppendState.baseId(d) === 2L)
+        assert(content(d) === Set(1L -> "a", 2L -> "b", 3L -> "c"))
+        val left = new java.io.File(d).listFiles().map(_.getName)
+          .filter(n => n.startsWith("delta=") || n.startsWith("base="))
+        assert(left.toSeq === Seq("base=2"),
+          s"stale fold dirs must be swept, got ${left.mkString(",")}")
+      }
+    }
   }
 
   test("StateCommit: a legacy flat-layout state dir restarts and migrates into the versioned layout") {
