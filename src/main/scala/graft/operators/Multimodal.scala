@@ -338,7 +338,18 @@ object Multimodal {
     * no ImageIO reader claims. 60 bits (not the classic 64) so the hash —
     * and the md5 fallback below — always fits a non-negative BIGINT in
     * every engine. */
-  def dHash60(payload: Array[Byte]): Option[Long] = {
+  def dHash60(payload: Array[Byte]): Option[Long] =
+    dHashDiffs(payload).map(signFold60)
+
+  /** The INTEGER feature vector beneath [[dHash60]]: the 60 grayscale
+    * neighbour DIFFERENCES of the 11×6 area-averaged grid, indexed so
+    * that `signFold60(f)` reproduces the dHash bit layout exactly
+    * (feature b drives hash bit b). The pre-sign differences carry what
+    * the bits throw away — magnitude — so a cosine over them separates a
+    * rescaled/brightness-shifted duplicate (differences preserved up to
+    * a positive scale, cosine ≈ 1) from a distinct image that happens to
+    * share some bit signs. Range per element: [−255, 255]. */
+  def dHashDiffs(payload: Array[Byte]): Option[Array[Int]] = {
     if (!looksLikeImage(payload)) return None
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
@@ -350,20 +361,34 @@ object Multimodal {
       g.drawImage(img.getScaledInstance(w, h, java.awt.Image.SCALE_AREA_AVERAGING),
         0, 0, null)
       g.dispose()
-      var bits = 0L
+      val f = new Array[Int](60)
+      var i = 0
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w - 1) {
-          bits = (bits << 1) |
-            (if (scaled.getRaster.getSample(x, y, 0) >
-              scaled.getRaster.getSample(x + 1, y, 0)) 1L else 0L)
+          // walk index i filled the (59 − i)-th bit in the MSB-first fold
+          f(59 - i) = scaled.getRaster.getSample(x, y, 0) -
+            scaled.getRaster.getSample(x + 1, y, 0)
+          i += 1
           x += 1
         }
         y += 1
       }
-      Some(bits)
+      Some(f)
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The one sign fold both hash tiers share: hash bit b is set iff
+    * feature b is strictly positive — so the 60-bit pHash IS the SimHash
+    * of the feature vector (Charikar 2002), which is what makes its
+    * 6×10-bit bands a principled LSH candidate generator for the
+    * feature's COSINE in [[semPairs]]. */
+  def signFold60(f: Array[Int]): Long = {
+    var bits = 0L
+    var b = 0
+    while (b < 60) { if (f(b) > 0) bits |= 1L << b; b += 1 }
+    bits
   }
 
   /** Deterministic LOCALITY-SENSITIVE 60-bit fallback for non-image
@@ -377,7 +402,18 @@ object Multimodal {
     * semantics, which is what lets `ext_multimodal_phash` hash-gate end to
     * end. Payloads under 4 code points fingerprint to 0 (no grams — the
     * documented degenerate bucket). */
-  def fallbackHash60(payload: Array[Byte]): Long = {
+  def fallbackHash60(payload: Array[Byte]): Long =
+    signFold60(fallbackVotes(payload))
+
+  /** The INTEGER feature vector beneath [[fallbackHash60]]: the 60
+    * per-bit SimHash VOTE TALLIES before the sign fold (vote b drives
+    * hash bit b). The tallies carry the evidence the fold throws away,
+    * so near-duplicate payloads have near-parallel vote vectors (cosine
+    * ≈ 1) while unrelated payloads decorrelate — the same
+    * hash-is-sign-of-feature relationship [[dHashDiffs]] gives images,
+    * which is what lets ONE ANN tier ([[semPairs]]) serve both payload
+    * classes. |vote b| ≤ gram count ≤ payload code points. */
+  def fallbackVotes(payload: Array[Byte]): Array[Int] = {
     val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
     val cps = s.codePoints().toArray
     val votes = new Array[Int](60)
@@ -398,10 +434,7 @@ object Multimodal {
       md.reset()
       i += 1
     }
-    var bits = 0L
-    var b = 0
-    while (b < 60) { if (votes(b) > 0) bits |= 1L << b; b += 1 }
-    bits
+    votes
   }
 
   /** One 60-bit perceptual/fallback hash per payload — partition-parallel
@@ -411,7 +444,19 @@ object Multimodal {
     * one small parquet file reads as ONE task — is rebalanced to full
     * parallelism first; at scale the scan already carries ≥ that many
     * partitions and the rebalance is a no-op branch. */
-  def imageHashes(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+  def imageHashes(docs: DataFrame)(implicit spark: SparkSession): DataFrame =
+    imageFeatures(docs).select(col("doc_id"), col("phash"))
+
+  /** One decode pass, BOTH fingerprint tiers: per payload the 60-dim
+    * integer feature ([[dHashDiffs]] for images, [[fallbackVotes]]
+    * otherwise), its exact squared norm, and the 60-bit pHash — which is
+    * by construction [[signFold60]] of the feature, so the banded-hash
+    * candidate tier and the cosine-verify tier ride ONE decode (the
+    * session-share discipline: callers checkpoint this frame once and
+    * every phash/semantic consumer projects from it). Partition-parallel
+    * like [[decodeMeta]]; the narrow-scan rebalance as in the hash-only
+    * form. */
+  def imageFeatures(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val src = withMediaColumn(docs).select(col("doc_id"), col("media"))
     val par = spark.sparkContext.defaultParallelism
@@ -420,10 +465,65 @@ object Multimodal {
       .mapPartitions { rows: Iterator[Row] =>
         rows.map { row =>
           val p = row.getAs[Array[Byte]](1)
-          (row.getLong(0), dHash60(p).getOrElse(fallbackHash60(p)))
+          val f = dHashDiffs(p).getOrElse(fallbackVotes(p))
+          var n2 = 0L
+          var b = 0
+          while (b < 60) { n2 += f(b).toLong * f(b); b += 1 }
+          (row.getLong(0), signFold60(f), f.map(_.toLong), n2)
         }
       }
-      .toDF("doc_id", "phash")
+      .toDF("doc_id", "phash", "feat", "__n2")
+  }
+
+  /** SEMANTIC near-duplicate pairs — the image side's SemDeDup split: the
+    * banded pHash catches re-encodes/crops within a few flipped bits
+    * ([[phashPairs]], lossless ≤ 5); a rescaled or brightness/contrast-
+    * shifted duplicate can flip more bits yet keeps its underlying
+    * feature vector near-PARALLEL, so this tier verifies band candidates
+    * by COSINE over the integer features instead of Hamming over the
+    * folded bits. Because the pHash is the feature's SimHash
+    * ([[signFold60]]), its 6×10-bit bands are a principled LSH for
+    * cosine: P[some band agrees] = 1 − (1 − p^10)^6 with p the per-bit
+    * sign-agreement rate — near-certain for cosine ≥ 0.9, vanishing for
+    * unrelated payloads (the standard SimHash-band recall trade; the
+    * Hamming tier stays the lossless floor for tiny perturbations).
+    *
+    * Exactness: dot and norms are exact int64 (|dot| ≤ max ‖f‖² ≤
+    * 60·(payload code points)² — overflow needs a 10⁸-code-point
+    * payload); the one cosine division and the sqrt of the
+    * double-multiplied norms are correctly-rounded IEEE on every engine,
+    * so the ≥-threshold verdict is engine-independent (the oracle
+    * replays it in SQL). Zero-norm features (degenerate < 4-code-point
+    * payloads) never pair — cosine is undefined there.
+    *
+    * Scale shape: identical to [[phashPairs]] — Σ bucket² band
+    * candidates, the 60-multiply verify BEFORE the pair distinct, media
+    * bytes never move (callers pass the decoded [[imageFeatures]]
+    * checkpoint). */
+  def semPairs(features: DataFrame, minCosine: Double = 0.9): DataFrame = {
+    // zero-norm features (degenerate < 4-code-point payloads) can never
+    // pair — drop them BEFORE banding: they all fingerprint to phash 0,
+    // so left in, a corpus's degenerate slice self-joins quadratically
+    // in the key-0 bucket of every band for rows a later filter discards
+    val f = features.select(col("doc_id"), col("phash"), col("feat"), col("__n2"))
+      .filter(col("__n2") > 0)
+    val bands = f.select(col("doc_id"), col("phash"), col("feat"), col("__n2"),
+      explode(sequence(lit(0), lit(5))).as("band"))
+      .withColumn("__key", expr("(phash >> (band * 10)) & 1023"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.__key") === col("b.__key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("aggregate(zip_with(a.feat, b.feat, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+          .as("__dot"),
+        col("a.__n2").as("__na"), col("b.__n2").as("__nb"))
+      .withColumn("cosine",
+        col("__dot").cast("double") /
+          sqrt(col("__na").cast("double") * col("__nb").cast("double")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("doc_a"), col("doc_b"), col("cosine"))
+      .distinct()
   }
 
   /** Near-duplicate pairs by hamming distance over the 60-bit hashes —

@@ -2904,15 +2904,21 @@ object ExtQueries {
     * fixture the surviving pairs are the exact byte-duplicate payloads
     * (hamming 0); real-image near-dup semantics are pinned in KnnSpec with
     * generated PNGs. */
-  /** The decoded 60-bit pHash frame per fixture dir (one long per doc,
-    * checkpointed): the pair report and the dedup tier both consume it,
-    * and the decode pass (md5 per payload 4-gram) is the expensive half
-    * of both — the [[trainedNbModel]] session-share discipline. */
-  private val phashByDir =
+  /** The decoded fingerprint frame per fixture dir — (doc_id, phash,
+    * feat, ‖feat‖²), checkpointed: the pair report, the Hamming dedup
+    * tier AND the semantic cosine tier all project from it, and the
+    * decode pass (md5 per payload 4-gram / the image raster pass) is the
+    * expensive half of every one — the [[trainedNbModel]] session-share
+    * discipline, now carrying both tiers in ONE decode
+    * ([[Multimodal.imageFeatures]]: the phash is the feature's sign
+    * fold, so nothing decodes twice). */
+  private val mmFeatByDir =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[queries] def imageFeaturesShared(s: SparkSession, d: String): DataFrame =
+    mmFeatByDir.computeIfAbsent(d, _ =>
+      Multimodal.imageFeatures(documents(s, d))(s).localCheckpoint(true))
   private[queries] def imageHashesShared(s: SparkSession, d: String): DataFrame =
-    phashByDir.computeIfAbsent(d, _ =>
-      Multimodal.imageHashes(documents(s, d))(s).localCheckpoint(true))
+    imageFeaturesShared(s, d).select(col("doc_id"), col("phash"))
 
   private val extMultimodalPhash: Q = (s, d) =>
     Multimodal.phashPairs(imageHashesShared(s, d))
@@ -2936,6 +2942,27 @@ object ExtQueries {
   private val extMultimodalDedup: Q = (s, d) =>
     Multimodal.softDedup(documents(s, d),
         Multimodal.phashPairs(imageHashesShared(s, d)))
+      .orderBy("doc_id")
+
+  /** SEMANTIC image-dedup tier — the multimodal SemDeDup split: pHash
+    * bands catch re-encodes at Hamming ≤ 5 losslessly
+    * ([[extMultimodalDedup]]); a rescaled or brightness/contrast-shifted
+    * duplicate that flips more bits keeps a near-PARALLEL underlying
+    * feature, so this tier verifies the SAME band candidates by cosine
+    * ≥ 0.9 over the integer features ([[Multimodal.semPairs]] —
+    * SimHash-banded ANN, the principled LSH for the cosine because the
+    * phash IS the feature's sign fold), then pushes the pairs through
+    * the identical CC → keep/weights report ([[Multimodal.softDedup]],
+    * the one definition all three dedup reports share). Exactly the
+    * text side's ngram/minhash-vs-SemDeDup split, for pixels.
+    *
+    * Shape: one decode (the session-shared feature checkpoint), band
+    * candidates Σ bucket², the 60-multiply cosine verify before the pair
+    * distinct, doc-keyed join-back — no all-pairs anywhere; media bytes
+    * never move. */
+  private val extMultimodalSemdedup: Q = (s, d) =>
+    Multimodal.softDedup(documents(s, d),
+        Multimodal.semPairs(imageFeaturesShared(s, d)))
       .orderBy("doc_id")
 
   /** Cross-SOURCE image-duplication matrix — `ext_dedup_cross_source`'s
@@ -3247,6 +3274,7 @@ object ExtQueries {
     "ext_multimodal_meta" -> extMultimodalMeta,
     "ext_multimodal_phash" -> extMultimodalPhash,
     "ext_multimodal_dedup" -> extMultimodalDedup,
+    "ext_multimodal_semdedup" -> extMultimodalSemdedup,
     "ext_multimodal_cross_source" -> extMultimodalCrossSource,
     "ext_multimodal_frames" -> extMultimodalFrames,
     "ext_multimodal_resize" -> extMultimodalResize,
@@ -5923,6 +5951,46 @@ object ExtQueries {
       s"""WITH RECURSIVE $phashCandSqlCte,
          |pairs AS (SELECT doc_a, doc_b FROM cand
          |          WHERE bit_count(xor(pa, pb)) <= 5),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM e),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.u, r.label FROM e JOIN reach r ON e.v = r.id),
+         |lab AS (SELECT id AS doc_id, min(label) AS cluster_id
+         |        FROM reach GROUP BY id),
+         |al AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |       FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_copies
+         |       FROM al GROUP BY 1)
+         |SELECT al.doc_id, al.cluster_id, n_copies,
+         |       CAST(1000000 // n_copies AS BIGINT) AS weight_ppm,
+         |       al.doc_id = al.cluster_id AS keep
+         |FROM al JOIN sz ON al.cluster_id = sz.cluster_id
+         |ORDER BY al.doc_id""".stripMargin,
+
+    // the SEMANTIC tier: the same banded candidates verified by cosine
+    // over the per-bit vote tallies (the feature whose sign fold IS the
+    // phash — the `bits` CTE), then the identical CC → keep/weights
+    // shape. Integer dot/norms, one double division + sqrt — the ≥ 0.9
+    // verdict is engine-exact.
+    "ext_multimodal_semdedup" ->
+      s"""WITH RECURSIVE $phashCandSqlCte,
+         |n2 AS (SELECT doc_id, CAST(sum(vote * vote) AS BIGINT) AS n2
+         |       FROM bits GROUP BY 1),
+         |dotp AS (SELECT c.doc_a, c.doc_b,
+         |                CAST(sum(va.vote * vb.vote) AS BIGINT) AS dot
+         |         FROM cand c
+         |         JOIN bits va ON va.doc_id = c.doc_a
+         |         JOIN bits vb ON vb.doc_id = c.doc_b AND vb.b = va.b
+         |         GROUP BY 1, 2),
+         |pairs AS (SELECT p.doc_a, p.doc_b FROM dotp p
+         |          JOIN n2 na ON na.doc_id = p.doc_a
+         |          JOIN n2 nb ON nb.doc_id = p.doc_b
+         |          WHERE na.n2 > 0 AND nb.n2 > 0
+         |            AND CAST(p.dot AS DOUBLE) /
+         |                sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) >= 0.9),
          |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
          |      UNION SELECT doc_b, doc_a FROM pairs),
          |nodes AS (SELECT DISTINCT u AS id FROM e),

@@ -298,6 +298,34 @@ object StreamQueries {
       .orderBy("doc_id")
   }
 
+  /** The SEMANTIC image-dedup grid off the multimodal dedup stream's
+    * states, run in BATCH mode over a DOUBLED delivery: the SAME band
+    * probe that serves the Hamming tier yields the candidates (no
+    * hamming cap), each candidate's two ends verify by cosine against
+    * the doc-keyed feature ledger ([[graft.streaming
+    * .MultimodalDedupStream.newSemPairs]] — features stored once per
+    * doc, never fanned into the band rows), and the decision grid is
+    * [[graft.operators.Multimodal.softDedup]] shared verbatim with the
+    * batch `ext_multimodal_semdedup` — so the oracle IS that query's
+    * SQL. Redelivered fingerprints collapse by distinct (pure per
+    * payload); live cross-batch completion in StreamingSpec. */
+  private val streamMultimodalSemdedup: Q = (s, d) => {
+    import graft.streaming.MultimodalDedupStream
+    val docs = s.read.parquet(s"$d/documents.parquet")
+    val once = ExtQueries.imageFeaturesShared(s, d)
+    val twice = once.unionByName(once).distinct() // two deliveries collapse
+      .localCheckpoint(true) // probe side, index side AND ledger read it
+    val bands = MultimodalDedupStream.bandRows(
+      twice.select(col("doc_id"), col("phash")))
+    val feats = twice.filter(col("__n2") > 0)
+      .select(col("doc_id"), col("feat"), col("__n2"))
+    val fresh = MultimodalDedupStream.newSemPairs(bands, bands, feats)
+    graft.operators.Multimodal.softDedup(
+        docs.select(col("doc_id")),
+        MultimodalDedupStream.mergePairs(fresh.limit(0), fresh))
+      .orderBy("doc_id")
+  }
+
   /** The cross-source IMAGE-duplication matrix read off the multimodal
     * dedup stream's maintained pair + metadata states, run in BATCH mode —
     * the one-state-many-reports discipline: the SAME pair state
@@ -755,6 +783,7 @@ object StreamQueries {
     "stream_t_closeness" -> streamTCloseness,
     "stream_cross_source" -> streamCrossSource,
     "stream_multimodal_dedup" -> streamMultimodalDedup,
+    "stream_multimodal_semdedup" -> streamMultimodalSemdedup,
     "stream_multimodal_cross_source" -> streamMultimodalCrossSource,
     "stream_embed_drift" -> streamEmbedDrift,
     "stream_ivf_occupancy" -> streamIvfOccupancy,
@@ -788,6 +817,7 @@ object StreamQueries {
     // the decision report is Multimodal.softDedup shared verbatim with
     // the batch tier — one definition, one oracle
     "stream_multimodal_dedup" -> ExtQueries.oracle("ext_multimodal_dedup"),
+    "stream_multimodal_semdedup" -> ExtQueries.oracle("ext_multimodal_semdedup"),
     "stream_multimodal_cross_source" -> ExtQueries.oracle("ext_multimodal_cross_source"),
     "stream_embed_drift" -> ExtQueries.oracle("ext_embed_drift"),
     "stream_dsir_model" -> ExtQueries.oracle("ext_dsir_model"),

@@ -57,20 +57,33 @@ object CorpusIngest {
       case (r, (k, v)) => r.option(k, v)
     }.json(path)
 
+  /** The one exclusion predicate both halves split on: corrupt lines,
+    * text-less lines, and explicit ids that violate the NON-NEGATIVE id
+    * contract (the sign bit is reserved for synthesized ids — see
+    * [[cleanDocs]]; letting a negative explicit id through would collide
+    * two distinct documents in every doc_id-keyed downstream state with
+    * no signal, so the dump is quarantined instead). */
+  private def excluded =
+    col("_corrupt").isNotNull || col("text").isNull ||
+      (col("doc_id").isNotNull && col("doc_id") < 0) // null id = absent, backfilled
+
   /** The contract-clean half of a [[jsonlDocs]] frame, normalized onto
-    * [[docsFileSchema]]: corrupt or text-less lines excluded (they are
-    * QUARANTINED, not lost — [[quarantined]]), a dump without ids gets
-    * deterministic content-addressed ones (xxhash64 of the text, sign-
-    * cleared; byte-identical dupes share an id, which the digest-keyed
-    * survivor merge collapses anyway), n_chars recomputed when absent,
-    * lang/source defaulted. Wrong-TYPE fields (e.g. a string doc_id)
-    * corrupt the whole line under PERMISSIVE parsing and land in
-    * quarantine — only genuinely ABSENT fields are backfilled. */
+    * [[docsFileSchema]]: lines failing [[excluded]] are QUARANTINED, not
+    * lost ([[quarantined]]); a dump without ids gets deterministic
+    * content-addressed ones — xxhash64 of the text folded into the
+    * NEGATIVE range `[-Long.MaxValue, -1]`, DISJOINT by the sign bit
+    * from the (non-negative) explicit-id contract, so a synthesized id
+    * can never silently merge with an explicit one in the doc_id-keyed
+    * downstream states (byte-identical dupes share an id, which the
+    * digest-keyed survivor merge collapses anyway); n_chars recomputed
+    * when absent, lang/source defaulted. Wrong-TYPE fields (e.g. a
+    * string doc_id) corrupt the whole line under PERMISSIVE parsing and
+    * land in quarantine — only genuinely ABSENT fields are backfilled. */
   def cleanDocs(raw: DataFrame): DataFrame =
-    raw.filter(col("_corrupt").isNull && col("text").isNotNull)
+    raw.filter(!excluded)
       .select(
         coalesce(col("doc_id"),
-          pmod(xxhash64(col("text")), lit(Long.MaxValue))).as("doc_id"),
+          -pmod(xxhash64(col("text")), lit(Long.MaxValue)) - 1).as("doc_id"),
         col("text"),
         coalesce(col("lang"), lit("und")).as("lang"),
         coalesce(col("source"), lit("unknown")).as("source"),
@@ -78,13 +91,20 @@ object CorpusIngest {
 
   /** The quarantine half: every line [[cleanDocs]] excluded, as ONE raw
     * string per line (the unparsed original for corrupt lines; the
-    * re-serialized row for parsed-but-text-less ones) — the frame an
-    * operator inspects and replays after fixing the producer. */
+    * re-serialized row for parsed-but-contract-violating ones) — the
+    * frame an operator inspects and replays after fixing the producer.
+    * A `src_file` column (the live ingest's provenance tag) rides along
+    * when the input carries one and never enters the re-serialized
+    * line, so the batch and streaming views agree byte for byte. */
   def quarantined(raw: DataFrame): DataFrame = {
-    val parsedCols = raw.columns.filter(_ != "_corrupt").map(col).toIndexedSeq
-    raw.filter(col("_corrupt").isNotNull || col("text").isNull)
-      .select(coalesce(col("_corrupt"), to_json(struct(parsedCols: _*)))
-        .as("raw_line"))
+    val parsedCols = raw.columns
+      .filter(c => c != "_corrupt" && c != "src_file").map(col).toIndexedSeq
+    val line = coalesce(col("_corrupt"), to_json(struct(parsedCols: _*)))
+      .as("raw_line")
+    val out =
+      if (raw.columns.contains("src_file")) Seq(line, col("src_file"))
+      else Seq(line)
+    raw.filter(excluded).select(out: _*)
   }
 
   /** Shared batch/stream transform: quality gate (the corpus-prep
@@ -134,37 +154,71 @@ object CorpusIngest {
       compact(spark, targetDir)
   }
 
+  /** The quarantine LEDGER dir a live json ingest maintains next to its
+    * survivor state: one (raw_line, src_file, batch_id) row per rejected
+    * line. The reject rate is state a live ingest must expose the way it
+    * exposes everything else — a batch-only view over the source dir
+    * ([[jsonlDocs]] + [[quarantined]]) answers "what is bad", but not
+    * "what did THIS stream reject and when". */
+  def quarantineDir(targetDir: String): String = targetDir + "_quarantine"
+
+  /** The live quarantine ledger (empty-but-typed before the first
+    * reject). Rows are unique events — no merge beyond the union. */
+  def quarantineState(spark: SparkSession, targetDir: String): DataFrame =
+    AppendState.raw(spark, quarantineDir(targetDir)).getOrElse(
+      spark.range(0).select(lit("").as("raw_line"), lit("").as("src_file"),
+        col("id").as("batch_id")))
+
   /** Start the ingest: document source dir → gate/project → foreachBatch
     * digest-keyed survivor merge into `targetDir`. `availableNow = true`
     * drains what exists and stops (test/replay mode). `format` picks the
     * file source: "parquet" (the fixture shape) or "json" (a JSONL crawl
     * dump — parsed against the declared schema and normalized through
-    * [[cleanDocs]]; corrupt lines are excluded from the survivor state,
-    * never crash the stream, and remain inspectable via [[jsonlDocs]] +
-    * [[quarantined]] over the same dir). */
+    * [[cleanDocs]]). For json, every line the contract excludes lands in
+    * the [[quarantineDir]] ledger with its source file and batch id —
+    * visible LIVE via [[quarantineState]], never crashing the stream and
+    * never dropped silently; the same micro-batch feeds both states, so
+    * a checkpoint replay re-derives both under the same batch-id guard
+    * (each dir skips what it already holds). */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
             checkpointDir: String, minQuality: Double = 0.3,
             availableNow: Boolean = true,
             compactEvery: Int = AppendState.DefaultCompactEvery,
             format: String = "parquet"): StreamingQuery = {
-    val raw = format match {
-      case "parquet" => spark.readStream.schema(docsFileSchema).parquet(sourceDir)
-      case "json" => cleanDocs(
-        jsonlReadOptions.foldLeft(spark.readStream.schema(jsonlSchema)) {
+    val trigger =
+      if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
+    def run(src: DataFrame)(apply: (DataFrame, Long) => Unit): StreamingQuery =
+      src.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) => apply(batch, batchId) }
+        .start()
+    format match {
+      case "parquet" =>
+        run(transform(
+          spark.readStream.schema(docsFileSchema).parquet(sourceDir), minQuality)) {
+          (batch, batchId) => applyBatch(spark, batch, targetDir, batchId, compactEvery)
+        }
+      case "json" =>
+        val raw = jsonlReadOptions.foldLeft(spark.readStream.schema(jsonlSchema)) {
           case (r, (k, v)) => r.option(k, v)
-        }.json(sourceDir))
+        }.json(sourceDir).withColumn("src_file", input_file_name())
+        run(raw) { (batch, batchId) =>
+          // checkpoint ONCE: survivors and quarantine split one
+          // materialized micro-batch, not two scans of the source files
+          val b = batch.localCheckpoint(true)
+          applyBatch(spark, transform(cleanDocs(b), minQuality), targetDir,
+            batchId, compactEvery)
+          val rejects = quarantined(b).withColumn("batch_id", lit(batchId))
+            .localCheckpoint(true)
+          if (rejects.count() > 0) {
+            val qDir = quarantineDir(targetDir)
+            AppendState.append(rejects, qDir, batchId)
+            AppendState.compactIfDue(spark, qDir, compactEvery)(df => df)
+          }
+        }
       case other => throw new IllegalArgumentException(
         s"CorpusIngest.start: unsupported source format '$other' (parquet | json)")
     }
-    val trigger =
-      if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
-    transform(raw, minQuality)
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(spark, batch, targetDir, batchId, compactEvery)
-      }
-      .start()
   }
 }

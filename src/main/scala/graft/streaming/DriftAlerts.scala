@@ -26,6 +26,8 @@ import graft.streaming.AlertSink.DriftRule
   * driver-side materialization is the breached slice capped at
   * [[AlertSink.MaxDetailRows]] + 1 rows. */
 object DriftAlerts {
+  // (README "Paging on the maintained monitors" runbook documents the
+  // sweep cadence and rule wiring end to end.)
 
   /** OOV vocabulary drift per source ([[VocabDrift]], query
     * `stream_vocab_drift`): pages when any source's OOV permille moved

@@ -31,9 +31,23 @@ import graft.operators.Multimodal
   *    partitionBy'd on `bucket = pmod(__key, IndexBuckets)` so a batch's
   *    posting fetch prunes whole delta files (PartitionFilters), the
   *    [[NeardupStream.IndexBuckets]] layout discipline. Distinct-on-read.
+  *    Deliberately SLIM — features live once per doc in `feat`, never 6×
+  *    in the band rows.
+  *  - `feat`: (doc_id, feat, ‖feat‖²) — the doc-keyed integer-feature
+  *    ledger backing the SEMANTIC verify ([[newSemPairs]]); zero-norm
+  *    rows are not stored (they can never pair). Appended before any
+  *    pair append. (Dirs written before this ledger existed keep serving
+  *    the Hamming tier; the semantic tier needs the features from batch
+  *    0, so such a dir is rebuilt by replay — state dir and checkpoint
+  *    live and die as a unit.)
   *  - `pairs`: (doc_a < doc_b, hamming). A pair is a PURE function of the
   *    two payloads' hashes, so redelivery/splits recompute byte-equal
   *    rows and the distinct merge-on-read collapses them.
+  *  - `sem_pairs`: (doc_a < doc_b, cosine ≥ [[MinCosine]]) — the SAME
+  *    band probe verified by cosine over the feature ledger instead of
+  *    Hamming over the folded bits (`ext_multimodal_semdedup`'s split:
+  *    rescaled/shifted duplicates live past 5 flipped bits); pure per
+  *    payload pair, distinct-merged like `pairs`.
   * Convergence: pair (a, b) is emitted by the batch that completes it —
   * the probe side carries the new doc's bands, the index side the older
   * doc's, and both rows carry the FULL hash, so the Hamming verify is
@@ -64,10 +78,21 @@ object MultimodalDedupStream {
     * the batch's buckets before the posting join runs. */
   val IndexBuckets = 16
 
-  /** One decoded 60-bit hash per payload — [[Multimodal.imageHashes]]
-    * over the batch (partition-parallel decode; the expensive half). */
+  /** Sem-pair acceptance: cosine ≥ 0.9 over the integer features —
+    * [[Multimodal.semPairs]]'s default, the batch twin's bound. */
+  val MinCosine = 0.9
+
+  /** One decoded fingerprint row per payload — [[Multimodal
+    * .imageFeatures]] over the batch (partition-parallel decode; the
+    * expensive half): (doc_id, phash, feat, ‖feat‖²). BOTH dedup tiers
+    * (Hamming bands, semantic cosine) ride this one decode. */
+  def featRows(batchDocs: DataFrame): DataFrame =
+    Multimodal.imageFeatures(batchDocs)(batchDocs.sparkSession)
+
+  /** One decoded 60-bit hash per payload — the hash projection of
+    * [[featRows]] (kept for callers that need only the Hamming tier). */
   def hashRows(batchDocs: DataFrame): DataFrame =
-    Multimodal.imageHashes(batchDocs)(batchDocs.sparkSession)
+    featRows(batchDocs).select(col("doc_id"), col("phash"))
 
   /** A hash frame fanned out to its 6 LSH band rows — the probe unit and
     * the index-state row shape (each row carries the full hash for the
@@ -99,9 +124,40 @@ object MultimodalDedupStream {
 
   /** Idempotent pair merge — rows are byte-equal on every delivery (the
     * hash is a pure function of the payload), so distinct collapses any
-    * multiplicity and order. */
+    * multiplicity and order. Serves BOTH pair states (hamming and
+    * semantic — each is a pure function of the two payloads). */
   def mergePairs(state: DataFrame, batch: DataFrame): DataFrame =
     state.unionByName(batch).distinct()
+
+  /** SEMANTIC pairs completed by this batch — the streaming twin of
+    * [[Multimodal.semPairs]], split across the slim band index and the
+    * doc-keyed feature ledger: the SAME band probe that serves the
+    * Hamming tier yields candidates (NO hamming cap — a rescaled
+    * duplicate lives past 5 flipped bits), each candidate joins its two
+    * ends' features from the ledger (doc-keyed, pair-bounded — features
+    * are stored ONCE per doc, never 6× in the band rows), and the exact
+    * integer-dot cosine ≥ `minCosine` verdict keeps true semantic dups.
+    * Pure per payload pair → byte-equal on every delivery → the distinct
+    * merge collapses redelivery, exactly like the Hamming pairs. */
+  def newSemPairs(batchBands: DataFrame, mergedBands: DataFrame,
+                  feats: DataFrame, minCosine: Double = MinCosine): DataFrame =
+    batchBands.as("a").join(mergedBands.as("b"),
+        col("a.band") === col("b.band") && col("a.__key") === col("b.__key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .join(feats.select(col("doc_id").as("doc_a"), col("feat").as("__fa"),
+        col("__n2").as("__na")), "doc_a")
+      .join(feats.select(col("doc_id").as("doc_b"), col("feat").as("__fb"),
+        col("__n2").as("__nb")), "doc_b")
+      .withColumn("__dot",
+        expr("aggregate(zip_with(__fa, __fb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("cosine",
+        col("__dot").cast("double") /
+          sqrt(col("__na").cast("double") * col("__nb").cast("double")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("doc_a"), col("doc_b"), col("cosine"))
+      .distinct()
 
   /** The per-doc metadata ledger (doc_id, source, n_chars), distinct —
     * ~16 bytes + the source string per doc ever delivered, never the
@@ -119,6 +175,24 @@ object MultimodalDedupStream {
       .getOrElse(spark.range(0).select(col("id").as("doc_a"),
         col("id").as("doc_b"), lit(0L).as("hamming")))
 
+  /** The doc-keyed FEATURE ledger backing the semantic verify — one
+    * (doc_id, feat, ‖feat‖²) row per non-degenerate doc ever delivered
+    * (zero-norm features can never pair, so they are not stored);
+    * distinct-on-read. ~60 longs per doc — the same order as the
+    * metadata ledger, and stored ONCE, never fanned into the band rows. */
+  def featState(spark: SparkSession, targetDir: String): DataFrame =
+    AppendState.raw(spark, s"$targetDir/feat")
+      .map(_.distinct())
+      .getOrElse(spark.range(0).select(col("id").as("doc_id"),
+        array().cast("array<bigint>").as("feat"), lit(0L).as("__n2")))
+
+  /** The LIVE semantic pair table (distinct-merge-on-read). */
+  def semPairState(spark: SparkSession, targetDir: String): DataFrame =
+    AppendState.raw(spark, s"$targetDir/sem_pairs")
+      .map(_.distinct())
+      .getOrElse(spark.range(0).select(col("id").as("doc_a"),
+        col("id").as("doc_b"), lit(0.0).as("cosine")))
+
   /** The probe-facing index view, PRUNED to the given buckets via the
     * partition column (whole delta files skip) — duplicate rows stay;
     * [[newPairs]]'s distinct absorbs them. */
@@ -133,6 +207,14 @@ object MultimodalDedupStream {
     * maintained doc ledger + pair state. Readable at any moment. */
   def report(spark: SparkSession, targetDir: String): DataFrame =
     Multimodal.softDedup(docState(spark, targetDir), pairState(spark, targetDir))
+
+  /** The live SEMANTIC keep/reweight grid — [[Multimodal.softDedup]]
+    * (shared verbatim with the batch `ext_multimodal_semdedup`) over the
+    * SAME doc ledger plus the cosine-verified pair state: the
+    * one-state-many-reports discipline, fourth report off this stream's
+    * state. */
+  def semReport(spark: SparkSession, targetDir: String): DataFrame =
+    Multimodal.softDedup(docState(spark, targetDir), semPairState(spark, targetDir))
 
   /** Cross-source IMAGE-duplication matrix off the SAME live pair +
     * metadata states ([[graft.operators.Dedup.crossSourceMatrix]] —
@@ -151,6 +233,8 @@ object MultimodalDedupStream {
       partitionCols = Seq("bucket"))
     AppendState.compact(spark, s"$targetDir/docs", _.distinct())
     AppendState.compact(spark, s"$targetDir/pairs", _.distinct())
+    AppendState.compact(spark, s"$targetDir/feat", _.distinct())
+    AppendState.compact(spark, s"$targetDir/sem_pairs", _.distinct())
   }
 
   /** One micro-batch apply: decode the batch's hashes ONCE, append the
@@ -162,12 +246,20 @@ object MultimodalDedupStream {
     * lang, source, n_chars): the ledger needs source/n_chars. */
   def applyBatch(spark: SparkSession, batchDocs: DataFrame, targetDir: String,
                  batchId: Long, maxHamming: Int = MaxHamming,
-                 compactEvery: Int = AppendState.DefaultCompactEvery): Unit = {
-    val hashes = hashRows(batchDocs).dropDuplicates("doc_id").localCheckpoint(true)
+                 compactEvery: Int = AppendState.DefaultCompactEvery,
+                 minCosine: Double = MinCosine): Unit = {
+    val feats = featRows(batchDocs).dropDuplicates("doc_id").localCheckpoint(true)
     AppendState.append(
       batchDocs.select(col("doc_id"), col("source"), col("n_chars")).distinct(),
       s"$targetDir/docs", batchId)
-    val batchBands = bucketed(bandRows(hashes)).localCheckpoint(true)
+    // feature ledger BEFORE any pair append (the meta-first discipline
+    // extended: a sem pair must never land before both ends' features) —
+    // zero-norm features can never pair and are not stored
+    AppendState.append(
+      feats.filter(col("__n2") > 0).select(col("doc_id"), col("feat"), col("__n2")),
+      s"$targetDir/feat", batchId)
+    val batchBands =
+      bucketed(bandRows(feats.select(col("doc_id"), col("phash")))).localCheckpoint(true)
     AppendState.append(batchBands, s"$targetDir/index", batchId,
       partitionCols = Seq("bucket"))
     // the partition filter is decided by an IndexBuckets-bounded collect;
@@ -176,8 +268,12 @@ object MultimodalDedupStream {
       batchBands.select(col("bucket")).distinct().collect().map(_.getInt(0)).toSeq
     val merged = indexForBuckets(spark, targetDir, batchBuckets)
       .getOrElse(batchBands.select(col("doc_id"), col("phash"), col("band"), col("__key")))
+      .localCheckpoint(true) // BOTH tiers probe it; materialize the fetch once
     val fresh = newPairs(batchBands, merged, maxHamming)
     AppendState.append(fresh.localCheckpoint(true), s"$targetDir/pairs", batchId)
+    val freshSem = newSemPairs(batchBands, merged,
+      featState(spark, targetDir), minCosine)
+    AppendState.append(freshSem.localCheckpoint(true), s"$targetDir/sem_pairs", batchId)
     if (AppendState.compactionDue(s"$targetDir/index", compactEvery))
       compact(spark, targetDir)
   }

@@ -401,6 +401,88 @@ class KnnSpec extends SparkSpec {
     assert(got.count(!_._5) === 2)
   }
 
+  /** A planted semantic-duplicate pair: the flat field varies per GRID
+    * CELL (so it survives area averaging and its small diffs flip sign
+    * between variants), the bottom grid row carries a strong stable
+    * pattern (so one band stays intact and the cosine stays ≈ 1). A
+    * rescaled `variant`-shifted copy lands at Hamming ≫ 5 — escaping the
+    * lossless band tier — while keeping a near-parallel feature. */
+  private def semImage(w: Int, h: Int, variant: Int, pattern: Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val gx = x * 11 / w; val gy = y * 6 / h
+      val v =
+        if (gy == 5) { if (((gx + pattern) % 2) == 0) 230 else 20 }
+        else 128 + ((gx * 31 + gy * 37 + variant * 41) % 9) - 4
+      im.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(im, "png", out))
+    out.toByteArray
+  }
+
+  test("imageFeatures: the phash IS the feature's sign fold and __n2 its exact squared norm — one decode, both tiers") {
+    val rows = Seq(
+      1L -> semImage(64, 48, 0, 0),
+      2L -> ("opaque payload text standing in for media " * 3).getBytes("UTF-8"),
+      3L -> "abc".getBytes("UTF-8")) // degenerate: < 4 code points
+    val feats = Multimodal.imageFeatures(rows.toDF("doc_id", "media"))(spark)
+      .as[(Long, Long, Array[Long], Long)].collect().sortBy(_._1).toSeq
+    for ((id, phash, feat, n2) <- feats) {
+      assert(feat.length === 60)
+      assert(phash === Multimodal.signFold60(feat.map(_.toInt)), s"doc $id")
+      assert(n2 === feat.map(f => f * f).sum, s"doc $id")
+    }
+    // the hash projection is EXACTLY the hash-only tier (shared decode)
+    assert(feats.map(f => (f._1, f._2)) ===
+      rows.map { case (id, p) =>
+        (id, Multimodal.dHash60(p).getOrElse(Multimodal.fallbackHash60(p))) })
+    assert(feats(2)._4 === 0L) // degenerate payload: zero vector, zero norm
+  }
+
+  test("semPairs: a rescaled+shifted duplicate that ESCAPES the hamming tier is caught by cosine; different content is not") {
+    import org.apache.spark.sql.functions.col
+    val a = semImage(64, 48, 0, 0)
+    val b = semImage(80, 60, 7, 0) // rescaled, cell-noise shifted: same content
+    val c = semImage(64, 48, 3, 1) // inverted strong pattern: different content
+    // the planted pair genuinely escapes the lossless hamming tier...
+    val ham = java.lang.Long.bitCount(
+      Multimodal.dHash60(a).get ^ Multimodal.dHash60(b).get)
+    assert(ham > 5, s"planted pair must escape the hamming tier, got $ham")
+    val rows = Seq(1L -> a, 2L -> b, 3L -> c,
+      // fallback payloads ride the same tier: near-dup texts pair...
+      4L -> ("the quick brown fox jumps over the lazy dog " * 6 + "tail one").getBytes("UTF-8"),
+      5L -> ("the quick brown fox jumps over the lazy dog " * 6 + "tail two").getBytes("UTF-8"),
+      // ...unrelated text does not
+      6L -> ("completely different content about catalyst plans " * 6).getBytes("UTF-8"))
+    val feats = Multimodal.imageFeatures(rows.toDF("doc_id", "media"))(spark)
+      .localCheckpoint(true)
+    val hamPairs = Multimodal.phashPairs(
+      feats.select(col("doc_id"), col("phash")))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!hamPairs.contains((1L, 2L)), "the planted pair must NOT be a hamming pair")
+    val sem = Multimodal.semPairs(feats)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(sem.contains((1L, 2L)), s"semantic tier missed the planted pair: $sem")
+    assert(sem((1L, 2L)) >= 0.99)
+    assert(sem.contains((4L, 5L)), "near-dup fallback payloads must pair")
+    assert(!sem.keySet.exists(p => Set(p._1, p._2).contains(3L)),
+      "different image content must not pair")
+    assert(!sem.keySet.exists(p => Set(p._1, p._2).contains(6L)),
+      "unrelated text must not pair")
+    // the decision tier over the semantic pairs: {1,2} one cluster with
+    // min-id keep, everything else singleton
+    val report = Multimodal.softDedup(
+      rows.map(_._1).toDF("doc_id"),
+      Multimodal.semPairs(feats).select("doc_a", "doc_b"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(report.filter(r => r._1 <= 2L).map(r => (r._1, r._2, r._3, r._5)) ===
+      Seq((1L, 1L, 2L, true), (2L, 1L, 2L, false)))
+    assert(report.filter(_._1 === 3L).head._5 === true)
+  }
+
   test("image payloads decode their REAL dimensions via javax.imageio; others fall back to the stub") {
     // real container headers, three formats, deliberately non-square
     assert(Multimodal.decode(1L, imageBytes(7, 5, "png"))

@@ -667,6 +667,71 @@ class StreamingSpec extends SparkSpec {
     assert(MultimodalDedupStream.docState(spark, tgt).count() === 3L)
   }
 
+  test("streaming multimodal SEMANTIC tier: a rescaled duplicate that escapes the hamming tier completes across batches") {
+    import graft.streaming.MultimodalDedupStream
+    import graft.operators.Multimodal
+    import spark.implicits._
+    // the KnnSpec planted construction: cell-granular flat noise (small
+    // diffs flip sign between variants → hamming ≫ 5) over a stable
+    // strong bottom row (one band intact, cosine ≈ 1)
+    def semImage(w: Int, h: Int, variant: Int, pattern: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val gx = x * 11 / w; val gy = y * 6 / h
+        val v =
+          if (gy == 5) { if (((gx + pattern) % 2) == 0) 230 else 20 }
+          else 128 + ((gx * 31 + gy * 37 + variant * 41) % 9) - 4
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, "png", out))
+      out.toByteArray
+    }
+    val a = semImage(64, 48, 0, 0)
+    val b = semImage(80, 60, 7, 0) // rescaled + shifted: semantic duplicate
+    val c = semImage(64, 48, 3, 1) // different content
+    val tgt = tmp("mmsem-tgt").toString
+    def docsDf(rows: Seq[(Long, Array[Byte])]) =
+      rows.map { case (id, m) => (id, s"payload $id", "en", "web", 0L, m) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars", "media")
+
+    // batch 0: first copy + the unrelated image — nothing can pair yet
+    MultimodalDedupStream.applyBatch(spark, docsDf(Seq(1L -> a, 3L -> c)), tgt, 0L)
+    assert(MultimodalDedupStream.semPairState(spark, tgt).count() === 0L)
+
+    // batch 1: the rescaled duplicate (+ copy 1 REDELIVERED) — the sem
+    // pair completes across batches against the batch-0 feature ledger
+    MultimodalDedupStream.applyBatch(spark, docsDf(Seq(2L -> b, 1L -> a)), tgt, 1L)
+    val sem = MultimodalDedupStream.semPairState(spark, tgt)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(sem.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    assert(sem.head._3 >= 0.99)
+    // ...and it genuinely ESCAPED the hamming tier (the split the
+    // semantic state exists for)
+    assert(MultimodalDedupStream.pairState(spark, tgt).count() === 0L)
+
+    // fourth report off the same state: min-id keep on {1,2}, 3 singleton
+    val report = MultimodalDedupStream.semReport(spark, tgt)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(report.map(r => (r._1, r._2, r._5)) ===
+      Seq((1L, 1L, true), (2L, 1L, false), (3L, 3L, true)))
+    // equals the batch twin over the full corpus (one shared definition)
+    val all = docsDf(Seq(1L -> a, 2L -> b, 3L -> c))
+    val expect = Multimodal.softDedup(all.select($"doc_id"),
+        Multimodal.semPairs(Multimodal.imageFeatures(all)(spark)))
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    graft.operators.Dedup.unpersistAll()
+    assert(report === expect)
+
+    // redelivery of everything changes nothing (pure pairs, distinct merge)
+    MultimodalDedupStream.applyBatch(spark, all, tgt, 2L)
+    assert(MultimodalDedupStream.semPairState(spark, tgt)
+      .as[(Long, Long, Double)].collect().toSeq === sem)
+    // ledger growth class: one feature row per non-degenerate doc
+    assert(MultimodalDedupStream.featState(spark, tgt).count() === 3L)
+  }
+
   test("streaming prefix templates: groups complete across batches and survive redelivery + compaction") {
     import graft.streaming.PrefixDupStream
     import spark.implicits._

@@ -31,7 +31,10 @@ class JsonlIngestSpec extends SparkSpec {
         // unparsable line
         """{"doc_id": 4, "text": "truncated""",
         // parses but has no text: contract violation, quarantined
-        """{"doc_id": 5, "lang": "en", "source": "web", "n_chars": 0}""").mkString("\n"))
+        """{"doc_id": 5, "lang": "en", "source": "web", "n_chars": 0}""",
+        // a NEGATIVE explicit id violates the id contract (the sign bit
+        // is the synthesized range) — quarantined, never silently merged
+        """{"doc_id": -7, "text": "claims a synthesized-range id", "lang": "en", "source": "web", "n_chars": 29}""").mkString("\n"))
 
     val raw = CorpusIngest.jsonlDocs(spark, dir.toString)
     val clean = CorpusIngest.cleanDocs(raw)
@@ -40,7 +43,10 @@ class JsonlIngestSpec extends SparkSpec {
     assert(clean(0) === ((1L, "a clean document", "en", "web", 16L)))
     val backfilled = clean(1)
     assert(backfilled._2 === "an id-less document from a raw dump")
-    assert(backfilled._1 >= 0L) // content-addressed id, sign-cleared
+    // content-addressed id, in the NEGATIVE synthesized range — disjoint
+    // by the sign bit from every contract-legal explicit id, so a hash
+    // collision with an explicit id is impossible by construction
+    assert(backfilled._1 < 0L)
     assert((backfilled._3, backfilled._4, backfilled._5) ===
       (("und", "unknown", backfilled._2.length.toLong)))
     // the backfilled id is a pure function of the text (re-read: same id)
@@ -51,10 +57,11 @@ class JsonlIngestSpec extends SparkSpec {
 
     // quarantine carries EVERY excluded line — corrupt ones verbatim
     val q = CorpusIngest.quarantined(raw).as[String].collect().toSeq
-    assert(q.length === 3)
+    assert(q.length === 4)
     assert(q.exists(_.contains("not-a-number")))
     assert(q.exists(_.contains("truncated")))
     assert(q.exists(_.contains("\"doc_id\":5")))
+    assert(q.exists(_.contains("\"doc_id\":-7")))
   }
 
   test("the live ingest over a JSONL dir converges to the parquet-driven survivor state") {
@@ -94,5 +101,58 @@ class JsonlIngestSpec extends SparkSpec {
         format = "csv")
     }
     assert(e.getMessage.contains("unsupported source format"))
+  }
+
+  test("the live json ingest maintains a quarantine LEDGER: rejects visible as state, matching the batch view, replay-stable") {
+    val src = tmp("jq-src")
+    Files.writeString(src.resolve("dump-0.jsonl"), Seq(
+      """{"doc_id": 1, "text": "a perfectly clean first document", "lang": "en", "source": "web", "n_chars": 32}""",
+      """{"doc_id": 2, "text": "broken""",
+      """{"doc_id": 3, "lang": "en", "source": "web", "n_chars": 0}""",
+      """{"doc_id": -4, "text": "negative explicit id", "lang": "en", "source": "web", "n_chars": 20}""").mkString("\n"))
+    val tgt = tmp("jq-tgt").resolve("state").toString
+    val ckp = tmp("jq-ckp").toString
+    CorpusIngest.start(spark, src.toString, tgt, ckp, format = "json")
+      .awaitTermination()
+
+    // the ledger carries the SAME raw lines the batch view computes...
+    val batchView = CorpusIngest.quarantined(
+      CorpusIngest.jsonlDocs(spark, src.toString)).as[String].collect().toSet
+    val live = CorpusIngest.quarantineState(spark, tgt)
+    val liveRows = live.as[(String, String, Long)].collect().toSeq
+    assert(liveRows.map(_._1).toSet === batchView)
+    assert(liveRows.size === 3)
+    // ...plus the provenance a live ingest owes its operator: which file,
+    // which batch
+    assert(liveRows.forall(_._2.contains("dump-0.jsonl")))
+    assert(liveRows.forall(_._3 === 0L))
+    // survivors are untouched by the split
+    assert(CorpusIngest.state(spark, tgt).select("doc_id")
+      .as[Long].collect().toSeq === Seq(1L))
+
+    // a checkpoint replay (fresh stream, same checkpoint) re-reads nothing
+    // new and must not double the ledger
+    CorpusIngest.start(spark, src.toString, tgt, ckp, format = "json")
+      .awaitTermination()
+    assert(CorpusIngest.quarantineState(spark, tgt).count() === 3L)
+
+    // a second dump arriving later lands under its own batch id, and a
+    // CLEAN batch appends nothing
+    Files.writeString(src.resolve("dump-1.jsonl"),
+      """{"doc_id": 9, "text": "broken again""" + "\n" +
+        """{"doc_id": 10, "text": "a clean follow-up document", "lang": "en", "source": "web", "n_chars": 26}""")
+    CorpusIngest.start(spark, src.toString, tgt, ckp, format = "json")
+      .awaitTermination()
+    val after = CorpusIngest.quarantineState(spark, tgt)
+      .as[(String, String, Long)].collect().toSeq
+    assert(after.size === 4)
+    assert(after.count(_._2.contains("dump-1.jsonl")) === 1)
+    Files.writeString(src.resolve("dump-2.jsonl"),
+      """{"doc_id": 11, "text": "an entirely clean third dump", "lang": "en", "source": "web", "n_chars": 28}""")
+    CorpusIngest.start(spark, src.toString, tgt, ckp, format = "json")
+      .awaitTermination()
+    assert(CorpusIngest.quarantineState(spark, tgt).count() === 4L)
+    assert(CorpusIngest.state(spark, tgt).select("doc_id")
+      .as[Long].collect().toSet === Set(1L, 10L, 11L))
   }
 }
