@@ -15,6 +15,13 @@ object VectorFns {
     ExpressionUtils.column(
       FloatDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Exact integer Σ aᵢ·bᵢ over two `array<bigint>` columns (codegen'd —
+    * [[LongDot]]; the interpreted `aggregate`+`zip_with` form costs ~5 µs
+    * per pair and belongs nowhere near a candidate stream). */
+  def longDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      LongDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** ‖a‖ — for precomputing per-row norms BEFORE a pairwise join: scoring a
     * pair then costs one dot, not three. */
   def norm(a: Column): Column = sqrt(dot(a, a))

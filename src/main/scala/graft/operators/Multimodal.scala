@@ -515,7 +515,7 @@ object Multimodal {
         col("a.band") === col("b.band") && col("a.__key") === col("b.__key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("aggregate(zip_with(a.feat, b.feat, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+        graft.functions.VectorFns.longDot(col("a.feat"), col("b.feat"))
           .as("__dot"),
         col("a.__n2").as("__na"), col("b.__n2").as("__nb"))
       .withColumn("cosine",

@@ -133,31 +133,44 @@ object MultimodalDedupStream {
     * [[Multimodal.semPairs]], split across the slim band index and the
     * doc-keyed feature ledger: the SAME band probe that serves the
     * Hamming tier yields candidates (NO hamming cap — a rescaled
-    * duplicate lives past 5 flipped bits), each candidate joins its two
-    * ends' features from the ledger (doc-keyed, pair-bounded — features
-    * are stored ONCE per doc, never 6× in the band rows), and the exact
-    * integer-dot cosine ≥ `minCosine` verdict keeps true semantic dups.
-    * Pure per payload pair → byte-equal on every delivery → the distinct
-    * merge collapses redelivery, exactly like the Hamming pairs. */
+    * duplicate lives past 5 flipped bits), verified by the exact
+    * integer-dot cosine ≥ `minCosine` over the ledger features. Pure per
+    * payload pair → byte-equal on every delivery → the distinct merge
+    * collapses redelivery, exactly like the Hamming pairs.
+    *
+    * Plan shape (r17): the ledger features attach to the SLIM band rows
+    * BEFORE the band self-join — a doc-keyed join of O(6·|docs|) rows —
+    * and the candidate stream consumes them in-flight (dot + cosine
+    * verdict between the join and the survivor distinct, the batch
+    * twin's shape). The first cut attached features PER CANDIDATE: two
+    * doc-keyed shuffles of the Σ bucket² candidate stream, each row
+    * dragging a 60-long array — ~2.3 GB exchanged at the 5 k-doc fixture
+    * (42.8 s vs the batch twin's 0.6 s), and candidates ≫ 6·|docs| at
+    * any scale, so per-row attach is strictly worse everywhere (guide
+    * §8: decide on small rows, move heavy bytes once). Zero-norm docs
+    * (absent from the ledger) drop at the attach exactly as they dropped
+    * at the per-candidate inner join; the index state itself stays slim
+    * — the fan-out is in-flight only, never stored. */
   def newSemPairs(batchBands: DataFrame, mergedBands: DataFrame,
-                  feats: DataFrame, minCosine: Double = MinCosine): DataFrame =
-    batchBands.as("a").join(mergedBands.as("b"),
+                  feats: DataFrame, minCosine: Double = MinCosine): DataFrame = {
+    val ledger = feats.select(col("doc_id"), col("feat"), col("__n2"))
+    def withFeat(bands: DataFrame): DataFrame =
+      bands.select(col("doc_id"), col("band"), col("__key")).join(ledger, "doc_id")
+    withFeat(batchBands).as("a").join(withFeat(mergedBands).as("b"),
         col("a.band") === col("b.band") && col("a.__key") === col("b.__key") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-      .join(feats.select(col("doc_id").as("doc_a"), col("feat").as("__fa"),
-        col("__n2").as("__na")), "doc_a")
-      .join(feats.select(col("doc_id").as("doc_b"), col("feat").as("__fb"),
-        col("__n2").as("__nb")), "doc_b")
-      .withColumn("__dot",
-        expr("aggregate(zip_with(__fa, __fb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        graft.functions.VectorFns.longDot(col("a.feat"), col("b.feat"))
+          .as("__dot"),
+        col("a.__n2").as("__na"), col("b.__n2").as("__nb"))
       .withColumn("cosine",
         col("__dot").cast("double") /
           sqrt(col("__na").cast("double") * col("__nb").cast("double")))
       .filter(col("cosine") >= minCosine)
       .select(col("doc_a"), col("doc_b"), col("cosine"))
       .distinct()
+  }
 
   /** The per-doc metadata ledger (doc_id, source, n_chars), distinct —
     * ~16 bytes + the source string per doc ever delivered, never the

@@ -135,6 +135,12 @@ class CodegenGuardSpec extends AnyFunSuite {
       (3, Array(-500000L, -500000L)))),
     InternalRow(farr(0.9f, 1.1f)), Seq(floatArrType))
   private val longArrType = ArrayType(LongType, containsNull = false)
+  check("LongDot",
+    LongDot(BoundReference(0, longArrType, nullable = true),
+      BoundReference(1, longArrType, nullable = true)),
+    InternalRow(ArrayData.toArrayData(Array(3L, -2L, 7L)),
+      ArrayData.toArrayData(Array(-4L, 5L, 6L))),
+    Seq(longArrType, longArrType))
   check("LongDots",
     LongDots(BoundReference(0, longArrType, nullable = true),
       Seq(Array(1000000L, -2000000L, 3000000L), Array(500000L, 500000L, -500000L))),
