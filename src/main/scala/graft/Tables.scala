@@ -119,6 +119,28 @@ object Tables {
   /** Timestamp literal parsed in the session time zone (UTC). */
   def tsLit(s: String): Column = to_timestamp(lit(s))
 
+  /** Total-order final sort for a BOUNDED (report-sized) result — one
+    * explicit single-partition hash exchange + in-partition sort, in place
+    * of a global `orderBy`. Same rows in the same order (the callers'
+    * sort keys are total orders, or tied rows are entirely identical —
+    * the standing oracle row-compare discipline), but the
+    * range-partitioner's SAMPLING pass — a whole extra job per query that
+    * re-reads the sort input to place range bounds — never runs, and
+    * neither does the keyless-round-robin pre-sort (the exchange hashes a
+    * constant, which is deterministic under retries by itself). Reports
+    * (top-k grids, per-day/class aggregates, audit matrices) are bounded
+    * at ANY corpus scale, so one reducer sorting them is the production
+    * plan too; DATA-SIZED outputs (per-doc/per-event frames) keep the
+    * global range sort — a single reducer there is the scale-killer this
+    * helper must never become. */
+  def orderedReport(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(1, lit(0)).sortWithinPartitions(cols: _*)
+
+  /** [[orderedReport]] with column-name sort keys (ascending, the
+    * `orderBy(String*)` shape most report tails use). */
+  def orderedReport(df: DataFrame, c0: String, cs: String*): DataFrame =
+    orderedReport(df, (c0 +: cs).map(col): _*)
+
   /** Engine-independent 4-dp rounding of a computed double ratio:
     * `floor(x·10⁴ + 0.5)/10⁴` — half-up applied to the binary double itself.
     * Spark's `round` re-parses the double's shortest decimal string

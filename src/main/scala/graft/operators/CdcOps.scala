@@ -157,7 +157,7 @@ object CdcOps {
         graft.Tables.rnd4(col("__exp")).as("expected_n"),
         graft.Tables.rnd4((col("n_obs").cast("double") - col("__exp")) *
           (col("n_obs").cast("double") - col("__exp")) / col("__exp")).as("chi2_term"))
-      .orderBy("digit")
+      .transform(graft.Tables.orderedReport(_, "digit"))
   }
 
   /** Holt double-exponential smoothing (level + TREND) of a per-key daily

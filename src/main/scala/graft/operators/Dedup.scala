@@ -602,7 +602,7 @@ object Dedup {
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_victims"), sum(col("__cb")).as("victim_chars"))
     nPairs.join(victims, Seq("source_a", "source_b"))
-      .orderBy("source_a", "source_b")
+      .transform(graft.Tables.orderedReport(_, "source_a", "source_b"))
   }
 
   def softWeights(docs: DataFrame, idCol: String, labels: DataFrame): DataFrame = {
@@ -969,7 +969,7 @@ object Dedup {
       .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
     stats(bg, "background", bgFloorMilli, isCeil = false)
       .unionByName(stats(near, "neardup", nearCeilMilli, isCeil = true))
-      .orderBy("population")
+      .transform(graft.Tables.orderedReport(_, "population"))
   }
 
   /** SimHash near-dup pairs: collide on one of four 16-bit bands, then

@@ -96,6 +96,6 @@ object Funnel {
         col("__n0").as("__top"))
       .select(col("stage_idx"), col("stage"), col("n_users"),
         expr("n_users * 1000 div greatest(__top, 1L)").as("conv_permille"))
-      .orderBy("stage_idx")
+      .transform(graft.Tables.orderedReport(_, "stage_idx"))
   }
 }

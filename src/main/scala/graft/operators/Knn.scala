@@ -104,7 +104,7 @@ object Knn {
     perQ.select(col("query_id"), col("k"), col("min_hits"),
         (col("__h") >= minHitsPerQuery).as("ok"))
       .unionByName(total)
-      .orderBy("query_id")
+      .transform(graft.Tables.orderedReport(_, "query_id"))
   }
 
   /** Deterministic pseudo-random hyperplanes: weight(plane, dim) derived

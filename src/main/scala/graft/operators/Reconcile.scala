@@ -189,6 +189,6 @@ object Reconcile {
         coalesce(col("n_src"), lit(0L)).as("n_src") +:
         coalesce(col("n_tgt"), lit(0L)).as("n_tgt") +:
         matchDefs.map { case (n, c) => c.as(n) }) :+ clean.as("bucket_clean"): _*)
-      .orderBy("bucket")
+      .transform(graft.Tables.orderedReport(_, "bucket"))
   }
 }

@@ -1183,9 +1183,10 @@ object TrainPrep {
       val rows = state.collect().map(r => (r.getLong(0), r.getString(1)))
       release(state)
       import spark.implicits._
-      val out = registered(localTrain(rows, nMerges)
-        .toDF("merge_rank", "sym_a", "sym_b", "merged", "n_occ")
-        .orderBy("merge_rank"))
+      val out = registered(graft.Tables.orderedReport(
+        localTrain(rows, nMerges)
+          .toDF("merge_rank", "sym_a", "sym_b", "merged", "n_occ"),
+        "merge_rank"))
       out.count()
       return out
     }
@@ -1234,7 +1235,7 @@ object TrainPrep {
       spark.createDataFrame(sc.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "merge_rank BIGINT, sym_a STRING, sym_b STRING, merged STRING, n_occ BIGINT")))
-      .orderBy("merge_rank")
+      .transform(graft.Tables.orderedReport(_, "merge_rank"))
     val out = registered(merges)
     out.count()
     bestFrames.foreach(release)

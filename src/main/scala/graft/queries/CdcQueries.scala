@@ -68,7 +68,7 @@ object CdcQueries {
       .orderBy(col("ts"), col("event_id"))
       .limit(100)
       .select(col("event_id"), fmtTs(col("ts")).as("ts_s"), col("user_id"), col("event_type"))
-      .orderBy("event_id")
+      .transform(graft.Tables.orderedReport(_, "event_id"))
 
   /** js:407, 421, 504–505 — findOne({_id}): point lookup by key. */
   private val sourcePointLookup: Q = (s, d) =>
@@ -76,7 +76,7 @@ object CdcQueries {
       .filter(col("user_id") === 7)
       .select(col("event_id"), fmtTs(col("ts")).as("ts_s"), col("event_type"),
         round(col("value"), 4).as("value"), col("props"))
-      .orderBy("event_id")
+      .transform(graft.Tables.orderedReport(_, "event_id"))
 
   // -- CDC state ------------------------------------------------------------
 
@@ -246,7 +246,7 @@ object CdcQueries {
         col("n1").as("__top"))
       .select(col("stage_idx"), col("stage"), col("n_users"),
         expr("n_users * 1000 div greatest(__top, 1L)").as("conv_permille"))
-      .orderBy("stage_idx")
+      .transform(graft.Tables.orderedReport(_, "stage_idx"))
 
   /** Conversion-lag profile — the funnel's timing companion: over users who
     * complete the full signup → click → purchase chain, the exact p50/p90
@@ -309,14 +309,14 @@ object CdcQueries {
     cnt.join(w0, "cohort_week")
       .select(col("cohort_week"), col("week_n"), col("n_users"),
         expr("n_users * 1000 div greatest(__w0, 1L)").as("retention_permille"))
-      .orderBy("cohort_week", "week_n")
+      .transform(graft.Tables.orderedReport(_, "cohort_week", "week_n"))
   }
 
   // -- aggregations ---------------------------------------------------------
 
   /** js:155, 254, 267–269 — per-op-type counters. */
   private val aggOpCounts: Q = (s, d) =>
-    CdcOps.opCounts(changeLog(s, d)).orderBy("op_type")
+    graft.Tables.orderedReport(CdcOps.opCounts(changeLog(s, d)), "op_type")
 
   /** js:499 — distinct document ids touched in a window. */
   private val aggDistinctIds: Q = (s, d) =>
@@ -363,7 +363,7 @@ object CdcQueries {
       .agg(count(lit(1)).as("n"), CdcOps.exactSum(col("value")).as("sum_value"))
       .select(coalesce(col("event_type"), lit("ALL")).as("et"),
         coalesce(col("d"), lit("ALL")).as("d"), col("n"), col("sum_value"))
-      .orderBy("et", "d")
+      .transform(graft.Tables.orderedReport(_, "et", "d"))
 
   /** Cube of counts by (event_type, dow) — the full grouping-sets lattice
     * (Catalyst Expand, 4 grouping sets in one pass). */
@@ -374,7 +374,7 @@ object CdcQueries {
       .agg(count(lit(1)).as("n"))
       .select(coalesce(col("event_type"), lit("ALL")).as("et"),
         coalesce(col("dow"), lit(-1L)).as("dow"), col("n"))
-      .orderBy("et", "dow")
+      .transform(graft.Tables.orderedReport(_, "et", "dow"))
 
   /** Explicit GROUPING SETS (the general lattice [[aggRollup]]/[[aggCube]]
     * specialize): the four sets {(type, dow), (type), (dow), ()} in ONE
@@ -394,7 +394,7 @@ object CdcQueries {
         CdcOps.exactSum(col("value")).as("sum_value"))
       .select(col("gid"), coalesce(col("event_type"), lit("ALL")).as("et"),
         coalesce(col("dow"), lit(-1L)).as("dow"), col("n"), col("sum_value"))
-      .orderBy("gid", "et", "dow")
+      .transform(graft.Tables.orderedReport(_, "gid", "et", "dow"))
 
   /** js:541–600 — replication-lag health check ("now" is a parameter). */
   private val aggHealth: Q = (s, d) =>
@@ -584,7 +584,7 @@ object CdcQueries {
       .withColumn("n_total", sum(col("n_new")).over(w))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("n_new"), col("n_total"))
-      .orderBy("day")
+      .transform(graft.Tables.orderedReport(_, "day"))
   }
 
   /** Daily OHLC bars over purchase values (§2.4) — the classic
@@ -611,7 +611,7 @@ object CdcQueries {
         count(lit(1)).as("n_events"))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("open"), col("high"), col("low"), col("close"), col("n_events"))
-      .orderBy("day")
+      .transform(Tables.orderedReport(_, "day"))
   }
 
   /** 7-day trailing distinct-user reach per day (§2.5) — the sliding-window
@@ -635,7 +635,7 @@ object CdcQueries {
       .groupBy(col("w_day"))
       .agg(countDistinct(col("user_id")).as("n_users_7d"))
       .select(date_format(col("w_day"), "yyyy-MM-dd").as("day"), col("n_users_7d"))
-      .orderBy("day")
+      .transform(graft.Tables.orderedReport(_, "day"))
   }
 
   /** 7-day exponentially-decayed smoothing of daily event volume (§2.5) —
@@ -668,7 +668,7 @@ object CdcQueries {
     daily.join(sm, "day")
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
         graft.Tables.rnd4(col("__num") / col("__den")).as("ewma_7d"))
-      .orderBy("day")
+      .transform(graft.Tables.orderedReport(_, "day"))
   }
 
   /** Holt level + trend smoothing of per-type daily volume (§2.5) —
@@ -680,7 +680,7 @@ object CdcQueries {
       events(s, d).groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n")),
       "event_type", "day", "n")
-      .orderBy("event_type", "day")
+      .transform(graft.Tables.orderedReport(_, "event_type", "day"))
 
   /** LTTB chart downsampling ([[graft.operators.TimeSeries.lttb]], §2.5):
     * each type's daily series reduced to 12 shape-preserving points —
@@ -692,7 +692,7 @@ object CdcQueries {
       events(s, d).groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n")),
       "event_type", "day", "n", buckets = 10)
-      .orderBy("event_type", "rank")
+      .transform(graft.Tables.orderedReport(_, "event_type", "rank"))
 
   /** Theil–Sen robust trend (§2.5): per event type the MEDIAN of all
     * pairwise day-slopes of the daily-volume series — the outlier-immune
@@ -734,7 +734,7 @@ object CdcQueries {
       .filter(col("__rn") === expr("(__m + 1) div 2"))
       .select(col("event_type"), col("__m").as("n_pairs"),
         graft.Tables.rnd4(col("__slope")).as("slope_per_day"))
-      .orderBy("event_type")
+      .transform(graft.Tables.orderedReport(_, "event_type"))
   }
 
   /** Benford first-digit audit (§2.4) — the classic value-authenticity /
@@ -796,7 +796,7 @@ object CdcQueries {
         col("n_days") * (col("n_days") - 1) * (col("n_days") * 2 + 5) - col("__tie_sum"))
       .select(col("event_type"), col("n_days"), col("s_stat"), col("var18"),
         graft.Tables.rnd4(when(col("var18") === 0, lit(0.0)).otherwise(z)).as("z"))
-      .orderBy("event_type")
+      .transform(Tables.orderedReport(_, "event_type"))
   }
 
   /** Daily-volume anomaly flags (§2.4) — the ingest-QC alarm over the
@@ -827,7 +827,7 @@ object CdcQueries {
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
         (dev * dev > lit(4) * (dec(col("__D")) * dec(col("__SS"))
           - dec(col("__S")) * dec(col("__S")))).as("is_outlier"))
-      .orderBy("day")
+      .transform(Tables.orderedReport(_, "day"))
   }
 
   /** Weekday-adjusted daily-anomaly flags (§2.4) — the seasonality-aware
@@ -855,7 +855,7 @@ object CdcQueries {
         col("n"),
         (dev * dev > lit(4) * (dec(col("__D")) * dec(col("__SS"))
           - dec(col("__S")) * dec(col("__S")))).as("is_outlier"))
-      .orderBy("day")
+      .transform(Tables.orderedReport(_, "day"))
   }
 
   /** Offline changepoint detection (§2.4 trend family) — binary
@@ -949,7 +949,7 @@ object CdcQueries {
         expr("s_t * 1000 div t").as("left_mean_milli"),
         expr("s_r * 1000 div (__D - t)").as("right_mean_milli"),
         expr("(1000 * gnum) div gden").cast("long").as("gain_milli"))
-      .orderBy("rank")
+      .transform(graft.Tables.orderedReport(_, "rank"))
   }
 
   /** Depth-2 binary-segmentation tree (§2.4) — [[aggChangepoint]]'s
@@ -1015,7 +1015,7 @@ object CdcQueries {
       }.iterator
     }.toDF("segment", "split_day", "left_days", "right_days",
       "left_mean_milli", "right_mean_milli", "gain_milli")
-      .orderBy("segment")
+      .transform(graft.Tables.orderedReport(_, "segment"))
   }
 
   /** k-anonymity audit (§2.4 privacy family) — the re-identification-risk
@@ -1120,7 +1120,7 @@ object CdcQueries {
       .withColumn("rnk", row_number().over(w2).cast("long"))
       .filter(col("rnk") <= 3)
       .select(col("event_type"), col("rnk"), col("user_id"), col("sum_value"))
-      .orderBy("event_type", "rnk")
+      .transform(graft.Tables.orderedReport(_, "event_type", "rnk"))
   }
 
   /** Quartile bucketing of each event_type's DAYS by daily volume (§2.5
@@ -1139,7 +1139,7 @@ object CdcQueries {
     daily.withColumn("quartile", ntile(4).over(w).cast("long"))
       .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("n"), col("quartile"))
-      .orderBy("event_type", "day")
+      .transform(graft.Tables.orderedReport(_, "event_type", "day"))
   }
 
   /** Longest consecutive-active-day streak per user — the classic
@@ -1196,7 +1196,7 @@ object CdcQueries {
         col("cusum_up"), col("cusum_down"),
         (dec(col("cusum_up")) * dec(col("cusum_up")) > lit(16) * varY).as("shift_up"),
         (dec(col("cusum_down")) * dec(col("cusum_down")) > lit(16) * varY).as("shift_down"))
-      .orderBy("day")
+      .transform(graft.Tables.orderedReport(_, "day"))
   }
 
   /** Exact per-type value quantiles (p50/p90/p99) by the domain-histogram
@@ -1223,7 +1223,7 @@ object CdcQueries {
       .agg(q(500).as("p50"), q(900).as("p90"), q(990).as("p99"))
       .select(col("event_type"), col("__n").as("n_events"),
         col("p50"), col("p90"), col("p99"))
-      .orderBy("event_type")
+      .transform(graft.Tables.orderedReport(_, "event_type"))
   }
 
   /** Day-over-day leaderboard movement: each day's event types ranked by
@@ -1246,7 +1246,7 @@ object CdcQueries {
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("event_type"),
         col("n"), col("rnk"), col("prev_rnk"),
         (col("prev_rnk") - col("rnk")).as("delta"))
-      .orderBy("day", "event_type")
+      .transform(graft.Tables.orderedReport(_, "day", "event_type"))
   }
 
   /** Seasonality profile: the (day-of-week × hour) activity matrix in long
@@ -1259,7 +1259,7 @@ object CdcQueries {
         hour(col("ts")).cast("long").as("hh"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"))
-      .orderBy("dow", "hh")
+      .transform(graft.Tables.orderedReport(_, "dow", "hh"))
 
   /** Per-type lag-{1,7} autocorrelation of the daily volume series (the
     * time-series diagnostic behind seasonality detection). Pairs come from
@@ -1294,7 +1294,7 @@ object CdcQueries {
         col("np").as("n_pairs"),
         Tables.rnd4(when(vx > 0 && vy > 0,
           num.cast("double") / sqrt(vx.cast("double") * vy.cast("double")))).as("r"))
-      .orderBy("event_type", "lag")
+      .transform(graft.Tables.orderedReport(_, "event_type", "lag"))
   }
 
   /** Robust per-type outlier detection by median/MAD (the
@@ -1319,7 +1319,7 @@ object CdcQueries {
         (col("med") / 100.0).as("median"), (col("mad") / 100.0).as("mad"),
         col("n_outliers"),
         expr("n_outliers * 1000 div __n").as("outlier_permille"))
-      .orderBy("event_type")
+      .transform(graft.Tables.orderedReport(_, "event_type"))
   }
 
   /** Per-user purchase drawdown — the running-peak shortfall curve
@@ -1366,7 +1366,7 @@ object CdcQueries {
       .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
         Tables.rnd4(col("n_both").cast("double") /
           (col("n_a") + col("n_b") - col("n_both")).cast("double")).as("jaccard"))
-      .orderBy("type_a", "type_b")
+      .transform(graft.Tables.orderedReport(_, "type_a", "type_b"))
   }
 
   /** Gini concentration of engagement per event type — "is this feature's
@@ -1389,7 +1389,7 @@ object CdcQueries {
         Tables.rnd4(
           (lit(2L) * col("s_ic") - (col("n_users") + 1L) * col("n_events")).cast("double") /
             (col("n_users") * col("n_events")).cast("double")).as("gini"))
-      .orderBy("event_type")
+      .transform(graft.Tables.orderedReport(_, "event_type"))
   }
 
   /** Burstiness per event type: the Fano factor (variance-to-mean ratio)
@@ -1419,7 +1419,7 @@ object CdcQueries {
       .select(col("event_type"), col("n_hours"), col("n_events"),
         Tables.rnd4((col("n_hours") * col("s2") - col("n_events") * col("n_events")).cast("double") /
           (col("n_hours") * col("n_events")).cast("double")).as("fano"))
-      .orderBy("event_type")
+      .transform(graft.Tables.orderedReport(_, "event_type"))
   }
 
   /** Event-type Markov transition matrix — the sequence-analytics rollup
@@ -1442,7 +1442,7 @@ object CdcQueries {
     pairs.join(tot, "from_type")
       .select(col("from_type"), col("to_type"), col("n"),
         expr("n * 1000 div __t").as("permille"))
-      .orderBy("from_type", "to_type")
+      .transform(graft.Tables.orderedReport(_, "from_type", "to_type"))
   }
 
   /** JSON payload schema profile — the CDC "did a producer change the
@@ -1474,7 +1474,7 @@ object CdcQueries {
       .select(col("event_type"), col("key"), col("n_present"),
         col("n_distinct_vals"), col("seen_from"), col("seen_to"),
         expr("n_present * 1000 div __t").as("permille"))
-      .orderBy("event_type", "key")
+      .transform(graft.Tables.orderedReport(_, "event_type", "key"))
   }
 
 
@@ -1521,7 +1521,7 @@ object CdcQueries {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n").desc, col("path")))) // ≤10 rows: single task
       .select(col("rank").cast("long").as("rank"), col("path"), col("n"), col("permille"))
-      .orderBy("rank")
+      .transform(graft.Tables.orderedReport(_, "rank"))
   }
 
   /** Last-touch conversion attribution — the marketing-analytics classic:
@@ -1544,7 +1544,7 @@ object CdcQueries {
       .groupBy(coalesce(col("touch"), lit("none")).as("attributed_type"))
       .agg(count(lit(1)).as("n_purchases"),
         CdcOps.exactSum(col("value")).as("total_value"))
-      .orderBy("attributed_type")
+      .transform(graft.Tables.orderedReport(_, "attributed_type"))
   }
 
   // ---------------------------------------------------------------------------

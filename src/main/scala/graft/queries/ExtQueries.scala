@@ -209,7 +209,7 @@ object ExtQueries {
     langGuessed(documents(s, d))
       .groupBy(col("lang"), col("lang_guess"))
       .agg(count(lit(1)).as("n_docs"))
-      .orderBy("lang", "lang_guess")
+      .transform(graft.Tables.orderedReport(_, "lang", "lang_guess"))
 
   /** Composite quality score: stopword ratio + type-token ratio + length
     * saturation, in fixed double arithmetic (identical op order both
@@ -373,7 +373,7 @@ object ExtQueries {
     * (label × vocab) grid of counts + smoothed integer log-micronats. */
   private val extNbTrain: Q = (s, d) =>
     NaiveBayes.train(documents(s, d), "text", "lang")
-      .orderBy("label", "token")
+      .transform(graft.Tables.orderedReport(_, "label", "token"))
 
   /** Session-scoped trained NB model, keyed by fixture dir (the
     * [[bpeMergesByDir]] / pqBooks pattern): the four audit queries below
@@ -431,7 +431,7 @@ object ExtQueries {
     * whether the NB margin is a usable quality gate. */
   private val extNbCalibration: Q = (s, d) =>
     NaiveBayes.calibrationFromGrid(nbScoredGrid(s, d), "doc_id")
-      .orderBy("margin_bin")
+      .transform(graft.Tables.orderedReport(_, "margin_bin"))
 
   /** Inter-router agreement (Cohen's κ): the NB classifier's predictions
     * vs the stopword lang-id heuristic — the "do my two independent
@@ -753,7 +753,7 @@ object ExtQueries {
         sum(col("n_tokens")).as("n_tokens"),
         min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"),
         (sum(col("fp").cast("decimal(38,0)")) % P).cast("long").as("fp_sum"))
-      .orderBy("shard")
+      .transform(graft.Tables.orderedReport(_, "shard"))
   }
 
   // -- dedup -----------------------------------------------------------------
@@ -888,7 +888,7 @@ object ExtQueries {
       .select(col("band"), col("n_groups"), col("n_docs"),
         expr("__qs div n_docs").as("mean_quality_e4"),
         expr("__ls div n_docs").as("mean_chars"))
-      .orderBy("band")
+      .transform(graft.Tables.orderedReport(_, "band"))
   }
 
   private val extDedupNgram: Q = (s, d) =>
@@ -1106,7 +1106,7 @@ object ExtQueries {
         rnd4(col("n_quality_pass").cast("double") / col("n_docs").cast("double")))
       .withColumn("policy_clean_rate",
         rnd4(col("n_policy_clean").cast("double") / col("n_docs").cast("double")))
-      .orderBy("source")
+      .transform(graft.Tables.orderedReport(_, "source"))
   }
 
   /** What dedup buys, in tokens: per duplicate cluster, the member count,
@@ -1194,7 +1194,7 @@ object ExtQueries {
       }
       .toDF("threshold_permille", "n_pairs", "n_dup_docs", "n_clusters",
         "drop_docs", "drop_tokens")
-      .orderBy("threshold_permille")
+      .transform(graft.Tables.orderedReport(_, "threshold_permille"))
   }
 
   /** Dedup DECISION BRIEF — the one go/no-go grid a pipeline owner reads
@@ -1299,7 +1299,7 @@ object ExtQueries {
       }
       .toDF("threshold_permille", "band", "n_clusters", "n_docs",
         "drop_docs", "drop_tokens", "mean_q_dropped_e4", "mean_q_kept_e4")
-      .orderBy("threshold_permille", "band")
+      .transform(graft.Tables.orderedReport(_, "threshold_permille", "band"))
   }
 
   private val extDedupSavings: Q = (s, d) => {
@@ -1331,7 +1331,7 @@ object ExtQueries {
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
       .filter(col("source_a") =!= col("source_b"))
       .select(col("doc_a"), col("doc_b"), col("source_a"), col("source_b"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
+      .transform(graft.Tables.orderedReport(_, "doc_a", "doc_b"))
   }
 
   /** N-gram exact-overlap contamination — the 13-gram collision standard
@@ -1364,7 +1364,7 @@ object ExtQueries {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
-      .orderBy("doc_a", "doc_b")
+      .transform(graft.Tables.orderedReport(_, "doc_a", "doc_b"))
   }
 
   /** Per-doc 8-gram novelty ([[TrainPrep.textNovelty]]): the share of each
@@ -1442,7 +1442,7 @@ object ExtQueries {
       .withColumn("rank", row_number().over(byFreq).cast("long"))
       .filter(col("rank") <= k)
       .select("rank", "sym_a", "sym_b", "n_occ", "n_types")
-      .orderBy("rank")
+      .transform(graft.Tables.orderedReport(_, "rank"))
   }
 
   private val extBpePairs: Q = (s, d) => bpePairs(documents(s, d), k = 20)
@@ -1494,7 +1494,7 @@ object ExtQueries {
       .distinct()
       .select(ascii(col("piece")).cast("long").as("id"), col("piece"),
         lit("char").as("kind"), lit(0L).as("merge_rank"))
-    chars.unionByName(mergedDf).orderBy("id", "piece")
+    graft.Tables.orderedReport(chars.unionByName(mergedDf), "id", "piece")
   }
 
   /** Tokenizer train-then-APPLY, end to end: encode every document with the
@@ -1563,7 +1563,7 @@ object ExtQueries {
           .as("fertility"),
         rnd4(col("n_chars").cast("double") / col("n_pieces").cast("double"))
           .as("chars_per_piece"))
-      .orderBy("lang")
+      .transform(graft.Tables.orderedReport(_, "lang"))
   }
 
   private val extBpeEncode: Q = (s, d) => {
@@ -1612,7 +1612,8 @@ object ExtQueries {
     * slice of the shared calibration frame (one brute scan per session,
     * PlanSpec pins the raw operator's codegen'd dot). */
   private val extSimKnn: Q = (s, d) =>
-    exactTop(s, d).filter(col("rank") <= 5).orderBy("query_id", "rank")
+    graft.Tables.orderedReport(
+      exactTop(s, d).filter(col("rank") <= 5), "query_id", "rank")
 
   /** FILTERED exact top-k — metadata-scoped vector search (the
     * tenant-/label-constrained query every production vector store
@@ -1625,7 +1626,7 @@ object ExtQueries {
     Knn.bruteForce(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
       k = 5, scopeCols = Seq("label"))
       .withColumn("label", col("label").cast("long"))
-      .orderBy("query_id", "rank")
+      .transform(graft.Tables.orderedReport(_, "query_id", "rank"))
   }
 
   /** MMR diversified top-k ([[Knn.mmrInt]]) — the greedy
@@ -1638,7 +1639,7 @@ object ExtQueries {
   private val extSimMmr: Q = (s, d) =>
     Knn.mmrInt(embeddings(s, d), "vec_id", "embedding",
       nQueries = 10, m = 25, k = 8, lamTenths = 7)
-      .orderBy("query_id", "rank")
+      .transform(graft.Tables.orderedReport(_, "query_id", "rank"))
 
   /** The production ANN+rerank composition ([[Knn.mmrIvfInt]]): MMR over
     * IVF-probed candidates — each query scores only its 6 nearest cells'
@@ -1650,7 +1651,7 @@ object ExtQueries {
       nQueries = 10, m = 25, k = 8, lamTenths = 7,
       nCells = IvfCells, iters = IvfIters, sampleN = IvfSampleN,
       nProbe = IvfProbe)
-      .orderBy("query_id", "rank")
+      .transform(graft.Tables.orderedReport(_, "query_id", "rank"))
 
   /** Prefix-dimension (Matryoshka) recall audit ([[Knn.matryoshkaAudit]]):
     * top-10 overlap of the L ∈ {8,16,32,64}-prefix integer-MIPS ranking
@@ -1660,7 +1661,7 @@ object ExtQueries {
   private val extEmbedMatryoshka: Q = (s, d) =>
     Knn.matryoshkaAudit(embeddings(s, d), "vec_id", "embedding",
       nQueries = 10, k = 10, dims = Seq(8, 16, 32, 64))
-      .orderBy("dim", "query_id")
+      .transform(graft.Tables.orderedReport(_, "dim", "query_id"))
 
   /** Class-balance audit + reweighting plan over the labeled embedding set
     * (training prep): per label, count, corpus share, and the
@@ -1678,7 +1679,7 @@ object ExtQueries {
       .select(col("label"), col("n"),
         rnd4(col("n").cast("double") / col("__N")).as("share"),
         rnd4(col("__N").cast("double") / (col("__k") * col("n"))).as("weight"))
-      .orderBy("label")
+      .transform(graft.Tables.orderedReport(_, "label"))
   }
 
   /** Hard-negative mining for contrastive/embedding training (the
@@ -1691,7 +1692,7 @@ object ExtQueries {
     Knn.bruteForce(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
       k = 3, scopeCols = Seq("label"), scopeEqual = false)
       .withColumn("label", col("label").cast("long"))
-      .orderBy("query_id", "rank")
+      .transform(graft.Tables.orderedReport(_, "query_id", "rank"))
   }
 
   /** Banded-LSH approximate variant: candidates are the union of the
@@ -1834,7 +1835,8 @@ object ExtQueries {
         .select(col("tier"), col("k"), (col("__nq") * col("k")).as("max_hits"),
           col("min_hits"),
           (coalesce(col("__h"), lit(0L)) >= col("min_hits")).as("ok"))
-    }.reduce(_ unionByName _).orderBy("tier", "k")
+    }.reduce(_ unionByName _)
+      .transform(graft.Tables.orderedReport(_, "tier", "k"))
   }
 
   /** The SemDeDup entry's contract, shared with KnnSpec's planted-duplicate
@@ -1973,7 +1975,7 @@ object ExtQueries {
           (col("n") * col("n")).cast("double") / lit(100000000.0)).as("variance"),
         rnd4(col("minv").cast("double") / lit(10000.0)).as("vmin"),
         rnd4(col("maxv").cast("double") / lit(10000.0)).as("vmax"))
-      .orderBy("dim")
+      .transform(graft.Tables.orderedReport(_, "dim"))
 
   /** Split leakage in EMBEDDING space: near-dup pairs (exact-cosine-verified
     * LSH candidates — [[Knn.cosineNearDupLsh]], the `ext_sim_neardup_lsh`
@@ -2012,7 +2014,7 @@ object ExtQueries {
         "vec_id", "embedding", threshold = 0.3, bands = 16, bitsPerBand = 2)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
       .withColumnRenamed("doc_id", "vec_id")
-      .orderBy("vec_id")
+      .transform(graft.Tables.orderedReport(_, "vec_id"))
 
   /** LSH-banded near-dup — candidates from (band, key) collisions instead of
     * the O(n²) cross join, exact-cosine verified. 16 bands × 2 bits holds
@@ -2051,7 +2053,7 @@ object ExtQueries {
       TextFns.qualityScore(col("text")))
       .select(col("doc_id"), col("lang"), col("bucket"),
         rnd4(TextFns.qualityScore(col("text"))).as("weight"))
-      .orderBy("doc_id")
+      .transform(graft.Tables.orderedReport(_, "doc_id"))
 
   /** Deterministic fixed-size sample: the 20 docs per language that come
     * first in the shuffle order — an absolute-size uniform sample (eval
@@ -2060,7 +2062,7 @@ object ExtQueries {
   private val extSampleBottomk: Q = (s, d) =>
     TrainPrep.bottomKSample(documents(s, d), "doc_id", "lang", k = 20)
       .select(col("doc_id"), col("lang"), col("sample_rank"))
-      .orderBy("doc_id")
+      .transform(graft.Tables.orderedReport(_, "doc_id"))
 
   /** Greedy k-center coreset over the embedding table
     * ([[Knn.coresetKCenter]]) — the diversity-first selection pass
@@ -2068,7 +2070,7 @@ object ExtQueries {
   private val CoresetK = 8
   private val extSampleCoreset: Q = (s, d) =>
     Knn.coresetKCenter(embeddings(s, d), "vec_id", "embedding", k = CoresetK)
-      .orderBy("step")
+      .transform(graft.Tables.orderedReport(_, "step"))
 
   /** Deterministic train/val/test holdout: 100‰ test, 50‰ val, rest train —
     * a pure per-row expression over an id hash independent of the sampling
@@ -2098,7 +2100,7 @@ object ExtQueries {
       .select(col("source"), col("__n").as("n_docs"),
         col("med").as("median_tokens"), col("mad").as("mad_tokens"),
         col("n_outliers"), expr("n_outliers * 1000 div __n").as("outlier_permille"))
-      .orderBy("source")
+      .transform(graft.Tables.orderedReport(_, "source"))
   }
 
   /** Population Stability Index of the token-count distribution between
@@ -2140,7 +2142,7 @@ object ExtQueries {
     withTot
       .select(col("bin"), col("n_train"), col("n_heldout"),
         round((pa - pb) * lnr.cast("double")).cast("long").as("psi_micro"))
-      .orderBy("bin")
+      .transform(graft.Tables.orderedReport(_, "bin"))
   }
 
   /** Split-LEAKAGE audit: near-dup pairs whose members land in different
@@ -2262,7 +2264,7 @@ object ExtQueries {
       ("__probs_normalized", math.abs(probSum - 1.0) <= 1e-6),
       ("__ll_monotone", ll.zip(ll.tail).forall { case (a, b) => b >= a - math.abs(a) * 1e-12 }))
       .toDF("item", "ok")
-    chars.unionByName(summary).orderBy("item")
+    graft.Tables.orderedReport(chars.unionByName(summary), "item")
   }
 
   /** Viterbi ENCODING fidelity audit, one row per document — the encode
@@ -2347,7 +2349,7 @@ object ExtQueries {
         ("orthonormal", (PcaK * (PcaK + 1) / 2).toLong, 1L, gramMax * 1000.0 <= 1.0))
       .toDF("metric", "n", "bound_milli", "ok")
       .unionByName(ev)
-      .orderBy("metric")
+      .transform(graft.Tables.orderedReport(_, "metric"))
   }
 
   /** Whitening CONTRACT AUDIT — [[extEmbedPca]]'s normalized form
@@ -2402,7 +2404,7 @@ object ExtQueries {
         lit(1600L).as("bound_milli"), okOr(i, cVar(i) * 1000.0 <= 1600.0).as("ok")),
       cAgg.select(lit(s"corpus_var_floor_pc$i").as("metric"), col("n"),
         lit(400L).as("bound_milli"), okOr(i, cVar(i) * 1000.0 >= 400.0).as("ok"))))
-    (sRows ++ cRows).reduce(_.unionByName(_)).orderBy("metric")
+    graft.Tables.orderedReport((sRows ++ cRows).reduce(_.unionByName(_)), "metric")
   }
 
   private val pqBooksByDir =
@@ -2626,7 +2628,7 @@ object ExtQueries {
     * [[TrainPrep.bm25]]). */
   private val extBm25: Q = (s, d) =>
     TrainPrep.bm25(documents(s, d), "doc_id", "text", Bm25Terms, k = Bm25K)
-      .orderBy("rank")
+      .transform(graft.Tables.orderedReport(_, "rank"))
 
   /** Hybrid retrieval via reciprocal-rank fusion — BM25 top-20 fused with
     * a quality-score top-20 (the "lexical match × quality prior" blend a
@@ -2644,7 +2646,7 @@ object ExtQueries {
         row_number().over(Window.orderBy(col("__q").desc, col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("rank_quality"))
     TrainPrep.rrfFuse(lex, qual, "doc_id", "rank_lex", "rank_quality")
-      .orderBy("fused_rank")
+      .transform(graft.Tables.orderedReport(_, "fused_rank"))
   }
 
   /** Top-20 corpus vocabulary with tf/df and cumulative coverage — the
@@ -2652,7 +2654,7 @@ object ExtQueries {
     * token string, so ranks and coverage are engine-deterministic). */
   private val extVocabTop: Q = (s, d) =>
     TrainPrep.vocabTop(documents(s, d), "doc_id", "text", k = 20)
-      .orderBy("rank")
+      .transform(graft.Tables.orderedReport(_, "rank"))
 
   /** Top-50 co-occurring vocab-term pairs by lift (the PMI argument; see
     * [[TrainPrep.cooccurrenceLift]] — ratio reported instead of its log so
@@ -2680,7 +2682,7 @@ object ExtQueries {
   private val extTokenQuantiles: Q = (s, d) =>
     TrainPrep.tokenQuantiles(documents(s, d), "lang", "text",
       permille = Seq(500, 900, 990))
-      .orderBy("stratum", "p")
+      .transform(graft.Tables.orderedReport(_, "stratum", "p"))
 
   /** Sketch-path variant (map-side-merged percentile_approx, no
     * per-stratum sort — the 100 TB shape), emitted through its RELATIONAL
@@ -2693,7 +2695,7 @@ object ExtQueries {
   private val extTokenQuantilesFast: Q = (s, d) =>
     TrainPrep.tokenQuantilesSketchChecked(documents(s, d), "lang", "text",
       permille = Seq(500, 900, 990))
-      .orderBy("stratum", "p")
+      .transform(graft.Tables.orderedReport(_, "stratum", "p"))
 
   /** Loader-facing window manifest over the packing plan: which docs start
     * in each (shard, window), as a contiguous id span, their token
@@ -2762,7 +2764,7 @@ object ExtQueries {
         rnd4(share).as("actual_share"),
         target.as("target_permille"),
         rnd4((target.cast("double") / 1000.0) / share).as("repeat_factor"))
-      .orderBy("lang")
+      .transform(graft.Tables.orderedReport(_, "lang"))
   }
 
   /** APPLY the mixture plan deterministically — the epoch-materialization
@@ -2799,7 +2801,7 @@ object ExtQueries {
     * ext_mix_plan. Integer micromille shares keep it engine-exact. */
   private val extMixTemperature: Q = (s, d) =>
     TrainPrep.temperatureMix(documents(s, d), "source", "text")
-      .orderBy("stratum")
+      .transform(graft.Tables.orderedReport(_, "stratum"))
 
   /** Per-source Spearman rank correlation between document LENGTH and the
     * composite QUALITY score ([[graft.operators.Robust.spearmanMicro]]) —
@@ -2813,7 +2815,7 @@ object ExtQueries {
       documents(s, d).select(col("source"), col("n_chars"),
         floor(TextFns.qualityScore(col("text")) * 10000.0 + 0.5).cast("long").as("__q")),
       "source", "n_chars", "__q")
-      .orderBy("source")
+      .transform(graft.Tables.orderedReport(_, "source"))
 
   /** Data-constrained epoch allocation over the temperature mix
     * ([[TrainPrep.epochAllocation]] — Muennighoff et al. 2023): a 2×-corpus
@@ -2824,7 +2826,7 @@ object ExtQueries {
   private val extMixEpochs: Q = (s, d) =>
     TrainPrep.epochAllocation(
       TrainPrep.temperatureMix(documents(s, d), "source", "text"))
-      .orderBy("stratum")
+      .transform(graft.Tables.orderedReport(_, "stratum"))
 
   /** Length-bucketed batching plan (see [[TrainPrep.lengthBuckets]]):
     * power-of-two token buckets 32..2048, 16-doc batches, and the padding
@@ -2836,7 +2838,7 @@ object ExtQueries {
           (col("n_docs") * col("bucket_cap")).cast("double")))
       .select("bucket_cap", "n_docs", "n_batches", "n_tokens",
         "pad_tokens", "trunc_tokens", "pad_frac")
-      .orderBy("bucket_cap")
+      .transform(graft.Tables.orderedReport(_, "bucket_cap"))
 
   /** Stage count for the curriculum entries (shared with the oracles). */
   final val CurriculumK = 4
@@ -2864,7 +2866,7 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(TextFns.tokens(col("text"))).cast("long")).as("n_tokens"),
         min(col("score")).as("min_score"), max(col("score")).as("max_score"))
-      .orderBy("stage")
+      .transform(graft.Tables.orderedReport(_, "stage"))
 
   /** The composed training-data pipeline: exact dedup → quality ≥ 0.3 →
     * stratified rebalance (en capped) → 2048-token window packing. Two
@@ -3093,7 +3095,7 @@ object ExtQueries {
   private val extKsDrift: Q = (s, d) =>
     graft.streaming.KsDriftStream.report(
       graft.streaming.KsDriftStream.histogram(documents(s, d)))
-      .orderBy("source")
+      .transform(graft.Tables.orderedReport(_, "source"))
 
   /** Embedding-space drift — the VECTOR-modality member of the drift
     * family (quality/vocab/KS/length/schema monitor the text and payload;

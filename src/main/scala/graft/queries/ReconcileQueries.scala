@@ -119,7 +119,7 @@ object ReconcileQueries {
       customer(s, d).filter(col(key) === docKey),
       Reconcile.driftedCustomer(customer(s, d)).filter(col(key) === docKey),
       key, fields)
-      .orderBy(key, "field")
+      .transform(graft.Tables.orderedReport(_, key, "field"))
 
   /** Flagship (SURVEY §3.2, js:478–538): change-window scan → distinct keys
     * → source/target restricted to those keys → single-pass diff summary.
@@ -161,7 +161,7 @@ object ReconcileQueries {
         count(when(col("__replicated").isNull, 1)).as("n_orphans"))
       .withColumn("orphan_permille",
         expr("n_orphans * 1000 div greatest(n_lines, 1L)"))
-      .orderBy("l_returnflag")
+      .transform(graft.Tables.orderedReport(_, "l_returnflag"))
   }
 
   /** Bucketized aggregate-fingerprint reconciliation

@@ -32,7 +32,7 @@ object RelQueries {
       .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_customers"), CdcOps.exactSum(col("c_acctbal")).as("sum_acctbal"))
-      .orderBy("r_name", "n_name")
+      .transform(graft.Tables.orderedReport(_, "r_name", "n_name"))
 
   /** orders ⋈ lineitem revenue per (status, priority): both sides large →
     * shuffle on l_orderkey/o_orderkey, SortMergeJoin. The `merge` hint pins
@@ -51,7 +51,7 @@ object RelQueries {
           sum(col("l_extendedprice").cast("decimal(18,2)")
             * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
             .cast("double"), 4).as("revenue"))
-      .orderBy("o_orderstatus", "o_orderpriority")
+      .transform(graft.Tables.orderedReport(_, "o_orderstatus", "o_orderpriority"))
 
   /** Customers with no urgent order — left-anti, the relational "missing in
     * target" (js:423–432). (Every customer has ≥1 order in the fixture, so

@@ -70,7 +70,7 @@ object StreamQueries {
     val raw = Tables.eventsRaw(s, d)
     CdcPipeline.windowedOpCounts(raw)
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("op_type"), col("n"))
-      .orderBy("day", "op_type")
+      .transform(graft.Tables.orderedReport(_, "day", "op_type"))
   }
 
   /** js:114–115 — the at-least-once replay contract: the same change batch
@@ -154,7 +154,8 @@ object StreamQueries {
     import graft.streaming.SourceCapsStream
     val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id", "source")
     val twice = docs.unionByName(docs) // two deliveries
-    SourceCapsStream.capK(twice, ExtQueries.SourceCapK).orderBy("source", "rk")
+    graft.Tables.orderedReport(
+      SourceCapsStream.capK(twice, ExtQueries.SourceCapK), "source", "rk")
   }
 
   /** The incremental prefix-template monitor run in BATCH mode over a
@@ -182,7 +183,7 @@ object StreamQueries {
       .localCheckpoint(true)
     val grid = SchemaProfileStream.slice(once).localCheckpoint(true)
     SchemaProfileStream.report(SchemaProfileStream.mergeState(grid.limit(0), grid))
-      .orderBy("event_type", "key")
+      .transform(graft.Tables.orderedReport(_, "event_type", "key"))
   }
 
   /** The incremental embedding-drift monitor run in BATCH mode over a
@@ -446,7 +447,7 @@ object StreamQueries {
     CdcPipeline.windowedDailyBars(raw)
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("open"),
         col("high"), col("low"), col("close"), col("n_events"))
-      .orderBy("day")
+      .transform(graft.Tables.orderedReport(_, "day"))
   }
 
   /** The incremental daily top-K leaderboard run in BATCH mode — the same
@@ -546,7 +547,7 @@ object StreamQueries {
       graft.streaming.TopkStream.dailyTypeCounts(
         CdcPipeline.dedupEvents(CdcPipeline.transform(raw))),
       "event_type", "day", "n", buckets = 10)
-      .orderBy("event_type", "rank")
+      .transform(graft.Tables.orderedReport(_, "event_type", "rank"))
   }
 
   /** The depth-2 binseg tree over the SAME maintained (day, type) count
@@ -682,7 +683,7 @@ object StreamQueries {
     val twice = once.unionByName(once) // two deliveries
     QualityDrift.report(QualityDrift.mergeVerdicts(twice.limit(0), twice),
       base, DriftPermille)
-      .orderBy("source")
+      .transform(graft.Tables.orderedReport(_, "source"))
   }
 
   /** Vocab-drift contracts shared by the query entry and StreamingSpec:
@@ -709,7 +710,7 @@ object StreamQueries {
     val twice = once.unionByName(once) // two deliveries
     VocabDrift.report(VocabDrift.mergeVerdicts(twice.limit(0), twice),
       base, OovDriftPermille)
-      .orderBy("source")
+      .transform(graft.Tables.orderedReport(_, "source"))
   }
 
   /** Batch-replay form of the KS drift monitor ([[graft.streaming
@@ -726,7 +727,7 @@ object StreamQueries {
     val twice = once.unionByName(once)
     KsDriftStream.report(KsDriftStream.histogram(
       KsDriftStream.mergeDocs(twice.limit(0), twice)))
-      .orderBy("source")
+      .transform(graft.Tables.orderedReport(_, "source"))
   }
 
   /** Batch-replay form of the per-source length-profile monitor

@@ -93,7 +93,7 @@ object DsirModelStream {
         micro(col("raw_tf"), col("__rt")).as("raw_micro"),
         (micro(col("tgt_tf"), col("__tt")) -
           micro(col("raw_tf"), col("__rt"))).as("logratio_micro"))
-      .orderBy("token")
+      .transform(graft.Tables.orderedReport(_, "token"))
   }
 
   /** The LIVE count grid ([[StateCommit.state]] — readers resolve through

@@ -96,7 +96,7 @@ object EmbedDriftStream {
       .select(col("pos"), col("n_ref"), col("n_cur"),
         col("s_ref").as("s_ref_e4"), col("s_cur").as("s_cur_e4"),
         col("delta_num_e4"), col("drift_rank"))
-      .orderBy("pos")
+      .transform(graft.Tables.orderedReport(_, "pos"))
   }
 
   /** The LIVE grid ([[StateCommit.state]] — readers resolve through the

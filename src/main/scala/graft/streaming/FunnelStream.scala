@@ -96,7 +96,7 @@ object FunnelStream {
         col("__n0").as("__top"))
       .select(col("stage_idx"), col("stage"), col("n_users"),
         expr("n_users * 1000 div greatest(__top, 1L)").as("conv_permille"))
-      .orderBy("stage_idx")
+      .transform(graft.Tables.orderedReport(_, "stage_idx"))
   }
 
   /** Conversion-lag profile over the SAME state table [[report]] reads:

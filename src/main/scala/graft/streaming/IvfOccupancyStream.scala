@@ -72,7 +72,7 @@ object IvfOccupancyStream {
         expr("n * 1000 div __nt").as("share_permille"),
         col("__mx").as("max_cell"), col("__mn").as("min_cell"),
         expr("__mx * __nc * 1000 div __nt").as("imbalance_permille"))
-      .orderBy("cell")
+      .transform(graft.Tables.orderedReport(_, "cell"))
   }
 
   /** The LIVE count grid ([[StateCommit.state]]). */

@@ -71,7 +71,7 @@ object KAnonymityStream {
       .select(col("band"), col("n_classes"), col("n_rows"),
         expr("n_rows * 1000 div __rows").as("rows_permille"),
         col("__k").as("k_anonymity"))
-      .orderBy("band")
+      .transform(graft.Tables.orderedReport(_, "band"))
   }
 
   /** t-closeness report off the SAME class grid (Li, Li & Venkatasubramanian
@@ -126,7 +126,7 @@ object KAnonymityStream {
       .select(col("event_type"),
         date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("n_rows"), col("t_milli"), col("__t_max").as("t_closeness"))
-      .orderBy("event_type", "day")
+      .transform(graft.Tables.orderedReport(_, "event_type", "day"))
   }
 
   /** The LIVE class grid ([[StateCommit.state]]): readers resolve through

@@ -82,7 +82,7 @@ object LDiversityStream {
       .select(col("band"), col("n_classes"), col("n_class_users"),
         expr("n_classes * 1000 div __classes").as("classes_permille"),
         col("__l").as("l_diversity"))
-      .orderBy("band")
+      .transform(graft.Tables.orderedReport(_, "band"))
   }
 
   /** The live membership state — raw delta union, empty before the first

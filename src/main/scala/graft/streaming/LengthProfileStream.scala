@@ -76,7 +76,7 @@ object LengthProfileStream {
       .select(col("source"), col("__n").as("n_docs"),
         col("med").as("median_tokens"), col("mad").as("mad_tokens"),
         col("n_outliers"), expr("n_outliers * 1000 div __n").as("outlier_permille"))
-      .orderBy("source")
+      .transform(graft.Tables.orderedReport(_, "source"))
   }
 
   /** Start the monitor: document source dir → membership projection →

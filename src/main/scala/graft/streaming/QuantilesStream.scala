@@ -55,7 +55,7 @@ object QuantilesStream {
       .agg(q(500).as("p50"), q(900).as("p90"), q(990).as("p99"))
       .select(col("event_type"), col("__n").as("n_events"),
         col("p50"), col("p90"), col("p99"))
-      .orderBy("event_type")
+      .transform(graft.Tables.orderedReport(_, "event_type"))
   }
 
   /** The LIVE state histogram ([[StateCommit.state]]). */

@@ -72,7 +72,7 @@ object RetentionStream {
     cnt.join(w0, "cohort_week")
       .select(col("cohort_week"), col("week_n"), col("n_users"),
         expr("n_users * 1000 div greatest(__w0, 1L)").as("retention_permille"))
-      .orderBy("cohort_week", "week_n")
+      .transform(graft.Tables.orderedReport(_, "cohort_week", "week_n"))
   }
 
   /** The LIVE (user, week) fact table (versioned atomic commits). */

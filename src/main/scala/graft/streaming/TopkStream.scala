@@ -55,7 +55,7 @@ object TopkStream {
       .filter(col("rnk") <= k)
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("rnk"),
         col("event_type"), col("n"))
-      .orderBy("day", "rnk")
+      .transform(graft.Tables.orderedReport(_, "day", "rnk"))
   }
 
   /** CUSUM level-shift report over the SAME (day, type) count state the
@@ -82,7 +82,7 @@ object TopkStream {
         col("cusum_up"), col("cusum_down"),
         (dec(col("cusum_up")) * dec(col("cusum_up")) > lit(16) * varY).as("shift_up"),
         (dec(col("cusum_down")) * dec(col("cusum_down")) > lit(16) * varY).as("shift_down"))
-      .orderBy("day")
+      .transform(graft.Tables.orderedReport(_, "day"))
   }
 
   /** Holt level + trend forecast over the SAME (day, type) count state the
@@ -93,7 +93,7 @@ object TopkStream {
     * engine-exact); day frames calendar-bounded per type. */
   def holtReport(state: DataFrame): DataFrame =
     graft.operators.CdcOps.holt(state, "event_type", "day", "n")
-      .orderBy("event_type", "day")
+      .transform(graft.Tables.orderedReport(_, "event_type", "day"))
 
   /** The LIVE state table ([[StateCommit.state]]): readers resolve through
     * the marker, never observing a half-written version. */

@@ -42,7 +42,7 @@ object VocabDrift {
     * disagree on what "in vocabulary" means). */
   def vocab(refDocs: DataFrame, k: Int): Seq[String] =
     TrainPrep.vocabTop(refDocs, "doc_id", "text", k)
-      .orderBy("rank").select("token")
+      .transform(graft.Tables.orderedReport(_, "rank")).select("token")
       .collect().map(_.getString(0)).toIndexedSeq
 
   /** Per-document verdict: slim (doc_id, source, n_tokens, n_oov) —
