@@ -767,9 +767,15 @@ object Knn {
     })
   }
 
-  /** Codes-only distance: Σ_s dtable[s][codes[s]] — m array lookups. */
+  /** Codes-only distance: Σ_s dtable[s][codes[s]] — m array lookups.
+    * Codegen'd ([[graft.functions.AdcDist]]): this evaluates once per
+    * (corpus row × probe query), and the interpreted zip_with lambda tree
+    * it replaces was the scan's per-row cost, not the lookups. */
   private def adcDist(dt: Column, codes: Column): Column =
-    aggregate(zip_with(dt, codes, (t, c) => element_at(t, c + 1)), lit(0.0), _ + _)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.AdcDist(
+        org.apache.spark.sql.GraftColumnBridge.expression(dt),
+        org.apache.spark.sql.GraftColumnBridge.expression(codes)))
 
   def pqKnn(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
             k: Int, m: Int, nCodes: Int, iters: Int, sampleN: Int = 0,

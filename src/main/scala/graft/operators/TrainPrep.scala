@@ -821,7 +821,9 @@ object TrainPrep {
     a.select(col(idCol), col(rankA))
       .join(b.select(col(idCol), col(rankB)), Seq(idCol), "full_outer")
       .withColumn("__f", fused)
-      .orderBy(col("__f").desc, col(idCol))
+      // no pre-sort: the global-window row_number below imposes the same
+      // (single-partition) order itself; a global orderBy here only added
+      // a redundant range exchange + its sampling job
       .withColumn("fused_rank",
         row_number().over(Window.orderBy(col("__f").desc, col(idCol))).cast("long"))
       .select(col("fused_rank"), col(idCol), col(rankA), col(rankB),

@@ -141,6 +141,17 @@ class CodegenGuardSpec extends AnyFunSuite {
     InternalRow(ArrayData.toArrayData(Array(3L, -2L, 7L)),
       ArrayData.toArrayData(Array(-4L, 5L, 6L))),
     Seq(longArrType, longArrType))
+  private val dtType = ArrayType(ArrayType(DoubleType, containsNull = false),
+    containsNull = false)
+  check("AdcDist",
+    AdcDist(BoundReference(0, dtType, nullable = true),
+      BoundReference(1, ArrayType(IntegerType, containsNull = false), nullable = true)),
+    InternalRow(
+      ArrayData.toArrayData(Array(
+        ArrayData.toArrayData(Array(1.5, 2.5)),
+        ArrayData.toArrayData(Array(0.25, 4.0, 8.0)))),
+      ArrayData.toArrayData(Array(1, 2))),
+    Seq(dtType, ArrayType(IntegerType, containsNull = false)))
   check("LongDots",
     LongDots(BoundReference(0, longArrType, nullable = true),
       Seq(Array(1000000L, -2000000L, 3000000L), Array(500000L, 500000L, -500000L))),
