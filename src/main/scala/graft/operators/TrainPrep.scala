@@ -601,16 +601,16 @@ object TrainPrep {
                        minCount: Long, iters: Int, topK: Int): DataFrame = {
     require(window >= 2 && iters >= 1 && topK > 0,
       s"textrankKeywords: need window ≥ 2, iters ≥ 1, topK > 0, got ($window, $iters, $topK)")
+    // pair fan-out compiled ([[graft.functions.TokenPairsWindow]]): the
+    // interpreted nested-transform lambda tree it replaces evaluated per
+    // token × (window−1) across the corpus; identical pair multiset (the
+    // a = b self-pairs the old form filtered are never emitted)
     val edgesRaw = docs.select(TextFns.tokens(col(textCol)).as("__t"))
-      .select(explode(expr(
-        s"""flatten(transform(sequence(1, ${window - 1}),
-           |  o -> transform(sequence(1, greatest(size(__t) - o, 0)),
-           |    i -> named_struct(
-           |      'a', least(element_at(__t, i), element_at(__t, i + o)),
-           |      'b', greatest(element_at(__t, i), element_at(__t, i + o))))))"""
-          .stripMargin)).as("__p"))
+      .select(explode(org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.TokenPairsWindow(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("__t")),
+          window))).as("__p"))
       .select(col("__p.a").as("a"), col("__p.b").as("b"))
-      .filter(col("a") =!= col("b"))
     val ew = edgesRaw.groupBy(col("a"), col("b")).agg(count(lit(1)).as("wt"))
       .filter(col("wt") >= minCount)
     // symmetric adjacency with each source's total incident weight riding

@@ -157,6 +157,13 @@ class CodegenGuardSpec extends AnyFunSuite {
       Seq(Array(1000000L, -2000000L, 3000000L), Array(500000L, 500000L, -500000L))),
     InternalRow(ArrayData.toArrayData(Array(2000000L, 1000000L, -1000000L))),
     Seq(longArrType))
+  private val strArrType = ArrayType(StringType, containsNull = true)
+  check("TokenPairsWindow",
+    TokenPairsWindow(BoundReference(0, strArrType, nullable = true), window = 3),
+    InternalRow(ArrayData.toArrayData(Array(
+      UTF8String.fromString("b"), UTF8String.fromString("a"),
+      UTF8String.fromString("b"), UTF8String.fromString("c")))),
+    Seq(strArrType))
   check("WinnowFingerprints",
     WinnowFingerprints(str0, k = 8, w = 4, modulus = 1000000007L),
     strRow(text), Seq(strType))
